@@ -1,0 +1,22 @@
+"""Ray Data stages: the distributed operators of the engine.
+
+Every temporal operator follows one physical plan (SURVEY.md §7):
+
+1. assign each row an entity hash-bucket (``partition.with_entity_bucket``) —
+   the ONE shuffle key reused by windows, sessions, as-of joins and lag
+   features;
+2. ``groupby(bucket).map_groups`` so each task owns whole entities;
+3. inside the group: one multi-key Arrow sort ``(entity, ts)``, then fully
+   vectorized per-entity segment computation (searchsorted window bounds,
+   cumulative-sum aggregates, shift-based lags).
+
+Stateless per-row work (token kernels, text analysis, hashing) is plain
+``map_batches`` over zero-copy Arrow batches and never shuffles.
+"""
+
+from pymhealth_ray.stages.partition import with_entity_bucket, entity_segments  # noqa: F401
+from pymhealth_ray.stages.rowfeatures import token_features  # noqa: F401
+from pymhealth_ray.stages.window import window_features  # noqa: F401
+from pymhealth_ray.stages.session import sessionize, session_stats  # noqa: F401
+from pymhealth_ray.stages.asof import asof_join  # noqa: F401
+from pymhealth_ray.stages.lag import lag_features  # noqa: F401

@@ -1,0 +1,78 @@
+"""Per-entity lag/lead/backfill features.
+
+The distributed form of the reference's successive-difference kernels
+(successive_distance head fill = 0, reference:location/features.py:98-113;
+pnn/rmssd/sdsd diff features, reference:heart/hrv.py:111-169): per entity in
+ts order, ``shift(k)`` with explicit head/tail fill — vectorized across all
+entities of a bucket with one boundary mask, no per-entity loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import (
+    column_f64,
+    column_i64,
+    entity_segments,
+    grouped_by_bucket,
+)
+
+
+def _row_pos(starts: np.ndarray) -> np.ndarray:
+    """Position of each row within its entity segment."""
+    n = starts[-1]
+    return np.arange(n, dtype=np.int64) - np.repeat(starts[:-1], np.diff(starts))
+
+
+def lag_features(
+    ds,
+    cols,
+    lags=(1,),
+    leads=(),
+    diffs=(),
+    entity_col: str = "doc_id",
+    ts_col: str = "ts_ns",
+    fill: float = np.nan,
+    diff_head_fill: float = 0.0,
+    num_buckets: int = 64,
+):
+    """Append lag/lead/successive-diff columns.
+
+    - ``{col}_lag{k}``: value k rows earlier within the entity (head → fill)
+    - ``{col}_lead{k}``: value k rows later (tail → fill) — the forward
+      counterpart (leakage-bearing by definition; excluded from as-of
+      feature sets)
+    - ``{col}_diff1``: value - previous value, head → ``diff_head_fill``
+      (0, the successive_distance convention)
+    """
+    cols = list(cols)
+    diffs = list(diffs)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, _ = entity_segments(tbl, entity_col, ts_col)
+        pos = _row_pos(starts)
+        seg_len = np.repeat(np.diff(starts), np.diff(starts))
+        for col in cols:
+            v = column_f64(tbl, col)
+            for k in lags:
+                lagged = np.empty_like(v)
+                lagged[k:] = v[:-k] if k else v
+                head = pos < k
+                lagged[head] = fill
+                tbl = tbl.append_column(f"{col}_lag{k}", pa.array(lagged, type=pa.float64()))
+            for k in leads:
+                led = np.empty_like(v)
+                led[:-k] = v[k:]
+                tail = pos >= seg_len - k
+                led[tail] = fill
+                tbl = tbl.append_column(f"{col}_lead{k}", pa.array(led, type=pa.float64()))
+            if col in diffs:
+                d = np.empty_like(v)
+                d[1:] = v[1:] - v[:-1]
+                d[pos < 1] = diff_head_fill
+                tbl = tbl.append_column(f"{col}_diff1", pa.array(d, type=pa.float64()))
+        return tbl
+
+    return grouped_by_bucket(ds, per_bucket, entity_col, num_buckets)

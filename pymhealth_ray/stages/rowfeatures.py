@@ -1,0 +1,219 @@
+"""Per-row token-signal features: stateless, shuffle-free, fully vectorized.
+
+Each row's ``tokens`` list IS the signal (SURVEY.md §1.2); the kernels of
+reference:generic/{stats,timedom,information}.py are applied per row — but
+vectorized ACROSS rows via the Arrow list layout (flat values + offsets),
+using segmented cumulative sums / reduceat instead of any per-row Python
+loop. One map_batches pass computes every requested feature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+#: features with a segmented vectorized implementation
+VECTORIZED_FEATURES = (
+    "mean",
+    "std",
+    "var",
+    "min",
+    "max",
+    "sum",
+    "zero_crossing_count",
+    "line_length",
+    "entropy",
+    "skewness",
+    "kurtosis",
+    "hjorth_activity",
+    "hjorth_mobility",
+    "hjorth_complexity",
+)
+
+DEFAULT_FEATURES = (
+    "mean",
+    "std",
+    "min",
+    "max",
+    "zero_crossing_count",
+    "line_length",
+    "entropy",
+)
+
+
+def _flat_tokens(batch: pa.Table, col: str):
+    """Zero-copy flat values + per-row offsets of a list<int32> column."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values.to_numpy(zero_copy_only=False)
+    # honor a sliced parent array
+    flat = values[off[0] : off[-1]].astype(np.float64)
+    off = off - off[0]
+    return flat, off
+
+
+def _segmented_gradient(v: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """np.gradient semantics per row over the flat layout: central difference
+    inside each row, one-sided at each row's ends
+    (reference:generic/timedom.py:11-31 == np.gradient defaults).
+    """
+    g = np.empty_like(v)
+    if len(v) >= 3:
+        g[1:-1] = (v[2:] - v[:-2]) / 2.0
+    starts = off[:-1]
+    ends = off[1:] - 1
+    # one-sided at row boundaries (rows have >= 2 elements in our data; a
+    # 1-element row would get 0)
+    single = ends == starts
+    s, e = starts[~single], ends[~single]
+    g[s] = v[s + 1] - v[s]
+    g[e] = v[e] - v[e - 1]
+    g[starts[single]] = 0.0
+    return g
+
+
+def _row_moments(v: np.ndarray, off: np.ndarray):
+    """Per-row (count, mean, m2) via cumulative sums."""
+    cnt = (off[1:] - off[:-1]).astype(np.float64)
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    s1 = cs[off[1:]] - cs[off[:-1]]
+    mean = s1 / cnt
+    cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
+    s2 = cs2[off[1:]] - cs2[off[:-1]]
+    m2 = s2 / cnt - mean**2
+    return cnt, mean, np.maximum(m2, 0.0)
+
+
+def _row_central_moment(v: np.ndarray, off: np.ndarray, mean: np.ndarray, p: int) -> np.ndarray:
+    centered = v - np.repeat(mean, np.diff(off))
+    cs = np.concatenate([[0.0], np.cumsum(centered**p)])
+    return (cs[off[1:]] - cs[off[:-1]]) / np.diff(off)
+
+
+def _row_entropy(v: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-row Shannon entropy of the value histogram, vectorized across
+    rows by a single lexsort + run-length pass. Matches
+    functions.information.entropy over np.unique counts (+1e-30 smoothing,
+    reference:generic/information.py:10-20).
+    """
+    n_rows = len(off) - 1
+    cnt = np.diff(off)
+    row_id = np.repeat(np.arange(n_rows, dtype=np.int64), cnt)
+    order = np.lexsort((v, row_id))
+    sv, sr = v[order], row_id[order]
+    if len(sv) == 0:
+        return np.zeros(0)
+    new_run = np.empty(len(sv), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_counts = np.diff(np.append(run_starts, len(sv))).astype(np.float64)
+    run_row = sr[run_starts]
+    p = run_counts / cnt[run_row].astype(np.float64) + 1e-30
+    contrib = -p * np.log(p)
+    out = np.zeros(n_rows)
+    np.add.at(out, run_row, contrib)
+    return out
+
+
+def _segmented_sum(x: np.ndarray, off: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0.0], np.cumsum(x)])
+    return cs[off[1:]] - cs[off[:-1]]
+
+
+def _boundary_zeroed_pair_stat(flat_stat: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Sum a length-(N-1) consecutive-pair statistic per row, excluding the
+    cross-row boundary positions."""
+    stat = flat_stat.copy()
+    # element at index e-1 pairs row r's last value with row r+1's first
+    inner = off[1:-1] - 1
+    stat[inner] = 0.0
+    cs = np.concatenate([[0.0], np.cumsum(stat)])
+    lo = np.minimum(off[:-1], len(flat_stat))
+    hi = np.minimum(off[1:], len(flat_stat))
+    return cs[hi] - cs[lo]
+
+
+def compute_token_features(batch: pa.Table, features=DEFAULT_FEATURES, tokens_col: str = "tokens", prefix: str = "tok_"):
+    """Compute the requested per-row features; returns dict name→np array."""
+    v, off = _flat_tokens(batch, tokens_col)
+    if len(off) > 1 and not (np.diff(off) > 0).all():
+        raise ValueError("empty tokens rows are unsupported (n_tok >= 1 invariant)")
+    out: dict[str, np.ndarray] = {}
+    cnt, mean, m2 = _row_moments(v, off)
+    std = np.sqrt(m2)
+    need = set(features)
+
+    if "mean" in need:
+        out[prefix + "mean"] = mean
+    if "std" in need:
+        out[prefix + "std"] = std
+    if "var" in need:
+        out[prefix + "var"] = m2
+    if "sum" in need:
+        out[prefix + "sum"] = _segmented_sum(v, off)
+    if "min" in need or "max" in need:
+        starts = off[:-1]
+        if "min" in need:
+            out[prefix + "min"] = np.minimum.reduceat(v, starts)
+        if "max" in need:
+            out[prefix + "max"] = np.maximum.reduceat(v, starts)
+    if "zero_crossing_count" in need:
+        # mean-centered zero crossings (reference:generic/timedom.py:34-64;
+        # threshold 0, zeros count as "not positive")
+        centered = v - np.repeat(mean, np.diff(off))
+        pos = centered > 0
+        cross = (pos[1:] != pos[:-1]).astype(np.float64)
+        out[prefix + "zero_crossing_count"] = _boundary_zeroed_pair_stat(cross, off)
+    if "line_length" in need:
+        adiff = np.abs(np.diff(v))
+        out[prefix + "line_length"] = _boundary_zeroed_pair_stat(adiff, off)
+    if "entropy" in need:
+        out[prefix + "entropy"] = _row_entropy(v, off)
+    if "skewness" in need:
+        m3 = _row_central_moment(v, off, mean, 3)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sk = np.where(std > 0, m3 / std**3, 0.0)
+        out[prefix + "skewness"] = sk
+    if "kurtosis" in need:
+        m4 = _row_central_moment(v, off, mean, 4)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ku = np.where(m2 > 0, m4 / m2**2, 0.0)
+        out[prefix + "kurtosis"] = ku
+    if need & {"hjorth_activity", "hjorth_mobility", "hjorth_complexity"}:
+        g = _segmented_gradient(v, off)
+        _, gmean, gm2 = _row_moments(g, off)
+        if "hjorth_activity" in need:
+            out[prefix + "hjorth_activity"] = m2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mob = np.sqrt(gm2 / m2)
+        if "hjorth_mobility" in need:
+            out[prefix + "hjorth_mobility"] = mob
+        if "hjorth_complexity" in need:
+            gg = _segmented_gradient(g, off)
+            _, _, ggm2 = _row_moments(gg, off)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[prefix + "hjorth_complexity"] = np.sqrt(ggm2 / gm2) / mob
+    return out
+
+
+def token_features(ds, features=DEFAULT_FEATURES, tokens_col: str = "tokens", prefix: str = "tok_",
+                   drop_tokens: bool = False, batch_size: int | None = 2048):
+    """Stateless map_batches stage appending per-row token features.
+
+    ``drop_tokens=True`` removes the wide list column afterwards so the
+    downstream shuffle moves only narrow feature columns — at 100 TB the
+    token payload never enters the window/session/as-of exchange.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = compute_token_features(batch, features, tokens_col, prefix)
+        for name, arr in cols.items():
+            batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
+        if drop_tokens:
+            batch = batch.drop_columns([tokens_col])
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
