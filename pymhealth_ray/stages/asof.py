@@ -245,7 +245,13 @@ def _pa_schema(ds) -> pa.Schema:
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
-    return pa.schema([pa.field(n, t) for n, t in zip(sch.names, sch.types)])
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            dt = np.dtype(t)
+            t = pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt)
+        fields.append(pa.field(n, t))
+    return pa.schema(fields)
 
 
 def _to_arrow(ds_or_table) -> pa.Table:
