@@ -1,0 +1,152 @@
+"""The flagship pipeline: as-of join + window features over tokenized
+sequences (BASELINE.json north_star), composed for ONE shuffle.
+
+Per row of the input table the pipeline emits, with zero temporal leakage
+(every feature is a function of data at ts' <= ts of the same entity):
+
+- per-row token-signal kernels (stateless pass, tokens dropped afterwards so
+  the shuffle moves only narrow columns);
+- lag features: previous tok_mean, successive diff, inter-arrival delta
+  (reference:heart/hrv.py:111-169, location/features.py:98-113 semantics);
+- trailing event-time window [ts - wsize, ts): count/mean/std of tok_mean —
+  the per-row backfill form of the window engine (same searchsorted idiom as
+  reference:util/windows.py:175-178);
+- gap-threshold session id;
+- backward as-of join of the last COMPLETED session's summary (published at
+  that session's final event) onto every later row.
+
+Everything after the stateless pass happens inside ONE
+bucket-groupby/map_groups, sharing a single (entity, ts) sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import (
+    column_f64,
+    column_i64,
+    entity_segments,
+    grouped_by_bucket,
+)
+from pymhealth_ray.stages.rowfeatures import token_features
+from pymhealth_ray.stages.session import _session_ids
+
+TOKEN_FEATURES = (
+    "mean",
+    "std",
+    "min",
+    "max",
+    "zero_crossing_count",
+    "line_length",
+    "entropy",
+)
+
+
+def flagship_features(
+    ds,
+    gap_ns: int = 1800 * 10**9,
+    wsize_ns: int = 3600 * 10**9,
+    entity_col: str = "doc_id",
+    ts_col: str = "ts_ns",
+    num_buckets: int = 64,
+    token_feature_set=TOKEN_FEATURES,
+    drop_tokens: bool = True,
+):
+    feat = token_features(ds, features=token_feature_set, drop_tokens=drop_tokens)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col)
+        n = tbl.num_rows
+        if n == 0:
+            return _empty_like(tbl)
+        ts = column_i64(tbl, ts_col)
+        v = column_f64(tbl, "tok_mean")
+        seg_len = np.diff(starts)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts[:-1], seg_len)
+
+        # --- lag features (head-filled per entity) ---
+        lag1 = np.empty(n)
+        lag1[1:] = v[:-1]
+        lag1[pos < 1] = np.nan
+        diff1 = np.empty(n)
+        diff1[1:] = v[1:] - v[:-1]
+        diff1[pos < 1] = 0.0  # successive_distance head convention
+        delta = np.empty(n, dtype=np.float64)
+        delta[1:] = (ts[1:] - ts[:-1]).astype(np.float64)
+        delta[pos < 1] = np.nan
+
+        # --- session ids (vectorized across entities) ---
+        sid = _session_ids(ts, starts, gap_ns)
+
+        # --- trailing window [ts - wsize, ts): strict past ---
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
+        tr_cnt = np.empty(n, dtype=np.float64)
+        tr_mean = np.full(n, np.nan)
+        tr_std = np.full(n, np.nan)
+        # per-session aggregates for the as-of dim
+        prev_sess_mean = np.full(n, np.nan)
+        prev_sess_n = np.full(n, np.nan)
+        prev_sess_end = np.full(n, np.nan)
+
+        for k in range(n_ent):
+            lo, hi = starts[k], starts[k + 1]
+            ets = ts[lo:hi]
+            w_lo = lo + np.searchsorted(ets, ets - wsize_ns, side="left")
+            w_hi = np.arange(lo, hi)  # exclusive of the current row
+            c = (w_hi - w_lo).astype(np.float64)
+            s1 = cs[w_hi] - cs[w_lo]
+            s2 = cs2[w_hi] - cs2[w_lo]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                m = s1 / c
+                var = np.maximum(s2 / c - m**2, 0.0)
+            tr_cnt[lo:hi] = c
+            nz = c > 0
+            tr_mean[lo:hi][nz] = m[nz]
+            tr_std[lo:hi][nz] = np.sqrt(var[nz])
+
+            # session summary dim: one row per session, published at its end
+            esid = sid[lo:hi]
+            s_start = np.flatnonzero(np.concatenate([[True], esid[1:] != esid[:-1]]))
+            s_end = np.append(s_start[1:], hi - lo)
+            sess_n = (s_end - s_start).astype(np.float64)
+            sess_mean = (cs[lo + s_end] - cs[lo + s_start]) / sess_n
+            sess_end_ts = ets[s_end - 1]
+            # backward as-of: greatest session end <= row ts
+            match = np.searchsorted(sess_end_ts, ets, side="right") - 1
+            ok = match >= 0
+            idxs = np.maximum(match, 0)
+            prev_sess_mean[lo:hi][ok] = sess_mean[idxs[ok]]
+            prev_sess_n[lo:hi][ok] = sess_n[idxs[ok]]
+            prev_sess_end[lo:hi][ok] = sess_end_ts[idxs[ok]].astype(np.float64)
+
+        tbl = tbl.append_column("tok_mean_lag1", pa.array(lag1))
+        tbl = tbl.append_column("tok_mean_diff1", pa.array(diff1))
+        tbl = tbl.append_column("delta_ts_ns", pa.array(delta))
+        tbl = tbl.append_column("session_id", pa.array(sid, type=pa.int64()))
+        tbl = tbl.append_column("trail_count", pa.array(tr_cnt))
+        tbl = tbl.append_column("trail_mean", pa.array(tr_mean))
+        tbl = tbl.append_column("trail_std", pa.array(tr_std))
+        tbl = tbl.append_column("sess_ref_mean", pa.array(prev_sess_mean))
+        tbl = tbl.append_column("sess_ref_n", pa.array(prev_sess_n))
+        tbl = tbl.append_column("sess_ref_end_ns", pa.array(prev_sess_end))
+        return tbl
+
+    def _empty_like(tbl: pa.Table) -> pa.Table:
+        for name in (
+            "tok_mean_lag1",
+            "tok_mean_diff1",
+            "delta_ts_ns",
+            "trail_count",
+            "trail_mean",
+            "trail_std",
+            "sess_ref_mean",
+            "sess_ref_n",
+            "sess_ref_end_ns",
+        ):
+            tbl = tbl.append_column(name, pa.array([], type=pa.float64()))
+        return tbl.append_column("session_id", pa.array([], type=pa.int64()))
+
+    return grouped_by_bucket(feat, per_bucket, entity_col, num_buckets)

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — the query matrix is broadcast ONCE
+  via ray.put and each map_batches task scores its batch against it with one
+  matmul (small-side broadcast, never a shuffle join).
+- ``knn_ivf``: the scale path — k-means-style coarse quantizer (seeded,
+  trained on a sample), vectors bucketed by nearest centroid; queries probe
+  only the ``nprobe`` nearest buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    emb = batch[emb_col]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.values.to_numpy(zero_copy_only=False)
+    if batch.num_rows == 0:
+        return np.zeros((0, 0))
+    return flat.reshape(batch.num_rows, -1).astype(np.float64)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class _BruteForceScorer:
+    """Actor: queries fetched from the object store and normalized ONCE in
+    __init__; __call__ is one matmul + partial top-k per batch."""
+
+    def __init__(self, q_ref, emb_col: str, id_col: str, k: int, exclude_self: bool):
+        q_ids, q_mat = ray.get(q_ref)
+        self.q_ids = q_ids
+        self.q = _unit(q_mat)
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _unit(_emb_matrix(batch, self.emb_col))
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        sims = self.q @ mat.T  # (n_q, n_batch)
+        if self.exclude_self:
+            same = self.q_ids[:, None] == ids[None, :]
+            sims = np.where(same, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.q_ids, k)
+        cand = ids[idx.ravel()]
+        simv = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = np.isfinite(simv)
+        return pa.table(
+            {
+                "query_id": pa.array(rows[keep]),
+                "neighbor_id": pa.array(cand[keep]),
+                "cosine": pa.array(simv[keep]),
+            }
+        )
+
+
+def knn_bruteforce(ds, queries: pa.Table, k: int = 5, emb_col: str = "embedding",
+                   id_col: str = "vec_id", exclude_self: bool = True, concurrency=(2, 8)):
+    """Exact cosine top-k of every query against the whole dataset.
+
+    Per-batch partial top-k flows to the driver (tiny: n_q × k per batch) and
+    is merged there — the dataset itself streams, only candidates collect.
+    Returns a pyarrow Table (query_id, neighbor_id, cosine) sorted by
+    (query_id, -cosine, neighbor_id).
+    """
+    q_ids = np.asarray(queries[id_col].to_pylist())
+    q_mat = _emb_matrix(queries, emb_col)
+    q_ref = ray.put((q_ids, q_mat))
+
+    partials = ds.map_batches(
+        _BruteForceScorer,
+        fn_constructor_args=(q_ref, emb_col, id_col, k, exclude_self),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # merge partial top-k per query on the driver (bounded: n_batches * n_q * k)
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(batches) if batches else None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "neighbor_id": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+    qi = np.asarray(tbl["query_id"].to_pylist())
+    ni = np.asarray(tbl["neighbor_id"].to_pylist())
+    cs = np.asarray(tbl["cosine"].to_pylist())
+    out_q: List[int] = []
+    out_n: List[int] = []
+    out_c: List[float] = []
+    for q in np.unique(qi):
+        m = qi == q
+        order = np.lexsort((ni[m], -cs[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_n.extend(ni[m][order].tolist())
+        out_c.extend(cs[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                     "neighbor_id": pa.array(out_n, type=pa.int64()),
+                     "cosine": pa.array(out_c, type=pa.float64())})
+
+
+def train_ivf_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Mini k-means on unit vectors (cosine == dot): seeded, deterministic."""
+    rng = np.random.default_rng(seed)
+    sample = _unit(sample)
+    cent = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(ds, queries: pa.Table, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+            emb_col: str = "embedding", id_col: str = "vec_id", train_sample: int = 2048,
+            exclude_self: bool = True, concurrency=(2, 8)):
+    """IVF-style ANN: bucket vectors by nearest centroid (one pass), score
+    queries only against their ``nprobe`` closest buckets. Recall < 1 by
+    design; the brute-force path is the correctness baseline.
+
+    At cluster scale the bucketed dataset would be written partitioned by
+    centroid so probes read only matching partitions.
+    """
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_list()).astype(np.float64)
+    cent = train_ivf_centroids(sample, n_centroids)
+    cent_ref = ray.put(cent)
+
+    q_ids = np.asarray(queries[id_col].to_pylist())
+    q_mat = _unit(_emb_matrix(queries, emb_col))
+    q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [set(row.tolist()) for row in q_probe]
+
+    class Scorer:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_emb_matrix(batch, emb_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            assign = np.argmax(mat @ self.cent.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qe, (qid, probes) in enumerate(zip(q_ids, probe_sets)):
+                mask = np.isin(assign, list(probes))
+                if exclude_self:
+                    mask &= ids != qid
+                if not mask.any():
+                    continue
+                sims = mat[mask] @ q_mat[qe]
+                sel = np.argsort(-sims)[:k]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(ids[mask][sel].tolist())
+                out_c.extend(sims[sel].tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             "neighbor_id": pa.array(out_n, type=pa.int64()),
+                             "cosine": pa.array(out_c, type=pa.float64())})
+
+    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+    merged: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for q, n, c in zip(b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(), b["cosine"].to_pylist()):
+            heap = merged.setdefault(q, [])
+            heapq.heappush(heap, (c, n))
+            if len(heap) > k:
+                heapq.heappop(heap)
+    out_q, out_n, out_c = [], [], []
+    for q in sorted(merged):
+        for c, n in sorted(merged[q], key=lambda t: (-t[0], t[1])):
+            out_q.append(q)
+            out_n.append(n)
+            out_c.append(c)
+    return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                     "neighbor_id": pa.array(out_n, type=pa.int64()),
+                     "cosine": pa.array(out_c, type=pa.float64())})

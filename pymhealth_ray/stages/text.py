@@ -1,0 +1,150 @@
+"""Text analysis over document tables: token counting, quality scoring,
+language-ID, content fingerprinting.
+
+Training-data-pipeline operators (a core deliverable beyond the reference's
+own inventory): all stateless map_batches over Arrow string columns, with the
+heavier per-doc work (hashing, n-gram profiles) vectorized or bounded.
+Regex/stopword/profile state is module-level (compiled once per worker
+process — the actor-__init__ pattern for stateless tasks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = frozenset(
+    "the a an of and to in is are was for on with as by at it this that".split()
+)
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+# BPE-ish token splitter: runs of letters, runs of digits, or a single
+# non-space symbol — a deterministic stand-in for a real BPE vocab.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def _strings(batch: pa.Table, col: str) -> list:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_pylist()
+
+
+def token_counts(ds, text_col: str = "text", batch_size: int = 4096):
+    """Whitespace token count + BPE-ish token count + char length per doc."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _strings(batch, text_col)
+        ws = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=len(texts))
+        bpe = np.fromiter((len(_BPE_RE.findall(t)) for t in texts), dtype=np.int64, count=len(texts))
+        chars = pc.utf8_length(batch[text_col]).cast(pa.int64())
+        batch = batch.append_column("n_ws_tokens", pa.array(ws))
+        batch = batch.append_column("n_bpe_tokens", pa.array(bpe))
+        return batch.append_column("n_chars_utf8", chars)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def quality_scores(ds, text_col: str = "text", batch_size: int = 4096):
+    """Heuristic quality features: token count, mean word length, stopword
+    ratio, punctuation ratio — the standard pre-training quality signals."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _strings(batch, text_col)
+        n = len(texts)
+        n_tok = np.zeros(n, dtype=np.int64)
+        mean_wl = np.zeros(n, dtype=np.float64)
+        stop_r = np.zeros(n, dtype=np.float64)
+        punct_r = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            words = t.split()
+            n_tok[i] = len(words)
+            if words:
+                mean_wl[i] = sum(len(w) for w in words) / len(words)
+                stop_r[i] = sum(1 for w in words if w.lower() in STOPWORDS) / len(words)
+            if t:
+                punct_r[i] = len(_PUNCT_RE.findall(t)) / len(t)
+        batch = batch.append_column("n_tokens", pa.array(n_tok))
+        batch = batch.append_column("mean_word_len", pa.array(mean_wl))
+        batch = batch.append_column("stopword_ratio", pa.array(stop_r))
+        return batch.append_column("punct_ratio", pa.array(punct_r))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def content_hashes(ds, text_col: str = "text", batch_size: int = 4096):
+    """Deterministic content hashes per doc: md5 hex (dedup key), crc32 and a
+    64-bit FNV-1a rolling fingerprint (cheap shard-stable id)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _strings(batch, text_col)
+        md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        crc = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in texts), dtype=np.int64, count=len(texts))
+        fnv = np.fromiter((_fnv1a64(t.encode("utf-8")) for t in texts), dtype=np.uint64, count=len(texts))
+        batch = batch.append_column("md5", pa.array(md5, type=pa.string()))
+        batch = batch.append_column("crc32", pa.array(crc))
+        return batch.append_column("fnv64", pa.array(fnv.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+# --- language ID: char-trigram profiles (tiny built-in, deterministic) ----
+
+_LANG_PROFILES = {
+    "en": "the and ing ion tio ent for hat his tha ere ate you",
+    "es": "que los ent aci del nte con ció por una sta ado par",
+    "fr": "les ent que une des ion elle ait pour dans est sur",
+    "de": "der die und sch ein ich den cht ung gen wir das mit",
+    "zh": "",  # CJK handled by codepoint-range rule
+}
+
+
+class LanguageId:
+    """Actor-pool language identifier: trigram profiles built once in
+    __init__ (per actor), scored per batch — the stateful-stage pattern for
+    model-like lookups."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {
+            lang: set(p.split()) for lang, p in _LANG_PROFILES.items() if p
+        }
+
+    def _score(self, t: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in t[:200]):
+            return "zh"
+        tl = t.lower()
+        grams = {tl[i : i + 3] for i in range(min(len(tl), 500) - 2)}
+        best, best_score = "en", -1
+        for lang, prof in self.profiles.items():
+            s = len(grams & prof)
+            if s > best_score:
+                best, best_score = lang, s
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = _strings(batch, self.text_col)
+        langs = [self._score(t) for t in texts]
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+def language_id(ds, text_col: str = "text", concurrency=(2, 8), batch_size: int = 4096):
+    return ds.map_batches(
+        LanguageId,
+        fn_constructor_args=(text_col,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,115 @@
+"""Per-partition lineage manifests + checkpointed, resumable output.
+
+Output layout (BASELINE.json north_star: "per-partition lineage manifests and
+checkpointed partition outputs enabling resume-from-failure"):
+
+    out_dir/
+      part=<bucket>/data.parquet      (atomic: tmp file + os.replace)
+      _manifests/bucket=<bucket>.json (written AFTER the data file)
+
+A bucket is done iff its manifest exists and records the same params hash.
+On resume, rows whose bucket is already done are filtered out BEFORE the
+shuffle, so finished partitions cost nothing. Manifests record row count,
+byte size, entity range and the parameter hash — the lineage needed to audit
+or invalidate a partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pymhealth_ray.stages.partition import BUCKET_COL, with_entity_bucket
+
+
+def params_hash(params: dict | None) -> str:
+    blob = json.dumps(params or {}, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
+def read_manifests(out_dir: str) -> dict:
+    """bucket → manifest dict for every completed partition."""
+    mdir = pathlib.Path(out_dir) / "_manifests"
+    out = {}
+    if not mdir.is_dir():
+        return out
+    for f in mdir.glob("bucket=*.json"):
+        try:
+            m = json.loads(f.read_text())
+            out[int(m["bucket"])] = m
+        except (ValueError, KeyError):
+            continue
+    return out
+
+
+def resumable_write(
+    ds,
+    out_dir: str,
+    entity_col: str = "doc_id",
+    num_buckets: int = 64,
+    params: dict | None = None,
+    fail_buckets: set | None = None,
+):
+    """Write ``ds`` partitioned by entity bucket with per-partition manifests;
+    skips buckets whose manifest already matches. Returns the manifest list
+    (one dict per bucket written or previously done).
+
+    ``fail_buckets`` injects failures (tests only): the writer raises before
+    writing those buckets' manifests.
+    """
+    phash = params_hash(params)
+    done = {b: m for b, m in read_manifests(out_dir).items() if m.get("params_hash") == phash}
+    out_path = pathlib.Path(out_dir)
+    (out_path / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    bucketed = with_entity_bucket(ds, entity_col, num_buckets)
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int32)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            b = batch[BUCKET_COL]
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            keep = ~np.isin(b.to_numpy(zero_copy_only=False), done_arr)
+            return batch.filter(pa.array(keep))
+
+        bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow")
+
+    fail = fail_buckets or set()
+
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        bucket = int(tbl[BUCKET_COL][0].as_py())
+        tbl = tbl.drop_columns([BUCKET_COL])
+        if bucket in fail:
+            raise RuntimeError(f"injected failure for bucket {bucket}")
+        pdir = out_path / f"part={bucket}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        tmp = pdir / ".data.parquet.tmp"
+        pq.write_table(tbl, tmp)
+        final = pdir / "data.parquet"
+        os.replace(tmp, final)
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        manifest = {
+            "bucket": bucket,
+            "rows": tbl.num_rows,
+            "bytes": final.stat().st_size,
+            "entity_min": min(ent.to_pylist()) if tbl.num_rows else None,
+            "entity_max": max(ent.to_pylist()) if tbl.num_rows else None,
+            "params_hash": phash,
+        }
+        mtmp = out_path / "_manifests" / f".bucket={bucket}.tmp"
+        mtmp.write_text(json.dumps(manifest))
+        os.replace(mtmp, out_path / "_manifests" / f"bucket={bucket}.json")
+        return pa.table({"bucket": pa.array([bucket], type=pa.int64()), "rows": pa.array([tbl.num_rows], type=pa.int64())})
+
+    result = bucketed.groupby(BUCKET_COL).map_groups(write_bucket, batch_format="pyarrow")
+    result.materialize()  # drive the write; per-bucket side effects are atomic
+    return read_manifests(out_dir)
