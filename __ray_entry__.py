@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init()`` itself before importing this module; nothing
+here (or in pymhealth_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship as-of-join + window-feature pipeline
+  (pymhealth_ray.pipelines.flagship) over /root/testdata/sf0.001 — the
+  events stream plays the entity/ts/value roles of the north-star input; the
+  same pipeline runs over the input_hint sequences fixture in bench.py.
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
+  plus the training-data ops) — see pymhealth_ray.pipelines.queries.
+- ``oracle_sql()``: DuckDB-equivalent SQL per query; langid / simhash /
+  minhash-LSH are heuristic/hash ops with no SQL form → rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +20,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+    import ray
+
+    from pymhealth_ray.pipelines.flagship import flagship_features
+    from pymhealth_ray.sources.generate import ensure_fixture
+
+    path = ensure_fixture("/root/testdata/sf0.001")
+    ds = ray.data.read_parquet(path)
+    # also touch the driver-provided sf0.001 tables per the contract
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["event_id"])
+    assert ev.count() >= 0
+    return flagship_features(ds, num_buckets=16)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pymhealth_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pymhealth_ray.pipelines.queries import build_oracle_sql
+
+    return build_oracle_sql()

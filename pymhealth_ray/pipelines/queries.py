@@ -1,0 +1,854 @@
+"""Driver-facing queries and their DuckDB oracle SQL.
+
+Every entry in QUERIES is a pipeline over the driver's parquet tables (or the
+deterministic sequences fixture); ORACLE_SQL holds the ANSI-SQL equivalent
+DuckDB runs on the same inputs. Column names, types and rounding are kept
+IDENTICAL on both sides (the driver hash-compares values after sorting
+columns by name):
+
+- exact-decimal data (2-dec values/prices) is summed in integer cents on
+  both sides → hash-exact integers;
+- integer-derived means are emitted as raw doubles (identical int/int
+  division on both sides → bit-equal);
+- genuinely float aggregates (entropy, stds over floats) are rounded to 6
+  decimals with DuckDB's half-away-from-zero convention on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from pymhealth_ray.sources.generate import ensure_fixture
+from pymhealth_ray.stages.asof import asof_join
+from pymhealth_ray.stages.aggregate import grouped_stats
+from pymhealth_ray.stages.dedup import exact_dedup, minhash_lsh_dupes, simhash_signatures
+from pymhealth_ray.stages.lag import lag_features
+from pymhealth_ray.stages.rolling import rolling_count_windows
+from pymhealth_ray.stages.rowfeatures import token_features
+from pymhealth_ray.stages.session import session_stats
+from pymhealth_ray.stages.text import language_id, quality_scores, token_counts
+from pymhealth_ray.stages.window import window_features
+from pymhealth_ray.stages import ann
+
+HOUR_US = 3_600_000_000
+MIN5_US = 300_000_000
+GAP_US = 1_800_000_000
+HOUR_NS = 3_600_000_000_000
+GAP_NS = 1_800_000_000_000
+
+NB = 32  # bucket count for sf-scale correctness runs
+
+
+def _round_away(x: np.ndarray, d: int) -> np.ndarray:
+    """DuckDB ROUND convention: half away from zero."""
+    m = 10.0**d
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
+def _round_cols(tbl: pa.Table, spec: dict) -> pa.Table:
+    for col, d in spec.items():
+        i = tbl.column_names.index(col)
+        arr = tbl[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = np.isnan(v)
+        r = _round_away(np.where(mask, 0.0, v), d)
+        out = pa.array(np.where(mask, np.nan, r))
+        if arr.null_count:
+            out = pc.if_else(arr.is_valid(), out, pa.nulls(len(v), type=pa.float64()))
+        tbl = tbl.set_column(i, col, out)
+    return tbl
+
+
+def _cast_cols(tbl: pa.Table, spec: dict) -> pa.Table:
+    for col, typ in spec.items():
+        i = tbl.column_names.index(col)
+        tbl = tbl.set_column(i, col, tbl[col].cast(typ))
+    return tbl
+
+
+def _events(sf_dir: str, columns):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+    def add_us(b: pa.Table) -> pa.Table:
+        return b.append_column("ts_us", b["ts"].cast(pa.int64())).drop_columns(["ts"])
+
+    return ds.map_batches(add_us, batch_format="pyarrow")
+
+
+def _cents(b: pa.Table, col: str, out: str, scale: int = 100) -> pa.Table:
+    arr = b[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return b.append_column(out, pa.array(np.rint(v * scale).astype(np.int64)))
+
+
+# --------------------------------------------------------------------------
+# events queries
+# --------------------------------------------------------------------------
+
+
+def q_events_window_1h(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    wf = window_features(
+        ds,
+        HOUR_US,
+        HOUR_US,
+        aggs={
+            "value_sum": ("value", "sum"),
+            "value_mean": ("value", "mean"),
+            "value_min": ("value", "min"),
+            "value_max": ("value", "max"),
+        },
+        entity_col="user_id",
+        ts_col="ts_us",
+        emit_empty=False,
+        num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            ["user_id", "window_start_us", "n_events", "value_sum", "value_mean", "value_min", "value_max"]
+        )
+        b = _round_cols(b, {"value_sum": 2, "value_mean": 6, "value_min": 2, "value_max": 2})
+        return b
+
+    return wf.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW_1H = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+b AS (SELECT user_id, min(ts_us) AS f, max(ts_us) AS l FROM e GROUP BY user_id),
+w AS (SELECT e.user_id, f + ((e.ts_us - f) // {HOUR_US}) * {HOUR_US} AS window_start_us, e.value
+      FROM e JOIN b USING (user_id)
+      WHERE (e.ts_us - f) // {HOUR_US} < (l - f + {HOUR_US} - 1) // {HOUR_US})
+SELECT user_id, window_start_us, count(*) AS n_events,
+       round(sum(value), 2) AS value_sum, round(avg(value), 6) AS value_mean,
+       round(min(value), 2) AS value_min, round(max(value), 2) AS value_max
+FROM w GROUP BY user_id, window_start_us
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    st = session_stats(ds, GAP_US, value_col="value", entity_col="user_id", ts_col="ts_us", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            ["user_id", "session_id", "n_events", "start_us", "end_us", "duration_us",
+             "value_sum", "value_mean", "value_std"]
+        )
+        return _round_cols(b, {"value_sum": 2, "value_mean": 6, "value_std": 6})
+
+    return st.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+s AS (SELECT user_id, ts_us, value,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > {GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s2 AS (SELECT user_id, ts_us, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+       FROM s)
+SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       round(sum(value), 2) AS value_sum, round(avg(value), 6) AS value_mean,
+       round(stddev_pop(value), 6) AS value_std
+FROM s2 GROUP BY user_id, session_id
+"""
+
+
+def q_events_asof_purchase(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def only_facts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["event_type"], "purchase"))
+        return b.drop_columns(["event_type"])
+
+    def only_dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        return b.select(["user_id", "ts_us", "value"]).rename_columns(["user_id", "ts_us", "purchase_value"])
+
+    facts = ds.map_batches(only_facts, batch_format="pyarrow")
+    dim = ds.map_batches(only_dim, batch_format="pyarrow")
+    j = asof_join(facts, dim, ["purchase_value"], entity_col="user_id", ts_col="ts_us", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["event_id", "user_id", "ts_us", "value", "purchase_value_asof", "ts_us_asof"])
+        b = b.rename_columns(["event_id", "user_id", "ts_us", "value", "purchase_value", "purchase_ts_us"])
+        return _round_cols(b, {"value": 2, "purchase_value": 2})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+f AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type <> 'purchase'),
+d AS (SELECT user_id, ts_us AS p_ts, value AS p_val FROM e WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.ts_us, round(f.value, 2) AS value,
+       round(d.p_val, 2) AS purchase_value, d.p_ts AS purchase_ts_us
+FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_us >= d.p_ts
+"""
+
+
+def q_events_lag_diff(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    lf = lag_features(
+        ds, ["value"], lags=(), diffs=["value"], entity_col="user_id", ts_col="ts_us",
+        num_buckets=NB, tiebreak_col="event_id",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["event_id", "user_id", "ts_us", "value_diff1", "row_idx"])
+        return b.rename_columns(["event_id", "user_id", "ts_us", "value_diff1", "rn"])
+
+    return lf.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_LAG_DIFF = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT event_id, user_id, ts_us,
+       COALESCE(value - lag(value) OVER w, 0.0) AS value_diff1,
+       row_number() OVER w - 1 AS rn
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def q_events_rolling_mean(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    rw = rolling_count_windows(
+        ds, "value", wsize=10, wstep=5, entity_col="user_id", ts_col="ts_us",
+        tiebreak_col="event_id", num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["user_id", "window_idx", "value_mean"])
+        return _round_cols(b, {"value_mean": 6})
+
+    return rw.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_MEAN = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS wmean
+      FROM e)
+SELECT user_id, rn // 5 AS window_idx, round(wmean, 6) AS value_mean
+FROM r WHERE rn % 5 = 0 AND rn + 10 <= cnt
+"""
+
+
+def q_events_sdann(sf_dir: str):
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    wf = window_features(
+        ds, MIN5_US, MIN5_US,
+        aggs={"wmean": ("value", "mean"), "wstd": ("value", "std")},
+        entity_col="user_id", ts_col="ts_us", emit_empty=False, num_buckets=NB,
+    )
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        # two-pass std over the (few) window means per user — numerically
+        # equivalent to DuckDB's Welford stddev_pop at 6 decimals
+        m = tbl["wmean"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tbl["wstd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": tbl["user_id"].slice(0, 1),
+                "sdann": pa.array(_round_away(np.array([np.std(m)]), 6)),
+                "sdnni": pa.array(_round_away(np.array([np.mean(s)]), 6)),
+            }
+        )
+
+    return wf.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SQL_EVENTS_SDANN = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+b AS (SELECT user_id, min(ts_us) AS f, max(ts_us) AS l FROM e GROUP BY user_id),
+w AS (SELECT e.user_id, (e.ts_us - f) // {MIN5_US} AS k, e.value
+      FROM e JOIN b USING (user_id)
+      WHERE (e.ts_us - f) // {MIN5_US} < (l - f + {MIN5_US} - 1) // {MIN5_US}),
+m AS (SELECT user_id, k, avg(value) AS wmean, stddev_pop(value) AS wstd FROM w GROUP BY user_id, k)
+SELECT user_id, round(stddev_pop(wmean), 6) AS sdann, round(avg(wstd), 6) AS sdnni
+FROM m GROUP BY user_id
+"""
+
+
+def q_events_type_entropy(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    counts = grouped_stats(ds, ["user_id", "event_type"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        # per-user entropy over type counts (reference entropy semantics,
+        # generic/information.py:10-20; the 1e-30 smoothing is < 1e-26 here
+        # and invisible at 6 decimals)
+        import pandas as pd
+
+        df = tbl.to_pandas()
+        out = []
+        for uid, g in df.groupby("user_id"):
+            c = g["n"].to_numpy(dtype=np.float64)
+            p = c / c.sum()
+            out.append((uid, float(-(p * np.log(p)).sum())))
+        res = pd.DataFrame(out, columns=["user_id", "type_entropy"])
+        return pa.table(
+            {"user_id": pa.array(res.user_id.values), "type_entropy": pa.array(_round_away(res.type_entropy.values, 6))}
+        )
+
+    return counts.groupby("user_id").map_groups(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TYPE_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS c FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.user_id, round(-sum((c.c / t.n) * ln(c.c / t.n)), 6) AS type_entropy
+FROM c JOIN t USING (user_id) GROUP BY c.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# lineitem / orders
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_quantity", "qty_c")
+        b = _cents(b, "l_extendedprice", "price_c")
+        price_c = b["price_c"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        disc_c = np.rint(disc * 100).astype(np.int64)
+        b = b.append_column("disc_price_u", pa.array(price_c * (100 - disc_c)))
+        return b.select(["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_price_u"])
+
+    agg = grouped_stats(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["l_returnflag", "l_linestatus"],
+                        sum_cols=["qty_c", "price_c", "disc_price_u"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = b["qty_c_sum"].to_numpy(zero_copy_only=False)
+        price = b["price_c_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty_cents": b["qty_c_sum"].cast(pa.int64()),
+                "sum_price_cents": b["price_c_sum"].cast(pa.int64()),
+                "sum_disc_price_u": b["disc_price_u_sum"].cast(pa.int64()),
+                "avg_qty": pa.array(qty / (100.0 * n)),
+                "avg_price": pa.array(price / (100.0 * n)),
+                "n": b["n"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_u,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (100 * count(*)) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (100 * count(*)) AS avg_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_segment_join(sf_dir: str):
+    """Broadcast join: the small customer table is put in the object store
+    once; every task maps custkey → mktsegment locally (no shuffle join)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    class Annotate:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seg = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
+            b = b.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
+            b = _cents(b, "o_totalprice", "total_c")
+            return b.select(["c_mktsegment", "o_orderstatus", "total_c"])
+
+    annotated = orders.map_batches(Annotate, batch_format="pyarrow", concurrency=(1, 4))
+    agg = grouped_stats(annotated, ["c_mktsegment", "o_orderstatus"], sum_cols=["total_c"], count_name="n_orders")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "o_orderstatus": b["o_orderstatus"],
+                "n_orders": b["n_orders"].cast(pa.int64()),
+                "total_cents": b["total_c_sum"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_SEGMENT_JOIN = """
+SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# documents
+# --------------------------------------------------------------------------
+
+
+def q_docs_token_counts(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_utf8"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_TOKEN_COUNTS = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_utf8
+FROM documents
+"""
+
+
+def q_docs_quality(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = quality_scores(ds)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "n_tokens", "mean_word_len", "stopword_ratio", "punct_ratio"])
+        return _round_cols(b, {"mean_word_len": 6, "stopword_ratio": 6, "punct_ratio": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_STOPWORD_SQL = ", ".join(
+    f"'{w}'" for w in sorted(
+        "the a an of and to in is are was for on with as by at it this that".split()
+    )
+)
+
+SQL_DOCS_QUALITY = rf"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+a AS (SELECT doc_id, count(*) AS n_tokens, round(avg(length(w)), 6) AS mean_word_len,
+             round(avg(CASE WHEN lower(w) IN ({_STOPWORD_SQL}) THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+      FROM w GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens, a.mean_word_len, a.stopword_ratio,
+       round(CAST(len(regexp_extract_all(d.text, '[.,!?;:]')) AS DOUBLE) / length(d.text), 6) AS punct_ratio
+FROM a JOIN documents d USING (doc_id)
+"""
+
+
+def q_docs_hashes(sf_dir: str):
+    from pymhealth_ray.stages.text import content_hashes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return content_hashes(ds).map_batches(lambda b: b.select(["doc_id", "md5"]), batch_format="pyarrow")
+
+
+SQL_DOCS_HASHES = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
+def q_docs_dedup_first8(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_fp(b: pa.Table) -> pa.Table:
+        fp = [" ".join(t.split()[:8]) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "fp": pa.array(fp, type=pa.string())})
+
+    dd = exact_dedup(ds.map_batches(add_fp, batch_format="pyarrow"), key_col="fp", id_col="doc_id")
+    return dd.map_batches(
+        lambda b: b.select(["key_md5", "doc_id", "n_dups"]).rename_columns(["fp_md5", "doc_id", "n_dups"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_DEDUP_FIRST8 = r"""
+WITH f AS (SELECT doc_id, md5(array_to_string((regexp_extract_all(text, '\S+'))[1:8], ' ')) AS fp_md5
+           FROM documents)
+SELECT fp_md5, min(doc_id) AS doc_id, count(*) AS n_dups FROM f GROUP BY fp_md5
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return language_id(ds).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def q_docs_simhash(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_signatures(ds).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dupes(ds, jaccard_threshold=0.5)
+    return pairs.map_batches(lambda b: _round_cols(b, {"est_jaccard": 4}), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# embeddings
+# --------------------------------------------------------------------------
+
+
+def q_embed_stats(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = emb.values.to_numpy(zero_copy_only=False)[off[0]: off[-1]].astype(np.float64)
+        off = off - off[0]
+        dim = np.diff(off)
+        cs = np.concatenate([[0.0], np.cumsum(flat)])
+        cs2 = np.concatenate([[0.0], np.cumsum(flat * flat)])
+        s1 = cs[off[1:]] - cs[off[:-1]]
+        s2 = cs2[off[1:]] - cs2[off[:-1]]
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "dim": pa.array(dim.astype(np.int64)),
+                "l2_norm": pa.array(_round_away(np.sqrt(s2), 6)),
+                "emb_mean": pa.array(_round_away(s1 / dim, 6)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMBED_STATS = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'mean'), 6) AS emb_mean
+FROM embeddings
+"""
+
+
+def q_embed_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], 10))
+    topk = ann.knn_bruteforce(ds, queries, k=5)
+    return _round_cols(topk, {"cosine": 4})
+
+
+SQL_EMBED_KNN = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, n.e) AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, n.e) DESC, n.vec_id) AS rnk
+      FROM q CROSS JOIN n WHERE q.vec_id <> n.vec_id)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM s WHERE rnk <= 5
+"""
+
+
+def q_embed_label_norms(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = emb.values.to_numpy(zero_copy_only=False)[off[0]: off[-1]].astype(np.float64)
+        off = off - off[0]
+        cs2 = np.concatenate([[0.0], np.cumsum(flat * flat)])
+        nrm = np.sqrt(cs2[off[1:]] - cs2[off[:-1]])
+        return pa.table({"label": b["label"], "nrm": pa.array(nrm)})
+
+    agg = grouped_stats(ds.map_batches(fn, batch_format="pyarrow"), ["label"], sum_cols=["nrm"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["nrm_sum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": b["label"],
+                "n": b["n"].cast(pa.int64()),
+                "avg_norm": pa.array(_round_away(s / n, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EMBED_LABEL_NORMS = """
+WITH t AS (SELECT label, sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS nrm
+           FROM embeddings)
+SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm FROM t GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# sequences fixture (input_hint table)
+# --------------------------------------------------------------------------
+
+
+def _seq_ds(sf_dir: str, columns=None):
+    path = ensure_fixture(sf_dir)
+    return ray.data.read_parquet(path, columns=columns), path
+
+
+def q_seq_token_stats(sf_dir: str):
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok", "tokens"])
+    feat = token_features(
+        ds,
+        features=("mean", "sum", "min", "max", "zero_crossing_count", "line_length", "entropy"),
+        drop_tokens=True,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(
+            ["doc_id", "ts_ns", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_mean",
+             "tok_zero_crossing_count", "tok_line_length", "tok_entropy"]
+        )
+        b = _cast_cols(b, {"tok_sum": pa.int64(), "tok_min": pa.int64(), "tok_max": pa.int64(),
+                           "tok_zero_crossing_count": pa.int64(), "tok_line_length": pa.int64(),
+                           "n_tok": pa.int64()})
+        b = b.rename_columns(
+            ["doc_id", "ts_ns", "n_tok", "tok_sum", "tok_min", "tok_max", "tok_mean", "zcc", "line_length", "tok_entropy"]
+        )
+        return _round_cols(b, {"tok_entropy": 6})
+
+    return feat.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_token_stats(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, n_tok, tokens FROM read_parquet('{path}/part-*.parquet')),
+u AS (SELECT doc_id, ts_ns, unnest(tokens) AS v, generate_subscripts(tokens, 1) AS k FROM s),
+a AS (SELECT doc_id, ts_ns, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS tok_sum,
+             CAST(min(v) AS BIGINT) AS tok_min, CAST(max(v) AS BIGINT) AS tok_max
+      FROM u GROUP BY doc_id, ts_ns),
+z AS (SELECT u.doc_id, u.ts_ns, u.k, (u.v > CAST(a.tok_sum AS DOUBLE) / a.cnt) AS pos, u.v
+      FROM u JOIN a USING (doc_id, ts_ns)),
+zc AS (SELECT doc_id, ts_ns, CAST(count(*) FILTER (WHERE pos <> prev_pos) AS BIGINT) AS zcc
+       FROM (SELECT doc_id, ts_ns, pos, lag(pos) OVER (PARTITION BY doc_id, ts_ns ORDER BY k) AS prev_pos FROM z)
+       GROUP BY doc_id, ts_ns),
+ll AS (SELECT doc_id, ts_ns, CAST(sum(abs(v - prev_v)) AS BIGINT) AS line_length
+       FROM (SELECT doc_id, ts_ns, v, lag(v) OVER (PARTITION BY doc_id, ts_ns ORDER BY k) AS prev_v FROM u)
+       WHERE prev_v IS NOT NULL GROUP BY doc_id, ts_ns),
+hh AS (SELECT doc_id, ts_ns, round(-sum(p * ln(p)), 6) AS tok_entropy FROM (
+         SELECT c.doc_id, c.ts_ns, c.c::DOUBLE / a.cnt AS p
+         FROM (SELECT doc_id, ts_ns, v, count(*) AS c FROM u GROUP BY doc_id, ts_ns, v) c
+         JOIN a USING (doc_id, ts_ns))
+       GROUP BY doc_id, ts_ns)
+SELECT s.doc_id, s.ts_ns, CAST(s.n_tok AS BIGINT) AS n_tok, a.tok_sum, a.tok_min, a.tok_max,
+       CAST(a.tok_sum AS DOUBLE) / a.cnt AS tok_mean, zc.zcc, ll.line_length, hh.tok_entropy
+FROM s JOIN a USING (doc_id, ts_ns) JOIN zc USING (doc_id, ts_ns)
+JOIN ll USING (doc_id, ts_ns) JOIN hh USING (doc_id, ts_ns)
+"""
+
+
+def q_seq_tokens_md5(sf_dir: str):
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        digests = [
+            hashlib.md5(",".join(str(x) for x in row).encode()).hexdigest() for row in toks.to_pylist()
+        ]
+        return pa.table({"doc_id": b["doc_id"], "ts_ns": b["ts_ns"], "tok_md5": pa.array(digests, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_seq_tokens_md5(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns, md5(array_to_string(tokens, ',')) AS tok_md5
+FROM read_parquet('{path}/part-*.parquet')
+"""
+
+
+def q_seq_sessions(sf_dir: str):
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    st = session_stats(ds, GAP_NS, value_col="n_tok", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "session_id", "n_events", "start_ns", "end_ns", "duration_ns", "n_tok_sum", "n_tok_mean"])
+        return _cast_cols(b, {"n_tok_sum": pa.int64()})
+
+    return st.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_sessions(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, n_tok FROM read_parquet('{path}/part-*.parquet')),
+s AS (SELECT doc_id, ts_ns, n_tok,
+             CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY doc_id ORDER BY ts_ns) > {GAP_NS}
+                  THEN 1 ELSE 0 END AS brk FROM e),
+s2 AS (SELECT doc_id, ts_ns, n_tok,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
+       FROM s)
+SELECT doc_id, session_id, count(*) AS n_events, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
+       max(ts_ns) - min(ts_ns) AS duration_ns,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(sum(n_tok) AS DOUBLE) / count(*) AS n_tok_mean
+FROM s2 GROUP BY doc_id, session_id
+"""
+
+
+def q_seq_windows_1h(sf_dir: str):
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    wf = window_features(
+        ds, HOUR_NS, HOUR_NS,
+        aggs={"ntok_sum": ("n_tok", "sum"), "ntok_mean": ("n_tok", "mean")},
+        emit_empty=False, num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "window_start_ns", "n_in_window", "ntok_sum", "ntok_mean"])
+        b = b.rename_columns(["doc_id", "window_start_ns", "n_events", "ntok_sum", "ntok_mean"])
+        return _cast_cols(b, {"ntok_sum": pa.int64()})
+
+    return wf.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_windows_1h(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, n_tok FROM read_parquet('{path}/part-*.parquet')),
+b AS (SELECT doc_id, min(ts_ns) AS f, max(ts_ns) AS l FROM e GROUP BY doc_id),
+w AS (SELECT e.doc_id, f + ((e.ts_ns - f) // {HOUR_NS}) * {HOUR_NS} AS window_start_ns, e.n_tok
+      FROM e JOIN b USING (doc_id)
+      WHERE (e.ts_ns - f) // {HOUR_NS} < (l - f + {HOUR_NS} - 1) // {HOUR_NS})
+SELECT doc_id, window_start_ns, count(*) AS n_events,
+       CAST(sum(n_tok) AS BIGINT) AS ntok_sum, CAST(sum(n_tok) AS DOUBLE) / count(*) AS ntok_mean
+FROM w GROUP BY doc_id, window_start_ns
+"""
+
+
+def q_seq_asof_sessions(sf_dir: str):
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    st = session_stats(ds, GAP_NS, value_col="n_tok", num_buckets=NB)
+    dim = st.map_batches(
+        lambda b: b.select(["doc_id", "end_ns", "n_tok_mean"]).rename_columns(["doc_id", "ts_ns", "sess_mean"]),
+        batch_format="pyarrow",
+    )
+    j = asof_join(ds, dim, ["sess_mean"], num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "sess_mean_asof", "ts_ns_asof"])
+        b = b.rename_columns(["doc_id", "ts_ns", "n_tok", "sess_ref_mean", "sess_ref_end_ns"])
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_asof_sessions(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, n_tok FROM read_parquet('{path}/part-*.parquet')),
+s AS (SELECT doc_id, ts_ns, n_tok,
+             CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY doc_id ORDER BY ts_ns) > {GAP_NS}
+                  THEN 1 ELSE 0 END AS brk FROM e),
+s2 AS (SELECT doc_id, ts_ns, n_tok,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
+       FROM s),
+d AS (SELECT doc_id, max(ts_ns) AS end_ns, CAST(sum(n_tok) AS DOUBLE) / count(*) AS sess_mean
+      FROM s2 GROUP BY doc_id, session_id)
+SELECT e.doc_id, e.ts_ns, CAST(e.n_tok AS BIGINT) AS n_tok,
+       d.sess_mean AS sess_ref_mean, d.end_ns AS sess_ref_end_ns
+FROM e ASOF LEFT JOIN d ON e.doc_id = d.doc_id AND e.ts_ns >= d.end_ns
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    return {
+        "events_window_1h": q_events_window_1h,
+        "events_sessions": q_events_sessions,
+        "events_asof_purchase": q_events_asof_purchase,
+        "events_lag_diff": q_events_lag_diff,
+        "events_rolling_mean": q_events_rolling_mean,
+        "events_sdann": q_events_sdann,
+        "events_type_entropy": q_events_type_entropy,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_segment_join": q_orders_segment_join,
+        "docs_token_counts": q_docs_token_counts,
+        "docs_quality": q_docs_quality,
+        "docs_hashes": q_docs_hashes,
+        "docs_dedup_first8": q_docs_dedup_first8,
+        "docs_langid": q_docs_langid,
+        "docs_simhash": q_docs_simhash,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "embed_stats": q_embed_stats,
+        "embed_knn": q_embed_knn,
+        "embed_label_norms": q_embed_label_norms,
+        "seq_token_stats": q_seq_token_stats,
+        "seq_tokens_md5": q_seq_tokens_md5,
+        "seq_sessions": q_seq_sessions,
+        "seq_windows_1h": q_seq_windows_1h,
+        "seq_asof_sessions": q_seq_asof_sessions,
+    }
+
+
+def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
+    """SQL for every oracle-expressible query. The sequences fixture is
+    materialized (idempotent) so read_parquet paths resolve when DuckDB runs.
+    Non-SQL-expressible ops (langid heuristic, simhash, minhash-LSH) are
+    intentionally absent → the driver records a rows-only check for them.
+    """
+    path = ensure_fixture(sf_dir_for_fixture)
+    return {
+        "events_window_1h": SQL_EVENTS_WINDOW_1H,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
+        "events_lag_diff": SQL_EVENTS_LAG_DIFF,
+        "events_rolling_mean": SQL_EVENTS_ROLLING_MEAN,
+        "events_sdann": SQL_EVENTS_SDANN,
+        "events_type_entropy": SQL_EVENTS_TYPE_ENTROPY,
+        "lineitem_pricing": SQL_LINEITEM_PRICING,
+        "orders_segment_join": SQL_ORDERS_SEGMENT_JOIN,
+        "docs_token_counts": SQL_DOCS_TOKEN_COUNTS,
+        "docs_quality": SQL_DOCS_QUALITY,
+        "docs_hashes": SQL_DOCS_HASHES,
+        "docs_dedup_first8": SQL_DOCS_DEDUP_FIRST8,
+        "embed_stats": SQL_EMBED_STATS,
+        "embed_knn": SQL_EMBED_KNN,
+        "embed_label_norms": SQL_EMBED_LABEL_NORMS,
+        "seq_token_stats": sql_seq_token_stats(path),
+        "seq_tokens_md5": sql_seq_tokens_md5(path),
+        "seq_sessions": sql_seq_sessions(path),
+        "seq_windows_1h": sql_seq_windows_1h(path),
+        "seq_asof_sessions": sql_seq_asof_sessions(path),
+    }

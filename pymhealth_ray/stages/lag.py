@@ -37,6 +37,7 @@ def lag_features(
     fill: float = np.nan,
     diff_head_fill: float = 0.0,
     num_buckets: int = 64,
+    tiebreak_col: str | None = None,
 ):
     """Append lag/lead/successive-diff columns.
 
@@ -51,8 +52,9 @@ def lag_features(
     diffs = list(diffs)
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        tbl, starts, _ = entity_segments(tbl, entity_col, ts_col)
+        tbl, starts, _ = entity_segments(tbl, entity_col, ts_col, tiebreak_col)
         pos = _row_pos(starts)
+        tbl = tbl.append_column("row_idx", pa.array(pos, type=pa.int64()))
         seg_len = np.repeat(np.diff(starts), np.diff(starts))
         for col in cols:
             v = column_f64(tbl, col)

@@ -35,7 +35,7 @@ def _stable_bucket_of(strings: pa.ChunkedArray | pa.Array, num_buckets: int) -> 
     enc = strings.dictionary_encode()
     dict_vals = enc.dictionary.to_pylist()
     hashes = np.fromiter(
-        (zlib.crc32(v.encode("utf-8")) for v in dict_vals),
+        (zlib.crc32(str(v).encode("utf-8")) for v in dict_vals),
         dtype=np.uint32,
         count=len(dict_vals),
     )
@@ -70,16 +70,18 @@ def grouped_by_bucket(ds, fn, entity_col: str = "doc_id", num_buckets: int = 64,
     )
 
 
-def entity_segments(tbl: pa.Table, entity_col: str, ts_col: str):
-    """Sort a group table by (entity, ts) and expose per-entity segments.
+def entity_segments(tbl: pa.Table, entity_col: str, ts_col: str, tiebreak_col: str | None = None):
+    """Sort a group table by (entity, ts[, tiebreak]) and expose per-entity
+    segments.
 
     Returns ``(sorted_tbl, starts, n_entities)`` where ``starts`` is an
     int64 array of segment boundaries of length ``n_entities + 1``
     (``starts[k]:starts[k+1]`` are entity k's rows in ts order).
     """
-    order = pc.sort_indices(
-        tbl, sort_keys=[(entity_col, "ascending"), (ts_col, "ascending")]
-    )
+    keys = [(entity_col, "ascending"), (ts_col, "ascending")]
+    if tiebreak_col is not None:
+        keys.append((tiebreak_col, "ascending"))
+    order = pc.sort_indices(tbl, sort_keys=keys)
     tbl = tbl.take(order)
     ent = tbl[entity_col]
     if isinstance(ent, pa.ChunkedArray):

@@ -1,0 +1,75 @@
+"""Count-based rolling windows — the distributed ``rolling_apply``.
+
+Semantics of reference:util/windows.py:54-95 (oracle:
+functions.windows.rolling_apply): per entity in (ts[, tiebreak]) order,
+window ``i`` covers rows ``[i*wstep, i*wstep + wsize)``;
+``nw = max(0, 1 + (n - wsize) // wstep)`` full windows only. Aggregation is
+vectorized per entity via cumulative sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import (
+    column_f64,
+    entity_segments,
+    grouped_by_bucket,
+)
+
+
+def rolling_count_windows(
+    ds,
+    value_col: str,
+    wsize: int,
+    wstep: int = 1,
+    entity_col: str = "doc_id",
+    ts_col: str = "ts_ns",
+    tiebreak_col: str | None = None,
+    num_buckets: int = 64,
+):
+    """One row per (entity, window_idx): count-window mean/sum of value.
+
+    Output: entity, window_idx (0-based), ``{value}_mean``, ``{value}_sum``.
+    """
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col, tiebreak_col)
+        v = column_f64(tbl, value_col)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        ent_arr = tbl[entity_col]
+        if isinstance(ent_arr, pa.ChunkedArray):
+            ent_arr = ent_arr.combine_chunks()
+        out_take, out_idx, out_sum = [], [], []
+        for k in range(n_ent):
+            lo, hi = starts[k], starts[k + 1]
+            n = hi - lo
+            nw = max(0, 1 + (n - wsize) // wstep)
+            if nw == 0:
+                continue
+            w0 = lo + np.arange(nw, dtype=np.int64) * wstep
+            s = cs[w0 + wsize] - cs[w0]
+            out_take.append(np.full(nw, lo, dtype=np.int64))
+            out_idx.append(np.arange(nw, dtype=np.int64))
+            out_sum.append(s)
+        if not out_idx:
+            return pa.table(
+                {
+                    entity_col: ent_arr.slice(0, 0),
+                    "window_idx": pa.array([], type=pa.int64()),
+                    f"{value_col}_mean": pa.array([], type=pa.float64()),
+                    f"{value_col}_sum": pa.array([], type=pa.float64()),
+                }
+            )
+        sums = np.concatenate(out_sum)
+        return pa.table(
+            {
+                entity_col: ent_arr.take(pa.array(np.concatenate(out_take))),
+                "window_idx": pa.array(np.concatenate(out_idx)),
+                f"{value_col}_mean": pa.array(sums / wsize),
+                f"{value_col}_sum": pa.array(sums),
+            }
+        )
+
+    return grouped_by_bucket(ds, per_bucket, entity_col, num_buckets)

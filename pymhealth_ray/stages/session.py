@@ -111,13 +111,17 @@ def session_stats(
         }
         if value_col:
             v = column_f64(tbl, value_col)
-            cs = np.concatenate([[0.0], np.cumsum(v)])
-            s1 = cs[s_end] - cs[s_start]
-            cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
-            s2 = cs2[s_end] - cs2[s_start]
+            # sessions tile the sorted array → reduceat gives FRESH per-segment
+            # sums (no cumsum-difference error floor; a 1-element or
+            # constant session yields an exactly-zero variance)
+            s1 = np.add.reduceat(v, s_start)
             fc = cnt.astype(np.float64)
             mean = s1 / fc
-            m2 = np.maximum(s2 / fc - mean**2, 0.0)
+            center = float(v.mean()) if len(v) else 0.0
+            vc = v - center
+            s1c = np.add.reduceat(vc, s_start)
+            s2c = np.add.reduceat(vc * vc, s_start)
+            m2 = np.maximum(s2c / fc - (s1c / fc) ** 2, 0.0)
             fields[f"{value_col}_sum"] = pa.array(s1, type=pa.float64())
             fields[f"{value_col}_mean"] = pa.array(mean, type=pa.float64())
             fields[f"{value_col}_std"] = pa.array(np.sqrt(m2), type=pa.float64())

@@ -63,6 +63,32 @@ def _reduceat_minmax(v: np.ndarray, si: np.ndarray, ei: np.ndarray, op) -> np.nd
     return out
 
 
+def _reduceat_sum(v: np.ndarray, si: np.ndarray, ei: np.ndarray) -> np.ndarray:
+    """Fresh per-window sums over (possibly overlapping) [si, ei) bounds via
+    one np.add.reduceat on interleaved pairs — avoids the absolute error
+    floor of cumulative-sum differencing (degenerate windows sum exactly)."""
+    n = len(si)
+    out = np.zeros(n)
+    if n == 0 or len(v) == 0:
+        return out
+    nonempty = ei > si
+    if not nonempty.any():
+        return out
+    si_ne, ei_ne = si[nonempty], ei[nonempty]
+    idx = np.empty(2 * len(si_ne), dtype=np.int64)
+    idx[0::2] = si_ne
+    idx[1::2] = np.minimum(ei_ne, len(v) - 1)
+    red = np.add.reduceat(v, idx)[0::2]
+    clipped = ei_ne == len(v)
+    if clipped.any():
+        red = red.copy()
+        # pair (si, len-1): when si == len-1 reduceat returned v[-1] already
+        add_tail = clipped & (si_ne < len(v) - 1)
+        red[add_tail] = red[add_tail] + v[-1]
+    out[nonempty] = red
+    return out
+
+
 def _window_bounds(ts: np.ndarray, wsize: int, wstep: int):
     """Exact get_indices semantics for one entity (ts sorted int64 ns)."""
     starts = np.arange(ts[0], ts[-1], wstep)
@@ -95,17 +121,20 @@ def compute_entity_windows(
 
     out_cols: Dict[str, np.ndarray] = {}
     cumsums: Dict[str, np.ndarray] = {}
-    cumsqs: Dict[str, np.ndarray] = {}
+    centers: Dict[str, np.ndarray] = {}
 
     def cs_of(col):
         if col not in cumsums:
             cumsums[col] = np.concatenate([[0.0], np.cumsum(values[col])])
         return cumsums[col]
 
-    def cs2_of(col):
-        if col not in cumsqs:
-            cumsqs[col] = np.concatenate([[0.0], np.cumsum(values[col] ** 2)])
-        return cumsqs[col]
+    def centered_of(col):
+        # centered by the entity mean: kills the catastrophic cancellation of
+        # the naive E[x^2]-E[x]^2 one-pass (a 1-element window is exactly 0)
+        if col not in centers:
+            c = float(values[col].mean()) if len(values[col]) else 0.0
+            centers[col] = values[col] - c
+        return centers[col]
 
     fcnt = cnt.astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -131,10 +160,10 @@ def compute_entity_windows(
                 elif agg == "mean":
                     res = s1 / fcnt
                 else:  # var / std (population, ddof=0 — reference convention)
-                    cs2 = cs2_of(col)
-                    s2 = cs2[ei] - cs2[si]
-                    mean = s1 / fcnt
-                    m2 = np.maximum(s2 / fcnt - mean**2, 0.0)
+                    vc = centered_of(col)
+                    s1c = _reduceat_sum(vc, si, ei)
+                    s2c = _reduceat_sum(vc * vc, si, ei)
+                    m2 = np.maximum(s2c / fcnt - (s1c / fcnt) ** 2, 0.0)
                     res = m2 if agg == "var" else np.sqrt(m2)
             res = np.asarray(res, dtype=np.float64)
             res[small] = np.nan
