@@ -44,17 +44,20 @@ TOKEN_FEATURES = (
 )
 
 
-def flagship_features(
-    ds,
+def make_temporal_bucket_fn(
     gap_ns: int = 1800 * 10**9,
     wsize_ns: int = 3600 * 10**9,
     entity_col: str = "doc_id",
     ts_col: str = "ts_ns",
-    num_buckets: int = 64,
-    token_feature_set=TOKEN_FEATURES,
-    drop_tokens: bool = True,
 ):
-    feat = token_features(ds, features=token_feature_set, drop_tokens=drop_tokens)
+    """The flagship's per-bucket temporal pass (lag + trailing window +
+    session + as-of), as a reusable function over one bucket's rows.
+
+    Used by both physical plans: the shuffle path (grouped_by_bucket) and
+    the partition-aligned path (bucketed parquet layout from
+    state.lineage.resumable_write — partition once at ingest, every
+    downstream job reads co-partitioned buckets with NO further shuffle).
+    """
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col)
@@ -134,19 +137,76 @@ def flagship_features(
         tbl = tbl.append_column("sess_ref_end_ns", pa.array(prev_sess_end))
         return tbl
 
-    def _empty_like(tbl: pa.Table) -> pa.Table:
-        for name in (
-            "tok_mean_lag1",
-            "tok_mean_diff1",
-            "delta_ts_ns",
-            "trail_count",
-            "trail_mean",
-            "trail_std",
-            "sess_ref_mean",
-            "sess_ref_n",
-            "sess_ref_end_ns",
-        ):
-            tbl = tbl.append_column(name, pa.array([], type=pa.float64()))
-        return tbl.append_column("session_id", pa.array([], type=pa.int64()))
+    return per_bucket
 
+
+def _empty_like(tbl: pa.Table) -> pa.Table:
+    for name in (
+        "tok_mean_lag1",
+        "tok_mean_diff1",
+        "delta_ts_ns",
+        "trail_count",
+        "trail_mean",
+        "trail_std",
+        "sess_ref_mean",
+        "sess_ref_n",
+        "sess_ref_end_ns",
+    ):
+        tbl = tbl.append_column(name, pa.array([], type=pa.float64()))
+    return tbl.append_column("session_id", pa.array([], type=pa.int64()))
+
+
+def flagship_features(
+    ds,
+    gap_ns: int = 1800 * 10**9,
+    wsize_ns: int = 3600 * 10**9,
+    entity_col: str = "doc_id",
+    ts_col: str = "ts_ns",
+    num_buckets: int = 64,
+    token_feature_set=TOKEN_FEATURES,
+    drop_tokens: bool = True,
+):
+    """Shuffle path: stateless token features → ONE bucket groupby →
+    per-bucket temporal pass."""
+    feat = token_features(ds, features=token_feature_set, drop_tokens=drop_tokens)
+    per_bucket = make_temporal_bucket_fn(gap_ns, wsize_ns, entity_col, ts_col)
     return grouped_by_bucket(feat, per_bucket, entity_col, num_buckets)
+
+
+def flagship_features_bucketed(
+    bucketed_dir: str,
+    gap_ns: int = 1800 * 10**9,
+    wsize_ns: int = 3600 * 10**9,
+    entity_col: str = "doc_id",
+    ts_col: str = "ts_ns",
+    token_feature_set=TOKEN_FEATURES,
+):
+    """Partition-aligned path: input is the resumable bucketed layout
+    (``part=<bucket>/data.parquet`` from state.lineage.resumable_write).
+    Entities are already co-located per bucket, so the whole pipeline is a
+    pure map — one task per bucket partition, NO shuffle. This is the 100 TB
+    plan: pay the entity exchange once at ingest, then every windowed /
+    sessionized / as-of job streams the co-partitioned layout.
+    """
+    import glob
+
+    import ray
+
+    from pymhealth_ray.stages.rowfeatures import compute_token_features
+
+    parts = sorted(glob.glob(f"{bucketed_dir}/part=*/data.parquet"))
+    per_bucket = make_temporal_bucket_fn(gap_ns, wsize_ns, entity_col, ts_col)
+
+    def process_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        for path in batch["path"].to_pylist():
+            tbl = pq.read_table(path)
+            cols = compute_token_features(tbl, token_feature_set)
+            for name, arr in cols.items():
+                tbl = tbl.append_column(name, pa.array(arr, type=pa.float64()))
+            tbl = tbl.drop_columns(["tokens"])
+            yield per_bucket(tbl)
+
+    paths = ray.data.from_items([{"path": p} for p in parts]).repartition(len(parts))
+    return paths.map_batches(process_part, batch_format="pyarrow", batch_size=None)

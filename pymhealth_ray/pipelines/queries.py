@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray
 
 from pymhealth_ray.sources.generate import ensure_fixture
+from pymhealth_ray.sources.io import read_table
 from pymhealth_ray.stages.asof import asof_join
 from pymhealth_ray.stages.aggregate import grouped_stats
 from pymhealth_ray.stages.dedup import exact_dedup, minhash_lsh_dupes, simhash_signatures
@@ -74,7 +75,7 @@ def _cast_cols(tbl: pa.Table, spec: dict) -> pa.Table:
 
 
 def _events(sf_dir: str, columns):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    ds = read_table(f"{sf_dir}/events.parquet", columns=columns)
 
     def add_us(b: pa.Table) -> pa.Table:
         return b.append_column("ts_us", b["ts"].cast(pa.int64())).drop_columns(["ts"])
@@ -287,7 +288,7 @@ FROM m GROUP BY user_id
 
 
 def q_events_type_entropy(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
     counts = grouped_stats(ds, ["user_id", "event_type"])
 
     def finish(tbl: pa.Table) -> pa.Table:
@@ -324,7 +325,7 @@ FROM c JOIN t USING (user_id) GROUP BY c.user_id
 
 
 def q_lineitem_pricing(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -382,7 +383,7 @@ def q_orders_segment_join(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus", "o_totalprice"])
 
     class Annotate:
         def __init__(self):
@@ -424,7 +425,7 @@ GROUP BY c_mktsegment, o_orderstatus
 
 
 def q_docs_token_counts(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = token_counts(ds)
     return out.map_batches(
         lambda b: b.select(["doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_utf8"]),
@@ -441,7 +442,7 @@ FROM documents
 
 
 def q_docs_quality(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = quality_scores(ds)
 
     def finish(b: pa.Table) -> pa.Table:
@@ -471,7 +472,7 @@ FROM a JOIN documents d USING (doc_id)
 def q_docs_hashes(sf_dir: str):
     from pymhealth_ray.stages.text import content_hashes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return content_hashes(ds).map_batches(lambda b: b.select(["doc_id", "md5"]), batch_format="pyarrow")
 
 
@@ -479,7 +480,7 @@ SQL_DOCS_HASHES = "SELECT doc_id, md5(text) AS md5 FROM documents"
 
 
 def q_docs_dedup_first8(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_fp(b: pa.Table) -> pa.Table:
         fp = [" ".join(t.split()[:8]) for t in b["text"].to_pylist()]
@@ -500,17 +501,17 @@ SELECT fp_md5, min(doc_id) AS doc_id, count(*) AS n_dups FROM f GROUP BY fp_md5
 
 
 def q_docs_langid(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return language_id(ds).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
 def q_docs_simhash(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_signatures(ds).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
 
 
 def q_docs_minhash_pairs(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_lsh_dupes(ds, jaccard_threshold=0.5)
     return pairs.map_batches(lambda b: _round_cols(b, {"est_jaccard": 4}), batch_format="pyarrow")
 
@@ -521,7 +522,7 @@ def q_docs_minhash_pairs(sf_dir: str):
 
 
 def q_embed_stats(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def fn(b: pa.Table) -> pa.Table:
         emb = b["embedding"]
@@ -558,7 +559,7 @@ FROM embeddings
 def q_embed_knn(sf_dir: str):
     import pyarrow.parquet as pq
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     queries = full.filter(pc.less(full["vec_id"], 10))
     topk = ann.knn_bruteforce(ds, queries, k=5)
@@ -578,7 +579,7 @@ SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM s WHERE rnk <= 5
 
 
 def q_embed_label_norms(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def fn(b: pa.Table) -> pa.Table:
         emb = b["embedding"]
@@ -621,7 +622,7 @@ SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm FROM t GROUP BY labe
 
 def _seq_ds(sf_dir: str, columns=None):
     path = ensure_fixture(sf_dir)
-    return ray.data.read_parquet(path, columns=columns), path
+    return read_table(path, columns=columns), path
 
 
 def q_seq_token_stats(sf_dir: str):

@@ -138,7 +138,8 @@ def ensure_fixture(sf_dir: str, base: str = "/tmp/pymhealth_ray_fixtures") -> st
     name = pathlib.Path(sf_dir).name
     sf = name[2:] if name.startswith("sf") else name
     n_rows, n_entities = SF_SIZES.get(sf, (20_000, 200))
-    write_sequences(out, n_rows=n_rows, n_entities=n_entities, seed=42)
+    write_sequences(out, n_rows=n_rows, n_entities=n_entities, seed=42,
+                    rows_per_file=max(2_000, n_rows // 16))
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -94,23 +94,40 @@ def _row_central_moment(v: np.ndarray, off: np.ndarray, mean: np.ndarray, p: int
 
 def _row_entropy(v: np.ndarray, off: np.ndarray) -> np.ndarray:
     """Per-row Shannon entropy of the value histogram, vectorized across
-    rows by a single lexsort + run-length pass. Matches
+    rows by ONE composite-key sort + run-length pass. Matches
     functions.information.entropy over np.unique counts (+1e-30 smoothing,
     reference:generic/information.py:10-20).
+
+    When values fit in 24 bits (token ids < 2^24 — the vocab invariant) the
+    (row, value) pair packs into a single uint64 key, which sorts ~2x faster
+    than a two-key lexsort over the flat token stream.
     """
     n_rows = len(off) - 1
     cnt = np.diff(off)
+    total = off[-1] - off[0]
+    if total == 0:
+        return np.zeros(n_rows)
     row_id = np.repeat(np.arange(n_rows, dtype=np.int64), cnt)
-    order = np.lexsort((v, row_id))
-    sv, sr = v[order], row_id[order]
-    if len(sv) == 0:
-        return np.zeros(0)
-    new_run = np.empty(len(sv), dtype=bool)
-    new_run[0] = True
-    new_run[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
-    run_starts = np.flatnonzero(new_run)
-    run_counts = np.diff(np.append(run_starts, len(sv))).astype(np.float64)
-    run_row = sr[run_starts]
+    vmin = v.min()
+    vspan = v.max() - vmin
+    if vspan < (1 << 24) and n_rows < (1 << 38) and np.all(v == np.floor(v)):
+        key = (row_id.astype(np.uint64) << np.uint64(24)) | (v - vmin).astype(np.uint64)
+        key.sort()
+        sk = key
+        new_run = np.empty(len(sk), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = sk[1:] != sk[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_row = (sk[run_starts] >> np.uint64(24)).astype(np.int64)
+    else:
+        order = np.lexsort((v, row_id))
+        sv, sr = v[order], row_id[order]
+        new_run = np.empty(len(sv), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_row = sr[run_starts]
+    run_counts = np.diff(np.append(run_starts, total)).astype(np.float64)
     p = run_counts / cnt[run_row].astype(np.float64) + 1e-30
     contrib = -p * np.log(p)
     out = np.zeros(n_rows)
