@@ -20,9 +20,12 @@ from typing import Callable, Dict, Iterable
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from pymhealth_ray.functions import KERNELS
 from pymhealth_ray.stages.partition import (
+    BUCKET_COL,
+    _stable_bucket_of,
     column_f64,
     column_i64,
     entity_segments,
@@ -105,15 +108,25 @@ def compute_entity_windows(
     aggs: Dict[str, tuple],
     min_window_len: int = 1,
     emit_empty: bool = True,
+    starts: np.ndarray | None = None,
 ):
     """Aggregate one entity's sorted stream. ``aggs`` maps output column name
     → (value_col, agg_name_or_callable). Returns (window_start_ts, out_cols,
     counts) or None when the grid is empty (single-event entities produce no
     windows, exactly like ``arange(t, t, step)`` — reference:util/windows.py:175).
+
+    ``starts`` overrides the locally-derived grid — the salted path passes
+    the globally-anchored grid slice for one hot-entity time chunk.
     """
-    if len(ts) == 0 or ts[0] == ts[-1]:
-        return None
-    starts, si, ei = _window_bounds(ts, wsize, wstep)
+    if starts is None:
+        if len(ts) == 0 or ts[0] == ts[-1]:
+            return None
+        starts, si, ei = _window_bounds(ts, wsize, wstep)
+    else:
+        if len(ts) == 0:
+            return None
+        si = np.searchsorted(ts, starts, side="left")
+        ei = np.searchsorted(ts, starts + wsize, side="left")
     if len(starts) == 0:
         return None
     cnt = (ei - si).astype(np.int64)
@@ -187,6 +200,8 @@ def window_features(
     min_window_len: int = 1,
     emit_empty: bool = True,
     num_buckets: int = 64,
+    salt_threshold: int | None = None,
+    salt_span_ns: int | None = None,
 ):
     """Event-time window aggregation over the whole dataset.
 
@@ -199,12 +214,28 @@ def window_features(
 
     Output: one row per (entity, window_start): ``entity_col``,
     ``window_start_ns``, ``n_in_window`` + one column per agg.
+
+    ``salt_threshold``: entities with more rows than this are SALTED — their
+    streams split into time chunks of ``salt_span_ns`` (default 16×wsize)
+    spread across buckets, with an overlap-replay of the leading ``wsize``
+    of each chunk into the previous chunk's bucket so every window still
+    sees its full row range (windows are pure functions of [start,
+    start+wsize) — SURVEY.md §7 hard parts). Grid anchoring stays global:
+    each entity's (first_ts, last_ts) comes from a cheap pre-aggregation
+    broadcast to all tasks.
     """
     if wstep_ns is None:
         wstep_ns = wsize_ns  # tumbling by default
     if aggs is None:
         aggs = {"value_mean": ("value", "mean")}
     value_cols = sorted({col for col, _ in aggs.values()})
+
+    if salt_threshold is not None:
+        return _window_features_salted(
+            ds, wsize_ns, wstep_ns, aggs, value_cols, entity_col, ts_col,
+            min_window_len, emit_empty, num_buckets, salt_threshold,
+            salt_span_ns or 16 * wsize_ns,
+        )
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
         tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col)
@@ -259,3 +290,201 @@ def window_features(
         return pa.table(fields)
 
     return grouped_by_bucket(ds, per_bucket, entity_col, num_buckets)
+
+
+# --------------------------------------------------------------------------
+# salted path: hot-entity time-chunk spreading with overlap-replay
+# --------------------------------------------------------------------------
+
+CHUNK_COL = "__salt_chunk"
+REPLAY_COL = "__salt_replay"
+
+
+def _hot_entity_stats(ds, entity_col: str, ts_col: str, threshold: int) -> dict:
+    """Cheap pre-pass: per-entity (count, min_ts, max_ts) via partial
+    aggregation, filtered to hot entities ONLY before collection (the hot
+    set is small by definition; the aggregate output is one row per entity
+    and never collects cold rows)."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(
+        ds.map_batches(lambda b: b.select([entity_col, ts_col]), batch_format="pyarrow"),
+        [entity_col],
+        min_cols=[ts_col],
+        max_cols=[ts_col],
+    )
+
+    def hot_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b["n"], threshold))
+
+    hot_tbl = pa.concat_tables(
+        list(stats.map_batches(hot_only, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        or [pa.table({entity_col: pa.array([], type=pa.string()),
+                      f"{ts_col}_min": pa.array([], type=pa.int64()),
+                      f"{ts_col}_max": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})]
+    )
+    return {
+        e: (int(lo), int(hi))
+        for e, lo, hi in zip(
+            hot_tbl[entity_col].to_pylist(),
+            hot_tbl[f"{ts_col}_min"].to_pylist(),
+            hot_tbl[f"{ts_col}_max"].to_pylist(),
+        )
+    }
+
+
+class _SaltedBucketizer:
+    """map_batches actor: assigns buckets with hot-entity time-chunk salting
+    and emits overlap-replay duplicates. Hot map fetched once per actor."""
+
+    def __init__(self, hot_ref, entity_col, ts_col, span_ns, wsize_ns, num_buckets):
+        self.hot = ray.get(hot_ref)
+        self.entity_col = entity_col
+        self.ts_col = ts_col
+        self.span = span_ns
+        self.wsize = wsize_ns
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        n = batch.num_rows
+        ent = batch[self.entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        ts = column_i64(batch, self.ts_col)
+        chunk = np.full(n, -1, dtype=np.int64)
+        bucket = _stable_bucket_of(ent, self.num_buckets).astype(np.int64)
+        ent_list = ent.to_pylist()
+        replay_rows = []
+        for i, e in enumerate(ent_list):
+            info = self.hot.get(e)
+            if info is None:
+                continue
+            anchor = info[0]
+            c = (ts[i] - anchor) // self.span
+            chunk[i] = c
+            bucket[i] = zlib.crc32(f"{e}#{c}".encode()) % self.num_buckets
+            # leading-wsize rows also serve the previous chunk's windows
+            if c > 0 and (ts[i] - anchor) % self.span < self.wsize:
+                replay_rows.append((i, c - 1))
+        batch = batch.append_column(CHUNK_COL, pa.array(chunk))
+        batch = batch.append_column(REPLAY_COL, pa.array(np.zeros(n, dtype=np.int8)))
+        batch = batch.append_column(BUCKET_COL, pa.array(bucket.astype(np.int32)))
+        if replay_rows:
+            idx = pa.array([i for i, _ in replay_rows])
+            rep = batch.take(idx)
+            rep_chunk = np.array([c for _, c in replay_rows], dtype=np.int64)
+            rep_bucket = np.array(
+                [zlib.crc32(f"{ent_list[i]}#{c}".encode()) % self.num_buckets for i, c in replay_rows],
+                dtype=np.int32,
+            )
+            names = rep.column_names
+            rep = rep.set_column(names.index(CHUNK_COL), CHUNK_COL, pa.array(rep_chunk))
+            rep = rep.set_column(names.index(REPLAY_COL), REPLAY_COL, pa.array(np.ones(len(replay_rows), dtype=np.int8)))
+            rep = rep.set_column(names.index(BUCKET_COL), BUCKET_COL, pa.array(rep_bucket))
+            batch = pa.concat_tables([batch, rep])
+        return batch
+
+
+def _window_features_salted(
+    ds, wsize_ns, wstep_ns, aggs, value_cols, entity_col, ts_col,
+    min_window_len, emit_empty, num_buckets, salt_threshold, salt_span_ns,
+):
+    if salt_span_ns < 2 * wsize_ns:
+        raise ValueError("salt_span_ns must be >= 2 * wsize_ns (overlap-replay bound)")
+    hot = _hot_entity_stats(ds, entity_col, ts_col, salt_threshold)
+    hot_ref = ray.put(hot)
+
+    bucketed = ds.map_batches(
+        _SaltedBucketizer,
+        fn_constructor_args=(hot_ref, entity_col, ts_col, salt_span_ns, wsize_ns, num_buckets),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = tbl.drop_columns([BUCKET_COL])
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[(entity_col, "ascending"), (CHUNK_COL, "ascending"), (ts_col, "ascending")],
+        )
+        tbl = tbl.take(order)
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        codes = ent.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks = column_i64(tbl, CHUNK_COL)
+        n = len(codes)
+        if n == 0:
+            return _empty_window_table(entity_col, aggs)
+        seg_key_change = np.empty(n, dtype=bool)
+        seg_key_change[0] = True
+        seg_key_change[1:] = (codes[1:] != codes[:-1]) | (chunks[1:] != chunks[:-1])
+        starts_idx = np.append(np.flatnonzero(seg_key_change), n)
+
+        ts_all = column_i64(tbl, ts_col)
+        vals_all = {c: column_f64(tbl, c) for c in value_cols}
+
+        out_entity_idx, out_ts, out_cnt = [], [], []
+        out_feats = {name: [] for name in aggs}
+        hot_map = hot
+        for k in range(len(starts_idx) - 1):
+            lo, hi = starts_idx[k], starts_idx[k + 1]
+            e = ent[lo].as_py()
+            c = chunks[lo]
+            seg_ts = ts_all[lo:hi]
+            seg_vals = {col: v[lo:hi] for col, v in vals_all.items()}
+            if c < 0:
+                grid = None  # cold entity: local anchoring, unchanged semantics
+            else:
+                anchor, last = hot_map[e]
+                k_max = -((anchor - last) // wstep_ns)  # ceil((last-anchor)/wstep)
+                c_lo = anchor + c * salt_span_ns
+                c_hi = c_lo + salt_span_ns
+                k_lo = max(0, -((anchor - c_lo) // wstep_ns))
+                k_hi = min(k_max, -((anchor - c_hi) // wstep_ns))
+                if k_hi <= k_lo:
+                    continue
+                grid = anchor + np.arange(k_lo, k_hi, dtype=np.int64) * wstep_ns
+            res = compute_entity_windows(
+                seg_ts, seg_vals, wsize_ns, wstep_ns, aggs, min_window_len, emit_empty, starts=grid
+            )
+            if res is None:
+                continue
+            w_starts, cols, cnt = res
+            out_entity_idx.append(np.full(len(w_starts), lo, dtype=np.int64))
+            out_ts.append(w_starts)
+            out_cnt.append(cnt)
+            for name in aggs:
+                out_feats[name].append(cols[name])
+
+        if not out_ts:
+            return _empty_window_table(entity_col, aggs)
+        fields = {
+            entity_col: ent.take(pa.array(np.concatenate(out_entity_idx))),
+            "window_start_ns": pa.array(np.concatenate(out_ts).astype(np.int64)),
+            "n_in_window": pa.array(np.concatenate(out_cnt)),
+        }
+        for name in aggs:
+            fields[name] = pa.array(np.concatenate(out_feats[name]), type=pa.float64())
+        return pa.table(fields)
+
+    grouped = bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+    return grouped
+
+
+def _empty_window_table(entity_col: str, aggs) -> pa.Table:
+    fields = {
+        entity_col: pa.array([], type=pa.string()),
+        "window_start_ns": pa.array([], type=pa.int64()),
+        "n_in_window": pa.array([], type=pa.int64()),
+    }
+    for name in aggs:
+        fields[name] = pa.array([], type=pa.float64())
+    return pa.table(fields)

@@ -237,3 +237,28 @@ class TestGenerator:
         validate_sequences(sequences_table)
         df = sequences_table.select(["doc_id", "ts_ns"]).to_pandas()
         assert not df.duplicated().any()
+
+
+class TestSaltedWindows:
+    def test_salted_equals_unsalted_on_skewed_data(self, sequences_ds):
+        """Hot-entity time-chunk salting with overlap-replay must reproduce
+        the unsalted window results exactly (SURVEY.md §7 hard parts)."""
+        H = 3600 * 10**9
+        args = dict(
+            aggs={"m": ("n_tok", "mean"), "s": ("n_tok", "std"), "c": ("n_tok", "count")},
+            min_window_len=1,
+            emit_empty=True,
+            num_buckets=8,
+        )
+        a = window_features(sequences_ds, H, H // 2, **args).to_pandas()
+        b = window_features(
+            sequences_ds, H, H // 2, salt_threshold=100, salt_span_ns=4 * H, **args
+        ).to_pandas()
+        a = a.sort_values(["doc_id", "window_start_ns"]).reset_index(drop=True)
+        b = b.sort_values(["doc_id", "window_start_ns"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a.doc_id.values == b.doc_id.values).all()
+        assert (a.window_start_ns.values == b.window_start_ns.values).all()
+        assert (a.n_in_window.values == b.n_in_window.values).all()
+        for col in ("m", "s", "c"):
+            assert np.allclose(a[col].values, b[col].values, equal_nan=True, rtol=1e-12)

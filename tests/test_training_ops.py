@@ -1,0 +1,185 @@
+"""Tests for the training-data operators: dedup, text analysis, ANN,
+multimodal plumbing, partial aggregation, rolling windows, lineage/resume."""
+
+import hashlib
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from pymhealth_ray.stages import ann, dedup, multimodal, text
+from pymhealth_ray.stages.aggregate import grouped_stats
+from pymhealth_ray.stages.rolling import rolling_count_windows
+from pymhealth_ray.functions import windows as W
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestText:
+    def test_token_counts_match_python(self, docs_ds):
+        out = text.token_counts(docs_ds.limit(50)).to_pandas()
+        for _, r in out.iterrows():
+            assert r.n_ws_tokens == len(r.text.split())
+            assert r.n_chars_utf8 == len(r.text)
+
+    def test_content_hashes(self, docs_ds):
+        out = text.content_hashes(docs_ds.limit(20)).to_pandas()
+        for _, r in out.iterrows():
+            assert r.md5 == hashlib.md5(r.text.encode()).hexdigest()
+
+    def test_language_id_deterministic(self, docs_ds):
+        a = text.language_id(docs_ds.limit(50)).to_pandas().sort_values("doc_id")
+        b = text.language_id(docs_ds.limit(50)).to_pandas().sort_values("doc_id")
+        assert (a.lang_pred.values == b.lang_pred.values).all()
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, ray_session):
+        tbl = pa.table({"doc_id": pa.array([5, 3, 9, 1], type=pa.int64()),
+                        "text": ["a", "a", "b", "b"]})
+        out = dedup.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+        assert out.doc_id.tolist() == [1, 3]
+        assert out.n_dups.tolist() == [2, 2]
+
+    def test_minhash_finds_near_duplicates(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about database engines " * 8
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                        "text": [base, near, far]})
+        pairs = dedup.minhash_lsh_dupes(ray.data.from_arrow(tbl), jaccard_threshold=0.5).to_pandas()
+        assert {(1, 2)} == set(zip(pairs.id_a, pairs.id_b))
+        # exact jaccard verifier agrees
+        assert dedup.ngram_jaccard(base, near) > 0.5
+        assert dedup.ngram_jaccard(base, far) < 0.1
+
+    def test_simhash_near_vs_far(self, ray_session):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        near = base.replace("zeta", "zeta2")
+        far = "one two three four five six seven eight nine ten " * 6
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                        "text": [base, near, far]})
+        out = dedup.simhash_signatures(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+        h = lambda a, b: bin(np.uint64(out.simhash[a]) ^ np.uint64(out.simhash[b])).count("1")
+        assert h(1, 2) < h(1, 3)
+
+    def test_embedding_dupes_detects_clones(self, ray_session):
+        rng = np.random.default_rng(0)
+        vecs = rng.normal(size=(20, 16))
+        vecs[7] = vecs[3] + 1e-6  # near-clone
+        tbl = pa.table({"vec_id": pa.array(np.arange(20)),
+                        "embedding": pa.array([list(map(float, v)) for v in vecs])})
+        out = dedup.embedding_dupes(ray.data.from_arrow(tbl), cos_threshold=0.999).to_pandas()
+        assert (3, 7) in set(zip(out.id_a, out.id_b))
+
+
+class TestANN:
+    def test_bruteforce_matches_numpy(self, emb_ds):
+        full = emb_ds.to_pandas()
+        M = np.stack(full.embedding.to_list()).astype(np.float64)
+        Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
+        q = pa.table({"vec_id": pa.array(full.vec_id[:5]), "embedding": pa.array(list(full.embedding[:5]))})
+        got = ann.knn_bruteforce(emb_ds, q, k=3).to_pandas()
+        for qi in range(5):
+            sims = Mu @ Mu[qi]
+            sims[qi] = -np.inf
+            exp = set(full.vec_id.values[np.argsort(-sims)[:3]])
+            assert set(got[got.query_id == qi].neighbor_id) == exp
+
+    def test_ivf_recall_reasonable(self, emb_ds):
+        full = emb_ds.to_pandas()
+        q = pa.table({"vec_id": pa.array(full.vec_id[:5]), "embedding": pa.array(list(full.embedding[:5]))})
+        bf = ann.knn_bruteforce(emb_ds, q, k=5).to_pandas()
+        iv = ann.knn_ivf(emb_ds, q, k=5, n_centroids=8, nprobe=4).to_pandas()
+        rec = np.mean([
+            len(set(bf[bf.query_id == qq].neighbor_id) & set(iv[iv.query_id == qq].neighbor_id)) / 5
+            for qq in bf.query_id.unique()
+        ])
+        assert rec >= 0.4  # approximate by design; brute force is the baseline
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, ray_session):
+        media = ray.data.from_arrow(multimodal.synth_media_table(16))
+        out = multimodal.decode_images(media, decoder="fake", thumb=4).to_pandas()
+        assert len(out) == 16
+        assert all(len(v) == 16 for v in out.thumb_vec)
+        assert "payload" not in out.columns  # heavy bytes dropped after decode
+
+    def test_real_decoder_stubbed(self):
+        dec = multimodal.ImageDecoder(decoder="real")
+        with pytest.raises(NotImplementedError):
+            dec._decode(b"xx", 4, 4)
+
+
+class TestAggregate:
+    def test_partial_agg_matches_pandas(self, sequences_ds, sequences_table):
+        out = grouped_stats(sequences_ds, ["source"], sum_cols=["n_tok"],
+                            min_cols=["n_tok"], max_cols=["n_tok"]).to_pandas()
+        exp = sequences_table.to_pandas().groupby("source").n_tok.agg(["sum", "min", "max", "count"])
+        got = out.set_index("source").sort_index()
+        assert (got.n_tok_sum.values == exp["sum"].values).all()
+        assert (got.n_tok_min.values == exp["min"].values).all()
+        assert (got.n.values == exp["count"].values).all()
+
+
+class TestRolling:
+    def test_matches_rolling_apply_oracle(self, sequences_ds, sequences_table):
+        out = rolling_count_windows(sequences_ds, "n_tok", wsize=7, wstep=3, num_buckets=8).to_pandas()
+        df = sequences_table.to_pandas().sort_values(["doc_id", "ts_ns"])
+        ra = W.rolling_apply(np.mean, 7, 3)
+        for did, g in df.groupby("doc_id"):
+            exp = ra(g.n_tok.values.astype(np.float64))
+            got = out[out.doc_id == did].sort_values("window_idx").n_tok_mean.values
+            assert len(got) == len(exp)
+            assert np.allclose(got, exp)
+
+
+class TestLineageResume:
+    def test_failure_then_resume_completes(self, sequences_ds):
+        from pymhealth_ray.state.lineage import read_manifests, resumable_write
+
+        out = "/tmp/pymhealth_test_resume"
+        shutil.rmtree(out, ignore_errors=True)
+        with pytest.raises(Exception):
+            resumable_write(sequences_ds, out, num_buckets=8, params={"v": 1}, fail_buckets={2, 5})
+        partial = read_manifests(out)
+        assert 0 < len(partial) < 8
+        done = resumable_write(sequences_ds, out, num_buckets=8, params={"v": 1})
+        assert len(done) == 8
+        assert sum(m["rows"] for m in done.values()) == sequences_ds.count()
+        # changed params invalidate the cache key → full rewrite required
+        done2 = resumable_write(sequences_ds, out, num_buckets=8, params={"v": 2})
+        assert all(m["params_hash"] == done2[0]["params_hash"] for m in done2.values())
+
+
+class TestBucketedFlagship:
+    def test_bucketed_equals_shuffle_path(self, sequences_ds):
+        import pandas as pd
+
+        from pymhealth_ray.pipelines.flagship import flagship_features, flagship_features_bucketed
+        from pymhealth_ray.state.lineage import resumable_write
+
+        layout = "/tmp/pymhealth_test_bucketed"
+        shutil.rmtree(layout, ignore_errors=True)
+        resumable_write(sequences_ds, layout, num_buckets=8, params={"v": 1})
+        a = flagship_features(sequences_ds, num_buckets=8).to_pandas()
+        b = flagship_features_bucketed(layout).to_pandas()
+        key = ["doc_id", "ts_ns"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)[a.columns]
+        for c in a.columns:
+            if a[c].dtype == object:
+                assert (a[c] == b[c]).all(), c
+            else:
+                assert np.allclose(a[c].astype(float), b[c].astype(float), equal_nan=True), c
