@@ -820,6 +820,11 @@ def build_queries() -> dict:
         "seq_sessions": q_seq_sessions,
         "seq_windows_1h": q_seq_windows_1h,
         "seq_asof_sessions": q_seq_asof_sessions,
+        "seq_moments": q_seq_moments,
+        "seq_hjorth": q_seq_hjorth,
+        "seq_rolling_mean": q_seq_rolling_mean,
+        "seq_spectral": q_seq_spectral,
+        "seq_rpeaks": q_seq_rpeaks,
     }
 
 
@@ -852,4 +857,156 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_sessions": sql_seq_sessions(path),
         "seq_windows_1h": sql_seq_windows_1h(path),
         "seq_asof_sessions": sql_seq_asof_sessions(path),
+        "seq_moments": sql_seq_moments(path),
+        "seq_hjorth": sql_seq_hjorth(path),
+        "seq_rolling_mean": sql_seq_rolling_mean(path),
     }
+
+
+# --------------------------------------------------------------------------
+# additional sequence-kernel queries
+# --------------------------------------------------------------------------
+
+
+def q_seq_moments(sf_dir: str):
+    """Per-row skewness / kurtosis (biased, zero-variance→0 — exact
+    reference semantics, generic/stats.py:97-126) with a full SQL oracle."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    feat = token_features(ds, features=("skewness", "kurtosis"), drop_tokens=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "tok_skewness", "tok_kurtosis"])
+        b = b.rename_columns(["doc_id", "ts_ns", "skewness", "kurtosis"])
+        return _round_cols(b, {"skewness": 6, "kurtosis": 6})
+
+    return feat.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_moments(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')),
+u AS (SELECT doc_id, ts_ns, unnest(tokens) AS v FROM s),
+a AS (SELECT doc_id, ts_ns, count(*) AS cnt, CAST(sum(v) AS DOUBLE) / count(*) AS m FROM u GROUP BY doc_id, ts_ns),
+c AS (SELECT u.doc_id, u.ts_ns,
+             avg(pow(u.v - a.m, 2)) AS m2,
+             avg(pow(u.v - a.m, 3)) AS m3,
+             avg(pow(u.v - a.m, 4)) AS m4
+      FROM u JOIN a USING (doc_id, ts_ns) GROUP BY u.doc_id, u.ts_ns)
+SELECT doc_id, ts_ns,
+       round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) ELSE 0 END, 6) AS skewness,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) ELSE 0 END, 6) AS kurtosis
+FROM c
+"""
+
+
+def q_seq_hjorth(sf_dir: str):
+    """Hjorth activity / mobility per row (reference:generic/timedom.py:81-112).
+
+    Integer-valued token data makes variances exact dyadic rationals that can
+    sit precisely ON rounding half-steps, so both sides compute the variance
+    in EXACT int64 arithmetic — ``(n·Σv² − (Σv)²) / n²`` and the doubled
+    gradient ``2g`` (always integral) — and emit the resulting bit-identical
+    doubles unrounded.
+    """
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        from pymhealth_ray.stages.rowfeatures import _flat_tokens, _segmented_gradient
+
+        v, off = _flat_tokens(b, "tokens")
+        vi = v.astype(np.int64)
+        n = np.diff(off).astype(np.int64)
+        idx = off[:-1]
+        s1 = np.add.reduceat(vi, idx)
+        s2 = np.add.reduceat(vi * vi, idx)
+        act = (n * s2 - s1 * s1).astype(np.float64) / (n * n).astype(np.float64)
+        g2 = np.rint(_segmented_gradient(v, off) * 2.0).astype(np.int64)
+        gs1 = np.add.reduceat(g2, idx)
+        gs2 = np.add.reduceat(g2 * g2, idx)
+        varg2 = (n * gs2 - gs1 * gs1).astype(np.float64) / (n * n).astype(np.float64)
+        varg = varg2 / 4.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mob = np.sqrt(varg / act)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ts_ns": b["ts_ns"],
+                "hjorth_activity": pa.array(act),
+                "hjorth_mobility": pa.array(mob),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_seq_hjorth(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')),
+u AS (SELECT doc_id, ts_ns, CAST(unnest(tokens) AS BIGINT) AS v,
+             generate_subscripts(tokens, 1) AS k, len(tokens) AS cnt FROM s),
+g AS (SELECT doc_id, ts_ns, cnt, k, v,
+             CASE WHEN k = 1 THEN 2 * (lead(v) OVER w - v)
+                  WHEN k = cnt THEN 2 * (v - lag(v) OVER w)
+                  ELSE lead(v) OVER w - lag(v) OVER w END AS g2
+      FROM u WINDOW w AS (PARTITION BY doc_id, ts_ns ORDER BY k)),
+a AS (SELECT doc_id, ts_ns, any_value(cnt) AS n,
+             CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2,
+             CAST(sum(g2) AS BIGINT) AS gs1, CAST(sum(g2 * g2) AS BIGINT) AS gs2
+      FROM g GROUP BY doc_id, ts_ns)
+SELECT doc_id, ts_ns,
+       CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) AS hjorth_activity,
+       sqrt((CAST(n * gs2 - gs1 * gs1 AS DOUBLE) / CAST(n * n AS DOUBLE) / 4.0)
+            / (CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))) AS hjorth_mobility
+FROM a
+"""
+
+
+def q_seq_rolling_mean(sf_dir: str):
+    """Count-based rolling windows over sequences (rolling_apply semantics,
+    reference:util/windows.py:54-95) with a SQL oracle."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    rw = rolling_count_windows(ds, "n_tok", wsize=8, wstep=4, num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "window_idx", "n_tok_mean"])
+        return _round_cols(b, {"n_tok_mean": 6})
+
+    return rw.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_rolling_mean(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, n_tok FROM read_parquet('{path}/part-*.parquet')),
+r AS (SELECT doc_id, n_tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ts_ns) - 1 AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS cnt,
+             avg(n_tok) OVER (PARTITION BY doc_id ORDER BY ts_ns
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmean
+      FROM e)
+SELECT doc_id, rn // 4 AS window_idx, round(wmean, 6) AS n_tok_mean
+FROM r WHERE rn % 4 = 0 AND rn + 8 <= cnt
+"""
+
+
+def q_seq_spectral(sf_dir: str):
+    """Spectral row features (batched rfft) — no SQL form, rows-only check."""
+    from pymhealth_ray.stages.rowfeatures import spectral_features
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    sp = spectral_features(ds)
+    keep = ["doc_id", "ts_ns", "spec_total_power", "spec_power_0_0.1",
+            "spec_power_0.1_0.25", "spec_power_0.25_0.5", "spec_peak_freq", "spec_entropy"]
+    return sp.map_batches(lambda b: b.select(keep), batch_format="pyarrow")
+
+
+def q_seq_rpeaks(sf_dir: str):
+    """Hamilton-Tompkins R-peak detection + HRV summary per sequence
+    (stateful scan chain, reference:heart/qrs.py:59-197) — rows-only."""
+    from pymhealth_ray.stages.signal import detect_rpeaks
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    rp = detect_rpeaks(ds)
+    return rp.map_batches(
+        lambda b: b.select(["doc_id", "ts_ns", "n_peaks", "mean_rr_ms", "sdnn_ms", "rmssd_ms", "pnn50"]),
+        batch_format="pyarrow",
+    )

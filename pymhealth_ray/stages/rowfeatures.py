@@ -234,3 +234,50 @@ def token_features(ds, features=DEFAULT_FEATURES, tokens_col: str = "tokens", pr
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# spectral row features (reference:fft/, generic/frequency/, heart/hrv.py
+# power_band/peak_frequency applied per sequence)
+# --------------------------------------------------------------------------
+
+def spectral_features(ds, tokens_col: str = "tokens", prefix: str = "spec_",
+                      nfft: int = 2048, bands=((0.0, 0.1), (0.1, 0.25), (0.25, 0.5)),
+                      batch_size: int | None = 2048):
+    """Per-row periodogram features via ONE batched rfft over zero-padded,
+    mean-centered sequences (fixed ``nfft`` so results are independent of
+    batch composition): total power, per-band power (inclusive band edges,
+    reference:heart/hrv.py:173-179), peak frequency (band-relative argmax,
+    reference:generic/frequency/density.py:17-32) and spectral entropy.
+    Frequencies are normalized (fs=1); sequences longer than nfft are
+    truncated to nfft (documented bound).
+    """
+    freqs = np.fft.rfftfreq(nfft)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v, off = _flat_tokens(batch, tokens_col)
+        n = len(off) - 1
+        cnt = np.diff(off)
+        # padded matrix of mean-centered sequences
+        mat = np.zeros((n, nfft))
+        _, mean, _ = _row_moments(v, off)
+        for i in range(n):
+            m = min(cnt[i], nfft)
+            mat[i, :m] = v[off[i] : off[i] + m] - mean[i]
+        spec = np.fft.rfft(mat, axis=1)
+        psd = (np.abs(spec) ** 2) / nfft
+        total = psd.sum(axis=1)
+        out = {prefix + "total_power": total}
+        for lo, hi in bands:
+            mask = (freqs >= lo) & (freqs <= hi)
+            out[f"{prefix}power_{lo:g}_{hi:g}"] = psd[:, mask].sum(axis=1)
+        # peak frequency over the full positive band (excluding DC)
+        out[prefix + "peak_freq"] = freqs[1:][np.argmax(psd[:, 1:], axis=1)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = psd / np.maximum(total[:, None], 1e-300)
+            out[prefix + "entropy"] = -(np.where(p > 0, p * np.log(p), 0.0)).sum(axis=1)
+        for name, arr in out.items():
+            batch = batch.append_column(name, pa.array(np.asarray(arr, dtype=np.float64)))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
