@@ -130,7 +130,7 @@ def _bucketed_layout(num_buckets: int = 128) -> str:
     return out
 
 
-def run_scaling_job(num_cpus: int, repeats: int = 3) -> dict:
+def run_scaling_job(num_cpus: int, repeats: int = 2) -> dict:
     """The scaling-criterion job: full flagship (read → heavy token features
     → entity exchange → temporal pass), consumed with count() so output-sink
     I/O noise stays out of the measurement. Best-of-N guards against

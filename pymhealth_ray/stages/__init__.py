@@ -15,8 +15,11 @@ Stateless per-row work (token kernels, text analysis, hashing) is plain
 """
 
 from pymhealth_ray.stages.partition import with_entity_bucket, entity_segments  # noqa: F401
-from pymhealth_ray.stages.rowfeatures import token_features  # noqa: F401
+from pymhealth_ray.stages.rowfeatures import token_features, spectral_features  # noqa: F401
 from pymhealth_ray.stages.window import window_features  # noqa: F401
 from pymhealth_ray.stages.session import sessionize, session_stats  # noqa: F401
 from pymhealth_ray.stages.asof import asof_join  # noqa: F401
 from pymhealth_ray.stages.lag import lag_features  # noqa: F401
+from pymhealth_ray.stages.rolling import rolling_count_windows  # noqa: F401
+from pymhealth_ray.stages.aggregate import grouped_stats, with_squares  # noqa: F401
+from pymhealth_ray.stages.signal import detect_rpeaks, detect_pulse_onsets  # noqa: F401
