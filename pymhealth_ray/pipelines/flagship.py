@@ -85,7 +85,11 @@ def make_temporal_bucket_fn(
 
         # --- trailing window [ts - wsize, ts): strict past ---
         cs = np.concatenate([[0.0], np.cumsum(v)])
-        cs2 = np.concatenate([[0.0], np.cumsum(v * v)])
+        # center the squared cumsum by the bucket mean to tame one-pass
+        # variance cancellation (cf. stages/window.py)
+        vc = v - (float(v.mean()) if n else 0.0)
+        csc = np.concatenate([[0.0], np.cumsum(vc)])
+        csc2 = np.concatenate([[0.0], np.cumsum(vc * vc)])
         tr_cnt = np.empty(n, dtype=np.float64)
         tr_mean = np.full(n, np.nan)
         tr_std = np.full(n, np.nan)
@@ -101,10 +105,12 @@ def make_temporal_bucket_fn(
             w_hi = np.arange(lo, hi)  # exclusive of the current row
             c = (w_hi - w_lo).astype(np.float64)
             s1 = cs[w_hi] - cs[w_lo]
-            s2 = cs2[w_hi] - cs2[w_lo]
+            s1c = csc[w_hi] - csc[w_lo]
+            s2c = csc2[w_hi] - csc2[w_lo]
             with np.errstate(invalid="ignore", divide="ignore"):
                 m = s1 / c
-                var = np.maximum(s2 / c - m**2, 0.0)
+                var = np.maximum(s2c / c - (s1c / c) ** 2, 0.0)
+                var[c <= 1] = 0.0  # exact: a 1-row window has zero variance
             tr_cnt[lo:hi] = c
             nz = c > 0
             tr_mean[lo:hi][nz] = m[nz]

@@ -183,3 +183,51 @@ class TestBucketedFlagship:
                 assert (a[c] == b[c]).all(), c
             else:
                 assert np.allclose(a[c].astype(float), b[c].astype(float), equal_nan=True), c
+
+
+class TestFlagshipLeakage:
+    def test_truncation_invariance(self, sequences_table):
+        """Zero temporal leakage: flagship features for rows at ts <= T are
+        identical whether or not data after T exists (FIXTURES.md F5)."""
+        import pyarrow.compute as pc
+
+        from pymhealth_ray.pipelines.flagship import flagship_features
+
+        ts = sequences_table["ts_ns"].to_numpy()
+        T = int(np.quantile(ts, 0.6))
+        full = ray.data.from_arrow(sequences_table)
+        trunc = ray.data.from_arrow(sequences_table.filter(pc.less_equal(sequences_table["ts_ns"], T)))
+        a = flagship_features(full, num_buckets=8).to_pandas()
+        b = flagship_features(trunc, num_buckets=8).to_pandas()
+        a = a[a.ts_ns <= T].sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        b = b.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in ("trail_mean", "trail_std", "trail_count", "sess_ref_mean", "sess_ref_end_ns",
+                  "tok_mean_lag1", "tok_mean_diff1", "session_id"):
+            av = a[c].astype(float).values
+            bv = b[c].astype(float).values
+            assert np.allclose(av, bv, equal_nan=True, atol=1e-9), c
+
+
+class TestResumeByteIdentical:
+    def test_resumed_output_equals_clean_run(self, sequences_ds):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from pymhealth_ray.state.lineage import resumable_write
+
+        clean, resumed = "/tmp/pmr_clean_out", "/tmp/pmr_resumed_out"
+        for d in (clean, resumed):
+            shutil.rmtree(d, ignore_errors=True)
+        resumable_write(sequences_ds, clean, num_buckets=6, params={"v": 1})
+        with pytest.raises(Exception):
+            resumable_write(sequences_ds, resumed, num_buckets=6, params={"v": 1}, fail_buckets={4})
+        resumable_write(sequences_ds, resumed, num_buckets=6, params={"v": 1})
+        for part in sorted(glob.glob(clean + "/part=*")):
+            b = part.replace(clean, resumed)
+            ta = pq.read_table(part + "/data.parquet")
+            tb = pq.read_table(b + "/data.parquet")
+            ka = ta.sort_by([("doc_id", "ascending"), ("ts_ns", "ascending")])
+            kb = tb.sort_by([("doc_id", "ascending"), ("ts_ns", "ascending")])
+            assert ka.equals(kb)
