@@ -123,8 +123,12 @@ def make_temporal_bucket_fn(
             sess_n = (s_end - s_start).astype(np.float64)
             sess_mean = (cs[lo + s_end] - cs[lo + s_start]) / sess_n
             sess_end_ts = ets[s_end - 1]
-            # backward as-of: greatest session end <= row ts
-            match = np.searchsorted(sess_end_ts, ets, side="right") - 1
+            # backward as-of against CLOSED sessions only: a session is
+            # knowable-closed once gap_ns has elapsed after its last event,
+            # so the summary publishes at end+gap (publishing at the end
+            # itself would leak the session-boundary decision — the feature
+            # would change under truncation of future rows)
+            match = np.searchsorted(sess_end_ts, ets - gap_ns, side="right") - 1
             ok = match >= 0
             idxs = np.maximum(match, 0)
             prev_sess_mean[lo:hi][ok] = sess_mean[idxs[ok]]

@@ -756,16 +756,29 @@ FROM w GROUP BY doc_id, window_start_ns
 
 
 def q_seq_asof_sessions(sf_dir: str):
+    """Backward as-of of the last CLOSED session summary onto every row.
+    Publication time is ``end + gap`` — the earliest instant the session
+    boundary is knowable — so the feature is stable under truncation of
+    future rows (zero temporal leakage)."""
     ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
     st = session_stats(ds, GAP_NS, value_col="n_tok", num_buckets=NB)
-    dim = st.map_batches(
-        lambda b: b.select(["doc_id", "end_ns", "n_tok_mean"]).rename_columns(["doc_id", "ts_ns", "sess_mean"]),
-        batch_format="pyarrow",
-    )
-    j = asof_join(ds, dim, ["sess_mean"], num_buckets=NB)
+
+    def mk_dim(b: pa.Table) -> pa.Table:
+        pub = pc.add(b["end_ns"], GAP_NS)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ts_ns": pub.cast(pa.int64()),
+                "sess_mean": b["n_tok_mean"],
+                "sess_end": b["end_ns"],
+            }
+        )
+
+    dim = st.map_batches(mk_dim, batch_format="pyarrow")
+    j = asof_join(ds, dim, ["sess_mean", "sess_end"], num_buckets=NB)
 
     def finish(b: pa.Table) -> pa.Table:
-        b = b.select(["doc_id", "ts_ns", "n_tok", "sess_mean_asof", "ts_ns_asof"])
+        b = b.select(["doc_id", "ts_ns", "n_tok", "sess_mean_asof", "sess_end_asof"])
         b = b.rename_columns(["doc_id", "ts_ns", "n_tok", "sess_ref_mean", "sess_ref_end_ns"])
         return _cast_cols(b, {"n_tok": pa.int64()})
 
@@ -781,11 +794,12 @@ s AS (SELECT doc_id, ts_ns, n_tok,
 s2 AS (SELECT doc_id, ts_ns, n_tok,
               sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
        FROM s),
-d AS (SELECT doc_id, max(ts_ns) AS end_ns, CAST(sum(n_tok) AS DOUBLE) / count(*) AS sess_mean
+d AS (SELECT doc_id, max(ts_ns) + {GAP_NS} AS pub_ns, max(ts_ns) AS end_ns,
+             CAST(sum(n_tok) AS DOUBLE) / count(*) AS sess_mean
       FROM s2 GROUP BY doc_id, session_id)
 SELECT e.doc_id, e.ts_ns, CAST(e.n_tok AS BIGINT) AS n_tok,
        d.sess_mean AS sess_ref_mean, d.end_ns AS sess_ref_end_ns
-FROM e ASOF LEFT JOIN d ON e.doc_id = d.doc_id AND e.ts_ns >= d.end_ns
+FROM e ASOF LEFT JOIN d ON e.doc_id = d.doc_id AND e.ts_ns >= d.pub_ns
 """
 
 
