@@ -839,6 +839,9 @@ def build_queries() -> dict:
         "seq_rolling_mean": q_seq_rolling_mean,
         "seq_spectral": q_seq_spectral,
         "seq_rpeaks": q_seq_rpeaks,
+        "events_night_stats": q_events_night_stats,
+        "seq_window_median": q_seq_window_median,
+        "seq_distinct_sources": q_seq_distinct_sources,
     }
 
 
@@ -874,6 +877,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_moments": sql_seq_moments(path),
         "seq_hjorth": sql_seq_hjorth(path),
         "seq_rolling_mean": sql_seq_rolling_mean(path),
+        "events_night_stats": SQL_EVENTS_NIGHT_STATS,
+        "seq_window_median": sql_seq_window_median(path),
+        "seq_distinct_sources": sql_seq_distinct_sources(path),
     }
 
 
@@ -1024,3 +1030,99 @@ def q_seq_rpeaks(sf_dir: str):
         lambda b: b.select(["doc_id", "ts_ns", "n_peaks", "mean_rr_ms", "sdnn_ms", "rmssd_ms", "pnn50"]),
         batch_format="pyarrow",
     )
+
+
+def q_events_night_stats(sf_dir: str):
+    """Time-of-day-predicated per-entity aggregate — the reference's
+    determine_home_coords pattern (median over 22:00-06:00 history,
+    reference:location/features.py:11-24) over the events stream."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    US_DAY, US_HOUR = 86_400_000_000, 3_600_000_000
+
+    def night_only(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        hour = (ts % US_DAY) // US_HOUR
+        keep = (hour >= 22) | (hour < 6)
+        return b.filter(pa.array(keep))
+
+    filtered = ds.map_batches(night_only, batch_format="pyarrow")
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        v = tbl["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": tbl["user_id"].slice(0, 1),
+                "n_night": pa.array([len(v)], type=pa.int64()),
+                "value_median": pa.array(_round_away(np.array([np.median(v)]), 6)),
+                "value_mean": pa.array(_round_away(np.array([np.mean(v)]), 6)),
+            }
+        )
+
+    return filtered.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SQL_EVENTS_NIGHT_STATS = """
+WITH e AS (SELECT user_id, (epoch_us(ts) % 86400000000) // 3600000000 AS hour, value FROM events)
+SELECT user_id, count(*) AS n_night, round(median(value), 6) AS value_median,
+       round(avg(value), 6) AS value_mean
+FROM e WHERE hour >= 22 OR hour < 6 GROUP BY user_id
+"""
+
+
+def q_seq_window_median(sf_dir: str):
+    """Window median + IQR via the generic registered-kernel path
+    (reference:generic/stats.py median/interquartile_range as window
+    aggregations) with a quantile_cont SQL oracle."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    wf = window_features(
+        ds, HOUR_NS, HOUR_NS,
+        aggs={"ntok_median": ("n_tok", "median"), "ntok_iqr": ("n_tok", "iqr")},
+        emit_empty=False, num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "window_start_ns", "n_in_window", "ntok_median", "ntok_iqr"])
+        b = b.rename_columns(["doc_id", "window_start_ns", "n_events", "ntok_median", "ntok_iqr"])
+        return _round_cols(b, {"ntok_median": 6, "ntok_iqr": 6})
+
+    return wf.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_window_median(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, n_tok FROM read_parquet('{path}/part-*.parquet')),
+b AS (SELECT doc_id, min(ts_ns) AS f, max(ts_ns) AS l FROM e GROUP BY doc_id),
+w AS (SELECT e.doc_id, f + ((e.ts_ns - f) // {HOUR_NS}) * {HOUR_NS} AS window_start_ns, e.n_tok
+      FROM e JOIN b USING (doc_id)
+      WHERE (e.ts_ns - f) // {HOUR_NS} < (l - f + {HOUR_NS} - 1) // {HOUR_NS})
+SELECT doc_id, window_start_ns, count(*) AS n_events,
+       round(median(CAST(n_tok AS DOUBLE)), 6) AS ntok_median,
+       round(quantile_cont(CAST(n_tok AS DOUBLE), 0.75)
+             - quantile_cont(CAST(n_tok AS DOUBLE), 0.25), 6) AS ntok_iqr
+FROM w GROUP BY doc_id, window_start_ns
+"""
+
+
+def q_seq_distinct_sources(sf_dir: str):
+    """Distinct counting per entity (the reference's num_clusters pattern,
+    location/distribution.py:58-65) via two-level partial aggregation."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "source"])
+    pairs = grouped_stats(ds, ["doc_id", "source"])
+
+    def per_doc(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"].slice(0, 1),
+                "n_sources": pa.array([tbl.num_rows], type=pa.int64()),
+                "n_rows": pa.array([int(np.sum(tbl["n"].to_numpy(zero_copy_only=False)))], type=pa.int64()),
+            }
+        )
+
+    return pairs.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")
+
+
+def sql_seq_distinct_sources(path: str) -> str:
+    return f"""
+SELECT doc_id, count(DISTINCT source) AS n_sources, count(*) AS n_rows
+FROM read_parquet('{path}/part-*.parquet') GROUP BY doc_id
+"""
