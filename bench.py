@@ -239,6 +239,34 @@ def main():
         }))
         return
 
+    if "--oracle-baseline" in sys.argv:
+        # single-process, whole-table-in-memory run of the SAME math — the
+        # reference-equivalent single-node baseline (the reference itself is
+        # a single-process numba library and cannot run here: numba absent)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pymhealth_ray.pipelines.flagship import make_temporal_bucket_fn
+        from pymhealth_ray.stages.rowfeatures import compute_token_features
+
+        fix = _bench_fixture()
+        t0 = time.time()
+        tbl = pq.read_table(fix)
+        cols = compute_token_features(tbl, HEAVY_FEATURES)
+        for name, arr in cols.items():
+            tbl = tbl.append_column(name, pa.array(arr))
+        tbl = tbl.drop_columns(["tokens"])
+        out = make_temporal_bucket_fn()(tbl)
+        elapsed = time.time() - t0
+        print(json.dumps({
+            "metric": "oracle_single_process_baseline",
+            "value": round(elapsed, 3),
+            "unit": "sec",
+            "rows": out.num_rows,
+            "sequences_per_sec": round(out.num_rows / elapsed, 1),
+        }))
+        return
+
     import ray
 
     headline_only = "--headline-only" in sys.argv
