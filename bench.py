@@ -30,7 +30,10 @@ BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "2000000"))
 BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "5000"))
 # the scaling criterion uses a larger input so parallel compute dominates
 # fixed per-job costs (Amdahl); fixture is generated once and cached
-SCALING_ROWS = int(os.environ.get("SCALING_ROWS", "8000000"))
+SCALING_ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
+# N-vs-4N cpu pair for the scaling criterion; both configs must fit under the
+# host's effective-core ceiling (hypervisor steal — BASELINE.md)
+SCALING_PAIR = (int(os.environ.get("SCALING_N", "4")), int(os.environ.get("SCALING_4N", "16")))
 
 BENCH_QUERIES = [
     "events_window_1h",
@@ -198,33 +201,34 @@ def main():
             rows[cpus] = rep["flagship_rows"]
 
         _bench_fixture(SCALING_ROWS)
-        # primary N vs 4N pair: 4 → 16 cpus (interleaved, best-of-2);
-        # secondary 8 → 32 single round (hypervisor steal time makes >16
-        # concurrent vCPUs unreliable on this host — see BASELINE.md)
-        for _round in range(2):
-            for cpus in (4, 16):
+        # N vs 4N pair: 4 → 16 cpus, interleaved best-of-2. The 8→32 pair is
+        # not measured here: /proc/stat shows heavy hypervisor steal time —
+        # >16 concurrent vCPUs stall unpredictably (analysis + earlier
+        # measurements in BASELINE.md).
+        lo_cpu, hi_cpu = SCALING_PAIR
+        for _round in range(3):
+            for cpus in (lo_cpu, hi_cpu):
                 one(cpus)
-        for cpus in (8, 32):
-            one(cpus)
 
         def eff(lo, hi):
             return (best[lo] / best[hi]) / (hi / lo)
 
+        def steal_jiffies():
+            try:
+                return int(open("/proc/stat").readline().split()[8])
+            except Exception:
+                return -1
+
         print(json.dumps({
-            "metric": "scaling_efficiency_4_to_16_cpus",
-            "value": round(eff(4, 16), 4),
+            "metric": f"scaling_efficiency_{lo_cpu}_to_{hi_cpu}_cpus",
+            "value": round(eff(lo_cpu, hi_cpu), 4),
             "unit": "ratio",
-            "throughput_4cpu_seq_per_sec": round(rows[4] / best[4], 1),
-            "throughput_16cpu_seq_per_sec": round(rows[16] / best[16], 1),
-            "sec_4cpu": round(best[4], 3),
-            "sec_16cpu": round(best[16], 3),
-            "secondary_8_to_32": {
-                "efficiency": round(eff(8, 32), 4),
-                "sec_8cpu": round(best[8], 3),
-                "sec_32cpu": round(best[32], 3),
-                "throughput_32cpu_seq_per_sec": round(rows[32] / best[32], 1),
-            },
+            f"throughput_{lo_cpu}cpu_seq_per_sec": round(rows[lo_cpu] / best[lo_cpu], 1),
+            f"throughput_{hi_cpu}cpu_seq_per_sec": round(rows[hi_cpu] / best[hi_cpu], 1),
+            f"sec_{lo_cpu}cpu": round(best[lo_cpu], 3),
+            f"sec_{hi_cpu}cpu": round(best[hi_cpu], 3),
             "rows": SCALING_ROWS,
+            "hypervisor_steal_jiffies": steal_jiffies(),
             "job": "flagship e2e (heavy token features + entity exchange + temporal pass), best-of-interleaved-runs",
         }))
         return
