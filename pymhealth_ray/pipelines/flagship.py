@@ -177,8 +177,13 @@ def flagship_features(
     drop_tokens: bool = True,
 ):
     """Shuffle path: stateless token features → ONE bucket groupby →
-    per-bucket temporal pass."""
-    feat = token_features(ds, features=token_feature_set, drop_tokens=drop_tokens)
+    per-bucket temporal pass.
+
+    batch_size=None: blocks are already sized upstream (override_num_blocks /
+    target block size), and whole-block batches cut per-batch overhead —
+    re-chunking to small batches measurably reduces per-core throughput.
+    """
+    feat = token_features(ds, features=token_feature_set, drop_tokens=drop_tokens, batch_size=None)
     per_bucket = make_temporal_bucket_fn(gap_ns, wsize_ns, entity_col, ts_col)
     return grouped_by_bucket(feat, per_bucket, entity_col, num_buckets)
 
