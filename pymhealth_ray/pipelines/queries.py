@@ -842,6 +842,8 @@ def build_queries() -> dict:
         "events_night_stats": q_events_night_stats,
         "seq_window_median": q_seq_window_median,
         "seq_distinct_sources": q_seq_distinct_sources,
+        "seq_nonlinear": q_seq_nonlinear,
+        "embed_inertial": q_embed_inertial,
     }
 
 
@@ -880,6 +882,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_night_stats": SQL_EVENTS_NIGHT_STATS,
         "seq_window_median": sql_seq_window_median(path),
         "seq_distinct_sources": sql_seq_distinct_sources(path),
+        "embed_inertial": SQL_EMBED_INERTIAL,
     }
 
 
@@ -1125,4 +1128,84 @@ def sql_seq_distinct_sources(path: str) -> str:
     return f"""
 SELECT doc_id, count(DISTINCT source) AS n_sources, count(*) AS n_rows
 FROM read_parquet('{path}/part-*.parquet') GROUP BY doc_id
+"""
+
+
+def q_seq_nonlinear(sf_dir: str):
+    """Nonlinear per-row kernels on a bounded prefix (first 128 tokens):
+    Hurst exponent, DFA slope, sample entropy, RQA recurrence rate and
+    determinism (reference:generic/timedom.py:196-259,
+    generic/information.py:23-113, generic/rqa.py) — O(n²)-bounded per
+    window, actor-pool stage, rows-only check."""
+    from pymhealth_ray.functions import information, rqa, timedom
+    from pymhealth_ray.stages.rowfeatures import _flat_tokens
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    class Nonlinear:
+        PREFIX = 128
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v, off = _flat_tokens(b, "tokens")
+            n = len(off) - 1
+            hurst = np.full(n, np.nan)
+            dfa = np.full(n, np.nan)
+            sampen = np.full(n, np.nan)
+            rec_rate = np.full(n, np.nan)
+            determ = np.full(n, np.nan)
+            for i in range(n):
+                x = v[off[i] : min(off[i] + self.PREFIX, off[i + 1])]
+                if len(x) < 66:  # hurst needs lags up to 63
+                    continue
+                hurst[i] = timedom.hurst(x)
+                dfa[i] = timedom.dfa(x)
+                sampen[i] = information.sampen(x)
+                r = rqa.rq(x, radius=np.std(x) * 0.2)
+                rec_rate[i] = rqa.recurrence_rate(r)
+                determ[i] = rqa.determinism(r)
+            out = b.drop_columns(["tokens"])
+            out = out.append_column("hurst", pa.array(hurst))
+            out = out.append_column("dfa", pa.array(dfa))
+            out = out.append_column("sampen", pa.array(sampen))
+            out = out.append_column("recurrence_rate", pa.array(rec_rate))
+            return out.append_column("determinism", pa.array(determ))
+
+    return ds.map_batches(Nonlinear, batch_format="pyarrow", concurrency=(2, 8), batch_size=512)
+
+
+def q_embed_inertial(sf_dir: str):
+    """Inertial projections (reference:inertial/accelerometer.py roll/pitch/
+    magnitude) applied to the first three embedding components as x/y/z —
+    elementwise kernels with a full SQL oracle."""
+    from pymhealth_ray.functions import inertial
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = emb.values.to_numpy(zero_copy_only=False)[off[0]: off[-1]].astype(np.float64)
+        off = off - off[0]
+        x, y, z = flat[off[:-1]], flat[off[:-1] + 1], flat[off[:-1] + 2]
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "roll_deg": pa.array(_round_away(inertial.roll(y, z), 6)),
+                "pitch_deg": pa.array(_round_away(inertial.pitch(x, y, z), 6)),
+                "magnitude": pa.array(_round_away(inertial.magnitude(x, y, z), 6)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EMBED_INERTIAL = """
+WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
+                  CAST(embedding[3] AS DOUBLE) AS z FROM embeddings)
+SELECT vec_id, round(degrees(atan2(y, z)), 6) AS roll_deg,
+       round(degrees(atan2(-x, sqrt(y * y + z * z))), 6) AS pitch_deg,
+       round(sqrt(x * x + y * y + z * z), 6) AS magnitude
+FROM e
 """
