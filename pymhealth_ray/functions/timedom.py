@@ -57,6 +57,20 @@ def hjorth_complexity(x: np.ndarray) -> float:
     return float(hjorth_mobility(gradient(x)) / hjorth_mobility(x))
 
 
+def hjorth_mobility_derivative(dx: np.ndarray, x: np.ndarray) -> float:
+    """Mobility with the derivative precomputed (shared-gradient internal).
+    reference:generic/timedom.py:115-130.
+    """
+    return float(np.sqrt(np.var(dx) / np.var(x)))
+
+
+def hjorth_complexity_derivatives(ddx: np.ndarray, dx: np.ndarray, x: np.ndarray) -> float:
+    """Complexity from precomputed first/second derivatives.
+    reference:generic/timedom.py:151-169.
+    """
+    return hjorth_mobility_derivative(ddx, dx) / hjorth_mobility_derivative(dx, x)
+
+
 def hjorth_parameters(x: np.ndarray) -> tuple:
     """(activity, mobility, complexity) sharing one gradient computation —
     the reference's fused multi-output kernel. reference:generic/timedom.py:172-193.
@@ -112,33 +126,23 @@ def o1fit_multiple(x: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return np.stack([intercept, slope], axis=1)
 
 
-def dfa(x: np.ndarray, windows: np.ndarray | None = None, overlap: float = 0.5) -> float:
-    """Detrended fluctuation analysis: cumulative profile, per-scale
-    linear-detrended RMS fluctuation, log-log slope.
-    reference:generic/timedom.py:196-235 (same algorithm family; window-size
-    grid here is powers-of-two-ish spans 4..n/4).
+def dfa(x: np.ndarray, windows, o: int = 1, overlap: float = 0) -> float:
+    """Detrended fluctuation analysis, exact reference semantics
+    (reference:generic/timedom.py:196-235): cumulative profile, per-scale
+    strided windows stepping by ``w*(100-overlap)/100`` (overlap in PERCENT),
+    per-window RMS of order-``o`` polyfit residuals, per-scale nanmean over a
+    fixed-width matrix, then the log-log polyfit slope.
     """
     x = np.asarray(x, dtype=np.float64)
-    n = len(x)
-    profile = np.cumsum(x - x.mean())
-    if windows is None:
-        windows = np.unique(np.floor(np.logspace(2, np.log2(max(8, n // 4)), 12, base=2)).astype(int))
-        windows = windows[windows >= 4]
-    flucts = []
-    sizes = []
-    for w in windows:
-        if w >= n:
-            continue
-        step = max(1, int(w * (1 - overlap)))
-        starts = np.arange(0, n - w + 1, step)
-        seg = np.stack([profile[s : s + w] for s in starts])
-        t = np.arange(w, dtype=np.float64)
-        coef = np.polyfit(t, seg.T, 1)
-        trend = np.outer(coef[0], t) + coef[1][:, None]
-        rms = np.sqrt(np.mean((seg - trend) ** 2, axis=1))
-        flucts.append(np.mean(rms))
-        sizes.append(w)
-    if len(sizes) < 2:
-        return float("nan")
-    _, slope = o1fit(np.log(np.asarray(sizes, dtype=np.float64)), np.log(np.asarray(flucts)))
-    return float(slope)
+    windows = np.asarray(windows, dtype=np.int64)
+    prof = np.cumsum(x - np.mean(x))
+    min_step = max(int(np.min(windows) * (100 - overlap) / 100), 1)
+    out = np.full((len(windows), len(prof) // min_step), np.nan)
+    for i, w in enumerate(windows):
+        s = max(int(w * (100 - overlap) / 100), 1)
+        seg = np.lib.stride_tricks.sliding_window_view(prof, int(w))[::s]
+        res = np.polyfit(np.arange(w), seg.T, o, full=True)[1]
+        rms = np.sqrt(res / w)
+        out[i, : len(res)] = rms
+    flucts = np.nanmean(out, axis=1)
+    return float(np.polyfit(np.log(windows), np.log(flucts), 1)[0])

@@ -1158,7 +1158,7 @@ def q_seq_nonlinear(sf_dir: str):
                 if len(x) < 66:  # hurst needs lags up to 63
                     continue
                 hurst[i] = timedom.hurst(x)
-                dfa[i] = timedom.dfa(x)
+                dfa[i] = timedom.dfa(x, windows=[4, 8, 16, 32])
                 sampen[i] = information.sampen(x)
                 r = rqa.rq(x, radius=np.std(x) * 0.2)
                 rec_rate[i] = rqa.recurrence_rate(r)
