@@ -844,6 +844,7 @@ def build_queries() -> dict:
         "seq_distinct_sources": q_seq_distinct_sources,
         "seq_nonlinear": q_seq_nonlinear,
         "embed_inertial": q_embed_inertial,
+        "events_sliding_window": q_events_sliding_window,
     }
 
 
@@ -883,6 +884,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_window_median": sql_seq_window_median(path),
         "seq_distinct_sources": sql_seq_distinct_sources(path),
         "embed_inertial": SQL_EMBED_INERTIAL,
+        "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     }
 
 
@@ -1208,4 +1210,40 @@ SELECT vec_id, round(degrees(atan2(y, z)), 6) AS roll_deg,
        round(degrees(atan2(-x, sqrt(y * y + z * z))), 6) AS pitch_deg,
        round(sqrt(x * x + y * y + z * z), 6) AS magnitude
 FROM e
+"""
+
+
+QUARTER_US = 900_000_000
+
+
+def q_events_sliding_window(sf_dir: str):
+    """SLIDING event-time windows (wsize 1 h, wstep 15 min — overlapping,
+    grid anchored at each entity's first event) — the general
+    nonuniform_rolling_apply case, oracle-checked via a generate_series
+    range join."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    wf = window_features(
+        ds, HOUR_US, QUARTER_US,
+        aggs={"value_mean": ("value", "mean"), "value_max": ("value", "max")},
+        entity_col="user_id", ts_col="ts_us", emit_empty=False, num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["user_id", "window_start_ns", "n_in_window", "value_mean", "value_max"])
+        b = b.rename_columns(["user_id", "window_start_us", "n_events", "value_mean", "value_max"])
+        return _round_cols(b, {"value_mean": 6, "value_max": 2})
+
+    return wf.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_SLIDING_WINDOW = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+b AS (SELECT user_id, min(ts_us) AS f, max(ts_us) AS l FROM e GROUP BY user_id HAVING max(ts_us) > min(ts_us)),
+g AS (SELECT user_id, f + unnest(generate_series(0, CAST((l - f - 1) // {QUARTER_US} AS BIGINT))) * {QUARTER_US} AS ws
+      FROM b),
+j AS (SELECT g.user_id, g.ws, e.value
+      FROM g JOIN e ON e.user_id = g.user_id AND e.ts_us >= g.ws AND e.ts_us < g.ws + {HOUR_US})
+SELECT user_id, ws AS window_start_us, count(*) AS n_events,
+       round(avg(value), 6) AS value_mean, round(max(value), 2) AS value_max
+FROM j GROUP BY user_id, ws
 """

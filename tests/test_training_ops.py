@@ -231,3 +231,27 @@ class TestResumeByteIdentical:
             ka = ta.sort_by([("doc_id", "ascending"), ("ts_ns", "ascending")])
             kb = tb.sort_by([("doc_id", "ascending"), ("ts_ns", "ascending")])
             assert ka.equals(kb)
+
+
+class TestFlagshipPartitionInvariance:
+    def test_same_result_across_buckets_and_blocks(self, sequences_table):
+        from pymhealth_ray.pipelines.flagship import flagship_features
+
+        ref = None
+        rng = np.random.default_rng(9)
+        perm = rng.permutation(sequences_table.num_rows)
+        shuffled = sequences_table.take(pa.array(perm))
+        for tbl, blocks, buckets in [(sequences_table, 1, 4), (sequences_table, 13, 16), (shuffled, 5, 7)]:
+            ds = ray.data.from_arrow(tbl).repartition(blocks)
+            out = flagship_features(ds, num_buckets=buckets).to_pandas()
+            out = out.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+            if ref is None:
+                ref = out
+                continue
+            assert len(out) == len(ref)
+            for c in ref.columns:
+                if ref[c].dtype == object:
+                    assert (out[c] == ref[c]).all(), c
+                else:
+                    assert np.allclose(out[c].astype(float), ref[c].astype(float),
+                                       equal_nan=True, atol=1e-9), c
