@@ -21,9 +21,16 @@ def default_blocks(min_blocks: int = 8, per_cpu: int = 2, cap: int = 256) -> int
     return max(min_blocks, min(cap, per_cpu * cpus))
 
 
+def _strip_meta(batch):
+    # drop pandas schema metadata so downstream table reconstructions keep
+    # byte-identical schemas (avoids Ray's per-block schema-dedup warnings)
+    return batch.replace_schema_metadata(None)
+
+
 def read_table(path: str, columns=None, blocks: int | None = None):
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         path,
         columns=columns,
         override_num_blocks=blocks or default_blocks(),
     )
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")

@@ -69,7 +69,10 @@ def asof_join(
     fact_names = list(fact_schema.names)
 
     def tag_fact(batch: pa.Table) -> pa.Table:
-        return batch.append_column(SIDE_COL, pa.array(np.ones(batch.num_rows, dtype=np.int8)))
+        batch = batch.append_column(SIDE_COL, pa.array(np.ones(batch.num_rows, dtype=np.int8)))
+        # strip schema metadata so both union branches carry identical schemas
+        # (otherwise Ray logs a schema-dedup warning per block)
+        return batch.replace_schema_metadata(None)
 
     def tag_dim(batch: pa.Table) -> pa.Table:
         # align to fact schema: ts under ts_col, fact-only columns null
@@ -89,7 +92,8 @@ def asof_join(
         for v in value_cols:
             if v not in fact_names:
                 out = out.append_column(v, batch[v])
-        return out.append_column(SIDE_COL, pa.array(np.zeros(n, dtype=np.int8)))
+        out = out.append_column(SIDE_COL, pa.array(np.zeros(n, dtype=np.int8)))
+        return out.replace_schema_metadata(None)
 
     def pad_fact(batch: pa.Table) -> pa.Table:
         # give facts the dim-only value columns (null) so the union schemas match
