@@ -845,6 +845,7 @@ def build_queries() -> dict:
         "seq_nonlinear": q_seq_nonlinear,
         "embed_inertial": q_embed_inertial,
         "events_sliding_window": q_events_sliding_window,
+        "seq_windows_combined": q_seq_windows_combined,
     }
 
 
@@ -885,6 +886,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_distinct_sources": sql_seq_distinct_sources(path),
         "embed_inertial": SQL_EMBED_INERTIAL,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+        "seq_windows_combined": sql_seq_windows_combined(path),
     }
 
 
@@ -1246,4 +1248,41 @@ j AS (SELECT g.user_id, g.ws, e.value
 SELECT user_id, ws AS window_start_us, count(*) AS n_events,
        round(avg(value), 6) AS value_mean, round(max(value), 2) AS value_max
 FROM j GROUP BY user_id, ws
+"""
+
+
+def q_seq_windows_combined(sf_dir: str):
+    """Tumbling windows via the MAP-SIDE COMBINED path (partials per
+    (entity, window) per block shuffle instead of raw rows) — same oracle
+    semantics as seq_windows_1h; float reconstruction differs at the
+    10^-13 level, so values are rounded on both sides."""
+    from pymhealth_ray.stages.window import window_features_combined
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    wf = window_features_combined(
+        ds, HOUR_NS,
+        aggs={"ntok_sum": ("n_tok", "sum"), "ntok_mean": ("n_tok", "mean"), "ntok_std": ("n_tok", "std")},
+        num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "window_start_ns", "n_in_window", "ntok_sum", "ntok_mean", "ntok_std"])
+        b = b.rename_columns(["doc_id", "window_start_ns", "n_events", "ntok_sum", "ntok_mean", "ntok_std"])
+        return _round_cols(b, {"ntok_sum": 4, "ntok_mean": 6, "ntok_std": 6})
+
+    return wf.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_windows_combined(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, n_tok FROM read_parquet('{path}/part-*.parquet')),
+b AS (SELECT doc_id, min(ts_ns) AS f, max(ts_ns) AS l FROM e GROUP BY doc_id),
+w AS (SELECT e.doc_id, f + ((e.ts_ns - f) // {HOUR_NS}) * {HOUR_NS} AS window_start_ns, e.n_tok
+      FROM e JOIN b USING (doc_id)
+      WHERE (e.ts_ns - f) // {HOUR_NS} < (l - f + {HOUR_NS} - 1) // {HOUR_NS})
+SELECT doc_id, window_start_ns, count(*) AS n_events,
+       round(CAST(sum(n_tok) AS DOUBLE), 4) AS ntok_sum,
+       round(avg(CAST(n_tok AS DOUBLE)), 6) AS ntok_mean,
+       round(stddev_pop(CAST(n_tok AS DOUBLE)), 6) AS ntok_std
+FROM w GROUP BY doc_id, window_start_ns
 """

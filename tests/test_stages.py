@@ -262,3 +262,27 @@ class TestSaltedWindows:
         assert (a.n_in_window.values == b.n_in_window.values).all()
         for col in ("m", "s", "c"):
             assert np.allclose(a[col].values, b[col].values, equal_nan=True, rtol=1e-12)
+
+
+class TestCombinedWindows:
+    def test_combined_equals_sort_path(self, sequences_ds):
+        from pymhealth_ray.stages.window import window_features_combined
+
+        H = 3600 * 10**9
+        aggs = {"m": ("n_tok", "mean"), "s": ("n_tok", "std"), "c": ("n_tok", "count"),
+                "mn": ("n_tok", "min"), "sm": ("n_tok", "sum")}
+        a = window_features(sequences_ds, H, H, aggs=aggs, emit_empty=False, num_buckets=8).to_pandas()
+        b = window_features_combined(sequences_ds, H, aggs=aggs, num_buckets=8).to_pandas()
+        a = a.sort_values(["doc_id", "window_start_ns"]).reset_index(drop=True)
+        b = b.sort_values(["doc_id", "window_start_ns"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a.window_start_ns.values == b.window_start_ns.values).all()
+        assert (a.n_in_window.values == b.n_in_window.values).all()
+        for col in aggs:
+            assert np.allclose(a[col].values, b[col].values, rtol=1e-9, atol=1e-9), col
+
+    def test_combined_rejects_generic_kernels(self, sequences_ds):
+        from pymhealth_ray.stages.window import window_features_combined
+
+        with pytest.raises(ValueError):
+            window_features_combined(sequences_ds, 10**9, aggs={"q": ("n_tok", "iqr")})
