@@ -846,6 +846,7 @@ def build_queries() -> dict:
         "embed_inertial": q_embed_inertial,
         "events_sliding_window": q_events_sliding_window,
         "seq_windows_combined": q_seq_windows_combined,
+        "seq_sessions_salted": q_seq_sessions_salted,
     }
 
 
@@ -887,6 +888,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_inertial": SQL_EMBED_INERTIAL,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "seq_windows_combined": sql_seq_windows_combined(path),
+        "seq_sessions_salted": sql_seq_sessions_salted(path),
     }
 
 
@@ -1285,4 +1287,27 @@ SELECT doc_id, window_start_ns, count(*) AS n_events,
        round(avg(CAST(n_tok AS DOUBLE)), 6) AS ntok_mean,
        round(stddev_pop(CAST(n_tok AS DOUBLE)), 6) AS ntok_std
 FROM w GROUP BY doc_id, window_start_ns
+"""
+
+
+def q_seq_sessions_salted(sf_dir: str):
+    """Per-row session ids via the SALTED sessionizer (hot entities split
+    into bounded time chunks, ids reconciled from per-chunk summaries) —
+    must equal the plain gap-scan oracle exactly."""
+    from pymhealth_ray.stages.session import sessionize_salted
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns"])
+    out = sessionize_salted(ds, GAP_NS, num_buckets=NB, salt_threshold=500)
+    return out.map_batches(lambda b: b.select(["doc_id", "ts_ns", "session_id"]), batch_format="pyarrow")
+
+
+def sql_seq_sessions_salted(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns FROM read_parquet('{path}/part-*.parquet')),
+s AS (SELECT doc_id, ts_ns,
+             CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY doc_id ORDER BY ts_ns) > {GAP_NS}
+                  THEN 1 ELSE 0 END AS brk FROM e)
+SELECT doc_id, ts_ns,
+       sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
+FROM s
 """

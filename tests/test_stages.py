@@ -286,3 +286,16 @@ class TestCombinedWindows:
 
         with pytest.raises(ValueError):
             window_features_combined(sequences_ds, 10**9, aggs={"q": ("n_tok", "iqr")})
+
+
+class TestSaltedSessionize:
+    def test_salted_equals_plain(self, sequences_ds):
+        from pymhealth_ray.stages.session import sessionize_salted
+
+        a = sessionize(sequences_ds, GAP, num_buckets=8).to_pandas()
+        b = sessionize_salted(sequences_ds, GAP, num_buckets=8, salt_threshold=100).to_pandas()
+        a = a.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        b = b.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a.doc_id.values == b.doc_id.values).all()
+        assert (a.session_id.values == b.session_id.values).all()
