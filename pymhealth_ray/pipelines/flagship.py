@@ -85,11 +85,13 @@ def make_temporal_bucket_fn(
 
         # --- trailing window [ts - wsize, ts): strict past ---
         cs = np.concatenate([[0.0], np.cumsum(v)])
-        # center the squared cumsum by the bucket mean to tame one-pass
-        # variance cancellation (cf. stages/window.py)
+        # center by the bucket mean AND accumulate in extended precision:
+        # trailing windows overlap, so fresh reduceat sums are O(n·w) — the
+        # cumsum-difference error floor over a 500k-row hot bucket (~1e-5
+        # absolute) is instead pushed below 1e-9 by 80-bit accumulation
         vc = v - (float(v.mean()) if n else 0.0)
-        csc = np.concatenate([[0.0], np.cumsum(vc)])
-        csc2 = np.concatenate([[0.0], np.cumsum(vc * vc)])
+        csc = np.concatenate([[0.0], np.cumsum(vc, dtype=np.longdouble)])
+        csc2 = np.concatenate([[0.0], np.cumsum(vc * vc, dtype=np.longdouble)])
         tr_cnt = np.empty(n, dtype=np.float64)
         tr_mean = np.full(n, np.nan)
         tr_std = np.full(n, np.nan)
@@ -105,8 +107,8 @@ def make_temporal_bucket_fn(
             w_hi = np.arange(lo, hi)  # exclusive of the current row
             c = (w_hi - w_lo).astype(np.float64)
             s1 = cs[w_hi] - cs[w_lo]
-            s1c = csc[w_hi] - csc[w_lo]
-            s2c = csc2[w_hi] - csc2[w_lo]
+            s1c = (csc[w_hi] - csc[w_lo]).astype(np.float64)
+            s2c = (csc2[w_hi] - csc2[w_lo]).astype(np.float64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 m = s1 / c
                 var = np.maximum(s2c / c - (s1c / c) ** 2, 0.0)
@@ -202,6 +204,12 @@ def flagship_features_bucketed(
     pure map — one task per bucket partition, NO shuffle. This is the 100 TB
     plan: pay the entity exchange once at ingest, then every windowed /
     sessionized / as-of job streams the co-partitioned layout.
+
+    If the layout was written PRE-FEATURIZED (``featurize_then_bucket`` —
+    token kernels computed in the parallel stateless pass BEFORE the
+    exchange), the heavy per-row work never runs inside a per-part task and
+    the hottest bucket (25% of rows in the bench fixture) costs only its
+    cheap vectorized temporal pass instead of straggling the job.
     """
     import glob
 
@@ -217,11 +225,37 @@ def flagship_features_bucketed(
 
         for path in batch["path"].to_pylist():
             tbl = pq.read_table(path)
-            cols = compute_token_features(tbl, token_feature_set)
-            for name, arr in cols.items():
-                tbl = tbl.append_column(name, pa.array(arr, type=pa.float64()))
-            tbl = tbl.drop_columns(["tokens"])
+            if "tok_mean" not in tbl.column_names:  # raw layout: featurize here
+                cols = compute_token_features(tbl, token_feature_set)
+                for name, arr in cols.items():
+                    tbl = tbl.append_column(name, pa.array(arr, type=pa.float64()))
+            if "tokens" in tbl.column_names:
+                tbl = tbl.drop_columns(["tokens"])
             yield per_bucket(tbl)
 
     paths = ray.data.from_items([{"path": p} for p in parts]).repartition(len(parts))
     return paths.map_batches(process_part, batch_format="pyarrow", batch_size=None)
+
+
+def featurize_then_bucket(
+    ds,
+    out_dir: str,
+    num_buckets: int = 128,
+    token_feature_set=TOKEN_FEATURES,
+    entity_col: str = "doc_id",
+    params: dict | None = None,
+):
+    """Ingest plan that avoids hot-bucket stragglers: run the heavy per-row
+    token kernels in the PARALLEL stateless pass (fine-grained blocks), drop
+    the wide token payload, then write the narrow feature table as the
+    resumable bucket-partitioned layout. Downstream partition-aligned jobs
+    (flagship_features_bucketed and friends) then do only cheap vectorized
+    temporal work per part, so bucket-size skew costs seconds, not the
+    feature bill."""
+    from pymhealth_ray.state.lineage import resumable_write
+
+    feat = token_features(ds, features=token_feature_set, drop_tokens=True, batch_size=None)
+    return resumable_write(
+        feat, out_dir, entity_col=entity_col, num_buckets=num_buckets,
+        params={**(params or {}), "featurized": sorted(token_feature_set)},
+    )

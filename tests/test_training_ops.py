@@ -255,3 +255,29 @@ class TestFlagshipPartitionInvariance:
                 else:
                     assert np.allclose(out[c].astype(float), ref[c].astype(float),
                                        equal_nan=True, atol=1e-9), c
+
+
+class TestFeaturizedLayout:
+    def test_featurize_then_bucket_path(self, sequences_ds):
+        from pymhealth_ray.pipelines.flagship import (
+            featurize_then_bucket,
+            flagship_features,
+            flagship_features_bucketed,
+        )
+
+        layout = "/tmp/pmr_test_featurized"
+        shutil.rmtree(layout, ignore_errors=True)
+        featurize_then_bucket(sequences_ds, layout, num_buckets=8)
+        a = flagship_features(sequences_ds, num_buckets=8).to_pandas()
+        b = flagship_features_bucketed(layout).to_pandas()
+        a = a.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        b = b.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)[a.columns]
+        assert len(a) == len(b)
+        for c in a.columns:
+            if a[c].dtype == object:
+                assert (a[c] == b[c]).all(), c
+            else:
+                # trailing-window stds carry a ~1e-9 cumsum error floor across
+                # different bucket partitionings (extended-precision cumsums)
+                assert np.allclose(a[c].astype(float), b[c].astype(float),
+                                   equal_nan=True, atol=1e-8), c
