@@ -847,6 +847,7 @@ def build_queries() -> dict:
         "events_sliding_window": q_events_sliding_window,
         "seq_windows_combined": q_seq_windows_combined,
         "seq_sessions_salted": q_seq_sessions_salted,
+        "orders_lineitem_join": q_orders_lineitem_join,
     }
 
 
@@ -889,6 +890,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "seq_windows_combined": sql_seq_windows_combined(path),
         "seq_sessions_salted": sql_seq_sessions_salted(path),
+        "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
     }
 
 
@@ -1310,4 +1312,44 @@ s AS (SELECT doc_id, ts_ns,
 SELECT doc_id, ts_ns,
        sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
 FROM s
+"""
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Large-large co-partitioned hash join (orders ⋈ lineitem on orderkey)
+    → revenue per order priority — TPC-H Q3-family shape, one exchange per
+    side + per-bucket Arrow hash join + partial-agg rollup."""
+    from pymhealth_ray.stages.join import equi_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = np.rint(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        b = b.append_column("rev_u", pa.array(price_c * (100 - disc_c)))
+        return b.select(["l_orderkey", "rev_u"]).rename_columns(["o_orderkey", "rev_u"])
+
+    li2 = li.map_batches(prep, batch_format="pyarrow")
+    j = equi_join(orders, li2, on="o_orderkey", join_type="inner", num_buckets=NB)
+    agg = grouped_stats(j, ["o_orderpriority"], sum_cols=["rev_u"], count_name="n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["n_items"].cast(pa.int64()),
+                "revenue_u": b["rev_u_sum"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_LINEITEM_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
 """

@@ -281,3 +281,24 @@ class TestFeaturizedLayout:
                 # different bucket partitionings (extended-precision cumsums)
                 assert np.allclose(a[c].astype(float), b[c].astype(float),
                                    equal_nan=True, atol=1e-8), c
+
+
+class TestEquiJoin:
+    def test_inner_and_outer_match_pandas(self, ray_session):
+        import pandas as pd
+
+        from pymhealth_ray.stages.join import equi_join
+
+        left = pa.table({"k": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+                         "a": pa.array([10, 20, 21, 30, 50], type=pa.int64())})
+        right = pa.table({"k": pa.array([2, 3, 3, 4], type=pa.int64()),
+                          "b": pa.array([200, 300, 301, 400], type=pa.int64())})
+        for how, jt in [("inner", "inner"), ("left", "left outer")]:
+            got = equi_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                            on="k", join_type=jt, num_buckets=4).to_pandas()
+            exp = left.to_pandas().merge(right.to_pandas(), on="k", how=how)
+            got = got.sort_values(["k", "a", "b"], na_position="last").reset_index(drop=True)
+            exp = exp.sort_values(["k", "a", "b"], na_position="last").reset_index(drop=True)
+            assert len(got) == len(exp), how
+            assert (got.k.values == exp.k.values).all()
+            assert np.allclose(got.b.astype(float).values, exp.b.astype(float).values, equal_nan=True)
