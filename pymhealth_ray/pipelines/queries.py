@@ -848,6 +848,7 @@ def build_queries() -> dict:
         "seq_windows_combined": q_seq_windows_combined,
         "seq_sessions_salted": q_seq_sessions_salted,
         "orders_lineitem_join": q_orders_lineitem_join,
+        "seq_asof_salted": q_seq_asof_salted,
     }
 
 
@@ -891,6 +892,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_windows_combined": sql_seq_windows_combined(path),
         "seq_sessions_salted": sql_seq_sessions_salted(path),
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
+        "seq_asof_salted": sql_seq_asof_sessions(path),
     }
 
 
@@ -1353,3 +1355,34 @@ SELECT o_orderpriority, count(*) AS n_items,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """
+
+
+def q_seq_asof_salted(sf_dir: str):
+    """Same as-of-last-closed-session semantics as seq_asof_sessions, but
+    through the SALTED as-of (hot dimension entities chunked by time with
+    fact routing) — must match the same SQL oracle exactly."""
+    from pymhealth_ray.stages.asof import asof_join_salted
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    st = session_stats(ds, GAP_NS, value_col="n_tok", num_buckets=NB)
+
+    def mk_dim(b: pa.Table) -> pa.Table:
+        pub = pc.add(b["end_ns"], GAP_NS)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "ts_ns": pub.cast(pa.int64()),
+                "sess_mean": b["n_tok_mean"],
+                "sess_end": b["end_ns"],
+            }
+        )
+
+    dim = st.map_batches(mk_dim, batch_format="pyarrow")
+    j = asof_join_salted(ds, dim, ["sess_mean", "sess_end"], num_buckets=NB, salt_threshold=50)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "sess_mean_asof", "sess_end_asof"])
+        b = b.rename_columns(["doc_id", "ts_ns", "n_tok", "sess_ref_mean", "sess_ref_end_ns"])
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -264,3 +264,211 @@ def _to_arrow(ds_or_table) -> pa.Table:
     # small-side materialization is the point of the broadcast path
     refs = ds_or_table.to_arrow_refs()
     return pa.concat_tables([ray.get(r) for r in refs])
+
+
+# --------------------------------------------------------------------------
+# salted as-of: bounded memory when the DIMENSION side has hot entities
+# --------------------------------------------------------------------------
+
+
+def asof_join_salted(
+    facts,
+    dim,
+    value_cols: List[str],
+    entity_col: str = "doc_id",
+    ts_col: str = "ts_ns",
+    suffix: str = "_asof",
+    num_buckets: int = 64,
+    salt_threshold: int = 1_000_000,
+    salt_span_ns: int = 3600 * 10**9,
+):
+    """Backward as-of join that also bounds per-task memory when the
+    DIMENSION side is hot (one entity's dim rows exceed a worker).
+
+    A hot entity's dim stream is split into time chunks; each FACT routes to
+    the single chunk that must contain its backward match: the non-empty
+    chunk with the greatest first-dim-ts <= fact_ts (a fact between chunks
+    matches the previous chunk's LAST row, which lives in that chunk). The
+    non-empty-chunk boundary lists come from a tiny pre-aggregation and are
+    broadcast. Facts before the first dim row route to the first chunk and
+    come back NULL. Cold entities take the plain path unchanged; results are
+    identical to :func:`asof_join` (equivalence-tested).
+    """
+    import zlib
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.partition import BUCKET_COL, _stable_bucket_of
+    from pymhealth_ray.stages.window import _hot_entity_stats
+
+    dim_schema = _pa_schema(dim)
+    fact_schema = _pa_schema(facts)
+    fact_names = list(fact_schema.names)
+    hot = _hot_entity_stats(dim, entity_col, ts_col, salt_threshold)
+
+    # non-empty chunk boundaries per hot entity: (chunk_id, first_dim_ts)
+    chunk_map: dict = {}
+    if hot:
+        hot_set = set(hot)
+
+        def hot_chunks(b: pa.Table) -> pa.Table:
+            ent = b[entity_col]
+            if isinstance(ent, pa.ChunkedArray):
+                ent = ent.combine_chunks()
+            keep = np.fromiter((e in hot_set for e in ent.to_pylist()), dtype=bool, count=b.num_rows)
+            b = b.filter(pa.array(keep))
+            if b.num_rows == 0:
+                return pa.table({entity_col: pa.array([], type=dim_schema.field(entity_col).type),
+                                 "__chunk": pa.array([], type=pa.int64()),
+                                 ts_col: pa.array([], type=pa.int64())})
+            ent2 = b[entity_col]
+            if isinstance(ent2, pa.ChunkedArray):
+                ent2 = ent2.combine_chunks()
+            ts = column_i64(b, ts_col)
+            anchors = np.fromiter((hot[e][0] for e in ent2.to_pylist()), dtype=np.int64, count=b.num_rows)
+            chunk = (ts - anchors) // salt_span_ns
+            return pa.table({entity_col: ent2, "__chunk": pa.array(chunk), ts_col: pa.array(ts)})
+
+        summary = grouped_stats(
+            dim.map_batches(hot_chunks, batch_format="pyarrow"),
+            [entity_col, "__chunk"], min_cols=[ts_col],
+        )
+        rows = sorted(
+            (
+                (e, int(c), int(first))
+                for b in summary.iter_batches(batch_format="pyarrow")
+                for e, c, first in zip(b[entity_col].to_pylist(), b["__chunk"].to_pylist(),
+                                       b[f"{ts_col}_min"].to_pylist())
+            ),
+            key=lambda r: (str(r[0]), r[1]),
+        )
+        for e, c, first in rows:
+            chunk_map.setdefault(e, ([], []))
+            chunk_map[e][0].append(first)
+            chunk_map[e][1].append(c)
+        chunk_map = {e: (np.asarray(f, dtype=np.int64), np.asarray(cs, dtype=np.int64))
+                     for e, (f, cs) in chunk_map.items()}
+    chunk_ref = ray.put(chunk_map)
+
+    CHUNK = "__asof_chunk"
+
+    class Route:
+        """Assigns bucket + chunk: dim rows to their own chunk, fact rows to
+        the chunk holding their backward match."""
+
+        def __init__(self, side: int):
+            self.side = side
+            self.map = ray.get(chunk_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ent = batch[entity_col]
+            if isinstance(ent, pa.ChunkedArray):
+                ent = ent.combine_chunks()
+            ts = column_i64(batch, ts_col)
+            chunk = np.full(n, -1, dtype=np.int64)
+            bucket = _stable_bucket_of(ent, num_buckets).astype(np.int64)
+            for i, e in enumerate(ent.to_pylist()):
+                cm = self.map.get(e)
+                if cm is None:
+                    continue
+                firsts, cids = cm
+                if self.side == 0:
+                    pos = np.searchsorted(firsts, ts[i], side="right") - 1
+                    c = int(cids[max(pos, 0)])  # dim row's own (non-empty) chunk
+                else:
+                    pos = np.searchsorted(firsts, ts[i], side="right") - 1
+                    c = int(cids[max(pos, 0)])  # match chunk; pos<0 → NULL later
+                chunk[i] = c
+                bucket[i] = zlib.crc32(f"{e}#a{c}".encode()) % num_buckets
+            batch = batch.append_column(CHUNK, pa.array(chunk))
+            batch = batch.append_column(BUCKET_COL, pa.array(bucket.astype(np.int32)))
+            return batch.append_column(SIDE_COL, pa.array(np.full(n, self.side, dtype=np.int8)))
+
+    def pad_fact(batch: pa.Table) -> pa.Table:
+        for v in value_cols:
+            if v not in batch.column_names:
+                batch = batch.append_column(v, pa.nulls(batch.num_rows, type=dim_schema.field(v).type))
+        return batch.select(sorted(batch.column_names)).replace_schema_metadata(None)
+
+    def shape_dim(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in fact_names:
+            if name in (ts_col, entity_col) or name in value_cols:
+                cols[name] = batch[name]
+            else:
+                cols[name] = pa.nulls(n, type=fact_schema.field(name).type)
+        out = pa.table(cols)
+        for v in value_cols:
+            if v not in fact_names:
+                out = out.append_column(v, batch[v])
+        for extra in (CHUNK, BUCKET_COL, SIDE_COL):
+            out = out.append_column(extra, batch[extra])
+        return out.select(sorted(out.column_names)).replace_schema_metadata(None)
+
+    routed_facts = facts.map_batches(Route, fn_constructor_args=(1,), batch_format="pyarrow",
+                                     concurrency=(2, 8)).map_batches(pad_fact, batch_format="pyarrow")
+    routed_dim = dim.map_batches(Route, fn_constructor_args=(0,), batch_format="pyarrow",
+                                 concurrency=(2, 8)).map_batches(shape_dim, batch_format="pyarrow")
+    unioned = routed_facts.union(routed_dim)
+
+    out_names = [f"{v}{suffix}" for v in value_cols]
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns([BUCKET_COL])
+        order = pc.sort_indices(
+            tbl, sort_keys=[(entity_col, "ascending"), (CHUNK, "ascending"), (ts_col, "ascending")]
+        )
+        tbl = tbl.take(order)
+        n = tbl.num_rows
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        if n == 0:
+            base = tbl.drop_columns([SIDE_COL, CHUNK] + [v for v in value_cols if v not in fact_names])
+            for v, oname in zip(value_cols, out_names):
+                base = base.append_column(oname, pa.nulls(0, type=dim_schema.field(v).type))
+            return base.append_column(f"{ts_col}{suffix}", pa.nulls(0, type=pa.int64()))
+        codes = ent.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks = column_i64(tbl, CHUNK)
+        side = tbl[SIDE_COL]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        s = side.to_numpy(zero_copy_only=False)
+        ts = column_i64(tbl, ts_col)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = (codes[1:] != codes[:-1]) | (chunks[1:] != chunks[:-1])
+        bounds = np.append(np.flatnonzero(seg_start), n)
+        match = np.full(n, -1, dtype=np.int64)  # global dim row index per fact row
+        for k in range(len(bounds) - 1):
+            lo, hi = bounds[k], bounds[k + 1]
+            is_dim = s[lo:hi] == 0
+            dim_idx = lo + np.flatnonzero(is_dim)
+            fact_idx = lo + np.flatnonzero(~is_dim)
+            if len(fact_idx) == 0 or len(dim_idx) == 0:
+                continue
+            pos = np.searchsorted(ts[dim_idx], ts[fact_idx], side="right") - 1
+            ok = pos >= 0
+            match[fact_idx[ok]] = dim_idx[pos[ok]]
+        fact_rows = np.flatnonzero(s == 1)
+        base = tbl.take(pa.array(fact_rows)).drop_columns(
+            [SIDE_COL, CHUNK] + [v for v in value_cols if v not in fact_names]
+        )
+        fmatch = match[fact_rows]
+        found = fmatch >= 0
+        take_idx = pa.array(np.where(found, fmatch, 0))
+        valid = pa.array(found)
+        for v, oname in zip(value_cols, out_names):
+            col = tbl[v]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            gathered = col.take(take_idx)
+            base = base.append_column(oname, pc.if_else(valid, gathered, pa.nulls(len(found), type=col.type)))
+        mts = pa.array(ts[np.where(found, fmatch, 0)])
+        base = base.append_column(
+            f"{ts_col}{suffix}", pc.if_else(valid, mts, pa.nulls(len(found), type=pa.int64()))
+        )
+        return base
+
+    return unioned.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

@@ -299,3 +299,30 @@ class TestSaltedSessionize:
         assert len(a) == len(b)
         assert (a.doc_id.values == b.doc_id.values).all()
         assert (a.session_id.values == b.session_id.values).all()
+
+
+class TestSaltedAsOf:
+    def test_salted_equals_plain_with_hot_dim(self, sequences_ds):
+        from pymhealth_ray.stages.asof import asof_join_salted
+
+        def mk_dim(b):
+            v = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({"doc_id": b["doc_id"], "ts_ns": b["ts_ns"], "ref": pa.array(v * 2.0)})
+
+        def mk_fact(b):
+            ts = b["ts_ns"].to_numpy(zero_copy_only=False) + 10**12
+            return pa.table({"doc_id": b["doc_id"], "ts_ns": pa.array(ts), "n_tok": b["n_tok"]})
+
+        narrow = sequences_ds.map_batches(
+            lambda b: b.select(["doc_id", "ts_ns", "n_tok"]), batch_format="pyarrow"
+        )
+        dim = narrow.map_batches(mk_dim, batch_format="pyarrow")
+        facts = narrow.map_batches(mk_fact, batch_format="pyarrow")
+        a = asof_join(facts, dim, ["ref"], num_buckets=8).to_pandas()
+        b = asof_join_salted(facts, dim, ["ref"], num_buckets=8, salt_threshold=100,
+                             salt_span_ns=24 * 3600 * 10**9).to_pandas()
+        a = a.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        b = b.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert np.allclose(a.ref_asof.values, b.ref_asof.values, equal_nan=True)
+        assert np.allclose(a.ts_ns_asof.astype(float).values, b.ts_ns_asof.astype(float).values, equal_nan=True)
