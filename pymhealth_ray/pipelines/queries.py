@@ -158,7 +158,7 @@ s AS (SELECT user_id, ts_us, value,
                   THEN 1 ELSE 0 END AS brk
       FROM e),
 s2 AS (SELECT user_id, ts_us, value,
-              sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        FROM s)
 SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
        max(ts_us) - min(ts_us) AS duration_us,
@@ -716,7 +716,7 @@ s AS (SELECT doc_id, ts_ns, n_tok,
              CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY doc_id ORDER BY ts_ns) > {GAP_NS}
                   THEN 1 ELSE 0 END AS brk FROM e),
 s2 AS (SELECT doc_id, ts_ns, n_tok,
-              sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
+              CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        FROM s)
 SELECT doc_id, session_id, count(*) AS n_events, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
        max(ts_ns) - min(ts_ns) AS duration_ns,
@@ -1312,7 +1312,7 @@ s AS (SELECT doc_id, ts_ns,
              CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY doc_id ORDER BY ts_ns) > {GAP_NS}
                   THEN 1 ELSE 0 END AS brk FROM e)
 SELECT doc_id, ts_ns,
-       sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM s
 """
 

@@ -82,9 +82,10 @@ def content_hashes(ds, text_col: str = "text", batch_size: int = 4096):
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = _strings(batch, text_col)
-        md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        crc = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in texts), dtype=np.int64, count=len(texts))
-        fnv = np.fromiter((_fnv1a64(t.encode("utf-8")) for t in texts), dtype=np.uint64, count=len(texts))
+        payloads = [t.encode("utf-8") for t in texts]
+        md5 = [hashlib.md5(p).hexdigest() for p in payloads]
+        crc = np.fromiter((zlib.crc32(p) for p in payloads), dtype=np.int64, count=len(texts))
+        fnv = _fnv1a64_batch(payloads)
         batch = batch.append_column("md5", pa.array(md5, type=pa.string()))
         batch = batch.append_column("crc32", pa.array(crc))
         return batch.append_column("fnv64", pa.array(fnv.astype(np.int64)))
@@ -92,7 +93,31 @@ def content_hashes(ds, text_col: str = "text", batch_size: int = 4096):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _fnv1a64_batch(payloads: list) -> np.ndarray:
+    """FNV-1a 64-bit of each byte string, vectorized ACROSS the batch:
+    one numpy pass per byte *position* (bounded by the longest doc) instead
+    of a Python iteration per byte per doc — bit-identical to the scalar
+    round-1 loop, ~100× less interpreter work on 1KB docs."""
+    n = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if n == 0 or lens.max(initial=0) == 0:
+        return h
+    maxlen = int(lens.max())
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        mat[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * prime
+    return h
+
+
 def _fnv1a64(data: bytes) -> int:
+    """Scalar FNV-1a (kept as the semantic definition / test oracle of
+    ``_fnv1a64_batch``)."""
     h = 0xCBF29CE484222325
     for b in data:
         h ^= b

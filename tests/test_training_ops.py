@@ -302,3 +302,64 @@ class TestEquiJoin:
             assert len(got) == len(exp), how
             assert (got.k.values == exp.k.values).all()
             assert np.allclose(got.b.astype(float).values, exp.b.astype(float).values, equal_nan=True)
+
+
+class TestDedupScaleSafety:
+    """Round-2 hardening: bounded LSH buckets, vectorized SimHash/FNV
+    equivalence with the scalar reference semantics."""
+
+    def test_degenerate_band_bucket_is_capped(self, ray_session):
+        # 60 identical docs (one degenerate band key) + 2 distinct near-dups:
+        # with max_bucket_size=16 the degenerate bucket emits only C(16,2)
+        # pairs, while the independent near-dup pair is still found.
+        boiler = "terms and conditions apply to all users of this site " * 6
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        ids = list(range(100, 160)) + [1, 2]
+        texts = [boiler] * 60 + [base, near]
+        tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+        pairs = dedup.minhash_lsh_dupes(
+            ray.data.from_arrow(tbl), jaccard_threshold=0.5, max_bucket_size=16
+        ).to_pandas()
+        got = set(zip(pairs.id_a, pairs.id_b))
+        assert (1, 2) in got
+        boiler_pairs = [(a, b) for a, b in got if a >= 100]
+        # capped: at most C(16,2) pairs from the degenerate bucket
+        assert 0 < len(boiler_pairs) <= 16 * 15 // 2
+
+    def test_capped_equals_uncapped_on_clean_corpus(self, ray_session):
+        rng = np.random.default_rng(7)
+        vocab = np.array([f"w{i:04d}q" for i in range(500)])
+        texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+        texts += [texts[0] + " tail", texts[5] + " extra"]
+        tbl = pa.table({"doc_id": pa.array(range(32), type=pa.int64()), "text": texts})
+        a = dedup.minhash_lsh_dupes(ray.data.from_arrow(tbl), jaccard_threshold=0.6,
+                                    max_bucket_size=512).to_pandas()
+        b = dedup.minhash_lsh_dupes(ray.data.from_arrow(tbl), jaccard_threshold=0.6,
+                                    max_bucket_size=8).to_pandas()
+        ka = sorted(zip(a.id_a, a.id_b, a.est_jaccard.round(9)))
+        kb = sorted(zip(b.id_a, b.id_b, b.est_jaccard.round(9)))
+        assert ka == kb  # no bucket exceeds the small cap on a clean corpus
+
+    def test_simhash_matches_scalar_reference(self, ray_session):
+        def scalar_simhash(t: str) -> np.uint64:
+            masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            acc = np.zeros(64, dtype=np.int64)
+            for w in t.split():
+                h = np.uint64(int(hashlib.md5(w.encode()).hexdigest()[:16], 16))
+                acc += 2 * ((h & masks) != 0).astype(np.int64) - 1
+            return np.uint64(((acc > 0).astype(np.uint64) * masks).sum())
+
+        texts = ["the quick brown fox", "", "a a a b", "unicode café touché",
+                 "repeated words words words and more words"]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                        "text": texts})
+        out = dedup.simhash_signatures(ray.data.from_arrow(tbl)).to_pandas().set_index("doc_id")
+        for i, t in enumerate(texts):
+            assert np.uint64(out.simhash[i]) == scalar_simhash(t), repr(t)
+
+    def test_fnv_batch_matches_scalar(self):
+        payloads = [b"", b"a", b"hello world", bytes(range(256)), b"x" * 1000]
+        got = text._fnv1a64_batch(payloads)
+        for p, g in zip(payloads, got):
+            assert int(g) == text._fnv1a64(p)

@@ -31,10 +31,23 @@ def canon(df: pd.DataFrame) -> tuple:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            # canonicalize -0.0 and NaN; stringify at fixed precision
+            # canonicalize -0.0 and NaN; stringify at fixed precision.
+            # Keep a float marker (trailing .0) so an int64 column and a
+            # float64 column with equal values hash DIFFERENTLY — the driver
+            # compares dtype-faithfully, and round 1 proved that %.10g alone
+            # masks int-vs-float oracle mismatches (session_id bug).
             v = df[c].to_numpy(dtype=np.float64, na_value=np.nan)
             v = np.where(v == 0.0, 0.0, v)
-            df[c] = [f"{x:.10g}" if np.isfinite(x) else "nan" for x in v]
+
+            def _fmt(x: float) -> str:
+                if not np.isfinite(x):
+                    return "nan"
+                s = f"{x:.10g}"
+                if "." not in s and "e" not in s and "n" not in s:
+                    s += ".0"
+                return s
+
+            df[c] = [_fmt(x) for x in v]
         else:
             df[c] = df[c].astype("string").fillna("nan").astype(str)
     rows = sorted(map(tuple, df.itertuples(index=False, name=None)))
