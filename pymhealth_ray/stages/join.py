@@ -95,3 +95,140 @@ def _schema_of(ds) -> pa.Schema:
     from pymhealth_ray.stages.asof import _pa_schema
 
     return _pa_schema(ds)
+
+
+# --- hot-key (skew-salted) equi-join ---------------------------------------
+
+
+def detect_hot_keys(ds, on: str, threshold: int) -> list:
+    """EXACT heavy-hitter detection: map-side ``value_counts`` partials (one
+    row per distinct key per batch crosses the wire) → small groupby-sum →
+    keys whose total count exceeds ``threshold``.
+
+    The returned list is bounded by ``total_rows / threshold`` regardless of
+    key cardinality, so collecting it on the driver is scale-safe.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table({on: vc.field("values"), "__cnt": vc.field("counts").cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(on).sum("__cnt")
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["sum(__cnt)"], pa.scalar(threshold, type=pa.int64()))
+        return batch.filter(mask).select([on])
+
+    hot = counts.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    return sorted(hot[on].tolist())
+
+
+def equi_join_salted(
+    left,
+    right,
+    on: str,
+    join_type: str = "inner",
+    hot_keys: list | None = None,
+    hot_threshold: int = 100_000,
+    num_buckets: int = 64,
+    right_suffix: str = "_r",
+    concurrency=(2, 8),
+):
+    """Skew-safe equi-join: hot keys are joined map-side against a broadcast
+    of the right side's hot-key subset; everything else takes the normal
+    co-partitioned ``equi_join`` exchange. Mirrors ``asof_join_salted``'s
+    broadcast-of-the-hot-subset pattern, generalized from the reference's
+    small-side lookup precedent (reference:location/distance.py:36-44).
+
+    Assumptions (documented, asserted where cheap):
+    - ``join_type`` is ``inner`` or ``left outer`` — the hot path joins per
+      left batch, so right-outer semantics would need an extra match-bit
+      exchange.
+    - the right side restricted to hot keys fits in the object store as one
+      broadcast table (dimension-like right). The LEFT side's hot keys may
+      be arbitrarily heavy — that is the skew being solved: their rows never
+      enter the all-to-all exchange, so no hot bucket exists.
+    - ``hot_keys`` may be passed explicitly (e.g. known Zipf head); when
+      None they are detected exactly with :func:`detect_hot_keys` on the
+      left side (one cheap partial-count pass).
+
+    NOTE each input Dataset is consumed twice (hot/cold routing is a filter,
+    not a stream split) — upstream of both sides should be a pruned read or
+    an already-materialized dataset, not an expensive pipeline.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(f"equi_join_salted supports inner/left outer, got {join_type!r}")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, on, hot_threshold)
+    if not hot_keys:
+        return equi_join(left, right, on, join_type=join_type,
+                         num_buckets=num_buckets, right_suffix=right_suffix)
+
+    left_schema = _schema_of(left)
+    right_schema = _schema_of(right)
+    l_cols = [on] + [c for c in left_schema.names if c != on]
+    hot_arr = pa.array(hot_keys, type=left_schema.field(on).type)
+
+    def split(side_cols, keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=hot_arr)
+            if not keep_hot:
+                mask = pc.invert(mask)
+            return batch.filter(mask).select(side_cols)
+
+        return fn
+
+    r_cols = [on] + [c for c in right_schema.names if c != on]
+    right_hot_ds = right.map_batches(split(r_cols, True), batch_format="pyarrow")
+    tbls = [t.select(r_cols) for t in ray.get(right_hot_ds.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        right_hot_tbl = pa.concat_tables(tbls).combine_chunks()
+    else:
+        right_hot_tbl = pa.table(
+            {c: pa.array([], type=right_schema.field(c).type) for c in r_cols}
+        )
+    hot_ref = ray.put(right_hot_tbl)
+
+    class HotJoin:
+        """Broadcast right-hot subset read once per actor from the object
+        store; every left batch hash-joins against it map-side."""
+
+        def __init__(self, ref):
+            self.tbl = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            joined = batch.join(
+                self.tbl, keys=[on], join_type=join_type,
+                right_suffix=right_suffix, use_threads=False,
+            )
+            return joined.replace_schema_metadata(None)
+
+    hot_joined = left.map_batches(split(l_cols, True), batch_format="pyarrow").map_batches(
+        HotJoin, fn_constructor_args=(hot_ref,), batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    cold_joined = equi_join(
+        left.map_batches(split(l_cols, False), batch_format="pyarrow"),
+        right.map_batches(split(r_cols, False), batch_format="pyarrow"),
+        on, join_type=join_type, num_buckets=num_buckets, right_suffix=right_suffix,
+    )
+
+    # align column order/types for union (equi_join emits on + l_only + r_only)
+    out_cols = [on] + [c for c in left_schema.names if c != on] + [
+        (c + right_suffix if c in left_schema.names else c)
+        for c in right_schema.names if c != on
+    ]
+
+    def reorder(batch: pa.Table) -> pa.Table:
+        return batch.select(out_cols)
+
+    return hot_joined.map_batches(reorder, batch_format="pyarrow").union(
+        cold_joined.map_batches(reorder, batch_format="pyarrow")
+    )

@@ -363,3 +363,48 @@ class TestDedupScaleSafety:
         got = text._fnv1a64_batch(payloads)
         for p, g in zip(payloads, got):
             assert int(g) == text._fnv1a64(p)
+
+
+class TestSaltedEquiJoin:
+    def _mk(self, ray_session):
+        rng = np.random.default_rng(11)
+        # Zipf-hot left: key 1 owns ~half the rows
+        keys = rng.zipf(1.3, 4000).astype(np.int64)
+        keys = np.clip(keys, 1, 50)
+        left = pa.table({"k": pa.array(keys),
+                         "a": pa.array(np.arange(len(keys), dtype=np.int64))})
+        right = pa.table({"k": pa.array(np.arange(1, 41, dtype=np.int64)),
+                          "b": pa.array(np.arange(1, 41, dtype=np.int64) * 100)})
+        return left, right
+
+    def test_salted_matches_pandas_inner_and_left(self, ray_session):
+        from pymhealth_ray.stages.join import equi_join_salted
+
+        left, right = self._mk(ray_session)
+        for how, jt in [("inner", "inner"), ("left", "left outer")]:
+            got = equi_join_salted(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                on="k", join_type=jt, hot_threshold=200, num_buckets=8,
+            ).to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+            exp = left.to_pandas().merge(right.to_pandas(), on="k", how=how) \
+                .sort_values(["k", "a"]).reset_index(drop=True)
+            assert len(got) == len(exp), how
+            assert (got.k.values == exp.k.values).all()
+            assert (got.a.values == exp.a.values).all()
+            assert np.allclose(got.b.astype(float).values,
+                               exp.b.astype(float).values, equal_nan=True)
+
+    def test_explicit_hot_keys_and_detection_agree(self, ray_session):
+        from pymhealth_ray.stages.join import detect_hot_keys, equi_join_salted
+
+        left, right = self._mk(ray_session)
+        lds = ray.data.from_arrow(left)
+        hot = detect_hot_keys(lds, "k", 200)
+        assert 1 in hot and len(hot) < 10  # Zipf head only
+        a = equi_join_salted(lds, ray.data.from_arrow(right), on="k",
+                             hot_keys=hot, num_buckets=8).to_pandas()
+        b = equi_join_salted(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                             on="k", hot_threshold=200, num_buckets=8).to_pandas()
+        ka = sorted(zip(a.k, a.a))
+        kb = sorted(zip(b.k, b.a))
+        assert ka == kb
