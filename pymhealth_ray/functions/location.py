@@ -120,3 +120,119 @@ def normalized_cluster_entropy(labels, n_clusters=None) -> float:
     if n_clusters is None:
         n_clusters = num_clusters(labels)
     return cluster_entropy(labels) / float(np.log(n_clusters))
+
+
+# --- deterministic density clustering (round 2) ------------------------------
+#
+# The reference clusters GPS points with hdbscan (haversine metric,
+# min_samples=1+N//20, reference:location/distribution.py:42-55). hdbscan is
+# not installed here; the engine provides a DETERMINISTIC grid-accelerated
+# haversine DBSCAN with the same label contract (ints from 0 upward in order
+# of first appearance, noise = -1) — a density clustering, not a port of
+# HDBSCAN's hierarchy (divergence documented in SURVEY.md §8).
+
+
+def _dbscan_bruteforce(lat: np.ndarray, lon: np.ndarray, eps_km: float,
+                       min_samples: int) -> np.ndarray:
+    """O(n²) reference DBSCAN used as the test/driver oracle for
+    :func:`haversine_dbscan` — full pairwise haversine matrix, classic
+    core/border/noise expansion, first-appearance label order."""
+    n = len(lat)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    d = haversine_outer_product(lat, lon, lat, lon)
+    nbr = d <= eps_km  # includes self
+    core = nbr.sum(axis=1) >= min_samples
+    labels = np.full(n, -1, dtype=np.int64)
+    cur = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        # BFS over density-reachable points
+        labels[i] = cur
+        frontier = [i]
+        while frontier:
+            p = frontier.pop()
+            if not core[p]:
+                continue
+            for q in np.flatnonzero(nbr[p]):
+                if labels[q] == -1:
+                    labels[q] = cur
+                    frontier.append(q)
+        cur += 1
+    return labels
+
+
+def haversine_dbscan(lat: np.ndarray, lon: np.ndarray, eps_km: float = 0.1,
+                     min_samples: int | None = None) -> np.ndarray:
+    """Grid-accelerated haversine DBSCAN: snap points to eps-sized grid
+    cells, examine only the 3×3 cell neighborhood for neighbors, union-find
+    core connectivity. Identical output to :func:`_dbscan_bruteforce`
+    (property-tested) at O(n · neighborhood) instead of O(n²).
+
+    ``min_samples`` defaults to the reference's ``1 + N//20``
+    (reference:location/distribution.py:54) and COUNTS THE POINT ITSELF
+    (classic DBSCAN / sklearn convention).
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = len(lat)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if min_samples is None:
+        min_samples = 1 + n // 20
+
+    # cell size ≥ eps in both axes so neighbors are always within ±1 cell
+    dlat = np.degrees(eps_km / 6371.009)
+    coslat = np.maximum(np.cos(np.radians(np.abs(lat).max())), 1e-6)
+    dlon = dlat / coslat
+    ci = np.floor(lat / dlat).astype(np.int64)
+    cj = np.floor(lon / dlon).astype(np.int64)
+    cell_key = ci * np.int64(1 << 32) + cj
+    order = np.argsort(cell_key, kind="stable")
+    sorted_keys = cell_key[order]
+
+    # points of each cell, via searchsorted on the sorted key array
+    def cell_points(ki: int, kj: int) -> np.ndarray:
+        key = ki * np.int64(1 << 32) + kj
+        lo = np.searchsorted(sorted_keys, key, side="left")
+        hi = np.searchsorted(sorted_keys, key, side="right")
+        return order[lo:hi]
+
+    uniq_cells = np.unique(np.stack([ci, cj], axis=1), axis=0)
+
+    # pass 1: neighbor lists (within eps) per point, via 3×3 cells
+    neighbor_lists: list = [None] * n
+    core = np.zeros(n, dtype=bool)
+    for ki, kj in uniq_cells:
+        pts = cell_points(ki, kj)
+        cand = np.concatenate([
+            cell_points(ki + a, kj + b) for a in (-1, 0, 1) for b in (-1, 0, 1)
+        ])
+        d = haversine_outer_product(lat[pts], lon[pts], lat[cand], lon[cand])
+        within = d <= eps_km
+        for row, p in enumerate(pts):
+            # ascending order matches the brute-force oracle's expansion
+            # order (border points take the FIRST cluster that reaches them)
+            nb = np.sort(cand[within[row]])
+            neighbor_lists[p] = nb
+            core[p] = len(nb) >= min_samples  # includes self
+
+    # pass 2: classic DBSCAN expansion in point order (deterministic labels)
+    labels = np.full(n, -1, dtype=np.int64)
+    cur = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        labels[i] = cur
+        frontier = [i]
+        while frontier:
+            p = frontier.pop()
+            if not core[p]:
+                continue
+            for q in neighbor_lists[p]:
+                if labels[q] == -1:
+                    labels[q] = cur
+                    frontier.append(q)
+        cur += 1
+    return labels

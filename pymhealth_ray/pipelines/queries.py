@@ -850,6 +850,8 @@ def build_queries() -> dict:
         "orders_lineitem_join": q_orders_lineitem_join,
         "seq_asof_salted": q_seq_asof_salted,
         "orders_customer_join_salted": q_orders_customer_join_salted,
+        "embed_knn_ivf": q_embed_knn_ivf,
+        "events_geo_clusters": q_events_geo_clusters,
     }
 
 
@@ -895,6 +897,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "seq_asof_salted": sql_seq_asof_sessions(path),
         "orders_customer_join_salted": SQL_ORDERS_CUSTOMER_JOIN_SALTED,
+        "embed_knn_ivf": SQL_EMBED_KNN,
+        "events_geo_clusters": sql_events_geo_clusters(sf_dir_for_fixture),
     }
 
 
@@ -1437,3 +1441,122 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
        c_mktsegment AS c_mktsegmt, CAST(c_nationkey AS BIGINT) AS c_natkey
 FROM orders JOIN customer ON o_custkey = c_custkey
 """
+
+
+def q_embed_knn_ivf(sf_dir: str):
+    """Exact top-k THROUGH the centroid-partitioned IVF layout: index built
+    (resumable, cached by params) under /tmp, probed with nprobe =
+    n_centroids so the result is exact and shares SQL_EMBED_KNN's oracle.
+    Partition PRUNING (nprobe < n_centroids) is covered by pytest
+    (TestIVFPartitioned.test_probe_reads_at_most_nprobe_partitions)."""
+    import os
+    import pyarrow.parquet as pq
+
+    n_centroids = 8
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    index_dir = f"/tmp/pymhealth_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    ann.build_ivf_index(ds, index_dir, n_centroids=n_centroids)
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], 10))
+    topk = ann.knn_ivf_partitioned(index_dir, queries, k=5, nprobe=n_centroids)
+    return _round_cols(topk, {"cosine": 4})
+
+
+# --------------------------------------------------------------------------
+# round 2: per-entity density clustering (VERDICT item 7)
+# --------------------------------------------------------------------------
+
+_GEO_EPS_KM = 0.1
+_GEO_MIN_SAMPLES = 3
+
+
+def _geo_coords(user_id: np.ndarray, event_id: np.ndarray, value: np.ndarray):
+    """Deterministic synthetic GPS pings from event fields (identical numpy
+    float64 expressions on BOTH the engine and oracle side → bit-exact):
+    3 sites per user, jitter from the value column."""
+    site = (event_id % 3).astype(np.float64)
+    jitter = (np.mod(value * 1000.0, 1.0) - 0.5) * 2e-4
+    jitter2 = (np.mod(value * 7777.0, 1.0) - 0.5) * 2e-4
+    lat = 45.0 + (user_id % 10).astype(np.float64) * 0.5 + site * 0.05 + jitter
+    lon = 7.0 + site * 0.05 + jitter2
+    return lat, lon
+
+
+def q_events_geo_clusters(sf_dir: str):
+    """Per-user density clustering of (synthetic) GPS pings — the
+    distributed form of reference cluster_locations + num_clusters /
+    cluster_entropy (reference:location/distribution.py:42-102), via the
+    grid-accelerated haversine DBSCAN. Oracle = the O(n²) brute-force
+    DBSCAN, independently materialized."""
+    from pymhealth_ray.stages.geo import cluster_features_stage
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat, lon = _geo_coords(uid, eid, val)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["event_id"],  # unique per-user order key
+            "lat": pa.array(lat), "lon": pa.array(lon),
+        })
+
+    feats = cluster_features_stage(
+        ds.map_batches(synth, batch_format="pyarrow"),
+        entity_col="user_id", ts_col="ts",
+        eps_km=_GEO_EPS_KM, min_samples=_GEO_MIN_SAMPLES, num_buckets=NB,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        rounded = pc.round(b["cluster_entropy"], ndigits=6)
+        return b.drop_columns(["cluster_entropy"]).append_column("cluster_entropy", rounded)
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_geo_clusters(sf_dir: str) -> str:
+    """Materialize the expected per-user cluster features with the
+    INDEPENDENT O(n²) DBSCAN (functions.location._dbscan_bruteforce) and
+    return a SQL passthrough — the seq_asof_sessions fixture-oracle
+    pattern for non-SQL-expressible algorithms."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.functions.location import _dbscan_bruteforce
+    from pymhealth_ray.sources.generate import fixture_dir_for
+
+    out_dir = fixture_dir_for(sf_dir).rstrip("/") + "_geo_oracle"
+    out_path = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        df = duckdb.sql(
+            f"SELECT event_id, user_id, value FROM read_parquet('{sf_dir}/events.parquet') "
+            "ORDER BY user_id, event_id"
+        ).df()
+        lat, lon = _geo_coords(df.user_id.values, df.event_id.values,
+                               df.value.values.astype(np.float64))
+        rows = []
+        idx = np.arange(len(df))
+        for uid in np.unique(df.user_id.values):
+            m = idx[df.user_id.values == uid]
+            labels = _dbscan_bruteforce(lat[m], lon[m], _GEO_EPS_KM, _GEO_MIN_SAMPLES)
+            counts = np.unique(labels, return_counts=True)[1].astype(np.float64)
+            p = counts / counts.sum() + 1e-30
+            rows.append({
+                "user_id": int(uid),
+                "n_points": int(len(m)),
+                "n_clusters": int((np.unique(labels) >= 0).sum()),
+                "n_noise": int((labels == -1).sum()),
+                "cluster_entropy": round(float(-(p * np.log(p)).sum()), 6),
+            })
+        import pandas as pd
+
+        tmp = out_path + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), tmp)
+        os.replace(tmp, out_path)
+    return f"SELECT * FROM read_parquet('{out_path}')"

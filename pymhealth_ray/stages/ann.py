@@ -186,3 +186,136 @@ def knn_ivf(ds, queries: pa.Table, k: int = 5, n_centroids: int = 16, nprobe: in
     return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
                      "neighbor_id": pa.array(out_n, type=pa.int64()),
                      "cosine": pa.array(out_c, type=pa.float64())})
+
+
+# --- centroid-partitioned IVF layout (round 2: the 100TB probe path) -------
+
+
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    train_sample: int = 2048, iters: int = 10, seed: int = 5):
+    """Write the dataset PARTITIONED BY CENTROID under ``index_dir`` so a
+    probe later reads only its ``nprobe`` partitions' files.
+
+    One streaming pass: assign each vector to its nearest centroid
+    (broadcast centroids, one matmul per batch) → identity-partitioned
+    resumable write (``part=<centroid>/data.parquet`` + lineage manifests —
+    a failed build resumes from finished centroids). Centroids are stored in
+    the index (``centroids.npy``) so probing needs no recompute. Returns the
+    centroid matrix.
+    """
+    import os
+    import pathlib
+
+    from pymhealth_ray.state.lineage import resumable_write
+
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_list()).astype(np.float64)
+    cent = train_ivf_centroids(sample, n_centroids, iters=iters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_emb_matrix(batch, emb_col))
+            assign = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+            return batch.append_column("centroid", pa.array(assign))
+
+    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(2, 8))
+    resumable_write(
+        assigned, index_dir, entity_col=id_col, num_buckets=n_centroids,
+        params={"n_centroids": n_centroids, "seed": seed, "iters": iters,
+                "train_sample": train_sample, "kind": "ivf"},
+        bucket_col="centroid",
+    )
+    p = pathlib.Path(index_dir)
+    tmp = p / ".centroids.npy.tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, cent)
+    os.replace(tmp, p / "centroids.npy")
+    return cent
+
+
+def ivf_probe_paths(index_dir: str, centroid_ids) -> list:
+    """The exact data files a probe of these centroids touches — the
+    partition-pruning contract (pytest asserts len ≤ nprobe × files/part)."""
+    import pathlib
+
+    out = []
+    for c in sorted(set(int(c) for c in centroid_ids)):
+        f = pathlib.Path(index_dir) / f"part={c}" / "data.parquet"
+        if f.exists():
+            out.append(str(f))
+    return out
+
+
+def knn_ivf_partitioned(index_dir: str, queries: pa.Table, k: int = 5, nprobe: int = 4,
+                        emb_col: str = "embedding", id_col: str = "vec_id",
+                        exclude_self: bool = True, concurrency=(2, 8)):
+    """ANN probe against a ``build_ivf_index`` layout: loads the (tiny)
+    centroid matrix, computes each query's ``nprobe`` nearest centroids, and
+    reads ONLY the union of those partitions' files — at 100TB the other
+    ``n_centroids - nprobe`` partitions never leave storage. Scoring reuses
+    the stored ``centroid`` column (no re-assignment)."""
+    import pathlib
+
+    cent = np.load(pathlib.Path(index_dir) / "centroids.npy")
+    q_ids = np.asarray(queries[id_col].to_pylist())
+    q_mat = _unit(_emb_matrix(queries, emb_col))
+    q_probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [set(row.tolist()) for row in q_probe]
+    union = sorted(set().union(*probe_sets)) if probe_sets else []
+    paths = ivf_probe_paths(index_dir, union)
+    if not paths:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "neighbor_id": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+
+    from pymhealth_ray.sources.io import read_table
+
+    ds = read_table(paths, columns=[id_col, emb_col, "centroid"])
+    q_ref = ray.put((q_ids, q_mat, probe_sets))
+
+    class Scorer:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.probe_sets = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_emb_matrix(batch, emb_col))
+            ids = np.asarray(batch[id_col].to_pylist())
+            assign = np.asarray(batch["centroid"].to_pylist())
+            out_q, out_n, out_c = [], [], []
+            for qe, (qid, probes) in enumerate(zip(self.q_ids, self.probe_sets)):
+                mask = np.isin(assign, list(probes))
+                if exclude_self:
+                    mask &= ids != qid
+                if not mask.any():
+                    continue
+                sims = mat[mask] @ self.q_mat[qe]
+                sel = np.argsort(-sims)[:k]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(ids[mask][sel].tolist())
+                out_c.extend(sims[sel].tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             "neighbor_id": pa.array(out_n, type=pa.int64()),
+                             "cosine": pa.array(out_c, type=pa.float64())})
+
+    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+    merged: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for q, n, c in zip(b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(), b["cosine"].to_pylist()):
+            heap = merged.setdefault(q, [])
+            heapq.heappush(heap, (c, n))
+            if len(heap) > k:
+                heapq.heappop(heap)
+    out_q, out_n, out_c = [], [], []
+    for q in sorted(merged):
+        for c, n in sorted(merged[q], key=lambda t: (-t[0], t[1])):
+            out_q.append(q)
+            out_n.append(n)
+            out_c.append(c)
+    return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                     "neighbor_id": pa.array(out_n, type=pa.int64()),
+                     "cosine": pa.array(out_c, type=pa.float64())})

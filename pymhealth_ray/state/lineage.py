@@ -55,10 +55,16 @@ def resumable_write(
     num_buckets: int = 64,
     params: dict | None = None,
     fail_buckets: set | None = None,
+    bucket_col: str | None = None,
 ):
     """Write ``ds`` partitioned by entity bucket with per-partition manifests;
     skips buckets whose manifest already matches. Returns the manifest list
     (one dict per bucket written or previously done).
+
+    ``bucket_col`` switches from hash-of-entity partitioning to IDENTITY
+    partitioning on an existing small-int column (e.g. an IVF centroid id):
+    ``part=<value>`` directories, the column itself kept in the data files so
+    readers can prune without recomputing the assignment.
 
     ``fail_buckets`` injects failures (tests only): the writer raises before
     writing those buckets' manifests.
@@ -68,7 +74,13 @@ def resumable_write(
     out_path = pathlib.Path(out_dir)
     (out_path / "_manifests").mkdir(parents=True, exist_ok=True)
 
-    bucketed = with_entity_bucket(ds, entity_col, num_buckets)
+    if bucket_col is not None:
+        def add_identity_bucket(batch: pa.Table) -> pa.Table:
+            return batch.append_column(BUCKET_COL, batch[bucket_col].cast(pa.int32()))
+
+        bucketed = ds.map_batches(add_identity_bucket, batch_format="pyarrow")
+    else:
+        bucketed = with_entity_bucket(ds, entity_col, num_buckets)
     if done:
         done_arr = np.array(sorted(done), dtype=np.int32)
 

@@ -408,3 +408,135 @@ class TestSaltedEquiJoin:
         ka = sorted(zip(a.k, a.a))
         kb = sorted(zip(b.k, b.a))
         assert ka == kb
+
+
+class TestIVFPartitioned:
+    @pytest.fixture(scope="class")
+    def index_dir(self, emb_ds):
+        d = "/tmp/pymhealth_test_ivf_index"
+        shutil.rmtree(d, ignore_errors=True)
+        ann.build_ivf_index(emb_ds, d, n_centroids=8)
+        return d
+
+    def test_probe_reads_at_most_nprobe_partitions(self, index_dir):
+        paths = ann.ivf_probe_paths(index_dir, [0, 3, 5])
+        assert len(paths) <= 3
+        assert all("part=" in p and p.endswith("data.parquet") for p in paths)
+        # full partition inventory is larger than any probe
+        import pathlib
+        all_parts = list(pathlib.Path(index_dir).glob("part=*/data.parquet"))
+        assert len(all_parts) > 3
+
+    def test_partitioned_matches_inmemory_ivf(self, emb_ds, index_dir):
+        full = emb_ds.to_pandas()
+        q = pa.table({"vec_id": pa.array(full.vec_id[:5]),
+                      "embedding": pa.array(list(full.embedding[:5]))})
+        a = ann.knn_ivf(emb_ds, q, k=5, n_centroids=8, nprobe=4).to_pandas()
+        b = ann.knn_ivf_partitioned(index_dir, q, k=5, nprobe=4).to_pandas()
+        ka = sorted(zip(a.query_id, a.neighbor_id, a.cosine.round(9)))
+        kb = sorted(zip(b.query_id, b.neighbor_id, b.cosine.round(9)))
+        assert ka == kb  # same centroids (seeded) -> identical probe results
+
+    def test_partitioned_recall_vs_bruteforce(self, emb_ds, index_dir):
+        full = emb_ds.to_pandas()
+        q = pa.table({"vec_id": pa.array(full.vec_id[:5]),
+                      "embedding": pa.array(list(full.embedding[:5]))})
+        bf = ann.knn_bruteforce(emb_ds, q, k=5).to_pandas()
+        iv = ann.knn_ivf_partitioned(index_dir, q, k=5, nprobe=4).to_pandas()
+        rec = np.mean([
+            len(set(bf[bf.query_id == qq].neighbor_id) & set(iv[iv.query_id == qq].neighbor_id)) / 5
+            for qq in bf.query_id.unique()
+        ])
+        assert rec >= 0.4
+
+    def test_build_is_resumable(self, emb_ds, index_dir):
+        # second build with same params skips all partitions (manifests match)
+        from pymhealth_ray.state.lineage import read_manifests
+        before = read_manifests(index_dir)
+        ann.build_ivf_index(emb_ds, index_dir, n_centroids=8)
+        after = read_manifests(index_dir)
+        assert before.keys() == after.keys()
+        assert all(before[b]["rows"] == after[b]["rows"] for b in before)
+
+
+class TestHaversineDBSCAN:
+    """Round-2 density-clustering stand-in for reference cluster_locations
+    (reference:location/distribution.py:42-55)."""
+
+    def test_golden_two_sites_and_noise(self):
+        from pymhealth_ray.functions import location as L
+
+        # 6 points at site A (~within 50m), 4 at site B (5km away), 1 lone
+        lat = np.array([51.5000, 51.50015, 51.50030, 51.49985, 51.50005, 51.50020,
+                        51.5450, 51.54515, 51.54530, 51.54485,
+                        51.6000])
+        lon = np.array([-0.1000, -0.10015, -0.09985, -0.10020, -0.10005, -0.09990,
+                        -0.1000, -0.10015, -0.09985, -0.10020,
+                        -0.2000])
+        labels = L.haversine_dbscan(lat, lon, eps_km=0.1, min_samples=3)
+        assert labels.tolist() == [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, -1]
+        assert L.num_clusters(labels) == 3        # includes noise label
+        assert L.cluster_totals(labels) == {-1: 1, 0: 6, 1: 4}
+        assert L.cluster_entropy(labels) > 0
+
+    def test_grid_matches_bruteforce_random(self):
+        from pymhealth_ray.functions import location as L
+
+        rng = np.random.default_rng(3)
+        for trial in range(8):
+            n = int(rng.integers(5, 120))
+            # clumps + scatter around a city
+            centers = rng.uniform([51.3, -0.3], [51.7, 0.1], size=(4, 2))
+            pts = []
+            for _ in range(n):
+                c = centers[rng.integers(0, 4)]
+                pts.append(c + rng.normal(scale=2e-4, size=2) * rng.integers(1, 4))
+            pts = np.asarray(pts)
+            for eps_km, ms in [(0.05, 3), (0.1, None), (0.3, 5)]:
+                got = L.haversine_dbscan(pts[:, 0], pts[:, 1], eps_km, ms)
+                exp = L._dbscan_bruteforce(
+                    pts[:, 0], pts[:, 1], eps_km,
+                    ms if ms is not None else 1 + n // 20)
+                assert got.tolist() == exp.tolist(), (trial, eps_km, ms)
+
+    def test_min_samples_reference_default(self):
+        from pymhealth_ray.functions import location as L
+
+        # 100 co-located points: default min_samples = 1 + 100//20 = 6 → core
+        lat = np.full(100, 40.0) + np.linspace(0, 1e-4, 100)
+        lon = np.full(100, -3.0)
+        labels = L.haversine_dbscan(lat, lon, eps_km=0.1)
+        assert (labels == 0).all()
+
+    def test_stage_matches_kernel(self, ray_session):
+        from pymhealth_ray.functions import location as L
+        from pymhealth_ray.stages.geo import cluster_features_stage, cluster_locations_stage
+
+        rng = np.random.default_rng(9)
+        rows = []
+        for uid in range(6):
+            base = np.array([45.0 + uid * 0.5, 7.0])
+            for i in range(40):
+                site = base + (i % 3) * np.array([0.05, 0.05])
+                p = site + rng.normal(scale=1.5e-4, size=2)
+                rows.append((f"u{uid}", i, p[0], p[1]))
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+            "lat": pa.array([r[2] for r in rows]),
+            "lon": pa.array([r[3] for r in rows]),
+        })
+        out = cluster_locations_stage(
+            ray.data.from_arrow(tbl), eps_km=0.1, min_samples=3, num_buckets=4
+        ).to_pandas().sort_values(["user_id", "ts"])
+        feats = cluster_features_stage(
+            ray.data.from_arrow(tbl), eps_km=0.1, min_samples=3, num_buckets=4
+        ).to_pandas().set_index("user_id")
+        df = tbl.to_pandas()
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values("ts")
+            exp = L.haversine_dbscan(g.lat.values, g.lon.values, 0.1, 3)
+            got = out[out.user_id == uid].cluster.values
+            assert got.tolist() == exp.tolist(), uid
+            assert feats.loc[uid, "n_clusters"] == (np.unique(exp) >= 0).sum()
+            assert feats.loc[uid, "n_points"] == len(g)
