@@ -29,6 +29,7 @@ from pymhealth_ray.stages.partition import (
     column_i64,
     entity_segments,
     grouped_by_bucket,
+    segmented_searchsorted,
 )
 from pymhealth_ray.stages.rowfeatures import token_features
 from pymhealth_ray.stages.session import _session_ids
@@ -100,42 +101,49 @@ def make_temporal_bucket_fn(
         prev_sess_n = np.full(n, np.nan)
         prev_sess_end = np.full(n, np.nan)
 
-        for k in range(n_ent):
-            lo, hi = starts[k], starts[k + 1]
-            ets = ts[lo:hi]
-            w_lo = lo + np.searchsorted(ets, ets - wsize_ns, side="left")
-            w_hi = np.arange(lo, hi)  # exclusive of the current row
-            c = (w_hi - w_lo).astype(np.float64)
-            s1 = cs[w_hi] - cs[w_lo]
-            s1c = (csc[w_hi] - csc[w_lo]).astype(np.float64)
-            s2c = (csc2[w_hi] - csc2[w_lo]).astype(np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                m = s1 / c
-                var = np.maximum(s2c / c - (s1c / c) ** 2, 0.0)
-                var[c <= 1] = 0.0  # exact: a 1-row window has zero variance
-            tr_cnt[lo:hi] = c
-            nz = c > 0
-            tr_mean[lo:hi][nz] = m[nz]
-            tr_std[lo:hi][nz] = np.sqrt(var[nz])
+        # segment-vectorized across ALL entities (no per-entity Python
+        # iteration — segmented_searchsorted answers every entity's window
+        # bound / as-of probe in O(n_ent / chunk) searchsorted calls)
+        row_ent = np.repeat(np.arange(n_ent, dtype=np.int64), seg_len)
+        w_lo = segmented_searchsorted(ts, starts, ts - wsize_ns, starts, "left")
+        w_hi = np.arange(n, dtype=np.int64)  # exclusive of the current row
+        c = (w_hi - w_lo).astype(np.float64)
+        s1 = cs[w_hi] - cs[w_lo]
+        s1c = (csc[w_hi] - csc[w_lo]).astype(np.float64)
+        s2c = (csc2[w_hi] - csc2[w_lo]).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = s1 / c
+            var = np.maximum(s2c / c - (s1c / c) ** 2, 0.0)
+            var[c <= 1] = 0.0  # exact: a 1-row window has zero variance
+        tr_cnt[:] = c
+        nz = c > 0
+        tr_mean[nz] = m[nz]
+        tr_std[nz] = np.sqrt(var[nz])
 
-            # session summary dim: one row per session, published at its end
-            esid = sid[lo:hi]
-            s_start = np.flatnonzero(np.concatenate([[True], esid[1:] != esid[:-1]]))
-            s_end = np.append(s_start[1:], hi - lo)
-            sess_n = (s_end - s_start).astype(np.float64)
-            sess_mean = (cs[lo + s_end] - cs[lo + s_start]) / sess_n
-            sess_end_ts = ets[s_end - 1]
-            # backward as-of against CLOSED sessions only: a session is
-            # knowable-closed once gap_ns has elapsed after its last event,
-            # so the summary publishes at end+gap (publishing at the end
-            # itself would leak the session-boundary decision — the feature
-            # would change under truncation of future rows)
-            match = np.searchsorted(sess_end_ts, ets - gap_ns, side="right") - 1
-            ok = match >= 0
-            idxs = np.maximum(match, 0)
-            prev_sess_mean[lo:hi][ok] = sess_mean[idxs[ok]]
-            prev_sess_n[lo:hi][ok] = sess_n[idxs[ok]]
-            prev_sess_end[lo:hi][ok] = sess_end_ts[idxs[ok]].astype(np.float64)
+        # session summary dim: one row per session, published at its end.
+        # A session starts at each entity's first row OR a sid change (the
+        # explicit entity-first term matters: consecutive entities both
+        # starting at sid 0 would otherwise merge).
+        ent_first = np.zeros(n, dtype=bool)
+        ent_first[starts[:-1]] = True
+        s_start = np.flatnonzero(np.concatenate([[True], sid[1:] != sid[:-1]]) | ent_first)
+        s_end = np.append(s_start[1:], n)
+        sess_n = (s_end - s_start).astype(np.float64)
+        sess_mean = (cs[s_end] - cs[s_start]) / sess_n
+        sess_end_ts = ts[s_end - 1]
+        sess_ent = row_ent[s_start]
+        sess_starts = np.searchsorted(sess_ent, np.arange(n_ent + 1))
+        # backward as-of against CLOSED sessions only: a session is
+        # knowable-closed once gap_ns has elapsed after its last event,
+        # so the summary publishes at end+gap (publishing at the end
+        # itself would leak the session-boundary decision — the feature
+        # would change under truncation of future rows)
+        gm = segmented_searchsorted(sess_end_ts, sess_starts, ts - gap_ns, starts, "right") - 1
+        ok = gm >= sess_starts[row_ent]  # ≥1 closed session of the SAME entity
+        idxs = np.maximum(gm, 0)
+        prev_sess_mean[ok] = sess_mean[idxs[ok]]
+        prev_sess_n[ok] = sess_n[idxs[ok]]
+        prev_sess_end[ok] = sess_end_ts[idxs[ok]].astype(np.float64)
 
         tbl = tbl.append_column("tok_mean_lag1", pa.array(lag1))
         tbl = tbl.append_column("tok_mean_diff1", pa.array(diff1))

@@ -294,18 +294,16 @@ def q_events_type_entropy(sf_dir: str):
     def finish(tbl: pa.Table) -> pa.Table:
         # per-user entropy over type counts (reference entropy semantics,
         # generic/information.py:10-20; the 1e-30 smoothing is < 1e-26 here
-        # and invisible at 6 decimals)
-        import pandas as pd
-
-        df = tbl.to_pandas()
-        out = []
-        for uid, g in df.groupby("user_id"):
-            c = g["n"].to_numpy(dtype=np.float64)
-            p = c / c.sum()
-            out.append((uid, float(-(p * np.log(p)).sum())))
-        res = pd.DataFrame(out, columns=["user_id", "type_entropy"])
+        # and invisible at 6 decimals) — Arrow/numpy segment reduce, no
+        # pandas conversion in the stage
+        uids = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cnts = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(uids, return_inverse=True)
+        tot = np.bincount(inv, weights=cnts)
+        p = cnts / tot[inv]
+        H = -np.bincount(inv, weights=p * np.log(p))
         return pa.table(
-            {"user_id": pa.array(res.user_id.values), "type_entropy": pa.array(_round_away(res.type_entropy.values, 6))}
+            {"user_id": pa.array(uniq), "type_entropy": pa.array(_round_away(H, 6))}
         )
 
     return counts.groupby("user_id").map_groups(finish, batch_format="pyarrow")
@@ -899,6 +897,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_customer_join_salted": SQL_ORDERS_CUSTOMER_JOIN_SALTED,
         "embed_knn_ivf": SQL_EMBED_KNN,
         "events_geo_clusters": sql_events_geo_clusters(sf_dir_for_fixture),
+        "seq_spectral": sql_seq_spectral(path),
+        "seq_nonlinear": sql_seq_nonlinear(path),
+        "seq_rpeaks": sql_seq_rpeaks(path),
+        "docs_simhash": _docs_materialized_oracle(sf_dir_for_fixture, "simhash_v1", _simhash_expected),
+        "docs_minhash_pairs": _docs_materialized_oracle(sf_dir_for_fixture, "minhash_pairs_v1", _minhash_pairs_expected),
+        "docs_langid": _docs_materialized_oracle(sf_dir_for_fixture, "langid_v1", _langid_expected),
     }
 
 
@@ -1560,3 +1564,237 @@ def sql_events_geo_clusters(sf_dir: str) -> str:
         pq_mod.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), tmp)
         os.replace(tmp, out_path)
     return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+# --------------------------------------------------------------------------
+# round 2: materialized oracles for seq_spectral / seq_nonlinear (VERDICT 8)
+# --------------------------------------------------------------------------
+
+
+def _materialized_oracle(path: str, name: str, builder) -> str:
+    """Build (once) an expected-result parquet with ``builder(df) ->
+    pandas.DataFrame`` over the sequences fixture and return a SQL
+    passthrough — the seq_asof_sessions pattern: the oracle is computed
+    single-process on the driver, independently of Ray's partitioning /
+    batching / ordering, and the driver hash-compares the two paths."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    out_path = os.path.join(path, f"_oracle_{name}.parquet")
+    if not os.path.exists(out_path):
+        src = pq_mod.read_table(path, columns=["doc_id", "ts_ns", "tokens"])
+        exp = builder(src)
+        tmp = out_path + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out_path)
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+def _spectral_expected(src: pa.Table):
+    """Single-process reimplementation of the spectral row features
+    (mean-centered zero-padded rfft periodogram, nfft=2048, inclusive band
+    edges) — integer token sums make the centering bit-exact and pocketfft
+    is batch-size-invariant, so no rounding is needed."""
+    import pandas as pd
+
+    nfft = 2048
+    freqs = np.fft.rfftfreq(nfft)
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.to_numpy(zero_copy_only=False)[off[0]: off[-1]].astype(np.float64)
+    off = off - off[0]
+    n = len(off) - 1
+    cnt = np.diff(off)
+    sums = np.add.reduceat(flat, off[:-1])
+    sums[cnt == 0] = 0.0
+    mean = np.where(cnt > 0, sums / np.maximum(cnt, 1), 0.0)
+    mat = np.zeros((n, nfft))
+    for i in range(n):
+        m = min(cnt[i], nfft)
+        mat[i, :m] = flat[off[i]: off[i] + m] - mean[i]
+    spec = np.fft.rfft(mat, axis=1)
+    psd = (np.abs(spec) ** 2) / nfft
+    total = psd.sum(axis=1)
+    out = {
+        "doc_id": src["doc_id"].to_pandas(),
+        "ts_ns": src["ts_ns"].to_pandas(),
+        "spec_total_power": total,
+    }
+    for lo, hi in ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5)):
+        mask = (freqs >= lo) & (freqs <= hi)
+        out[f"spec_power_{lo:g}_{hi:g}"] = psd[:, mask].sum(axis=1)
+    out["spec_peak_freq"] = freqs[1:][np.argmax(psd[:, 1:], axis=1)]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = psd / np.maximum(total[:, None], 1e-300)
+        out["spec_entropy"] = -(np.where(p > 0, p * np.log(p), 0.0)).sum(axis=1)
+    import pandas as pd
+
+    return pd.DataFrame(out)
+
+
+def _nonlinear_expected(src: pa.Table):
+    """Single-process per-row evaluation of the nonlinear kernels (the same
+    scalar functions the actor-pool stage calls row-by-row — independence
+    here is the execution path: no Ray, no batching, no partitioning)."""
+    import pandas as pd
+
+    from pymhealth_ray.functions import information, rqa, timedom
+
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = toks.to_pylist()
+    n = len(lists)
+    cols = {k: np.full(n, np.nan) for k in
+            ("hurst", "dfa", "sampen", "recurrence_rate", "determinism")}
+    for i, t in enumerate(lists):
+        x = np.asarray(t[:128], dtype=np.float64)
+        if len(x) < 66:
+            continue
+        cols["hurst"][i] = timedom.hurst(x)
+        cols["dfa"][i] = timedom.dfa(x, windows=[4, 8, 16, 32])
+        cols["sampen"][i] = information.sampen(x)
+        r = rqa.rq(x, radius=np.std(x) * 0.2)
+        cols["recurrence_rate"][i] = rqa.recurrence_rate(r)
+        cols["determinism"][i] = rqa.determinism(r)
+    out = {"doc_id": src["doc_id"].to_pandas(), "ts_ns": src["ts_ns"].to_pandas()}
+    out.update(cols)
+    return pd.DataFrame(out)
+
+
+def sql_seq_spectral(path: str) -> str:
+    return _materialized_oracle(path, "spectral_v1", _spectral_expected)
+
+
+def sql_seq_nonlinear(path: str) -> str:
+    return _materialized_oracle(path, "nonlinear_v1", _nonlinear_expected)
+
+
+def _rpeaks_expected(src: pa.Table):
+    """Single-process per-row Hamilton-Tompkins + HRV summary (the same
+    scalar chain the actor pool runs; execution-path-independent oracle)."""
+    import pandas as pd
+
+    from pymhealth_ray.functions import heart
+    from pymhealth_ray.functions import hrv as hrv_fns
+
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = toks.to_pylist()
+    n = len(lists)
+    n_peaks = np.zeros(n, dtype=np.int64)
+    cols = {k: np.full(n, np.nan) for k in ("mean_rr_ms", "sdnn_ms", "rmssd_ms", "pnn50")}
+    fs = 100.0
+    for i, t in enumerate(lists):
+        x = np.asarray(t, dtype=np.float64)
+        if len(x) < 64:
+            continue
+        try:
+            peaks = heart.rpeaks_hamilton_tompkins(x, fs)
+        except ValueError:
+            continue
+        n_peaks[i] = len(peaks)
+        if len(peaks) >= 3:
+            nni_ms = np.diff(peaks) * (1000.0 / fs)
+            cols["mean_rr_ms"][i] = nni_ms.mean()
+            cols["sdnn_ms"][i] = hrv_fns.sdnn(nni_ms)
+            cols["rmssd_ms"][i] = hrv_fns.rmssd(nni_ms)
+            cols["pnn50"][i] = hrv_fns.pnn50(nni_ms, unit="ms")
+    out = {"doc_id": src["doc_id"].to_pandas(), "ts_ns": src["ts_ns"].to_pandas(),
+           "n_peaks": n_peaks}
+    out.update(cols)
+    return pd.DataFrame(out)
+
+
+def sql_seq_rpeaks(path: str) -> str:
+    return _materialized_oracle(path, "rpeaks_v1", _rpeaks_expected)
+
+
+def _docs_materialized_oracle(sf_dir: str, name: str, builder) -> str:
+    """Materialized-oracle helper over the documents TABLE (not the
+    sequences fixture): builder(texts_df) -> expected DataFrame, written
+    once under the fixture cache, returned as a SQL passthrough."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.sources.generate import fixture_dir_for
+
+    out_dir = fixture_dir_for(sf_dir).rstrip("/") + "_docs_oracle"
+    out_path = os.path.join(out_dir, f"{name}.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        src = pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        exp = builder(src.to_pandas())
+        tmp = out_path + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out_path)
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+def _simhash_expected(df):
+    """Scalar round-1 SimHash (per-token md5 loop) — the semantic definition
+    the vectorized batch implementation must reproduce bit-for-bit."""
+    import pandas as pd
+
+    masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(df), dtype=np.uint64)
+    for i, t in enumerate(df.text.values):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in t.split():
+            h = np.uint64(int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16))
+            acc += 2 * ((h & masks) != 0).astype(np.int64) - 1
+        out[i] = ((acc > 0).astype(np.uint64) * masks).sum()
+    return pd.DataFrame({"doc_id": df.doc_id.values, "simhash": out.astype(np.int64)})
+
+
+def _minhash_pairs_expected(df):
+    """Single-process banded MinHash-LSH (signatures via the same seeded
+    hash family, but banding / bucketing / pair generation / verification
+    all reimplemented driver-side with plain dicts — no Ray, no exchange,
+    no join) producing (id_a, id_b, est_jaccard rounded to 4)."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.dedup import MinHasher
+
+    hasher = MinHasher()
+    ids = df.doc_id.values.astype(np.int64)
+    sigs = np.stack([hasher.signature(t) for t in df.text.values]).astype(np.uint64)
+    bands, rows_per_band = 16, 4
+    buckets: dict = {}
+    for b in range(bands):
+        for i in range(len(ids)):
+            key = (b, sigs[i, b * rows_per_band:(b + 1) * rows_per_band].tobytes())
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                x, y = ids[members[ai]], ids[members[bi]]
+                if x != y:
+                    pairs.add((min(x, y), max(x, y)))
+    rows = []
+    by_id = {int(ids[i]): i for i in range(len(ids))}
+    for a, b in sorted(pairs):
+        est = float((sigs[by_id[a]] == sigs[by_id[b]]).mean())
+        if est >= 0.5:
+            rows.append({"id_a": int(a), "id_b": int(b), "est_jaccard": round(est, 4)})
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+
+def _langid_expected(df):
+    """Driver-side row-at-a-time language-ID (same trigram profiles, no Ray
+    actor pool / batching — execution-path-independent)."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.text import LanguageId
+
+    scorer = LanguageId()
+    return pd.DataFrame({
+        "doc_id": df.doc_id.values,
+        "lang_pred": [scorer._score(t) for t in df.text.values],
+    })

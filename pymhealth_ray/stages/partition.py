@@ -108,3 +108,65 @@ def column_i64(tbl: pa.Table, col: str) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def segmented_searchsorted(hay: np.ndarray, hay_starts: np.ndarray,
+                           q: np.ndarray, q_starts: np.ndarray,
+                           side: str = "left") -> np.ndarray:
+    """``np.searchsorted`` of each query inside ITS OWN entity's haystack
+    segment, fully vectorized across entities — returns GLOBAL indices into
+    ``hay`` (i.e. ``hay_starts[k] + local_insertion_point`` for a query of
+    entity ``k``; an "empty" result is ``hay_starts[k]`` itself).
+
+    Both arrays are int64, segment-sorted, grouped by the same entity order
+    (``hay_starts`` / ``q_starts`` are length n_ent+1 boundary arrays). The
+    trick: rebase each entity's values to a shared non-negative range and add
+    ``entity_index * B`` (B wider than any rebased value) so ONE global
+    searchsorted answers every segment. Entities are processed in chunks
+    sized so ``chunk * B`` cannot overflow int64 — per-call Python work is
+    O(n_ent / chunk), not O(n_ent), at any entity cardinality.
+    """
+    n_ent = len(hay_starts) - 1
+    out = np.empty(len(q), dtype=np.int64)
+    if n_ent == 0 or len(q) == 0:
+        return out
+    hay_len = np.diff(hay_starts)
+    q_len = np.diff(q_starts)
+
+    # per-entity min/max across BOTH arrays (empty segments → neutral)
+    big = np.int64(2**62)
+    def seg_min(a, starts, lens):
+        m = np.full(n_ent, big)
+        nz = lens > 0
+        if nz.any():
+            m[nz] = np.minimum.reduceat(a, starts[:-1][nz])
+        return m
+
+    def seg_max(a, starts, lens):
+        m = np.full(n_ent, -big)
+        nz = lens > 0
+        if nz.any():
+            m[nz] = np.maximum.reduceat(a, starts[:-1][nz])
+        return m
+
+    base = np.minimum(seg_min(hay, hay_starts, hay_len), seg_min(q, q_starts, q_len))
+    top = np.maximum(seg_max(hay, hay_starts, hay_len), seg_max(q, q_starts, q_len))
+    span = np.maximum(top - base, 0)
+    B = int(span.max()) + 2 if n_ent else 2
+    chunk = max(1, int((2**62) // max(B, 1)))
+
+    for c0 in range(0, n_ent, chunk):
+        c1 = min(c0 + chunk, n_ent)
+        hs, he = hay_starts[c0], hay_starts[c1]
+        qs, qe = q_starts[c0], q_starts[c1]
+        if qe == qs:
+            continue
+        ents = np.arange(c0, c1, dtype=np.int64)
+        hay_ent = np.repeat(ents - c0, hay_len[c0:c1])
+        q_ent = np.repeat(ents - c0, q_len[c0:c1])
+        hay_base = np.repeat(base[c0:c1], hay_len[c0:c1])
+        q_base = np.repeat(base[c0:c1], q_len[c0:c1])
+        adj_hay = (hay[hs:he] - hay_base) + hay_ent * np.int64(B)
+        adj_q = (q[qs:qe] - q_base) + q_ent * np.int64(B)
+        out[qs:qe] = hs + np.searchsorted(adj_hay, adj_q, side=side)
+    return out

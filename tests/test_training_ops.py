@@ -540,3 +540,40 @@ class TestHaversineDBSCAN:
             assert got.tolist() == exp.tolist(), uid
             assert feats.loc[uid, "n_clusters"] == (np.unique(exp) >= 0).sum()
             assert feats.loc[uid, "n_points"] == len(g)
+
+
+class TestSegmentedSearchsorted:
+    def test_matches_per_entity_searchsorted(self):
+        from pymhealth_ray.stages.partition import segmented_searchsorted
+
+        rng = np.random.default_rng(21)
+        for trial in range(6):
+            n_ent = int(rng.integers(1, 30))
+            hay_parts, q_parts, hs, qs = [], [], [0], [0]
+            for _ in range(n_ent):
+                h = np.sort(rng.integers(-10**12, 10**12, rng.integers(0, 50)))
+                q = rng.integers(-2 * 10**12, 2 * 10**12, rng.integers(0, 40))
+                hay_parts.append(h); q_parts.append(q)
+                hs.append(hs[-1] + len(h)); qs.append(qs[-1] + len(q))
+            hay = np.concatenate(hay_parts) if hay_parts else np.array([], dtype=np.int64)
+            q = np.concatenate(q_parts) if q_parts else np.array([], dtype=np.int64)
+            hay = hay.astype(np.int64); q = q.astype(np.int64)
+            hs = np.asarray(hs, dtype=np.int64); qs = np.asarray(qs, dtype=np.int64)
+            for side in ("left", "right"):
+                got = segmented_searchsorted(hay, hs, q, qs, side)
+                exp = np.empty(len(q), dtype=np.int64)
+                for k in range(n_ent):
+                    exp[qs[k]:qs[k + 1]] = hs[k] + np.searchsorted(
+                        hay[hs[k]:hs[k + 1]], q[qs[k]:qs[k + 1]], side=side)
+                assert (got == exp).all(), (trial, side)
+
+    def test_chunking_path(self):
+        # force tiny chunks by a huge value span: B ~ 2^61 → chunk == 2
+        from pymhealth_ray.stages.partition import segmented_searchsorted
+
+        hay = np.array([0, 2**60, 0, 2**60, 0, 2**60], dtype=np.int64)
+        hs = np.array([0, 2, 4, 6], dtype=np.int64)
+        q = np.array([1, 2**60, -5], dtype=np.int64)
+        qs = np.array([0, 1, 2, 3], dtype=np.int64)
+        got = segmented_searchsorted(hay, hs, q, qs, "left")
+        assert got.tolist() == [1, 3, 4]
