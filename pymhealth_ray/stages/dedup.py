@@ -103,7 +103,32 @@ class MinHasher:
         arr = batch[self.text_col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        sigs = np.stack([self.signature(t) for t in arr.to_pylist()])
+        texts = arr.to_pylist()
+        if not texts:
+            sigs = np.zeros((0, self.num_hashes), dtype=np.uint64)
+        else:
+            # doc-chunked: one (num_hashes × chunk_shingles) affine pass +
+            # per-doc segmented min per chunk — same expression and order as
+            # ``signature`` (bit-identical) with the per-doc Python overhead
+            # amortized, and the temporary bounded (~32MB) so it stays cache/
+            # heap friendly. _shingle_hashes never returns an empty array,
+            # so reduceat offsets are strictly increasing.
+            sh_list = [_shingle_hashes(t, self.shingle_k) for t in texts]
+            lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=len(sh_list))
+            sigs = np.empty((len(texts), self.num_hashes), dtype=np.uint64)
+            budget = 65536  # shingles per chunk → 64×65536×8B ≈ 32MB temp
+            i = 0
+            while i < len(texts):
+                j, tot = i, 0
+                while j < len(texts) and (tot == 0 or tot + lens[j] <= budget):
+                    tot += lens[j]
+                    j += 1
+                allsh = np.concatenate(sh_list[i:j])
+                offs = np.concatenate([[0], np.cumsum(lens[i:j])])[:-1]
+                with np.errstate(over="ignore"):
+                    vals = (allsh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+                sigs[i:j] = np.minimum.reduceat(vals, offs, axis=1).T
+                i = j
         return batch.append_column(
             "minhash", pa.FixedSizeListArray.from_arrays(pa.array(sigs.astype(np.int64).ravel()), self.num_hashes)
         )
@@ -147,7 +172,8 @@ def _band_keys_vec(sig: np.ndarray, band: int, rows_per_band: int) -> np.ndarray
 def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                       jaccard_threshold: float = 0.8, concurrency=(2, 8),
-                      max_bucket_size: int = 512):
+                      max_bucket_size: int = 512,
+                      broadcast_pairs_threshold: int = 100_000):
     """Candidate near-dup pairs via banded MinHash-LSH, verified by minhash
     Jaccard estimate. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
@@ -232,10 +258,64 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = (
         candidates.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("pbucket").map_groups(uniq_pairs, batch_format="pyarrow")
-    )
+    ).materialize()  # bounded: capped candidate pair set (≤ C(cap,2)/bucket)
 
-    # re-attach full signatures to the bounded pair set (two co-partitioned
-    # joins of pairs against (id, sig) — the corpus text never moves again).
+    # verify path A (small pair set, the common case): stream the signature
+    # dataset ONCE, keep only the ≤ 2·n_pairs signatures that pairs touch,
+    # estimate driver-side — no further exchange at all. Bound: threshold
+    # pairs × 2 sigs × num_hashes×8B (~100MB at 100k pairs / 64 hashes).
+    n_pairs = pairs.count()
+    if n_pairs <= broadcast_pairs_threshold:
+        import ray as _ray
+
+        pair_tbl = pa.concat_tables(
+            [t for t in _ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        ) if n_pairs else None
+        if pair_tbl is None:
+            return pairs  # empty (id_a, id_b) — schema-compatible empty result
+        a_ids = np.asarray(pair_tbl["id_a"].to_pylist(), dtype=np.int64)
+        b_ids = np.asarray(pair_tbl["id_b"].to_pylist(), dtype=np.int64)
+        need = np.unique(np.concatenate([a_ids, b_ids]))
+        need_ref = _ray.put(need)
+
+        class CollectSigs:
+            def __init__(self, ref):
+                self.need = _ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+                keep = np.isin(ids, self.need)
+                return t.filter(pa.array(keep))
+
+        kept = sig_ds.map_batches(
+            CollectSigs, fn_constructor_args=(need_ref,), batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        tbls = [t for t in _ray.get(kept.to_arrow_refs()) if t.num_rows]
+        sid = np.concatenate([
+            np.asarray(t[id_col].to_pylist(), dtype=np.int64) for t in tbls
+        ]) if tbls else np.array([], dtype=np.int64)
+        smat = np.concatenate([
+            (t["minhash"].combine_chunks() if isinstance(t["minhash"], pa.ChunkedArray)
+             else t["minhash"]).values.to_numpy(zero_copy_only=False).reshape(-1, num_hashes)
+            for t in tbls
+        ]) if tbls else np.zeros((0, num_hashes), dtype=np.int64)
+        order = np.argsort(sid)
+        sid, smat = sid[order], smat[order]
+        ia = np.searchsorted(sid, a_ids)
+        ib = np.searchsorted(sid, b_ids)
+        est = (smat[ia] == smat[ib]).mean(axis=1)
+        keep = est >= jaccard_threshold
+        out = pa.table({
+            "id_a": pa.array(a_ids[keep]), "id_b": pa.array(b_ids[keep]),
+            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+        })
+        import ray.data as _rd
+
+        return _rd.from_arrow(out)
+
+    # verify path B (huge pair set): re-attach full signatures to the pair
+    # set with two co-partitioned joins — everything stays distributed.
     # Signatures travel as binary blobs: acero hash-join payloads don't
     # support fixed_size_list, and bytes are the same wire size anyway.
     def _sig_blob(out_id: str, out_sig: str):

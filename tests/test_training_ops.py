@@ -577,3 +577,19 @@ class TestSegmentedSearchsorted:
         qs = np.array([0, 1, 2, 3], dtype=np.int64)
         got = segmented_searchsorted(hay, hs, q, qs, "left")
         assert got.tolist() == [1, 3, 4]
+
+
+class TestMinhashVerifyPaths:
+    def test_broadcast_and_join_paths_agree(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about database engines " * 8
+        also = far.replace("database", "storage")
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                        "text": [base, near, far, also]})
+        a = dedup.minhash_lsh_dupes(ray.data.from_arrow(tbl), jaccard_threshold=0.5).to_pandas()
+        b = dedup.minhash_lsh_dupes(ray.data.from_arrow(tbl), jaccard_threshold=0.5,
+                                    broadcast_pairs_threshold=0).to_pandas()
+        ka = sorted(zip(a.id_a, a.id_b, a.est_jaccard.round(9)))
+        kb = sorted(zip(b.id_a, b.id_b, b.est_jaccard.round(9)))
+        assert ka == kb and len(ka) >= 2
