@@ -68,16 +68,35 @@ def _compute_grid_params(m: int, eps: float) -> tuple:
     return mr, msp, lambda_
 
 
-def nufft1d1(x: np.ndarray, c: np.ndarray, m: int, df: float = 1.0, eps: float = 1e-15) -> np.ndarray:
-    """Type-1 non-uniform FFT via gaussian gridding — spectral estimates on
-    irregular timestamps (pairs with power_band over event-time windows).
-    reference:generic/frequency/nufft.py:55-99 (algorithm of jakevdp/nufftpy).
+def build_grid_fast(x: np.ndarray, c: np.ndarray, mr: int, msp: int, tau: float) -> np.ndarray:
+    """Fast gaussian-gridding spread of irregular samples onto the
+    oversampled grid (the engine's counterpart of
+    reference:generic/frequency/nufft.py:55-76 ``build_grid_fast``, which is
+    a numba per-sample recurrence over factorized exponentials). Here the
+    whole spread is TWO vectorized passes: an (N × 2·Msp) direct kernel
+    evaluation and a bincount scatter-add per complex component — no
+    per-sample Python, same gaussian to floating-point accuracy.
     """
-    x = np.asarray(x, dtype=np.float64) * df
+    x = np.asarray(x, dtype=np.float64)
     c = np.asarray(c, dtype=np.complex128)
-    mr, msp, lambda_ = _compute_grid_params(m, eps)
-    tau = np.pi * lambda_ / m**2
-    # spread each sample onto the oversampled grid with a gaussian kernel
+    hx = 2 * np.pi / mr
+    xi = x % (2 * np.pi)
+    i0 = (xi // hx).astype(np.int64)
+    offsets = np.arange(-msp, msp)
+    pos = i0[:, None] + offsets[None, :]          # (N, 2·Msp) grid slots
+    kern = np.exp(-0.25 * (xi[:, None] - hx * pos) ** 2 / tau)
+    idx = (pos % mr).ravel()
+    vals = (c[:, None] * kern).ravel()
+    grid = np.bincount(idx, weights=vals.real, minlength=mr).astype(np.complex128)
+    grid += 1j * np.bincount(idx, weights=vals.imag, minlength=mr)
+    return grid
+
+
+def _build_grid_slow(x: np.ndarray, c: np.ndarray, mr: int, msp: int, tau: float) -> np.ndarray:
+    """Per-sample reference spread (the round-1 loop) — kept as the test
+    oracle for :func:`build_grid_fast`."""
+    x = np.asarray(x, dtype=np.float64)
+    c = np.asarray(c, dtype=np.complex128)
     grid = np.zeros(mr, dtype=np.complex128)
     hx = 2 * np.pi / mr
     xi = x % (2 * np.pi)
@@ -87,6 +106,19 @@ def nufft1d1(x: np.ndarray, c: np.ndarray, m: int, df: float = 1.0, eps: float =
         idx = (idx0 + offsets) % mr
         kernel = np.exp(-0.25 * (xi[j] - hx * (idx0 + offsets)) ** 2 / tau)
         grid[idx] += c[j] * kernel
+    return grid
+
+
+def nufft1d1(x: np.ndarray, c: np.ndarray, m: int, df: float = 1.0, eps: float = 1e-15) -> np.ndarray:
+    """Type-1 non-uniform FFT via gaussian gridding — spectral estimates on
+    irregular timestamps (pairs with power_band over event-time windows).
+    reference:generic/frequency/nufft.py:55-99 (algorithm of jakevdp/nufftpy).
+    """
+    x = np.asarray(x, dtype=np.float64) * df
+    c = np.asarray(c, dtype=np.complex128)
+    mr, msp, lambda_ = _compute_grid_params(m, eps)
+    tau = np.pi * lambda_ / m**2
+    grid = build_grid_fast(x, c, mr, msp, tau)
     # Inverse DFT of the grid (sum f_m e^{+ik·2πm/Mr} = Mr·ifft), centered,
     # deconvolved by the gaussian transform ĝ_τ(k) = 2√(πτ)·e^{-τk²}:
     #   F(k) = (1/N)·√(π/τ)·e^{τk²}·ifft(grid)[k mod Mr]

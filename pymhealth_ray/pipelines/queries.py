@@ -850,6 +850,7 @@ def build_queries() -> dict:
         "orders_customer_join_salted": q_orders_customer_join_salted,
         "embed_knn_ivf": q_embed_knn_ivf,
         "events_geo_clusters": q_events_geo_clusters,
+        "embed_dupes": q_embed_dupes,
     }
 
 
@@ -903,6 +904,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_simhash": _docs_materialized_oracle(sf_dir_for_fixture, "simhash_v1", _simhash_expected),
         "docs_minhash_pairs": _docs_materialized_oracle(sf_dir_for_fixture, "minhash_pairs_v1", _minhash_pairs_expected),
         "docs_langid": _docs_materialized_oracle(sf_dir_for_fixture, "langid_v1", _langid_expected),
+        "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
     }
 
 
@@ -1798,3 +1800,58 @@ def _langid_expected(df):
         "doc_id": df.doc_id.values,
         "lang_pred": [scorer._score(t) for t in df.text.values],
     })
+
+
+def q_embed_dupes(sf_dir: str):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
+    (stages/dedup.embedding_dupes) — oracle is the single-process
+    reimplementation of the same bucketing, driver-hash-exact."""
+    from pymhealth_ray.stages.dedup import embedding_dupes
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_dupes(ds, cos_threshold=0.35, n_planes=6)
+    return pairs.map_batches(lambda b: _round_cols(b, {"cosine": 4}), batch_format="pyarrow")
+
+
+def _embed_dupes_expected(sf_dir: str):
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    src = pq_mod.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    mat = np.stack(src.embedding.to_list()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = src.vec_id.values.astype(np.int64)
+    planes = np.random.default_rng(29).normal(size=(mat.shape[1], 6))
+    keys = ((mat @ planes) > 0).astype(np.uint64)
+    keys = (keys << np.arange(6, dtype=np.uint64)).sum(axis=1)
+    buckets: dict = {}
+    for i, k in enumerate(keys):
+        buckets.setdefault(int(k), []).append(i)
+    rows = []
+    for members in buckets.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                i, j = members[ai], members[bi]
+                c = float(mat[i] @ mat[j])
+                if c >= 0.35:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    rows.append({"id_a": a, "id_b": b, "cosine": round(c, 4)})
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def sql_embed_dupes(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.sources.generate import fixture_dir_for
+
+    out_dir = fixture_dir_for(sf_dir).rstrip("/") + "_docs_oracle"
+    out_path = os.path.join(out_dir, "embed_dupes_v2.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _embed_dupes_expected(sf_dir)
+        tmp = out_path + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out_path)
+    return f"SELECT * FROM read_parquet('{out_path}')"

@@ -275,3 +275,25 @@ class TestFrequency:
         )
         approx = frequency.nufft1d1(xs, c, M)
         assert np.abs(direct - approx).max() < 1e-10
+
+
+class TestBuildGridFast:
+    def test_fast_matches_slow_and_nudft(self):
+        from pymhealth_ray.functions import frequency as F
+
+        rng = np.random.default_rng(17)
+        x = rng.uniform(0, 2 * np.pi, 200)
+        c = rng.normal(size=200) + 1j * rng.normal(size=200)
+        mr, msp, lam = F._compute_grid_params(64, 1e-12)
+        tau = np.pi * lam / 64**2
+        fast = F.build_grid_fast(x, c, mr, msp, tau)
+        slow = F._build_grid_slow(x, c, mr, msp, tau)
+        assert np.allclose(fast, slow, atol=1e-12)
+        # end-to-end: nufft (now on the fast grid) still matches the direct
+        # non-uniform DFT at the requested accuracy
+        got = F.nufft1d1(x, c, 64, eps=1e-12)
+        k = F.nufftfreqs(64)
+        direct = (1 / len(x)) * np.array(
+            [np.sum(c * np.exp(1j * kk * x)) for kk in k]
+        )
+        assert np.allclose(got, direct, atol=1e-9)
