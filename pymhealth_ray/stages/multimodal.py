@@ -143,3 +143,96 @@ def sample_audio_frames(ds, decoder: str = "fake", concurrency=(2, 8), batch_siz
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class VideoFrameSampler:
+    """Video frame-sample plumbing: decode every ``frame_stride``-th frame,
+    thumbnail it, emit one ROW PER SAMPLED FRAME (flat_map-style explode —
+    a clip becomes n_frames rows keyed (media_id, frame_idx)). Same stub
+    contract as ImageDecoder: 'real' raises at the decode call, the Ray-side
+    schema / batching / explode layout is real and tested.
+
+    Batch size for video must be chosen by BYTES (clips are the largest
+    payloads in a media table) — batch_size ≈ target_batch_bytes / clip_bytes.
+    """
+
+    def __init__(self, decoder: str = "fake", frame_stride: int = 8,
+                 max_frames: int = 4, thumb: int = 4):
+        if decoder not in ("fake", "real"):
+            raise ValueError("decoder must be 'fake' or 'real'")
+        self.decoder = decoder
+        self.frame_stride = frame_stride
+        self.max_frames = max_frames
+        self.thumb = thumb
+
+    def _decode_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        if self.decoder == "real":
+            raise NotImplementedError("real video decode requires ffmpeg/pyav — plug in here")
+        seed = int.from_bytes(hashlib.md5(payload + frame_idx.to_bytes(4, "big")).digest()[:8], "big")
+        return np.random.default_rng(seed).random(self.thumb * self.thumb).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ids = batch["media_id"].to_pylist()
+        out_ids, out_frames, out_vecs = [], [], []
+        for mid, p in zip(ids, payloads):
+            # fake "clip length" derived from payload size; real decoders
+            # read the container header here
+            n_avail = max(1, len(p) // 256)
+            sampled = range(0, min(n_avail, self.frame_stride * self.max_frames), self.frame_stride)
+            for f in sampled:
+                out_ids.append(mid)
+                out_frames.append(f)
+                out_vecs.append(self._decode_frame(p, f))
+        vecs = np.stack(out_vecs) if out_vecs else np.zeros((0, self.thumb * self.thumb), dtype=np.float32)
+        return pa.table({
+            "media_id": pa.array(out_ids, type=pa.int64()),
+            "frame_idx": pa.array(out_frames, type=pa.int64()),
+            "frame_vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), self.thumb * self.thumb),
+        })
+
+
+def sample_video_frames(ds, decoder: str = "fake", frame_stride: int = 8,
+                        max_frames: int = 4, thumb: int = 4,
+                        concurrency=(2, 8), batch_size: int = 16):
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(decoder, frame_stride, max_frames, thumb),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+class ThumbEmbedder:
+    """Batched 'model inference' over decoded thumbnails: a seeded random
+    projection matrix stands in for model weights — LOADED ONCE PER ACTOR in
+    __init__ (the pattern a real encoder follows), applied as one matmul per
+    batch. Deterministic, so downstream ANN / dedup tests can rely on it."""
+
+    def __init__(self, in_dim: int, out_dim: int = 16, seed: int = 41):
+        self.W = np.random.default_rng(seed).normal(
+            size=(in_dim, out_dim)).astype(np.float32) / np.sqrt(in_dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["thumb_vec"] if "thumb_vec" in batch.column_names else batch["frame_vec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        mat = col.values.to_numpy(zero_copy_only=False).reshape(n, -1).astype(np.float32)
+        emb = mat @ self.W
+        out_dim = emb.shape[1] if n else self.W.shape[1]
+        src = batch.drop_columns([c for c in ("thumb_vec", "frame_vec") if c in batch.column_names])
+        return src.append_column(
+            "embedding", pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel()), out_dim))
+
+
+def embed_thumbnails(ds, in_dim: int, out_dim: int = 16, concurrency=(2, 8), batch_size: int = 256):
+    return ds.map_batches(
+        ThumbEmbedder,
+        fn_constructor_args=(in_dim, out_dim),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

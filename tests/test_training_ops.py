@@ -593,3 +593,31 @@ class TestMinhashVerifyPaths:
         ka = sorted(zip(a.id_a, a.id_b, a.est_jaccard.round(9)))
         kb = sorted(zip(b.id_a, b.id_b, b.est_jaccard.round(9)))
         assert ka == kb and len(ka) >= 2
+
+
+class TestMultimodalRound2:
+    def test_video_frame_explode(self, ray_session):
+        media = ray.data.from_arrow(multimodal.synth_media_table(8))
+        out = multimodal.sample_video_frames(media, frame_stride=8, max_frames=4).to_pandas()
+        assert len(out) >= 8  # ≥1 frame per clip
+        assert set(out.columns) == {"media_id", "frame_idx", "frame_vec"}
+        assert (out.frame_idx % 8 == 0).all()
+        assert out.groupby("media_id").size().max() <= 4
+        # deterministic across runs
+        out2 = multimodal.sample_video_frames(media, frame_stride=8, max_frames=4).to_pandas()
+        a = out.sort_values(["media_id", "frame_idx"]).frame_vec.to_list()
+        b = out2.sort_values(["media_id", "frame_idx"]).frame_vec.to_list()
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    def test_video_real_decoder_stubbed(self):
+        s = multimodal.VideoFrameSampler(decoder="real")
+        with pytest.raises(NotImplementedError):
+            s._decode_frame(b"xx", 0)
+
+    def test_decode_then_embed_chain(self, ray_session):
+        media = ray.data.from_arrow(multimodal.synth_media_table(16))
+        thumbs = multimodal.decode_images(media, decoder="fake", thumb=4)
+        emb = multimodal.embed_thumbnails(thumbs, in_dim=16, out_dim=8).to_pandas()
+        assert len(emb) == 16
+        assert all(len(v) == 8 for v in emb.embedding)
+        assert "thumb_vec" not in emb.columns
