@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "docs_dedup_first8",
     "docs_minhash_pairs",
     "embed_knn",
+    # round 2
+    "orders_customer_join_salted",
+    "embed_knn_ivf",
+    "events_geo_clusters",
+    "embed_dupes",
 ]
 
 

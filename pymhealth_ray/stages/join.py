@@ -115,15 +115,34 @@ def detect_hot_keys(ds, on: str, threshold: int) -> list:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         vc = pc.value_counts(col)
-        return pa.table({on: vc.field("values"), "__cnt": vc.field("counts").cast(pa.int64())})
+        keys = vc.field("values")
+        b = _stable_bucket_of(keys, 256)
+        return pa.table({
+            on: keys,
+            "__cnt": vc.field("counts").cast(pa.int64()),
+            "__kbucket": pa.array(b, type=pa.int32()),
+        })
 
-    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(on).sum("__cnt")
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # vectorized per-bucket rollup: dictionary-encode the key, bincount
+        # the partial counts, keep keys over threshold — the exchange sorts
+        # only the tiny int bucket column, never the full key
+        keys = tbl[on]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = tbl["__cnt"].to_numpy(zero_copy_only=False)
+        totals = np.bincount(idx, weights=cnt, minlength=len(enc.dictionary))
+        hot_mask = totals > threshold
+        return pa.table({on: enc.dictionary.filter(pa.array(hot_mask))})
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        mask = pc.greater(batch["sum(__cnt)"], pa.scalar(threshold, type=pa.int64()))
-        return batch.filter(mask).select([on])
-
-    hot = counts.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    hot = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__kbucket")
+        .map_groups(lambda t: per_bucket(t.drop_columns(["__kbucket"])), batch_format="pyarrow")
+        .to_pandas()
+    )
     return sorted(hot[on].tolist())
 
 
@@ -196,23 +215,19 @@ def equi_join_salted(
         )
     hot_ref = ray.put(right_hot_tbl)
 
-    class HotJoin:
-        """Broadcast right-hot subset read once per actor from the object
-        store; every left batch hash-joins against it map-side."""
-
-        def __init__(self, ref):
-            self.tbl = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            joined = batch.join(
-                self.tbl, keys=[on], join_type=join_type,
-                right_suffix=right_suffix, use_threads=False,
-            )
-            return joined.replace_schema_metadata(None)
+    def hot_join(batch: pa.Table) -> pa.Table:
+        # broadcast right-hot subset: ray.get on a plasma ref is a zero-copy
+        # shared-memory read after the first task on a node pulls it —
+        # stateless tasks avoid the actor-pool spin-up a small stage pays
+        tbl = ray.get(hot_ref)
+        joined = batch.join(
+            tbl, keys=[on], join_type=join_type,
+            right_suffix=right_suffix, use_threads=False,
+        )
+        return joined.replace_schema_metadata(None)
 
     hot_joined = left.map_batches(split(l_cols, True), batch_format="pyarrow").map_batches(
-        HotJoin, fn_constructor_args=(hot_ref,), batch_format="pyarrow",
-        concurrency=concurrency,
+        hot_join, batch_format="pyarrow",
     )
     cold_joined = equi_join(
         left.map_batches(split(l_cols, False), batch_format="pyarrow"),

@@ -32,6 +32,17 @@ def _stable_bucket_of(strings: pa.ChunkedArray | pa.Array, num_buckets: int) -> 
     """
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
+    import pyarrow.types as pat
+
+    if pat.is_integer(strings.type) and strings.null_count == 0:
+        # numeric keys: one vectorized 64-bit mix, no per-value Python
+        v = strings.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = v * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        return (h % np.uint64(num_buckets)).astype(np.int32)
     enc = strings.dictionary_encode()
     dict_vals = enc.dictionary.to_pylist()
     hashes = np.fromiter(
