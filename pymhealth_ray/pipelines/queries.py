@@ -851,6 +851,9 @@ def build_queries() -> dict:
         "embed_knn_ivf": q_embed_knn_ivf,
         "events_geo_clusters": q_events_geo_clusters,
         "embed_dupes": q_embed_dupes,
+        "region_revenue": q_region_revenue,
+        "part_brand_pricing": q_part_brand_pricing,
+        "supplier_nation_balance": q_supplier_nation_balance,
     }
 
 
@@ -905,6 +908,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_minhash_pairs": _docs_materialized_oracle(sf_dir_for_fixture, "minhash_pairs_v1", _minhash_pairs_expected),
         "docs_langid": _docs_materialized_oracle(sf_dir_for_fixture, "langid_v1", _langid_expected),
         "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
+        "region_revenue": SQL_REGION_REVENUE,
+        "part_brand_pricing": SQL_PART_BRAND_PRICING,
+        "supplier_nation_balance": SQL_SUPPLIER_NATION_BALANCE,
     }
 
 
@@ -1855,3 +1861,161 @@ def sql_embed_dupes(sf_dir: str) -> str:
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
         os.replace(tmp, out_path)
     return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+# --------------------------------------------------------------------------
+# round 2: multi-dim star joins over the small TPC-H dims (region/nation/
+# supplier/part) — broadcast-compose the dimension chain once, annotate the
+# fact stream map-side, partial+final aggregate (never shuffle the fact on
+# a dim key).
+# --------------------------------------------------------------------------
+
+
+def q_region_revenue(sf_dir: str):
+    """Q5-family star join: orders → customer → nation → region, revenue by
+    region name. The three dims compose driver-side into ONE sorted
+    (custkey → region_name) lookup broadcast via ray.put; the fact table
+    streams through a single annotate+partial-agg pass."""
+    import pyarrow.parquet as pq_mod
+
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = pq_mod.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq_mod.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq_mod.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+
+    r_names = np.asarray(region["r_name"].to_pylist())
+    r_keys = region["r_regionkey"].to_numpy().astype(np.int64)
+    n_keys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    n_rkeys = nation["n_regionkey"].to_numpy().astype(np.int64)
+    n_order = np.argsort(n_keys)
+    c_keys = cust["c_custkey"].to_numpy().astype(np.int64)
+    c_nkeys = cust["c_nationkey"].to_numpy().astype(np.int64)
+    c_order = np.argsort(c_keys)
+    # compose: custkey -> nationkey -> regionkey -> r_name
+    r_order = np.argsort(r_keys)
+    nat_rname = r_names[r_order[np.searchsorted(r_keys[r_order], n_rkeys)]]
+    cust_rname = nat_rname[n_order[np.searchsorted(n_keys[n_order], c_nkeys[c_order])]]
+    lookup_ref = ray.put((c_keys[c_order], cust_rname))
+
+    def annotate(b: pa.Table) -> pa.Table:
+        keys, rnames = ray.get(lookup_ref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        name = rnames[np.searchsorted(keys, ck)]
+        cents = np.rint(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "region_name": pa.array(name.tolist(), type=pa.string()),
+            "rev_c": pa.array(cents),
+        })
+
+    agg = grouped_stats(orders.map_batches(annotate, batch_format="pyarrow"),
+                        ["region_name"], sum_cols=["rev_c"], count_name="n_orders")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "region_name": b["region_name"],
+            "n_orders": b["n_orders"].cast(pa.int64()),
+            "revenue_c": b["rev_c_sum"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name AS region_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_part_brand_pricing(sf_dir: str):
+    """Q14-family broadcast join: lineitem ⋈ part on partkey (part is the
+    broadcast side), integer-cents revenue by brand — the small-side lookup
+    precedent (reference:location/distance.py:36-44) over a fact stream."""
+    import pyarrow.parquet as pq_mod
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = pq_mod.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    p_keys = part["p_partkey"].to_numpy().astype(np.int64)
+    p_brands = np.asarray(part["p_brand"].to_pylist())
+    order = np.argsort(p_keys)
+    lookup_ref = ray.put((p_keys[order], p_brands[order]))
+
+    def annotate(b: pa.Table) -> pa.Table:
+        keys, brands = ray.get(lookup_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        brand = brands[np.searchsorted(keys, pk)]
+        price_c = np.rint(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(brand.tolist(), type=pa.string()),
+            "rev_u": pa.array(price_c * (100 - disc_c)),
+        })
+
+    agg = grouped_stats(li.map_batches(annotate, batch_format="pyarrow"),
+                        ["p_brand"], sum_cols=["rev_u"], count_name="n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "n_items": b["n_items"].cast(pa.int64()),
+            "revenue_u": b["rev_u_sum"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PART_BRAND_PRICING = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_supplier_nation_balance(sf_dir: str):
+    """supplier ⋈ nation rollup (acctbal cents by nation name) — tiny-table
+    path: whole-dim arrow compute, still expressed as a Dataset for sink
+    compatibility."""
+    import pyarrow.parquet as pq_mod
+
+    sup = read_table(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"], blocks=2)
+    nation = pq_mod.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_keys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    n_names = np.asarray(nation["n_name"].to_pylist())
+    order = np.argsort(n_keys)
+    lookup_ref = ray.put((n_keys[order], n_names[order]))
+
+    def annotate(b: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(b["s_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array(names[np.searchsorted(keys, nk)].tolist(), type=pa.string()),
+            "bal_c": pa.array(cents),
+        })
+
+    agg = grouped_stats(sup.map_batches(annotate, batch_format="pyarrow"),
+                        ["n_name"], sum_cols=["bal_c"], count_name="n_suppliers")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "n_suppliers": b["n_suppliers"].cast(pa.int64()),
+            "acctbal_c": b["bal_c_sum"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_NATION_BALANCE = """
+SELECT n_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -207,7 +207,21 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     import os
     import pathlib
 
-    from pymhealth_ray.state.lineage import resumable_write
+    from pymhealth_ray.state.lineage import params_hash, read_manifests, resumable_write
+
+    import json
+
+    params = {"n_centroids": n_centroids, "seed": seed, "iters": iters,
+              "train_sample": train_sample, "kind": "ivf"}
+    cent_path = pathlib.Path(index_dir) / "centroids.npy"
+    complete_path = pathlib.Path(index_dir) / "_complete.json"
+    if cent_path.exists() and complete_path.exists():
+        try:
+            if json.loads(complete_path.read_text()).get("params_hash") == params_hash(params):
+                # complete index for these params — nothing to do
+                return np.load(cent_path)
+        except (ValueError, OSError):
+            pass
 
     sample_tbl = ds.limit(train_sample).to_pandas()
     sample = np.stack(sample_tbl[emb_col].to_list()).astype(np.float64)
@@ -226,8 +240,7 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(2, 8))
     resumable_write(
         assigned, index_dir, entity_col=id_col, num_buckets=n_centroids,
-        params={"n_centroids": n_centroids, "seed": seed, "iters": iters,
-                "train_sample": train_sample, "kind": "ivf"},
+        params=params,
         bucket_col="centroid",
     )
     p = pathlib.Path(index_dir)
@@ -235,6 +248,9 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     with open(tmp, "wb") as f:
         np.save(f, cent)
     os.replace(tmp, p / "centroids.npy")
+    ctmp = p / "._complete.json.tmp"
+    ctmp.write_text(json.dumps({"params_hash": params_hash(params)}))
+    os.replace(ctmp, p / "_complete.json")
     return cent
 
 
