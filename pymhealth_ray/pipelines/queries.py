@@ -772,7 +772,9 @@ def q_seq_asof_sessions(sf_dir: str):
             }
         )
 
-    dim = st.map_batches(mk_dim, batch_format="pyarrow")
+    # materialize the (small) session-summary dim: asof_join's schema probe
+    # plus the union would otherwise execute the session_stats exchange twice
+    dim = st.map_batches(mk_dim, batch_format="pyarrow").materialize()
     j = asof_join(ds, dim, ["sess_mean", "sess_end"], num_buckets=NB)
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1395,7 +1397,8 @@ def q_seq_asof_salted(sf_dir: str):
             }
         )
 
-    dim = st.map_batches(mk_dim, batch_format="pyarrow")
+    # materialized for the same double-execution reason as seq_asof_sessions
+    dim = st.map_batches(mk_dim, batch_format="pyarrow").materialize()
     j = asof_join_salted(ds, dim, ["sess_mean", "sess_end"], num_buckets=NB, salt_threshold=50)
 
     def finish(b: pa.Table) -> pa.Table:
