@@ -134,15 +134,27 @@ class MinHasher:
         )
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _cached_minhasher(text_col: str, num_hashes: int, shingle_k: int) -> "MinHasher":
+    """Per-worker-process MinHasher cache: the hash family is seeded (every
+    worker builds the identical one), so stateless TASKS can reuse it across
+    batches without paying an actor pool's spin-up — the state is a few KB,
+    not a model."""
+    key = (text_col, num_hashes, shingle_k)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(text_col, num_hashes, shingle_k)
+    return h
+
+
 def minhash_signatures(ds, text_col: str = "text", num_hashes: int = 64, shingle_k: int = 5,
                        concurrency=(2, 8), batch_size: int = 1024):
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, num_hashes, shingle_k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        batch_size=batch_size,
-    )
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_minhasher(text_col, num_hashes, shingle_k)(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 _FNV_PRIME = np.uint64(1099511628211)
