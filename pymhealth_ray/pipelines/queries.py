@@ -180,7 +180,9 @@ def q_events_asof_purchase(sf_dir: str):
         return b.select(["user_id", "ts_us", "value"]).rename_columns(["user_id", "ts_us", "purchase_value"])
 
     facts = ds.map_batches(only_facts, batch_format="pyarrow")
-    dim = ds.map_batches(only_dim, batch_format="pyarrow")
+    # dim (purchases) materialized: it is a small filtered subset, and the
+    # as-of's schema probe + union would otherwise re-run its read twice
+    dim = ds.map_batches(only_dim, batch_format="pyarrow").materialize()
     j = asof_join(facts, dim, ["purchase_value"], entity_col="user_id", ts_col="ts_us", num_buckets=NB)
 
     def finish(b: pa.Table) -> pa.Table:

@@ -225,31 +225,59 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({
             "band_key": pa.array(keys.astype(np.int64)),
             id_col: rep_ids,
+            # group on a bounded hash bucket of the band key, NOT the key
+            # itself: map_groups pays a Python call per group, and a corpus
+            # has ~docs×bands distinct keys — per-key grouping is the
+            # hidden quadratic-constant killer at scale
+            "kbucket": pa.array((keys % np.uint64(1024)).astype(np.int32)),
         })
 
     def make_pairs(tbl: pa.Table) -> pa.Table:
-        n = tbl.num_rows
+        """All candidate pairs of every band-key segment inside one hash
+        bucket, vectorized: one sort, segment boundaries, then triu pair
+        generation batched by segment SIZE (one numpy op per distinct size,
+        not per key)."""
+        import pyarrow.compute as pc
+
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                           "id_b": pa.array([], type=pa.int64())})
-        if n < 2:
+        if tbl.num_rows < 2:
             return empty
-        ids = np.unique(np.asarray(tbl[id_col].to_pylist(), dtype=np.int64))
-        if len(ids) < 2:
-            return empty
-        if len(ids) > max_bucket_size:
+        order = pc.sort_indices(tbl, sort_keys=[("band_key", "ascending"), (id_col, "ascending")])
+        tbl = tbl.take(order)
+        bk = tbl["band_key"].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        change = np.flatnonzero(bk[1:] != bk[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(bk)]]).astype(np.int64)
+        sizes = np.diff(starts)
+        capped = np.minimum(sizes, max_bucket_size)
+        n_trunc = int((sizes > max_bucket_size).sum())
+        if n_trunc:
             import logging
 
             logging.getLogger(__name__).warning(
-                "minhash_lsh_dupes: band bucket of %d docs truncated to %d "
-                "(degenerate band key); pairs beyond the cap are dropped",
-                len(ids), max_bucket_size,
+                "minhash_lsh_dupes: %d band bucket(s) over %d docs truncated "
+                "(degenerate band keys); pairs beyond the cap are dropped",
+                n_trunc, max_bucket_size,
             )
-            ids = ids[:max_bucket_size]
-        iu0, iu1 = np.triu_indices(len(ids), 1)
-        return pa.table({"id_a": pa.array(ids[iu0]), "id_b": pa.array(ids[iu1])})
+        out_a, out_b = [], []
+        for s in np.unique(capped):
+            if s < 2:
+                continue
+            base = starts[:-1][capped == s]
+            iu0, iu1 = np.triu_indices(int(s), 1)
+            out_a.append(ids[(base[:, None] + iu0[None, :]).ravel()])
+            out_b.append(ids[(base[:, None] + iu1[None, :]).ravel()])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = a != b  # guard against 64-bit band-key collisions for one doc
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
-    candidates = exploded.groupby("band_key").map_groups(make_pairs, batch_format="pyarrow")
+    candidates = exploded.groupby("kbucket").map_groups(
+        lambda t: make_pairs(t.drop_columns(["kbucket"])), batch_format="pyarrow")
 
     # candidate pairs repeat across bands → vectorized dedup inside hash
     # buckets of the (bounded) pair set, not a per-pair map_groups call.
