@@ -261,20 +261,35 @@ def q_events_sdann(sf_dir: str):
         entity_col="user_id", ts_col="ts_us", emit_empty=False, num_buckets=NB,
     )
 
-    def per_user(tbl: pa.Table) -> pa.Table:
-        # two-pass std over the (few) window means per user — numerically
-        # equivalent to DuckDB's Welford stddev_pop at 6 decimals
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # two-pass std over the (few) window means per user, vectorized
+        # across ALL users in the bucket (centered bincount sums —
+        # numerically equivalent to DuckDB's Welford stddev_pop at 6
+        # decimals; per-user map_groups would pay a Python call per user)
+        order = pc.sort_indices(tbl, sort_keys=[("user_id", "ascending")])
+        tbl = tbl.take(order)
+        uid = tbl["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(zero_copy_only=False)
         m = tbl["wmean"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = tbl["wstd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes).astype(np.float64)
+        mean_m = np.bincount(codes, weights=m) / cnt
+        var = np.bincount(codes, weights=(m - mean_m[codes]) ** 2) / cnt
+        sdnni = np.bincount(codes, weights=s) / cnt
+        firsts = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]).astype(np.int64)
         return pa.table(
             {
-                "user_id": tbl["user_id"].slice(0, 1),
-                "sdann": pa.array(_round_away(np.array([np.std(m)]), 6)),
-                "sdnni": pa.array(_round_away(np.array([np.mean(s)]), 6)),
+                "user_id": uid.take(pa.array(firsts)),
+                "sdann": pa.array(_round_away(np.sqrt(var), 6)),
+                "sdnni": pa.array(_round_away(sdnni, 6)),
             }
         )
 
-    return wf.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    return grouped_by_bucket(wf, per_bucket, entity_col="user_id", num_buckets=NB)
 
 
 SQL_EVENTS_SDANN = f"""
@@ -308,7 +323,10 @@ def q_events_type_entropy(sf_dir: str):
             {"user_id": pa.array(uniq), "type_entropy": pa.array(_round_away(H, 6))}
         )
 
-    return counts.groupby("user_id").map_groups(finish, batch_format="pyarrow")
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    # bucket-grouped (finish is vectorized across users), not per-user calls
+    return grouped_by_bucket(counts, finish, entity_col="user_id", num_buckets=NB)
 
 
 SQL_EVENTS_TYPE_ENTROPY = """
@@ -1082,18 +1100,34 @@ def q_events_night_stats(sf_dir: str):
 
     filtered = ds.map_batches(night_only, batch_format="pyarrow")
 
-    def per_user(tbl: pa.Table) -> pa.Table:
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # medians/means for every user in the bucket in one pass: sort by
+        # (user, value), segment boundaries, index-arithmetic medians
+        order = pc.sort_indices(tbl, sort_keys=[("user_id", "ascending"), ("value", "ascending")])
+        tbl = tbl.take(order)
+        uid = tbl["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(zero_copy_only=False)
         v = tbl["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes)
+        firsts = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]).astype(np.int64)
+        lo = firsts + (cnt - 1) // 2
+        hi = firsts + cnt // 2
+        median = (v[lo] + v[hi]) / 2.0  # == np.median on the sorted segment
+        mean = np.bincount(codes, weights=v) / cnt
         return pa.table(
             {
-                "user_id": tbl["user_id"].slice(0, 1),
-                "n_night": pa.array([len(v)], type=pa.int64()),
-                "value_median": pa.array(_round_away(np.array([np.median(v)]), 6)),
-                "value_mean": pa.array(_round_away(np.array([np.mean(v)]), 6)),
+                "user_id": uid.take(pa.array(firsts)),
+                "n_night": pa.array(cnt.astype(np.int64)),
+                "value_median": pa.array(_round_away(median, 6)),
+                "value_mean": pa.array(_round_away(mean, 6)),
             }
         )
 
-    return filtered.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    return grouped_by_bucket(filtered, per_bucket, entity_col="user_id", num_buckets=NB)
 
 
 SQL_EVENTS_NIGHT_STATS = """
@@ -1144,16 +1178,26 @@ def q_seq_distinct_sources(sf_dir: str):
     ds, _ = _seq_ds(sf_dir, ["doc_id", "source"])
     pairs = grouped_stats(ds, ["doc_id", "source"])
 
-    def per_doc(tbl: pa.Table) -> pa.Table:
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+        tbl = tbl.take(order)
+        did = tbl["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        codes = did.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        firsts = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]).astype(np.int64)
         return pa.table(
             {
-                "doc_id": tbl["doc_id"].slice(0, 1),
-                "n_sources": pa.array([tbl.num_rows], type=pa.int64()),
-                "n_rows": pa.array([int(np.sum(tbl["n"].to_numpy(zero_copy_only=False)))], type=pa.int64()),
+                "doc_id": did.take(pa.array(firsts)),
+                "n_sources": pa.array(np.bincount(codes).astype(np.int64)),
+                "n_rows": pa.array(np.bincount(codes, weights=n).astype(np.int64)),
             }
         )
 
-    return pairs.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    return grouped_by_bucket(pairs, per_bucket, entity_col="doc_id", num_buckets=NB)
 
 
 def sql_seq_distinct_sources(path: str) -> str:

@@ -62,8 +62,23 @@ def grouped_stats(
                 names.append(f)
         return out.rename_columns(names)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(keys).map_groups(final, batch_format="pyarrow")
+    # group on a bounded hash bucket of the FIRST key, not the key tuple:
+    # map_groups pays a Python call per group, and per-entity aggregates
+    # have corpus-cardinality keys at scale. Every row of a key tuple
+    # shares key[0], so bucketing on it keeps groups intact; the arrow
+    # group_by inside ``final`` does the per-key work vectorized.
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = _stable_bucket_of(batch[keys[0]], 256)
+        return batch.append_column("__aggbucket", pa.array(b, type=pa.int32()))
+
+    def final_bucket(tbl: pa.Table) -> pa.Table:
+        return final(tbl.drop_columns(["__aggbucket"]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        with_bucket, batch_format="pyarrow")
+    return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
 
 def with_squares(ds, cols: List[str]):

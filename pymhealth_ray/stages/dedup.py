@@ -38,23 +38,42 @@ def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", keep_payload:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         digests = [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in arr.to_pylist()]
+        # group on a bounded hash bucket of the digest, not the digest
+        # itself: map_groups costs a Python call per group, and distinct
+        # texts ≈ corpus size (same fix as the LSH band-key grouping)
+        kb = np.fromiter((int(d[:8], 16) for d in digests), dtype=np.uint32,
+                         count=len(digests)) % np.uint32(1024)
         cols = {
             "key_md5": pa.array(digests, type=pa.string()),
             id_col: batch[id_col],
+            "kbucket": pa.array(kb.astype(np.int32)),
         }
         if keep_payload:
             cols[key_col] = batch[key_col]
         return pa.table(cols)
 
-    def pick_first(tbl: pa.Table) -> pa.Table:
+    def pick_firsts(tbl: pa.Table) -> pa.Table:
+        """First (min id) row per digest, vectorized across every digest in
+        the bucket: one sort, segment boundaries, slice-take."""
         import pyarrow.compute as pc
 
-        order = pc.sort_indices(tbl, sort_keys=[(id_col, "ascending")])
-        first = tbl.take(order[:1])
-        return first.append_column("n_dups", pa.array([tbl.num_rows], type=pa.int64()))
+        tbl = tbl.drop_columns(["kbucket"])
+        order = pc.sort_indices(tbl, sort_keys=[("key_md5", "ascending"), (id_col, "ascending")])
+        tbl = tbl.take(order)
+        keys = tbl["key_md5"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        if len(codes) == 0:
+            return tbl.append_column("n_dups", pa.array([], type=pa.int64()))
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        sizes = np.diff(np.concatenate([starts, [len(codes)]])).astype(np.int64)
+        first = tbl.take(pa.array(starts))
+        return first.append_column("n_dups", pa.array(sizes))
 
     keyed = ds.map_batches(to_keyed, batch_format="pyarrow")
-    return keyed.groupby("key_md5").map_groups(pick_first, batch_format="pyarrow")
+    return keyed.groupby("kbucket").map_groups(pick_firsts, batch_format="pyarrow")
 
 
 # --- MinHash + LSH ---------------------------------------------------------
