@@ -25,7 +25,9 @@ def entry() -> Any:
 
     from pymhealth_ray.pipelines.flagship import flagship_features
     from pymhealth_ray.sources.generate import ensure_fixture
+    from pymhealth_ray.tuning import tune_data_context
 
+    tune_data_context()
     path = ensure_fixture("/root/testdata/sf0.001")
     ds = ray.data.read_parquet(path)
     # also touch the driver-provided sf0.001 tables per the contract

@@ -829,6 +829,9 @@ FROM e ASOF LEFT JOIN d ON e.doc_id = d.doc_id AND e.ts_ns >= d.pub_ns
 
 
 def build_queries() -> dict:
+    from pymhealth_ray.tuning import tune_data_context
+
+    tune_data_context()
     return {
         "events_window_1h": q_events_window_1h,
         "events_sessions": q_events_sessions,

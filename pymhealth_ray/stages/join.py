@@ -175,9 +175,10 @@ def equi_join_salted(
       None they are detected exactly with :func:`detect_hot_keys` on the
       left side (one cheap partial-count pass).
 
-    NOTE each input Dataset is consumed twice (hot/cold routing is a filter,
-    not a stream split) — upstream of both sides should be a pruned read or
-    an already-materialized dataset, not an expensive pipeline.
+    NOTE each input Dataset is consumed twice (left: detection + exchange;
+    right: hot-subset collection + exchange) — upstream of both sides should
+    be a pruned read or an already-materialized dataset, not an expensive
+    pipeline.
     """
     import ray
     import pyarrow.compute as pc
@@ -215,35 +216,78 @@ def equi_join_salted(
         )
     hot_ref = ray.put(right_hot_tbl)
 
-    def hot_join(batch: pa.Table) -> pa.Table:
-        # broadcast right-hot subset: ray.get on a plasma ref is a zero-copy
-        # shared-memory read after the first task on a node pulls it —
-        # stateless tasks avoid the actor-pool spin-up a small stage pays
-        tbl = ray.get(hot_ref)
-        joined = batch.join(
-            tbl, keys=[on], join_type=join_type,
-            right_suffix=right_suffix, use_threads=False,
-        )
-        return joined.replace_schema_metadata(None)
-
-    hot_joined = left.map_batches(split(l_cols, True), batch_format="pyarrow").map_batches(
-        hot_join, batch_format="pyarrow",
-    )
-    cold_joined = equi_join(
-        left.map_batches(split(l_cols, False), batch_format="pyarrow"),
-        right.map_batches(split(r_cols, False), batch_format="pyarrow"),
-        on, join_type=join_type, num_buckets=num_buckets, right_suffix=right_suffix,
-    )
-
-    # align column order/types for union (equi_join emits on + l_only + r_only)
-    out_cols = [on] + [c for c in left_schema.names if c != on] + [
-        (c + right_suffix if c in left_schema.names else c)
-        for c in right_schema.names if c != on
+    # SINGLE-EXCHANGE salted plan: one scan of each side, one exchange.
+    # Cold rows bucket by key hash (co-partitioned as in equi_join); hot
+    # LEFT rows get a round-robin bucket instead — evenly spread, so no hot
+    # bucket can form — and join inside their bucket against the broadcast
+    # right-hot table (zero-copy plasma read per task). Hot RIGHT rows are
+    # dropped from the exchange entirely: they ride the broadcast. This
+    # replaces the earlier two-pipeline (hot map-join ∪ cold equi_join)
+    # plan, which scanned the left twice and paid a second execution.
+    l_only = [c for c in left_schema.names if c != on]
+    r_only = [c for c in right_schema.names if c != on]
+    out_cols = [on] + l_only + [
+        (c + right_suffix if c in left_schema.names else c) for c in r_only
     ]
 
-    def reorder(batch: pa.Table) -> pa.Table:
-        return batch.select(out_cols)
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[on]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        hot_mask = pc.is_in(keys, value_set=hot_arr).to_numpy(zero_copy_only=False)
+        b = np.asarray(_stable_bucket_of(keys, num_buckets), dtype=np.int32)
+        b[hot_mask] = np.arange(int(hot_mask.sum()), dtype=np.int32) % num_buckets
+        batch = batch.select([on] + l_only)
+        for c in r_only:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, type=right_schema.field(c).type))
+        batch = batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+        batch = batch.append_column(SIDE_COL, pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        return batch.select(sorted(batch.column_names)).replace_schema_metadata(None)
 
-    return hot_joined.map_batches(reorder, batch_format="pyarrow").union(
-        cold_joined.map_batches(reorder, batch_format="pyarrow")
+    def tag_right_cold(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.invert(pc.is_in(batch[on], value_set=hot_arr)))
+        keys = batch[on]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        b = _stable_bucket_of(keys, num_buckets)
+        batch = batch.select([on] + r_only)
+        for c in l_only:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, type=left_schema.field(c).type))
+        batch = batch.append_column(BUCKET_COL, pa.array(b, type=pa.int32()))
+        batch = batch.append_column(SIDE_COL, pa.array(np.ones(batch.num_rows, dtype=np.int8)))
+        return batch.select(sorted(batch.column_names)).replace_schema_metadata(None)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl[SIDE_COL]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        s = side.to_numpy(zero_copy_only=False)
+        left_tbl = tbl.filter(pa.array(s == 0)).select([on] + l_only)
+        right_tbl = tbl.filter(pa.array(s == 1)).select([on] + r_only)
+        hot_mask = pc.is_in(left_tbl[on], value_set=hot_arr)
+        lc = left_tbl.filter(pc.invert(hot_mask))
+        lh = left_tbl.filter(hot_mask)
+        parts = []
+        if lc.num_rows:
+            parts.append(
+                lc.join(right_tbl, keys=[on], join_type=join_type,
+                        right_suffix=right_suffix, use_threads=False).select(out_cols)
+            )
+        if lh.num_rows:
+            parts.append(
+                lh.join(ray.get(hot_ref), keys=[on], join_type=join_type,
+                        right_suffix=right_suffix, use_threads=False).select(out_cols)
+            )
+        if not parts:
+            empty_schema = pa.schema(
+                [(c, left_schema.field(c).type) for c in [on] + l_only]
+                + [(c + right_suffix if c in left_schema.names else c,
+                    right_schema.field(c).type) for c in r_only]
+            )
+            return pa.table({f.name: pa.array([], type=f.type) for f in empty_schema}).select(out_cols)
+        return pa.concat_tables(parts).replace_schema_metadata(None)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right_cold, batch_format="pyarrow")
     )
+    return unioned.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
