@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "embed_knn_ivf",
     "events_geo_clusters",
     "embed_dupes",
+    "events_orders_range_join",
 ]
 
 

@@ -879,6 +879,7 @@ def build_queries() -> dict:
         "region_revenue": q_region_revenue,
         "part_brand_pricing": q_part_brand_pricing,
         "supplier_nation_balance": q_supplier_nation_balance,
+        "events_orders_range_join": q_events_orders_range_join,
     }
 
 
@@ -936,6 +937,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "region_revenue": SQL_REGION_REVENUE,
         "part_brand_pricing": SQL_PART_BRAND_PRICING,
         "supplier_nation_balance": SQL_SUPPLIER_NATION_BALANCE,
+        "events_orders_range_join": SQL_EVENTS_ORDERS_RANGE_JOIN,
     }
 
 
@@ -2070,4 +2072,76 @@ SELECT n_name, count(*) AS n_suppliers,
        CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# round 2: distributed range (interval) join
+# --------------------------------------------------------------------------
+
+_RJ_BASE24 = 1704067200000000       # epoch us of 2024-01-01 (events domain)
+_RJ_BASE95 = 788918400000000        # epoch us of 1995-01-01 (orders domain)
+_RJ_SPAN = 2505600000000            # 29 days in us (events table span)
+_RJ_LEN = 43200000000               # 12 h interval length in us
+
+
+def q_events_orders_range_join(sf_dir: str):
+    """Range join through stages.rangejoin: each event matched to every
+    12-hour interval (derived deterministically from orders, remapped into
+    the events' time domain) containing its timestamp. Exercises the
+    chunk-replicated plan (time_chunk = interval length → each interval
+    lands in <= 2 chunk groups); intervals per entity overlap heavily
+    (o_custkey % 150 folds 10 custkeys onto each entity at sf0.1)."""
+    from pymhealth_ray.stages.rangejoin import range_join
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def mk_fact(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        start = _RJ_BASE24 + (od - _RJ_BASE95) % _RJ_SPAN
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "entity": pa.array(ck % 150),
+            "start_us": pa.array(start),
+            "end_us": pa.array(start + _RJ_LEN),
+            "o_orderkey": b["o_orderkey"],
+        })
+
+    j = range_join(
+        ev.map_batches(mk_fact, batch_format="pyarrow"),
+        orders.map_batches(mk_intervals, batch_format="pyarrow"),
+        entity_col="entity", ts_col="ts_us", start_col="start_us", end_col="end_us",
+        join_type="inner", num_buckets=NB, time_chunk_us=_RJ_LEN,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "o_orderkey": b["o_orderkey"],
+            "entity": b["entity"].cast(pa.int64()),
+            "ts_us": b["ts_us"],
+            "start_us": b["start_us"],
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ORDERS_RANGE_JOIN = """
+WITH iv AS (
+  SELECT o_orderkey, o_custkey % 150 AS entity,
+         1704067200000000 + ((epoch_us(o_orderdate) - 788918400000000) % 2505600000000) AS start_us
+  FROM orders
+)
+SELECT e.event_id, iv.o_orderkey, CAST(e.user_id AS BIGINT) AS entity,
+       epoch_us(e.ts) AS ts_us, iv.start_us
+FROM events e JOIN iv ON e.user_id = iv.entity
+  AND epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.start_us + 43200000000
 """
