@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "events_geo_clusters",
     "embed_dupes",
     "events_orders_range_join",
+    "docs_topk_chars",
 ]
 
 

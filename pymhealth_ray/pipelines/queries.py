@@ -880,6 +880,7 @@ def build_queries() -> dict:
         "part_brand_pricing": q_part_brand_pricing,
         "supplier_nation_balance": q_supplier_nation_balance,
         "events_orders_range_join": q_events_orders_range_join,
+        "docs_topk_chars": q_docs_topk_chars,
     }
 
 
@@ -938,6 +939,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_brand_pricing": SQL_PART_BRAND_PRICING,
         "supplier_nation_balance": SQL_SUPPLIER_NATION_BALANCE,
         "events_orders_range_join": SQL_EVENTS_ORDERS_RANGE_JOIN,
+        "docs_topk_chars": SQL_DOCS_TOPK_CHARS,
     }
 
 
@@ -2144,4 +2146,39 @@ SELECT e.event_id, iv.o_orderkey, CAST(e.user_id AS BIGINT) AS entity,
        epoch_us(e.ts) AS ts_us, iv.start_us
 FROM events e JOIN iv ON e.user_id = iv.entity
   AND epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.start_us + 43200000000
+"""
+
+
+def q_docs_topk_chars(sf_dir: str):
+    """Top-3 documents per (lang, source) by length through
+    stages.aggregate.grouped_topk (map-side per-block top-k partials →
+    bucket exchange → final top-k with rank), row_number semantics with
+    doc_id tie-break."""
+    from pymhealth_ray.stages.aggregate import grouped_topk
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    top = grouped_topk(docs, ["lang", "source"], "n_chars", k=3,
+                       descending=True, tie_cols=["doc_id"], rank_name="rn",
+                       num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "source": b["source"],
+            "doc_id": b["doc_id"],
+            "n_chars": b["n_chars"],
+            "rn": b["rn"],
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_TOPK_CHARS = """
+SELECT lang, source, doc_id, n_chars, rn FROM (
+  SELECT lang, source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang, source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+  FROM documents) t
+WHERE rn <= 3
 """

@@ -94,3 +94,87 @@ def with_squares(ds, cols: List[str]):
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _topk_rows(tbl: pa.Table, group_cols, order_col, k, descending, tie_cols,
+               rank_name=None) -> pa.Table:
+    """Vectorized top-k per group within one table: composite group code →
+    single lexsort → positional cutoff. No per-group Python."""
+    if tbl.num_rows == 0:
+        if rank_name:
+            tbl = tbl.append_column(rank_name, pa.array([], type=pa.int64()))
+        return tbl
+    gid = np.zeros(tbl.num_rows, dtype=np.int64)
+    for c in group_cols:
+        col = tbl[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = gid * (len(enc.dictionary) + 1) + codes
+    ov = tbl[order_col]
+    if isinstance(ov, pa.ChunkedArray):
+        ov = ov.combine_chunks()
+    ov = ov.to_numpy(zero_copy_only=False)
+    if descending:
+        ov = -ov
+    ties = []
+    for c in tie_cols:
+        tc = tbl[c]
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        ties.append(tc.to_numpy(zero_copy_only=False))
+    idx = np.lexsort(tuple(reversed(ties)) + (ov, gid))
+    gs = gid[idx]
+    starts = np.ones(len(gs), dtype=bool)
+    starts[1:] = gs[1:] != gs[:-1]
+    start_pos = np.flatnonzero(starts)
+    counts = np.diff(np.append(start_pos, len(gs)))
+    pos = np.arange(len(gs)) - np.repeat(start_pos, counts)
+    keep = pos < k
+    out = tbl.take(pa.array(idx[keep]))
+    if rank_name:
+        out = out.append_column(rank_name, pa.array(pos[keep] + 1, type=pa.int64()))
+    return out.replace_schema_metadata(None)
+
+
+def grouped_topk(
+    ds,
+    group_cols: List[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: List[str] | None = None,
+    rank_name: str | None = None,
+    num_buckets: int = 256,
+):
+    """Distributed top-k rows per group — SQL
+    ``row_number() OVER (PARTITION BY group ORDER BY order_col [DESC],
+    tie_cols) <= k`` semantics.
+
+    Map-side partial: every block keeps only its own top-k per group, so the
+    exchange carries at most k rows per (group, block) — the combiner
+    pattern applied to order statistics. Final: bucket exchange on
+    ``group_cols[0]``'s hash (every row of a group tuple shares it; bounded
+    bucket count keeps map_groups calls off the per-group Python path) and
+    one more vectorized top-k with rank emission. ``order_col`` must be
+    numeric for ``descending=True`` (negation trick); ties must be broken
+    by ``tie_cols`` for a deterministic result.
+    """
+    tie_cols = list(tie_cols or [])
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _topk_rows(batch, group_cols, order_col, k, descending, tie_cols)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = _stable_bucket_of(batch[group_cols[0]], num_buckets)
+        return batch.append_column("__aggbucket", pa.array(b, type=pa.int32()))
+
+    def final_bucket(tbl: pa.Table) -> pa.Table:
+        return _topk_rows(tbl.drop_columns(["__aggbucket"]), group_cols,
+                          order_col, k, descending, tie_cols, rank_name)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        with_bucket, batch_format="pyarrow")
+    return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")

@@ -621,3 +621,57 @@ class TestMultimodalRound2:
         assert len(emb) == 16
         assert all(len(v) == 8 for v in emb.embedding)
         assert "thumb_vec" not in emb.columns
+
+
+class TestGroupedTopK:
+    @staticmethod
+    def _pandas_topk(df, k, descending):
+        import pandas as pd
+        asc = [not descending, True]
+        out = (
+            df.sort_values(["v", "i"], ascending=asc)
+            .groupby(["g1", "g2"], sort=False)
+            .head(k)
+            .copy()
+        )
+        out["rn"] = out.groupby(["g1", "g2"], sort=False).cumcount() + 1
+        return out.sort_values(["g1", "g2", "rn"]).reset_index(drop=True)
+
+    @pytest.mark.parametrize("descending", [True, False])
+    @pytest.mark.parametrize("blocks", [1, 7])
+    def test_matches_pandas(self, ray_session, descending, blocks):
+        import pandas as pd
+        from pymhealth_ray.stages.aggregate import grouped_topk
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "g1": rng.choice(["a", "b", "c"], 500),
+            "g2": rng.integers(0, 5, 500),
+            "v": rng.integers(0, 40, 500),  # plenty of ties
+            "i": np.arange(500),
+        })
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            grouped_topk(ds, ["g1", "g2"], "v", k=4, descending=descending,
+                         tie_cols=["i"], rank_name="rn", num_buckets=8)
+            .to_pandas()
+            .sort_values(["g1", "g2", "rn"])
+            .reset_index(drop=True)
+        )
+        want = self._pandas_topk(df, 4, descending)
+        pd.testing.assert_frame_equal(
+            got[["g1", "g2", "v", "i", "rn"]].astype({"g2": "int64", "rn": "int64"}),
+            want[["g1", "g2", "v", "i", "rn"]].astype({"g2": "int64", "rn": "int64"}),
+            check_dtype=False,
+        )
+
+    def test_k_larger_than_group(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.aggregate import grouped_topk
+
+        df = pd.DataFrame({"g1": ["x", "x", "y"], "g2": [0, 0, 0],
+                           "v": [3, 1, 2], "i": [0, 1, 2]})
+        got = grouped_topk(ray.data.from_pandas(df), ["g1", "g2"], "v", k=10,
+                           tie_cols=["i"], rank_name="rn").to_pandas()
+        assert len(got) == 3
+        assert got.sort_values(["g1", "rn"]).rn.tolist() == [1, 2, 1]
