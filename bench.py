@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embed_dupes",
     "events_orders_range_join",
     "docs_topk_chars",
+    "seq_quantiles",
 ]
 
 

@@ -881,6 +881,7 @@ def build_queries() -> dict:
         "supplier_nation_balance": q_supplier_nation_balance,
         "events_orders_range_join": q_events_orders_range_join,
         "docs_topk_chars": q_docs_topk_chars,
+        "seq_quantiles": q_seq_quantiles,
     }
 
 
@@ -940,6 +941,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "supplier_nation_balance": SQL_SUPPLIER_NATION_BALANCE,
         "events_orders_range_join": SQL_EVENTS_ORDERS_RANGE_JOIN,
         "docs_topk_chars": SQL_DOCS_TOPK_CHARS,
+        "seq_quantiles": sql_seq_quantiles(path),
     }
 
 
@@ -2181,4 +2183,39 @@ SELECT lang, source, doc_id, n_chars, rn FROM (
                                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
   FROM documents) t
 WHERE rn <= 3
+"""
+
+
+def q_seq_quantiles(sf_dir: str):
+    """Per-source EXACT quantiles of sequence length via
+    stages.aggregate.grouped_quantiles (value-histogram combiner →
+    one-searchsorted CDF readout; quantile_disc semantics)."""
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+    ds, _ = _seq_ds(sf_dir, ["source", "n_tok"])
+    out = grouped_quantiles(ds, ["source"], "n_tok", qs=(0.25, 0.5, 0.75, 0.9),
+                            num_buckets=NB, count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "q25": b["q25"].cast(pa.int64()),
+            "q50": b["q50"].cast(pa.int64()),
+            "q75": b["q75"].cast(pa.int64()),
+            "q90": b["q90"].cast(pa.int64()),
+            "n": b["n"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_quantiles(path: str) -> str:
+    return f"""
+SELECT source,
+       CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS q90,
+       count(*) AS n
+FROM read_parquet('{path}/part-*.parquet') GROUP BY source
 """

@@ -178,3 +178,93 @@ def grouped_topk(
     partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         with_bucket, batch_format="pyarrow")
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
+
+
+def grouped_quantiles(
+    ds,
+    group_cols: List[str],
+    value_col: str,
+    qs=(0.25, 0.5, 0.75),
+    num_buckets: int = 256,
+    count_name: str = "n",
+):
+    """EXACT distributed per-group quantiles for discrete-valued columns —
+    SQL ``quantile_disc``/``percentile_disc`` semantics
+    (``sorted[ceil(q*n)-1]``, verified against DuckDB over randomized
+    cases including float-rounding edges like q=0.1, n=30).
+
+    Combiner pattern on the VALUE HISTOGRAM: each block collapses to one
+    row per (group, distinct value) via Arrow hash aggregation, so the
+    exchange carries |distinct values| rows per (group, block) — not the
+    data. Works whenever the value domain is bounded (token counts,
+    lengths, scores); for unbounded continuous values use a sketch
+    instead. Final pass merges histograms per bucket and reads all
+    quantiles off the per-group CDF with one searchsorted — the trick:
+    within a group the cumulative count is strictly increasing, so
+    ``segment_id * M + cum`` is globally sorted and one searchsorted of
+    ``segment_id * M + target`` answers every (group, q) pair at once.
+    """
+    qs = list(qs)
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(group_cols + [value_col]).aggregate([([], "count_all")])
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = _stable_bucket_of(batch[group_cols[0]], num_buckets)
+        return batch.append_column("__aggbucket", pa.array(b, type=pa.int32()))
+
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
+
+    def final_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__aggbucket"])
+        # merge partial histograms
+        tbl = tbl.group_by(group_cols + [value_col]).aggregate([("count_all", "sum")])
+        if tbl.num_rows == 0:
+            cols = {c: tbl[c] for c in group_cols}
+            for qn in q_names:
+                cols[qn] = pa.array([], type=tbl[value_col].type)
+            cols[count_name] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        gid = np.zeros(tbl.num_rows, dtype=np.int64)
+        for c in group_cols:
+            col = tbl[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = col.dictionary_encode()
+            gid = gid * (len(enc.dictionary) + 1) + enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        vcol = tbl[value_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False)
+        c = tbl["count_all_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, gid))
+        g, v, c = gid[order], v[order], c[order]
+        starts = np.ones(len(g), dtype=bool)
+        starts[1:] = g[1:] != g[:-1]
+        start_pos = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(start_pos, len(g)))
+        seg_id = np.repeat(np.arange(len(start_pos)), seg_len)
+        cs = np.cumsum(c)
+        base = np.repeat(cs[start_pos] - c[start_pos], seg_len)
+        cum = cs - base                      # cumulative count within group
+        n_g = np.add.reduceat(c, start_pos)  # group totals
+        M = int(n_g.max()) + 1
+        key = seg_id * M + cum
+        out_cols = {}
+        first_row = order[start_pos]
+        for col_name in group_cols:
+            out_cols[col_name] = tbl[col_name].take(pa.array(first_row))
+        for q, qn in zip(qs, q_names):
+            # DuckDB quantile_disc: element at 1-based rank ceil(q*n),
+            # same double arithmetic (no epsilon)
+            target = np.maximum(np.ceil(q * n_g), 1.0).astype(np.int64)
+            pos = np.searchsorted(key, np.arange(len(n_g)) * M + target, side="left")
+            out_cols[qn] = pa.array(v[pos])
+        out_cols[count_name] = pa.array(n_g, type=pa.int64())
+        return pa.table(out_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        with_bucket, batch_format="pyarrow")
+    return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")

@@ -675,3 +675,46 @@ class TestGroupedTopK:
                            tie_cols=["i"], rank_name="rn").to_pandas()
         assert len(got) == 3
         assert got.sort_values(["g1", "rn"]).rn.tolist() == [1, 2, 1]
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb_randomized(self, ray_session):
+        import duckdb
+        import pandas as pd
+        from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", "d"], 800),
+            "v": rng.integers(0, 30, 800),
+        })
+        qs = (0.1, 0.25, 0.5, 2 / 3, 0.9)
+        got = (
+            grouped_quantiles(ray.data.from_pandas(df).repartition(5), ["g"], "v",
+                              qs=qs, num_buckets=4)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        cols = ", ".join(
+            f"quantile_disc(v, {q!r}) AS q{int(round(q*100))}" for q in qs
+        )
+        want = con.execute(
+            f"SELECT g, {cols}, count(*) AS n FROM df GROUP BY g ORDER BY g"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_block_count_invariant(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame({"g": rng.choice(["x", "y"], 300),
+                           "v": rng.integers(0, 10, 300)})
+        outs = []
+        for blocks in (1, 9):
+            outs.append(
+                grouped_quantiles(ray.data.from_pandas(df).repartition(blocks),
+                                  ["g"], "v", num_buckets=8)
+                .to_pandas().sort_values("g").reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
