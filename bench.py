@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "events_orders_range_join",
     "docs_topk_chars",
     "seq_quantiles",
+    "docs_approx_distinct",
 ]
 
 

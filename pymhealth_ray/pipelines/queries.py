@@ -882,6 +882,7 @@ def build_queries() -> dict:
         "events_orders_range_join": q_events_orders_range_join,
         "docs_topk_chars": q_docs_topk_chars,
         "seq_quantiles": q_seq_quantiles,
+        "docs_approx_distinct": q_docs_approx_distinct,
     }
 
 
@@ -942,6 +943,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_orders_range_join": SQL_EVENTS_ORDERS_RANGE_JOIN,
         "docs_topk_chars": SQL_DOCS_TOPK_CHARS,
         "seq_quantiles": sql_seq_quantiles(path),
+        "docs_approx_distinct": _docs_materialized_oracle(
+            sf_dir_for_fixture, "hll_distinct_v1", _hll_expected_docs,
+            columns=("lang", "text")),
     }
 
 
@@ -1780,7 +1784,8 @@ def sql_seq_rpeaks(path: str) -> str:
     return _materialized_oracle(path, "rpeaks_v1", _rpeaks_expected)
 
 
-def _docs_materialized_oracle(sf_dir: str, name: str, builder) -> str:
+def _docs_materialized_oracle(sf_dir: str, name: str, builder,
+                              columns=("doc_id", "text")) -> str:
     """Materialized-oracle helper over the documents TABLE (not the
     sequences fixture): builder(texts_df) -> expected DataFrame, written
     once under the fixture cache, returned as a SQL passthrough."""
@@ -1794,7 +1799,7 @@ def _docs_materialized_oracle(sf_dir: str, name: str, builder) -> str:
     out_path = os.path.join(out_dir, f"{name}.parquet")
     if not os.path.exists(out_path):
         os.makedirs(out_dir, exist_ok=True)
-        src = pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        src = pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=list(columns))
         exp = builder(src.to_pandas())
         tmp = out_path + ".tmp"
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
@@ -2219,3 +2224,32 @@ SELECT source,
        count(*) AS n
 FROM read_parquet('{path}/part-*.parquet') GROUP BY source
 """
+
+
+def q_docs_approx_distinct(sf_dir: str):
+    """Mergeable-HLL approximate distinct texts per language
+    (stages.sketch). Register max-merge is order-free, so the distributed
+    result is bit-identical to the single-process reference the
+    materialized oracle runs — an exactness check on an approximate
+    operator."""
+    from pymhealth_ray.stages.sketch import grouped_approx_distinct
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    out = grouped_approx_distinct(docs, ["lang"], "text", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "approx_distinct": b["approx_distinct"],
+            "n_rows": b["n_rows"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _hll_expected_docs(df):
+    from pymhealth_ray.stages.sketch import hll_expected
+
+    exp = hll_expected(df.text.values, df.lang.values)
+    return exp.rename(columns={"g": "lang", "est": "approx_distinct",
+                               "n": "n_rows"})

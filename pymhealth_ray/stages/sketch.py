@@ -1,0 +1,176 @@
+"""Mergeable HyperLogLog sketch — approximate distinct counting at scale.
+
+The reference counts distinct clusters by materializing the whole label
+array (reference:location/distribution.py:58-65 ``num_clusters`` =
+``len(np.unique(...))``); that is exact but O(data) per group. This is the
+100TB form: each block collapses to a fixed 2^p-byte register array per
+group (the Flajolet–Fuss–Gandouet–Meunier HLL, public-domain algorithm),
+registers merge by elementwise max — associative and commutative, so the
+result is BIT-IDENTICAL regardless of block count or merge order — and the
+exchange carries m bytes per (group, block) instead of the values.
+
+Determinism: 64-bit splitmix64 for integer values, md5-prefix for strings
+(hashed once per distinct value per batch). Estimator: alpha_m * m^2 /
+sum(2^-M_j) with linear-counting small-range correction; no large-range
+correction needed at 64-bit. Standard error ~= 1.04/sqrt(m) (p=12 ->
+~1.6%).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import _stable_bucket_of
+
+_REG_COL = "__hll_regs"
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D9ECA9AAC582A3)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash64(col: pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return _splitmix64(col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64))
+    # strings / binary: md5 prefix, computed once per DISTINCT value
+    enc = col.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(
+            v.encode() if isinstance(v, str) else v).digest()[:8], "little")
+         for v in uniq),
+        dtype=np.uint64, count=len(uniq),
+    )
+    return h[idx]
+
+
+def _registers(gid: np.ndarray, hashes: np.ndarray, n_groups: int, p: int) -> np.ndarray:
+    """(n_groups, m) uint8 register matrix: max rho per (group, register)."""
+    m = 1 << p
+    reg_idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes & np.uint64((1 << (64 - p)) - 1)
+    # rho = leading-zero count of the remaining (64-p) bits + 1; rest < 2^52
+    # for p >= 12 so float64 log2 is exact
+    rho = np.where(
+        rest == 0, 64 - p + 1,
+        (64 - p) - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+    ).astype(np.uint8)
+    flat = gid * m + reg_idx
+    order = np.argsort(flat, kind="stable")
+    fs, rs = flat[order], rho[order]
+    starts = np.ones(len(fs), dtype=bool)
+    starts[1:] = fs[1:] != fs[:-1]
+    start_pos = np.flatnonzero(starts)
+    regs = np.zeros(n_groups * m, dtype=np.uint8)
+    if len(start_pos):
+        regs[fs[start_pos]] = np.maximum.reduceat(rs, start_pos)
+    return regs.reshape(n_groups, m)
+
+
+def _estimate(regs: np.ndarray) -> np.ndarray:
+    """HLL estimate per row of an (n_groups, m) register matrix."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = np.sum(regs == 0, axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        linear = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    return np.where(small, linear, est)
+
+
+def grouped_approx_distinct(
+    ds,
+    group_cols: List[str],
+    value_col: str,
+    p: int = 12,
+    est_name: str = "approx_distinct",
+    count_name: str = "n_rows",
+    num_buckets: int = 64,
+):
+    """Approximate COUNT(DISTINCT value) per group via mergeable HLL
+    sketches: per-block register partials → bucket exchange (m bytes per
+    group-block) → elementwise-max merge → estimate. Deterministic and
+    partitioning-invariant (see module doc)."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gid = np.zeros(batch.num_rows, dtype=np.int64)
+        dicts = []
+        for c in group_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = col.dictionary_encode()
+            dicts.append(enc)
+            gid = gid * (len(enc.dictionary) + 1) + enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        uniq_gid, first_row, inv = np.unique(gid, return_index=True, return_inverse=True)
+        hashes = _hash64(batch[value_col])
+        regs = _registers(inv, hashes, len(uniq_gid), p)
+        counts = np.bincount(inv, minlength=len(uniq_gid)).astype(np.int64)
+        cols = {c: batch[c].take(pa.array(first_row)) for c in group_cols}
+        cols[_REG_COL] = pa.FixedSizeListArray.from_arrays(
+            pa.array(regs.reshape(-1), type=pa.uint8()), m)
+        cols[count_name] = pa.array(counts)
+        out = pa.table(cols)
+        b = _stable_bucket_of(out[group_cols[0]], num_buckets)
+        return out.append_column("__aggbucket", pa.array(b, type=pa.int32()))
+
+    def final_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__aggbucket"])
+        gid = np.zeros(tbl.num_rows, dtype=np.int64)
+        for c in group_cols:
+            col = tbl[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = col.dictionary_encode()
+            gid = gid * (len(enc.dictionary) + 1) + enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        reg_col = tbl[_REG_COL]
+        if isinstance(reg_col, pa.ChunkedArray):
+            reg_col = reg_col.combine_chunks()
+        regs = np.asarray(reg_col.values.to_numpy(zero_copy_only=False),
+                          dtype=np.uint8).reshape(tbl.num_rows, -1)
+        order = np.argsort(gid, kind="stable")
+        gs = gid[order]
+        starts = np.ones(len(gs), dtype=bool)
+        starts[1:] = gs[1:] != gs[:-1]
+        start_pos = np.flatnonzero(starts)
+        merged = np.maximum.reduceat(regs[order], start_pos, axis=0)
+        counts = np.add.reduceat(
+            tbl[count_name].to_numpy(zero_copy_only=False)[order], start_pos)
+        first_row = order[start_pos]
+        cols = {c: tbl[c].take(pa.array(first_row)) for c in group_cols}
+        cols[est_name] = pa.array(np.round(_estimate(merged), 6))
+        cols[count_name] = pa.array(counts.astype(np.int64))
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
+
+
+def hll_expected(values, group_keys, p: int = 12):
+    """Single-process reference implementation (oracle): same registers,
+    same estimator, no partitioning — must agree bit-for-bit with the
+    distributed form because max-merge is order-free."""
+    import pandas as pd
+
+    df = pd.DataFrame({"g": group_keys})
+    codes, uniques = pd.factorize(df.g, sort=True)
+    col = pa.array(values)
+    hashes = _hash64(col)
+    regs = _registers(codes.astype(np.int64), hashes, len(uniques), p)
+    est = np.round(_estimate(regs), 6)
+    n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    return pd.DataFrame({"g": uniques, "est": est, "n": n})

@@ -718,3 +718,50 @@ class TestGroupedQuantiles:
                 .to_pandas().sort_values("g").reset_index(drop=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestHLLSketch:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages import sketch
+
+        rng = np.random.default_rng(3)
+        # two groups with known distinct cardinalities (with repeats)
+        a_vals = rng.integers(0, 5000, 12000)   # ~4546 distinct expected
+        b_vals = rng.integers(0, 300, 3000)
+        df = pd.DataFrame({
+            "g": ["a"] * len(a_vals) + ["b"] * len(b_vals),
+            "v": np.concatenate([a_vals, b_vals]),
+        })
+        outs = []
+        for blocks in (1, 11):
+            out = (
+                sketch.grouped_approx_distinct(
+                    ray.data.from_pandas(df).repartition(blocks), ["g"], "v")
+                .to_pandas().sort_values("g").reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical merge
+        exact = df.groupby("g").v.nunique()
+        for _, r in outs[0].iterrows():
+            assert abs(r.approx_distinct - exact[r.g]) / exact[r.g] < 0.05
+        assert outs[0].n_rows.sum() == len(df)
+
+    def test_matches_single_process_reference(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages import sketch
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y", "z"], 4000),
+            "v": rng.choice([f"tok{i}" for i in range(900)], 4000),
+        })
+        got = (
+            sketch.grouped_approx_distinct(
+                ray.data.from_pandas(df).repartition(7), ["g"], "v")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        want = sketch.hll_expected(df.v.values, df.g.values).sort_values("g").reset_index(drop=True)
+        assert got.g.tolist() == want.g.tolist()
+        assert np.array_equal(got.approx_distinct.values, want.est.values)
+        assert np.array_equal(got.n_rows.values, want.n.values)
