@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "docs_topk_chars",
     "seq_quantiles",
     "docs_approx_distinct",
+    "docs_split_sample",
 ]
 
 

@@ -883,6 +883,7 @@ def build_queries() -> dict:
         "docs_topk_chars": q_docs_topk_chars,
         "seq_quantiles": q_seq_quantiles,
         "docs_approx_distinct": q_docs_approx_distinct,
+        "docs_split_sample": q_docs_split_sample,
     }
 
 
@@ -943,6 +944,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_orders_range_join": SQL_EVENTS_ORDERS_RANGE_JOIN,
         "docs_topk_chars": SQL_DOCS_TOPK_CHARS,
         "seq_quantiles": sql_seq_quantiles(path),
+        "docs_split_sample": SQL_DOCS_SPLIT_SAMPLE,
         "docs_approx_distinct": _docs_materialized_oracle(
             sf_dir_for_fixture, "hll_distinct_v1", _hll_expected_docs,
             columns=("lang", "text")),
@@ -2253,3 +2255,33 @@ def _hll_expected_docs(df):
     exp = hll_expected(df.text.values, df.lang.values)
     return exp.rename(columns={"g": "lang", "est": "approx_distinct",
                                "n": "n_rows"})
+
+
+def q_docs_split_sample(sf_dir: str):
+    """Deterministic keyed sampling + train/eval split (stages.sample):
+    keep ~50% of documents by doc_id hash, label ~10% of the kept set as
+    eval — map-only, rerun-stable, and exactly reproducible in SQL (the
+    oracle runs the same md5-prefix predicate)."""
+    from pymhealth_ray.stages.sample import hash_sample, split_train_eval
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    kept = hash_sample(docs, "doc_id", 0.5, salt="k")
+    out = split_train_eval(kept, "doc_id", eval_fraction=0.1, salt="s")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "split": b["split"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_SPLIT_SAMPLE = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-s'), 1, 8) < '19999999'
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-k'), 1, 8) < '80000000'
+"""

@@ -1,0 +1,79 @@
+"""Deterministic hash-based sampling and train/eval splitting.
+
+Training-data pipelines need samples and splits that are (a) reproducible
+across reruns and cluster sizes, (b) computable map-only (no shuffle, no
+global state), and (c) consistent for the same key everywhere — the same
+document must land in the same split in every job that ever touches it.
+Random sampling gives none of these; keyed hashing gives all three.
+
+Rule: a row is kept (or assigned a split) by comparing the first 8 hex
+chars of ``md5(f"{key}-{salt}")`` against the fraction's threshold —
+lowercase-hex lexicographic order equals numeric order, so the exact same
+predicate runs in any SQL engine (``substr(md5(...),1,8) < '...'``), which
+is how the driver oracle checks it. md5 is uniform enough that the kept
+fraction converges to the target at corpus scale (binomial error only).
+
+Map-only: each batch filters independently; hashing is done once per
+DISTINCT key per batch (dictionary-encode first). Stateless tasks — no
+actor pool needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hex8(col, salt: str) -> np.ndarray:
+    """First 8 md5 hex chars of f"{value}-{salt}" per row, hashed once per
+    distinct value within the batch."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    h = np.array(
+        [hashlib.md5(f"{v}-{salt}".encode()).hexdigest()[:8] for v in uniq],
+        dtype=object,
+    )
+    return h[idx]
+
+
+def _threshold_hex(fraction: float) -> str:
+    """8-hex-digit threshold: P(md5-prefix < threshold) == fraction up to
+    1/16^8 quantization."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def hash_sample(ds, key_col: str, fraction: float, salt: str = "0"):
+    """Keep ~``fraction`` of rows, keyed on ``key_col``: deterministic,
+    rerun-stable, and consistent — every row of a key is kept or dropped
+    together. SQL-equivalent predicate:
+    ``substr(md5(key || '-' || salt), 1, 8) < '<threshold>'``."""
+    thr = _threshold_hex(fraction)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = _hex8(batch[key_col], salt) < thr
+        return batch.filter(pa.array(keep.astype(bool)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_train_eval(ds, key_col: str, eval_fraction: float = 0.1,
+                     salt: str = "0", split_name: str = "split"):
+    """Append a ``split`` column ('eval' below the hash threshold, 'train'
+    otherwise). Same guarantees as :func:`hash_sample`; the complementary
+    predicate means train/eval are disjoint and exhaustive by
+    construction."""
+    thr = _threshold_hex(eval_fraction)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        is_eval = _hex8(batch[key_col], salt) < thr
+        lab = np.where(is_eval.astype(bool), "eval", "train")
+        return batch.append_column(split_name, pa.array(lab.tolist(), type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

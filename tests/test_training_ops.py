@@ -765,3 +765,38 @@ class TestHLLSketch:
         assert got.g.tolist() == want.g.tolist()
         assert np.array_equal(got.approx_distinct.values, want.est.values)
         assert np.array_equal(got.n_rows.values, want.n.values)
+
+
+class TestHashSample:
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.sample import hash_sample, split_train_eval
+
+        df = pd.DataFrame({"k": np.arange(5000), "x": np.arange(5000) * 2})
+        outs = []
+        for blocks in (1, 13):
+            ds = ray.data.from_pandas(df).repartition(blocks)
+            outs.append(hash_sample(ds, "k", 0.3, salt="t")
+                        .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # fraction converges (binomial: 5000 draws, p=0.3 -> +-2%)
+        assert abs(len(outs[0]) / 5000 - 0.3) < 0.02
+        # split is exhaustive + disjoint and consistent per key
+        sp = split_train_eval(ray.data.from_pandas(df), "k", 0.1, salt="t").to_pandas()
+        assert set(sp.split.unique()) <= {"train", "eval"}
+        assert len(sp) == 5000
+        assert abs((sp.split == "eval").mean() - 0.1) < 0.02
+
+    def test_matches_sql_predicate(self, ray_session):
+        import duckdb
+        import pandas as pd
+        from pymhealth_ray.stages.sample import hash_sample
+
+        df = pd.DataFrame({"k": np.arange(2000)})
+        got = hash_sample(ray.data.from_pandas(df), "k", 0.25, salt="z") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        con = duckdb.connect()
+        want = con.execute(
+            "SELECT k FROM df WHERE substr(md5(CAST(k AS VARCHAR) || '-z'),1,8) < '40000000' ORDER BY k"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
