@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "seq_quantiles",
     "docs_approx_distinct",
     "docs_split_sample",
+    "docs_top_tokens",
 ]
 
 

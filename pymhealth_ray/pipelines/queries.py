@@ -884,6 +884,7 @@ def build_queries() -> dict:
         "seq_quantiles": q_seq_quantiles,
         "docs_approx_distinct": q_docs_approx_distinct,
         "docs_split_sample": q_docs_split_sample,
+        "docs_top_tokens": q_docs_top_tokens,
     }
 
 
@@ -945,6 +946,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_topk_chars": SQL_DOCS_TOPK_CHARS,
         "seq_quantiles": sql_seq_quantiles(path),
         "docs_split_sample": SQL_DOCS_SPLIT_SAMPLE,
+        "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
         "docs_approx_distinct": _docs_materialized_oracle(
             sf_dir_for_fixture, "hll_distinct_v1", _hll_expected_docs,
             columns=("lang", "text")),
@@ -2284,4 +2286,25 @@ SELECT doc_id, lang,
             THEN 'eval' ELSE 'train' END AS split
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-k'), 1, 8) < '80000000'
+"""
+
+
+def q_docs_top_tokens(sf_dir: str):
+    """Corpus vocabulary top-50 (stages.vocab): Arrow-kernel tokenize +
+    count inside each block, token-hash bucket merge, map-side top-k
+    pruning — the canonical wordcount, zero Python token loops."""
+    from pymhealth_ray.stages.vocab import top_tokens
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens(docs, k=50, num_buckets=NB)
+
+
+SQL_DOCS_TOP_TOKENS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok)
+SELECT tok, c, rn FROM (
+  SELECT tok, c,
+         CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rn
+  FROM cnt) t
+WHERE rn <= 50
 """

@@ -800,3 +800,22 @@ class TestHashSample:
             "SELECT k FROM df WHERE substr(md5(CAST(k AS VARCHAR) || '-z'),1,8) < '40000000' ORDER BY k"
         ).df()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestVocabulary:
+    def test_counts_match_python(self, ray_session):
+        import collections
+        import pandas as pd
+        from pymhealth_ray.stages.vocab import token_vocabulary, top_tokens
+
+        texts = ["a b b  c", "b c d", "", "a a   a", "d e"]
+        want = collections.Counter()
+        for t in texts:
+            want.update(tok for tok in t.split(" ") if tok)
+        ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+        got = token_vocabulary(ds, num_buckets=4).to_pandas()
+        assert dict(zip(got.tok, got.c)) == dict(want)
+        top = top_tokens(ds, k=3, num_buckets=4).to_pandas().sort_values("rn")
+        expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert list(zip(top.tok, top.c)) == expect
+        assert top.rn.tolist() == [1, 2, 3]
