@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "docs_approx_distinct",
     "docs_split_sample",
     "docs_top_tokens",
+    "seq_pack",
 ]
 
 

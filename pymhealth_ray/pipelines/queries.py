@@ -885,6 +885,7 @@ def build_queries() -> dict:
         "docs_approx_distinct": q_docs_approx_distinct,
         "docs_split_sample": q_docs_split_sample,
         "docs_top_tokens": q_docs_top_tokens,
+        "seq_pack": q_seq_pack,
     }
 
 
@@ -947,6 +948,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_quantiles": sql_seq_quantiles(path),
         "docs_split_sample": SQL_DOCS_SPLIT_SAMPLE,
         "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
+        "seq_pack": _materialized_oracle(path, "seq_pack_v1", _pack_expected_seq,
+                                         columns=("doc_id", "ts_ns", "n_tok")),
         "docs_approx_distinct": _docs_materialized_oracle(
             sf_dir_for_fixture, "hll_distinct_v1", _hll_expected_docs,
             columns=("lang", "text")),
@@ -1645,7 +1648,8 @@ def sql_events_geo_clusters(sf_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def _materialized_oracle(path: str, name: str, builder) -> str:
+def _materialized_oracle(path: str, name: str, builder,
+                         columns=("doc_id", "ts_ns", "tokens")) -> str:
     """Build (once) an expected-result parquet with ``builder(df) ->
     pandas.DataFrame`` over the sequences fixture and return a SQL
     passthrough — the seq_asof_sessions pattern: the oracle is computed
@@ -1657,7 +1661,7 @@ def _materialized_oracle(path: str, name: str, builder) -> str:
 
     out_path = os.path.join(path, f"_oracle_{name}.parquet")
     if not os.path.exists(out_path):
-        src = pq_mod.read_table(path, columns=["doc_id", "ts_ns", "tokens"])
+        src = pq_mod.read_table(path, columns=list(columns))
         exp = builder(src)
         tmp = out_path + ".tmp"
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
@@ -2308,3 +2312,25 @@ SELECT tok, c, rn FROM (
   FROM cnt) t
 WHERE rn <= 50
 """
+
+
+def q_seq_pack(sf_dir: str):
+    """Greedy sequence packing into 2048-token training examples
+    (stages.pack): deterministic bucket+sort order makes the distributed
+    summary bit-identical to the single-process reference the materialized
+    oracle runs."""
+    from pymhealth_ray.stages.pack import pack_sequences
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    return pack_sequences(ds, max_len=2048, num_buckets=NB)
+
+
+def _pack_expected_seq(src: pa.Table):
+    from pymhealth_ray.stages.pack import pack_expected
+
+    return pack_expected(
+        src["doc_id"].to_numpy(zero_copy_only=False),
+        src["ts_ns"].to_numpy(zero_copy_only=False),
+        src["n_tok"].to_numpy(zero_copy_only=False),
+        max_len=2048, num_buckets=NB,
+    )

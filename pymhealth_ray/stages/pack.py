@@ -1,0 +1,110 @@
+"""Sequence packing: greedy fixed-budget packing of variable-length
+tokenized sequences into training examples.
+
+Training pipelines pack documents into fixed token budgets (e.g. 2048) to
+avoid padding waste. Packing is order-dependent, so the distributed form
+pins a deterministic total order — hash-bucket by id (the packing
+partition), sort (id, ts) within the bucket — making the result identical
+for any block layout and reproducible single-process (which is how the
+driver's materialized oracle checks it).
+
+Per bucket the greedy boundaries come from a searchsorted walk over the
+length cumsum: O(#packs log n) rather than a per-row Python loop — the
+loop count is the OUTPUT size, not the input size. A sequence longer than
+the budget is emitted as its own (overflowing) pack rather than dropped,
+flagged via ``oversize``.
+
+Scale: one exchange of narrow (id, ts, len) rows; token payloads should
+NOT be routed through packing — join the pack assignment back to the
+token table (equi_join / partition-aligned map) instead of shipping
+tokens, the same narrow-columns-only rule as the flagship exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import _stable_bucket_of
+
+PACK_BITS = 32  # pack_id = bucket << 32 | seq-within-bucket
+
+
+def greedy_boundaries(lens: np.ndarray, max_len: int) -> np.ndarray:
+    """Greedy first-fit-in-order pack boundaries over ``lens``: returns
+    ``b`` with packs ``[b[i], b[i+1])``; each pack's total <= max_len
+    unless it is a single oversize sequence."""
+    cs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    n = len(lens)
+    bounds = [0]
+    while bounds[-1] < n:
+        b = int(np.searchsorted(cs, cs[bounds[-1]] + max_len, side="right")) - 1
+        if b <= bounds[-1]:
+            b = bounds[-1] + 1  # oversize sequence packs alone
+        bounds.append(b)
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def pack_summary_for_bucket(tbl: pa.Table, bucket: int, id_col: str,
+                            ts_col: str, len_col: str, max_len: int) -> pa.Table:
+    """Deterministic packing of one bucket: sort (id, ts), greedy pack,
+    one output row per pack."""
+    import pyarrow.compute as pc
+
+    # len as a third key: rows identical on all three are interchangeable,
+    # so the summary is deterministic even with (id, ts) duplicates
+    order = pc.sort_indices(tbl, sort_keys=[(id_col, "ascending"),
+                                            (ts_col, "ascending"),
+                                            (len_col, "ascending")])
+    tbl = tbl.take(order)
+    lens = tbl[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = greedy_boundaries(lens, max_len)
+    starts, ends = b[:-1], b[1:]
+    n_seqs = ends - starts
+    cs = np.concatenate(([0], np.cumsum(lens)))
+    totals = cs[ends] - cs[starts]
+    pack_id = (np.int64(bucket) << PACK_BITS) | np.arange(len(starts), dtype=np.int64)
+    return pa.table({
+        "pack_id": pa.array(pack_id),
+        "n_seqs": pa.array(n_seqs),
+        "tok_total": pa.array(totals),
+        "oversize": pa.array(totals > max_len),
+    })
+
+
+def pack_sequences(ds, id_col: str = "doc_id", ts_col: str = "ts_ns",
+                   len_col: str = "n_tok", max_len: int = 2048,
+                   num_buckets: int = 32):
+    """Distributed packing summary: one row per produced pack
+    (pack_id, n_seqs, tok_total, oversize). Deterministic and
+    block-layout-invariant (see module doc)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.select([id_col, ts_col, len_col])
+        b = _stable_bucket_of(batch[id_col], num_buckets)
+        return batch.append_column("__packbucket", pa.array(b, type=pa.int32()))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        bucket = int(tbl["__packbucket"][0].as_py())
+        return pack_summary_for_bucket(
+            tbl.drop_columns(["__packbucket"]), bucket, id_col, ts_col,
+            len_col, max_len)
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "__packbucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def pack_expected(ids, tss, lens, max_len: int = 2048, num_buckets: int = 32):
+    """Single-process reference (oracle): identical bucket assignment,
+    order, and greedy walk — must equal the distributed form exactly."""
+    import pandas as pd
+
+    buckets = np.asarray(_stable_bucket_of(pa.array(ids), num_buckets))
+    frames = []
+    for b in np.unique(buckets):
+        m = buckets == b
+        tbl = pa.table({"id": pa.array(np.asarray(ids)[m]),
+                        "ts": pa.array(np.asarray(tss)[m]),
+                        "len": pa.array(np.asarray(lens)[m])})
+        frames.append(pack_summary_for_bucket(tbl, int(b), "id", "ts", "len",
+                                              max_len).to_pandas())
+    return pd.concat(frames, ignore_index=True)

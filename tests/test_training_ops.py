@@ -819,3 +819,50 @@ class TestVocabulary:
         expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert list(zip(top.tok, top.c)) == expect
         assert top.rn.tolist() == [1, 2, 3]
+
+
+class TestSequencePacking:
+    def test_greedy_boundaries(self):
+        from pymhealth_ray.stages.pack import greedy_boundaries
+
+        b = greedy_boundaries(np.array([1000, 900, 200, 2048, 5000, 1, 1]), 2048)
+        # [1000,900] [200] [2048] [5000 oversize alone] [1,1]
+        assert b.tolist() == [0, 2, 3, 4, 5, 7]
+
+    def test_partition_invariant_and_conserves_tokens(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.pack import pack_sequences, pack_expected
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        df = pd.DataFrame({
+            "doc_id": rng.integers(0, 40, n),
+            "ts_ns": rng.integers(0, 10**9, n),
+            "n_tok": rng.integers(0, 900, n),
+        })
+        outs = []
+        for blocks in (1, 9):
+            out = (
+                pack_sequences(ray.data.from_pandas(df).repartition(blocks),
+                               max_len=2048, num_buckets=8)
+                .to_pandas().sort_values("pack_id").reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert outs[0].tok_total.sum() == df.n_tok.sum()
+        assert outs[0].n_seqs.sum() == n
+        assert (outs[0].tok_total[~outs[0].oversize] <= 2048).all()
+        want = pack_expected(df.doc_id.values, df.ts_ns.values, df.n_tok.values,
+                             max_len=2048, num_buckets=8)
+        want = want.sort_values("pack_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(outs[0], want)
+
+    def test_oversize_flagged(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.pack import pack_sequences
+
+        df = pd.DataFrame({"doc_id": [1, 1], "ts_ns": [0, 1],
+                           "n_tok": [5000, 10]})
+        out = pack_sequences(ray.data.from_pandas(df), max_len=2048,
+                             num_buckets=2).to_pandas()
+        assert out.oversize.sum() == 1 and len(out) == 2
