@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "docs_split_sample",
     "docs_top_tokens",
     "seq_pack",
+    "docs_dedup_clusters",
 ]
 
 

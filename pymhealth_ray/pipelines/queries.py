@@ -886,6 +886,7 @@ def build_queries() -> dict:
         "docs_split_sample": q_docs_split_sample,
         "docs_top_tokens": q_docs_top_tokens,
         "seq_pack": q_seq_pack,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
     }
 
 
@@ -939,6 +940,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_simhash": _docs_materialized_oracle(sf_dir_for_fixture, "simhash_v1", _simhash_expected),
         "docs_minhash_pairs": _docs_materialized_oracle(sf_dir_for_fixture, "minhash_pairs_v1", _minhash_pairs_expected),
         "docs_langid": _docs_materialized_oracle(sf_dir_for_fixture, "langid_v1", _langid_expected),
+        "docs_dedup_clusters": _docs_materialized_oracle(sf_dir_for_fixture, "dedup_clusters_v1", _dedup_clusters_expected),
         "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
         "region_revenue": SQL_REGION_REVENUE,
         "part_brand_pricing": SQL_PART_BRAND_PRICING,
@@ -2334,3 +2336,46 @@ def _pack_expected_seq(src: pa.Table):
         src["n_tok"].to_numpy(zero_copy_only=False),
         max_len=2048, num_buckets=NB,
     )
+
+
+def q_docs_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash-LSH verified pairs → distributed
+    min-label connected components (stages.graph) → (doc_id, cluster_id =
+    min doc of the component). The full dedup decision: keep cluster_id,
+    drop the rest."""
+    from pymhealth_ray.stages.graph import connected_components
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dupes(ds, jaccard_threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["v"], "cluster_id": b["l"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def _dedup_clusters_expected(df):
+    """Single-process union-find over the single-process LSH pairs."""
+    import pandas as pd
+
+    pairs = _minhash_pairs_expected(df)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.id_a.values, pairs.id_b.values):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs.id_a.tolist()) | set(pairs.id_b.tolist()))
+    return pd.DataFrame({
+        "doc_id": np.array(nodes, dtype=np.int64),
+        "cluster_id": np.array([find(n) for n in nodes], dtype=np.int64),
+    })

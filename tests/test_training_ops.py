@@ -866,3 +866,52 @@ class TestSequencePacking:
         out = pack_sequences(ray.data.from_pandas(df), max_len=2048,
                              num_buckets=2).to_pandas()
         assert out.oversize.sum() == 1 and len(out) == 2
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _uf(edges):
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({n for e in edges for n in e})
+        return {n: find(n) for n in nodes}
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.graph import connected_components
+
+        rng = np.random.default_rng(13)
+        edges = [tuple(sorted(map(int, rng.integers(0, 200, 2)))) for _ in range(250)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = pd.DataFrame(edges, columns=["a", "b"])
+        got = (
+            connected_components(ray.data.from_pandas(df).repartition(5),
+                                 num_buckets=8)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        want = self._uf(edges)
+        assert dict(zip(got.v, got.l)) == want
+
+    def test_long_chain_converges(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.graph import connected_components
+
+        # a path graph converges in O(log diameter) rounds only because of
+        # the pointer-doubling step (plain propagation needs ~n rounds) —
+        # 24 nodes = ~5 rounds, exercising shortcutting + the early exit
+        df = pd.DataFrame({"a": np.arange(23) + 1, "b": np.arange(23) + 2})
+        got = connected_components(ray.data.from_pandas(df), num_buckets=4) \
+            .to_pandas()
+        assert (got.l == 1).all() and len(got) == 24
