@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "docs_top_tokens",
     "seq_pack",
     "docs_dedup_clusters",
+    "docs_sample_per_lang",
+    "orders_bloom_semi",
 ]
 
 

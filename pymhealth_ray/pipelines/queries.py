@@ -887,6 +887,8 @@ def build_queries() -> dict:
         "docs_top_tokens": q_docs_top_tokens,
         "seq_pack": q_seq_pack,
         "docs_dedup_clusters": q_docs_dedup_clusters,
+        "docs_sample_per_lang": q_docs_sample_per_lang,
+        "orders_bloom_semi": q_orders_bloom_semi,
     }
 
 
@@ -950,6 +952,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_quantiles": sql_seq_quantiles(path),
         "docs_split_sample": SQL_DOCS_SPLIT_SAMPLE,
         "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
+        "docs_sample_per_lang": SQL_DOCS_SAMPLE_PER_LANG,
+        "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
         "seq_pack": _materialized_oracle(path, "seq_pack_v1", _pack_expected_seq,
                                          columns=("doc_id", "ts_ns", "n_tok")),
         "docs_approx_distinct": _docs_materialized_oracle(
@@ -2379,3 +2383,83 @@ def _dedup_clusters_expected(df):
         "doc_id": np.array(nodes, dtype=np.int64),
         "cluster_id": np.array([find(n) for n in nodes], dtype=np.int64),
     })
+
+
+def q_docs_sample_per_lang(sf_dir: str):
+    """Deterministic 5-doc uniform sample per language
+    (stages.sample.grouped_sample_k): md5-priority ranking through the
+    grouped top-k machinery — rerun-stable and SQL-reproducible."""
+    from pymhealth_ray.stages.sample import grouped_sample_k
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = grouped_sample_k(docs, ["lang"], "doc_id", k=5, salt="g",
+                           num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "doc_id": b["doc_id"],
+            "rn": b["rn"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_SAMPLE_PER_LANG = """
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '-g'), 1, 16),
+                     doc_id) AS BIGINT) AS rn
+  FROM documents) t
+WHERE rn <= 5
+"""
+
+
+def q_orders_bloom_semi(sf_dir: str):
+    """Broadcast Bloom semi-join (stages.bloom): index event user_ids once
+    (distributed two-level OR-merge build — bit-identical to the
+    single-process oracle build because OR is order-free), then keep orders
+    whose custkey may be an active user — no shuffle of either table."""
+    from pymhealth_ray.stages.bloom import build_bloom, filter_against_bloom
+
+    ev = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    bloom = build_bloom(ev, "user_id", n_bits=1 << 16, k=5)
+    bloom_ref = ray.put(bloom)
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    out = filter_against_bloom(orders, "o_custkey", bloom_ref, k=5,
+                               keep_members=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _orders_bloom_semi_oracle(sf_dir: str) -> str:
+    """Materialized oracle: single-process bitmap over the same keys, same
+    membership test, written once per sf dir."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.sources.generate import fixture_dir_for
+    from pymhealth_ray.stages.bloom import _bitmap_of, bloom_contains
+
+    out_dir = fixture_dir_for(sf_dir).rstrip("/") + "_docs_oracle"
+    out_path = os.path.join(out_dir, "bloom_semi_v1.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        ev = pq_mod.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+        bm = _bitmap_of(ev["user_id"].combine_chunks(), 1 << 16, 5)
+        orders = pq_mod.read_table(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+        hit = bloom_contains(bm, orders["o_custkey"].combine_chunks(), 5)
+        exp = orders.filter(pa.array(hit))
+        tmp = out_path + ".tmp"
+        pq_mod.write_table(exp, tmp)
+        os.replace(tmp, out_path)
+    return f"SELECT * FROM read_parquet('{out_path}')"

@@ -77,3 +77,47 @@ def split_train_eval(ds, key_col: str, eval_fraction: float = 0.1,
         return batch.append_column(split_name, pa.array(lab.tolist(), type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _hexn(col, salt: str, n: int) -> np.ndarray:
+    """First ``n`` md5 hex chars of f"{value}-{salt}" per row (per-distinct
+    hashing, same contract as :func:`_hex8`)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    h = np.array(
+        [hashlib.md5(f"{v}-{salt}".encode()).hexdigest()[:n] for v in uniq],
+        dtype=object,
+    )
+    return h[idx]
+
+
+def grouped_sample_k(ds, group_cols, key_col: str, k: int, salt: str = "0",
+                     rank_name: str = "rn", num_buckets: int = 256):
+    """Deterministic uniform k-per-group sample WITHOUT replacement: rank
+    rows by the md5-priority of their key (uniform on [0,1), so the k
+    smallest priorities are a uniform k-subset) and keep rank <= k. Same
+    rerun/cluster-size/SQL reproducibility story as :func:`hash_sample`
+    (oracle: ``row_number() OVER (PARTITION BY g ORDER BY
+    substr(md5(...),1,16), key) <= k``); scalability = ``grouped_topk``'s
+    map-side per-block partials."""
+    from pymhealth_ray.stages.aggregate import grouped_topk
+
+    PRI = "__pri"
+
+    def with_priority(batch: pa.Table) -> pa.Table:
+        pri = _hexn(batch[key_col], salt, 16)
+        return batch.append_column(PRI, pa.array(pri.tolist(), type=pa.string()))
+
+    sampled = grouped_topk(
+        ds.map_batches(with_priority, batch_format="pyarrow"),
+        group_cols, PRI, k, descending=False, tie_cols=[key_col],
+        rank_name=rank_name, num_buckets=num_buckets,
+    )
+
+    def drop_pri(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([PRI])
+
+    return sampled.map_batches(drop_pri, batch_format="pyarrow")

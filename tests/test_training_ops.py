@@ -915,3 +915,64 @@ class TestConnectedComponents:
         got = connected_components(ray.data.from_pandas(df), num_buckets=4) \
             .to_pandas()
         assert (got.l == 1).all() and len(got) == 24
+
+
+class TestGroupedSampleK:
+    def test_deterministic_uniform_subset(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.sample import grouped_sample_k
+
+        df = pd.DataFrame({"g": np.repeat(["a", "b"], 500),
+                           "k": np.arange(1000)})
+        outs = []
+        for blocks in (1, 8):
+            outs.append(
+                grouped_sample_k(ray.data.from_pandas(df).repartition(blocks),
+                                 ["g"], "k", k=7, salt="t", num_buckets=4)
+                .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert (outs[0].groupby("g").size() == 7).all()
+        # samples come from the right groups
+        assert (outs[0][outs[0].g == "a"].k < 500).all()
+        assert (outs[0][outs[0].g == "b"].k >= 500).all()
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_bounded(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages import bloom
+
+        members = np.arange(0, 4000)
+        non = np.arange(10_000, 30_000)
+        dfm = pd.DataFrame({"k": members})
+        bms = []
+        for blocks in (1, 9):
+            bms.append(bloom.build_bloom(
+                ray.data.from_pandas(dfm).repartition(blocks), "k",
+                n_bits=1 << 17, k=5))
+        assert np.array_equal(bms[0], bms[1])  # order-free OR merge
+        assert bloom.bloom_contains(bms[0], pa.array(members), 5).all()
+        fp = bloom.bloom_contains(bms[0], pa.array(non), 5).mean()
+        # m/n = 32 bits/key, k=5 -> theoretical FP ~0.04%; allow slack
+        assert fp < 0.01
+
+    def test_semi_and_anti_join(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages import bloom
+
+        corpus = pd.DataFrame({"k": np.arange(500)})
+        probe = pd.DataFrame({"k": np.arange(400, 900), "x": np.arange(500)})
+        bm = bloom.build_bloom(ray.data.from_pandas(corpus), "k",
+                               n_bits=1 << 16, k=5)
+        ref = ray.put(bm)
+        semi = bloom.filter_against_bloom(
+            ray.data.from_pandas(probe), "k", ref, k=5,
+            keep_members=True).to_pandas()
+        anti = bloom.filter_against_bloom(
+            ray.data.from_pandas(probe), "k", ref, k=5,
+            keep_members=False).to_pandas()
+        # all true members kept in semi; no true member leaks into anti
+        assert set(range(400, 500)) <= set(semi.k)
+        assert not (anti.k < 500).any()
+        assert len(semi) + len(anti) == len(probe)
