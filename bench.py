@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "docs_dedup_clusters",
     "docs_sample_per_lang",
     "orders_bloom_semi",
+    "docs_decontam",
 ]
 
 

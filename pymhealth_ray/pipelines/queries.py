@@ -889,6 +889,7 @@ def build_queries() -> dict:
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_sample_per_lang": q_docs_sample_per_lang,
         "orders_bloom_semi": q_orders_bloom_semi,
+        "docs_decontam": q_docs_decontam,
     }
 
 
@@ -954,6 +955,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
         "docs_sample_per_lang": SQL_DOCS_SAMPLE_PER_LANG,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
+        "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
         "seq_pack": _materialized_oracle(path, "seq_pack_v1", _pack_expected_seq,
                                          columns=("doc_id", "ts_ns", "n_tok")),
         "docs_approx_distinct": _docs_materialized_oracle(
@@ -2463,3 +2465,51 @@ def _orders_bloom_semi_oracle(sf_dir: str) -> str:
         pq_mod.write_table(exp, tmp)
         os.replace(tmp, out_path)
     return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+def q_docs_decontam(sf_dir: str):
+    """Eval-set decontamination (stages.decontam): split documents with the
+    same hash predicate as docs_split_sample, compress the TRAIN side's
+    char-16-gram set into a broadcast Bloom bitmap (distributed order-free
+    OR build), and score each EVAL doc's contamination fraction map-only."""
+    from pymhealth_ray.stages.decontam import (build_shingle_bloom,
+                                               contamination_scores)
+    from pymhealth_ray.stages.sample import split_train_eval
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    labeled = split_train_eval(docs, "doc_id", eval_fraction=0.1, salt="s")
+
+    def side(which):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["split"], which)).drop_columns(["split"])
+        return fn
+
+    train = labeled.map_batches(side("train"), batch_format="pyarrow")
+    ev = labeled.map_batches(side("eval"), batch_format="pyarrow")
+    bm = build_shingle_bloom(train, n_bits=1 << 20)
+    return contamination_scores(ev, ray.put(bm))
+
+
+def _decontam_expected_docs(df):
+    """Single-process identical computation (bloom OR is order-free, so the
+    bitmaps agree bit-for-bit)."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.bloom import _bit_positions
+    from pymhealth_ray.stages.decontam import _hash_pair_u64, _shingle_bitmap
+    from pymhealth_ray.stages.dedup import _shingle_hashes
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+
+    thr = _threshold_hex(0.1)
+    is_eval = _hex8(pa.array(df.doc_id.values), "s") < thr
+    n_bits, kh = 1 << 20, 5
+    bm = _shingle_bitmap(df.text.values[~is_eval].tolist(), 16, n_bits, kh)
+    rows = []
+    for did, text in zip(df.doc_id.values[is_eval], df.text.values[is_eval]):
+        sh = _shingle_hashes(text, 16)
+        h1, h2 = _hash_pair_u64(sh)
+        pos = _bit_positions(h1, h2, n_bits, kh)
+        hits = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        rows.append((int(did), len(sh),
+                     round(float(hits.mean()) if len(sh) else 0.0, 6)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_shingles", "contamination"])

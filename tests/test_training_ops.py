@@ -976,3 +976,26 @@ class TestBloom:
         assert set(range(400, 500)) <= set(semi.k)
         assert not (anti.k < 500).any()
         assert len(semi) + len(anti) == len(probe)
+
+
+class TestDecontamination:
+    def test_contaminated_doc_scores_high(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.decontam import (build_shingle_bloom,
+                                                   contamination_scores)
+
+        train_text = "the training corpus contains this exact passage " * 10
+        fresh = "entirely novel held out evaluation material here " * 10
+        train = pd.DataFrame({"doc_id": [1, 2],
+                              "text": [train_text, "other content " * 30]})
+        evals = pd.DataFrame({"doc_id": [10, 11],
+                              "text": [train_text, fresh]})
+        bm = build_shingle_bloom(ray.data.from_pandas(train), n_bits=1 << 18)
+        # distributed build == single-block build (order-free OR)
+        bm2 = build_shingle_bloom(
+            ray.data.from_pandas(train).repartition(2), n_bits=1 << 18)
+        assert np.array_equal(bm, bm2)
+        out = contamination_scores(ray.data.from_pandas(evals), ray.put(bm)) \
+            .to_pandas().set_index("doc_id")
+        assert out.contamination[10] == 1.0   # verbatim copy of a train doc
+        assert out.contamination[11] < 0.1    # novel text: only FP hits
