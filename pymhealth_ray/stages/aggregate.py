@@ -76,7 +76,7 @@ def grouped_stats(
     def final_bucket(tbl: pa.Table) -> pa.Table:
         return final(tbl.drop_columns(["__aggbucket"]))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).map_batches(
         with_bucket, batch_format="pyarrow")
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
@@ -175,7 +175,7 @@ def grouped_topk(
         return _topk_rows(tbl.drop_columns(["__aggbucket"]), group_cols,
                           order_col, k, descending, tie_cols, rank_name)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).map_batches(
         with_bucket, batch_format="pyarrow")
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
@@ -265,6 +265,6 @@ def grouped_quantiles(
         out_cols[count_name] = pa.array(n_g, type=pa.int64())
         return pa.table(out_cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).map_batches(
         with_bucket, batch_format="pyarrow")
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")

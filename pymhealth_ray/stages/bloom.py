@@ -95,7 +95,7 @@ def build_bloom(ds, col: str, n_bits: int = 1 << 20, k: int = 7,
                 pa.array(merged, type=pa.uint8()), len(merged)),
         })
 
-    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+    merged = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(
         "__mgroup").map_groups(
         lambda t: or_group(t.drop_columns(["__mgroup"])), batch_format="pyarrow")
     out = np.zeros(n_bits // 8, dtype=np.uint8)

@@ -73,7 +73,7 @@ def build_shingle_bloom(train_ds, text_col: str = "text", shingle_k: int = 16,
         return pa.table({"bm": pa.FixedSizeListArray.from_arrays(
             pa.array(merged, type=pa.uint8()), len(merged))})
 
-    merged = train_ds.map_batches(partial, batch_format="pyarrow").groupby(
+    merged = train_ds.map_batches(partial, batch_format="pyarrow", batch_size=None).groupby(
         "__mgroup").map_groups(
         lambda t: or_group(t.drop_columns(["__mgroup"])), batch_format="pyarrow")
     out = np.zeros(n_bits // 8, dtype=np.uint8)

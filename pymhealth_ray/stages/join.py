@@ -138,7 +138,7 @@ def detect_hot_keys(ds, on: str, threshold: int) -> list:
         return pa.table({on: enc.dictionary.filter(pa.array(hot_mask))})
 
     hot = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("__kbucket")
         .map_groups(lambda t: per_bucket(t.drop_columns(["__kbucket"])), batch_format="pyarrow")
         .to_pandas()

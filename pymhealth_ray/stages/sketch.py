@@ -156,7 +156,7 @@ def grouped_approx_distinct(
         cols[count_name] = pa.array(counts.astype(np.int64))
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
 

@@ -53,7 +53,7 @@ def token_vocabulary(ds, text_col: str = "text", token_name: str = "tok",
             [(count_name, "sum")])
         return out.rename_columns([token_name, count_name])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
 
