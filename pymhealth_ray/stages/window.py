@@ -619,7 +619,11 @@ def window_features_combined(
                 }
             )
 
-    partials = ds.map_batches(Partials, batch_format="pyarrow", concurrency=(2, 8))
+    # batch_size=None: collapse the WHOLE block to one partial row per
+    # (entity, window) — the default 1024-row batches would emit
+    # block_rows/1024 x more partials into the exchange
+    partials = ds.map_batches(Partials, batch_format="pyarrow",
+                              batch_size=None, concurrency=(2, 8))
 
     # phase 2: merge partials inside entity buckets — ONE map call per
     # bucket running a vectorized Arrow hash aggregation (Ray's native
