@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "docs_sample_per_lang",
     "orders_bloom_semi",
     "docs_decontam",
+    "lineitem_profile",
 ]
 
 

@@ -890,6 +890,7 @@ def build_queries() -> dict:
         "docs_sample_per_lang": q_docs_sample_per_lang,
         "orders_bloom_semi": q_orders_bloom_semi,
         "docs_decontam": q_docs_decontam,
+        "lineitem_profile": q_lineitem_profile,
     }
 
 
@@ -954,6 +955,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_split_sample": SQL_DOCS_SPLIT_SAMPLE,
         "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
         "docs_sample_per_lang": SQL_DOCS_SAMPLE_PER_LANG,
+        "lineitem_profile": SQL_LINEITEM_PROFILE,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
         "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
         "seq_pack": _materialized_oracle(path, "seq_pack_v1", _pack_expected_seq,
@@ -2513,3 +2515,36 @@ def _decontam_expected_docs(df):
         rows.append((int(did), len(sh),
                      round(float(hits.mean()) if len(sh) else 0.0, 6)))
     return pd.DataFrame(rows, columns=["doc_id", "n_shingles", "contamination"])
+
+
+def q_lineitem_profile(sf_dir: str):
+    """One-pass per-column profile of lineitem (stages.profile): row/null
+    counts + exact min/max, one partial row per column per block."""
+    from pymhealth_ray.stages.profile import profile_table
+
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus"]
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_table(ds, columns=cols)
+
+
+SQL_LINEITEM_PROFILE = """
+SELECT 'l_orderkey' AS col, count(*) AS n_rows, count(*) - count(l_orderkey) AS n_null,
+       CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       min(l_quantity), max(l_quantity), NULL, NULL FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       min(l_extendedprice), max(l_extendedprice), NULL, NULL FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       min(l_discount), max(l_discount), NULL, NULL FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       NULL, NULL, min(l_returnflag), max(l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+       NULL, NULL, min(l_linestatus), max(l_linestatus) FROM lineitem
+"""

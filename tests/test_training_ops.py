@@ -999,3 +999,22 @@ class TestDecontamination:
             .to_pandas().set_index("doc_id")
         assert out.contamination[10] == 1.0   # verbatim copy of a train doc
         assert out.contamination[11] < 0.1    # novel text: only FP hits
+
+
+class TestProfile:
+    def test_profile_matches_pandas(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.profile import profile_table
+
+        df = pd.DataFrame({
+            "a": [1.5, None, 3.0, -2.0],
+            "b": ["x", "aa", None, "zz"],
+            "c": [1, 2, 3, 4],
+        })
+        out = profile_table(ray.data.from_pandas(df).repartition(3)) \
+            .to_pandas().set_index("col")
+        assert out.loc["a"].n_rows == 4 and out.loc["a"].n_null == 1
+        assert out.loc["a"].min_num == -2.0 and out.loc["a"].max_num == 3.0
+        assert out.loc["b"].min_str == "aa" and out.loc["b"].max_str == "zz"
+        assert out.loc["b"].n_null == 1
+        assert out.loc["c"].min_num == 1.0 and out.loc["c"].max_num == 4.0
