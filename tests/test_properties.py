@@ -116,3 +116,93 @@ class TestWindowEdgeCases:
         starts, cols, cnt = res
         assert np.isclose(cols["m"][0], 1.0)
         assert np.isnan(cols["m"][1]) and cnt[1] == 0
+
+
+# --- round-2 pure kernels ---------------------------------------------------
+
+
+class TestTopKRowsProperties:
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(-50, 50),
+                              st.integers(0, 10**6)), min_size=1, max_size=200),
+           st.integers(1, 8), st.booleans())
+    @settings(max_examples=150, deadline=None)
+    def test_matches_sorted_head(self, rows, k, descending):
+        import pandas as pd
+        import pyarrow as pa
+        from pymhealth_ray.stages.aggregate import _topk_rows
+
+        tbl = pa.table({
+            "g": pa.array([r[0] for r in rows]),
+            "v": pa.array([r[1] for r in rows]),
+            "i": pa.array([r[2] for r in rows]),
+        })
+        got = _topk_rows(tbl, ["g"], "v", k, descending, ["i"], "rn").to_pandas()
+        df = pd.DataFrame({"g": tbl["g"], "v": tbl["v"], "i": tbl["i"]})
+        want = (df.sort_values(["v", "i"], ascending=[not descending, True])
+                  .groupby("g", sort=False).head(k))
+        assert len(got) == len(want)
+        got_set = set(zip(got.g, got.v, got.i))
+        want_set = set(zip(want.g, want.v, want.i))
+        assert got_set == want_set
+        assert (got.groupby("g").rn.min() == 1).all()
+        assert (got.groupby("g").rn.max() == got.groupby("g").size()).all()
+
+
+class TestGreedyPackProperties:
+    @given(st.lists(st.integers(0, 3000), min_size=0, max_size=300),
+           st.integers(1, 2500))
+    @settings(max_examples=200, deadline=None)
+    def test_boundaries_invariants(self, lens, max_len):
+        import numpy as np
+        from pymhealth_ray.stages.pack import greedy_boundaries
+
+        arr = np.array(lens, dtype=np.int64)
+        b = greedy_boundaries(arr, max_len)
+        assert b[0] == 0 and b[-1] == len(arr)
+        assert (np.diff(b) >= 1).all()
+        for s, e in zip(b[:-1], b[1:]):
+            total = arr[s:e].sum()
+            # a pack over budget must be a single oversize sequence
+            assert total <= max_len or e - s == 1
+            # greedy: the next sequence would not have fit
+            if e < len(arr) and e - s >= 1 and total <= max_len:
+                assert total + arr[e] > max_len
+
+
+class TestHLLProperties:
+    @given(st.lists(st.integers(0, 10**12), min_size=1, max_size=500),
+           st.integers(1, 4))
+    @settings(max_examples=50, deadline=None)
+    def test_merge_equals_whole(self, vals, n_splits):
+        import numpy as np
+        from pymhealth_ray.stages.sketch import _hash64, _registers
+        import pyarrow as pa
+
+        p = 12
+        whole = _registers(np.zeros(len(vals), dtype=np.int64),
+                           _hash64(pa.array(vals, type=pa.int64())), 1, p)
+        chunks = np.array_split(np.asarray(vals, dtype=np.int64), n_splits)
+        merged = np.zeros_like(whole)
+        for c in chunks:
+            if len(c):
+                part = _registers(np.zeros(len(c), dtype=np.int64),
+                                  _hash64(pa.array(c, type=pa.int64())), 1, p)
+                merged = np.maximum(merged, part)
+        assert np.array_equal(whole, merged)
+
+
+class TestQuantileRuleProperties:
+    @given(st.lists(st.integers(0, 40), min_size=1, max_size=60),
+           st.sampled_from([0.1, 0.25, 1 / 3, 0.5, 2 / 3, 0.75, 0.9]))
+    @settings(max_examples=100, deadline=None)
+    def test_matches_duckdb(self, vals, q):
+        import duckdb
+        import math
+
+        con = duckdb.connect()
+        con.execute("create table t(x int)")
+        con.executemany("insert into t values (?)", [(v,) for v in vals])
+        want = con.execute(f"select quantile_disc(x, {q!r}) from t").fetchone()[0]
+        xs = sorted(vals)
+        got = xs[max(0, math.ceil(q * len(xs)) - 1)]
+        assert got == want
