@@ -9,9 +9,11 @@ hops after r rounds and a diameter-D component converges in O(log D)
 rounds, not O(D) (a plain-propagation path graph of 60 nodes needs ~59
 rounds; with shortcutting it needs ~7 — the long-chain pytest pins this).
 
-Every step is a co-partitioned exchange over narrow (node, label) or
-(edge) rows — O(|E|) shuffle volume per round, no adjacency materialized on
-any single node, no driver-side graph state. Convergence ("no label
+Every step of the large-graph path is a co-partitioned exchange over
+narrow (node, label) or (edge) rows — O(|E|) shuffle volume per round, no
+adjacency materialized on any single node, no driver-side graph state
+(edge lists small enough to collect take a driver union-find shortcut
+instead — see ``connected_components``). Convergence ("no label
 changed anywhere in a full round") is summed from the already-materialized
 labels dataset, and the round loop is a driver-side loop over Ray
 executions — the honest Ray Data expression of an iterative fixpoint.
@@ -158,10 +160,18 @@ def _shortcut_round(labels, num_buckets: int):
 
 
 def connected_components(edges, a_col: str = "a", b_col: str = "b",
-                         num_buckets: int = 32, max_iter: int = 25):
+                         num_buckets: int = 32, max_iter: int = 25,
+                         driver_threshold: int = 100_000):
     """Labels Dataset (v, l) with l = min node id of v's component. Only
     nodes appearing in ``edges`` are labeled (singletons are the caller's
-    identity mapping)."""
+    identity mapping).
+
+    Hybrid plan: the edge list is materialized (it is bounded — e.g.
+    capped LSH pair output, orders of magnitude smaller than the corpus);
+    when it holds at most ``driver_threshold`` edges a driver-side
+    union-find answers in one pass (the common near-dup case), otherwise
+    the distributed pointer-doubling rounds run. Both paths emit the
+    identical min-of-component labels."""
 
     def to_sym(batch: pa.Table) -> pa.Table:
         av = batch[a_col]
@@ -175,6 +185,9 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         return _bucketed(t, "v", num_buckets)
 
     und = edges.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    if und.count() <= 2 * driver_threshold:  # und holds both directions
+        return _driver_union_find(und)
 
     def init_bucket(t: pa.Table) -> pa.Table:
         # free first propagation: neighbors are already co-located here, so
@@ -199,3 +212,40 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         if changed == 0:
             break
     return labels
+
+
+def _driver_union_find(und):
+    """Small-graph fast path: collect the (bounded) symmetric edge list and
+    union-find on the driver; same min-canonical labels as the distributed
+    rounds, returned as a 1-block Dataset."""
+    import ray
+
+    tbls = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return ray.data.from_arrow(pa.table({
+            "v": pa.array([], type=pa.int64()),
+            "l": pa.array([], type=pa.int64()),
+        }))
+    all_t = pa.concat_tables([t.select(["v", "u"]) for t in tbls])
+    a = all_t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+    b = all_t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = np.unique(a)
+    labels = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                         count=len(nodes))
+    return ray.data.from_arrow(pa.table({
+        "v": pa.array(nodes.astype(np.int64)), "l": pa.array(labels),
+    }))

@@ -912,8 +912,8 @@ class TestConnectedComponents:
         # the pointer-doubling step (plain propagation needs ~n rounds) —
         # 24 nodes = ~5 rounds, exercising shortcutting + the early exit
         df = pd.DataFrame({"a": np.arange(23) + 1, "b": np.arange(23) + 2})
-        got = connected_components(ray.data.from_pandas(df), num_buckets=4) \
-            .to_pandas()
+        got = connected_components(ray.data.from_pandas(df), num_buckets=4,
+                                   driver_threshold=0).to_pandas()
         assert (got.l == 1).all() and len(got) == 24
 
 
@@ -1018,3 +1018,20 @@ class TestProfile:
         assert out.loc["b"].min_str == "aa" and out.loc["b"].max_str == "zz"
         assert out.loc["b"].n_null == 1
         assert out.loc["c"].min_num == 1.0 and out.loc["c"].max_num == 4.0
+
+
+class TestConnectedComponentsHybrid:
+    def test_driver_fast_path_matches_distributed(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.graph import connected_components
+
+        rng = np.random.default_rng(17)
+        edges = [tuple(sorted(map(int, rng.integers(0, 80, 2)))) for _ in range(90)]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = pd.DataFrame(edges, columns=["a", "b"])
+        fast = connected_components(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        dist = connected_components(ray.data.from_pandas(df),
+                                    driver_threshold=0, num_buckets=4) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, dist)
