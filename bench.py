@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "orders_bloom_semi",
     "docs_decontam",
     "lineitem_profile",
+    "docs_prep_pipeline",
 ]
 
 

@@ -891,6 +891,7 @@ def build_queries() -> dict:
         "orders_bloom_semi": q_orders_bloom_semi,
         "docs_decontam": q_docs_decontam,
         "lineitem_profile": q_lineitem_profile,
+        "docs_prep_pipeline": q_docs_prep_pipeline,
     }
 
 
@@ -958,6 +959,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_profile": SQL_LINEITEM_PROFILE,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
         "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
+        "docs_prep_pipeline": _docs_materialized_oracle(
+            sf_dir_for_fixture, "prep_pipeline_v1", _prep_expected_docs,
+            columns=("doc_id", "text", "n_chars")),
         "seq_pack": _materialized_oracle(path, "seq_pack_v1", _pack_expected_seq,
                                          columns=("doc_id", "ts_ns", "n_tok")),
         "docs_approx_distinct": _docs_materialized_oracle(
@@ -2548,3 +2552,131 @@ UNION ALL
 SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
        NULL, NULL, min(l_linestatus), max(l_linestatus) FROM lineitem
 """
+
+
+def q_docs_prep_pipeline(sf_dir: str):
+    """THE composed training-data prep pipeline — every dedup/curation
+    stage interoperating end-to-end: quality filter (n_chars >= 100) →
+    exact dedup (min doc per md5) → near-dup CLUSTER drop (MinHash-LSH
+    pairs → connected components → keep each component's min doc) →
+    deterministic 90/10 train/eval split → greedy packing of est_tok =
+    len(text)//4 into 2048-token examples per split. Output: one row per
+    surviving doc with its split and pack assignment. The non-canonical
+    drop set is broadcast (bounded by the verified-pair node count — the
+    LSH bucket caps bound it, same class as the hot-key broadcast)."""
+    from pymhealth_ray.stages.dedup import exact_dedup
+    from pymhealth_ray.stages.graph import connected_components
+    from pymhealth_ray.stages.pack import pack_assignments
+    from pymhealth_ray.stages.sample import split_train_eval
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+
+    def quality(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_chars"], 100)).drop_columns(["n_chars"])
+
+    q = docs.map_batches(quality, batch_format="pyarrow")
+    d1 = exact_dedup(q, keep_payload=True).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow").materialize()
+    pairs = minhash_lsh_dupes(d1, jaccard_threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB).to_pandas()
+    drop = pa.array(
+        sorted(labels.v[labels.v != labels.l].astype("int64").tolist()),
+        type=pa.int64())
+
+    def drop_noncanon(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop)))
+
+    d2 = d1.map_batches(drop_noncanon, batch_format="pyarrow")
+    d3 = split_train_eval(d2, "doc_id", eval_fraction=0.1, salt="s")
+
+    def lenify(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        est = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64) // 4
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "z": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "est_tok": pa.array(est),
+            "split": b["split"],
+        })
+
+    sized = d3.map_batches(lenify, batch_format="pyarrow").materialize()
+    parts = []
+    for sp in ("train", "eval"):
+        side = sized.map_batches(
+            lambda b, sp=sp: b.filter(pc.equal(b["split"], sp)),
+            batch_format="pyarrow")
+        parts.append(pack_assignments(side, id_col="doc_id", ts_col="z",
+                                      len_col="est_tok", max_len=2048,
+                                      num_buckets=NB, extra_cols=["split"]))
+    out = parts[0].union(parts[1])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "split": b["split"],
+            "est_tok": b["est_tok"],
+            "pack_id": b["pack_id"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _prep_expected_docs(df):
+    """Single-process replication of the whole prep chain (every stage is
+    deterministic and partitioning-invariant, so the driver hash-compares
+    the two paths exactly)."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from pymhealth_ray.stages.pack import pack_assignments_for_bucket
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+
+    df = df[df.n_chars >= 100][["doc_id", "text"]].reset_index(drop=True)
+    dig = df.text.map(lambda t: _hl.md5(str(t).encode("utf-8")).hexdigest())
+    minid = df.groupby(dig.values).doc_id.transform("min")
+    df = df[df.doc_id == minid].reset_index(drop=True)
+
+    pairs = _minhash_pairs_expected(df)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.id_a.values, pairs.id_b.values):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {n for n in set(pairs.id_a.tolist()) | set(pairs.id_b.tolist())
+            if find(n) != n}
+    df = df[~df.doc_id.isin(drop)].reset_index(drop=True)
+
+    thr = _threshold_hex(0.1)
+    is_eval = _hex8(pa.array(df.doc_id.values), "s") < thr
+    split = np.where(is_eval.astype(bool), "eval", "train")
+    est_tok = df.text.str.len().values.astype(np.int64) // 4
+    buckets = np.asarray(_stable_bucket_of(pa.array(df.doc_id.values), NB))
+    frames = []
+    for sp in ("train", "eval"):
+        m = split == sp
+        for b in np.unique(buckets[m]):
+            mm = m & (buckets == b)
+            tbl = pa.table({
+                "doc_id": pa.array(df.doc_id.values[mm]),
+                "z": pa.array(np.zeros(int(mm.sum()), dtype=np.int64)),
+                "est_tok": pa.array(est_tok[mm]),
+                "split": pa.array([sp] * int(mm.sum()), type=pa.string()),
+            })
+            frames.append(pack_assignments_for_bucket(
+                tbl, int(b), "doc_id", "z", "est_tok", 2048).to_pandas())
+    out = pd.concat(frames, ignore_index=True)
+    return out[["doc_id", "split", "est_tok", "pack_id"]]

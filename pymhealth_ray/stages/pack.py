@@ -108,3 +108,45 @@ def pack_expected(ids, tss, lens, max_len: int = 2048, num_buckets: int = 32):
         frames.append(pack_summary_for_bucket(tbl, int(b), "id", "ts", "len",
                                               max_len).to_pandas())
     return pd.concat(frames, ignore_index=True)
+
+
+def pack_assignments_for_bucket(tbl: pa.Table, bucket: int, id_col: str,
+                                ts_col: str, len_col: str, max_len: int) -> pa.Table:
+    """Like :func:`pack_summary_for_bucket` but emits one row per INPUT
+    sequence with its assigned pack_id (join this back to the payload
+    table instead of routing payloads through packing)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(tbl, sort_keys=[(id_col, "ascending"),
+                                            (ts_col, "ascending"),
+                                            (len_col, "ascending")])
+    tbl = tbl.take(order)
+    lens = tbl[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = greedy_boundaries(lens, max_len)
+    n_seqs = b[1:] - b[:-1]
+    pack_idx = np.repeat(np.arange(len(n_seqs), dtype=np.int64), n_seqs)
+    pack_id = (np.int64(bucket) << PACK_BITS) | pack_idx
+    return tbl.append_column("pack_id", pa.array(pack_id))
+
+
+def pack_assignments(ds, id_col: str = "doc_id", ts_col: str = "ts_ns",
+                     len_col: str = "n_tok", max_len: int = 2048,
+                     num_buckets: int = 32, extra_cols=()):
+    """Distributed per-sequence pack assignment: input columns (+``extra_cols``)
+    plus ``pack_id``. Same deterministic order and bucketing as
+    :func:`pack_sequences`."""
+    keep = [id_col, ts_col, len_col] + list(extra_cols)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keep)
+        b = _stable_bucket_of(batch[id_col], num_buckets)
+        return batch.append_column("__packbucket", pa.array(b, type=pa.int32()))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        bucket = int(tbl["__packbucket"][0].as_py())
+        return pack_assignments_for_bucket(
+            tbl.drop_columns(["__packbucket"]), bucket, id_col, ts_col,
+            len_col, max_len)
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "__packbucket").map_groups(per_bucket, batch_format="pyarrow")

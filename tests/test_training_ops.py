@@ -1035,3 +1035,23 @@ class TestConnectedComponentsHybrid:
                                     driver_threshold=0, num_buckets=4) \
             .to_pandas().sort_values("v").reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, dist)
+
+
+class TestPrepPipeline:
+    def test_invariants_at_sf0001(self, ray_session):
+        from pymhealth_ray.pipelines.queries import q_docs_prep_pipeline
+        import pyarrow.parquet as pq
+
+        out = q_docs_prep_pipeline("/root/testdata/sf0.001").to_pandas()
+        src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"]).to_pandas()
+        # survivors are unique, from the source, and meet the quality bar
+        assert out.doc_id.is_unique
+        merged = out.merge(src, on="doc_id")
+        assert len(merged) == len(out)
+        assert (merged.n_chars >= 100).all()
+        # packs respect the budget unless single-oversize
+        per_pack = out.groupby(["split", "pack_id"]).est_tok.agg(["sum", "size"])
+        bad = per_pack[(per_pack["sum"] > 2048) & (per_pack["size"] > 1)]
+        assert len(bad) == 0
+        assert set(out.split.unique()) <= {"train", "eval"}
