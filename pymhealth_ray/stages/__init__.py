@@ -23,3 +23,16 @@ from pymhealth_ray.stages.lag import lag_features  # noqa: F401
 from pymhealth_ray.stages.rolling import rolling_count_windows  # noqa: F401
 from pymhealth_ray.stages.aggregate import grouped_stats, with_squares  # noqa: F401
 from pymhealth_ray.stages.signal import detect_rpeaks, detect_pulse_onsets  # noqa: F401
+
+# round-2 training-data / relational operators
+from pymhealth_ray.stages.aggregate import grouped_topk, grouped_quantiles  # noqa: F401
+from pymhealth_ray.stages.join import equi_join, equi_join_salted, detect_hot_keys  # noqa: F401
+from pymhealth_ray.stages.rangejoin import range_join  # noqa: F401
+from pymhealth_ray.stages.sketch import grouped_approx_distinct  # noqa: F401
+from pymhealth_ray.stages.sample import hash_sample, split_train_eval, grouped_sample_k  # noqa: F401
+from pymhealth_ray.stages.vocab import token_vocabulary, top_tokens  # noqa: F401
+from pymhealth_ray.stages.pack import pack_sequences, pack_assignments  # noqa: F401
+from pymhealth_ray.stages.graph import connected_components  # noqa: F401
+from pymhealth_ray.stages.bloom import build_bloom, filter_against_bloom, bloom_contains  # noqa: F401
+from pymhealth_ray.stages.decontam import build_shingle_bloom, contamination_scores  # noqa: F401
+from pymhealth_ray.stages.profile import profile_table  # noqa: F401
