@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "docs_decontam",
     "lineitem_profile",
     "docs_prep_pipeline",
+    "docs_simhash_dupes",
 ]
 
 

@@ -892,6 +892,7 @@ def build_queries() -> dict:
         "docs_decontam": q_docs_decontam,
         "lineitem_profile": q_lineitem_profile,
         "docs_prep_pipeline": q_docs_prep_pipeline,
+        "docs_simhash_dupes": q_docs_simhash_dupes,
     }
 
 
@@ -959,6 +960,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_profile": SQL_LINEITEM_PROFILE,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
         "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
+        "docs_simhash_dupes": _docs_materialized_oracle(
+            sf_dir_for_fixture, "simhash_dupes_v1", _simhash_dupes_expected),
         "docs_prep_pipeline": _docs_materialized_oracle(
             sf_dir_for_fixture, "prep_pipeline_v1", _prep_expected_docs,
             columns=("doc_id", "text", "n_chars")),
@@ -2680,3 +2683,46 @@ def _prep_expected_docs(df):
                 tbl, int(b), "doc_id", "z", "est_tok", 2048).to_pandas())
     out = pd.concat(frames, ignore_index=True)
     return out[["doc_id", "split", "est_tok", "pack_id"]]
+
+
+def q_docs_simhash_dupes(sf_dir: str):
+    """SimHash Hamming-ball near-dup pairs (stages.dedup.simhash_dupes):
+    banded exact-match candidates (pigeonhole-complete for hamming <=
+    bands-1), in-bucket vectorized XOR popcount verification."""
+    from pymhealth_ray.stages.dedup import simhash_dupes
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dupes(ds, max_hamming=3, num_bands=4, num_buckets=NB)
+
+
+def _simhash_dupes_expected(df):
+    """Single-process banded Hamming search over the scalar-reference
+    signatures (same banding, cap, and popcount as the engine)."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.dedup import _POP8
+
+    sig_df = _simhash_expected(df)
+    ids = sig_df.doc_id.values.astype(np.int64)
+    sig = sig_df.simhash.values.view(np.uint64)
+    order = np.argsort(ids)
+    ids, sig = ids[order], sig[order]
+    band_bits, num_bands, max_h, cap = 16, 4, 3, 512
+    mask = np.uint64((1 << band_bits) - 1)
+    pairs = set()
+    for band in range(num_bands):
+        bb = (sig >> np.uint64(band * band_bits)) & mask
+        groups: dict = {}
+        for i, k in enumerate(bb.tolist()):
+            groups.setdefault(k, []).append(i)
+        for members in groups.values():
+            members = members[:cap]  # ids already sorted ascending
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    xr = np.uint64(sig[i] ^ sig[j])
+                    h = int(_POP8[np.frombuffer(xr.tobytes(), dtype=np.uint8)].sum())
+                    if h <= max_h:
+                        pairs.add((int(ids[i]), int(ids[j]), h))
+    out = sorted(pairs)
+    return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])

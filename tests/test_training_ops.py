@@ -1055,3 +1055,27 @@ class TestPrepPipeline:
         bad = per_pack[(per_pack["sum"] > 2048) & (per_pack["size"] > 1)]
         assert len(bad) == 0
         assert set(out.split.unique()) <= {"train", "eval"}
+
+
+class TestSimhashDupes:
+    def test_complete_within_radius(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.dedup import simhash_dupes, simhash_signatures, _POP8
+
+        docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                     columns=["doc_id", "text"])
+        got = simhash_dupes(docs, max_hamming=3, num_bands=4, num_buckets=8) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        # brute-force reference over the same signatures
+        sig = simhash_signatures(docs).to_pandas().sort_values("doc_id")
+        s = sig.simhash.values.view(np.uint64)
+        ids = sig.doc_id.values
+        want = set()
+        for i in range(len(s)):
+            x = s[i] ^ s[i + 1:]
+            h = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(1)
+            for j in np.flatnonzero(h <= 3):
+                a, b = int(ids[i]), int(ids[i + 1 + j])
+                want.add((min(a, b), max(a, b)))
+        assert set(zip(got.id_a, got.id_b)) == want
+        assert (got.hamming <= 3).all()
