@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "lineitem_profile",
     "docs_prep_pipeline",
     "docs_simhash_dupes",
+    "docs_redact",
 ]
 
 

@@ -893,6 +893,7 @@ def build_queries() -> dict:
         "lineitem_profile": q_lineitem_profile,
         "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_simhash_dupes": q_docs_simhash_dupes,
+        "docs_redact": q_docs_redact,
     }
 
 
@@ -958,6 +959,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_top_tokens": SQL_DOCS_TOP_TOKENS,
         "docs_sample_per_lang": SQL_DOCS_SAMPLE_PER_LANG,
         "lineitem_profile": SQL_LINEITEM_PROFILE,
+        "docs_redact": SQL_DOCS_REDACT,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
         "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
         "docs_simhash_dupes": _docs_materialized_oracle(
@@ -2726,3 +2728,35 @@ def _simhash_dupes_expected(df):
                         pairs.add((int(ids[i]), int(ids[j]), h))
     out = sorted(pairs)
     return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+
+def q_docs_redact(sf_dir: str):
+    """Regex redaction (stages.text.redact): RE2 replace + match count per
+    doc — Arrow and DuckDB share the RE2 engine, so the oracle is the
+    literal same regex in SQL."""
+    from pymhealth_ray.stages.text import redact
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = redact(docs, pattern=r"\b(spark|hash|vector)\b",
+                 replacement="<TOOL>")
+
+    def finish(b: pa.Table) -> pa.Table:
+        red = b["redacted"]
+        if isinstance(red, pa.ChunkedArray):
+            red = red.combine_chunks()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "red_md5": pa.array(md5s, type=pa.string()),
+            "n_redactions": b["n_redactions"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_REDACT = r"""
+SELECT doc_id,
+       md5(regexp_replace(text, '\b(spark|hash|vector)\b', '<TOOL>', 'g')) AS red_md5,
+       CAST(len(regexp_extract_all(text, '\b(spark|hash|vector)\b')) AS BIGINT) AS n_redactions
+FROM documents
+"""

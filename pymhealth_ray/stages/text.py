@@ -173,3 +173,26 @@ def language_id(ds, text_col: str = "text", concurrency=(2, 8), batch_size: int 
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def redact(ds, pattern: str, replacement: str, text_col: str = "text",
+           out_col: str = "redacted", count_col: str = "n_redactions",
+           batch_size: int = 4096):
+    """Regex redaction / normalization (the PII-scrub class of corpus op):
+    appends the redacted text and the per-row match count. Fully
+    vectorized — Arrow's ``replace_substring_regex`` / ``count_substring_regex``
+    run RE2 over the whole batch (the same regex engine DuckDB uses, which
+    is what makes the SQL oracle exact). Map-only, no shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        red = pc.replace_substring_regex(col, pattern=pattern,
+                                         replacement=replacement)
+        cnt = pc.count_substring_regex(col, pattern=pattern).cast(pa.int64())
+        batch = batch.append_column(out_col, red)
+        return batch.append_column(count_col, cnt)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

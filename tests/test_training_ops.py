@@ -1079,3 +1079,20 @@ class TestSimhashDupes:
                 want.add((min(a, b), max(a, b)))
         assert set(zip(got.id_a, got.id_b)) == want
         assert (got.hamming <= 3).all()
+
+
+class TestRedact:
+    def test_matches_python_re(self, ray_session):
+        import re
+        import pandas as pd
+        from pymhealth_ray.stages.text import redact
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3],
+                           "text": ["a spark b hash", "nothing here",
+                                    "hash hash spark-spark"]})
+        out = redact(ray.data.from_pandas(df), pattern=r"\b(spark|hash)\b",
+                     replacement="<X>").to_pandas().sort_values("doc_id")
+        for _, r in out.iterrows():
+            src = df[df.doc_id == r.doc_id].text.iloc[0]
+            assert r.redacted == re.sub(r"\b(spark|hash)\b", "<X>", src)
+            assert r.n_redactions == len(re.findall(r"\b(spark|hash)\b", src))
