@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "docs_prep_pipeline",
     "docs_simhash_dupes",
     "docs_redact",
+    "seq_weighted_sample",
 ]
 
 

@@ -894,6 +894,7 @@ def build_queries() -> dict:
         "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_simhash_dupes": q_docs_simhash_dupes,
         "docs_redact": q_docs_redact,
+        "seq_weighted_sample": q_seq_weighted_sample,
     }
 
 
@@ -967,6 +968,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_prep_pipeline": _docs_materialized_oracle(
             sf_dir_for_fixture, "prep_pipeline_v1", _prep_expected_docs,
             columns=("doc_id", "text", "n_chars")),
+        "seq_weighted_sample": _materialized_oracle(
+            path, "weighted_sample_v1", _weighted_sample_expected,
+            columns=("doc_id", "ts_ns", "n_tok", "source")),
         "seq_pack": _materialized_oracle(path, "seq_pack_v1", _pack_expected_seq,
                                          columns=("doc_id", "ts_ns", "n_tok")),
         "docs_approx_distinct": _docs_materialized_oracle(
@@ -2760,3 +2764,60 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\b(spark|hash|vector)\b')) AS BIGINT) AS n_redactions
 FROM documents
 """
+
+
+def q_seq_weighted_sample(sf_dir: str):
+    """Token-weighted 50-per-source sample of sequences
+    (stages.sample.grouped_weighted_sample_k, Efraimidis-Spirakis with
+    keyed uniforms): longer sequences proportionally more likely, sample
+    identical on every rerun and cluster size."""
+    from pymhealth_ray.stages.sample import grouped_weighted_sample_k
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok", "source"])
+
+    def with_rid(b: pa.Table) -> pa.Table:
+        rid = pc.binary_join_element_wise(
+            b["doc_id"], pc.cast(b["ts_ns"], pa.string()), ":")
+        wt = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64) + 1.0
+        t = b.append_column("rid", rid)
+        return t.append_column("wt", pa.array(wt))
+
+    out = grouped_weighted_sample_k(
+        ds.map_batches(with_rid, batch_format="pyarrow"),
+        ["source"], "rid", "wt", k=50, salt="w", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "doc_id": b["doc_id"],
+            "ts_ns": b["ts_ns"],
+            "n_tok": b["n_tok"],
+            "rn": b["rn"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _weighted_sample_expected(src: pa.Table):
+    """Single-process A-ES with the identical keyed uniforms and float
+    ops — priorities are bit-equal, so the sampled set and ranks match."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.sample import _hexn
+
+    did = np.asarray(src["doc_id"].to_pylist())
+    ts = src["ts_ns"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = src["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    source = np.asarray(src["source"].to_pylist())
+    rid = np.array([f"{d}:{t}" for d, t in zip(did, ts)], dtype=object)
+    u_hex = _hexn(pa.array(rid.tolist(), type=pa.string()), "w", 16)
+    u = np.array([int(h, 16) for h in u_hex], dtype=np.uint64)
+    uf = (u.astype(np.float64) + 1.0) / 18446744073709551618.0
+    wv = ntok.astype(np.float64) + 1.0
+    pri = -np.log(uf) / wv
+    df = pd.DataFrame({"source": source, "doc_id": did, "ts_ns": ts,
+                       "n_tok": ntok, "rid": rid, "pri": pri})
+    out = (df.sort_values(["pri", "rid"]).groupby("source", sort=False).head(50)
+             .copy())
+    out["rn"] = out.groupby("source", sort=False).cumcount() + 1
+    return out[["source", "doc_id", "ts_ns", "n_tok", "rn"]].reset_index(drop=True)

@@ -36,3 +36,6 @@ from pymhealth_ray.stages.graph import connected_components  # noqa: F401
 from pymhealth_ray.stages.bloom import build_bloom, filter_against_bloom, bloom_contains  # noqa: F401
 from pymhealth_ray.stages.decontam import build_shingle_bloom, contamination_scores  # noqa: F401
 from pymhealth_ray.stages.profile import profile_table  # noqa: F401
+from pymhealth_ray.stages.sample import grouped_weighted_sample_k  # noqa: F401
+from pymhealth_ray.stages.dedup import simhash_dupes  # noqa: F401
+from pymhealth_ray.stages.text import redact  # noqa: F401

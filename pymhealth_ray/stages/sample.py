@@ -121,3 +121,45 @@ def grouped_sample_k(ds, group_cols, key_col: str, k: int, salt: str = "0",
         return batch.drop_columns([PRI])
 
     return sampled.map_batches(drop_pri, batch_format="pyarrow")
+
+
+def grouped_weighted_sample_k(ds, group_cols, key_col: str, weight_col: str,
+                              k: int, salt: str = "0", rank_name: str = "rn",
+                              num_buckets: int = 256):
+    """Weighted k-per-group sampling WITHOUT replacement — the data-mixing
+    primitive (sample sequences proportionally to token count, balance
+    sources by quality weight, ...). Efraimidis-Spirakis A-ES: each row
+    gets priority ``-ln(u)/w`` with ``u`` the row key's md5-uniform in
+    (0,1); the k SMALLEST priorities per group are exactly a weighted
+    sample without replacement. ``u`` is keyed (not random), so the sample
+    is rerun-stable and identical at any cluster size; rows with w <= 0
+    get +inf priority (never sampled). ``key_col`` must be row-unique
+    within its group (build a composite key upstream if needed).
+    Distributed via ``grouped_topk``'s map-side partials."""
+    from pymhealth_ray.stages.aggregate import grouped_topk
+
+    PRI = "__wpri"
+
+    def with_priority(batch: pa.Table) -> pa.Table:
+        u_hex = _hexn(batch[key_col], salt, 16)
+        u = np.array([int(h, 16) for h in u_hex], dtype=np.uint64)
+        # (0,1): +1 / 2^64+2 keeps u strictly inside the open interval
+        uf = (u.astype(np.float64) + 1.0) / 18446744073709551618.0
+        w = batch[weight_col]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        wv = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            pri = np.where(wv > 0, -np.log(uf) / np.maximum(wv, 1e-300), np.inf)
+        batch = batch.append_column(PRI, pa.array(pri))
+        # w <= 0 rows are EXCLUDED (not merely deprioritized): "never
+        # sampled" must hold even when k >= group size
+        return batch.filter(pa.array(np.isfinite(pri)))
+
+    sampled = grouped_topk(
+        ds.map_batches(with_priority, batch_format="pyarrow"),
+        group_cols, PRI, k, descending=False, tie_cols=[key_col],
+        rank_name=rank_name, num_buckets=num_buckets,
+    )
+    return sampled.map_batches(lambda b: b.drop_columns([PRI]),
+                               batch_format="pyarrow")

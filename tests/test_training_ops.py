@@ -1096,3 +1096,33 @@ class TestRedact:
             src = df[df.doc_id == r.doc_id].text.iloc[0]
             assert r.redacted == re.sub(r"\b(spark|hash)\b", "<X>", src)
             assert r.n_redactions == len(re.findall(r"\b(spark|hash)\b", src))
+
+
+class TestWeightedSample:
+    def test_weighted_bias_and_determinism(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.sample import grouped_weighted_sample_k
+
+        n = 4000
+        df = pd.DataFrame({
+            "g": ["x"] * n,
+            "key": np.arange(n),
+            # half the rows carry 10x weight
+            "w": np.where(np.arange(n) < n // 2, 10.0, 1.0),
+        })
+        outs = []
+        for blocks in (1, 9):
+            outs.append(
+                grouped_weighted_sample_k(
+                    ray.data.from_pandas(df).repartition(blocks), ["g"],
+                    "key", "w", k=400, salt="t", num_buckets=4)
+                .to_pandas().sort_values("rn").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        heavy = (outs[0].key < n // 2).mean()
+        # E[heavy fraction] ~ 10/11 = 0.91; binomial noise on 400 draws
+        assert heavy > 0.8
+        # zero/negative weights never sampled
+        df.loc[0, "w"] = 0.0
+        out = grouped_weighted_sample_k(ray.data.from_pandas(df), ["g"],
+                                        "key", "w", k=n, salt="t").to_pandas()
+        assert 0 not in set(out.key)
