@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "docs_simhash_dupes",
     "docs_redact",
     "seq_weighted_sample",
+    "lineitem_cms_counts",
 ]
 
 

@@ -895,6 +895,7 @@ def build_queries() -> dict:
         "docs_simhash_dupes": q_docs_simhash_dupes,
         "docs_redact": q_docs_redact,
         "seq_weighted_sample": q_seq_weighted_sample,
+        "lineitem_cms_counts": q_lineitem_cms_counts,
     }
 
 
@@ -962,6 +963,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_profile": SQL_LINEITEM_PROFILE,
         "docs_redact": SQL_DOCS_REDACT,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
+        "lineitem_cms_counts": _cms_counts_oracle(sf_dir_for_fixture),
         "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
         "docs_simhash_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "simhash_dupes_v1", _simhash_dupes_expected),
@@ -2821,3 +2823,51 @@ def _weighted_sample_expected(src: pa.Table):
              .copy())
     out["rn"] = out.groupby("source", sort=False).cumcount() + 1
     return out[["source", "doc_id", "ts_ns", "n_tok", "rn"]].reset_index(drop=True)
+
+
+def q_lineitem_cms_counts(sf_dir: str):
+    """Count-min frequency sketch (stages.sketch.build_count_min): build
+    over lineitem's partkey stream (distributed +-merge, bit-identical for
+    any block layout), then estimate each part's line count map-only
+    against the broadcast sketch. Estimates are one-sided (>= true)."""
+    from pymhealth_ray.stages.sketch import build_count_min, count_min_estimate
+
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    cms = build_count_min(li, "l_partkey", width=1 << 14, depth=4)
+    cms_ref = ray.put(cms)
+    parts = read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def estimate(b: pa.Table) -> pa.Table:
+        m = ray.get(cms_ref)
+        pk = b["p_partkey"]
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        est = count_min_estimate(m, pk)
+        return pa.table({"p_partkey": pk, "est_lines": pa.array(est)})
+
+    return parts.map_batches(estimate, batch_format="pyarrow")
+
+
+def _cms_counts_oracle(sf_dir: str) -> str:
+    """Materialized oracle: single-process sketch over the same stream —
+    +-merge is order-free, so the counters agree bit-for-bit."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.sources.generate import fixture_dir_for
+    from pymhealth_ray.stages.sketch import _cms_rows, count_min_estimate
+
+    out_dir = fixture_dir_for(sf_dir).rstrip("/") + "_docs_oracle"
+    out_path = os.path.join(out_dir, "cms_counts_v1.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        li = pq_mod.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+        cms = _cms_rows(li["l_partkey"].combine_chunks(), 1 << 14, 4)
+        parts = pq_mod.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        pk = parts["p_partkey"].combine_chunks()
+        est = count_min_estimate(cms, pk)
+        tmp = out_path + ".tmp"
+        pq_mod.write_table(pa.table({"p_partkey": pk, "est_lines": pa.array(est)}), tmp)
+        os.replace(tmp, out_path)
+    return f"SELECT * FROM read_parquet('{out_path}')"

@@ -174,3 +174,68 @@ def hll_expected(values, group_keys, p: int = 12):
     est = np.round(_estimate(regs), 6)
     n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
     return pd.DataFrame({"g": uniques, "est": est, "n": n})
+
+
+# --- count-min sketch: the frequency member of the sketch triad ------------
+# (distinct = HLL above, membership = stages.bloom, frequency = THIS)
+
+
+def _cms_rows(col, width: int, depth: int) -> np.ndarray:
+    """(depth, width) int64 counter partial for one batch."""
+    h = _hash64(col)
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        hd = _splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        cms[d] += np.bincount(idx, minlength=width)
+    return cms
+
+
+def build_count_min(ds, col: str, width: int = 1 << 14, depth: int = 4,
+                    merge_groups: int = 64) -> np.ndarray:
+    """Count-min sketch over a column: per-block counter partials, two-level
+    ``+``-merge (associative/commutative → the built sketch is BIT-IDENTICAL
+    for any block layout, like the HLL registers and the Bloom bitmap).
+    Estimates are one-sided: ``estimate >= true count`` always, over-count
+    bounded by ~e*N/width with probability 1 - e^-depth."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cms = _cms_rows(batch[col], width, depth)
+        return pa.table({
+            "cms": pa.FixedSizeListArray.from_arrays(
+                pa.array(cms.reshape(-1)), width * depth),
+            "__mgroup": pa.array([int(cms.sum()) % merge_groups], type=pa.int32()),
+        })
+
+    def sum_group(tbl: pa.Table) -> pa.Table:
+        c = tbl["cms"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        mats = np.asarray(c.values.to_numpy(zero_copy_only=False),
+                          dtype=np.int64).reshape(tbl.num_rows, -1)
+        return pa.table({"cms": pa.FixedSizeListArray.from_arrays(
+            pa.array(mats.sum(axis=0)), width * depth)})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("__mgroup").map_groups(
+        lambda t: sum_group(t.drop_columns(["__mgroup"])), batch_format="pyarrow")
+    out = np.zeros(depth * width, dtype=np.int64)
+    for t in ray.get(merged.to_arrow_refs()):
+        if t.num_rows:
+            mats = np.asarray(t["cms"].combine_chunks().values.to_numpy(
+                zero_copy_only=False), dtype=np.int64).reshape(t.num_rows, -1)
+            out += mats.sum(axis=0)
+    return out.reshape(depth, width)
+
+
+def count_min_estimate(cms: np.ndarray, col, ) -> np.ndarray:
+    """Estimated count per row of ``col`` (min over the depth rows)."""
+    depth, width = cms.shape
+    h = _hash64(col)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = _splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cms[d][idx])
+    return est

@@ -1126,3 +1126,24 @@ class TestWeightedSample:
         out = grouped_weighted_sample_k(ray.data.from_pandas(df), ["g"],
                                         "key", "w", k=n, salt="t").to_pandas()
         assert 0 not in set(out.key)
+
+
+class TestCountMin:
+    def test_one_sided_and_partition_invariant(self, ray_session):
+        import duckdb
+        import pandas as pd
+        from pymhealth_ray.stages.sketch import build_count_min, count_min_estimate
+
+        rng = np.random.default_rng(23)
+        keys = rng.zipf(1.5, 20000) % 3000
+        df = pd.DataFrame({"k": keys.astype(np.int64)})
+        sketches = []
+        for blocks in (1, 11):
+            sketches.append(build_count_min(
+                ray.data.from_pandas(df).repartition(blocks), "k",
+                width=1 << 13, depth=4))
+        assert np.array_equal(sketches[0], sketches[1])  # order-free + merge
+        uniq, true = np.unique(df.k.values, return_counts=True)
+        est = count_min_estimate(sketches[0], pa.array(uniq))
+        assert (est >= true).all()                 # never undercounts
+        assert (est - true).mean() < 0.01 * len(df)  # tight at this width
