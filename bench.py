@@ -194,16 +194,18 @@ def run_queries(sf_dir: str) -> dict:
 
     qs = build_queries()
     out = {}
+    section_start = time.time()
     for name in BENCH_QUERIES:
         # adaptive best-of-2, same noise-bounding as the headline
         # (BASELINE.md "Measurement method"): this host's hypervisor steal
         # time can inflate a single run 2-5x. Queries whose first run is
-        # already slow skip the retry so total bench wall time stays
-        # bounded as the query list grows.
+        # already slow skip the retry, and retries stop entirely once the
+        # query section passes its time budget — total bench wall time
+        # stays bounded as the query list grows.
         t0 = time.time()
         _consume(qs[name](sf_dir))
         best = time.time() - t0
-        if best < 5.0:
+        if best < 3.0 and time.time() - section_start < 180.0:
             t0 = time.time()
             _consume(qs[name](sf_dir))
             best = min(best, time.time() - t0)
