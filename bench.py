@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "docs_redact",
     "seq_weighted_sample",
     "lineitem_cms_counts",
+    "docs_media_decode",
 ]
 
 

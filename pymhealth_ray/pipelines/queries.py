@@ -896,6 +896,7 @@ def build_queries() -> dict:
         "docs_redact": q_docs_redact,
         "seq_weighted_sample": q_seq_weighted_sample,
         "lineitem_cms_counts": q_lineitem_cms_counts,
+        "docs_media_decode": q_docs_media_decode,
     }
 
 
@@ -964,6 +965,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_redact": SQL_DOCS_REDACT,
         "orders_bloom_semi": _orders_bloom_semi_oracle(sf_dir_for_fixture),
         "lineitem_cms_counts": _cms_counts_oracle(sf_dir_for_fixture),
+        "docs_media_decode": _docs_materialized_oracle(
+            sf_dir_for_fixture, "media_decode_v1", _media_decode_expected),
         "docs_decontam": _docs_materialized_oracle(sf_dir_for_fixture, "decontam_v1", _decontam_expected_docs),
         "docs_simhash_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "simhash_dupes_v1", _simhash_dupes_expected),
@@ -2871,3 +2874,64 @@ def _cms_counts_oracle(sf_dir: str) -> str:
         pq_mod.write_table(pa.table({"p_partkey": pk, "est_lines": pa.array(est)}), tmp)
         os.replace(tmp, out_path)
     return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+def _docs_media_table(b: pa.Table) -> pa.Table:
+    """Deterministic media table derived from documents: payload = utf-8
+    text bytes, dimensions derived from doc_id."""
+    did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "payload": b["text"].cast(pa.binary()),
+        "width": pa.array((16 + did % 32).astype(np.int32)),
+        "height": pa.array((16 + (did // 7) % 32).astype(np.int32)),
+    })
+
+
+def q_docs_media_decode(sf_dir: str):
+    """Multimodal decode plumbing under the driver gate: documents' bytes
+    as opaque payloads → actor-pool fake decode (codec stubbed, everything
+    around it real: per-actor init, byte-sized batches, block-mean thumb
+    pooling, payload dropped after decode) → per-doc pixel stats. The
+    decode is payload-deterministic, so the oracle reuses the SAME
+    ImageDecoder class single-process."""
+    from pymhealth_ray.stages.multimodal import decode_images
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(_docs_media_table, batch_format="pyarrow")
+    dec = decode_images(media, decoder="fake", thumb=8)
+
+    def finish(b: pa.Table) -> pa.Table:
+        tv = b["thumb_vec"]
+        if isinstance(tv, pa.ChunkedArray):
+            tv = tv.combine_chunks()
+        mat = np.asarray(tv.values.to_numpy(zero_copy_only=False)).reshape(b.num_rows, -1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pixel_mean": pa.array(np.round(
+                b["pixel_mean"].to_numpy(zero_copy_only=False), 6)),
+            "thumb_norm": pa.array(np.round(np.linalg.norm(mat, axis=1), 6)),
+        })
+
+    return dec.map_batches(finish, batch_format="pyarrow")
+
+
+def _media_decode_expected(df):
+    """Single-process pass through the same decoder class."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import ImageDecoder
+
+    src = pa.table({"doc_id": pa.array(df.doc_id.values),
+                    "text": pa.array(df.text.values)})
+    media = _docs_media_table(src)
+    out = ImageDecoder(decoder="fake", thumb=8)(media)
+    tv = out["thumb_vec"]
+    if isinstance(tv, pa.ChunkedArray):
+        tv = tv.combine_chunks()
+    mat = np.asarray(tv.values.to_numpy(zero_copy_only=False)).reshape(out.num_rows, -1)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(zero_copy_only=False),
+        "pixel_mean": np.round(out["pixel_mean"].to_numpy(zero_copy_only=False), 6),
+        "thumb_norm": np.round(np.linalg.norm(mat, axis=1), 6),
+    })
