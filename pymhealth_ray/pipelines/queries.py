@@ -2577,65 +2577,17 @@ def q_docs_prep_pipeline(sf_dir: str):
     len(text)//4 into 2048-token examples per split. Output: one row per
     surviving doc with its split and pack assignment. The non-canonical
     drop set is broadcast (bounded by the verified-pair node count — the
-    LSH bucket caps bound it, same class as the hot-key broadcast)."""
-    from pymhealth_ray.stages.dedup import exact_dedup
-    from pymhealth_ray.stages.graph import connected_components
-    from pymhealth_ray.stages.pack import pack_assignments
-    from pymhealth_ray.stages.sample import split_train_eval
+    LSH bucket caps bound it, same class as the hot-key broadcast).
+
+    The chain itself lives in :func:`pipelines.prep.corpus_prep` (also the
+    ``tools/run_prep_job.py`` ray-job entrypoint)."""
+    from pymhealth_ray.pipelines.prep import corpus_prep
 
     docs = read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text", "n_chars"])
-
-    def quality(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b["n_chars"], 100)).drop_columns(["n_chars"])
-
-    q = docs.map_batches(quality, batch_format="pyarrow")
-    d1 = exact_dedup(q, keep_payload=True).map_batches(
-        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow").materialize()
-    pairs = minhash_lsh_dupes(d1, jaccard_threshold=0.5)
-    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB).to_pandas()
-    drop = pa.array(
-        sorted(labels.v[labels.v != labels.l].astype("int64").tolist()),
-        type=pa.int64())
-
-    def drop_noncanon(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop)))
-
-    d2 = d1.map_batches(drop_noncanon, batch_format="pyarrow")
-    d3 = split_train_eval(d2, "doc_id", eval_fraction=0.1, salt="s")
-
-    def lenify(b: pa.Table) -> pa.Table:
-        txt = b["text"]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        est = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64) // 4
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "z": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-            "est_tok": pa.array(est),
-            "split": b["split"],
-        })
-
-    sized = d3.map_batches(lenify, batch_format="pyarrow").materialize()
-    parts = []
-    for sp in ("train", "eval"):
-        side = sized.map_batches(
-            lambda b, sp=sp: b.filter(pc.equal(b["split"], sp)),
-            batch_format="pyarrow")
-        parts.append(pack_assignments(side, id_col="doc_id", ts_col="z",
-                                      len_col="est_tok", max_len=2048,
-                                      num_buckets=NB, extra_cols=["split"]))
-    out = parts[0].union(parts[1])
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "split": b["split"],
-            "est_tok": b["est_tok"],
-            "pack_id": b["pack_id"],
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return corpus_prep(docs, min_chars=100, jaccard_threshold=0.5,
+                       eval_fraction=0.1, salt="s", max_len=2048,
+                       num_buckets=NB)
 
 
 def _prep_expected_docs(df):
