@@ -897,6 +897,7 @@ def build_queries() -> dict:
         "seq_weighted_sample": q_seq_weighted_sample,
         "lineitem_cms_counts": q_lineitem_cms_counts,
         "docs_media_decode": q_docs_media_decode,
+        "docs_shuffle_order": q_docs_shuffle_order,
     }
 
 
@@ -981,6 +982,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_approx_distinct": _docs_materialized_oracle(
             sf_dir_for_fixture, "hll_distinct_v1", _hll_expected_docs,
             columns=("lang", "text")),
+        "docs_shuffle_order": SQL_DOCS_SHUFFLE_ORDER,
     }
 
 
@@ -2887,3 +2889,30 @@ def _media_decode_expected(df):
         "pixel_mean": np.round(out["pixel_mean"].to_numpy(zero_copy_only=False), 6),
         "thumb_norm": np.round(np.linalg.norm(mat, axis=1), 6),
     })
+
+
+# --------------------------------------------------------------------------
+# deterministic global shuffle (training-example order)
+# --------------------------------------------------------------------------
+
+
+def q_docs_shuffle_order(sf_dir: str):
+    """Reproducible global training order: every document's exact position
+    in the keyed-hash shuffled permutation (stages/shuffle.py — one narrow
+    exchange, range-bucketed by md5-priority prefix, O(num_buckets) driver
+    state). The same permutation any engine derives from
+    ``row_number() OVER (ORDER BY substr(md5(key||'-'||salt),1,16), key)``."""
+    from pymhealth_ray.stages.shuffle import shuffle_positions
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return shuffle_positions(docs, "doc_id", salt="tr1", num_buckets=NB,
+                             extra_cols=["lang"])
+
+
+SQL_DOCS_SHUFFLE_ORDER = """
+SELECT doc_id, lang,
+       row_number() OVER (
+           ORDER BY substr(md5(cast(doc_id AS varchar) || '-tr1'), 1, 16),
+                    doc_id) - 1 AS pos
+FROM documents
+"""

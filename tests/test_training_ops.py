@@ -1147,3 +1147,50 @@ class TestCountMin:
         est = count_min_estimate(sketches[0], pa.array(uniq))
         assert (est >= true).all()                 # never undercounts
         assert (est - true).mean() < 0.01 * len(df)  # tight at this width
+
+
+class TestShufflePositions:
+    """Deterministic global shuffle: dense exact positions, layout
+    invariance, and append-stability of the relative order."""
+
+    def _ds(self, n, parts):
+        ids = np.arange(n, dtype=np.int64) * 7 + 3
+        return ray.data.from_arrow(pa.table({
+            "doc_id": ids,
+            "lang": pa.array([f"l{i % 3}" for i in range(n)]),
+        })).repartition(parts), ids
+
+    def test_exact_dense_positions(self):
+        from pymhealth_ray.stages.shuffle import (shuffle_positions,
+                                                  shuffle_positions_expected)
+
+        ds, ids = self._ds(3000, 11)
+        out = shuffle_positions(ds, "doc_id", salt="x", num_buckets=64,
+                                extra_cols=["lang"]).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        exp = shuffle_positions_expected(sorted(ids.tolist()), salt="x")
+        assert (out.pos.values == exp).all()
+        assert sorted(out.pos.tolist()) == list(range(3000))
+
+    def test_layout_invariance(self):
+        from pymhealth_ray.stages.shuffle import shuffle_positions
+
+        a, _ = self._ds(2000, 3)
+        b, _ = self._ds(2000, 17)
+        pa_ = shuffle_positions(a, "doc_id", num_buckets=16).to_pandas()
+        pb = shuffle_positions(b, "doc_id", num_buckets=32).to_pandas()
+        pa_ = pa_.sort_values("doc_id").reset_index(drop=True)
+        pb = pb.sort_values("doc_id").reset_index(drop=True)
+        assert (pa_.pos.values == pb.pos.values).all()
+
+    def test_append_stability(self):
+        # appending documents must keep the RELATIVE order of old ones
+        from pymhealth_ray.stages.shuffle import shuffle_positions
+
+        small, _ = self._ds(1000, 5)
+        big, _ = self._ds(1500, 5)
+        ps = shuffle_positions(small, "doc_id").to_pandas().sort_values("pos")
+        pb = shuffle_positions(big, "doc_id").to_pandas()
+        old = set(ps.doc_id)
+        pb = pb[pb.doc_id.isin(old)].sort_values("pos")
+        assert ps.doc_id.tolist() == pb.doc_id.tolist()
