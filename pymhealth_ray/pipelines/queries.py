@@ -898,6 +898,7 @@ def build_queries() -> dict:
         "lineitem_cms_counts": q_lineitem_cms_counts,
         "docs_media_decode": q_docs_media_decode,
         "docs_shuffle_order": q_docs_shuffle_order,
+        "docs_gopher_quality": q_docs_gopher_quality,
     }
 
 
@@ -983,6 +984,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "hll_distinct_v1", _hll_expected_docs,
             columns=("lang", "text")),
         "docs_shuffle_order": SQL_DOCS_SHUFFLE_ORDER,
+        "docs_gopher_quality": SQL_DOCS_GOPHER_QUALITY,
     }
 
 
@@ -2915,4 +2917,59 @@ SELECT doc_id, lang,
            ORDER BY substr(md5(cast(doc_id AS varchar) || '-tr1'), 1, 16),
                     doc_id) - 1 AS pos
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules
+# --------------------------------------------------------------------------
+
+
+def q_docs_gopher_quality(sf_dir: str):
+    """Gopher repetition/quality rules (stages/gopher.py): word stats,
+    alphabetic/stopword coverage, symbol ratio, bullet/ellipsis/dup-line
+    fractions and the combined keep verdict — every signal an exact
+    int/int double, bit-equal to the SQL oracle."""
+    from pymhealth_ray.stages.gopher import gopher_quality
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_quality(docs)
+
+
+SQL_DOCS_GOPHER_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+    len(words) AS n_words, len(lines) AS n_lines, n_sym,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS sum_wlen,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter(words, w -> lower(w) IN
+        ('the','be','to','of','and','that','have','with'))) AS n_stop,
+    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS n_bullet,
+    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS n_ellip,
+    len(list_distinct(lines)) AS n_dlines
+  FROM base
+)
+SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0 END AS mean_word_len,
+  CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS frac_alpha_words,
+  n_stop AS stopword_count,
+  CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END AS symbol_word_ratio,
+  CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0 END AS frac_lines_bullet,
+  CASE WHEN n_lines > 0 THEN n_ellip / n_lines ELSE 0.0 END AS frac_lines_ellipsis,
+  CASE WHEN n_lines > 0 THEN 1 - n_dlines / n_lines ELSE 0.0 END AS dup_line_frac,
+  (n_words BETWEEN 50 AND 100000)
+   AND (CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+   AND (CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END >= 0.8)
+   AND n_stop >= 2
+   AND (CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END <= 0.1)
+   AND (CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0 END <= 0.9)
+   AND (CASE WHEN n_lines > 0 THEN n_ellip / n_lines ELSE 0.0 END <= 0.3) AS keep
+FROM agg
 """

@@ -41,3 +41,4 @@ from pymhealth_ray.stages.dedup import simhash_dupes  # noqa: F401
 from pymhealth_ray.stages.text import redact  # noqa: F401
 from pymhealth_ray.stages.sketch import build_count_min, count_min_estimate  # noqa: F401
 from pymhealth_ray.stages.shuffle import shuffle_positions  # noqa: F401
+from pymhealth_ray.stages.gopher import gopher_quality  # noqa: F401

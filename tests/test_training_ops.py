@@ -1194,3 +1194,38 @@ class TestShufflePositions:
         old = set(ps.doc_id)
         pb = pb[pb.doc_id.isin(old)].sort_values("pos")
         assert ps.doc_id.tolist() == pb.doc_id.tolist()
+
+
+class TestGopherQuality:
+    def test_signals_and_keep(self):
+        from pymhealth_ray.stages.gopher import gopher_stats_table
+
+        good = " ".join(["the quick brown fox jumps over that lazy dog"] * 10)
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([
+                good,                               # passes everything
+                "",                                 # empty -> all zeros, drop
+                "- a\n- b\n- c\n- a",               # bullet-heavy + dup line
+                "one two three...",                 # too short + ellipsis
+            ]),
+        })
+        out = gopher_stats_table(docs).to_pandas().set_index("doc_id")
+        assert out.loc[1, "keep"] and out.loc[1, "n_words"] == 90
+        assert out.loc[2, "n_words"] == 0 and not out.loc[2, "keep"]
+        assert out.loc[3, "frac_lines_bullet"] == 1.0
+        assert out.loc[3, "dup_line_frac"] == 0.25
+        assert out.loc[4, "frac_lines_ellipsis"] == 1.0
+        assert not out.loc[4, "keep"]
+
+    def test_distributed_matches_pure(self):
+        from pymhealth_ray.stages.gopher import gopher_quality, gopher_stats_table
+
+        texts = [f"word{i} the be to of " * (i % 7 + 1) for i in range(500)]
+        t = pa.table({"doc_id": pa.array(range(500), type=pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t).repartition(9)
+        out = gopher_quality(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = gopher_stats_table(t).to_pandas()
+        for c in exp.columns:
+            assert (out[c].values == exp[c].values).all(), c
