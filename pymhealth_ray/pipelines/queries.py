@@ -899,6 +899,7 @@ def build_queries() -> dict:
         "docs_media_decode": q_docs_media_decode,
         "docs_shuffle_order": q_docs_shuffle_order,
         "docs_gopher_quality": q_docs_gopher_quality,
+        "seq_top_bigrams": q_seq_top_bigrams,
     }
 
 
@@ -985,6 +986,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             columns=("lang", "text")),
         "docs_shuffle_order": SQL_DOCS_SHUFFLE_ORDER,
         "docs_gopher_quality": SQL_DOCS_GOPHER_QUALITY,
+        "seq_top_bigrams": sql_seq_top_bigrams(path),
     }
 
 
@@ -2972,4 +2974,31 @@ SELECT doc_id, n_words,
    AND (CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0.0 END <= 0.9)
    AND (CASE WHEN n_lines > 0 THEN n_ellip / n_lines ELSE 0.0 END <= 0.3) AS keep
 FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# token-native n-gram vocabulary
+# --------------------------------------------------------------------------
+
+
+def q_seq_top_bigrams(sf_dir: str):
+    """Top-25 token BIGRAMS over the tokens:list<int32> column — the
+    tokens-payload-native analog of docs_top_tokens (stages/vocab.py
+    ngram machinery: within-row adjacency off the list offsets, int64
+    packed codes, per-block distinct partials, map-side top-k pruning)."""
+    from pymhealth_ray.stages.vocab import top_ngrams
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+    return top_ngrams(ds, tokens_col="tokens", n=2, k=25, num_buckets=NB)
+
+
+def sql_seq_top_bigrams(path: str) -> str:
+    return f"""
+SELECT t1, t2, count(*) AS c,
+       row_number() OVER (ORDER BY count(*) DESC, t1, t2) AS rn
+FROM (SELECT tokens[i] AS t1, tokens[i+1] AS t2
+      FROM read_parquet('{path}/part-*.parquet'),
+           LATERAL unnest(generate_series(1, len(tokens)-1)) AS u(i))
+GROUP BY t1, t2 ORDER BY c DESC, t1, t2 LIMIT 25
 """

@@ -78,3 +78,98 @@ def top_tokens(ds, text_col: str = "text", k: int = 50, rank_name: str = "rn",
 
     return vocab.map_batches(prune, batch_format="pyarrow").groupby("__g").map_groups(
         final, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# token-native n-grams (over list<int32> token arrays, no text)
+# --------------------------------------------------------------------------
+
+NGRAM_BITS = {2: 32, 3: 21}  # id bits per position; ids must fit
+
+
+def _ngram_codes(list_arr, n: int):
+    """Vectorized within-row n-gram codes for a list<int> array: pack the
+    n token ids into one int64 (NGRAM_BITS[n] bits each). No Python loop —
+    adjacency masks come straight off the list offsets."""
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    bits = NGRAM_BITS[n]
+    off = np.asarray(list_arr.offsets, dtype=np.int64)
+    off = off - off[0]  # slice-safe: flatten() below re-bases the values
+    vals = np.asarray(list_arr.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    if len(vals) and (vals.max() >= (1 << bits) or vals.min() < 0):
+        raise ValueError(f"token ids must be in [0, 2^{bits}) for n={n}")
+    if len(vals) < n:
+        return np.empty(0, dtype=np.int64)
+    # a window starting at i is valid iff it stays inside i's row: the row
+    # ends (off[1:]) invalidate the n-1 starts before each boundary
+    valid = np.ones(len(vals) - (n - 1), dtype=bool)
+    bnd = off[1:-1]
+    for j in range(1, n):
+        idx = bnd - j
+        idx = idx[(idx >= 0) & (idx < len(valid))]
+        valid[idx] = False
+    code = vals[: len(vals) - (n - 1)].copy()
+    for j in range(1, n):
+        code = (code << bits) | vals[j: len(vals) - (n - 1) + j]
+    return code[valid]
+
+
+def ngram_vocabulary(ds, tokens_col: str = "tokens", n: int = 2,
+                     num_buckets: int = 256):
+    """Corpus-wide n-gram → count Dataset over token arrays (columns
+    ``code:int64, c:int64``). Same partial/merge shape as
+    :func:`token_vocabulary`: the exchange carries per-block distinct
+    (code, count) partials bucketed by a vectorized hash of the code."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        code = _ngram_codes(batch[tokens_col], n)
+        uniq, cnt = np.unique(code, return_counts=True)
+        b = _stable_bucket_of(pa.array(uniq, type=pa.int64()), num_buckets)
+        return pa.table({
+            "code": pa.array(uniq),
+            "c": pa.array(cnt.astype(np.int64)),
+            "__aggbucket": pa.array(b, type=pa.int32()),
+        })
+
+    def final_bucket(tbl: pa.Table) -> pa.Table:
+        out = tbl.drop_columns(["__aggbucket"]).group_by("code").aggregate(
+            [("c", "sum")])
+        return out.rename_columns(["code", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("__aggbucket").map_groups(
+        final_bucket, batch_format="pyarrow")
+
+
+def top_ngrams(ds, tokens_col: str = "tokens", n: int = 2, k: int = 50,
+               rank_name: str = "rn", num_buckets: int = 256):
+    """Top-k token n-grams by corpus count (count desc, gram asc tie-break)
+    with map-side pruning; output unpacks the code into t1..tn (int32)."""
+    from pymhealth_ray.stages.aggregate import _topk_rows
+
+    vocab = ngram_vocabulary(ds, tokens_col=tokens_col, n=n,
+                             num_buckets=num_buckets)
+    bits = NGRAM_BITS[n]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("__g", pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8)))
+        return _topk_rows(batch, ["__g"], "c", k, True, ["code"])
+
+    def final(tbl: pa.Table) -> pa.Table:
+        out = _topk_rows(tbl, ["__g"], "c", k, True, ["code"],
+                         rank_name=rank_name).drop_columns(["__g"])
+        code = out["code"].to_numpy(zero_copy_only=False)
+        cols = {}
+        mask = (1 << bits) - 1
+        for j in range(n):
+            cols[f"t{j + 1}"] = pa.array(
+                ((code >> (bits * (n - 1 - j))) & mask).astype(np.int32))
+        cols["c"] = out["c"]
+        cols[rank_name] = out[rank_name]
+        return pa.table(cols)
+
+    return vocab.map_batches(prune, batch_format="pyarrow").groupby("__g").map_groups(
+        final, batch_format="pyarrow")

@@ -820,6 +820,40 @@ class TestVocabulary:
         assert list(zip(top.tok, top.c)) == expect
         assert top.rn.tolist() == [1, 2, 3]
 
+    def test_ngram_codes_respect_row_boundaries(self):
+        from pymhealth_ray.stages.vocab import _ngram_codes
+
+        rows = [[1, 2, 3], [4], [], [5, 6]]
+        arr = pa.array(rows, type=pa.list_(pa.int32()))
+        codes = _ngram_codes(arr, 2)
+        want = sorted([(1 << 32) | 2, (2 << 32) | 3, (5 << 32) | 6])
+        assert sorted(codes.tolist()) == want
+        # sliced array (non-zero offset) must give the same row-local grams
+        codes_sl = _ngram_codes(arr.slice(1), 2)
+        assert sorted(codes_sl.tolist()) == [(5 << 32) | 6]
+        # trigrams: only the first row has one
+        tri = _ngram_codes(arr, 3)
+        assert tri.tolist() == [(1 << 42) | (2 << 21) | 3]
+
+    def test_top_ngrams_matches_python(self, ray_session):
+        import collections
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        rows = [rng.integers(0, 7, rng.integers(0, 12)).tolist()
+                for _ in range(400)]
+        want = collections.Counter()
+        for r in rows:
+            want.update(zip(r[:-1], r[1:]))
+        df = pd.DataFrame({"tokens": rows})
+        tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        from pymhealth_ray.stages.vocab import top_ngrams
+
+        top = top_ngrams(ds, n=2, k=10, num_buckets=4).to_pandas().sort_values("rn")
+        expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [((a, b), c) for a, b, c in zip(top.t1, top.t2, top.c)] == expect
+
 
 class TestSequencePacking:
     def test_greedy_boundaries(self):
