@@ -900,6 +900,7 @@ def build_queries() -> dict:
         "docs_shuffle_order": q_docs_shuffle_order,
         "docs_gopher_quality": q_docs_gopher_quality,
         "seq_top_bigrams": q_seq_top_bigrams,
+        "seq_chunks": q_seq_chunks,
     }
 
 
@@ -987,6 +988,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_shuffle_order": SQL_DOCS_SHUFFLE_ORDER,
         "docs_gopher_quality": SQL_DOCS_GOPHER_QUALITY,
         "seq_top_bigrams": sql_seq_top_bigrams(path),
+        "seq_chunks": sql_seq_chunks(path),
     }
 
 
@@ -3001,4 +3003,35 @@ FROM (SELECT tokens[i] AS t1, tokens[i+1] AS t2
       FROM read_parquet('{path}/part-*.parquet'),
            LATERAL unnest(generate_series(1, len(tokens)-1)) AS u(i))
 GROUP BY t1, t2 ORDER BY c DESC, t1, t2 LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# context-window chunking
+# --------------------------------------------------------------------------
+
+
+def q_seq_chunks(sf_dir: str):
+    """Fixed-window chunking of every token sequence (max_len=48,
+    stride=32 — overlapping context windows), map-only explode off the
+    Arrow list offsets (stages/chunk.py). Summary columns keep the oracle
+    list-free: per-chunk length, exact int64 token sum, first/last token."""
+    from pymhealth_ray.stages.chunk import chunk_tokens
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    return chunk_tokens(ds, max_len=48, stride=32)
+
+
+def sql_seq_chunks(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens, len(tokens) AS n
+           FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT doc_id, ts_ns, tokens, n, i AS chunk_id,
+             tokens[i * 32 + 1 : least(i * 32 + 48, n)] AS chunk
+      FROM s, LATERAL unnest(generate_series(0, (n - 1) // 32)) AS u(i))
+SELECT doc_id, ts_ns, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_chunk,
+       CAST(list_aggregate(chunk, 'sum') AS BIGINT) AS tok_sum,
+       chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
+FROM c
 """

@@ -1263,3 +1263,47 @@ class TestGopherQuality:
         exp = gopher_stats_table(t).to_pandas()
         for c in exp.columns:
             assert (out[c].values == exp[c].values).all(), c
+
+
+class TestChunking:
+    def test_spans_and_sums_match_python(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.chunk import chunk_tokens
+
+        rng = np.random.default_rng(5)
+        rows = [rng.integers(0, 1000, rng.integers(0, 40)).tolist()
+                for _ in range(300)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(300), type=pa.int64()),
+            "ts_ns": pa.array([7] * 300, type=pa.int64()),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        got = chunk_tokens(ds, max_len=8, stride=5, emit_tokens=True)
+        df = got.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        want = []
+        for did, r in enumerate(rows):
+            s = 0
+            cid = 0
+            while s < len(r):
+                ch = r[s:s + 8]
+                want.append((did, cid, len(ch), sum(ch), ch[0], ch[-1], ch))
+                s += 5
+                cid += 1
+        assert len(df) == len(want)
+        for (did, cid, n, tsum, f, l, ch), row in zip(want, df.itertuples()):
+            assert (row.doc_id, row.chunk_id, row.n_chunk, row.tok_sum,
+                    row.first_tok, row.last_tok) == (did, cid, n, tsum, f, l)
+            assert list(row.chunk) == ch
+
+    def test_empty_rows_and_sliced_offsets(self):
+        from pymhealth_ray.stages.chunk import _chunk_spans
+
+        arr = pa.array([[], [1, 2, 3, 4, 5], []], type=pa.list_(pa.int32()))
+        ri, ci, gs, ge = _chunk_spans(arr, 3, 2)
+        assert ri.tolist() == [1, 1, 1]
+        assert ci.tolist() == [0, 1, 2]
+        assert gs.tolist() == [0, 2, 4] and ge.tolist() == [3, 5, 5]
+        # non-zero-offset slice must stay row-local
+        ri2, ci2, gs2, ge2 = _chunk_spans(arr.slice(1), 3, 2)
+        assert ri2.tolist() == [0, 0, 0] and gs2.tolist() == [0, 2, 4]
