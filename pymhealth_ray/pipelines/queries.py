@@ -901,6 +901,7 @@ def build_queries() -> dict:
         "docs_gopher_quality": q_docs_gopher_quality,
         "seq_top_bigrams": q_seq_top_bigrams,
         "seq_chunks": q_seq_chunks,
+        "docs_tfidf": q_docs_tfidf,
     }
 
 
@@ -989,6 +990,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_gopher_quality": SQL_DOCS_GOPHER_QUALITY,
         "seq_top_bigrams": sql_seq_top_bigrams(path),
         "seq_chunks": sql_seq_chunks(path),
+        "docs_tfidf": SQL_DOCS_TFIDF,
     }
 
 
@@ -3034,4 +3036,37 @@ SELECT doc_id, ts_ns, chunk_id,
        CAST(list_aggregate(chunk, 'sum') AS BIGINT) AS tok_sum,
        chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok
 FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# tf-idf
+# --------------------------------------------------------------------------
+
+
+def q_docs_tfidf(sf_dir: str):
+    """Top-5 terms per document by tf-idf (stages/tfidf.py): one bounded
+    df exchange + ray.put broadcast, then a MAP-ONLY scoring pass (a doc's
+    text is one row, so per-doc top-k never shuffles). idf is the linear
+    ratio N/df — one IEEE division, bit-identical to DuckDB, where ln()
+    could differ in the last ulp (ranking unchanged for monotone idf)."""
+    from pymhealth_ray.stages.tfidf import tfidf_top_terms
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5, num_buckets=NB)
+
+
+SQL_DOCS_TFIDF = """
+WITH u AS (SELECT doc_id, tok
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM u GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM u GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * (CAST((SELECT n FROM n) AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (tok))
+SELECT doc_id, rn, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rn FROM s) t
+WHERE rn <= 5
 """

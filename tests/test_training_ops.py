@@ -1307,3 +1307,34 @@ class TestChunking:
         # non-zero-offset slice must stay row-local
         ri2, ci2, gs2, ge2 = _chunk_spans(arr.slice(1), 3, 2)
         assert ri2.tolist() == [0, 0, 0] and gs2.tolist() == [0, 2, 4]
+
+
+class TestTfIdf:
+    def test_matches_python_oracle(self, ray_session):
+        import collections
+        import pandas as pd
+        from pymhealth_ray.stages.tfidf import tfidf_top_terms
+
+        rng = np.random.default_rng(23)
+        vocab = np.array([f"w{i}" for i in range(30)])
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 25)))
+                 for _ in range(80)] + ["", "  "]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = (tfidf_top_terms(ds, k=3, num_buckets=8).to_pandas()
+               .sort_values(["doc_id", "rn"]).reset_index(drop=True))
+
+        n = len(texts)
+        docs = {i: [w for w in t.split(" ") if w] for i, t in enumerate(texts)}
+        dfc = collections.Counter()
+        for ws in docs.values():
+            dfc.update(set(ws))
+        want = []
+        for i, ws in docs.items():
+            tf = collections.Counter(ws)
+            scored = sorted(((tf[w] * (float(n) / dfc[w]), w) for w in tf),
+                            key=lambda sw: (-sw[0], sw[1]))[:3]
+            for rn, (s, w) in enumerate(scored, 1):
+                want.append((i, rn, w, tf[w], dfc[w], s))
+        assert list(map(tuple, got[["doc_id", "rn", "tok", "tf", "df",
+                                    "score"]].itertuples(index=False))) == want
