@@ -902,6 +902,7 @@ def build_queries() -> dict:
         "seq_top_bigrams": q_seq_top_bigrams,
         "seq_chunks": q_seq_chunks,
         "docs_tfidf": q_docs_tfidf,
+        "docs_tokenize": q_docs_tokenize,
     }
 
 
@@ -991,6 +992,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_top_bigrams": sql_seq_top_bigrams(path),
         "seq_chunks": sql_seq_chunks(path),
         "docs_tfidf": SQL_DOCS_TFIDF,
+        "docs_tokenize": _docs_materialized_oracle(
+            sf_dir_for_fixture, "tokenize_v1", _tokenize_expected),
     }
 
 
@@ -3070,3 +3073,81 @@ SELECT doc_id, rn, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, scor
 FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rn FROM s) t
 WHERE rn <= 5
 """
+
+
+# --------------------------------------------------------------------------
+# subword tokenization
+# --------------------------------------------------------------------------
+
+
+def q_docs_tokenize(sf_dir: str):
+    """Greedy longest-match (WordPiece-style) subword encoding of every
+    document with a corpus-derived vocabulary (stages/tokenize.py): vocab
+    = top-200 words + observed charset (+##continuations), built with
+    bounded exchanges, broadcast once via ray.put; encoding is a map-only
+    actor pool with a per-actor word cache. Summary columns pin the exact
+    id sequences (md5 of the int32 payload)."""
+    from pymhealth_ray.stages.tokenize import build_wordpiece_vocab, tokenize
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vocab = build_wordpiece_vocab(docs, num_words=200, num_buckets=NB)
+    return tokenize(docs, vocab)
+
+
+def _tokenize_expected(df):
+    """Independent single-process WordPiece reference: same spec
+    (stages/tokenize.py module doc), fresh implementation — dict vocab,
+    per-word greedy scan, plain Python accumulation."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+
+    texts = df["text"].tolist()
+    wc = collections.Counter()
+    charset = set()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+                charset.update(w)
+    topw = [w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:200]]
+    pieces = set(topw) | charset | {"##" + c for c in charset}
+    vocab = {"[UNK]": 0}
+    for i, p in enumerate(sorted(pieces), 1):
+        vocab[p] = i
+    maxlen = max(map(len, vocab))
+
+    memo = {}
+
+    def enc_word(w):
+        got = memo.get(w)
+        if got is not None:
+            return got
+        out = []
+        i = 0
+        while i < len(w):
+            found = None
+            for j in range(min(len(w), i + maxlen), i, -1):
+                cand = w[i:j] if i == 0 else "##" + w[i:j]
+                if cand in vocab:
+                    found = (vocab[cand], j)
+                    break
+            if found is None:
+                out = [0]
+                break
+            out.append(found[0])
+            i = found[1]
+        memo[w] = out
+        return out
+
+    rows = []
+    for did, t in zip(df["doc_id"].tolist(), texts):
+        ids = []
+        for w in t.split(" "):
+            if w:
+                ids.extend(enc_word(w))
+        arr = np.asarray(ids, dtype=np.int32)
+        rows.append((did, len(ids), int((arr == 0).sum()), int(arr.sum(dtype=np.int64)),
+                     hashlib.md5(arr.tobytes()).hexdigest()))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tok", "n_unk", "tok_sum", "tok_md5"])

@@ -1338,3 +1338,57 @@ class TestTfIdf:
                 want.append((i, rn, w, tf[w], dfc[w], s))
         assert list(map(tuple, got[["doc_id", "rn", "tok", "tf", "df",
                                     "score"]].itertuples(index=False))) == want
+
+
+class TestTokenize:
+    def test_greedy_longest_match_and_unk(self):
+        from pymhealth_ray.stages.tokenize import _greedy_encode
+
+        vocab = {"[UNK]": 0, "ab": 1, "a": 2, "b": 3, "##b": 4, "##c": 5,
+                 "abc": 6, "##bc": 7}
+        # longest match wins at position 0
+        assert _greedy_encode("abc", vocab, 3) == [6]
+        assert _greedy_encode("abb", vocab, 3) == [1, 4]
+        # continuation pieces required after position 0
+        assert _greedy_encode("ba", vocab, 3) == [0]  # no "##a" -> whole-word UNK
+        assert _greedy_encode("abcb", vocab, 3) == [6, 4]  # abc + ##b
+        assert _greedy_encode("acb", vocab, 3) == [2, 5, 4]  # a + ##c + ##b
+
+    def test_distributed_matches_single_process(self, ray_session):
+        import hashlib
+        import pandas as pd
+        from pymhealth_ray.stages.tokenize import (
+            build_wordpiece_vocab, tokenize, _greedy_encode)
+
+        rng = np.random.default_rng(31)
+        base = ["alpha", "beta", "gamma", "albedo", "betamax", "zz"]
+        texts = [" ".join(rng.choice(base, rng.integers(0, 9))) + (" qxj" if i % 7 == 0 else "")
+                 for i in range(60)]
+        df = pd.DataFrame({"doc_id": range(60), "text": texts})
+        ds = ray.data.from_pandas(df).repartition(5)
+        vocab = build_wordpiece_vocab(ds, num_words=4, num_buckets=4)
+        got = (tokenize(ds, vocab, emit_tokens=True).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        maxlen = max(map(len, vocab))
+        for i, t in enumerate(texts):
+            ids = []
+            for w in t.split(" "):
+                if w:
+                    ids.extend(_greedy_encode(w, vocab, maxlen))
+            arr = np.asarray(ids, dtype=np.int32)
+            assert got.n_tok[i] == len(ids)
+            assert got.tok_sum[i] == arr.sum(dtype=np.int64)
+            assert got.n_unk[i] == int((arr == 0).sum())
+            assert got.tok_md5[i] == hashlib.md5(arr.tobytes()).hexdigest()
+            assert list(got.tokens[i]) == ids
+
+    def test_unk_on_unseen_chars(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.tokenize import tokenize
+
+        vocab = {"[UNK]": 0, "a": 1, "##a": 2}
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["aa xq", "aaa"]})
+        got = (tokenize(ray.data.from_pandas(df), vocab).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got.n_unk.tolist() == [1, 0]
+        assert got.n_tok.tolist() == [3, 3]  # [a,##a] + [UNK] ; [a,##a,##a]
