@@ -903,6 +903,8 @@ def build_queries() -> dict:
         "seq_chunks": q_seq_chunks,
         "docs_tfidf": q_docs_tfidf,
         "docs_tokenize": q_docs_tokenize,
+        "seq_dedup_tokens": q_seq_dedup_tokens,
+        "seq_length_buckets": q_seq_length_buckets,
     }
 
 
@@ -994,6 +996,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_tfidf": SQL_DOCS_TFIDF,
         "docs_tokenize": _docs_materialized_oracle(
             sf_dir_for_fixture, "tokenize_v1", _tokenize_expected),
+        "seq_dedup_tokens": sql_seq_dedup_tokens(path),
+        "seq_length_buckets": sql_seq_length_buckets(path),
     }
 
 
@@ -3151,3 +3155,76 @@ def _tokenize_expected(df):
         rows.append((did, len(ids), int((arr == 0).sum()), int(arr.sum(dtype=np.int64)),
                      hashlib.md5(arr.tobytes()).hexdigest()))
     return pd.DataFrame(rows, columns=["doc_id", "n_tok", "n_unk", "tok_sum", "tok_md5"])
+
+
+# --------------------------------------------------------------------------
+# token-payload exact dedup + length bucketing
+# --------------------------------------------------------------------------
+
+
+def q_seq_dedup_tokens(sf_dir: str):
+    """Exact dedup over the token PAYLOAD (md5 of the id sequence): keep
+    the first (doc_id, ts_ns) per distinct sequence with its duplicate
+    count — stages/dedup.py exact_dedup with a zero-padded composite row
+    id so min-string == min-(doc_id, ts_ns)."""
+    from pymhealth_ray.stages.dedup import exact_dedup
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        key = [",".join(str(x) for x in row) for row in toks.to_pylist()]
+        # doc_id is fixed-width ("dNNNNNN") so lexicographic == natural
+        # order; ts_ns zero-padded to 20 digits keeps the composite sortable.
+        rid = [f"{d}|{t:020d}" for d, t in
+               zip(b["doc_id"].to_pylist(), b["ts_ns"].to_pylist())]
+        return pa.table({"seq": pa.array(key, type=pa.string()),
+                         "rid": pa.array(rid, type=pa.string())})
+
+    dd = exact_dedup(ds.map_batches(add_key, batch_format="pyarrow"),
+                     key_col="seq", id_col="rid")
+
+    def finish(b: pa.Table) -> pa.Table:
+        rid = b["rid"].to_pylist()
+        doc = pa.array([r.split("|")[0] for r in rid], type=pa.string())
+        ts = pa.array([int(r.split("|")[1]) for r in rid], type=pa.int64())
+        return pa.table({"tok_md5": b["key_md5"], "doc_id": doc, "ts_ns": ts,
+                         "n_dups": b["n_dups"]})
+
+    return dd.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_dedup_tokens(path: str) -> str:
+    return f"""
+WITH k AS (SELECT doc_id, ts_ns, md5(array_to_string(tokens, ',')) AS tok_md5
+           FROM read_parquet('{path}/part-*.parquet')),
+r AS (SELECT tok_md5, doc_id, ts_ns,
+             row_number() OVER (PARTITION BY tok_md5 ORDER BY doc_id, ts_ns) AS rn,
+             count(*) OVER (PARTITION BY tok_md5) AS n_dups
+      FROM k)
+SELECT tok_md5, doc_id, ts_ns, CAST(n_dups AS BIGINT) AS n_dups FROM r WHERE rn = 1
+"""
+
+
+def q_seq_length_buckets(sf_dir: str):
+    """Power-of-two length-bucket histogram + pad-to-bucket-cap padding
+    waste (stages/pack.py:length_histogram) — integer frexp exponents, no
+    libm log2; per-block partials keep the exchange at ≤64 rows/block."""
+    from pymhealth_ray.stages.pack import length_histogram
+
+    ds, _ = _seq_ds(sf_dir, ["n_tok"])
+    return length_histogram(ds, len_col="n_tok")
+
+
+def sql_seq_length_buckets(path: str) -> str:
+    return f"""
+WITH s AS (SELECT CAST(n_tok AS BIGINT) AS n
+           FROM read_parquet('{path}/part-*.parquet') WHERE n_tok > 0),
+b AS (SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket, n FROM s)
+SELECT bucket, count(*) AS n_seqs, CAST(min(n) AS BIGINT) AS n_min,
+       CAST(max(n) AS BIGINT) AS n_max,
+       CAST(sum((CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - n) AS BIGINT) AS pad_waste
+FROM b GROUP BY bucket
+"""

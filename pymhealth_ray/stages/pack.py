@@ -150,3 +150,48 @@ def pack_assignments(ds, id_col: str = "doc_id", ts_col: str = "ts_ns",
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
         "__packbucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def length_histogram(ds, len_col: str = "n_tok"):
+    """Power-of-two length-bucket histogram with padding waste — the
+    dynamic-batching planning op: bucket ``b`` holds lengths in
+    ``[2^b, 2^(b+1))``; ``pad_waste`` is the total padding a pad-to-bucket-
+    cap batcher would burn (``2^(b+1) - n`` per sequence).
+
+    Buckets come from ``np.frexp`` exponents (pure integer arithmetic, no
+    libm ``log2`` — exact at every power of two, matching SQL
+    ``floor(log2(n))``). Per-block partials collapse to ≤64 rows each, so
+    the exchange is a few KB regardless of corpus size. Zero-length rows
+    are excluded (no bucket).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = n[n > 0]
+        _, e = np.frexp(n.astype(np.float64))
+        bucket = (e - 1).astype(np.int64)
+        uniq, idx = np.unique(bucket, return_inverse=True)
+        cnt = np.bincount(idx).astype(np.int64)
+        waste = np.bincount(idx, weights=(1 << (bucket + 1)) - n).astype(np.int64)
+        n_min = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(n_min, idx, n)
+        n_max = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(n_max, idx, n)
+        return pa.table({
+            "bucket": pa.array(uniq), "n_seqs": pa.array(cnt),
+            "n_min": pa.array(n_min.astype(np.int64)),
+            "n_max": pa.array(n_max),
+            "pad_waste": pa.array(waste),
+        })
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        out = tbl.group_by("bucket").aggregate(
+            [("n_seqs", "sum"), ("n_min", "min"), ("n_max", "max"),
+             ("pad_waste", "sum")])
+        return out.rename_columns(["bucket", "n_seqs", "n_min", "n_max",
+                                   "pad_waste"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # ≤64 distinct buckets exist in total: a single final group is fine
+    return partials.groupby("bucket").map_groups(
+        lambda t: merge(t), batch_format="pyarrow")

@@ -901,6 +901,26 @@ class TestSequencePacking:
                              num_buckets=2).to_pandas()
         assert out.oversize.sum() == 1 and len(out) == 2
 
+    def test_length_histogram(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.pack import length_histogram
+
+        rng = np.random.default_rng(17)
+        n = rng.integers(1, 5000, 4000)
+        n[:5] = [1, 2, 4, 1024, 4096]          # exact powers of two
+        n = np.concatenate([n, [0, 0]])        # zero lengths excluded
+        df = pd.DataFrame({"n_tok": n})
+        out = (length_histogram(ray.data.from_pandas(df).repartition(7))
+               .to_pandas().sort_values("bucket").reset_index(drop=True))
+        pos = n[n > 0]
+        want_bucket = np.floor(np.log2(pos)).astype(np.int64)
+        for _, r in out.iterrows():
+            m = want_bucket == r.bucket
+            assert r.n_seqs == m.sum()
+            assert r.n_min == pos[m].min() and r.n_max == pos[m].max()
+            assert r.pad_waste == ((1 << (int(r.bucket) + 1)) - pos[m]).sum()
+        assert out.n_seqs.sum() == len(pos)
+
 
 class TestConnectedComponents:
     @staticmethod
