@@ -905,6 +905,7 @@ def build_queries() -> dict:
         "docs_tokenize": q_docs_tokenize,
         "seq_dedup_tokens": q_seq_dedup_tokens,
         "seq_length_buckets": q_seq_length_buckets,
+        "docs_line_dedup": q_docs_line_dedup,
     }
 
 
@@ -998,6 +999,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "tokenize_v1", _tokenize_expected),
         "seq_dedup_tokens": sql_seq_dedup_tokens(path),
         "seq_length_buckets": sql_seq_length_buckets(path),
+        "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
     }
 
 
@@ -3227,4 +3229,47 @@ SELECT bucket, count(*) AS n_seqs, CAST(min(n) AS BIGINT) AS n_min,
        CAST(max(n) AS BIGINT) AS n_max,
        CAST(sum((CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - n) AS BIGINT) AS pad_waste
 FROM b GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-document line/segment boilerplate dedup
+# --------------------------------------------------------------------------
+
+
+def q_docs_line_dedup(sf_dir: str):
+    """C4-style boilerplate scrub: 3-word segments appearing in >2 docs are
+    dropped from every document (stages/linededup.py — slim (seg,count)
+    exchange, hot-set broadcast, map-only scrub)."""
+    from pymhealth_ray.stages.linededup import segment_dedup
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return segment_dedup(ds, words_per_seg=3, max_df=2)
+
+
+SQL_DOCS_LINE_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS ord,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST((ord - 1) // 3 AS BIGINT) AS seg_no,
+         string_agg(word, ' ' ORDER BY ord) AS seg
+  FROM w GROUP BY doc_id, CAST((ord - 1) // 3 AS BIGINT)
+), df AS (
+  SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg
+), tagged AS (
+  SELECT s.doc_id, s.seg_no, s.seg, (d.df > 2) AS hot
+  FROM seg s JOIN df d USING (seg)
+), agg AS (
+  SELECT doc_id, count(*) AS n_seg,
+         sum(CASE WHEN hot THEN 1 ELSE 0 END) AS n_dropped,
+         coalesce(string_agg(CASE WHEN NOT hot THEN seg END, ' ' ORDER BY seg_no), '') AS clean
+  FROM tagged GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean
+FROM agg
 """

@@ -1412,3 +1412,57 @@ class TestTokenize:
                .sort_values("doc_id").reset_index(drop=True))
         assert got.n_unk.tolist() == [1, 0]
         assert got.n_tok.tolist() == [3, 3]  # [a,##a] + [UNK] ; [a,##a,##a]
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_everywhere(self, ray_session):
+        import pandas as pd
+        from pymhealth_ray.stages.linededup import segment_dedup
+
+        boiler = "accept all cookies"
+        docs = [f"{boiler} doc{i} word{i} here{i} extra tail {i}"
+                for i in range(5)]
+        docs.append("totally clean document nothing shared at all ok")
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        out = (segment_dedup(ray.data.from_pandas(df).repartition(3),
+                             words_per_seg=3, max_df=2, keep_text=True)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # the shared 3-word prefix segment is hot (df=5 > 2) and dropped
+        assert (out.n_dropped[:5] == 1).all()
+        assert not out.clean_text.str.contains(boiler).any()
+        assert out.n_dropped.iloc[5] == 0
+        assert out.clean_text.iloc[5] == docs[5]
+
+    def test_partition_invariant_and_matches_single_process(self, ray_session):
+        import hashlib
+        import pandas as pd
+        from collections import Counter
+        from pymhealth_ray.stages.linededup import segment_dedup, _doc_segments
+
+        rng = np.random.default_rng(23)
+        vocab = ["a", "b", "c", "d", "e"]
+        docs = [" ".join(rng.choice(vocab, rng.integers(4, 20)))
+                for _ in range(300)]
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+        outs = []
+        for blocks in (1, 11):
+            out = (segment_dedup(ray.data.from_pandas(df).repartition(blocks),
+                                 words_per_seg=2, max_df=3)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+        dfreq = Counter()
+        for t in docs:
+            dfreq.update(set(_doc_segments(t, 2)))
+        hot = {s for s, c in dfreq.items() if c > 3}
+        assert hot  # non-trivial fixture
+        for i, t in enumerate(docs):
+            segs = _doc_segments(t, 2)
+            kept = [s for s in segs if s not in hot]
+            clean = " ".join(kept)
+            r = outs[0].iloc[i]
+            assert r.n_seg == len(segs)
+            assert r.n_dropped == len(segs) - len(kept)
+            assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
