@@ -906,6 +906,9 @@ def build_queries() -> dict:
         "seq_dedup_tokens": q_seq_dedup_tokens,
         "seq_length_buckets": q_seq_length_buckets,
         "docs_line_dedup": q_docs_line_dedup,
+        "events_user_sequences": q_events_user_sequences,
+        "docs_inverted_index": q_docs_inverted_index,
+        "orders_priority_encode": q_orders_priority_encode,
     }
 
 
@@ -1000,6 +1003,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_dedup_tokens": sql_seq_dedup_tokens(path),
         "seq_length_buckets": sql_seq_length_buckets(path),
         "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
+        "events_user_sequences": SQL_EVENTS_USER_SEQUENCES,
+        "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
+        "orders_priority_encode": SQL_ORDERS_PRIORITY_ENCODE,
     }
 
 
@@ -3272,4 +3278,108 @@ SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
        md5(clean) AS clean_md5,
        CAST(length(clean) AS BIGINT) AS n_chars_clean
 FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# ordered per-group sequence collection / inverted index / categorical encode
+# --------------------------------------------------------------------------
+
+
+def q_events_user_sequences(sf_dir: str):
+    """Per-user ordered event-type sequence (stages/collect.py — one bucket
+    exchange, vectorized binary_join per segment, md5 digest)."""
+    from pymhealth_ray.stages.collect import grouped_ordered_collect
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type", "event_id"])
+    out = grouped_ordered_collect(ev, "user_id", "ts", "event_type",
+                                  tiebreak_col="event_id", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "n": b["n"],
+            "n_distinct": b["n_distinct"],
+            "first_ts": b["first_ord"],
+            "last_ts": b["last_ord"],
+            "seq_md5": b["seq_md5"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_USER_SEQUENCES = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_md5
+FROM events GROUP BY user_id
+"""
+
+
+def q_docs_inverted_index(sf_dir: str):
+    """Term → posting-list index over documents (stages/index.py — slim
+    (term, doc, tf) explode, one term-bucket exchange, segment walk)."""
+    from pymhealth_ray.stages.index import inverted_index
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return inverted_index(docs, min_df=3, num_buckets=NB)
+
+
+SQL_DOCS_INVERTED_INDEX = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM w GROUP BY term, doc_id
+), agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM tf GROUP BY term
+)
+SELECT term, df, tf, md5(postings) AS postings_md5,
+       array_to_string(list_slice(string_split(postings, ','), 1, 5), ',') AS first_docs
+FROM agg WHERE df >= 3
+"""
+
+
+def q_orders_priority_encode(sf_dir: str):
+    """Frequency label encoding + exact target-mean encoding of
+    o_orderpriority (stages/encode.py — per-block combiners, tiny groupby,
+    broadcast dict, map-only apply; mean = one int/int IEEE division)."""
+    from pymhealth_ray.stages.encode import frequency_target_encode
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    out = frequency_target_encode(orders, "o_orderpriority", "o_totalprice")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "cat_id": b["cat_id"],
+            "cat_n": b["cat_n"],
+            "cat_target_mean": b["cat_target_mean"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_PRIORITY_ENCODE = """
+WITH s AS (
+  SELECT o_orderpriority, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+  FROM orders GROUP BY o_orderpriority
+), r AS (
+  SELECT o_orderpriority, n, sc,
+         CAST(row_number() OVER (ORDER BY n DESC, o_orderpriority) AS BIGINT)
+           AS cat_id
+  FROM s
+)
+SELECT o.o_orderkey, o.o_orderpriority, r.cat_id,
+       CAST(r.n AS BIGINT) AS cat_n,
+       CAST(r.sc AS DOUBLE) / (100 * r.n) AS cat_target_mean
+FROM orders o JOIN r USING (o_orderpriority)
 """
