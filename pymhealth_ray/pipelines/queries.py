@@ -909,6 +909,8 @@ def build_queries() -> dict:
         "events_user_sequences": q_events_user_sequences,
         "docs_inverted_index": q_docs_inverted_index,
         "orders_priority_encode": q_orders_priority_encode,
+        "lineitem_quantity_rank": q_lineitem_quantity_rank,
+        "docs_lm_nll": q_docs_lm_nll,
     }
 
 
@@ -1006,6 +1008,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_user_sequences": SQL_EVENTS_USER_SEQUENCES,
         "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
         "orders_priority_encode": SQL_ORDERS_PRIORITY_ENCODE,
+        "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
+        "docs_lm_nll": SQL_DOCS_LM_NLL,
     }
 
 
@@ -3382,4 +3386,80 @@ SELECT o.o_orderkey, o.o_orderpriority, r.cat_id,
        CAST(r.n AS BIGINT) AS cat_n,
        CAST(r.sc AS DOUBLE) / (100 * r.n) AS cat_target_mean
 FROM orders o JOIN r USING (o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# global rank features / unigram LM scoring
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_quantity_rank(sf_dir: str):
+    """Exact global rank/dense_rank/percent_rank of l_quantity via a
+    broadcast value-histogram CDF (stages/rank.py — slim (value, count)
+    exchange, map-only searchsorted apply; no global sort)."""
+    from pymhealth_ray.stages.rank import global_rank
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = global_rank(li, "l_quantity", scale=100)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+            "l_quantity": b["l_quantity"],
+            "rnk": b["rnk"],
+            "drnk": b["drnk"],
+            "pct": b["pct"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_QUANTITY_RANK = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+       CAST(rank() OVER (ORDER BY l_quantity) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (ORDER BY l_quantity) AS BIGINT) AS drnk,
+       percent_rank() OVER (ORDER BY l_quantity) AS pct
+FROM lineitem
+"""
+
+
+def q_docs_lm_nll(sf_dir: str):
+    """Per-doc average negative log-likelihood under the corpus unigram
+    LM (stages/lm.py — count pass, broadcast log-prob dict, map-only
+    dictionary-encoded scoring)."""
+    from pymhealth_ray.stages.lm import unigram_nll
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    out = unigram_nll(docs, num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = _round_cols(b, {"nll": 6})
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok": b["n_tok"],
+            "nll": b["nll"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_LM_NLL = """
+WITH w AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+), cnt AS (
+  SELECT term, count(*) AS c FROM w GROUP BY term
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt
+), d AS (
+  SELECT w.doc_id, count(*) AS n_tok,
+         -avg(ln(CAST(cnt.c AS DOUBLE) / tot.t)) AS nll
+  FROM w JOIN cnt USING (term) CROSS JOIN tot GROUP BY w.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, round(nll, 6) AS nll FROM d
 """

@@ -1,0 +1,72 @@
+"""Tests for exact global rank (stages/rank.py) and unigram LM scoring
+(stages/lm.py)."""
+
+import numpy as np
+import pandas as pd
+import ray
+
+from pymhealth_ray.stages.lm import unigram_nll
+from pymhealth_ray.stages.rank import global_rank, value_histogram
+
+
+class TestGlobalRank:
+    def test_matches_pandas_rank(self, ray_session):
+        rng = np.random.default_rng(3)
+        vals = np.round(rng.uniform(0, 50, 500), 2)
+        df = pd.DataFrame({"k": np.arange(500, dtype=np.int64), "v": vals})
+        out = (global_rank(ray.data.from_pandas(df).repartition(5), "v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        s = pd.Series(vals)
+        assert (out.rnk == s.rank(method="min").astype(int)).all()
+        assert (out.drnk == s.rank(method="dense").astype(int)).all()
+        exp_pct = (s.rank(method="min").astype(np.int64) - 1) / np.float64(499)
+        assert (out.pct == exp_pct).all()
+
+    def test_histogram_partition_invariant(self, ray_session):
+        vals = np.array([1.0, 1.0, 2.5, 2.5, 2.5, 7.25])
+        df = pd.DataFrame({"v": vals})
+        for blocks in (1, 3):
+            v, c = value_histogram(
+                ray.data.from_pandas(df).repartition(blocks), "v")
+            assert v.tolist() == [100, 250, 725]
+            assert c.tolist() == [2, 3, 1]
+
+    def test_single_row_percent_rank(self, ray_session):
+        df = pd.DataFrame({"v": [4.0]})
+        out = global_rank(ray.data.from_pandas(df), "v").to_pandas()
+        assert out.pct.iloc[0] == 0.0
+
+
+class TestUnigramNLL:
+    def test_matches_single_process(self, ray_session):
+        rng = np.random.default_rng(5)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        docs = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+                for _ in range(200)]
+        df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                           "text": docs})
+        out = (unigram_nll(ray.data.from_pandas(df).repartition(4),
+                           num_buckets=8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+        from collections import Counter
+        cnt = Counter()
+        for t in docs:
+            cnt.update(w for w in t.split(" ") if w)
+        total = float(sum(cnt.values()))
+        lp = {w: float(np.log(c / total)) for w, c in cnt.items()}
+        for i, t in enumerate(docs):
+            toks = [w for w in t.split(" ") if w]
+            exp = -np.mean([lp[w] for w in toks])
+            assert out.n_tok.iloc[i] == len(toks)
+            assert abs(out.nll.iloc[i] - exp) < 1e-12
+
+    def test_double_space_tokens_dropped(self, ray_session):
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["a  a b", "b a"]})
+        out = (unigram_nll(ray.data.from_pandas(df))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out.n_tok.tolist() == [3, 2]
+        # corpus: a=3, b=2, total=5
+        lp_a, lp_b = np.log(3 / 5.0), np.log(2 / 5.0)
+        assert abs(out.nll.iloc[0] - (-(2 * lp_a + lp_b) / 3)) < 1e-12
