@@ -911,6 +911,7 @@ def build_queries() -> dict:
         "orders_priority_encode": q_orders_priority_encode,
         "lineitem_quantity_rank": q_lineitem_quantity_rank,
         "docs_lm_nll": q_docs_lm_nll,
+        "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
     }
 
 
@@ -1010,6 +1011,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_priority_encode": SQL_ORDERS_PRIORITY_ENCODE,
         "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
         "docs_lm_nll": SQL_DOCS_LM_NLL,
+        "docs_sorted_neighborhood": SQL_DOCS_SORTED_NEIGHBORHOOD,
     }
 
 
@@ -3462,4 +3464,29 @@ WITH w AS (
   FROM w JOIN cnt USING (term) CROSS JOIN tot GROUP BY w.doc_id
 )
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, round(nll, 6) AS nll FROM d
+"""
+
+
+def q_docs_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking pairs on doc length
+    (stages/neighborhood.py — range-bucket exchange, vectorized in-bucket
+    pairs, O(w×buckets) driver markers for cross-bucket pairs)."""
+    from pymhealth_ray.stages.neighborhood import sorted_neighborhood_pairs
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"])
+    return sorted_neighborhood_pairs(docs, "n_chars", "doc_id", window=2,
+                                     num_buckets=NB)
+
+
+SQL_DOCS_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS id_a, a.n_chars AS key_a,
+       b.doc_id AS id_b, b.n_chars AS key_b,
+       CAST(b.rn - a.rn AS BIGINT) AS d
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
 """
