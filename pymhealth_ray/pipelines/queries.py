@@ -912,6 +912,9 @@ def build_queries() -> dict:
         "lineitem_quantity_rank": q_lineitem_quantity_rank,
         "docs_lm_nll": q_docs_lm_nll,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
+        "events_type_pairs": q_events_type_pairs,
+        "docs_bm25": q_docs_bm25,
+        "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
     }
 
 
@@ -1012,6 +1015,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
         "docs_lm_nll": SQL_DOCS_LM_NLL,
         "docs_sorted_neighborhood": SQL_DOCS_SORTED_NEIGHBORHOOD,
+        "events_type_pairs": SQL_EVENTS_TYPE_PAIRS,
+        "docs_bm25": SQL_DOCS_BM25,
+        "docs_jsonl_roundtrip": SQL_DOCS_JSONL_ROUNDTRIP,
     }
 
 
@@ -3489,4 +3495,142 @@ SELECT a.doc_id AS id_a, a.n_chars AS key_a,
        b.doc_id AS id_b, b.n_chars AS key_b,
        CAST(b.rn - a.rn AS BIGINT) AS d
 FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+"""
+
+
+# --------------------------------------------------------------------------
+# co-occurrence / BM25 retrieval / jsonl source
+# --------------------------------------------------------------------------
+
+
+def q_events_type_pairs(sf_dir: str):
+    """Per-user event-type co-occurrence with lift (stages/assoc.py —
+    user-bucket exchange, per-bucket distinct+pairs, tiny tagged-partial
+    final on the driver; lift is one int/int IEEE division)."""
+    from pymhealth_ray.stages.assoc import item_pair_counts
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+    return item_pair_counts(ev, "user_id", "event_type", num_buckets=NB)
+
+
+SQL_EVENTS_TYPE_PAIRS = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+ca AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS cab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.ta, p.tb, CAST(p.cab AS BIGINT) AS cab,
+       CAST(c1.c AS BIGINT) AS ca, CAST(c2.c AS BIGINT) AS cb,
+       CAST(nu.n AS BIGINT) AS n_groups,
+       CAST(nu.n * p.cab AS DOUBLE) / (c1.c * c2.c) AS lift
+FROM p JOIN ca c1 ON c1.event_type = p.ta
+       JOIN ca c2 ON c2.event_type = p.tb
+       CROSS JOIN nu
+"""
+
+
+_BM25_QUERY_TERMS = ("hash", "join", "dup", "stream")
+
+
+def q_docs_bm25(sf_dir: str):
+    """BM25 top-20 documents for a fixed query (stages/bm25.py —
+    O(terms×blocks) stats pass, broadcast idf, map-only vectorized
+    scoring, partial top-k merge; ranking key is the rounded score both
+    sides)."""
+    from pymhealth_ray.stages.bm25 import bm25_topk
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_QUERY_TERMS, k=20)
+
+
+SQL_DOCS_BM25 = f"""
+WITH w AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), q(term) AS (
+  VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)}
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM w JOIN q USING (term)
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w JOIN q USING (term)
+  GROUP BY doc_id, term
+), sc AS (
+  SELECT tf.doc_id,
+         sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+             (tf.tf * 2.5) /
+             (tf.tf + 1.5 * (0.25 + 0.75 * (dl.dl / st.avgdl)))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+            AS BIGINT) AS rn
+FROM sc
+QUALIFY rn <= 20
+"""
+
+
+def _jsonl_fixture(sf_dir: str) -> str:
+    """Materialize (once) the documents table as newline-delimited JSON —
+    the raw-crawl interchange format the jsonl reader ingests."""
+    import os
+
+    import duckdb
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/jsonl_{name}_v1"
+    out = os.path.join(out_dir, "documents.jsonl")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT doc_id, lang, text FROM "
+            f"'{sf_dir}/documents.parquet' ORDER BY doc_id) "
+            f"TO '{out}' (FORMAT JSON)")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_docs_jsonl_roundtrip(sf_dir: str):
+    """Ingest the jsonl drop of the documents table (sources/io.read_jsonl
+    — ray.data.read_json + map-side projection) and recompute per-doc
+    length + content digest; the oracle reads the parquet original, so a
+    hash match proves the jsonl path is lossless."""
+    from pymhealth_ray.sources.io import read_jsonl
+
+    path = _jsonl_fixture(sf_dir)
+    ds = read_jsonl(path, columns=["doc_id", "lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in txt.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "text_md5": pa.array(md5s, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOCS_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
 """

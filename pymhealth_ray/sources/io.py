@@ -34,3 +34,25 @@ def read_table(path: str, columns=None, blocks: int | None = None):
         override_num_blocks=blocks or default_blocks(),
     )
     return ds.map_batches(_strip_meta, batch_format="pyarrow")
+
+
+def read_jsonl(path: str, columns=None, blocks: int | None = None):
+    """Newline-delimited JSON source (the raw-crawl interchange format).
+
+    Ray's JSON datasource has no reader-side projection, so pruning
+    happens in the first map (still before any exchange). At 100 TB
+    prefer parquet; this reader exists so pipelines can ingest the
+    jsonl drops that upstream crawlers produce without a conversion job.
+    """
+    ds = ray.data.read_json(
+        path,
+        override_num_blocks=blocks or default_blocks(),
+    )
+
+    def prune(batch):
+        batch = batch.replace_schema_metadata(None)
+        if columns is not None:
+            batch = batch.select(columns)
+        return batch
+
+    return ds.map_batches(prune, batch_format="pyarrow")
