@@ -915,6 +915,8 @@ def build_queries() -> dict:
         "events_type_pairs": q_events_type_pairs,
         "docs_bm25": q_docs_bm25,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+        "seq_ewma": q_seq_ewma,
+        "seq_pmi": q_seq_pmi,
     }
 
 
@@ -1018,6 +1020,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_type_pairs": SQL_EVENTS_TYPE_PAIRS,
         "docs_bm25": SQL_DOCS_BM25,
         "docs_jsonl_roundtrip": SQL_DOCS_JSONL_ROUNDTRIP,
+        "seq_ewma": sql_seq_ewma(path),
+        "seq_pmi": sql_seq_pmi(path),
     }
 
 
@@ -3633,4 +3637,109 @@ SQL_DOCS_JSONL_ROUNDTRIP = """
 SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
        md5(text) AS text_md5
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# per-entity EWMA (streaming-state temporal feature)
+# --------------------------------------------------------------------------
+
+
+def q_seq_ewma(sf_dir: str):
+    """Per-entity exponentially-weighted moving average of n_tok
+    (alpha=0.1, adjust-normalized) in ts order — stages/ewma.py: a
+    chunk-renormalized scan per entity riding the single entity-bucket
+    exchange. The oracle is an INDEPENDENT single-process sequential
+    recurrence (num=x+q·num, den=1+q·den), so a hash match proves both the
+    distributed plumbing and the chunked-scan numerics."""
+    from pymhealth_ray.stages.ewma import ewma_features
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    out = ewma_features(ds, "doc_id", "ts_ns", "n_tok", alpha=0.1,
+                        num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "ewma"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"ewma": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _ewma_expected(src: pa.Table):
+    """Single-process EWMA via the textbook streaming recurrence — a
+    different float path than the engine's chunked cumsum scan."""
+    import pandas as pd
+
+    df = (src.to_pandas()
+          .sort_values(["doc_id", "ts_ns"], kind="mergesort")
+          .reset_index(drop=True))
+    q = 0.9
+    out = np.empty(len(df), dtype=np.float64)
+    for _, g in df.groupby("doc_id", sort=False):
+        x = g["n_tok"].to_numpy(dtype=np.float64)
+        num = 0.0
+        den = 0.0
+        y = np.empty(len(x), dtype=np.float64)
+        for i in range(len(x)):
+            num = x[i] + q * num
+            den = 1.0 + q * den
+            y[i] = num / den
+        out[g.index.to_numpy()] = y
+    m = 1e6
+    ew = np.sign(out) * np.floor(np.abs(out) * m + 0.5) / m
+    return pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "ts_ns": df["ts_ns"].astype(np.int64),
+        "n_tok": df["n_tok"].astype(np.int64),
+        "ewma": ew,
+    })
+
+
+def sql_seq_ewma(path: str) -> str:
+    return _materialized_oracle(path, "ewma_v1", _ewma_expected,
+                                columns=("doc_id", "ts_ns", "n_tok"))
+
+
+# --------------------------------------------------------------------------
+# skip-gram PMI (token-pair association)
+# --------------------------------------------------------------------------
+
+
+def q_seq_pmi(sf_dir: str):
+    """Top-25 directed skip-gram token pairs by PMI (window=2,
+    min_count=5) over the tokens payload — stages/pmi.py: map-only packed
+    pair counting, one (key,count) exchange, broadcast marginals, map-side
+    partial top-k. All counts exact int64; ln/round-6 on both engines."""
+    from pymhealth_ray.stages.pmi import pmi_topk
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+    return pmi_topk(ds, tokens_col="tokens", window=2, min_count=5, k=25)
+
+
+def sql_seq_pmi(path: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT CAST(tokens[i] AS BIGINT) AS a, CAST(tokens[i + d] AS BIGINT) AS b
+  FROM read_parquet('{path}/part-*.parquet'),
+       LATERAL unnest(generate_series(1, 2)) AS dd(d),
+       LATERAL unnest(generate_series(1, len(tokens) - d)) AS u(i)
+), pc AS (
+  SELECT a, b, count(*) AS cab FROM p GROUP BY a, b
+), ma AS (
+  SELECT a, count(*) AS ca FROM p GROUP BY a
+), mb AS (
+  SELECT b, count(*) AS cb FROM p GROUP BY b
+), nt AS (
+  SELECT count(*) AS n FROM p
+)
+SELECT a, b, cab, ca, cb,
+       round(ln(CAST(nt.n * cab AS DOUBLE) / (ca * cb)), 6) AS pmi,
+       CAST(row_number() OVER (
+           ORDER BY round(ln(CAST(nt.n * cab AS DOUBLE) / (ca * cb)), 6) DESC,
+                    a, b) AS BIGINT) AS rn
+FROM pc JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nt
+WHERE cab >= 5
+ORDER BY pmi DESC, a, b
+LIMIT 25
 """

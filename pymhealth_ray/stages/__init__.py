@@ -42,3 +42,5 @@ from pymhealth_ray.stages.text import redact  # noqa: F401
 from pymhealth_ray.stages.sketch import build_count_min, count_min_estimate  # noqa: F401
 from pymhealth_ray.stages.shuffle import shuffle_positions  # noqa: F401
 from pymhealth_ray.stages.gopher import gopher_quality  # noqa: F401
+from pymhealth_ray.stages.ewma import ewma_features  # noqa: F401
+from pymhealth_ray.stages.pmi import pmi_topk, skipgram_pair_counts  # noqa: F401

@@ -1,0 +1,75 @@
+"""Per-entity exponentially-weighted moving average — a streaming-state
+temporal feature.
+
+``ewma_t = Σ_{i≤t} (1−α)^{t−i}·x_i / Σ_{i≤t} (1−α)^{t−i}`` (the
+"adjust=True" normalization: exact finite-history weights, no warm-up
+bias). The recurrence is inherently sequential per entity, so it rides
+the repo's single entity-bucket exchange: every entity lands wholly in
+one bucket, one sorted pass per bucket.
+
+Numerical plan — the naive vectorization ``cumsum(x·q^{−i})·q^i``
+overflows past ~7k rows (q^{−i} → ∞); instead each entity streams in
+CHUNKS of ≤512 rows with a renormalized carry: within a chunk the
+cumsum trick is safe (q^{−511} ≈ 4e23), and the carry (numerator,
+denominator at the chunk boundary) is decayed into the next chunk. State
+is O(1) per entity — the same unbounded-history-bounded-state shape as
+sessionization (stages/session.py), and the reason this scales to
+arbitrarily long entity streams.
+
+Reference lineage: reference `moving_average`
+(`/root/reference/src/mhealth/heart/qrs.py` kernel family) generalized
+from finite windows to exponential weighting; SURVEY §2.1 temporal
+surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+_CHUNK = 512
+
+
+def _ewma_segment(x: np.ndarray, q: float) -> np.ndarray:
+    """Renormalized chunked scan of one entity's values (time order)."""
+    out = np.empty(len(x), dtype=np.float64)
+    carry_num = 0.0
+    carry_den = 0.0
+    for s in range(0, len(x), _CHUNK):
+        xc = x[s:s + _CHUNK]
+        m = len(xc)
+        j = np.arange(m, dtype=np.float64)
+        p = np.power(q, j)          # q^j
+        inv = np.power(q, -j)       # q^-j, bounded by chunking
+        num = np.cumsum(xc * inv) * p + carry_num * (p * q)
+        den = np.cumsum(inv) * p + carry_den * (p * q)
+        out[s:s + m] = num / den
+        carry_num = num[-1]
+        carry_den = den[-1]
+    return out
+
+
+def ewma_features(ds, entity_col: str, ts_col: str, value_col: str,
+                  alpha: float = 0.1, tiebreak_col: str | None = None,
+                  num_buckets: int = 32, out_name: str = "ewma"):
+    """Append the per-entity EWMA of ``value_col`` in (ts, tiebreak)
+    order. Returns (entity, ts[, tiebreak], value, ewma) rows."""
+    q = 1.0 - alpha
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col,
+                                             tiebreak_col)
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = np.empty(len(x), dtype=np.float64)
+        for e in range(n_ent):
+            s, t = starts[e], starts[e + 1]
+            y[s:t] = _ewma_segment(x[s:t], q)
+        return tbl.append_column(out_name, pa.array(y))
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)
