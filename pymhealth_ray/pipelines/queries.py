@@ -917,6 +917,8 @@ def build_queries() -> dict:
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "seq_ewma": q_seq_ewma,
         "seq_pmi": q_seq_pmi,
+        "seq_cumulative": q_seq_cumulative,
+        "seq_mixture": q_seq_mixture,
     }
 
 
@@ -1022,6 +1024,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_jsonl_roundtrip": SQL_DOCS_JSONL_ROUNDTRIP,
         "seq_ewma": sql_seq_ewma(path),
         "seq_pmi": sql_seq_pmi(path),
+        "seq_cumulative": sql_seq_cumulative(path),
+        "seq_mixture": sql_seq_mixture(path),
     }
 
 
@@ -3742,4 +3746,85 @@ FROM pc JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nt
 WHERE cab >= 5
 ORDER BY pmi DESC, a, b
 LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# per-entity cumulative (expanding-window) features
+# --------------------------------------------------------------------------
+
+
+def q_seq_cumulative(sf_dir: str):
+    """Per-entity running sum / max / index of n_tok in ts order —
+    stages/cumulative.py: segmented cumsum + lift-trick cummax, zero
+    per-entity Python, exact int64 (reference nni_cumulative lineage,
+    /root/reference/src/mhealth/heart/hrv.py)."""
+    from pymhealth_ray.stages.cumulative import cumulative_features
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    out = cumulative_features(ds, "doc_id", "ts_ns", "n_tok", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "cum_sum", "cum_max",
+                      "seq_idx"])
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_cumulative(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_sum,
+       CAST(max(n_tok) OVER w AS BIGINT) AS cum_max,
+       CAST(row_number() OVER w AS BIGINT) AS seq_idx
+FROM read_parquet('{path}/part-*.parquet')
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# source-mixture stratified sampling
+# --------------------------------------------------------------------------
+
+_MIXTURE_RATES = {"web": 0.25, "chat": 0.75, "code": 0.5, "book": 1.0}
+
+
+def q_seq_mixture(sf_dir: str):
+    """Source-mixture control: per-stratum deterministic hash sampling
+    (stages/sample.py stratified_sample) — downsample web, keep books,
+    reweight the corpus composition. Map-only; md5 thresholds make it
+    SQL-reproducible."""
+    from pymhealth_ray.stages.sample import stratified_sample
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            b["doc_id"].cast(pa.string()),
+            b["ts_ns"].cast(pa.string()), "-")
+        return b.append_column("k", k)
+
+    out = stratified_sample(ds.map_batches(add_key, batch_format="pyarrow"),
+                            "source", "k", _MIXTURE_RATES, salt="0")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "source", "n_tok"])
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_mixture(path: str) -> str:
+    from pymhealth_ray.stages.sample import _threshold_hex
+
+    case = " ".join(
+        f"WHEN '{s}' THEN '{_threshold_hex(r)}'"
+        for s, r in _MIXTURE_RATES.items())
+    return f"""
+SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
+FROM read_parquet('{path}/part-*.parquet')
+WHERE substr(md5(doc_id || '-' || CAST(ts_ns AS VARCHAR) || '-0'), 1, 8)
+      < CASE source {case} ELSE '00000000' END
 """

@@ -163,3 +163,30 @@ def grouped_weighted_sample_k(ds, group_cols, key_col: str, weight_col: str,
     )
     return sampled.map_batches(lambda b: b.drop_columns([PRI]),
                                batch_format="pyarrow")
+
+
+def stratified_sample(ds, strata_col: str, key_col: str,
+                      rates: dict, default_rate: float = 0.0,
+                      salt: str = "0"):
+    """Per-stratum deterministic hash sampling — the training-data MIXTURE
+    control: keep each stratum (source / language / domain) at its own
+    rate so the output matches a target composition. Same md5-threshold
+    contract as :func:`hash_sample` (rerun-stable, cluster-size-invariant,
+    SQL-reproducible via a CASE over thresholds); stateless map-only, so
+    at 100 TB it is pure scan-rate."""
+    thr_map = {k: _threshold_hex(v) for k, v in rates.items()}
+    default_thr = _threshold_hex(default_rate)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _hex8(batch[key_col], salt)
+        strata = batch[strata_col]
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        enc = strata.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        thr = np.array([thr_map.get(v, default_thr)
+                        for v in enc.dictionary.to_pylist()], dtype=object)
+        keep = h < thr[idx]
+        return batch.filter(pa.array(keep.astype(bool)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
