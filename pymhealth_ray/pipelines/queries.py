@@ -919,6 +919,7 @@ def build_queries() -> dict:
         "seq_pmi": q_seq_pmi,
         "seq_cumulative": q_seq_cumulative,
         "seq_mixture": q_seq_mixture,
+        "seq_resample": q_seq_resample,
     }
 
 
@@ -1026,6 +1027,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_pmi": sql_seq_pmi(path),
         "seq_cumulative": sql_seq_cumulative(path),
         "seq_mixture": sql_seq_mixture(path),
+        "seq_resample": sql_seq_resample(path),
     }
 
 
@@ -3827,4 +3829,45 @@ SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
 FROM read_parquet('{path}/part-*.parquet')
 WHERE substr(md5(doc_id || '-' || CAST(ts_ns AS VARCHAR) || '-0'), 1, 8)
       < CASE source {case} ELSE '00000000' END
+"""
+
+
+# --------------------------------------------------------------------------
+# time-grid resample (forward-fill alignment)
+# --------------------------------------------------------------------------
+
+
+def q_seq_resample(sf_dir: str):
+    """Hourly-grid forward-fill of n_tok per entity — stages/resample.py:
+    per-entity grids via repeat/arange arithmetic, filled with
+    segmented_searchsorted; ticks snap to the global grid so entities
+    align. Oracle: DuckDB ASOF JOIN against integer-built grid ticks."""
+    from pymhealth_ray.stages.resample import resample_ffill
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    out = resample_ffill(ds, "doc_id", "ts_ns", ["n_tok"], step=HOUR_NS,
+                         num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_resample(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{path}/part-*.parquet')
+), b AS (
+  SELECT doc_id,
+         (min(ts_ns) + {HOUR_NS} - 1) // {HOUR_NS} AS g0,
+         max(ts_ns) // {HOUR_NS} AS g1
+  FROM s GROUP BY doc_id
+), g AS (
+  SELECT doc_id, (g0 + i) * {HOUR_NS} AS grid_ts
+  FROM b, LATERAL unnest(generate_series(0, g1 - g0)) AS u(i)
+)
+SELECT g.doc_id, g.grid_ts, s.n_tok
+FROM g ASOF JOIN s ON g.doc_id = s.doc_id AND g.grid_ts >= s.ts_ns
 """

@@ -46,3 +46,4 @@ from pymhealth_ray.stages.ewma import ewma_features  # noqa: F401
 from pymhealth_ray.stages.pmi import pmi_topk, skipgram_pair_counts  # noqa: F401
 from pymhealth_ray.stages.cumulative import cumulative_features  # noqa: F401
 from pymhealth_ray.stages.sample import stratified_sample  # noqa: F401
+from pymhealth_ray.stages.resample import resample_ffill  # noqa: F401
