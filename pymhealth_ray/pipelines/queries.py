@@ -920,6 +920,8 @@ def build_queries() -> dict:
         "seq_cumulative": q_seq_cumulative,
         "seq_mixture": q_seq_mixture,
         "seq_resample": q_seq_resample,
+        "seq_rolling_corr": q_seq_rolling_corr,
+        "seq_drift": q_seq_drift,
     }
 
 
@@ -1028,6 +1030,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_cumulative": sql_seq_cumulative(path),
         "seq_mixture": sql_seq_mixture(path),
         "seq_resample": sql_seq_resample(path),
+        "seq_rolling_corr": sql_seq_rolling_corr(path),
+        "seq_drift": sql_seq_drift(path),
     }
 
 
@@ -3870,4 +3874,105 @@ WITH s AS (
 )
 SELECT g.doc_id, g.grid_ts, s.n_tok
 FROM g ASOF JOIN s ON g.doc_id = s.doc_id AND g.grid_ts >= s.ts_ns
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling correlation (two-column trailing-window statistic)
+# --------------------------------------------------------------------------
+
+
+def q_seq_rolling_corr(sf_dir: str):
+    """Trailing 16-row Pearson corr(n_tok, tok_sum) per entity —
+    stages/rolling.py rolling_corr: exact int64 cumsum-difference window
+    sums (no float cancellation), split-sqrt final division, NULL on
+    zero-variance windows. Token sums come from the vectorized
+    token_features kernel."""
+    from pymhealth_ray.stages.rolling import rolling_corr
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok", "tokens"])
+    feat = token_features(ds, features=("sum",), drop_tokens=True)
+    out = rolling_corr(feat, "doc_id", "ts_ns", "n_tok", "tok_sum",
+                       window=16, num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "tok_sum", "corr"])
+        b = _cast_cols(b, {"n_tok": pa.int64(), "tok_sum": pa.int64()})
+        return _round_cols(b, {"corr": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_rolling_corr(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS x,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS y
+  FROM read_parquet('{path}/part-*.parquet')
+), w AS (
+  SELECT doc_id, ts_ns, x, y,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, ts_ns, x AS n_tok, y AS tok_sum,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            ELSE NULL END AS corr
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# token-distribution drift (two-sample KL contributors)
+# --------------------------------------------------------------------------
+
+
+def q_seq_drift(sf_dir: str):
+    """Top-25 tokens by smoothed KL contribution between the web slice and
+    the rest of the corpus — stages/drift.py: vocab-bounded count partials,
+    one (tok, cp, cq) exchange, map-side partial top-k. Exact int counts;
+    float work mirrors the SQL expression shape."""
+    from pymhealth_ray.stages.drift import token_drift_topk
+
+    ds, _ = _seq_ds(sf_dir, ["source", "tokens"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        return b.append_column("inp", pc.equal(b["source"], "web"))
+
+    return token_drift_topk(ds.map_batches(flag, batch_format="pyarrow"),
+                            "tokens", "inp", k=25)
+
+
+def sql_seq_drift(path: str) -> str:
+    expr = ("(CAST(cp + 1 AS DOUBLE) / (np + v)) * "
+            "ln((CAST(cp + 1 AS DOUBLE) / (np + v)) / "
+            "(CAST(cq + 1 AS DOUBLE) / (nq + v)))")
+    return f"""
+WITH f AS (
+  SELECT source = 'web' AS inp, unnest(tokens) AS tok
+  FROM read_parquet('{path}/part-*.parquet')
+), c AS (
+  SELECT CAST(tok AS BIGINT) AS tok,
+         CAST(sum(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN inp THEN 0 ELSE 1 END) AS BIGINT) AS cq
+  FROM f GROUP BY 1
+), t AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+         count(*) AS v FROM c
+)
+SELECT tok, cp, cq, round({expr}, 6) AS contrib,
+       CAST(row_number() OVER (ORDER BY round({expr}, 6) DESC, tok)
+            AS BIGINT) AS rn
+FROM c CROSS JOIN t
+ORDER BY contrib DESC, tok
+LIMIT 25
 """

@@ -47,3 +47,5 @@ from pymhealth_ray.stages.pmi import pmi_topk, skipgram_pair_counts  # noqa: F40
 from pymhealth_ray.stages.cumulative import cumulative_features  # noqa: F401
 from pymhealth_ray.stages.sample import stratified_sample  # noqa: F401
 from pymhealth_ray.stages.resample import resample_ffill  # noqa: F401
+from pymhealth_ray.stages.rolling import rolling_corr  # noqa: F401
+from pymhealth_ray.stages.drift import token_drift_topk, token_slice_counts  # noqa: F401

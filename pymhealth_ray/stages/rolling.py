@@ -73,3 +73,53 @@ def rolling_count_windows(
         )
 
     return grouped_by_bucket(ds, per_bucket, entity_col, num_buckets)
+
+
+def rolling_corr(ds, entity_col: str, ts_col: str, x_col: str, y_col: str,
+                 window: int, tiebreak_col: str | None = None,
+                 num_buckets: int = 32, out_name: str = "corr"):
+    """Trailing ``window``-row Pearson correlation of two INTEGER columns
+    per entity in ts order (NULL where either variance is zero, e.g. the
+    first row of every entity).
+
+    Numerics: all five window sums (Sx, Sy, Sxx, Syy, Sxy) come from int64
+    cumulative-sum differences — exact, so the cancellation poison that
+    forbids float cumsum variance (CLAUDE.md) does not apply. The only
+    float work is the final ``num / (sqrt(denx)·sqrt(deny))`` (the split
+    sqrt keeps the product inside float range; denx·deny can overflow
+    int64). One pass, no per-entity Python."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        from pymhealth_ray.stages.partition import column_i64
+
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col,
+                                             tiebreak_col)
+        x = column_i64(tbl, x_col)
+        y = column_i64(tbl, y_col)
+        n_rows = len(x)
+        seg_lens = np.diff(starts)
+        seg_start = np.repeat(starts[:-1], seg_lens)
+        i = np.arange(n_rows, dtype=np.int64)
+        s = np.maximum(i - window + 1, seg_start)
+        n = (i - s + 1)
+
+        def wsum(v):
+            c = np.concatenate(([0], np.cumsum(v)))
+            return c[i + 1] - c[s]
+
+        sx, sy = wsum(x), wsum(y)
+        sxx, syy, sxy = wsum(x * x), wsum(y * y), wsum(x * y)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        ok = (denx > 0) & (deny > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = num.astype(np.float64) / (
+                np.sqrt(denx.astype(np.float64)) *
+                np.sqrt(deny.astype(np.float64)))
+        out = pa.array(np.where(ok, corr, 0.0), type=pa.float64(),
+                       mask=~ok)
+        return tbl.append_column(out_name, out)
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)
