@@ -922,6 +922,8 @@ def build_queries() -> dict:
         "seq_resample": q_seq_resample,
         "seq_rolling_corr": q_seq_rolling_corr,
         "seq_drift": q_seq_drift,
+        "orders_anti_returned": q_orders_anti_returned,
+        "embed_kmeans": q_embed_kmeans,
     }
 
 
@@ -1032,6 +1034,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_resample": sql_seq_resample(path),
         "seq_rolling_corr": sql_seq_rolling_corr(path),
         "seq_drift": sql_seq_drift(path),
+        "orders_anti_returned": SQL_ORDERS_ANTI_RETURNED,
+        "embed_kmeans": _kmeans_oracle(sf_dir_for_fixture),
     }
 
 
@@ -3976,3 +3980,116 @@ FROM c CROSS JOIN t
 ORDER BY contrib DESC, tok
 LIMIT 25
 """
+
+
+# --------------------------------------------------------------------------
+# exact distributed anti-join
+# --------------------------------------------------------------------------
+
+
+def q_orders_anti_returned(sf_dir: str):
+    """Orders with NO returned lineitem — exact large-large anti-join:
+    stages/join.py equi_join with pyarrow 'left anti' per co-partitioned
+    bucket (co-partitioning makes per-bucket anti globally correct, unlike
+    the probabilistic bloom semi-join in orders_bloom_semi)."""
+    from pymhealth_ray.stages.join import equi_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_returnflag"])
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        return pa.table({"o_orderkey": b["l_orderkey"]})
+
+    right = li.map_batches(returned, batch_format="pyarrow")
+    out = equi_join(orders, right, on="o_orderkey", join_type="left anti",
+                    num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        return _round_cols(b, {"o_totalprice": 2})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_ANTI_RETURNED = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+"""
+
+
+# --------------------------------------------------------------------------
+# k-means cluster assignment over embeddings
+# --------------------------------------------------------------------------
+
+
+def q_embed_kmeans(sf_dir: str):
+    """Cosine k-means assignment of every embedding to deterministic
+    seeded centroids (stages/ann.train_ivf_centroids, 8 clusters) —
+    centroids broadcast once via ray.put, per-batch float64 matmul
+    assignment. Oracle: the same single-process training + a full-matrix
+    assignment, so a hash match proves the distributed assignment path."""
+    from pymhealth_ray.stages.ann import _emb_matrix, _unit, train_ivf_centroids
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    sample_tbl = pa.Table.from_pandas(ds.limit(2048).to_pandas())
+    sample = _emb_matrix(sample_tbl, "embedding").astype(np.float64)
+    cent = train_ivf_centroids(sample, n_centroids=8).astype(np.float64)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _unit(_emb_matrix(batch, "embedding").astype(np.float64))
+        sims = m @ c.T
+        lab = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(lab)), lab]
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(lab.astype(np.int64)),
+            "sim": pa.array(_round_away(best, 6)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _kmeans_expected(sf_dir: str):
+    import pandas as pd
+
+    from pymhealth_ray.stages.ann import _unit, train_ivf_centroids
+
+    import pyarrow.parquet as pq_mod
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    emb = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    cent = train_ivf_centroids(emb[:2048], n_centroids=8).astype(np.float64)
+    m = _unit(emb)
+    sims = m @ cent.T
+    lab = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(lab)), lab]
+    return pd.DataFrame({
+        "vec_id": tbl["vec_id"].to_pandas().astype(np.int64),
+        "cluster": lab.astype(np.int64),
+        "sim": _round_away(best, 6),
+    })
+
+
+def _kmeans_oracle(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/kmeans_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _kmeans_expected(sf_dir)
+        tmp = out + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"
