@@ -924,6 +924,7 @@ def build_queries() -> dict:
         "seq_drift": q_seq_drift,
         "orders_anti_returned": q_orders_anti_returned,
         "embed_kmeans": q_embed_kmeans,
+        "embed_pca": q_embed_pca,
     }
 
 
@@ -1036,6 +1037,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_drift": sql_seq_drift(path),
         "orders_anti_returned": SQL_ORDERS_ANTI_RETURNED,
         "embed_kmeans": _kmeans_oracle(sf_dir_for_fixture),
+        "embed_pca": _pca_oracle(sf_dir_for_fixture),
     }
 
 
@@ -4089,6 +4091,87 @@ def _kmeans_oracle(sf_dir: str) -> str:
     if not os.path.exists(out):
         os.makedirs(out_dir, exist_ok=True)
         exp = _kmeans_expected(sf_dir)
+        tmp = out + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"
+
+
+# --------------------------------------------------------------------------
+# distributed PCA (exact integer scatter partials)
+# --------------------------------------------------------------------------
+
+
+def q_embed_pca(sf_dir: str):
+    """Project every embedding onto the corpus' top-2 principal directions
+    — stages/pca.py: per-block EXACT integer scatter partials (quantized
+    embeddings, chunked f64 BLAS under 2^53), python-int driver merge, one
+    LAPACK eigh, map-only projection. Bit-identical under any
+    partitioning; the oracle recomputes single-process."""
+    from pymhealth_ray.stages.pca import pca_components, pca_project
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    comp = pca_components(ds, k=2)
+    out = pca_project(ds, comp)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"pc1": 6, "pc2": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _pca_expected(sf_dir: str):
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages.pca import _quantize
+
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    emb = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    q = _quantize(emb, 18)
+    d = q.shape[1]
+    n = len(q)
+    # exact integer scatter via python ints, organized differently from the
+    # engine (whole-matrix int64 accumulation in 512-row chunks)
+    ss = np.zeros((d, d), dtype=np.int64)
+    s = np.zeros(d, dtype=np.int64)
+    for i in range(0, n, 512):
+        c = q[i:i + 512]
+        ss += (c.T @ c).astype(np.int64)
+        s += c.sum(axis=0).astype(np.int64)
+    m = np.empty((d, d))
+    for r in range(d):
+        for c_ in range(d):
+            m[r, c_] = float(int(n) * int(ss[r, c_]) - int(s[r]) * int(s[c_]))
+    vals, vecs = np.linalg.eigh(m)
+    comp = vecs[:, ::-1][:, :2].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    proj = (q / float(1 << 18)) @ comp.T
+    mlt = 1e6
+    r6 = lambda x: np.sign(x) * np.floor(np.abs(x) * mlt + 0.5) / mlt
+    return pd.DataFrame({
+        "vec_id": tbl["vec_id"].to_pandas().astype(np.int64),
+        "pc1": r6(proj[:, 0]),
+        "pc2": r6(proj[:, 1]),
+    })
+
+
+def _pca_oracle(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/pca_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _pca_expected(sf_dir)
         tmp = out + ".tmp"
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
         os.replace(tmp, out)
