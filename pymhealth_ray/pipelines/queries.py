@@ -925,6 +925,9 @@ def build_queries() -> dict:
         "orders_anti_returned": q_orders_anti_returned,
         "embed_kmeans": q_embed_kmeans,
         "embed_pca": q_embed_pca,
+        "seq_zscore": q_seq_zscore,
+        "seq_bigram_nll": q_seq_bigram_nll,
+        "seq_ewma_td": q_seq_ewma_td,
     }
 
 
@@ -1038,6 +1041,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_anti_returned": SQL_ORDERS_ANTI_RETURNED,
         "embed_kmeans": _kmeans_oracle(sf_dir_for_fixture),
         "embed_pca": _pca_oracle(sf_dir_for_fixture),
+        "seq_zscore": sql_seq_zscore(path),
+        "seq_bigram_nll": sql_seq_bigram_nll(path),
+        "seq_ewma_td": sql_seq_ewma_td(path),
     }
 
 
@@ -4176,3 +4182,156 @@ def _pca_oracle(sf_dir: str) -> str:
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
         os.replace(tmp, out)
     return f"SELECT * FROM read_parquet('{out}')"
+
+
+# --------------------------------------------------------------------------
+# group-wise z-score normalization (broadcast statistics)
+# --------------------------------------------------------------------------
+
+
+def q_seq_zscore(sf_dir: str):
+    """Per-source z-score of n_tok — stages/normalize.py: exact-int
+    (n, Σx, Σx²) partials, tiny groupby, broadcast stats, stateless
+    normalize map. Two linear scans, zero row exchange."""
+    from pymhealth_ray.stages.normalize import zscore_by_group
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+    out = zscore_by_group(ds, "source", "n_tok")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "source", "n_tok", "z"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"z": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_zscore(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS x
+  FROM read_parquet('{path}/part-*.parquet')
+), g AS (
+  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM s GROUP BY source
+)
+SELECT doc_id, ts_ns, source, x AS n_tok,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+                            (CAST(n AS DOUBLE) * (n - 1))), 6)
+            ELSE NULL END AS z
+FROM s JOIN g USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# token-native bigram LM scoring
+# --------------------------------------------------------------------------
+
+
+def q_seq_bigram_nll(sf_dir: str):
+    """Mean add-one-smoothed bigram NLL per sequence — stages/lm.bigram_nll:
+    corpus-trained adjacent-pair counts (one vocab²-bounded exchange),
+    32 MB dense broadcast, vectorized lookup + reduceat scoring. Exact int
+    counts; ln/round-6 expression mirrors the SQL oracle."""
+    from pymhealth_ray.stages.lm import bigram_nll
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    out = bigram_nll(ds, "tokens", id_cols=("doc_id", "ts_ns"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"nll_mean": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_bigram_nll(path: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')
+), p AS (
+  SELECT doc_id, ts_ns, CAST(tokens[i] AS BIGINT) AS a,
+         CAST(tokens[i + 1] AS BIGINT) AS b
+  FROM src, LATERAL unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+), cab AS (
+  SELECT a, b, count(*) AS c FROM p GROUP BY a, b
+), ca AS (
+  SELECT a, count(*) AS c FROM p GROUP BY a
+), v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(tokens) AS tok FROM src)
+), sc AS (
+  SELECT p.doc_id, p.ts_ns, count(*) AS n_slots,
+         round(-sum(ln(CAST(cab.c + 1 AS DOUBLE) / (ca.c + v.v)))
+               / count(*), 6) AS nll_mean
+  FROM p JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+  GROUP BY p.doc_id, p.ts_ns
+)
+SELECT src.doc_id, src.ts_ns,
+       CAST(coalesce(sc.n_slots, 0) AS BIGINT) AS n_slots, sc.nll_mean
+FROM src LEFT JOIN sc USING (doc_id, ts_ns)
+"""
+
+
+# --------------------------------------------------------------------------
+# time-decay EWMA (irregular timestamps)
+# --------------------------------------------------------------------------
+
+_TD_TAU_NS = 2.0 * HOUR_NS
+
+
+def q_seq_ewma_td(sf_dir: str):
+    """Per-entity time-decay EWMA of n_tok (τ = 2 h, weight exp(-Δt/τ)) —
+    stages/ewma.ewma_time_decay: anchor-renormalized chunked scan with
+    time-span guards. Oracle: independent single-process sequential
+    recurrence num = x + e^{-Δt/τ}·num."""
+    from pymhealth_ray.stages.ewma import ewma_time_decay
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    out = ewma_time_decay(ds, "doc_id", "ts_ns", "n_tok", tau=_TD_TAU_NS,
+                          num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "ewma_td"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"ewma_td": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _ewma_td_expected(src: pa.Table):
+    import pandas as pd
+
+    df = (src.to_pandas()
+          .sort_values(["doc_id", "ts_ns"], kind="mergesort")
+          .reset_index(drop=True))
+    out = np.empty(len(df), dtype=np.float64)
+    for _, g in df.groupby("doc_id", sort=False):
+        x = g["n_tok"].to_numpy(dtype=np.float64)
+        t = g["ts_ns"].to_numpy(dtype=np.float64)
+        num = den = 0.0
+        y = np.empty(len(x), dtype=np.float64)
+        for i in range(len(x)):
+            if i:
+                d = np.exp(-(t[i] - t[i - 1]) / _TD_TAU_NS)
+                num *= d
+                den *= d
+            num += x[i]
+            den += 1.0
+            y[i] = num / den
+        out[g.index.to_numpy()] = y
+    m = 1e6
+    ew = np.sign(out) * np.floor(np.abs(out) * m + 0.5) / m
+    return pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "ts_ns": df["ts_ns"].astype(np.int64),
+        "n_tok": df["n_tok"].astype(np.int64),
+        "ewma_td": ew,
+    })
+
+
+def sql_seq_ewma_td(path: str) -> str:
+    return _materialized_oracle(path, "ewma_td_v1", _ewma_td_expected,
+                                columns=("doc_id", "ts_ns", "n_tok"))

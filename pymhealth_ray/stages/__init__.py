@@ -50,3 +50,5 @@ from pymhealth_ray.stages.resample import resample_ffill  # noqa: F401
 from pymhealth_ray.stages.rolling import rolling_corr  # noqa: F401
 from pymhealth_ray.stages.drift import token_drift_topk, token_slice_counts  # noqa: F401
 from pymhealth_ray.stages.pca import pca_components, pca_project, scatter_partials  # noqa: F401
+from pymhealth_ray.stages.normalize import zscore_by_group, group_stats_exact  # noqa: F401
+from pymhealth_ray.stages.ewma import ewma_time_decay  # noqa: F401

@@ -73,3 +73,66 @@ def ewma_features(ds, entity_col: str, ts_col: str, value_col: str,
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
                              num_buckets=num_buckets)
+
+
+_MAX_SPAN_TAUS = 200.0
+
+
+def _ewma_td_segment(x: np.ndarray, t: np.ndarray, tau: float) -> np.ndarray:
+    """Time-decay EWMA of one entity (ts order): weights exp(-(t_now-t_i)/τ),
+    adjust-normalized. Chunked anchor renormalization: chunks break every
+    ``_CHUNK`` rows or ``_MAX_SPAN_TAUS``·τ of time-span, so every
+    exp() stays inside float range; inter-chunk gaps decay the carry
+    (underflow to 0 == true negligibility)."""
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    carry_num = 0.0
+    carry_den = 0.0
+    prev_anchor = None
+    s = 0
+    while s < n:
+        e_row = min(s + _CHUNK, n)
+        e_time = int(np.searchsorted(t, t[s] + _MAX_SPAN_TAUS * tau,
+                                     side="right"))
+        e = max(s + 1, min(e_row, e_time))
+        tc = t[s:e].astype(np.float64)
+        xc = x[s:e]
+        ta = tc[-1]
+        w = np.exp((tc - ta) / tau)          # <= 1 within the chunk
+        num = np.cumsum(xc * w)
+        den = np.cumsum(w)
+        if prev_anchor is not None:
+            g = np.exp((prev_anchor - ta) / tau)
+            num = num + carry_num * g
+            den = den + carry_den * g
+        out[s:e] = num / den             # anchor weight cancels in the ratio
+        carry_num = num[-1]
+        carry_den = den[-1]
+        prev_anchor = ta
+        s = e
+    return out
+
+
+def ewma_time_decay(ds, entity_col: str, ts_col: str, value_col: str,
+                    tau: float, tiebreak_col: str | None = None,
+                    num_buckets: int = 32, out_name: str = "ewma_td"):
+    """Append the per-entity TIME-DECAY EWMA (weight exp(-Δt/τ)) of
+    ``value_col`` in ts order — the irregular-timestamp generalization of
+    :func:`ewma_features`; same single entity-bucket exchange, O(1)
+    carry state per entity."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        from pymhealth_ray.stages.partition import column_f64, column_i64
+
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col,
+                                             tiebreak_col)
+        x = column_f64(tbl, value_col)
+        t = column_i64(tbl, ts_col)
+        y = np.empty(len(x), dtype=np.float64)
+        for e in range(n_ent):
+            a, b = starts[e], starts[e + 1]
+            y[a:b] = _ewma_td_segment(x[a:b], t[a:b], tau)
+        return tbl.append_column(out_name, pa.array(y))
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)

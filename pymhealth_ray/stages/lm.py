@@ -100,3 +100,76 @@ def unigram_nll(ds, id_col: str = "doc_id", text_col: str = "text",
     lp = unigram_logprobs(ds, text_col, num_buckets)
     lp_ref = ray.put(lp)
     return score_documents(ds, lp_ref, id_col, text_col)
+
+
+def bigram_nll(ds, tokens_col: str = "tokens", id_cols=("doc_id", "ts_ns"),
+               key_mult: int = 2048, out_name: str = "nll_mean"):
+    """Token-native add-one-smoothed bigram LM: train adjacent-pair counts
+    over the corpus (stages/pmi.skipgram_pair_counts, window=1 — one
+    vocab²-bounded (key,count) exchange), densify to a broadcast count
+    matrix, then score every sequence map-only:
+    ``nll_mean = −(Σ_slots ln((c_ab+1)/(c_a+V))) / n_slots`` (NULL for
+    sequences with <2 tokens). ``c_a`` is the left-context marginal over
+    pair slots; ``V`` the corpus' distinct-token count.
+
+    The broadcast is key_mult² int64 (32 MB at key_mult=2048) shipped ONCE
+    via ray.put — per-batch work is pure vectorized lookups + reduceat."""
+    import ray
+
+    from pymhealth_ray.stages.pmi import skipgram_pair_counts
+
+    pairs = skipgram_pair_counts(ds, tokens_col, window=1,
+                                 key_mult=key_mult)
+    dense = np.zeros(key_mult * key_mult, dtype=np.int64)
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        dense[k] = c
+    left = dense.reshape(key_mult, key_mult).sum(axis=1)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        return pa.table({"tok": pa.array(np.unique(flat))})
+
+    vocab = (ds.map_batches(distinct_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("tok").count().count())
+
+    dense_ref = ray.put(dense)
+    left_ref = ray.put(left)
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = ray.get(dense_ref)
+        lm = ray.get(left_ref)
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64)
+        local = pos - np.repeat(offs[:-1], lens)
+        ok = local < np.repeat(lens - 1, lens)
+        a = flat[ok]
+        b = flat[np.flatnonzero(ok) + 1]
+        terms = np.log((d[a * key_mult + b] + 1).astype(np.float64) /
+                       (lm[a] + vocab))
+        nslots = np.maximum(lens - 1, 0)
+        soffs = np.concatenate(([0], np.cumsum(nslots)))[:-1]
+        sums = np.zeros(len(lens), dtype=np.float64)
+        nz = nslots > 0
+        if nz.any():
+            red = np.add.reduceat(terms, soffs[nz]) if len(terms) else []
+            sums[nz] = red
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nll = -(sums / nslots)
+        cols = {c: batch[c] for c in id_cols}
+        cols["n_slots"] = pa.array(nslots)
+        cols[out_name] = pa.array(np.where(nz, nll, 0.0),
+                                  type=pa.float64(), mask=~nz)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

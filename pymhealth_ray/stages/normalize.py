@@ -1,0 +1,90 @@
+"""Group-wise z-score normalization — the broadcast-statistics pattern.
+
+Feature scaling per group (per source / language / shard) without a full
+shuffle: a map-side partial pass collects exact-int ``(n, Σx, Σx²)`` per
+group (one row per group per block crosses the wire), a tiny groupby-sum
+lands on the driver, and the group-stats table is broadcast back into a
+stateless map. Two linear scans, zero row exchange — the shape that holds
+at 100 TB when the group cardinality is bounded (sources, languages);
+unbounded group keys should use the entity-bucket exchange instead.
+
+Numerics: sums are exact int64 (integer inputs), so every engine and the
+SQL oracle derive the float z-score from IDENTICAL integers via the same
+expression shape ``(x − Σx/n) / sqrt((n·Σx² − (Σx)²) / (n·(n−1)))`` —
+no one-pass float cancellation (CLAUDE.md gotcha).
+
+Reference lineage: std/mean feature family
+(`/root/reference/src/mhealth/generic/stats.py`) lifted to grouped
+normalization; SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def group_stats_exact(ds, group_col: str, value_col: str):
+    """dict group -> (n, sum, sumsq) with exact int64 sums."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        x = batch[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        n = np.bincount(idx, minlength=k).astype(np.int64)
+        sx = np.bincount(idx, weights=v, minlength=k).astype(np.int64)
+        sxx = np.bincount(idx, weights=(v * v).astype(np.float64),
+                          minlength=k).astype(np.int64)
+        return pa.table({group_col: enc.dictionary,
+                         "n": pa.array(n), "sx": pa.array(sx),
+                         "sxx": pa.array(sxx)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(group_col).sum(["n", "sx", "sxx"]))
+    out = {}
+    for r in agg.take_all():
+        out[r[group_col]] = (int(r["sum(n)"]), int(r["sum(sx)"]),
+                             int(r["sum(sxx)"]))
+    return out
+
+
+def zscore_by_group(ds, group_col: str, value_col: str,
+                    out_name: str = "z"):
+    """Append the per-group z-score of integer ``value_col`` (sample std;
+    NULL for groups with n<2 or zero variance)."""
+    import ray
+
+    stats_ref = ray.put(group_stats_exact(ds, group_col, value_col))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        stats = ray.get(stats_ref)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        tup = [stats.get(v, (0, 0, 0)) for v in enc.dictionary.to_pylist()]
+        n = np.array([t[0] for t in tup], dtype=np.int64)[idx]
+        sx = np.array([t[1] for t in tup], dtype=np.int64)[idx]
+        sxx = np.array([t[2] for t in tup], dtype=np.int64)[idx]
+        x = batch[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.int64)
+        den_int = n * sxx - sx * sx
+        ok = (n > 1) & (den_int > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = ((v.astype(np.float64) - sx.astype(np.float64) / n) /
+                 np.sqrt(den_int.astype(np.float64) /
+                         (n.astype(np.float64) * (n - 1))))
+        out = pa.array(np.where(ok, z, 0.0), type=pa.float64(), mask=~ok)
+        return batch.append_column(out_name, out)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
