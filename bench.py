@@ -70,6 +70,15 @@ BENCH_QUERIES = [
     "seq_weighted_sample",
     "lineitem_cms_counts",
     "docs_media_decode",
+    # round-2 second wave
+    "seq_ewma",
+    "seq_pmi",
+    "seq_resample",
+    "seq_rolling_corr",
+    "seq_zscore",
+    "seq_bigram_nll",
+    "embed_pca",
+    "orders_anti_returned",
 ]
 
 

@@ -66,11 +66,14 @@ def skipgram_pair_counts(ds, tokens_col: str = "tokens", window: int = 2,
             "c": pa.array(cnts.astype(np.int64)),
         })
 
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None)
-    agg = partials.groupby("key").sum("c")
-    return agg.map_batches(
-        lambda b: b.rename_columns(["key", "c"]), batch_format="pyarrow")
+    # bucketed rollup, NOT groupby(key).sum: the row-level key sort was the
+    # scale bottleneck (16.7M partial rows at sf0.1 took >2 min; this takes
+    # seconds — the exchange keys on a 256-value int32 bucket instead)
+    return keyed_sum(partials, "key", ["c"], num_buckets=256)
 
 
 def pmi_topk(ds, tokens_col: str = "tokens", window: int = 2,
