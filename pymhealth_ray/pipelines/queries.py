@@ -928,6 +928,7 @@ def build_queries() -> dict:
         "seq_zscore": q_seq_zscore,
         "seq_bigram_nll": q_seq_bigram_nll,
         "seq_ewma_td": q_seq_ewma_td,
+        "seq_qbucket": q_seq_qbucket,
     }
 
 
@@ -1044,6 +1045,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_zscore": sql_seq_zscore(path),
         "seq_bigram_nll": sql_seq_bigram_nll(path),
         "seq_ewma_td": sql_seq_ewma_td(path),
+        "seq_qbucket": sql_seq_qbucket(path),
     }
 
 
@@ -4335,3 +4337,45 @@ def _ewma_td_expected(src: pa.Table):
 def sql_seq_ewma_td(path: str) -> str:
     return _materialized_oracle(path, "ewma_td_v1", _ewma_td_expected,
                                 columns=("doc_id", "ts_ns", "n_tok"))
+
+
+# --------------------------------------------------------------------------
+# per-group quantile bucketing
+# --------------------------------------------------------------------------
+
+
+def q_seq_qbucket(sf_dir: str):
+    """Quartile bucket of n_tok within each source —
+    stages/normalize.bucket_by_group_quantiles: exact distributed
+    quantile_disc thresholds broadcast into a stateless assignment map."""
+    from pymhealth_ray.stages.normalize import bucket_by_group_quantiles
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+    out = bucket_by_group_quantiles(ds, "source", "n_tok")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "source", "n_tok", "qbucket"])
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_qbucket(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{path}/part-*.parquet')
+), g AS (
+  SELECT source,
+         quantile_disc(n_tok, 0.25) AS q25,
+         quantile_disc(n_tok, 0.50) AS q50,
+         quantile_disc(n_tok, 0.75) AS q75
+  FROM s GROUP BY source
+)
+SELECT doc_id, ts_ns, source, n_tok,
+       CAST(CASE WHEN n_tok <= q25 THEN 1
+                 WHEN n_tok <= q50 THEN 2
+                 WHEN n_tok <= q75 THEN 3
+                 ELSE 4 END AS BIGINT) AS qbucket
+FROM s JOIN g USING (source)
+"""

@@ -52,3 +52,4 @@ from pymhealth_ray.stages.drift import token_drift_topk, token_slice_counts  # n
 from pymhealth_ray.stages.pca import pca_components, pca_project, scatter_partials  # noqa: F401
 from pymhealth_ray.stages.normalize import zscore_by_group, group_stats_exact  # noqa: F401
 from pymhealth_ray.stages.ewma import ewma_time_decay  # noqa: F401
+from pymhealth_ray.stages.normalize import bucket_by_group_quantiles  # noqa: F401

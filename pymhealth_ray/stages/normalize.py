@@ -88,3 +88,41 @@ def zscore_by_group(ds, group_col: str, value_col: str,
         return batch.append_column(out_name, out)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def bucket_by_group_quantiles(ds, group_col: str, value_col: str,
+                              qs=(0.25, 0.5, 0.75),
+                              out_name: str = "qbucket"):
+    """Append the 1-based quantile bucket of ``value_col`` within its group
+    (quartiles by default: bucket k ⇔ value ≤ k-th group quantile, else
+    len(qs)+1). Thresholds come from the exact distributed
+    ``grouped_quantiles`` (quantile_disc semantics) and are broadcast —
+    the same two-scan zero-row-exchange shape as :func:`zscore_by_group`."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+    qs = list(qs)
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
+    thr_rows = grouped_quantiles(ds, [group_col], value_col, qs).take_all()
+    thr = {r[group_col]: np.array([r[qn] for qn in q_names], dtype=np.float64)
+           for r in thr_rows}
+    thr_ref = ray.put(thr)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        mats = np.stack([t[v] for v in enc.dictionary.to_pylist()])
+        x = batch[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.float64)
+        row_thr = mats[idx]                      # (rows, len(qs))
+        bucket = 1 + (v[:, None] > row_thr).sum(axis=1).astype(np.int64)
+        return batch.append_column(out_name, pa.array(bucket))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

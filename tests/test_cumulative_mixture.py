@@ -94,3 +94,31 @@ class TestStratifiedSample:
         out = stratified_sample(ray.data.from_pandas(df), "s", "k",
                                 {"a": 1.0}, default_rate=0.0).to_pandas()
         assert set(out.s) == {"a"}
+
+
+class TestQuantileBucket:
+    def test_matches_pandas_qcut_semantics(self, ray_session):
+        from pymhealth_ray.stages.normalize import bucket_by_group_quantiles
+
+        rng = np.random.default_rng(81)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 1500),
+            "v": rng.integers(0, 300, 1500).astype(np.int64),
+            "i": np.arange(1500, dtype=np.int64),
+        })
+        got = (bucket_by_group_quantiles(
+            ray.data.from_pandas(df).repartition(5), "g", "v")
+            .to_pandas().sort_values("i").reset_index(drop=True))
+        # brute: quantile_disc thresholds sorted[ceil(q*n)-1]
+        import math
+        for grp, sub in df.groupby("g"):
+            vals = np.sort(sub["v"].to_numpy())
+            thr = [vals[max(1, math.ceil(q * len(vals))) - 1]
+                   for q in (0.25, 0.5, 0.75)]
+            sel = got[got.g == grp]
+            exp = 1 + (sel["v"].to_numpy()[:, None] >
+                       np.array(thr)[None, :]).sum(axis=1)
+            assert sel["qbucket"].tolist() == exp.tolist()
+        # buckets roughly balanced
+        frac = got.groupby("qbucket").size() / len(got)
+        assert (frac > 0.15).all()
