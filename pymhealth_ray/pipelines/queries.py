@@ -929,6 +929,8 @@ def build_queries() -> dict:
         "seq_bigram_nll": q_seq_bigram_nll,
         "seq_ewma_td": q_seq_ewma_td,
         "seq_qbucket": q_seq_qbucket,
+        "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "docs_partitioned_sink": q_docs_partitioned_sink,
     }
 
 
@@ -1046,6 +1048,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_bigram_nll": sql_seq_bigram_nll(path),
         "seq_ewma_td": sql_seq_ewma_td(path),
         "seq_qbucket": sql_seq_qbucket(path),
+        "docs_csv_roundtrip": SQL_DOCS_CSV_ROUNDTRIP,
+        "docs_partitioned_sink": SQL_DOCS_PARTITIONED_SINK,
     }
 
 
@@ -4378,4 +4382,105 @@ SELECT doc_id, ts_ns, source, n_tok,
                  WHEN n_tok <= q75 THEN 3
                  ELSE 4 END AS BIGINT) AS qbucket
 FROM s JOIN g USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# csv source + hive-partitioned sink roundtrips
+# --------------------------------------------------------------------------
+
+
+def _csv_fixture(sf_dir: str) -> str:
+    import os
+
+    import duckdb
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/csv_{name}_v1"
+    out = os.path.join(out_dir, "documents.csv")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT doc_id, lang, text FROM "
+            f"'{sf_dir}/documents.parquet' ORDER BY doc_id) "
+            f"TO '{out}' (FORMAT CSV, HEADER)")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_docs_csv_roundtrip(sf_dir: str):
+    """Ingest the CSV drop of the documents table (sources/io.read_csv —
+    ray.data.read_csv + map-side projection) and recompute per-doc length
+    + content digest; the oracle reads the parquet original, so a hash
+    match proves the CSV path (RFC4180 quoting included) is lossless."""
+    from pymhealth_ray.sources.io import read_csv
+
+    path = _csv_fixture(sf_dir)
+    ds = read_csv(path, columns=["doc_id", "lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in txt.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "text_md5": pa.array(md5s, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOCS_CSV_ROUNDTRIP = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_docs_partitioned_sink(sf_dir: str):
+    """Write documents through the hive-partitioned sink
+    (sources/io.write_partitioned, one directory per lang), read every
+    partition back, and aggregate — a write→read roundtrip the oracle
+    checks against the parquet original. Proves routing, atomic layout,
+    and that no rows are lost or duplicated across partitions."""
+    import os
+
+    from pymhealth_ray.sources.io import write_partitioned
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_out/partitioned_docs_{name}"
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang", "n_chars"])
+    langs = write_partitioned(ds, out_dir, "lang")
+    assert langs  # at least one partition written
+    # hive layout: read the root once; the partition column is inferred
+    # from the lang=<value> directory names (pruned reads at scale would
+    # pass a path filter instead)
+    unioned = read_table(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum"), ("doc_id", "max")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "max_doc"])
+
+    def final(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum"), ("max_doc", "max")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "max_doc"])
+
+    return (unioned.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+SQL_DOCS_PARTITIONED_SINK = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY lang
 """

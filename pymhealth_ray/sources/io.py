@@ -10,6 +10,7 @@ override becomes unnecessary; locally it is the difference between a
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray
 
 
@@ -56,3 +57,47 @@ def read_jsonl(path: str, columns=None, blocks: int | None = None):
         return batch
 
     return ds.map_batches(prune, batch_format="pyarrow")
+
+
+def read_csv(path: str, columns=None, blocks: int | None = None):
+    """CSV source (ray.data.read_csv). Like the jsonl reader, CSV has no
+    reader-side projection, so pruning happens in the first map — still
+    before any exchange. Prefer parquet at 100 TB; this exists so upstream
+    CSV drops ingest without a conversion job."""
+    ds = ray.data.read_csv(
+        path,
+        override_num_blocks=blocks or default_blocks(),
+    )
+
+    def prune(batch):
+        batch = batch.replace_schema_metadata(None)
+        if columns is not None:
+            batch = batch.select(columns)
+        return batch
+
+    return ds.map_batches(prune, batch_format="pyarrow")
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str):
+    """Hive-style partitioned parquet sink: one directory per distinct
+    value of ``partition_col`` (``col=value/``). Rows are routed with ONE
+    groupby exchange on the partition column; each partition writes its
+    own files atomically (tmp + rename), so downstream reads prune by
+    directory; for skip-finished-partition resume semantics use
+    ``state/lineage.resumable_write``. Returns the partition values."""
+    import os
+
+    def write_group(tbl):
+        import pyarrow.parquet as pq_mod
+
+        val = tbl[partition_col][0].as_py()
+        d = os.path.join(out_dir, f"{partition_col}={val}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "data.parquet.tmp")
+        pq_mod.write_table(tbl.drop_columns([partition_col]), tmp)
+        os.replace(tmp, os.path.join(d, "data.parquet"))
+        return pa.table({partition_col: tbl[partition_col].slice(0, 1)})
+
+    done = ds.groupby(partition_col).map_groups(
+        write_group, batch_format="pyarrow").take_all()
+    return sorted(r[partition_col] for r in done)
