@@ -931,6 +931,7 @@ def build_queries() -> dict:
         "seq_qbucket": q_seq_qbucket,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "docs_partitioned_sink": q_docs_partitioned_sink,
+        "seq_feature_matrix": q_seq_feature_matrix,
     }
 
 
@@ -1050,6 +1051,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_qbucket": sql_seq_qbucket(path),
         "docs_csv_roundtrip": SQL_DOCS_CSV_ROUNDTRIP,
         "docs_partitioned_sink": SQL_DOCS_PARTITIONED_SINK,
+        "seq_feature_matrix": sql_seq_feature_matrix(path),
     }
 
 
@@ -4483,4 +4485,86 @@ SQL_DOCS_PARTITIONED_SINK = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        max(doc_id) AS max_doc
 FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# composed feature-matrix pipeline (third-wave ops interoperating)
+# --------------------------------------------------------------------------
+
+
+def q_seq_feature_matrix(sf_dir: str):
+    """COMPOSED feature-engineering chain — source-mixture sampling →
+    per-source z-score → per-source quantile bucket → per-entity
+    cumulative features, every stage the engine's own operator
+    (stages/sample, normalize, cumulative), statistics computed on the
+    SAMPLED subset. One entity exchange + two broadcast scans total; the
+    oracle reproduces the whole chain in a single SQL statement, so a
+    hash match proves the stages compose without order/stat leakage."""
+    from pymhealth_ray.stages.cumulative import cumulative_features
+    from pymhealth_ray.stages.normalize import (
+        bucket_by_group_quantiles,
+        zscore_by_group,
+    )
+    from pymhealth_ray.stages.sample import stratified_sample
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            b["doc_id"].cast(pa.string()),
+            b["ts_ns"].cast(pa.string()), "-")
+        return b.append_column("k", k)
+
+    sampled = stratified_sample(ds.map_batches(add_key, batch_format="pyarrow"),
+                                "source", "k", _MIXTURE_RATES, salt="0")
+    scored = zscore_by_group(sampled, "source", "n_tok")
+    bucketed = bucket_by_group_quantiles(scored, "source", "n_tok")
+    out = cumulative_features(bucketed, "doc_id", "ts_ns", "n_tok",
+                              num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "source", "n_tok", "z", "qbucket",
+                      "cum_sum", "seq_idx"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"z": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_feature_matrix(path: str) -> str:
+    from pymhealth_ray.stages.sample import _threshold_hex
+
+    case = " ".join(
+        f"WHEN '{s}' THEN '{_threshold_hex(r)}'"
+        for s, r in _MIXTURE_RATES.items())
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{path}/part-*.parquet')
+  WHERE substr(md5(doc_id || '-' || CAST(ts_ns AS VARCHAR) || '-0'), 1, 8)
+        < CASE source {case} ELSE '00000000' END
+), g AS (
+  SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS sx,
+         CAST(sum(n_tok * n_tok) AS BIGINT) AS sxx,
+         quantile_disc(n_tok, 0.25) AS q25,
+         quantile_disc(n_tok, 0.50) AS q50,
+         quantile_disc(n_tok, 0.75) AS q75
+  FROM sampled GROUP BY source
+)
+SELECT doc_id, ts_ns, source, n_tok,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN round((CAST(n_tok AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+                            (CAST(n AS DOUBLE) * (n - 1))), 6)
+            ELSE NULL END AS z,
+       CAST(CASE WHEN n_tok <= q25 THEN 1
+                 WHEN n_tok <= q50 THEN 2
+                 WHEN n_tok <= q75 THEN 3
+                 ELSE 4 END AS BIGINT) AS qbucket,
+       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_sum,
+       CAST(row_number() OVER w AS BIGINT) AS seq_idx
+FROM sampled JOIN g USING (source)
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
