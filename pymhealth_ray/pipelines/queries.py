@@ -932,6 +932,9 @@ def build_queries() -> dict:
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "docs_partitioned_sink": q_docs_partitioned_sink,
         "seq_feature_matrix": q_seq_feature_matrix,
+        "seq_mad_outliers": q_seq_mad_outliers,
+        "seq_approx_quantiles": q_seq_approx_quantiles,
+        "seq_pagerank": q_seq_pagerank,
     }
 
 
@@ -1052,6 +1055,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_csv_roundtrip": SQL_DOCS_CSV_ROUNDTRIP,
         "docs_partitioned_sink": SQL_DOCS_PARTITIONED_SINK,
         "seq_feature_matrix": sql_seq_feature_matrix(path),
+        "seq_mad_outliers": sql_seq_mad_outliers(path),
+        "seq_approx_quantiles": sql_seq_approx_quantiles(path),
+        "seq_pagerank": sql_seq_pagerank(path),
     }
 
 
@@ -4568,3 +4574,165 @@ FROM sampled JOIN g USING (source)
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# --------------------------------------------------------------------------
+# robust MAD outlier flags
+# --------------------------------------------------------------------------
+
+
+def q_seq_mad_outliers(sf_dir: str):
+    """Per-source robust outliers (|x − median| > 3·MAD) —
+    stages/normalize.mad_outliers: two broadcast exact-quantile passes,
+    integer comparisons throughout."""
+    from pymhealth_ray.stages.normalize import mad_outliers
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+    out = mad_outliers(ds, "source", "n_tok", k=3.0)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "source", "n_tok", "adev",
+                      "is_outlier"])
+        return _cast_cols(b, {"n_tok": pa.int64()})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_mad_outliers(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{path}/part-*.parquet')
+), m AS (
+  SELECT source, quantile_disc(n_tok, 0.5) AS med FROM s GROUP BY source
+), a AS (
+  SELECT s.*, abs(n_tok - med) AS adev FROM s JOIN m USING (source)
+), d AS (
+  SELECT source, quantile_disc(adev, 0.5) AS mad FROM a GROUP BY source
+)
+SELECT doc_id, ts_ns, source, n_tok, adev, adev > 3.0 * mad AS is_outlier
+FROM a JOIN d USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# approximate quantiles via deterministic bottom-k sampling
+# --------------------------------------------------------------------------
+
+
+def q_seq_approx_quantiles(sf_dir: str):
+    """Approximate per-source quantiles from a FIXED-SIZE deterministic
+    sample: md5-priority bottom-k per group (stages/sample.grouped_sample_k
+    — mergeable min-merge, so the sample is partitioning-invariant) then
+    exact quantiles of the sample (stages/aggregate.grouped_quantiles).
+    Sample size is constant per group no matter how large the data grows —
+    the unbounded-domain alternative to the exact histogram quantiles."""
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+    from pymhealth_ray.stages.sample import grouped_sample_k
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            b["doc_id"].cast(pa.string()),
+            b["ts_ns"].cast(pa.string()), "-")
+        return b.append_column("k", k)
+
+    sampled = grouped_sample_k(ds.map_batches(add_key, batch_format="pyarrow"),
+                               ["source"], "k", k=500, salt="0",
+                               num_buckets=NB)
+    out = grouped_quantiles(sampled, ["source"], "n_tok",
+                            qs=(0.25, 0.5, 0.75), num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["source", "q25", "q50", "q75", "n"])
+        return _cast_cols(b, {"q25": pa.int64(), "q50": pa.int64(),
+                              "q75": pa.int64()})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_approx_quantiles(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         doc_id || '-' || CAST(ts_ns AS VARCHAR) AS k
+  FROM read_parquet('{path}/part-*.parquet')
+), r AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY substr(md5(k || '-0'), 1, 16), k) AS rn
+  FROM s
+)
+SELECT source,
+       quantile_disc(n_tok, 0.25) AS q25,
+       quantile_disc(n_tok, 0.50) AS q50,
+       quantile_disc(n_tok, 0.75) AS q75,
+       count(*) AS n
+FROM r WHERE rn <= 500 GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# integer PageRank over the token-transition graph
+# --------------------------------------------------------------------------
+
+
+def q_seq_pagerank(sf_dir: str):
+    """Top-25 tokens by 10-iteration INTEGER PageRank over adjacent-token
+    transitions — stages/graph.pagerank_tokens: vocab-sized broadcast
+    ranks, one map-only inflow pass per iteration, all-int64 floor-division
+    updates (bit-identical under any partitioning). Oracle: single-process
+    replication from independently-counted pairs."""
+    from pymhealth_ray.stages.graph import pagerank_tokens
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+    return pagerank_tokens(ds, iters=10, k=25)
+
+
+def _pagerank_expected(src: pa.Table):
+    import pandas as pd
+    from collections import Counter
+
+    K = 2048
+    scale = 10**12
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    pairs = Counter()
+    for lst in toks.to_pylist():
+        for i in range(len(lst) - 1):
+            pairs[(lst[i], lst[i + 1])] += 1
+    W = np.zeros(K, dtype=np.int64)
+    seen = np.zeros(K, dtype=bool)
+    for (a, b), c in pairs.items():
+        W[a] += c
+        seen[a] = True
+        seen[b] = True
+    nodes = np.flatnonzero(seen)
+    V = len(nodes)
+    r = np.zeros(K, dtype=np.int64)
+    r[nodes] = scale // V
+    base = 15 * (scale // V)
+    edge = [(a, b, c) for (a, b), c in pairs.items()]
+    for _ in range(10):
+        inflow = np.zeros(K, dtype=np.int64)
+        for a, b, c in edge:
+            ra, wa = int(r[a]), int(W[a])
+            inflow[b] += (ra // wa) * c + ((ra % wa) * c) // wa
+        dangling = int(r[nodes][W[nodes] == 0].sum())
+        new_r = np.zeros(K, dtype=np.int64)
+        new_r[nodes] = (base + 85 * (inflow[nodes] + dangling // V)) // 100
+        r = new_r
+    order = np.lexsort((nodes, -r[nodes]))[:25]
+    top = nodes[order]
+    return pd.DataFrame({
+        "tok": top.astype(np.int64),
+        "rank": r[top],
+        "rn": np.arange(1, len(top) + 1, dtype=np.int64),
+    })
+
+
+def sql_seq_pagerank(path: str) -> str:
+    return _materialized_oracle(path, "pagerank_v1", _pagerank_expected,
+                                columns=("tokens",))

@@ -53,3 +53,5 @@ from pymhealth_ray.stages.pca import pca_components, pca_project, scatter_partia
 from pymhealth_ray.stages.normalize import zscore_by_group, group_stats_exact  # noqa: F401
 from pymhealth_ray.stages.ewma import ewma_time_decay  # noqa: F401
 from pymhealth_ray.stages.normalize import bucket_by_group_quantiles  # noqa: F401
+from pymhealth_ray.stages.graph import pagerank_tokens  # noqa: F401
+from pymhealth_ray.stages.normalize import mad_outliers  # noqa: F401

@@ -249,3 +249,90 @@ def _driver_union_find(und):
     return ray.data.from_arrow(pa.table({
         "v": pa.array(nodes.astype(np.int64)), "l": pa.array(labels),
     }))
+
+
+def pagerank_tokens(ds, tokens_col: str = "tokens", iters: int = 10,
+                    key_mult: int = 2048, scale: int = 10**12, k: int = 25,
+                    damping: tuple = (85, 100)):
+    """INTEGER PageRank over the token-transition graph (nodes = tokens,
+    directed edge weights = adjacent-pair counts).
+
+    Every quantity is int64 and every step uses explicit floor division,
+    so the iteration is bit-identical under any partitioning — the same
+    determinism contract as connected_components. Per iteration one
+    map-only pass over the distributed edge table emits per-block INFLOW
+    partials (node-indexed int vectors, exact order-free sums); ranks are
+    a vocab-sized broadcast. Update:
+    ``r' = (15·(scale//V) + 85·(inflow + dangling//V)) // 100`` with edge
+    contribution ``(r_a//W_a)·c + ((r_a%W_a)·c)//W_a`` (needs
+    W_a·c < 2^63; at larger corpora pre-scale counts).
+
+    Returns a pyarrow.Table of the top-k tokens by final rank
+    (tok, rank, rn). Reference lineage: iterative fix-point structure of
+    connected components (this file); pair counting via stages/pmi."""
+    import ray
+
+    from pymhealth_ray.stages.pmi import skipgram_pair_counts
+
+    num, den = damping
+    edges = skipgram_pair_counts(ds, tokens_col, window=1,
+                                 key_mult=key_mult).materialize()
+
+    # out-weight per node + observed node set (either endpoint)
+    W = np.zeros(key_mult, dtype=np.int64)
+    seen = np.zeros(key_mult, dtype=bool)
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        key = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        a, t = key // key_mult, key % key_mult
+        W += np.bincount(a, weights=c, minlength=key_mult).astype(np.int64)
+        seen[a] = True
+        seen[t] = True
+    nodes = np.flatnonzero(seen)
+    V = len(nodes)
+    if V == 0:
+        return pa.table({"tok": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "rn": pa.array([], pa.int64())})
+
+    r = np.zeros(key_mult, dtype=np.int64)
+    r[nodes] = scale // V
+    base = (den - num) * (scale // V)
+
+    for _ in range(iters):
+        r_ref = ray.put(r)
+
+        def inflow_partial(batch: pa.Table) -> pa.Table:
+            rr = ray.get(r_ref)
+            key = batch["key"].to_numpy(zero_copy_only=False)
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            a, t = key // key_mult, key % key_mult
+            ra, wa = rr[a], W[a]
+            contrib = (ra // wa) * c + ((ra % wa) * c) // wa
+            inflow = np.bincount(t, weights=contrib,
+                                 minlength=key_mult).astype(np.int64)
+            return pa.table({"inflow": pa.array([inflow.tolist()],
+                                                type=pa.list_(pa.int64()))})
+
+        total = np.zeros(key_mult, dtype=np.int64)
+        for b in edges.map_batches(inflow_partial, batch_format="pyarrow",
+                                   batch_size=None).iter_batches(
+                                       batch_format="pyarrow"):
+            flat = b["inflow"]
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            arr = flat.values.to_numpy(zero_copy_only=False).reshape(
+                -1, key_mult)
+            total += arr.sum(axis=0, dtype=np.int64)
+        dangling = int(r[nodes][W[nodes] == 0].sum())
+        new_r = np.zeros(key_mult, dtype=np.int64)
+        new_r[nodes] = (base + num * (total[nodes] + dangling // V)) // den
+        r = new_r
+
+    order = np.lexsort((nodes, -r[nodes]))[:k]
+    top_nodes = nodes[order]
+    return pa.table({
+        "tok": pa.array(top_nodes.astype(np.int64)),
+        "rank": pa.array(r[top_nodes]),
+        "rn": pa.array(np.arange(1, len(top_nodes) + 1, dtype=np.int64)),
+    })

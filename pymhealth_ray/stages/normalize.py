@@ -126,3 +126,60 @@ def bucket_by_group_quantiles(ds, group_col: str, value_col: str,
         return batch.append_column(out_name, pa.array(bucket))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def mad_outliers(ds, group_col: str, value_col: str, k: float = 3.0,
+                 out_name: str = "is_outlier"):
+    """Robust per-group outlier flags: ``|x − median| > k·MAD`` where MAD
+    is the median absolute deviation — immune to the outliers themselves,
+    unlike the z-score. Two broadcast-quantile passes (median, then MAD of
+    the derived deviations) through the exact distributed
+    ``grouped_quantiles``; integer inputs keep every comparison exact.
+    Appends ``adev`` (|x − group median|, int64) and the boolean flag."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+    med_rows = grouped_quantiles(ds, [group_col], value_col,
+                                 qs=(0.5,)).take_all()
+    med = {r[group_col]: int(r["q50"]) for r in med_rows}
+    med_ref = ray.put(med)
+
+    def add_adev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        meds = np.array([m[v] for v in enc.dictionary.to_pylist()],
+                        dtype=np.int64)[idx]
+        x = batch[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("adev", pa.array(np.abs(v - meds)))
+
+    with_adev = ds.map_batches(add_adev, batch_format="pyarrow")
+    mad_rows = grouped_quantiles(with_adev, [group_col], "adev",
+                                 qs=(0.5,)).take_all()
+    mad = {r[group_col]: int(r["q50"]) for r in mad_rows}
+    mad_ref = ray.put(mad)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m = ray.get(mad_ref)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        mads = np.array([m[v] for v in enc.dictionary.to_pylist()],
+                        dtype=np.int64)[idx]
+        adev = batch["adev"]
+        if isinstance(adev, pa.ChunkedArray):
+            adev = adev.combine_chunks()
+        a = adev.to_numpy(zero_copy_only=False)
+        return batch.append_column(out_name,
+                                   pa.array(a > k * mads, type=pa.bool_()))
+
+    return with_adev.map_batches(flag, batch_format="pyarrow")
