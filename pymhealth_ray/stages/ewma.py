@@ -33,12 +33,15 @@ _CHUNK = 512
 
 
 def _ewma_segment(x: np.ndarray, q: float) -> np.ndarray:
-    """Renormalized chunked scan of one entity's values (time order)."""
+    """Renormalized chunked scan of one entity's values (time order).
+    Chunk length adapts to q: q^-j must stay within float range, so small
+    q (aggressive alpha) gets short chunks (see _ewma_padded_lim)."""
     out = np.empty(len(x), dtype=np.float64)
     carry_num = 0.0
     carry_den = 0.0
-    for s in range(0, len(x), _CHUNK):
-        xc = x[s:s + _CHUNK]
+    chunk = _ewma_padded_lim(q)
+    for s in range(0, len(x), chunk):
+        xc = x[s:s + chunk]
         m = len(xc)
         j = np.arange(m, dtype=np.float64)
         p = np.power(q, j)          # q^j
@@ -49,6 +52,55 @@ def _ewma_segment(x: np.ndarray, q: float) -> np.ndarray:
         carry_num = num[-1]
         carry_den = den[-1]
     return out
+
+
+def _ewma_padded_lim(q: float) -> int:
+    """Longest segment the vectorized padded path may take: the in-chunk
+    weight q^-j must stay under ~1e250 of headroom."""
+    import math
+
+    decade = -math.log10(q) if 0.0 < q < 1.0 else 1.0
+    return max(1, min(_CHUNK, int(250.0 / max(decade, 1e-12))))
+
+
+def _ewma_all_segments(x: np.ndarray, starts: np.ndarray, q: float) -> np.ndarray:
+    """EWMA of every segment, vectorized ACROSS entities: short segments
+    (≤ _ewma_padded_lim) are gathered into length-bucketed padded matrices
+    (one cumsum per power-of-two length class — padding waste ≤ 2×, so no
+    skew blowup) and long segments fall back to the chunked scan. The
+    padded math is the chunked scan's first chunk verbatim, so results are
+    BIT-IDENTICAL to the per-segment loop."""
+    y = np.empty(len(x), dtype=np.float64)
+    seg_lens = np.diff(starts)
+    lim = _ewma_padded_lim(q)
+    short = np.flatnonzero((seg_lens > 0) & (seg_lens <= lim))
+    if len(short):
+        lb = np.ceil(np.log2(np.maximum(seg_lens[short], 1))).astype(np.int64)
+        lb[seg_lens[short] == 1] = 0
+        for k in np.unique(lb):
+            idx = short[lb == k]
+            lens_k = seg_lens[idx]
+            L = int(lens_k.max())
+            n_k = len(idx)
+            row = np.repeat(np.arange(n_k, dtype=np.int64), lens_k)
+            col = (np.arange(int(lens_k.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(np.concatenate(([0], lens_k[:-1]))),
+                               lens_k))
+            pos = np.repeat(starts[idx], lens_k) + col
+            mat = np.zeros((n_k, L), dtype=np.float64)
+            msk = np.zeros((n_k, L), dtype=np.float64)
+            mat[row, col] = x[pos]
+            msk[row, col] = 1.0
+            j = np.arange(L, dtype=np.float64)
+            p = np.power(q, j)
+            inv = np.power(q, -j)
+            num = np.cumsum(mat * inv, axis=1) * p
+            den = np.cumsum(msk * inv, axis=1) * p
+            y[pos] = (num / den)[row, col]
+    for e in np.flatnonzero(seg_lens > lim):
+        s, t = starts[e], starts[e + 1]
+        y[s:t] = _ewma_segment(x[s:t], q)
+    return y
 
 
 def ewma_features(ds, entity_col: str, ts_col: str, value_col: str,
@@ -65,10 +117,7 @@ def ewma_features(ds, entity_col: str, ts_col: str, value_col: str,
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         x = v.to_numpy(zero_copy_only=False).astype(np.float64)
-        y = np.empty(len(x), dtype=np.float64)
-        for e in range(n_ent):
-            s, t = starts[e], starts[e + 1]
-            y[s:t] = _ewma_segment(x[s:t], q)
+        y = _ewma_all_segments(x, starts, q)
         return tbl.append_column(out_name, pa.array(y))
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,

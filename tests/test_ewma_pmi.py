@@ -147,3 +147,29 @@ class TestPmi:
                          k=10, key_mult=16).to_pandas()
                 for b in (1, 6)]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestEwmaVectorizedPath:
+    def test_padded_bit_identical_to_loop_and_small_q(self):
+        from pymhealth_ray.stages.ewma import _ewma_all_segments
+
+        rng = np.random.default_rng(6)
+        for q in (0.9, 0.5, 0.1, 0.999):
+            lens = rng.integers(1, 1500, 120)
+            starts = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            x = rng.normal(10, 5, starts[-1])
+            got = _ewma_all_segments(x, starts, q)
+            ref = np.empty_like(got)
+            for e in range(len(lens)):
+                s, t = starts[e], starts[e + 1]
+                ref[s:t] = _ewma_segment(x[s:t], q)
+            assert np.array_equal(got, ref)
+            assert np.all(np.isfinite(got))
+
+    def test_aggressive_alpha_no_overflow(self):
+        # alpha=0.9 (q=0.1): q^-512 overflows float64 — the chunk length
+        # must adapt (regression: fixed 512-chunk produced NaNs)
+        x = np.ones(5000)
+        got = _ewma_segment(x, 0.1)
+        assert np.all(np.isfinite(got))
+        np.testing.assert_allclose(got, 1.0, rtol=1e-12)
