@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "seq_bigram_nll",
     "embed_pca",
     "orders_anti_returned",
+    "seq_feature_matrix",
+    "seq_mad_outliers",
+    "embed_kmeans",
 ]
 
 

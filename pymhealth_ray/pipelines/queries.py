@@ -935,6 +935,8 @@ def build_queries() -> dict:
         "seq_mad_outliers": q_seq_mad_outliers,
         "seq_approx_quantiles": q_seq_approx_quantiles,
         "seq_pagerank": q_seq_pagerank,
+        "seq_asof_fresh": q_seq_asof_fresh,
+        "seq_rolling_z": q_seq_rolling_z,
     }
 
 
@@ -1058,6 +1060,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_mad_outliers": sql_seq_mad_outliers(path),
         "seq_approx_quantiles": sql_seq_approx_quantiles(path),
         "seq_pagerank": sql_seq_pagerank(path),
+        "seq_asof_fresh": sql_seq_asof_fresh(path),
+        "seq_rolling_z": sql_seq_rolling_z(path),
     }
 
 
@@ -4736,3 +4740,100 @@ def _pagerank_expected(src: pa.Table):
 def sql_seq_pagerank(path: str) -> str:
     return _materialized_oracle(path, "pagerank_v1", _pagerank_expected,
                                 columns=("tokens",))
+
+
+# --------------------------------------------------------------------------
+# as-of join with staleness tolerance; trailing-window z-score
+# --------------------------------------------------------------------------
+
+
+def q_seq_asof_fresh(sf_dir: str):
+    """Last CHAT-sourced row's n_tok at-or-before each row, nulled when
+    staler than 6 h — stages/asof.asof_join_tolerance (the feature-store
+    freshness contract as a stateless post-mask over the as-of match)."""
+    from pymhealth_ray.stages.asof import asof_join_tolerance
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+
+    def only_facts(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "ts_ns", "n_tok"])
+
+    def only_dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["source"], "chat"))
+        return (b.select(["doc_id", "ts_ns", "n_tok"])
+                 .rename_columns(["doc_id", "ts_ns", "chat_tok"]))
+
+    facts = ds.map_batches(only_facts, batch_format="pyarrow")
+    dim = ds.map_batches(only_dim, batch_format="pyarrow").materialize()
+    j = asof_join_tolerance(facts, dim, ["chat_tok"],
+                            tolerance=6 * HOUR_NS, num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "chat_tok_asof",
+                      "ts_ns_asof"])
+        b = b.rename_columns(["doc_id", "ts_ns", "n_tok", "chat_tok",
+                              "chat_ts"])
+        return _cast_cols(b, {"n_tok": pa.int64(),
+                              "chat_tok": pa.int64()})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_asof_fresh(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{path}/part-*.parquet')
+), d AS (
+  SELECT doc_id, ts_ns AS c_ts, n_tok AS c_tok FROM s WHERE source = 'chat'
+), j AS (
+  SELECT s.doc_id, s.ts_ns, s.n_tok, d.c_tok, d.c_ts
+  FROM s ASOF LEFT JOIN d ON s.doc_id = d.doc_id AND s.ts_ns >= d.c_ts
+)
+SELECT doc_id, ts_ns, n_tok,
+       CASE WHEN ts_ns - c_ts <= {6 * HOUR_NS} THEN c_tok END AS chat_tok,
+       CASE WHEN ts_ns - c_ts <= {6 * HOUR_NS} THEN c_ts END AS chat_ts
+FROM j
+"""
+
+
+def q_seq_rolling_z(sf_dir: str):
+    """Trailing 16-row z-score of n_tok per entity —
+    stages/rolling.rolling_zscore (exact int64 window sums, NULL on
+    degenerate windows): the temporal anomaly signal."""
+    from pymhealth_ray.stages.rolling import rolling_zscore
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    out = rolling_zscore(ds, "doc_id", "ts_ns", "n_tok", window=16,
+                         num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "rz"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"rz": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_rolling_z(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS x
+  FROM read_parquet('{path}/part-*.parquet')
+), w AS (
+  SELECT doc_id, ts_ns, x,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, ts_ns, x AS n_tok,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+                            (CAST(n AS DOUBLE) * (n - 1))), 6)
+            ELSE NULL END AS rz
+FROM w
+"""

@@ -55,3 +55,5 @@ from pymhealth_ray.stages.ewma import ewma_time_decay  # noqa: F401
 from pymhealth_ray.stages.normalize import bucket_by_group_quantiles  # noqa: F401
 from pymhealth_ray.stages.graph import pagerank_tokens  # noqa: F401
 from pymhealth_ray.stages.normalize import mad_outliers  # noqa: F401
+from pymhealth_ray.stages.asof import asof_join_tolerance  # noqa: F401
+from pymhealth_ray.stages.rolling import rolling_zscore  # noqa: F401

@@ -472,3 +472,45 @@ def asof_join_salted(
         return base
 
     return unioned.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def asof_join_tolerance(facts, dim, value_cols, tolerance: int,
+                        entity_col: str = "doc_id", ts_col: str = "ts_ns",
+                        dim_ts_col: str | None = None,
+                        suffix: str = "_asof", num_buckets: int = 64,
+                        broadcast: bool = False):
+    """Backward as-of join with a STALENESS BOUND: matches older than
+    ``tolerance`` (fact_ts − dim_ts > tolerance) are nulled — the
+    point-in-time lookup every feature store wants ("the last reading,
+    but only if fresh"). A stateless post-mask over :func:`asof_join`'s
+    matched-timestamp column; no extra exchange."""
+    joined = asof_join(facts, dim, value_cols, entity_col=entity_col,
+                       ts_col=ts_col, dim_ts_col=dim_ts_col, suffix=suffix,
+                       num_buckets=num_buckets, broadcast=broadcast)
+    ts_m = f"{ts_col}{suffix}"
+    out_cols = [f"{v}{suffix}" for v in value_cols] + [ts_m]
+
+    def mask(batch: pa.Table) -> pa.Table:
+        m = batch[ts_m]
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        t = batch[ts_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        import pyarrow.compute as pc
+
+        fresh = pc.and_kleene(
+            m.is_valid(),
+            pc.less_equal(pc.subtract(t.cast(pa.int64()),
+                                      m.cast(pa.int64()).fill_null(0)),
+                          tolerance))
+        for c in out_cols:
+            i = batch.column_names.index(c)
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            batch = batch.set_column(
+                i, c, pc.if_else(fresh, col, pa.nulls(len(col), col.type)))
+        return batch
+
+    return joined.map_batches(mask, batch_format="pyarrow")

@@ -123,3 +123,43 @@ def rolling_corr(ds, entity_col: str, ts_col: str, x_col: str, y_col: str,
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
                              num_buckets=num_buckets)
+
+
+def rolling_zscore(ds, entity_col: str, ts_col: str, value_col: str,
+                   window: int, tiebreak_col: str | None = None,
+                   num_buckets: int = 32, out_name: str = "rz"):
+    """Trailing ``window``-row z-score of an INTEGER column per entity —
+    the temporal anomaly signal ((x − win_mean) / win_std, sample std,
+    NULL when the window has <2 rows or zero variance). Same exact-int64
+    cumsum-difference machinery as :func:`rolling_corr`."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        from pymhealth_ray.stages.partition import column_i64
+
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col,
+                                             tiebreak_col)
+        x = column_i64(tbl, value_col)
+        n_rows = len(x)
+        seg_lens = np.diff(starts)
+        seg_start = np.repeat(starts[:-1], seg_lens)
+        i = np.arange(n_rows, dtype=np.int64)
+        s = np.maximum(i - window + 1, seg_start)
+        n = (i - s + 1)
+
+        def wsum(v):
+            c = np.concatenate(([0], np.cumsum(v)))
+            return c[i + 1] - c[s]
+
+        sx = wsum(x)
+        sxx = wsum(x * x)
+        den_int = n * sxx - sx * sx
+        ok = (n > 1) & (den_int > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = ((x.astype(np.float64) - sx.astype(np.float64) / n) /
+                 np.sqrt(den_int.astype(np.float64) /
+                         (n.astype(np.float64) * (n - 1))))
+        out = pa.array(np.where(ok, z, 0.0), type=pa.float64(), mask=~ok)
+        return tbl.append_column(out_name, out)
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)
