@@ -937,6 +937,7 @@ def build_queries() -> dict:
         "seq_pagerank": q_seq_pagerank,
         "seq_asof_fresh": q_seq_asof_fresh,
         "seq_rolling_z": q_seq_rolling_z,
+        "seq_temporal_pack": q_seq_temporal_pack,
     }
 
 
@@ -1062,6 +1063,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_pagerank": sql_seq_pagerank(path),
         "seq_asof_fresh": sql_seq_asof_fresh(path),
         "seq_rolling_z": sql_seq_rolling_z(path),
+        "seq_temporal_pack": sql_seq_temporal_pack(path),
     }
 
 
@@ -4835,5 +4837,62 @@ SELECT doc_id, ts_ns, x AS n_tok,
                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
                             (CAST(n AS DOUBLE) * (n - 1))), 6)
             ELSE NULL END AS rz
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# combined temporal feature pack (one exchange, many features)
+# --------------------------------------------------------------------------
+
+
+def q_seq_temporal_pack(sf_dir: str):
+    """Six temporal features of n_tok in ONE entity exchange —
+    stages/temporal.temporal_feature_pack (cumulative + trailing z +
+    lag/diff share the same sorted segments; kernels identical to the
+    standalone stages, oracle composes their verified SQL)."""
+    from pymhealth_ray.stages.temporal import temporal_feature_pack
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    out = temporal_feature_pack(ds, "doc_id", "ts_ns", "n_tok", window=16,
+                                num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "n_tok", "cum_sum", "cum_max",
+                      "seq_idx", "rz", "lag1", "diff1"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"rz": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_temporal_pack(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS x
+  FROM read_parquet('{path}/part-*.parquet')
+), w AS (
+  SELECT doc_id, ts_ns, x,
+         CAST(sum(x) OVER cume AS BIGINT) AS cum_sum,
+         CAST(max(x) OVER cume AS BIGINT) AS cum_max,
+         CAST(row_number() OVER cume AS BIGINT) AS seq_idx,
+         lag(x) OVER cume AS lag1,
+         x - lag(x) OVER cume AS diff1,
+         count(*) OVER trail AS n,
+         CAST(sum(x) OVER trail AS BIGINT) AS sx,
+         CAST(sum(x * x) OVER trail AS BIGINT) AS sxx
+  FROM s
+  WINDOW cume AS (PARTITION BY doc_id ORDER BY ts_ns
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         trail AS (PARTITION BY doc_id ORDER BY ts_ns
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, ts_ns, x AS n_tok, cum_sum, cum_max, seq_idx,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+                            (CAST(n AS DOUBLE) * (n - 1))), 6)
+            ELSE NULL END AS rz,
+       lag1, diff1
 FROM w
 """

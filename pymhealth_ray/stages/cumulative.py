@@ -62,3 +62,20 @@ def cumulative_features(ds, entity_col: str, ts_col: str, value_col: str,
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
                              num_buckets=num_buckets)
+
+
+def cumulative_arrays(x: np.ndarray, starts: np.ndarray):
+    """(cum_sum, cum_max, seq_idx) int64 arrays for pre-sorted segments —
+    the kernel behind :func:`cumulative_features`, exposed so combined
+    single-exchange stages (stages/temporal.py) can reuse it."""
+    n_ent = len(starts) - 1
+    seg_lens = np.diff(starts)
+    seg_of = np.repeat(np.arange(n_ent, dtype=np.int64), seg_lens)
+    c = np.cumsum(x)
+    base = c[starts[:-1]] - x[starts[:-1]] if n_ent else np.empty(0, np.int64)
+    cum_sum = c - np.repeat(base, seg_lens)
+    lifted = x + seg_of * _LIFT
+    cum_max = np.maximum.accumulate(lifted) - seg_of * _LIFT
+    seq_idx = np.arange(len(x), dtype=np.int64) - \
+        np.repeat(starts[:-1], seg_lens) + 1
+    return cum_sum, cum_max, seq_idx

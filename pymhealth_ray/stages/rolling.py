@@ -163,3 +163,28 @@ def rolling_zscore(ds, entity_col: str, ts_col: str, value_col: str,
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
                              num_buckets=num_buckets)
+
+
+def rolling_z_arrays(x: np.ndarray, starts: np.ndarray, window: int):
+    """(z, ok) for pre-sorted segments — the exact-int64 kernel behind
+    :func:`rolling_zscore`, reusable by combined stages."""
+    n_rows = len(x)
+    seg_lens = np.diff(starts)
+    seg_start = np.repeat(starts[:-1], seg_lens)
+    i = np.arange(n_rows, dtype=np.int64)
+    s = np.maximum(i - window + 1, seg_start)
+    n = (i - s + 1)
+
+    def wsum(v):
+        c = np.concatenate(([0], np.cumsum(v)))
+        return c[i + 1] - c[s]
+
+    sx = wsum(x)
+    sxx = wsum(x * x)
+    den_int = n * sxx - sx * sx
+    ok = (n > 1) & (den_int > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = ((x.astype(np.float64) - sx.astype(np.float64) / n) /
+             np.sqrt(den_int.astype(np.float64) /
+                     (n.astype(np.float64) * (n - 1))))
+    return np.where(ok, z, 0.0), ok

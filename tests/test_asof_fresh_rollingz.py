@@ -65,3 +65,36 @@ class TestRollingZscore:
         valid = ~np.isnan(ref) & (std.to_numpy() > 0)
         assert np.array_equal(np.isnan(gv), ~valid)
         np.testing.assert_allclose(gv[valid], ref[valid], atol=1e-10)
+
+
+class TestTemporalPack:
+    def test_columns_match_standalone_stages(self, ray_session):
+        from pymhealth_ray.stages.cumulative import cumulative_features
+        from pymhealth_ray.stages.rolling import rolling_zscore
+        from pymhealth_ray.stages.temporal import temporal_feature_pack
+
+        rng = np.random.default_rng(121)
+        n = 1200
+        df = pd.DataFrame({
+            "e": rng.integers(0, 11, n).astype(np.int64),
+            "ts": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 400, n).astype(np.int64),
+        })
+        ds = ray.data.from_pandas(df).repartition(4)
+        pack = (temporal_feature_pack(ds, "e", "ts", "v", window=16,
+                                      num_buckets=3)
+                .to_pandas().sort_values(["e", "ts"]).reset_index(drop=True))
+        cum = (cumulative_features(ds, "e", "ts", "v", num_buckets=3)
+               .to_pandas().sort_values(["e", "ts"]).reset_index(drop=True))
+        rz = (rolling_zscore(ds, "e", "ts", "v", window=16, num_buckets=3)
+              .to_pandas().sort_values(["e", "ts"]).reset_index(drop=True))
+        for c in ("cum_sum", "cum_max", "seq_idx"):
+            assert pack[c].tolist() == cum[c].tolist()
+        pd.testing.assert_series_equal(pack["rz"], rz["rz"])
+        # lag/diff: head of each entity is NULL, rest shifted
+        exp = df.sort_values(["e", "ts"]).reset_index(drop=True)
+        lag = exp.groupby("e", sort=False)["v"].shift(1)
+        assert np.array_equal(pack["lag1"].isna(), lag.isna())
+        valid = ~lag.isna()
+        assert pack["lag1"][valid].tolist() == lag[valid].tolist()
+        assert pack["diff1"][valid].tolist() == (exp["v"] - lag)[valid].tolist()
