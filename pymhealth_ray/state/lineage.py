@@ -125,3 +125,58 @@ def resumable_write(
     result = bucketed.groupby(BUCKET_COL).map_groups(write_bucket, batch_format="pyarrow")
     result.materialize()  # drive the write; per-bucket side effects are atomic
     return read_manifests(out_dir)
+
+
+def incremental_files(input_dir: str, state_dir: str,
+                      pattern: str = "*.parquet") -> list:
+    """INPUT-side delta tracking: the files under ``input_dir`` matching
+    ``pattern`` that have not yet been recorded as ingested in
+    ``state_dir`` — the complement of :func:`resumable_write`'s
+    output-side manifests. A 100 TB corpus lands as part files over days;
+    each run processes only the new ones. Identity is (path, size,
+    mtime_ns), so an overwritten file re-ingests."""
+    sdir = pathlib.Path(state_dir)
+    seen = set()
+    ledger = sdir / "ingested.jsonl"
+    if ledger.exists():
+        for line in ledger.read_text().splitlines():
+            try:
+                m = json.loads(line)
+                seen.add((m["path"], m["size"], m["mtime_ns"]))
+            except (ValueError, KeyError):
+                continue
+    out = []
+    for f in sorted(pathlib.Path(input_dir).glob(pattern)):
+        st = f.stat()
+        key = (str(f), st.st_size, st.st_mtime_ns)
+        if key not in seen:
+            out.append(key)
+    return out
+
+
+def mark_ingested(state_dir: str, file_keys: list) -> None:
+    """Append the given (path, size, mtime_ns) keys to the ingest ledger
+    (atomic append-rename, so a crash mid-mark re-ingests rather than
+    skips — at-least-once, matching the idempotent bucketed sink)."""
+    sdir = pathlib.Path(state_dir)
+    sdir.mkdir(parents=True, exist_ok=True)
+    ledger = sdir / "ingested.jsonl"
+    lines = "".join(
+        json.dumps({"path": p, "size": s, "mtime_ns": m}) + "\n"
+        for p, s, m in file_keys)
+    tmp = sdir / "ingested.jsonl.tmp"
+    tmp.write_text((ledger.read_text() if ledger.exists() else "") + lines)
+    tmp.replace(ledger)
+
+
+def ingest_delta(input_dir: str, state_dir: str, process,
+                 pattern: str = "*.parquet"):
+    """Run ``process(list_of_new_paths) -> result`` over the unprocessed
+    input files and mark them ingested on success. Returns (result,
+    n_new_files); result is None when there is nothing new."""
+    new = incremental_files(input_dir, state_dir, pattern)
+    if not new:
+        return None, 0
+    result = process([p for p, _, _ in new])
+    mark_ingested(state_dir, new)
+    return result, len(new)
