@@ -938,6 +938,7 @@ def build_queries() -> dict:
         "seq_asof_fresh": q_seq_asof_fresh,
         "seq_rolling_z": q_seq_rolling_z,
         "seq_temporal_pack": q_seq_temporal_pack,
+        "seq_pmi_neighbors": q_seq_pmi_neighbors,
     }
 
 
@@ -1064,6 +1065,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_asof_fresh": sql_seq_asof_fresh(path),
         "seq_rolling_z": sql_seq_rolling_z(path),
         "seq_temporal_pack": sql_seq_temporal_pack(path),
+        "seq_pmi_neighbors": sql_seq_pmi_neighbors(path),
     }
 
 
@@ -4895,4 +4897,48 @@ SELECT doc_id, ts_ns, x AS n_tok, cum_sum, cum_max, seq_idx,
             ELSE NULL END AS rz,
        lag1, diff1
 FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# PMI association neighbors per token
+# --------------------------------------------------------------------------
+
+
+def q_seq_pmi_neighbors(sf_dir: str):
+    """Top-5 PMI associates of every token (window=2, min_count=5) —
+    stages/pmi.pmi_neighbors: pair machinery + grouped_topk ranking;
+    output is vocab·k rows, nothing larger collects."""
+    from pymhealth_ray.stages.pmi import pmi_neighbors
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+    return pmi_neighbors(ds, window=2, min_count=5, k_per_token=5)
+
+
+def sql_seq_pmi_neighbors(path: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT CAST(tokens[i] AS BIGINT) AS a, CAST(tokens[i + d] AS BIGINT) AS b
+  FROM read_parquet('{path}/part-*.parquet'),
+       LATERAL unnest(generate_series(1, 2)) AS dd(d),
+       LATERAL unnest(generate_series(1, len(tokens) - d)) AS u(i)
+), pc AS (
+  SELECT a, b, count(*) AS cab FROM p GROUP BY a, b
+), ma AS (
+  SELECT a, count(*) AS ca FROM p GROUP BY a
+), mb AS (
+  SELECT b, count(*) AS cb FROM p GROUP BY b
+), nt AS (
+  SELECT count(*) AS n FROM p
+), sc AS (
+  SELECT a, b, cab,
+         round(ln(CAST(nt.n * cab AS DOUBLE) / (ca * cb)), 6) AS pmi
+  FROM pc JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nt
+  WHERE cab >= 5
+)
+SELECT a, b, cab, pmi,
+       CAST(row_number() OVER (PARTITION BY a ORDER BY pmi DESC, b)
+            AS BIGINT) AS rn
+FROM sc
+QUALIFY rn <= 5
 """

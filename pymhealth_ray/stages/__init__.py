@@ -58,3 +58,4 @@ from pymhealth_ray.stages.normalize import mad_outliers  # noqa: F401
 from pymhealth_ray.stages.asof import asof_join_tolerance  # noqa: F401
 from pymhealth_ray.stages.rolling import rolling_zscore  # noqa: F401
 from pymhealth_ray.stages.temporal import temporal_feature_pack  # noqa: F401
+from pymhealth_ray.stages.pmi import pmi_neighbors  # noqa: F401

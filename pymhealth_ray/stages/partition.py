@@ -118,6 +118,12 @@ def column_i64(tbl: pa.Table, col: str) -> np.ndarray:
     arr = tbl[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # nulls come out of to_numpy as NaN and astype(int64) turns them
+        # into garbage silently — refuse instead of corrupting
+        raise ValueError(
+            f"column {col!r} has {arr.null_count} nulls; integer temporal "
+            f"kernels need a null-free column (fill or drop first)")
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 

@@ -141,3 +141,63 @@ def pmi_topk(ds, tokens_col: str = "tokens", window: int = 2,
         "pmi": pa.array([r["pmi"] for r in top], type=pa.float64()),
         "rn": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
     })
+
+
+def pmi_neighbors(ds, tokens_col: str = "tokens", window: int = 2,
+                  min_count: int = 5, k_per_token: int = 5,
+                  key_mult: int = 2048):
+    """Top-``k_per_token`` associates of EVERY token by PMI — the
+    word-association table (distributional neighbors). Same pair/marginal
+    machinery as :func:`pmi_topk`; the per-token ranking runs through
+    stages/aggregate.grouped_topk (map-side per-block partials), so the
+    output is vocab·k rows and nothing larger ever collects."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_topk
+
+    pairs = skipgram_pair_counts(ds, tokens_col, window, key_mult).materialize()
+
+    def marg(col_expr):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch["key"].to_numpy(zero_copy_only=False)
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            m = col_expr(key)
+            vals, inv = np.unique(m, return_inverse=True)
+            s = np.bincount(inv, weights=c).astype(np.int64)
+            return pa.table({"t": pa.array(vals), "c": pa.array(s)})
+        out = {}
+        for r in pairs.map_batches(fn, batch_format="pyarrow",
+                                   batch_size=None).take_all():
+            out[r["t"]] = out.get(r["t"], 0) + r["c"]
+        return out
+
+    ca = marg(lambda key: key // key_mult)
+    cb = marg(lambda key: key % key_mult)
+    n_pairs = sum(ca.values())
+    ca_arr = np.zeros(key_mult, dtype=np.int64)
+    cb_arr = np.zeros(key_mult, dtype=np.int64)
+    for t, c in ca.items():
+        ca_arr[t] = c
+    for t, c in cb.items():
+        cb_arr[t] = c
+    bc = ray.put((ca_arr, cb_arr, n_pairs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ca_, cb_, n_ = ray.get(bc)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        cab = batch["c"].to_numpy(zero_copy_only=False)
+        keep = cab >= min_count
+        key, cab = key[keep], cab[keep]
+        a, b = key // key_mult, key % key_mult
+        pmi = _round_away(
+            np.log((n_ * cab).astype(np.float64) / (ca_[a] * cb_[b])), 6)
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b),
+            "cab": pa.array(cab.astype(np.int64)),
+            "pmi": pa.array(pmi),
+        })
+
+    scored = pairs.map_batches(score, batch_format="pyarrow",
+                               batch_size=None)
+    return grouped_topk(scored, ["a"], "pmi", k_per_token, descending=True,
+                        tie_cols=["b"], rank_name="rn", num_buckets=64)

@@ -122,3 +122,17 @@ class TestQuantileBucket:
         # buckets roughly balanced
         frac = got.groupby("qbucket").size() / len(got)
         assert (frac > 0.15).all()
+
+
+class TestNullGuard:
+    def test_integer_kernels_refuse_nulls(self, ray_session):
+        import pytest as _pytest
+
+        df = pd.DataFrame({
+            "e": np.array([1, 1], dtype=np.int64),
+            "ts": np.array([0, 1], dtype=np.int64),
+            "v": pd.array([1, None], dtype="Int64"),
+        })
+        with _pytest.raises(Exception, match="null"):
+            cumulative_features(ray.data.from_pandas(df), "e", "ts", "v",
+                                num_buckets=1).to_pandas()

@@ -173,3 +173,29 @@ class TestEwmaVectorizedPath:
         got = _ewma_segment(x, 0.1)
         assert np.all(np.isfinite(got))
         np.testing.assert_allclose(got, 1.0, rtol=1e-12)
+
+
+class TestPmiNeighbors:
+    def test_matches_brute(self, ray_session):
+        from pymhealth_ray.stages.pmi import pmi_neighbors
+
+        rng = np.random.default_rng(23)
+        lists = [rng.integers(0, 20, 25).tolist() for _ in range(200)]
+        tbl = pa.table({"tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+        out = (pmi_neighbors(ray.data.from_arrow(tbl).repartition(4),
+                             window=2, min_count=3, k_per_token=3,
+                             key_mult=32)
+               .to_pandas().sort_values(["a", "rn"]).reset_index(drop=True))
+        all_rows, _ = _brute_pmi(lists, 2, 3, 10**9, 32)
+        from collections import defaultdict
+        per_a = defaultdict(list)
+        for a, b, cab, ca, cb, pmi in sorted(
+                all_rows, key=lambda r: (-r[5], r[1])):
+            if len(per_a[a]) < 3:
+                per_a[a].append((b, cab, pmi))
+        for a, rows in per_a.items():
+            sel = out[out.a == a]
+            assert len(sel) == len(rows)
+            for i, (b, cab, pmi) in enumerate(rows):
+                r = sel.iloc[i]
+                assert (r.b, r.cab, r.pmi, r.rn) == (b, cab, pmi, i + 1)
