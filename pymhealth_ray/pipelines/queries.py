@@ -939,6 +939,7 @@ def build_queries() -> dict:
         "seq_rolling_z": q_seq_rolling_z,
         "seq_temporal_pack": q_seq_temporal_pack,
         "seq_pmi_neighbors": q_seq_pmi_neighbors,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
     }
 
 
@@ -1066,6 +1067,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_rolling_z": sql_seq_rolling_z(path),
         "seq_temporal_pack": sql_seq_temporal_pack(path),
         "seq_pmi_neighbors": sql_seq_pmi_neighbors(path),
+        "docs_dedup_keep_best": _docs_materialized_oracle(
+            sf_dir_for_fixture, "dedup_keep_best_v1",
+            _dedup_keep_best_expected,
+            columns=("doc_id", "text", "n_chars")),
     }
 
 
@@ -4942,3 +4947,72 @@ SELECT a, b, cab, pmi,
 FROM sc
 QUALIFY rn <= 5
 """
+
+
+# --------------------------------------------------------------------------
+# keep-best-per-duplicate-cluster curation
+# --------------------------------------------------------------------------
+
+
+def q_docs_dedup_keep_best(sf_dir: str):
+    """Curation decision: among each near-dup cluster keep the HIGHEST
+    QUALITY doc (longest n_chars, doc_id tiebreak) instead of the
+    arbitrary min-id — LSH pairs → connected components → broadcast
+    cluster labels → grouped_topk(k=1). Singleton docs keep themselves.
+    Output: one row per kept doc (cluster_id, doc_id, n_chars)."""
+    from pymhealth_ray.stages.aggregate import grouped_topk
+    from pymhealth_ray.stages.graph import connected_components
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_dupes(
+        docs.map_batches(lambda b: b.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        jaccard_threshold=0.5)
+    labels = {r["v"]: r["l"] for r in
+              connected_components(pairs, "id_a", "id_b",
+                                   num_buckets=NB).take_all()}
+    lab_ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cl = np.array([lab.get(int(i), int(i)) for i in ids],
+                      dtype=np.int64)
+        return pa.table({
+            "cluster_id": pa.array(cl),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_chars": batch["n_chars"].cast(pa.int64()),
+        })
+
+    assigned = docs.map_batches(assign, batch_format="pyarrow")
+    best = grouped_topk(assigned, ["cluster_id"], "n_chars", 1,
+                        descending=True, tie_cols=["doc_id"],
+                        rank_name="rn", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["cluster_id", "doc_id", "n_chars"])
+
+    return best.map_batches(finish, batch_format="pyarrow")
+
+
+def _dedup_keep_best_expected(df):
+    """Single-process replication: union-find clusters + argmax-quality."""
+    import pandas as pd
+
+    clusters = _dedup_clusters_expected(df)
+    lab = dict(zip(clusters.doc_id.tolist(), clusters.cluster_id.tolist()))
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    nch = df["n_chars"].to_numpy().astype(np.int64)
+    rows = {}
+    for i, n in zip(ids, nch):
+        c = lab.get(int(i), int(i))
+        cur = rows.get(c)
+        if cur is None or (n, -i) > (cur[1], -cur[0]):
+            rows[c] = (int(i), int(n))
+    out = sorted((c, d, n) for c, (d, n) in rows.items())
+    return pd.DataFrame({
+        "cluster_id": np.array([r[0] for r in out], dtype=np.int64),
+        "doc_id": np.array([r[1] for r in out], dtype=np.int64),
+        "n_chars": np.array([r[2] for r in out], dtype=np.int64),
+    })
