@@ -940,6 +940,7 @@ def build_queries() -> dict:
         "seq_temporal_pack": q_seq_temporal_pack,
         "seq_pmi_neighbors": q_seq_pmi_neighbors,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "seq_repeated_spans": q_seq_repeated_spans,
     }
 
 
@@ -1067,6 +1068,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_rolling_z": sql_seq_rolling_z(path),
         "seq_temporal_pack": sql_seq_temporal_pack(path),
         "seq_pmi_neighbors": sql_seq_pmi_neighbors(path),
+        "seq_repeated_spans": sql_seq_repeated_spans(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5016,3 +5018,75 @@ def _dedup_keep_best_expected(df):
         "doc_id": np.array([r[1] for r in out], dtype=np.int64),
         "n_chars": np.array([r[2] for r in out], dtype=np.int64),
     })
+
+
+# --------------------------------------------------------------------------
+# repeated token-span detection (ExactSubstr-style dedup signal)
+# --------------------------------------------------------------------------
+
+
+def q_seq_repeated_spans(sf_dir: str):
+    """Per row: how many of its 5-token spans repeat anywhere in the
+    corpus, and the covered-position fraction — stages/spans.py
+    (collision-free int64-packed windows, keyed_sum counting, duplicated
+    set broadcast, delta-sweep coverage). Oracle: single-process Counter
+    replication."""
+    from pymhealth_ray.stages.spans import repeated_span_stats
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    out = repeated_span_stats(ds, "tokens", id_cols=("doc_id", "ts_ns"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"frac_cov": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _repeated_spans_expected(src: pa.Table):
+    import pandas as pd
+    from collections import Counter
+
+    K, L = 2048, 5
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = toks.to_pylist()
+    cnt = Counter()
+    for lst in lists:
+        for i in range(len(lst) - L + 1):
+            k = 0
+            for j in range(L - 1, -1, -1):
+                k = k * K + lst[i + j]
+            cnt[k] += 1
+    n_windows, n_dup, frac = [], [], []
+    for lst in lists:
+        nw = max(len(lst) - L + 1, 0)
+        nd = 0
+        covered = np.zeros(len(lst), dtype=bool)
+        for i in range(nw):
+            k = 0
+            for j in range(L - 1, -1, -1):
+                k = k * K + lst[i + j]
+            if cnt[k] >= 2:
+                nd += 1
+                covered[i:i + L] = True
+        n_windows.append(nw)
+        n_dup.append(nd)
+        if len(lst):
+            f = covered.sum() / len(lst)
+            m = 1e6
+            frac.append(float(np.floor(abs(f) * m + 0.5) / m))
+        else:
+            frac.append(None)
+    return pd.DataFrame({
+        "doc_id": src["doc_id"].to_pandas(),
+        "ts_ns": src["ts_ns"].to_pandas().astype(np.int64),
+        "n_windows": np.array(n_windows, dtype=np.int64),
+        "n_dup": np.array(n_dup, dtype=np.int64),
+        "frac_cov": pd.array(frac, dtype="float64"),
+    })
+
+
+def sql_seq_repeated_spans(path: str) -> str:
+    return _materialized_oracle(path, "repeated_spans_v1",
+                                _repeated_spans_expected)

@@ -59,3 +59,4 @@ from pymhealth_ray.stages.asof import asof_join_tolerance  # noqa: F401
 from pymhealth_ray.stages.rolling import rolling_zscore  # noqa: F401
 from pymhealth_ray.stages.temporal import temporal_feature_pack  # noqa: F401
 from pymhealth_ray.stages.pmi import pmi_neighbors  # noqa: F401
+from pymhealth_ray.stages.spans import repeated_span_stats, span_counts  # noqa: F401

@@ -1,0 +1,58 @@
+"""Tests for repeated token-span detection (stages/spans.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pymhealth_ray.stages.spans import repeated_span_stats, span_counts
+
+
+def _ds(lists, blocks=4):
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(lists))]),
+        "ts_ns": pa.array(np.arange(len(lists), dtype=np.int64)),
+        "tokens": pa.array(lists, type=pa.list_(pa.int32())),
+    })
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+class TestSpans:
+    def test_counts_exact(self, ray_session):
+        lists = [[1, 2, 3, 4, 5, 6], [2, 3, 4, 5, 6], [9, 9, 9, 9]]
+        got = {r["key"]: r["c"] for r in
+               span_counts(_ds(lists), key_mult=16).take_all()}
+        # row0 windows: (1..5),(2..6); row1: (2..6); row2: none (len<5)
+        k1 = 1 + 2*16 + 3*16**2 + 4*16**3 + 5*16**4
+        k2 = 2 + 3*16 + 4*16**2 + 5*16**3 + 6*16**4
+        assert got == {k1: 1, k2: 2}
+
+    def test_stats_and_coverage(self, ray_session):
+        lists = [
+            [1, 2, 3, 4, 5, 6],   # window (2..6) duplicated -> covers pos 1..5
+            [2, 3, 4, 5, 6],      # fully covered
+            [7, 7, 7, 7, 7, 7, 7],  # intra-row repeats: (7x5) occurs 3x
+            [1, 2, 3],            # too short: 0 windows
+        ]
+        got = (repeated_span_stats(_ds(lists), key_mult=16)
+               .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        assert got["n_windows"].tolist() == [2, 1, 3, 0]
+        assert got["n_dup"].tolist() == [1, 1, 3, 0]
+        np.testing.assert_allclose(got["frac_cov"].tolist()[:3],
+                                   [5 / 6, 1.0, 1.0])
+        assert got["frac_cov"].iloc[3] == 0.0
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.default_rng(131)
+        lists = [rng.integers(0, 6, rng.integers(3, 20)).tolist()
+                 for _ in range(150)]
+        outs = [repeated_span_stats(_ds(lists, b), key_mult=8)
+                .to_pandas().sort_values("ts_ns").reset_index(drop=True)
+                for b in (1, 7)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_no_duplicates_all_zero(self, ray_session):
+        lists = [[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]]
+        got = repeated_span_stats(_ds(lists), key_mult=16).to_pandas()
+        assert got["n_dup"].tolist() == [0, 0]
+        assert got["frac_cov"].tolist() == [0.0, 0.0]
