@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "seq_feature_matrix",
     "seq_mad_outliers",
     "embed_kmeans",
+    "seq_temporal_pack",
+    "seq_repeated_spans",
 ]
 
 
