@@ -941,6 +941,7 @@ def build_queries() -> dict:
         "seq_pmi_neighbors": q_seq_pmi_neighbors,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "seq_repeated_spans": q_seq_repeated_spans,
+        "events_temporal_pack": q_events_temporal_pack,
     }
 
 
@@ -1069,6 +1070,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_temporal_pack": sql_seq_temporal_pack(path),
         "seq_pmi_neighbors": sql_seq_pmi_neighbors(path),
         "seq_repeated_spans": sql_seq_repeated_spans(path),
+        "events_temporal_pack": SQL_EVENTS_TEMPORAL_PACK,
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5090,3 +5092,61 @@ def _repeated_spans_expected(src: pa.Table):
 def sql_seq_repeated_spans(path: str) -> str:
     return _materialized_oracle(path, "repeated_spans_v1",
                                 _repeated_spans_expected)
+
+
+# --------------------------------------------------------------------------
+# temporal feature pack over the events table (integer-cents values)
+# --------------------------------------------------------------------------
+
+
+def q_events_temporal_pack(sf_dir: str):
+    """The combined temporal pack applied to the EVENTS stream (per-user
+    running sum/max/index + trailing z + lag/diff of value-in-cents) —
+    cross-table reuse of stages/temporal.py; the 2-decimal float value
+    becomes exact int64 cents so every sum matches SQL bit-for-bit."""
+    from pymhealth_ray.stages.temporal import temporal_feature_pack
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(lambda b: _cents(b, "value", "v_c").drop_columns(["value"]),
+                        batch_format="pyarrow")
+    out = temporal_feature_pack(ds, "user_id", "ts_us", "v_c", window=16,
+                                tiebreak_col="event_id", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["event_id", "user_id", "ts_us", "v_c", "cum_sum",
+                      "cum_max", "seq_idx", "rz", "lag1", "diff1"])
+        return _round_cols(b, {"rz": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TEMPORAL_PACK = """
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), w AS (
+  SELECT event_id, user_id, ts_us, v_c,
+         CAST(sum(v_c) OVER cume AS BIGINT) AS cum_sum,
+         CAST(max(v_c) OVER cume AS BIGINT) AS cum_max,
+         CAST(row_number() OVER cume AS BIGINT) AS seq_idx,
+         lag(v_c) OVER cume AS lag1,
+         v_c - lag(v_c) OVER cume AS diff1,
+         count(*) OVER trail AS n,
+         CAST(sum(v_c) OVER trail AS BIGINT) AS sx,
+         CAST(sum(v_c * v_c) OVER trail AS BIGINT) AS sxx
+  FROM s
+  WINDOW cume AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         trail AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_us, v_c, cum_sum, cum_max, seq_idx,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN round((CAST(v_c AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+                            (CAST(n AS DOUBLE) * (n - 1))), 6)
+            ELSE NULL END AS rz,
+       lag1, diff1
+FROM w
+"""
