@@ -942,6 +942,7 @@ def build_queries() -> dict:
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "seq_repeated_spans": q_seq_repeated_spans,
         "events_temporal_pack": q_events_temporal_pack,
+        "events_resample": q_events_resample,
     }
 
 
@@ -1071,6 +1072,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_pmi_neighbors": sql_seq_pmi_neighbors(path),
         "seq_repeated_spans": sql_seq_repeated_spans(path),
         "events_temporal_pack": SQL_EVENTS_TEMPORAL_PACK,
+        "events_resample": SQL_EVENTS_RESAMPLE,
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5149,4 +5151,37 @@ SELECT event_id, user_id, ts_us, v_c, cum_sum, cum_max, seq_idx,
             ELSE NULL END AS rz,
        lag1, diff1
 FROM w
+"""
+
+
+def q_events_resample(sf_dir: str):
+    """Per-user 5-minute-grid forward-fill of the event value (cents) —
+    stages/resample.py on the events stream (second schema + µs unit)."""
+    from pymhealth_ray.stages.resample import resample_ffill
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: _cents(b, "value", "v_c").drop_columns(["value", "event_id"]),
+        batch_format="pyarrow")
+    out = resample_ffill(ds, "user_id", "ts_us", ["v_c"],
+                         step=12 * MIN5_US, num_buckets=NB)
+    return out
+
+
+SQL_EVENTS_RESAMPLE = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), b AS (
+  SELECT user_id,
+         (min(ts_us) + {12 * MIN5_US} - 1) // {12 * MIN5_US} AS g0,
+         max(ts_us) // {12 * MIN5_US} AS g1
+  FROM s GROUP BY user_id
+), g AS (
+  SELECT user_id, (g0 + i) * {12 * MIN5_US} AS grid_ts
+  FROM b, LATERAL unnest(generate_series(0, g1 - g0)) AS u(i)
+)
+SELECT g.user_id, g.grid_ts, s.v_c
+FROM g ASOF JOIN s ON g.user_id = s.user_id AND g.grid_ts >= s.ts_us
 """
