@@ -943,6 +943,7 @@ def build_queries() -> dict:
         "seq_repeated_spans": q_seq_repeated_spans,
         "events_temporal_pack": q_events_temporal_pack,
         "events_resample": q_events_resample,
+        "seq_winsorize": q_seq_winsorize,
     }
 
 
@@ -1073,6 +1074,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_repeated_spans": sql_seq_repeated_spans(path),
         "events_temporal_pack": SQL_EVENTS_TEMPORAL_PACK,
         "events_resample": SQL_EVENTS_RESAMPLE,
+        "seq_winsorize": sql_seq_winsorize(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5184,4 +5186,57 @@ WITH s AS (
 )
 SELECT g.user_id, g.grid_ts, s.v_c
 FROM g ASOF JOIN s ON g.user_id = s.user_id AND g.grid_ts >= s.ts_us
+"""
+
+
+def q_seq_winsorize(sf_dir: str):
+    """Per-source winsorization: clip n_tok to the group's [q05, q95]
+    (exact distributed quantile thresholds broadcast into a stateless
+    clip map) — the standard heavy-tail taming step before averaging."""
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+    rows = grouped_quantiles(ds, ["source"], "n_tok",
+                             qs=(0.05, 0.95), num_buckets=NB).take_all()
+    thr = {r["source"]: (int(r["q5"]), int(r["q95"])) for r in rows}
+    thr_ref = ray.put(thr)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        g = batch["source"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        lo = np.array([t[v][0] for v in enc.dictionary.to_pylist()],
+                      dtype=np.int64)[idx]
+        hi = np.array([t[v][1] for v in enc.dictionary.to_pylist()],
+                      dtype=np.int64)[idx]
+        x = batch["n_tok"]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.minimum(np.maximum(v, lo), hi)
+        return pa.table({
+            "doc_id": batch["doc_id"], "ts_ns": batch["ts_ns"],
+            "source": g, "n_tok": pa.array(v),
+            "n_tok_w": pa.array(w),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def sql_seq_winsorize(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok
+  FROM read_parquet('{path}/part-*.parquet')
+), g AS (
+  SELECT source, quantile_disc(n_tok, 0.05) AS lo,
+         quantile_disc(n_tok, 0.95) AS hi
+  FROM s GROUP BY source
+)
+SELECT doc_id, ts_ns, source, n_tok,
+       least(greatest(n_tok, lo), hi) AS n_tok_w
+FROM s JOIN g USING (source)
 """
