@@ -61,3 +61,18 @@ def test_window_and_functional_surface():
     assert hrv.td_factor("ms") == 1e6
     assert information.entropy(np.array([1.0, 1.0])) > 0.69
     assert rqa.recurrence_rate(rqa.rq(np.array([1.0, 1.0]))) == 1.0
+
+
+class TestQueryRegistry:
+    def test_every_query_has_an_oracle(self, ray_session):
+        # driver contract: hash-exact gate for EVERY query — a key present
+        # in queries() but missing from oracle_sql() silently downgrades
+        # to a rows-only check; fail loudly here instead
+        from pymhealth_ray.pipelines.queries import (
+            build_oracle_sql,
+            build_queries,
+        )
+
+        q = set(build_queries())
+        s = set(build_oracle_sql())
+        assert q == s, (q - s, s - q)
