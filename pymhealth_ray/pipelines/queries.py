@@ -944,6 +944,7 @@ def build_queries() -> dict:
         "events_temporal_pack": q_events_temporal_pack,
         "events_resample": q_events_resample,
         "seq_winsorize": q_seq_winsorize,
+        "seq_span_novelty": q_seq_span_novelty,
     }
 
 
@@ -1075,6 +1076,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_temporal_pack": SQL_EVENTS_TEMPORAL_PACK,
         "events_resample": SQL_EVENTS_RESAMPLE,
         "seq_winsorize": sql_seq_winsorize(path),
+        "seq_span_novelty": sql_seq_span_novelty(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5240,3 +5242,63 @@ SELECT doc_id, ts_ns, source, n_tok,
        least(greatest(n_tok, lo), hi) AS n_tok_w
 FROM s JOIN g USING (source)
 """
+
+
+def q_seq_span_novelty(sf_dir: str):
+    """Cross- vs intra-document span duplication split per row —
+    stages/spans.cross_doc_span_stats (keyed_agg carries exact mergeable
+    (count, min/max doc-hash) facts per span; cross ⇔ min≠max). Oracle:
+    single-process dict replication."""
+    from pymhealth_ray.stages.spans import cross_doc_span_stats
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    return cross_doc_span_stats(ds, "tokens", entity_col="doc_id",
+                                id_cols=("doc_id", "ts_ns"))
+
+
+def _span_novelty_expected(src: pa.Table):
+    import zlib
+    import pandas as pd
+
+    K, L = 2048, 5
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = toks.to_pylist()
+    docs = src["doc_id"].to_pylist()
+
+    def wkeys(lst):
+        out = []
+        for i in range(len(lst) - L + 1):
+            k = 0
+            for j in range(L - 1, -1, -1):
+                k = k * K + lst[i + j]
+            out.append(k)
+        return out
+
+    info = {}
+    for lst, d in zip(lists, docs):
+        dh = zlib.crc32(str(d).encode())
+        for k in wkeys(lst):
+            c, mn, mx = info.get(k, (0, dh, dh))
+            info[k] = (c + 1, min(mn, dh), max(mx, dh))
+    cross = {k for k, (c, mn, mx) in info.items() if mn != mx}
+    intra = {k for k, (c, mn, mx) in info.items() if mn == mx and c >= 2}
+    n_windows, n_cross, n_intra = [], [], []
+    for lst in lists:
+        ks = wkeys(lst)
+        n_windows.append(len(ks))
+        n_cross.append(sum(1 for k in ks if k in cross))
+        n_intra.append(sum(1 for k in ks if k in intra))
+    return pd.DataFrame({
+        "doc_id": src["doc_id"].to_pandas(),
+        "ts_ns": src["ts_ns"].to_pandas().astype(np.int64),
+        "n_windows": np.array(n_windows, dtype=np.int64),
+        "n_cross": np.array(n_cross, dtype=np.int64),
+        "n_intra": np.array(n_intra, dtype=np.int64),
+    })
+
+
+def sql_seq_span_novelty(path: str) -> str:
+    return _materialized_oracle(path, "span_novelty_v1",
+                                _span_novelty_expected)

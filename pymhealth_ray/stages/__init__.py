@@ -60,3 +60,5 @@ from pymhealth_ray.stages.rolling import rolling_zscore  # noqa: F401
 from pymhealth_ray.stages.temporal import temporal_feature_pack  # noqa: F401
 from pymhealth_ray.stages.pmi import pmi_neighbors  # noqa: F401
 from pymhealth_ray.stages.spans import repeated_span_stats, span_counts  # noqa: F401
+from pymhealth_ray.stages.spans import cross_doc_span_stats  # noqa: F401
+from pymhealth_ray.stages.aggregate import keyed_sum, keyed_agg  # noqa: F401

@@ -324,3 +324,55 @@ def keyed_sum(ds, key_col: str, val_cols, num_buckets: int = 256,
     return (ds.map_batches(with_bucket, batch_format="pyarrow",
                            batch_size=None)
             .groupby(B).map_groups(rollup, batch_format="pyarrow"))
+
+
+def keyed_agg(ds, key_col: str, spec: dict, num_buckets: int = 256,
+              precombine_rows: int | None = 8_000_000):
+    """Generalized :func:`keyed_sum`: exact per-key ``sum`` / ``min`` /
+    ``max`` over high-cardinality integer keys (``spec``: col → agg name).
+    All three merges are associative+commutative, so the same two-level
+    plan applies: optional fusion-broken pre-combine, int32-bucket
+    exchange, vectorized sorted reduceat rollup per bucket."""
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    ufuncs = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+    for c, a in spec.items():
+        if a not in ufuncs:
+            raise ValueError(f"unsupported agg {a!r} for {c!r}")
+    B = "__aggbucket"
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        k = tbl[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kv = k.to_numpy(zero_copy_only=False)
+        order = np.argsort(kv, kind="stable")
+        ks = kv[order]
+        is_start = np.ones(len(ks), dtype=bool)
+        is_start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(is_start)
+        cols = {key_col: pa.array(ks[starts])}
+        for c, a in spec.items():
+            v = tbl[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            vv = v.to_numpy(zero_copy_only=False)[order]
+            red = ufuncs[a].reduceat(vv, starts) if len(starts) else vv[:0]
+            cols[c] = pa.array(red)
+        return pa.table(cols)
+
+    if precombine_rows:
+        # num_cpus=1.001: break operator fusion (see keyed_sum)
+        ds = ds.map_batches(combine, batch_format="pyarrow",
+                            batch_size=precombine_rows, num_cpus=1.001)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = _stable_bucket_of(batch[key_col], num_buckets)
+        return batch.append_column(B, pa.array(b, type=pa.int32()))
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        return combine(tbl.drop_columns([B]))
+
+    return (ds.map_batches(with_bucket, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(B).map_groups(rollup, batch_format="pyarrow"))

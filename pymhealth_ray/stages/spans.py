@@ -123,3 +123,107 @@ def repeated_span_stats(ds, tokens_col: str = "tokens",
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def cross_doc_span_stats(ds, tokens_col: str = "tokens",
+                         entity_col: str = "doc_id",
+                         id_cols=("doc_id", "ts_ns"), key_mult: int = 2048):
+    """Per row: n_cross (windows whose span ALSO occurs in another
+    document) and n_intra (spans repeated only within this document) —
+    the novelty split curation wants: cross-doc duplication is
+    boilerplate/contamination, intra-doc repetition is style.
+
+    Per span the exchange carries exact mergeable facts
+    (count, min doc-hash, max doc-hash) through keyed_agg; a span is
+    cross-doc iff min≠max (doc-hash collisions: crc32 over ≤ corpus docs —
+    at gate scale exact; at larger scale a 64-bit hash slot-in)."""
+    import zlib
+
+    import ray
+
+    from pymhealth_ray.stages.aggregate import keyed_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, starts, lens, offs = _flat_windows(col, key_mult)
+        ent = batch[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        enc = ent.dictionary_encode()
+        dh = np.array([zlib.crc32(str(v).encode()) for v in
+                       enc.dictionary.to_pylist()], dtype=np.int64)
+        row_h = dh[enc.indices.to_numpy(zero_copy_only=False)]
+        n_windows = np.maximum(lens - L + 1, 0)
+        win_doc = np.repeat(row_h, n_windows)
+        order = np.argsort(keys, kind="stable")
+        ks, dv = keys[order], win_doc[order]
+        is_start = np.ones(len(ks), dtype=bool)
+        is_start[1:] = ks[1:] != ks[:-1]
+        st = np.flatnonzero(is_start)
+        if len(st):
+            cnt = np.diff(np.append(st, len(ks)))
+            dmin = np.minimum.reduceat(dv, st)
+            dmax = np.maximum.reduceat(dv, st)
+            uk = ks[st]
+        else:
+            cnt = np.empty(0, dtype=np.int64)
+            dmin = dmax = np.empty(0, dtype=np.int64)
+            uk = np.empty(0, dtype=np.int64)
+        return pa.table({"key": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "dmin": pa.array(dmin), "dmax": pa.array(dmax)})
+
+    agg = keyed_agg(ds.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None),
+                    "key", {"c": "sum", "dmin": "min", "dmax": "max"},
+                    num_buckets=256)
+
+    cross_keys = []
+    intra_keys = []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        mn = b["dmin"].to_numpy(zero_copy_only=False)
+        mx = b["dmax"].to_numpy(zero_copy_only=False)
+        cross_keys.append(k[mn != mx])
+        intra_keys.append(k[(mn == mx) & (c >= 2)])
+    cross = np.sort(np.concatenate(cross_keys)) if cross_keys else np.empty(0, np.int64)
+    intra = np.sort(np.concatenate(intra_keys)) if intra_keys else np.empty(0, np.int64)
+    cross_ref = ray.put(cross)
+    intra_ref = ray.put(intra)
+
+    def member(sorted_arr, keys):
+        if not len(sorted_arr) or not len(keys):
+            return np.zeros(len(keys), dtype=bool)
+        idx = np.searchsorted(sorted_arr, keys)
+        ok = idx < len(sorted_arr)
+        ok[ok] = sorted_arr[idx[ok]] == keys[ok]
+        return ok
+
+    def score(batch: pa.Table) -> pa.Table:
+        cr = ray.get(cross_ref)
+        it = ray.get(intra_ref)
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, starts, lens, offs = _flat_windows(col, key_mult)
+        n_windows = np.maximum(lens - L + 1, 0)
+        woffs = np.concatenate(([0], np.cumsum(n_windows)))
+        out = {}
+        for name, arr in (("n_cross", member(cr, keys)),
+                          ("n_intra", member(it, keys))):
+            acc = np.zeros(len(lens), dtype=np.int64)
+            nz = n_windows > 0
+            if nz.any() and len(arr):
+                acc[nz] = np.add.reduceat(arr.astype(np.int64),
+                                          woffs[:-1][nz])
+            out[name] = acc
+        cols = {c: batch[c] for c in id_cols}
+        cols["n_windows"] = pa.array(n_windows)
+        cols["n_cross"] = pa.array(out["n_cross"])
+        cols["n_intra"] = pa.array(out["n_intra"])
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -56,3 +56,40 @@ class TestSpans:
         got = repeated_span_stats(_ds(lists), key_mult=16).to_pandas()
         assert got["n_dup"].tolist() == [0, 0]
         assert got["frac_cov"].tolist() == [0.0, 0.0]
+
+
+class TestCrossDocSpans:
+    def test_cross_vs_intra_split(self, ray_session):
+        from pymhealth_ray.stages.spans import cross_doc_span_stats
+
+        lists = [
+            [1, 2, 3, 4, 5],          # d0: span A, also in d1 -> cross
+            [1, 2, 3, 4, 5, 9],       # d1: span A (cross) + one unique
+            [7, 7, 7, 7, 7, 7, 7],    # d2: intra-only repeats
+        ]
+        got = (cross_doc_span_stats(_ds(lists), key_mult=16)
+               .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        assert got["n_cross"].tolist() == [1, 1, 0]
+        # d1's second window (2,3,4,5,9) is unique; d2 has 3 intra windows
+        assert got["n_intra"].tolist() == [0, 0, 3]
+
+    def test_keyed_agg_matches_pandas(self, ray_session):
+        import pandas as pd
+
+        from pymhealth_ray.stages.aggregate import keyed_agg
+
+        rng = np.random.default_rng(141)
+        df = pd.DataFrame({
+            "key": rng.integers(0, 500, 20_000).astype(np.int64),
+            "c": rng.integers(1, 5, 20_000).astype(np.int64),
+            "v": rng.integers(-100, 100, 20_000).astype(np.int64),
+        })
+        got = (keyed_agg(ray.data.from_pandas(df).repartition(6), "key",
+                         {"c": "sum", "v": "min"}, num_buckets=8,
+                         precombine_rows=4000)
+               .to_pandas().sort_values("key").reset_index(drop=True))
+        exp = (df.groupby("key").agg(c=("c", "sum"), v=("v", "min"))
+               .reset_index())
+        assert got["key"].tolist() == exp["key"].tolist()
+        assert got["c"].tolist() == exp["c"].tolist()
+        assert got["v"].tolist() == exp["v"].tolist()
