@@ -945,6 +945,7 @@ def build_queries() -> dict:
         "events_resample": q_events_resample,
         "seq_winsorize": q_seq_winsorize,
         "seq_span_novelty": q_seq_span_novelty,
+        "events_ewma_td": q_events_ewma_td,
     }
 
 
@@ -1077,6 +1078,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_resample": SQL_EVENTS_RESAMPLE,
         "seq_winsorize": sql_seq_winsorize(path),
         "seq_span_novelty": sql_seq_span_novelty(path),
+        "events_ewma_td": _events_ewma_td_oracle(sf_dir_for_fixture),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5302,3 +5304,80 @@ def _span_novelty_expected(src: pa.Table):
 def sql_seq_span_novelty(path: str) -> str:
     return _materialized_oracle(path, "span_novelty_v1",
                                 _span_novelty_expected)
+
+
+_EV_TAU_US = 2.0 * 12 * MIN5_US  # 2 h in microseconds
+
+
+def q_events_ewma_td(sf_dir: str):
+    """Per-user time-decay EWMA (τ = 2 h) of the event value over the
+    irregular events stream — stages/ewma.ewma_time_decay on the second
+    schema/µs unit; integer-cents input keeps the oracle's recurrence on
+    identical exact values."""
+    from pymhealth_ray.stages.ewma import ewma_time_decay
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: _cents(b, "value", "v_c").drop_columns(["value"]),
+        batch_format="pyarrow")
+    out = ewma_time_decay(ds, "user_id", "ts_us", "v_c", tau=_EV_TAU_US,
+                          tiebreak_col="event_id", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["event_id", "user_id", "ts_us", "v_c", "ewma_td"])
+        return _round_cols(b, {"ewma_td": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _events_ewma_td_expected(sf_dir: str):
+    import pandas as pd
+
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        f"CAST(round(value * 100) AS BIGINT) AS v_c "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"ORDER BY user_id, ts_us, event_id").df()
+    out = np.empty(len(df), dtype=np.float64)
+    for _, g in df.groupby("user_id", sort=False):
+        x = g["v_c"].to_numpy(dtype=np.float64)
+        t = g["ts_us"].to_numpy(dtype=np.float64)
+        num = den = 0.0
+        y = np.empty(len(x), dtype=np.float64)
+        for i in range(len(x)):
+            if i:
+                d = np.exp(-(t[i] - t[i - 1]) / _EV_TAU_US)
+                num *= d
+                den *= d
+            num += x[i]
+            den += 1.0
+            y[i] = num / den
+        out[g.index.to_numpy()] = y
+    m = 1e6
+    ew = np.sign(out) * np.floor(np.abs(out) * m + 0.5) / m
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype(np.int64),
+        "user_id": df["user_id"].astype(np.int64),
+        "ts_us": df["ts_us"].astype(np.int64),
+        "v_c": df["v_c"].astype(np.int64),
+        "ewma_td": ew,
+    })
+
+
+def _events_ewma_td_oracle(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/events_ewma_td_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _events_ewma_td_expected(sf_dir)
+        tmp = out + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"
