@@ -946,6 +946,7 @@ def build_queries() -> dict:
         "seq_winsorize": q_seq_winsorize,
         "seq_span_novelty": q_seq_span_novelty,
         "events_ewma_td": q_events_ewma_td,
+        "seq_percent_rank": q_seq_percent_rank,
     }
 
 
@@ -1079,6 +1080,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_winsorize": sql_seq_winsorize(path),
         "seq_span_novelty": sql_seq_span_novelty(path),
         "events_ewma_td": _events_ewma_td_oracle(sf_dir_for_fixture),
+        "seq_percent_rank": sql_seq_percent_rank(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5381,3 +5383,29 @@ def _events_ewma_td_oracle(sf_dir: str) -> str:
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
         os.replace(tmp, out)
     return f"SELECT * FROM read_parquet('{out}')"
+
+
+def q_seq_percent_rank(sf_dir: str):
+    """Exact per-source percent_rank of n_tok —
+    stages/normalize.percent_rank_by_group: value-histogram CDF broadcast
+    + stateless searchsorted ranking (SQL percent_rank semantics)."""
+    from pymhealth_ray.stages.normalize import percent_rank_by_group
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source", "n_tok"])
+    out = percent_rank_by_group(ds, "source", "n_tok")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "ts_ns", "source", "n_tok", "pr"])
+        b = _cast_cols(b, {"n_tok": pa.int64()})
+        return _round_cols(b, {"pr": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_percent_rank(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_tok), 6)
+           AS pr
+FROM read_parquet('{path}/part-*.parquet')
+"""

@@ -183,3 +183,59 @@ def mad_outliers(ds, group_col: str, value_col: str, k: float = 3.0,
                                    pa.array(a > k * mads, type=pa.bool_()))
 
     return with_adev.map_batches(flag, batch_format="pyarrow")
+
+
+def percent_rank_by_group(ds, group_col: str, value_col: str,
+                          out_name: str = "pr"):
+    """Exact per-group percent_rank (SQL semantics: ``(rank−1)/(n−1)``,
+    ties share the minimum rank) for DISCRETE integer values — the
+    quantile-normalization transform. A value-histogram partial pass
+    (one row per (group, distinct value) per block) collapses to a tiny
+    per-group CDF that broadcasts; ranking is then a stateless
+    searchsorted map. Zero row exchange; NULL when a group has one row."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby([group_col, value_col]).sum("count_all"))
+    cdf = {}
+    for r in hist.take_all():
+        cdf.setdefault(r[group_col], []).append(
+            (r[value_col], r["sum(count_all)"]))
+    bundle = {}
+    for g, rows in cdf.items():
+        rows.sort()
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cnts = np.array([c for _, c in rows], dtype=np.int64)
+        below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        bundle[g] = (vals, below, int(cnts.sum()))
+    ref = ray.put(bundle)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        enc = gcol.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        x = batch[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = np.zeros(len(v), dtype=np.float64)
+        ok = np.zeros(len(v), dtype=bool)
+        for gi, gval in enumerate(enc.dictionary.to_pylist()):
+            vals, below, n = bd[gval]
+            sel = idx == gi
+            if n > 1:
+                pos = np.searchsorted(vals, v[sel])
+                pr[sel] = below[pos].astype(np.float64) / (n - 1)
+                ok[sel] = True
+        out = pa.array(pr, type=pa.float64(), mask=~ok)
+        return batch.append_column(out_name, out)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -136,3 +136,32 @@ class TestNullGuard:
         with _pytest.raises(Exception, match="null"):
             cumulative_features(ray.data.from_pandas(df), "e", "ts", "v",
                                 num_buckets=1).to_pandas()
+
+
+class TestPercentRank:
+    def test_matches_pandas_min_rank(self, ray_session):
+        from pymhealth_ray.stages.normalize import percent_rank_by_group
+
+        rng = np.random.default_rng(151)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 1000),
+            "v": rng.integers(0, 50, 1000).astype(np.int64),
+            "i": np.arange(1000, dtype=np.int64),
+        })
+        got = (percent_rank_by_group(
+            ray.data.from_pandas(df).repartition(4), "g", "v")
+            .to_pandas().sort_values("i").reset_index(drop=True))
+        exp = df.groupby("g")["v"].transform(
+            lambda s: (s.rank(method="min") - 1) / (len(s) - 1))
+        np.testing.assert_allclose(got["pr"].to_numpy(), exp.to_numpy(),
+                                   rtol=1e-12)
+
+    def test_singleton_group_null(self, ray_session):
+        from pymhealth_ray.stages.normalize import percent_rank_by_group
+
+        df = pd.DataFrame({"g": ["x", "y", "y"],
+                           "v": np.array([5, 1, 2], dtype=np.int64)})
+        got = percent_rank_by_group(ray.data.from_pandas(df),
+                                    "g", "v").to_pandas()
+        assert np.isnan(got[got.g == "x"]["pr"]).all()
+        assert sorted(got[got.g == "y"]["pr"].tolist()) == [0.0, 1.0]
