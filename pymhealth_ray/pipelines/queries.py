@@ -947,6 +947,8 @@ def build_queries() -> dict:
         "seq_span_novelty": q_seq_span_novelty,
         "events_ewma_td": q_events_ewma_td,
         "seq_percent_rank": q_seq_percent_rank,
+        "events_compact": q_events_compact,
+        "seq_mode_by_source": q_seq_mode_by_source,
     }
 
 
@@ -1081,6 +1083,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_span_novelty": sql_seq_span_novelty(path),
         "events_ewma_td": _events_ewma_td_oracle(sf_dir_for_fixture),
         "seq_percent_rank": sql_seq_percent_rank(path),
+        "events_compact": SQL_EVENTS_COMPACT,
+        "seq_mode_by_source": sql_seq_mode_by_source(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5408,4 +5412,75 @@ SELECT doc_id, ts_ns, source, CAST(n_tok AS BIGINT) AS n_tok,
        round(percent_rank() OVER (PARTITION BY source ORDER BY n_tok), 6)
            AS pr
 FROM read_parquet('{path}/part-*.parquet')
+"""
+
+
+def q_events_compact(sf_dir: str):
+    """Change-event compaction of the events stream: per user keep the
+    first row and rows whose event_type differs from the previous one —
+    stages/lag.compact_unchanged (storage-shrinking encoding for
+    slowly-varying streams)."""
+    from pymhealth_ray.stages.lag import compact_unchanged
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    out = compact_unchanged(ds, "user_id", "ts_us", "event_type",
+                            tiebreak_col="event_id", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "ts_us", "event_type"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_COMPACT = """
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, ts_us, event_type
+FROM s WHERE prev IS NULL OR event_type <> prev
+"""
+
+
+def q_seq_mode_by_source(sf_dir: str):
+    """Exact MODE of n_tok per source (most frequent value, smallest-value
+    tiebreak) — the value-histogram combiner pattern: per-block
+    (source, value, count) partials, tiny exchange, per-group argmax."""
+    ds, _ = _seq_ds(sf_dir, ["source", "n_tok"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["source", "n_tok"]).aggregate(
+            [([], "count_all")])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["source", "n_tok"]).sum("count_all"))
+
+    def argmax(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[
+            ("sum(count_all)", "descending"), ("n_tok", "ascending")])
+        top = tbl.take(order[:1])
+        return pa.table({
+            "source": top["source"],
+            "mode_tok": top["n_tok"].cast(pa.int64()),
+            "c": top["sum(count_all)"].cast(pa.int64()),
+        })
+
+    return hist.groupby("source").map_groups(argmax,
+                                             batch_format="pyarrow")
+
+
+def sql_seq_mode_by_source(path: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok, count(*) AS c
+  FROM read_parquet('{path}/part-*.parquet')
+  GROUP BY source, n_tok
+)
+SELECT source, n_tok AS mode_tok, c
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY c DESC, n_tok) AS rn FROM h)
+WHERE rn = 1
 """

@@ -62,3 +62,5 @@ from pymhealth_ray.stages.pmi import pmi_neighbors  # noqa: F401
 from pymhealth_ray.stages.spans import repeated_span_stats, span_counts  # noqa: F401
 from pymhealth_ray.stages.spans import cross_doc_span_stats  # noqa: F401
 from pymhealth_ray.stages.aggregate import keyed_sum, keyed_agg  # noqa: F401
+from pymhealth_ray.stages.lag import compact_unchanged  # noqa: F401
+from pymhealth_ray.stages.normalize import percent_rank_by_group  # noqa: F401

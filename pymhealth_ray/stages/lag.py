@@ -78,3 +78,30 @@ def lag_features(
         return tbl
 
     return grouped_by_bucket(ds, per_bucket, entity_col, num_buckets)
+
+
+def compact_unchanged(ds, entity_col: str, ts_col: str, value_col: str,
+                      tiebreak_col: str | None = None,
+                      num_buckets: int = 32):
+    """Stream COMPACTION: keep each entity's first row and every row whose
+    value differs from the previous one (ts order) — the change-event
+    encoding that shrinks slowly-varying streams before storage. One
+    entity-bucket exchange, vectorized shift-compare per bucket."""
+    from pymhealth_ray.stages.partition import entity_segments
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col,
+                                             tiebreak_col)
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False)
+        keep = np.ones(len(x), dtype=bool)
+        keep[1:] = x[1:] != x[:-1]
+        keep[starts[:-1]] = True
+        return tbl.filter(pa.array(keep))
+
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)

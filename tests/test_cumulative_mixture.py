@@ -165,3 +165,34 @@ class TestPercentRank:
                                     "g", "v").to_pandas()
         assert np.isnan(got[got.g == "x"]["pr"]).all()
         assert sorted(got[got.g == "y"]["pr"].tolist()) == [0.0, 1.0]
+
+
+class TestCompact:
+    def test_keeps_changes_only(self, ray_session):
+        from pymhealth_ray.stages.lag import compact_unchanged
+
+        df = pd.DataFrame({
+            "e": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+            "ts": np.array([0, 1, 2, 3, 0], dtype=np.int64),
+            "v": ["a", "a", "b", "b", "a"],
+        })
+        got = (compact_unchanged(ray.data.from_pandas(df), "e", "ts", "v",
+                                 num_buckets=2)
+               .to_pandas().sort_values(["e", "ts"]).reset_index(drop=True))
+        assert got["ts"].tolist() == [0, 2, 0]
+        assert got["v"].tolist() == ["a", "b", "a"]
+
+    def test_partition_invariant(self, ray_session):
+        from pymhealth_ray.stages.lag import compact_unchanged
+
+        rng = np.random.default_rng(161)
+        df = pd.DataFrame({
+            "e": rng.integers(0, 7, 800).astype(np.int64),
+            "ts": np.arange(800, dtype=np.int64),
+            "v": rng.choice(["x", "y"], 800),
+        })
+        outs = [compact_unchanged(ray.data.from_pandas(df).repartition(b),
+                                  "e", "ts", "v", num_buckets=3)
+                .to_pandas().sort_values(["e", "ts"]).reset_index(drop=True)
+                for b in (1, 6)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
