@@ -949,6 +949,8 @@ def build_queries() -> dict:
         "seq_percent_rank": q_seq_percent_rank,
         "events_compact": q_events_compact,
         "seq_mode_by_source": q_seq_mode_by_source,
+        "events_gap_stats": q_events_gap_stats,
+        "events_hour_profile": q_events_hour_profile,
     }
 
 
@@ -1085,6 +1087,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_percent_rank": sql_seq_percent_rank(path),
         "events_compact": SQL_EVENTS_COMPACT,
         "seq_mode_by_source": sql_seq_mode_by_source(path),
+        "events_gap_stats": SQL_EVENTS_GAP_STATS,
+        "events_hour_profile": SQL_EVENTS_HOUR_PROFILE,
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5483,4 +5487,130 @@ SELECT source, n_tok AS mode_tok, c
 FROM (SELECT *, row_number() OVER (PARTITION BY source
                                    ORDER BY c DESC, n_tok) AS rn FROM h)
 WHERE rn = 1
+"""
+
+
+def q_events_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics: n_gaps, mean gap, max gap and
+    BURSTINESS (gap std/mean — the classic human-activity signature) —
+    one entity-bucket pass (stages/lag machinery shape): exact int64 gap
+    sums, variance from the exact-int identity, float only at the end."""
+    from pymhealth_ray.stages.partition import (
+        column_i64,
+        entity_segments,
+        grouped_by_bucket,
+    )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             "event_id")
+        ts = column_i64(tbl, "ts_us")
+        seg_lens = np.diff(starts)
+        # whole-second gaps: µs gaps square past int64 (observed 1.5e20)
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000
+        valid = np.ones(len(ts) - 1, dtype=bool) if len(ts) else np.empty(0, bool)
+        valid[starts[1:-1] - 1] = False  # seams between entities
+        n = np.maximum(seg_lens - 1, 0)
+        # per-entity sums over the entity's own gap slice
+        gv = np.where(valid, gaps, 0)
+        gv2 = np.where(valid, gaps * gaps, 0)
+        gmax = np.where(valid, gaps, np.int64(-1))
+        cs, cs2 = np.concatenate(([0], np.cumsum(gv))), np.concatenate(([0], np.cumsum(gv2)))
+        ent = tbl["user_id"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        users = ent.take(pa.array(starts[:-1]))
+        lo = starts[:-1]
+        hi = np.maximum(starts[1:] - 1, lo)
+        sx = cs[hi] - cs[lo]
+        sxx = cs2[hi] - cs2[lo]
+        mx = np.full(n_ent, -1, dtype=np.int64)
+        for e in range(n_ent):      # max has no subtraction trick; per-entity
+            if n[e] > 0:            # slices are tiny (gap maxima only)
+                mx[e] = gmax[lo[e]:hi[e]].max()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = sx.astype(np.float64) / n
+            den = n * sxx - sx * sx
+            burst = np.sqrt(den.astype(np.float64) /
+                            (n.astype(np.float64) * (n - 1))) / mean
+        ok2 = (n > 1) & (sx > 0)
+        ok1 = n > 0
+        return pa.table({
+            "user_id": users,
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "sum_gap": pa.array(sx.astype(np.int64)),
+            "max_gap": pa.array(np.where(ok1, mx, 0), type=pa.int64(),
+                                mask=~ok1),
+            "burstiness": pa.array(np.where(ok2, burst, 0.0),
+                                   type=pa.float64(), mask=~ok2),
+        })
+
+    out = grouped_by_bucket(ds, per_bucket, entity_col="user_id",
+                            num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"burstiness": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_GAP_STATS = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             // 1000000 AS gap
+  FROM events
+), g AS (
+  SELECT user_id, count(gap) AS n_gaps,
+         CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap,
+         max(gap) AS max_gap,
+         CAST(coalesce(sum(gap * gap), 0) AS BIGINT) AS sxx
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_gaps, sum_gap, max_gap,
+       CASE WHEN n_gaps > 1 AND sum_gap > 0
+            THEN round(sqrt(CAST(n_gaps * sxx - sum_gap * sum_gap AS DOUBLE)
+                            / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1)))
+                       / (CAST(sum_gap AS DOUBLE) / n_gaps), 6)
+            ELSE NULL END AS burstiness
+FROM g
+"""
+
+
+def q_events_hour_profile(sf_dir: str):
+    """Hour-of-day activity profile per event type — the seasonality
+    histogram (map-side (type, hour) partials, tiny exchange)."""
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = (t // 3_600_000_000) % 24
+        b2 = pa.table({"event_type": batch["event_type"],
+                       "hour": pa.array(hour)})
+        return b2.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby(["event_type", "hour"]).sum("count_all"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour": b["hour"].cast(pa.int64()),
+            "c": b["sum(count_all)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOUR_PROFILE = """
+SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*) AS c
+FROM events GROUP BY event_type, hour
 """
