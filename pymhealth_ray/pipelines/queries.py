@@ -951,6 +951,7 @@ def build_queries() -> dict:
         "seq_mode_by_source": q_seq_mode_by_source,
         "events_gap_stats": q_events_gap_stats,
         "events_hour_profile": q_events_hour_profile,
+        "seq_source_transitions": q_seq_source_transitions,
     }
 
 
@@ -1089,6 +1090,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_mode_by_source": sql_seq_mode_by_source(path),
         "events_gap_stats": SQL_EVENTS_GAP_STATS,
         "events_hour_profile": SQL_EVENTS_HOUR_PROFILE,
+        "seq_source_transitions": sql_seq_source_transitions(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5613,4 +5615,54 @@ SQL_EVENTS_HOUR_PROFILE = """
 SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
        count(*) AS c
 FROM events GROUP BY event_type, hour
+"""
+
+
+def q_seq_source_transitions(sf_dir: str):
+    """Markov transition counts between SOURCES along each entity's
+    timeline (prev source → source, ts order) — one entity-bucket pass,
+    shift-compare + vectorized pair counting; the sequence-mixing
+    signature of the corpus."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "source"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, "doc_id", "ts_ns")
+        s = tbl["source"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        enc = s.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        valid = np.ones(max(len(codes) - 1, 0), dtype=bool)
+        valid[starts[1:-1] - 1] = False
+        pair = codes[:-1][valid] * k + codes[1:][valid]
+        cnt = np.bincount(pair, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        prev = enc.dictionary.take(pa.array(nz // k))
+        nxt = enc.dictionary.take(pa.array(nz % k))
+        return pa.table({"prev_source": prev, "source": nxt,
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    partials = grouped_by_bucket(ds, per_bucket, entity_col="doc_id",
+                                 num_buckets=NB)
+    agg = partials.groupby(["prev_source", "source"]).sum("c")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["prev_source", "source", "c"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_source_transitions(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT source,
+         lag(source) OVER (PARTITION BY doc_id ORDER BY ts_ns) AS prev_source
+  FROM read_parquet('{path}/part-*.parquet')
+)
+SELECT prev_source, source, count(*) AS c
+FROM s WHERE prev_source IS NOT NULL
+GROUP BY prev_source, source
 """
