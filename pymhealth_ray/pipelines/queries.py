@@ -952,6 +952,7 @@ def build_queries() -> dict:
         "events_gap_stats": q_events_gap_stats,
         "events_hour_profile": q_events_hour_profile,
         "seq_source_transitions": q_seq_source_transitions,
+        "seq_trend": q_seq_trend,
     }
 
 
@@ -1091,6 +1092,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_gap_stats": SQL_EVENTS_GAP_STATS,
         "events_hour_profile": SQL_EVENTS_HOUR_PROFILE,
         "seq_source_transitions": sql_seq_source_transitions(path),
+        "seq_trend": sql_seq_trend(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5665,4 +5667,93 @@ WITH s AS (
 SELECT prev_source, source, count(*) AS c
 FROM s WHERE prev_source IS NOT NULL
 GROUP BY prev_source, source
+"""
+
+
+def q_seq_trend(sf_dir: str):
+    """Per-entity OLS trend of n_tok over elapsed time (slope tok/min +
+    intercept) — the reference o1fit linear-fit family
+    (/root/reference/src/mhealth/generic/timedom.py o1fit lineage)
+    distributed: elapsed MINUTES keep every normal-equation sum exact in
+    int64 (µs/ns elapsed squares overflow); float only in the final
+    division, same expression shape as the SQL oracle."""
+    from pymhealth_ray.stages.partition import (
+        column_i64,
+        entity_segments,
+        grouped_by_bucket,
+    )
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    MIN_NS = 60_000_000_000
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, "doc_id", "ts_ns")
+        ts = column_i64(tbl, "ts_ns")
+        y = column_i64(tbl, "n_tok")
+        seg_lens = np.diff(starts)
+        mn = np.repeat(ts[starts[:-1]], seg_lens)
+        t = (ts - mn) // MIN_NS
+        lo = starts[:-1]
+        n = seg_lens
+
+        def ssum(v):
+            c = np.concatenate(([0], np.cumsum(v)))
+            return c[starts[1:]] - c[lo]
+
+        st, sy = ssum(t), ssum(y)
+        sty, stt = ssum(t * y), ssum(t * t)
+        num = n * sty - st * sy
+        den = n * stt - st * st
+        ok = den > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num.astype(np.float64) / den
+            intercept = (sy.astype(np.float64) - slope * st) / n
+        ent = tbl["doc_id"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        return pa.table({
+            "doc_id": ent.take(pa.array(lo)),
+            "n": pa.array(n.astype(np.int64)),
+            "slope": pa.array(np.where(ok, slope, 0.0), type=pa.float64(),
+                              mask=~ok),
+            "intercept": pa.array(np.where(ok, intercept, 0.0),
+                                  type=pa.float64(), mask=~ok),
+        })
+
+    out = grouped_by_bucket(ds, per_bucket, entity_col="doc_id",
+                            num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"slope": 6, "intercept": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_trend(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS y
+  FROM read_parquet('{path}/part-*.parquet')
+), m AS (
+  SELECT doc_id, min(ts_ns) AS mn FROM s GROUP BY doc_id
+), t AS (
+  SELECT s.doc_id, (ts_ns - mn) // 60000000000 AS tm, y
+  FROM s JOIN m USING (doc_id)
+), g AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(tm) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(tm * y) AS BIGINT) AS sty,
+         CAST(sum(tm * tm) AS BIGINT) AS stt
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, n,
+       CASE WHEN n * stt - st * st > 0
+            THEN round(CAST(n * sty - st * sy AS DOUBLE)
+                       / (n * stt - st * st), 6) END AS slope,
+       CASE WHEN n * stt - st * st > 0
+            THEN round((CAST(sy AS DOUBLE)
+                        - (CAST(n * sty - st * sy AS DOUBLE)
+                           / (n * stt - st * st)) * st) / n, 6) END
+           AS intercept
+FROM g
 """
