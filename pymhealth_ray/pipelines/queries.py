@@ -953,6 +953,7 @@ def build_queries() -> dict:
         "events_hour_profile": q_events_hour_profile,
         "seq_source_transitions": q_seq_source_transitions,
         "seq_trend": q_seq_trend,
+        "seq_autocorr": q_seq_autocorr,
     }
 
 
@@ -1093,6 +1094,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_hour_profile": SQL_EVENTS_HOUR_PROFILE,
         "seq_source_transitions": sql_seq_source_transitions(path),
         "seq_trend": sql_seq_trend(path),
+        "seq_autocorr": sql_seq_autocorr(path),
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5755,5 +5757,92 @@ SELECT doc_id, n,
                         - (CAST(n * sty - st * sy AS DOUBLE)
                            / (n * stt - st * st)) * st) / n, 6) END
            AS intercept
+FROM g
+"""
+
+
+def q_seq_autocorr(sf_dir: str):
+    """Per-entity lag-1 autocorrelation of n_tok (Pearson corr of adjacent
+    pairs in ts order) — the persistence/momentum signature; exact int64
+    pair sums over one entity-bucket pass, NULL for entities with <3 rows
+    or zero variance on either side."""
+    from pymhealth_ray.stages.partition import (
+        column_i64,
+        entity_segments,
+        grouped_by_bucket,
+    )
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, "doc_id", "ts_ns")
+        v = column_i64(tbl, "n_tok")
+        seg_lens = np.diff(starts)
+        x = v[:-1] if len(v) else v
+        y = v[1:] if len(v) else v
+        valid = np.ones(len(x), dtype=bool)
+        valid[starts[1:-1] - 1] = False
+        lo = starts[:-1]
+        hi = np.maximum(starts[1:] - 1, lo)
+
+        def ssum(a):
+            w = np.where(valid, a, 0)
+            c = np.concatenate(([0], np.cumsum(w)))
+            return c[hi] - c[lo]
+
+        n = np.maximum(seg_lens - 1, 0)
+        sx, sy = ssum(x), ssum(y)
+        sxx, syy, sxy = ssum(x * x), ssum(y * y), ssum(x * y)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        ok = (dx > 0) & (dy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ac = num.astype(np.float64) / (
+                np.sqrt(dx.astype(np.float64)) *
+                np.sqrt(dy.astype(np.float64)))
+        ent = tbl["doc_id"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        return pa.table({
+            "doc_id": ent.take(pa.array(lo)),
+            "n_pairs": pa.array(n.astype(np.int64)),
+            "autocorr": pa.array(np.where(ok, ac, 0.0), type=pa.float64(),
+                                 mask=~ok),
+        })
+
+    out = grouped_by_bucket(ds, per_bucket, entity_col="doc_id",
+                            num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"autocorr": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_autocorr(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS y,
+         lag(CAST(n_tok AS BIGINT)) OVER (
+             PARTITION BY doc_id ORDER BY ts_ns) AS x
+  FROM read_parquet('{path}/part-*.parquet')
+), g AS (
+  SELECT doc_id, count(x) AS n,
+         CAST(coalesce(sum(x), 0) AS BIGINT) AS sx,
+         CAST(coalesce(sum(CASE WHEN x IS NOT NULL THEN y END), 0)
+              AS BIGINT) AS sy,
+         CAST(coalesce(sum(x * x), 0) AS BIGINT) AS sxx,
+         CAST(coalesce(sum(CASE WHEN x IS NOT NULL THEN y * y END), 0)
+              AS BIGINT) AS syy,
+         CAST(coalesce(sum(x * y), 0) AS BIGINT) AS sxy
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+            END AS autocorr
 FROM g
 """
