@@ -954,6 +954,7 @@ def build_queries() -> dict:
         "seq_source_transitions": q_seq_source_transitions,
         "seq_trend": q_seq_trend,
         "seq_autocorr": q_seq_autocorr,
+        "events_dominant_type": q_events_dominant_type,
     }
 
 
@@ -1095,6 +1096,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_source_transitions": sql_seq_source_transitions(path),
         "seq_trend": sql_seq_trend(path),
         "seq_autocorr": sql_seq_autocorr(path),
+        "events_dominant_type": SQL_EVENTS_DOMINANT_TYPE,
         "docs_dedup_keep_best": _docs_materialized_oracle(
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
@@ -5845,4 +5847,60 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_pairs,
                         sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
             END AS autocorr
 FROM g
+"""
+
+
+def q_events_dominant_type(sf_dir: str):
+    """Per-user dominant event type and its share — per-block
+    (user, type, count) partials, tiny exchange, per-user argmax
+    (count desc, type asc tiebreak); share = int/int division both
+    engines."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select(["user_id", "event_type"])
+                .group_by(["user_id", "event_type"])
+                .aggregate([([], "count_all")]))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["user_id", "event_type"]).sum("count_all"))
+
+    def argmax(tbl: pa.Table) -> pa.Table:
+        c = tbl["sum(count_all)"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        total = int(pc.sum(c).as_py())
+        order = pc.sort_indices(tbl, sort_keys=[
+            ("sum(count_all)", "descending"), ("event_type", "ascending")])
+        top = tbl.take(order[:1])
+        cnt = int(top["sum(count_all)"][0].as_py())
+        return pa.table({
+            "user_id": top["user_id"],
+            "dominant_type": top["event_type"],
+            "c": pa.array([cnt], type=pa.int64()),
+            "n": pa.array([total], type=pa.int64()),
+            "share": pa.array([_round_away(np.array([cnt / total]), 6)[0]],
+                              type=pa.float64()),
+        })
+
+    return hist.groupby("user_id").map_groups(argmax,
+                                              batch_format="pyarrow")
+
+
+SQL_EVENTS_DOMINANT_TYPE = """
+WITH h AS (
+  SELECT user_id, event_type, count(*) AS c FROM events
+  GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY user_id
+)
+SELECT user_id, event_type AS dominant_type, c, n,
+       round(CAST(c AS DOUBLE) / n, 6) AS share
+FROM (SELECT h.*, t.n,
+             row_number() OVER (PARTITION BY h.user_id
+                                ORDER BY c DESC, event_type) AS rn
+      FROM h JOIN t USING (user_id))
+WHERE rn = 1
 """
