@@ -58,6 +58,56 @@ class TestSpans:
         assert got["frac_cov"].tolist() == [0.0, 0.0]
 
 
+class TestSpansDistributed:
+    """The dup-set-too-big-to-broadcast plan (bloom-prefiltered
+    co-partitioned semi-join) must be value-identical to the broadcast
+    plan — forced by broadcast_threshold=0 (every dup set exceeds it)."""
+
+    def test_distributed_matches_broadcast(self, ray_session):
+        rng = np.random.default_rng(77)
+        lists = [rng.integers(0, 5, rng.integers(3, 25)).tolist()
+                 for _ in range(200)]
+        base = (repeated_span_stats(_ds(lists, 5), key_mult=8)
+                .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        dist = (repeated_span_stats(_ds(lists, 5), key_mult=8,
+                                    broadcast_threshold=0)
+                .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, dist)
+        assert base["n_dup"].sum() > 0  # non-trivial dup set
+
+    def test_distributed_coverage_and_zero_rows(self, ray_session):
+        lists = [
+            [1, 2, 3, 4, 5, 6],
+            [2, 3, 4, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7],
+            [1, 2, 3],           # 0 windows: must still appear with 0s
+            [8, 9, 10, 11, 12],  # unique: n_dup 0, frac 0.0
+        ]
+        got = (repeated_span_stats(_ds(lists), key_mult=16,
+                                   broadcast_threshold=0)
+               .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        assert got["n_windows"].tolist() == [2, 1, 3, 0, 1]
+        assert got["n_dup"].tolist() == [1, 1, 3, 0, 0]
+        np.testing.assert_allclose(got["frac_cov"].tolist()[:3],
+                                   [5 / 6, 1.0, 1.0])
+        assert got["frac_cov"].tolist()[3:] == [0.0, 0.0]
+
+    def test_cross_doc_distributed_matches_broadcast(self, ray_session):
+        from pymhealth_ray.stages.spans import cross_doc_span_stats
+
+        rng = np.random.default_rng(78)
+        lists = [rng.integers(0, 5, rng.integers(3, 25)).tolist()
+                 for _ in range(200)]
+        lists.append([7] * 9)  # intra-only repeats (token 7 nowhere else)
+        base = (cross_doc_span_stats(_ds(lists, 5), key_mult=8)
+                .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        dist = (cross_doc_span_stats(_ds(lists, 5), key_mult=8,
+                                     broadcast_threshold=0)
+                .to_pandas().sort_values("ts_ns").reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, dist)
+        assert base["n_cross"].sum() > 0 and base["n_intra"].sum() > 0
+
+
 class TestCrossDocSpans:
     def test_cross_vs_intra_split(self, ray_session):
         from pymhealth_ray.stages.spans import cross_doc_span_stats
