@@ -17,6 +17,14 @@ Two physical plans:
   put in the object store via ``ray.put``, and every map_batches actor
   builds an entity→(ts, values) index in ``__init__`` (once per actor, NOT
   per batch). For small dimension tables this avoids the shuffle entirely.
+
+Plan selection is automatic by default (``broadcast="auto"``): a bounded
+``limit(threshold+1).count()`` probe (early-terminating, never a full
+scan) picks broadcast when the dimension fits ``broadcast_threshold``
+rows — the common feature-store case of a small filtered dim against a
+huge fact stream — and the co-partitioned exchange otherwise. Both plans
+are value- AND dtype-identical (the broadcast lookup gathers with Arrow
+``take`` from the original dim columns).
 """
 
 from __future__ import annotations
@@ -50,7 +58,8 @@ def asof_join(
     dim_ts_col: str | None = None,
     suffix: str = "_asof",
     num_buckets: int = 64,
-    broadcast: bool = False,
+    broadcast: bool | str = "auto",
+    broadcast_threshold: int = 1_000_000,
     concurrency=(2, 8),
 ):
     """Backward as-of join of ``dim``'s ``value_cols`` onto ``facts``.
@@ -58,9 +67,16 @@ def asof_join(
     ``dim`` must have ``entity_col`` and ``dim_ts_col`` (default: same name
     as ``ts_col``). Output = facts columns + ``{v}{suffix}`` per value col +
     ``{ts_col}{suffix}`` (matched dimension timestamp, NULL when no match).
+
+    ``broadcast``: True forces the broadcast plan, False the co-partitioned
+    exchange, "auto" (default) probes the dim size with a bounded
+    early-terminating count and broadcasts iff ≤ ``broadcast_threshold``
+    rows. Output is identical either way.
     """
     dim_ts_col = dim_ts_col or ts_col
 
+    if broadcast == "auto":
+        broadcast = dim.limit(broadcast_threshold + 1).count() <= broadcast_threshold
     if broadcast:
         return _asof_broadcast(facts, dim, value_cols, entity_col, ts_col, dim_ts_col, suffix, concurrency)
 
@@ -180,20 +196,22 @@ class _AsOfBroadcastIndex:
         self.suffix = suffix
         self.value_cols = value_cols
         tbl, starts, n_ent = entity_segments(dim_tbl, entity_col, dim_ts_col)
-        ts = column_i64(tbl, dim_ts_col)
-        vals = {}
+        # keep the sorted dim table: output gathers with Arrow take, so value
+        # columns keep their exact dim dtype (same as the bucketed plan)
+        self.dim_cols = {}
         for v in value_cols:
             col = tbl[v]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            vals[v] = col.to_numpy(zero_copy_only=False)
+            self.dim_cols[v] = col
+        self.ts = column_i64(tbl, dim_ts_col)
         ent = tbl[entity_col]
         if isinstance(ent, pa.ChunkedArray):
             ent = ent.combine_chunks()
         self.index: Dict[str, tuple] = {}
         for k in range(n_ent):
             lo, hi = starts[k], starts[k + 1]
-            self.index[ent[lo].as_py()] = (ts[lo:hi], {v: vals[v][lo:hi] for v in value_cols})
+            self.index[ent[lo].as_py()] = (lo, hi)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ent = batch[self.entity_col]
@@ -204,31 +222,37 @@ class _AsOfBroadcastIndex:
         uniq = enc.dictionary.to_pylist()
         f_ts = column_i64(batch, self.ts_col)
         n = len(f_ts)
-        out_vals = {v: np.zeros(n, dtype=np.float64) for v in self.value_cols}
-        out_ts = np.zeros(n, dtype=np.int64)
-        found = np.zeros(n, dtype=bool)
+        if not len(self.ts):  # empty dimension: all-null outputs
+            for v in self.value_cols:
+                batch = batch.append_column(
+                    f"{v}{self.suffix}",
+                    pa.nulls(n, type=self.dim_cols[v].type))
+            return batch.append_column(
+                f"{self.ts_col}{self.suffix}", pa.nulls(n, type=pa.int64()))
+        match = np.full(n, -1, dtype=np.int64)  # global dim row per fact row
         for code, name in enumerate(uniq):
             seg = self.index.get(name)
             if seg is None:
                 continue
+            lo, hi = seg
             rows = np.flatnonzero(codes == code)
-            d_ts, d_vals = seg
-            pos = np.searchsorted(d_ts, f_ts[rows], side="right") - 1
+            pos = np.searchsorted(self.ts[lo:hi], f_ts[rows], side="right") - 1
             ok = pos >= 0
-            rr = rows[ok]
-            found[rr] = True
-            out_ts[rr] = d_ts[pos[ok]]
-            for v in self.value_cols:
-                out_vals[v][rr] = d_vals[v][pos[ok]]
+            match[rows[ok]] = lo + pos[ok]
+        found = match >= 0
+        take_idx = pa.array(np.where(found, match, 0))
         valid = pa.array(found)
         for v in self.value_cols:
+            col = self.dim_cols[v]
+            gathered = col.take(take_idx)
             batch = batch.append_column(
                 f"{v}{self.suffix}",
-                pc.if_else(valid, pa.array(out_vals[v]), pa.nulls(n, type=pa.float64())),
+                pc.if_else(valid, gathered, pa.nulls(n, type=col.type)),
             )
+        matched_ts = pa.array(self.ts[np.where(found, match, 0)])
         batch = batch.append_column(
             f"{self.ts_col}{self.suffix}",
-            pc.if_else(valid, pa.array(out_ts), pa.nulls(n, type=pa.int64())),
+            pc.if_else(valid, matched_ts, pa.nulls(n, type=pa.int64())),
         )
         return batch
 
@@ -261,9 +285,18 @@ def _pa_schema(ds) -> pa.Schema:
 def _to_arrow(ds_or_table) -> pa.Table:
     if isinstance(ds_or_table, pa.Table):
         return ds_or_table
-    # small-side materialization is the point of the broadcast path
-    refs = ds_or_table.to_arrow_refs()
-    return pa.concat_tables([ray.get(r) for r in refs])
+    # small-side materialization is the point of the broadcast path.
+    # Empty blocks can carry an EMPTY schema (e.g. out of a groupby whose
+    # bucket produced no rows) — concat would fail on the mismatch, so keep
+    # only row-bearing tables.
+    tables = [ray.get(r) for r in ds_or_table.to_arrow_refs()]
+    nonempty = [t for t in tables if t.num_rows > 0]
+    if nonempty:
+        return pa.concat_tables(nonempty)
+    for t in tables:
+        if t.num_columns:
+            return t
+    return tables[0] if tables else pa.table({})
 
 
 # --------------------------------------------------------------------------
@@ -478,7 +511,7 @@ def asof_join_tolerance(facts, dim, value_cols, tolerance: int,
                         entity_col: str = "doc_id", ts_col: str = "ts_ns",
                         dim_ts_col: str | None = None,
                         suffix: str = "_asof", num_buckets: int = 64,
-                        broadcast: bool = False):
+                        broadcast: bool | str = "auto"):
     """Backward as-of join with a STALENESS BOUND: matches older than
     ``tolerance`` (fact_ts − dim_ts > tolerance) are nulled — the
     point-in-time lookup every feature store wants ("the last reading,

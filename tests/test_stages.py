@@ -183,7 +183,8 @@ class TestAsOfStage:
     def test_backward_match_oracle(self, sequences_ds):
         dim = _session_dim(sequences_ds)
         dimdf = dim.to_pandas()
-        j = asof_join(sequences_ds, dim, ["ref_mean"], num_buckets=8).to_pandas()
+        j = asof_join(sequences_ds, dim, ["ref_mean"], num_buckets=8,
+                      broadcast=False).to_pandas()
         j = j.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
         assert len(j) == sequences_ds.count()
         for did, g in j.groupby("doc_id"):
@@ -197,11 +198,51 @@ class TestAsOfStage:
 
     def test_broadcast_equals_shuffle(self, sequences_ds):
         dim = _session_dim(sequences_ds)
-        a = asof_join(sequences_ds, dim, ["ref_mean"], num_buckets=8).to_pandas()
+        a = asof_join(sequences_ds, dim, ["ref_mean"], num_buckets=8,
+                      broadcast=False).to_pandas()
         b = asof_join(sequences_ds, dim, ["ref_mean"], broadcast=True).to_pandas()
         a = a.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
         b = b.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
         assert np.allclose(a.ref_mean_asof.values, b.ref_mean_asof.values, equal_nan=True)
+
+    def test_auto_plan_dtype_faithful(self, ray_session):
+        """auto selects broadcast for a small dim, shuffle above the
+        threshold — and BOTH keep the dim value column's exact dtype
+        (int stays int; the old broadcast path coerced to float64)."""
+        facts = pd.DataFrame({
+            "doc_id": ["a"] * 4 + ["b"] * 3,
+            "ts_ns": [10, 20, 30, 40, 10, 25, 50],
+        })
+        dim = pd.DataFrame({
+            "doc_id": ["a", "a", "b"],
+            "ts_ns": [15, 35, 20],
+            "val": pd.array([100, 200, 300], dtype="int64"),
+        })
+        outs = {}
+        for bc in ("auto", False, True):
+            j = asof_join(ray.data.from_pandas(facts),
+                          ray.data.from_pandas(dim), ["val"],
+                          num_buckets=4, broadcast=bc)
+            tbl = pa.concat_tables(
+                list(j.iter_batches(batch_format="pyarrow")))
+            assert tbl.schema.field("val_asof").type == pa.int64()
+            assert tbl.schema.field("ts_ns_asof").type == pa.int64()
+            df = tbl.to_pandas().sort_values(
+                ["doc_id", "ts_ns"]).reset_index(drop=True)
+            outs[bc] = df
+        for bc in (False, True):
+            pd.testing.assert_frame_equal(outs["auto"], outs[bc])
+        exp = [np.nan, 100, 100, 200, np.nan, 300, 300]
+        assert np.allclose(outs["auto"]["val_asof"].astype(float).values,
+                           exp, equal_nan=True)
+        # threshold below the dim size must force the shuffle plan and
+        # still produce the same values
+        small = asof_join(ray.data.from_pandas(facts),
+                          ray.data.from_pandas(dim), ["val"], num_buckets=4,
+                          broadcast="auto", broadcast_threshold=1).to_pandas()
+        small = small.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+        assert np.allclose(small["val_asof"].astype(float).values, exp,
+                           equal_nan=True)
 
     def test_zero_leakage(self, sequences_table):
         """Perturbing every dimension row that lies in an event's future must
