@@ -16,6 +16,17 @@ column-ordering finish).
 Scale notes: the only driver-side state is the non-canonical drop set
 (bounded by the verified near-dup pair count — the LSH bucket caps bound
 it) which is broadcast via ``ray.put`` once; everything else streams.
+
+Execution shape (round-3 rework): the minhash signature is computed in the
+SAME map pass as the quality filter + md5 and carried through the
+exact-dedup exchange (``exact_dedup(carry_cols=["minhash"])``), so the one
+materialized artifact (doc_id, text, minhash) feeds the LSH band explode,
+the verify path, AND the survivor stream — the separate shingling pass and
+its materialize are gone. (Tradeoff: signatures are also computed for rows
+exact-dedup then drops; worth it unless the exact-dup ratio is extreme.)
+Packing runs per (split, bucket) in ONE exchange instead of two per-split
+passes. Results are hash-identical to the staged form (every stage is
+deterministic), only the number of executions changes.
 """
 
 from __future__ import annotations
@@ -25,7 +36,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from pymhealth_ray.stages.dedup import exact_dedup, minhash_lsh_dupes
+from pymhealth_ray.stages.dedup import (
+    _cached_minhasher,
+    exact_dedup,
+    minhash_lsh_dupes,
+)
 from pymhealth_ray.stages.graph import connected_components
 from pymhealth_ray.stages.pack import pack_assignments
 from pymhealth_ray.stages.sample import split_train_eval
@@ -34,18 +49,23 @@ from pymhealth_ray.stages.sample import split_train_eval
 def corpus_prep(docs, *, min_chars: int = 100, jaccard_threshold: float = 0.5,
                 eval_fraction: float = 0.1, salt: str = "s",
                 max_len: int = 2048, num_buckets: int = 32,
-                tok_per_char: int = 4):
+                tok_per_char: int = 4, num_hashes: int = 64,
+                shingle_k: int = 5):
     """Run the full prep chain; returns a Dataset with one row per surviving
     document: (doc_id, split, est_tok, pack_id)."""
 
-    def quality(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b["n_chars"], min_chars)).drop_columns(
+    def quality_sig(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["n_chars"], min_chars)).drop_columns(
             ["n_chars"])
+        return _cached_minhasher("text", num_hashes, shingle_k)(b)
 
-    q = docs.map_batches(quality, batch_format="pyarrow")
-    d1 = exact_dedup(q, keep_payload=True).map_batches(
-        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow").materialize()
-    pairs = minhash_lsh_dupes(d1, jaccard_threshold=jaccard_threshold)
+    q = docs.map_batches(quality_sig, batch_format="pyarrow")
+    d1 = exact_dedup(q, keep_payload=True, carry_cols=["minhash"]).map_batches(
+        lambda b: b.select(["doc_id", "text", "minhash"]),
+        batch_format="pyarrow").materialize()
+    pairs = minhash_lsh_dupes(d1, jaccard_threshold=jaccard_threshold,
+                              num_hashes=num_hashes, shingle_k=shingle_k,
+                              sig_ds=d1)
     labels = connected_components(pairs, "id_a", "id_b",
                                   num_buckets=num_buckets).to_pandas()
     drop = pa.array(
@@ -72,17 +92,11 @@ def corpus_prep(docs, *, min_chars: int = 100, jaccard_threshold: float = 0.5,
             "split": b["split"],
         })
 
-    sized = d3.map_batches(lenify, batch_format="pyarrow").materialize()
-    parts = []
-    for sp in ("train", "eval"):
-        side = sized.map_batches(
-            lambda b, sp=sp: b.filter(pc.equal(b["split"], sp)),
-            batch_format="pyarrow")
-        parts.append(pack_assignments(side, id_col="doc_id", ts_col="z",
-                                      len_col="est_tok", max_len=max_len,
-                                      num_buckets=num_buckets,
-                                      extra_cols=["split"]))
-    out = parts[0].union(parts[1])
+    sized = d3.map_batches(lenify, batch_format="pyarrow")
+    out = pack_assignments(sized, id_col="doc_id", ts_col="z",
+                           len_col="est_tok", max_len=max_len,
+                           num_buckets=num_buckets, extra_cols=["split"],
+                           group_cols=["split"])
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({

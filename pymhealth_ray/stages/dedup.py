@@ -25,13 +25,18 @@ import pyarrow as pa
 # --- exact dedup -----------------------------------------------------------
 
 
-def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", keep_payload: bool = False):
+def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", keep_payload: bool = False,
+                carry_cols=()):
     """Keep the smallest ``id_col`` per distinct ``key_col`` value.
 
     Map side emits (md5(key), id[, payload]); one groupby on the digest; the
     winner per group is the min id — the hash-partition + per-group-first
-    plan (SURVEY.md §2.10 set-ops decision).
+    plan (SURVEY.md §2.10 set-ops decision). ``carry_cols``: extra columns
+    that ride the exchange and survive on the winning row (e.g. a minhash
+    signature computed upstream so a following LSH stage can reuse it
+    instead of re-shingling — pipelines/prep.py).
     """
+    carry_cols = list(carry_cols)
 
     def to_keyed(batch: pa.Table) -> pa.Table:
         arr = batch[key_col]
@@ -50,6 +55,8 @@ def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id", keep_payload:
         }
         if keep_payload:
             cols[key_col] = batch[key_col]
+        for c in carry_cols:
+            cols[c] = batch[c]
         return pa.table(cols)
 
     def pick_firsts(tbl: pa.Table) -> pa.Table:
@@ -204,7 +211,8 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
                       jaccard_threshold: float = 0.8, concurrency=(2, 8),
                       max_bucket_size: int = 512,
-                      broadcast_pairs_threshold: int = 100_000):
+                      broadcast_pairs_threshold: int = 100_000,
+                      sig_ds=None):
     """Candidate near-dup pairs via banded MinHash-LSH, verified by minhash
     Jaccard estimate. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
@@ -226,10 +234,19 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
     from pymhealth_ray.stages.join import equi_join
 
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(ds, text_col, num_hashes, shingle_k, concurrency)
-    sig_ds = sigs.map_batches(
-        lambda t: t.select([id_col, "minhash"]), batch_format="pyarrow"
-    ).materialize()  # DAG forks 3 ways below; (id, sig) is the bounded artifact
+    if sig_ds is None:
+        sigs = minhash_signatures(ds, text_col, num_hashes, shingle_k, concurrency)
+        sig_ds = sigs.map_batches(
+            lambda t: t.select([id_col, "minhash"]), batch_format="pyarrow"
+        ).materialize()  # DAG forks 3 ways below; (id, sig) is the bounded artifact
+    else:
+        # caller provides precomputed signatures (id_col, "minhash"), e.g.
+        # carried through an exact-dedup exchange (pipelines/prep.py) — the
+        # shingling pass and its materialize are skipped entirely. The
+        # caller is responsible for backing it with a materialized dataset
+        # (it is consumed by the band explode AND the verify path).
+        sig_ds = sig_ds.map_batches(
+            lambda t: t.select([id_col, "minhash"]), batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         mh = batch["minhash"]
@@ -292,64 +309,49 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         keep = a != b  # guard against 64-bit band-key collisions for one doc
-        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
-
-    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
-    candidates = exploded.groupby("kbucket").map_groups(
-        lambda t: make_pairs(t.drop_columns(["kbucket"])), batch_format="pyarrow")
-
-    # candidate pairs repeat across bands → vectorized dedup inside hash
-    # buckets of the (bounded) pair set, not a per-pair map_groups call.
-    def pair_bucket(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.uint64)
-        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256)
-        return batch.append_column("pbucket", pa.array(h.astype(np.int32)))
-
-    def uniq_pairs(tbl: pa.Table) -> pa.Table:
-        a = np.asarray(tbl["id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(tbl["id_b"].to_pylist(), dtype=np.int64)
-        m = np.stack([a, b], axis=1)
-        m = np.unique(m, axis=0)
+        # in-bucket dedup (pairs repeat across band keys that landed in the
+        # same hash bucket) — slims every downstream path for free
+        m = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
         return pa.table({"id_a": pa.array(m[:, 0]), "id_b": pa.array(m[:, 1])})
 
-    pairs = (
-        candidates.map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket").map_groups(uniq_pairs, batch_format="pyarrow")
-    ).materialize()  # bounded: capped candidate pair set (≤ C(cap,2)/bucket)
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+    # candidates are per-kbucket deduped inside make_pairs; duplicates can
+    # still survive ACROSS kbuckets (same pair from different bands)
+    candidates = exploded.groupby("kbucket").map_groups(
+        lambda t: make_pairs(t.drop_columns(["kbucket"])),
+        batch_format="pyarrow").materialize()
 
-    # verify path A (small pair set, the common case): stream the signature
-    # dataset ONCE, keep only the ≤ 2·n_pairs signatures that pairs touch,
-    # estimate driver-side — no further exchange at all. Bound: threshold
-    # pairs × 2 sigs × num_hashes×8B (~100MB at 100k pairs / 64 hashes).
-    n_pairs = pairs.count()
-    if n_pairs <= broadcast_pairs_threshold:
+    # verify path A (small candidate set, the common case): global pair
+    # dedup on the DRIVER (bounded by the threshold), then stream the
+    # signature dataset ONCE keeping only the ≤ 2·n_pairs signatures the
+    # pairs touch, estimate driver-side — no further exchange at all.
+    # Bound: threshold pairs × 2 sigs × num_hashes×8B (~100MB at 100k
+    # pairs / 64 hashes).
+    n_cand = candidates.count()
+    if n_cand <= broadcast_pairs_threshold:
         import ray as _ray
 
         pair_tbl = pa.concat_tables(
-            [t for t in _ray.get(pairs.to_arrow_refs()) if t.num_rows]
-        ) if n_pairs else None
+            [t for t in _ray.get(candidates.to_arrow_refs()) if t.num_rows]
+        ) if n_cand else None
         if pair_tbl is None:
-            return pairs  # empty (id_a, id_b) — schema-compatible empty result
-        a_ids = np.asarray(pair_tbl["id_a"].to_pylist(), dtype=np.int64)
-        b_ids = np.asarray(pair_tbl["id_b"].to_pylist(), dtype=np.int64)
-        need = np.unique(np.concatenate([a_ids, b_ids]))
+            return candidates  # empty (id_a, id_b) — schema-compatible
+        m = np.unique(np.stack([
+            np.asarray(pair_tbl["id_a"].to_pylist(), dtype=np.int64),
+            np.asarray(pair_tbl["id_b"].to_pylist(), dtype=np.int64),
+        ], axis=1), axis=0)
+        a_ids, b_ids = m[:, 0], m[:, 1]
+        need = np.unique(m.ravel())
         need_ref = _ray.put(need)
 
-        class CollectSigs:
-            def __init__(self, ref):
-                self.need = _ray.get(ref)
+        def collect_sigs(t: pa.Table) -> pa.Table:
+            # stateless task (no actor spin-up): ray.get of the broadcast
+            # need-set is a zero-copy shared-memory read per task
+            need_l = _ray.get(need_ref)
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            return t.filter(pa.array(np.isin(ids, need_l)))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-                keep = np.isin(ids, self.need)
-                return t.filter(pa.array(keep))
-
-        kept = sig_ds.map_batches(
-            CollectSigs, fn_constructor_args=(need_ref,), batch_format="pyarrow",
-            concurrency=concurrency,
-        )
+        kept = sig_ds.map_batches(collect_sigs, batch_format="pyarrow")
         tbls = [t for t in _ray.get(kept.to_arrow_refs()) if t.num_rows]
         sid = np.concatenate([
             np.asarray(t[id_col].to_pylist(), dtype=np.int64) for t in tbls
@@ -373,10 +375,30 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return _rd.from_arrow(out)
 
-    # verify path B (huge pair set): re-attach full signatures to the pair
-    # set with two co-partitioned joins — everything stays distributed.
+    # verify path B (huge pair set): global pair dedup via one hash-bucket
+    # exchange, then re-attach full signatures to the pair set with two
+    # co-partitioned joins — everything stays distributed.
     # Signatures travel as binary blobs: acero hash-join payloads don't
     # support fixed_size_list, and bytes are the same wire size anyway.
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256)
+        return batch.append_column("pbucket", pa.array(h.astype(np.int32)))
+
+    def uniq_pairs(tbl: pa.Table) -> pa.Table:
+        a = np.asarray(tbl["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(tbl["id_b"].to_pylist(), dtype=np.int64)
+        m = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"id_a": pa.array(m[:, 0]), "id_b": pa.array(m[:, 1])})
+
+    pairs = (
+        candidates.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket").map_groups(
+            lambda t: uniq_pairs(t.drop_columns(["pbucket"])),
+            batch_format="pyarrow")
+    )
     def _sig_blob(out_id: str, out_sig: str):
         def fn(t: pa.Table) -> pa.Table:
             mh = t["minhash"]

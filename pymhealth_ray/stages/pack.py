@@ -131,11 +131,17 @@ def pack_assignments_for_bucket(tbl: pa.Table, bucket: int, id_col: str,
 
 def pack_assignments(ds, id_col: str = "doc_id", ts_col: str = "ts_ns",
                      len_col: str = "n_tok", max_len: int = 2048,
-                     num_buckets: int = 32, extra_cols=()):
+                     num_buckets: int = 32, extra_cols=(), group_cols=()):
     """Distributed per-sequence pack assignment: input columns (+``extra_cols``)
     plus ``pack_id``. Same deterministic order and bucketing as
-    :func:`pack_sequences`."""
-    keep = [id_col, ts_col, len_col] + list(extra_cols)
+    :func:`pack_sequences`. ``group_cols``: extra partition keys — packing
+    runs independently per (group, bucket) in ONE exchange, e.g. a
+    train/eval split column instead of two per-split passes."""
+    group_cols = list(group_cols)
+    keep = [id_col, ts_col, len_col]
+    for c in list(extra_cols) + group_cols:
+        if c not in keep:
+            keep.append(c)
 
     def tag(batch: pa.Table) -> pa.Table:
         batch = batch.select(keep)
@@ -149,7 +155,8 @@ def pack_assignments(ds, id_col: str = "doc_id", ts_col: str = "ts_ns",
             len_col, max_len)
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby(
-        "__packbucket").map_groups(per_bucket, batch_format="pyarrow")
+        group_cols + ["__packbucket"]).map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def length_histogram(ds, len_col: str = "n_tok"):
