@@ -72,18 +72,64 @@ def segment_doc_frequency(ds, text_col: str = "text", words_per_seg: int = 3):
         lambda b: b.rename_columns(["seg", "df"]), batch_format="pyarrow")
 
 
+class HotSegments:
+    """Broadcastable membership over the boilerplate segment set.
+
+    Exact mode holds the frozenset; bloom mode holds a fixed-size bitmap
+    (stages.bloom double hashing over md5 halves) for sets too large to
+    collect — NO false negatives (every true boilerplate segment is still
+    dropped), a small false-positive rate over-scrubs ~fp_rate of innocent
+    segments (acceptable for a cleaning op; callers needing exactness raise
+    ``max_set_size``)."""
+
+    def __init__(self, exact: frozenset | None = None,
+                 bitmap=None, k: int = 7):
+        self.exact = exact
+        self.bitmap = bitmap
+        self.k = k
+
+    def __contains__(self, s: str) -> bool:
+        if self.exact is not None:
+            return s in self.exact
+        d = hashlib.md5(str(s).encode()).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        n_bits = len(self.bitmap) * 8
+        for i in range(self.k):
+            pos = (h1 + i * h2) % n_bits
+            if not (self.bitmap[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+
+
 def hot_segment_set(ds, text_col: str = "text", words_per_seg: int = 3,
-                    max_df: int = 2) -> frozenset:
+                    max_df: int = 2, max_set_size: int = 2_000_000,
+                    bloom_bits: int = 1 << 24) -> HotSegments:
     """The boilerplate set: segments appearing in more than ``max_df``
-    docs. Collected to the driver (small by construction — log if not)."""
+    docs. The set size is data-dependent (bounded by corpus segment pairs
+    / max_df, NOT by a constant), so the driver collect is gated: exact
+    frozenset up to ``max_set_size`` segments, mergeable-Bloom bitmap
+    (fixed ``bloom_bits`` regardless of set size, built distributed)
+    above it — logged when it engages."""
     import pyarrow.compute as pc
 
     df = segment_doc_frequency(ds, text_col, words_per_seg)
     hot = df.map_batches(
         lambda b: b.filter(pc.greater(b["df"], max_df)).select(["seg"]),
-        batch_format="pyarrow")
-    rows = hot.take_all()
-    return frozenset(r["seg"] for r in rows)
+        batch_format="pyarrow").materialize()
+    n = hot.count()
+    if n <= max_set_size:
+        rows = hot.take_all()
+        return HotSegments(exact=frozenset(r["seg"] for r in rows))
+    import logging
+
+    from pymhealth_ray.stages.bloom import build_bloom
+
+    logging.getLogger(__name__).warning(
+        "hot_segment_set: %d hot segments exceed max_set_size=%d; using a "
+        "%d-bit Bloom filter (no false negatives; ~FP-rate over-scrub)",
+        n, max_set_size, bloom_bits)
+    return HotSegments(bitmap=build_bloom(hot, "seg", n_bits=bloom_bits))
 
 
 def drop_hot_segments(ds, hot_ref, id_col: str = "doc_id",
@@ -130,13 +176,14 @@ def drop_hot_segments(ds, hot_ref, id_col: str = "doc_id",
 
 def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   words_per_seg: int = 3, max_df: int = 2,
-                  keep_text: bool = False):
+                  keep_text: bool = False, max_set_size: int = 2_000_000):
     """End-to-end boilerplate scrub: df count → hot-set broadcast →
     map-only drop. ``ds`` is consumed twice (count pass + scrub pass) —
     at scale, persist the input or fuse the count into ingest."""
     import ray
 
-    hot = hot_segment_set(ds, text_col, words_per_seg, max_df)
+    hot = hot_segment_set(ds, text_col, words_per_seg, max_df,
+                          max_set_size=max_set_size)
     hot_ref = ray.put(hot)
     return drop_hot_segments(ds, hot_ref, id_col, text_col, words_per_seg,
                              keep_text)

@@ -1433,6 +1433,49 @@ class TestLineDedup:
         assert out.n_dropped.iloc[5] == 0
         assert out.clean_text.iloc[5] == docs[5]
 
+    def test_adversarial_all_hot_bloom_fallback(self, ray_session):
+        """Every segment hot (all docs identical) with max_set_size=0: the
+        Bloom fallback engages — driver state stays at the fixed bitmap
+        size — and no-false-negatives means every boilerplate segment is
+        still dropped."""
+        import pandas as pd
+        from pymhealth_ray.stages.linededup import (
+            HotSegments,
+            hot_segment_set,
+            segment_dedup,
+        )
+
+        docs = ["the same exact boilerplate text everywhere again"] * 20
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        ds = ray.data.from_pandas(df).repartition(4)
+        hot = hot_segment_set(ds, words_per_seg=3, max_df=2, max_set_size=0,
+                              bloom_bits=1 << 16)
+        assert isinstance(hot, HotSegments) and hot.exact is None
+        assert len(hot.bitmap) == (1 << 16) // 8  # bounded regardless of set
+        out = (segment_dedup(ds, words_per_seg=3, max_df=2, keep_text=True,
+                             max_set_size=0)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (out.n_dropped == out.n_seg).all()  # no false negatives
+        assert (out.clean_text == "").all()
+
+    def test_bloom_fallback_superset_of_exact(self, ray_session):
+        """Bloom mode drops AT LEAST the exact hot set (FPs may add a few)."""
+        import pandas as pd
+        from pymhealth_ray.stages.linededup import segment_dedup
+
+        rng = np.random.default_rng(31)
+        vocab = ["a", "b", "c", "d", "e", "f"]
+        docs = [" ".join(rng.choice(vocab, rng.integers(4, 20)))
+                for _ in range(200)]
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        ds = ray.data.from_pandas(df).repartition(3)
+        exact = (segment_dedup(ds, words_per_seg=2, max_df=3)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        bloom = (segment_dedup(ds, words_per_seg=2, max_df=3, max_set_size=0)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (bloom.n_dropped >= exact.n_dropped).all()
+        assert exact.n_dropped.sum() > 0
+
     def test_partition_invariant_and_matches_single_process(self, ray_session):
         import hashlib
         import pandas as pd
