@@ -204,28 +204,53 @@ def run_scaling_job(num_cpus: int, repeats: int = 1) -> dict:
     return {"sec": best, "rows": n, "rows_per_sec": n / best}
 
 
-def run_queries(sf_dir: str) -> dict:
+def _steal_jiffies() -> int:
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except Exception:
+        return -1
+
+
+QUERY_BUDGET_SEC = float(os.environ.get("BENCH_QUERY_BUDGET", "240"))
+
+
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    """Steal-resistant per-query timing: the full query list runs in
+    INTERLEAVED rounds (round 1 all queries, round 2 all queries, ...) on
+    the shared warm cluster, taking the per-query minimum — a hypervisor
+    steal burst (BASELINE.md: this host loses up to 2/3 of its vCPUs for
+    tens of seconds) then inflates different queries each round instead of
+    poisoning one query twice back-to-back. Each timed run records its
+    /proc/stat steal delta; the JSON carries the delta of every query's
+    BEST run plus the section total, so a hostile window is visible in the
+    artifact rather than indistinguishable from a code regression.
+    Rounds after the first stop when ``BENCH_QUERY_BUDGET`` is exhausted."""
     from pymhealth_ray.pipelines.queries import build_queries
 
     qs = build_queries()
-    out = {}
+    best: dict = {}
+    best_steal: dict = {}
     section_start = time.time()
-    for name in BENCH_QUERIES:
-        # adaptive best-of-2, same noise-bounding as the headline
-        # (BASELINE.md "Measurement method"): this host's hypervisor steal
-        # time can inflate a single run 2-5x. Queries whose first run is
-        # already slow skip the retry, and retries stop entirely once the
-        # query section passes its time budget — total bench wall time
-        # stays bounded as the query list grows.
-        t0 = time.time()
-        _consume(qs[name](sf_dir))
-        best = time.time() - t0
-        if best < 3.0 and time.time() - section_start < 180.0:
+    steal_start = _steal_jiffies()
+    for rnd in range(3):
+        if rnd > 0 and time.time() - section_start > QUERY_BUDGET_SEC:
+            break
+        for name in BENCH_QUERIES:
+            if rnd > 0 and time.time() - section_start > QUERY_BUDGET_SEC:
+                break
+            s0 = _steal_jiffies()
             t0 = time.time()
             _consume(qs[name](sf_dir))
-            best = min(best, time.time() - t0)
-        out[name] = round(best, 3)
-    return out
+            sec = time.time() - t0
+            if sec < best.get(name, float("inf")):
+                best[name] = sec
+                best_steal[name] = _steal_jiffies() - s0
+    meta = {
+        "query_steal_jiffies": {n: best_steal[n] for n in best},
+        "steal_jiffies_total": _steal_jiffies() - steal_start,
+        "query_section_sec": round(time.time() - section_start, 1),
+    }
+    return {n: round(v, 3) for n, v in best.items()}, meta
 
 
 def main():
@@ -334,9 +359,9 @@ def main():
 
     headline_only = "--headline-only" in sys.argv
     h = run_headline(NUM_CPUS)
-    queries = {} if headline_only else run_queries(SF_DIR)
+    queries, qmeta = ({}, {}) if headline_only else run_queries(SF_DIR)
     ray.shutdown()
-    print(json.dumps({
+    rep = {
         "metric": "flagship_e2e",
         "value": round(h["sec"], 3),
         "unit": "sec",
@@ -345,7 +370,9 @@ def main():
         "num_cpus": NUM_CPUS,
         "flagship_rows": h["rows"],
         "sequences_per_sec": round(h["rows_per_sec"], 1),
-    }))
+    }
+    rep.update(qmeta)
+    print(json.dumps(rep))
 
 
 if __name__ == "__main__":

@@ -965,7 +965,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
     intentionally absent → the driver records a rows-only check for them.
     """
     path = ensure_fixture(sf_dir_for_fixture)
-    return {
+    out = {
         "events_window_1h": SQL_EVENTS_WINDOW_1H,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
@@ -1102,6 +1102,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _dedup_keep_best_expected,
             columns=("doc_id", "text", "n_chars")),
     }
+    _flush_pending_oracles()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1796,24 +1798,52 @@ def sql_events_geo_clusters(sf_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def _materialized_oracle(path: str, name: str, builder,
-                         columns=("doc_id", "ts_ns", "tokens")) -> str:
-    """Build (once) an expected-result parquet with ``builder(df) ->
-    pandas.DataFrame`` over the sequences fixture and return a SQL
-    passthrough — the seq_asof_sessions pattern: the oracle is computed
-    single-process on the driver, independently of Ray's partitioning /
-    batching / ordering, and the driver hash-compares the two paths."""
+#: (src_path_or_None, out_path, builder, columns, as_pandas) records of
+#: oracle parquets whose files are missing — built in ONE parallel flush at
+#: the end of build_oracle_sql (ray tasks when a session is up) instead of
+#: serially at registration. Cold-cache oracle_sql() build was the single
+#: biggest gate fixed cost (~2m20s on a wiped /tmp).
+_PENDING_ORACLES: list = []
+
+
+def _build_oracle_file(src_path, out_path, builder, columns, as_pandas):
+    """Single-process oracle replication → parquet (atomic rename)."""
     import os
 
     import pyarrow.parquet as pq_mod
 
+    src = pq_mod.read_table(src_path, columns=list(columns))
+    exp = builder(src.to_pandas() if as_pandas else src)
+    tmp = f"{out_path}.tmp{os.getpid()}"
+    pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+    os.replace(tmp, out_path)
+
+
+def _flush_pending_oracles():
+    global _PENDING_ORACLES
+    pending, _PENDING_ORACLES = _PENDING_ORACLES, []
+    if not pending:
+        return
+    if ray.is_initialized():
+        task = ray.remote(num_cpus=1)(_build_oracle_file)
+        ray.get([task.remote(*args) for args in pending])
+    else:  # never auto-init a ray session from inside the package
+        for args in pending:
+            _build_oracle_file(*args)
+
+
+def _materialized_oracle(path: str, name: str, builder,
+                         columns=("doc_id", "ts_ns", "tokens")) -> str:
+    """Register (build-once, flushed in parallel) an expected-result parquet
+    with ``builder(table) -> pandas.DataFrame`` over the sequences fixture
+    and return a SQL passthrough — the seq_asof_sessions pattern: the
+    oracle is computed single-process, independently of Ray's partitioning
+    / batching / ordering, and the driver hash-compares the two paths."""
+    import os
+
     out_path = os.path.join(path, f"_oracle_{name}.parquet")
     if not os.path.exists(out_path):
-        src = pq_mod.read_table(path, columns=list(columns))
-        exp = builder(src)
-        tmp = out_path + ".tmp"
-        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
-        os.replace(tmp, out_path)
+        _PENDING_ORACLES.append((path, out_path, builder, list(columns), False))
     return f"SELECT * FROM read_parquet('{out_path}')"
 
 
@@ -1955,11 +1985,8 @@ def _docs_materialized_oracle(sf_dir: str, name: str, builder,
     out_path = os.path.join(out_dir, f"{name}.parquet")
     if not os.path.exists(out_path):
         os.makedirs(out_dir, exist_ok=True)
-        src = pq_mod.read_table(f"{sf_dir}/documents.parquet", columns=list(columns))
-        exp = builder(src.to_pandas())
-        tmp = out_path + ".tmp"
-        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
-        os.replace(tmp, out_path)
+        _PENDING_ORACLES.append((f"{sf_dir}/documents.parquet", out_path,
+                                 builder, list(columns), True))
     return f"SELECT * FROM read_parquet('{out_path}')"
 
 

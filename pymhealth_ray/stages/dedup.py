@@ -315,33 +315,51 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(m[:, 0]), "id_b": pa.array(m[:, 1])})
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
-    # candidates are per-kbucket deduped inside make_pairs; duplicates can
-    # still survive ACROSS kbuckets (same pair from different bands)
-    candidates = exploded.groupby("kbucket").map_groups(
-        lambda t: make_pairs(t.drop_columns(["kbucket"])),
-        batch_format="pyarrow").materialize()
+    # candidates are per-kbucket deduped inside make_pairs; duplicates still
+    # survive ACROSS kbuckets (the same near-dup pair matches in many
+    # bands — a dup-heavy corpus multiplies candidates ~bands×), so global
+    # pair dedup happens in the same execution: one slim (id_a, id_b)
+    # hash-bucket exchange, vectorized np.unique per bucket.
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256)
+        return batch.append_column("pbucket", pa.array(h.astype(np.int32)))
 
-    # verify path A (small candidate set, the common case): global pair
-    # dedup on the DRIVER (bounded by the threshold), then stream the
-    # signature dataset ONCE keeping only the ≤ 2·n_pairs signatures the
-    # pairs touch, estimate driver-side — no further exchange at all.
-    # Bound: threshold pairs × 2 sigs × num_hashes×8B (~100MB at 100k
-    # pairs / 64 hashes).
-    n_cand = candidates.count()
-    if n_cand <= broadcast_pairs_threshold:
+    def uniq_pairs(tbl: pa.Table) -> pa.Table:
+        a = np.asarray(tbl["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(tbl["id_b"].to_pylist(), dtype=np.int64)
+        m = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"id_a": pa.array(m[:, 0]), "id_b": pa.array(m[:, 1])})
+
+    pairs = (
+        exploded.groupby("kbucket").map_groups(
+            lambda t: make_pairs(t.drop_columns(["kbucket"])),
+            batch_format="pyarrow")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket").map_groups(
+            lambda t: uniq_pairs(t.drop_columns(["pbucket"])),
+            batch_format="pyarrow")
+    ).materialize()  # bounded: capped, globally deduped pair set
+
+    # verify path A (small pair set, the common case): collect the deduped
+    # pairs, then stream the signature dataset ONCE keeping only the
+    # ≤ 2·n_pairs signatures the pairs touch, estimate driver-side — no
+    # further exchange at all. Bound: threshold pairs × 2 sigs ×
+    # num_hashes×8B (~100MB at 100k pairs / 64 hashes).
+    n_pairs = pairs.count()
+    if n_pairs <= broadcast_pairs_threshold:
         import ray as _ray
 
         pair_tbl = pa.concat_tables(
-            [t for t in _ray.get(candidates.to_arrow_refs()) if t.num_rows]
-        ) if n_cand else None
+            [t for t in _ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        ) if n_pairs else None
         if pair_tbl is None:
-            return candidates  # empty (id_a, id_b) — schema-compatible
-        m = np.unique(np.stack([
-            np.asarray(pair_tbl["id_a"].to_pylist(), dtype=np.int64),
-            np.asarray(pair_tbl["id_b"].to_pylist(), dtype=np.int64),
-        ], axis=1), axis=0)
-        a_ids, b_ids = m[:, 0], m[:, 1]
-        need = np.unique(m.ravel())
+            return pairs  # empty (id_a, id_b) — schema-compatible
+        a_ids = np.asarray(pair_tbl["id_a"].to_pylist(), dtype=np.int64)
+        b_ids = np.asarray(pair_tbl["id_b"].to_pylist(), dtype=np.int64)
+        need = np.unique(np.concatenate([a_ids, b_ids]))
         need_ref = _ray.put(need)
 
         def collect_sigs(t: pa.Table) -> pa.Table:
@@ -375,30 +393,10 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return _rd.from_arrow(out)
 
-    # verify path B (huge pair set): global pair dedup via one hash-bucket
-    # exchange, then re-attach full signatures to the pair set with two
-    # co-partitioned joins — everything stays distributed.
+    # verify path B (huge pair set): re-attach full signatures to the pair
+    # set with two co-partitioned joins — everything stays distributed.
     # Signatures travel as binary blobs: acero hash-join payloads don't
     # support fixed_size_list, and bytes are the same wire size anyway.
-    def pair_bucket(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.uint64)
-        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            h = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256)
-        return batch.append_column("pbucket", pa.array(h.astype(np.int32)))
-
-    def uniq_pairs(tbl: pa.Table) -> pa.Table:
-        a = np.asarray(tbl["id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(tbl["id_b"].to_pylist(), dtype=np.int64)
-        m = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"id_a": pa.array(m[:, 0]), "id_b": pa.array(m[:, 1])})
-
-    pairs = (
-        candidates.map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket").map_groups(
-            lambda t: uniq_pairs(t.drop_columns(["pbucket"])),
-            batch_format="pyarrow")
-    )
     def _sig_blob(out_id: str, out_sig: str):
         def fn(t: pa.Table) -> pa.Table:
             mh = t["minhash"]
