@@ -1806,7 +1806,8 @@ def sql_events_geo_clusters(sf_dir: str) -> str:
 _PENDING_ORACLES: list = []
 
 
-def _build_oracle_file(src_path, out_path, builder, columns, as_pandas):
+def _build_oracle_file(src_path, out_path, builder, columns, as_pandas,
+                       shards=1):
     """Single-process oracle replication → parquet (atomic rename)."""
     import os
 
@@ -1819,21 +1820,56 @@ def _build_oracle_file(src_path, out_path, builder, columns, as_pandas):
     os.replace(tmp, out_path)
 
 
+def _build_oracle_shard(src_path, builder, columns, as_pandas, idx, shards):
+    """One row-range shard of a ROW-LOCAL builder (output row i depends
+    only on input row i), for parallelizing the heavy per-row signal
+    replications (rpeaks, nonlinear)."""
+    import pyarrow.parquet as pq_mod
+
+    src = pq_mod.read_table(src_path, columns=list(columns))
+    n = src.num_rows
+    lo = (n * idx) // shards
+    hi = (n * (idx + 1)) // shards
+    part = src.slice(lo, hi - lo)
+    return builder(part.to_pandas() if as_pandas else part)
+
+
 def _flush_pending_oracles():
     global _PENDING_ORACLES
     pending, _PENDING_ORACLES = _PENDING_ORACLES, []
     if not pending:
         return
     if ray.is_initialized():
-        task = ray.remote(num_cpus=1)(_build_oracle_file)
-        ray.get([task.remote(*args) for args in pending])
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq_mod
+
+        file_task = ray.remote(num_cpus=1)(_build_oracle_file)
+        shard_task = ray.remote(num_cpus=1)(_build_oracle_shard)
+        whole, sharded = [], []
+        for args in pending:
+            (sharded if args[5] > 1 else whole).append(args)
+        futs = [file_task.remote(*args[:5]) for args in whole]
+        shard_futs = []
+        for (src_path, out_path, builder, columns, as_pandas, shards) in sharded:
+            shard_futs.append((out_path, [
+                shard_task.remote(src_path, builder, columns, as_pandas, i, shards)
+                for i in range(shards)]))
+        ray.get(futs)
+        for out_path, parts in shard_futs:
+            exp = pd.concat(ray.get(parts), ignore_index=True)
+            tmp = f"{out_path}.tmp{os.getpid()}"
+            pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+            os.replace(tmp, out_path)
     else:  # never auto-init a ray session from inside the package
         for args in pending:
-            _build_oracle_file(*args)
+            _build_oracle_file(*args[:5])
 
 
 def _materialized_oracle(path: str, name: str, builder,
-                         columns=("doc_id", "ts_ns", "tokens")) -> str:
+                         columns=("doc_id", "ts_ns", "tokens"),
+                         shards: int = 1) -> str:
     """Register (build-once, flushed in parallel) an expected-result parquet
     with ``builder(table) -> pandas.DataFrame`` over the sequences fixture
     and return a SQL passthrough — the seq_asof_sessions pattern: the
@@ -1843,7 +1879,8 @@ def _materialized_oracle(path: str, name: str, builder,
 
     out_path = os.path.join(path, f"_oracle_{name}.parquet")
     if not os.path.exists(out_path):
-        _PENDING_ORACLES.append((path, out_path, builder, list(columns), False))
+        _PENDING_ORACLES.append((path, out_path, builder, list(columns),
+                                 False, shards))
     return f"SELECT * FROM read_parquet('{out_path}')"
 
 
@@ -1926,7 +1963,8 @@ def sql_seq_spectral(path: str) -> str:
 
 
 def sql_seq_nonlinear(path: str) -> str:
-    return _materialized_oracle(path, "nonlinear_v1", _nonlinear_expected)
+    return _materialized_oracle(path, "nonlinear_v1", _nonlinear_expected,
+                                shards=16)
 
 
 def _rpeaks_expected(src: pa.Table):
@@ -1967,7 +2005,8 @@ def _rpeaks_expected(src: pa.Table):
 
 
 def sql_seq_rpeaks(path: str) -> str:
-    return _materialized_oracle(path, "rpeaks_v1", _rpeaks_expected)
+    return _materialized_oracle(path, "rpeaks_v1", _rpeaks_expected,
+                                shards=16)
 
 
 def _docs_materialized_oracle(sf_dir: str, name: str, builder,
@@ -1986,7 +2025,7 @@ def _docs_materialized_oracle(sf_dir: str, name: str, builder,
     if not os.path.exists(out_path):
         os.makedirs(out_dir, exist_ok=True)
         _PENDING_ORACLES.append((f"{sf_dir}/documents.parquet", out_path,
-                                 builder, list(columns), True))
+                                 builder, list(columns), True, 1))
     return f"SELECT * FROM read_parquet('{out_path}')"
 
 
