@@ -3,19 +3,78 @@
 Image/audio/video travel as ``binary`` columns with metadata columns
 (mime, width/height, sample rate). Decode and feature-extraction are
 actor-pool map_batches stages with the real Ray-side plumbing (schema,
-batch sizing by BYTES, actor signature, output layout); the codec itself is
-STUBBED — the decode libraries are not in this container — behind
-``decoder="fake"`` (deterministic synthetic pixels/samples derived from the
-payload hash) or ``decoder="real"`` (raises NotImplementedError where
-PIL/ffmpeg would be called).
+batch sizing by BYTES, actor signature, output layout).
+
+Decoders: ``decoder="fake"`` (deterministic synthetic pixels/samples
+derived from the payload hash — the permanent oracle path, driver-gated)
+or ``decoder="real"``:
+
+- images: PIL when importable (loaded once per actor in ``__init__``),
+  with a dependency-free pure-numpy PNM (P5/P6) parser as fallback —
+  so the real path is exercisable even without PIL;
+- audio: stdlib ``wave`` for RIFF/PCM payloads (8/16-bit, any channel
+  count, mixed to mono); other containers need ffmpeg →
+  NotImplementedError;
+- video: PyAV when importable; absent → NotImplementedError (the honest
+  stub — no ffmpeg in this container).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
+
+
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Minimal binary PNM decoder (P5 gray / P6 RGB, maxval < 65536) →
+    float64 grayscale in [0, 1]. Pure numpy — the in-container 'real
+    codec' test vehicle."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    ch = 1 if magic == b"P5" else 3
+    if maxval < 256:
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                               offset=pos).astype(np.float64)
+    else:
+        raster = np.frombuffer(payload, dtype=">u2", count=w * h * ch,
+                               offset=pos).astype(np.float64)
+    img = raster.reshape(h, w, ch).mean(axis=2)
+    return img / maxval
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/PCM WAV → float64 mono samples in [-1, 1] via stdlib wave."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, width, ch = wf.getnframes(), wf.getsampwidth(), wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM needs ffmpeg")
+    return arr.reshape(-1, ch).mean(axis=1)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -60,12 +119,25 @@ class ImageDecoder:
             raise ValueError("decoder must be 'fake' or 'real'")
         self.decoder = decoder
         self.thumb = thumb
+        self._pil = None
+        if decoder == "real":
+            try:  # codec import happens ONCE per actor, not per batch
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None  # PNM fallback still works
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.decoder == "real":
+            if payload[:2] in (b"P5", b"P6"):
+                return _parse_pnm(payload)
+            if self._pil is not None:
+                img = self._pil.open(io.BytesIO(payload)).convert("L")
+                return np.asarray(img, dtype=np.float64) / 255.0
             raise NotImplementedError(
-                "real image decode requires PIL/libvips — not available in "
-                "this container; plug the codec in here"
+                "real image decode requires PIL/libvips for non-PNM "
+                "payloads — not available in this container"
             )
         # deterministic fake pixels: seeded by the payload digest
         seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
@@ -125,10 +197,15 @@ class AudioFrameSampler:
         out_rows = np.zeros((batch.num_rows, self.n_frames), dtype=np.float32)
         for i, p in enumerate(payloads):
             if self.decoder == "real":
-                raise NotImplementedError("real audio decode requires ffmpeg — plug in here")
-            seed = int.from_bytes(hashlib.md5(p).digest()[:8], "big")
-            samples = np.random.default_rng(seed).random(self.n_frames * self.frame_stride)
-            out_rows[i] = samples[:: self.frame_stride][: self.n_frames]
+                if p[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "real audio decode beyond PCM WAV requires ffmpeg")
+                samples = _decode_wav(p)
+            else:
+                seed = int.from_bytes(hashlib.md5(p).digest()[:8], "big")
+                samples = np.random.default_rng(seed).random(self.n_frames * self.frame_stride)
+            strided = samples[:: self.frame_stride][: self.n_frames]
+            out_rows[i, : len(strided)] = strided
         out = batch.drop_columns(["payload"])
         return out.append_column(
             "frame_feats", pa.FixedSizeListArray.from_arrays(pa.array(out_rows.ravel()), self.n_frames)
@@ -164,10 +241,33 @@ class VideoFrameSampler:
         self.frame_stride = frame_stride
         self.max_frames = max_frames
         self.thumb = thumb
+        self._av = None
+        if decoder == "real":
+            try:  # container/codec import once per actor
+                import av
+
+                self._av = av
+            except ImportError:
+                self._av = None
 
     def _decode_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
         if self.decoder == "real":
-            raise NotImplementedError("real video decode requires ffmpeg/pyav — plug in here")
+            if self._av is None:
+                raise NotImplementedError(
+                    "real video decode requires PyAV/ffmpeg — not available "
+                    "in this container")
+            with self._av.open(io.BytesIO(payload)) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    if i == frame_idx:
+                        img = frame.to_ndarray(format="gray").astype(np.float64) / 255.0
+                        ys = np.linspace(0, img.shape[0], self.thumb + 1).astype(int)
+                        xs = np.linspace(0, img.shape[1], self.thumb + 1).astype(int)
+                        pooled = np.array([
+                            [img[ys[a]: ys[a + 1], xs[b]: xs[b + 1]].mean()
+                             for b in range(self.thumb)]
+                            for a in range(self.thumb)])
+                        return pooled.ravel().astype(np.float32)
+            raise ValueError(f"frame {frame_idx} beyond clip length")
         seed = int.from_bytes(hashlib.md5(payload + frame_idx.to_bytes(4, "big")).digest()[:8], "big")
         return np.random.default_rng(seed).random(self.thumb * self.thumb).astype(np.float32)
 

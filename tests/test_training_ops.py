@@ -116,10 +116,78 @@ class TestMultimodal:
         assert all(len(v) == 16 for v in out.thumb_vec)
         assert "payload" not in out.columns  # heavy bytes dropped after decode
 
-    def test_real_decoder_stubbed(self):
+    def test_real_decoder_stubbed_for_unknown_formats(self):
         dec = multimodal.ImageDecoder(decoder="real")
-        with pytest.raises(NotImplementedError):
-            dec._decode(b"xx", 4, 4)
+        if dec._pil is None:  # without PIL only PNM payloads decode
+            with pytest.raises(NotImplementedError):
+                dec._decode(b"xx", 4, 4)
+
+    def test_real_image_decode_pnm(self, ray_session):
+        """The REAL decode path end-to-end through the actor-pool stage,
+        using binary PGM/PPM payloads (pure-numpy parser; no PIL needed)."""
+        import pyarrow as pa
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(6):
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            if i % 2:  # P5 grayscale
+                raster = rng.integers(0, 256, w * h, dtype=np.uint8)
+                payload = b"P5\n# cmt\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                exp_mean = raster.mean() / 255.0
+            else:  # P6 RGB -> grayscale mean
+                raster = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+                payload = b"P6 %d %d 255\n" % (w, h) + raster.tobytes()
+                exp_mean = raster.reshape(-1, 3).mean() / 255.0
+            rows.append((i, payload, w, h, exp_mean))
+        tbl = pa.table({
+            "media_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+            "mime": pa.array(["image/x-portable-anymap"] * len(rows)),
+            "width": pa.array([r[2] for r in rows], type=pa.int32()),
+            "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        })
+        out = (multimodal.decode_images(ray.data.from_arrow(tbl),
+                                        decoder="real", thumb=4)
+               .to_pandas().sort_values("media_id").reset_index(drop=True))
+        for i, (_, _, _, _, exp_mean) in enumerate(rows):
+            assert abs(out.pixel_mean[i] - exp_mean) < 1e-9
+
+    def test_real_audio_decode_wav(self, ray_session):
+        """REAL audio path: stdlib-wave PCM decode through the actor pool."""
+        import io as _io
+        import wave
+
+        import pyarrow as pa
+
+        rng = np.random.default_rng(7)
+        payloads, expected = [], []
+        for _ in range(4):
+            samples = (rng.random(256) * 2 - 1)
+            pcm = (samples * 32767).astype("<i2")
+            buf = _io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(pcm.tobytes())
+            payloads.append(buf.getvalue())
+            expected.append((pcm.astype(np.float64) / 32768.0)[::4][:16])
+        tbl = pa.table({
+            "media_id": pa.array(np.arange(4), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+        out = (multimodal.sample_audio_frames(ray.data.from_arrow(tbl),
+                                              decoder="real")
+               .to_pandas().sort_values("media_id").reset_index(drop=True))
+        for i in range(4):
+            np.testing.assert_allclose(out.frame_feats[i], expected[i],
+                                       rtol=0, atol=1e-6)
+
+    def test_real_video_requires_pyav(self):
+        pytest.importorskip("av", reason="PyAV not in this container")
+        # with PyAV present, the sampler must construct without error
+        multimodal.VideoFrameSampler(decoder="real")
 
 
 class TestAggregate:
