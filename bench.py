@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "embed_kmeans",
     "seq_temporal_pack",
     "seq_repeated_spans",
+    # round 3
+    "events_funnel",
+    "seq_oov_rate",
+    "lineitem_constraints",
+    "events_resample_interp",
 ]
 
 

@@ -955,6 +955,10 @@ def build_queries() -> dict:
         "seq_trend": q_seq_trend,
         "seq_autocorr": q_seq_autocorr,
         "events_dominant_type": q_events_dominant_type,
+        "events_funnel": q_events_funnel,
+        "seq_oov_rate": q_seq_oov_rate,
+        "lineitem_constraints": q_lineitem_constraints,
+        "events_resample_interp": q_events_resample_interp,
     }
 
 
@@ -1101,6 +1105,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "dedup_keep_best_v1",
             _dedup_keep_best_expected,
             columns=("doc_id", "text", "n_chars")),
+        "events_funnel": SQL_EVENTS_FUNNEL,
+        "seq_oov_rate": sql_seq_oov_rate(path),
+        "lineitem_constraints": SQL_LINEITEM_CONSTRAINTS,
+        "events_resample_interp": SQL_EVENTS_RESAMPLE_INTERP,
     }
     _flush_pending_oracles()
     return out
@@ -5969,4 +5977,191 @@ FROM (SELECT h.*, t.n,
                                 ORDER BY c DESC, event_type) AS rn
       FROM h JOIN t USING (user_id))
 WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# round 3: funnel / OOV rate / constraint suite / linear-interp resample
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Earliest-chain 3-step funnel per user (view -> click -> purchase,
+    each step strictly after the previous) — stages/funnel.py: slim
+    (entity, ts, step) exchange + masked segmented reduceat chain."""
+    from pymhealth_ray.stages.funnel import funnel_steps
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    return funnel_steps(ds, FUNNEL_STEPS, entity_col="user_id",
+                        ts_col="ts_us", num_buckets=NB)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+SELECT u.user_id, t1, t2, t3,
+       (CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+             WHEN t3 IS NULL THEN 2 ELSE 3 END)::BIGINT AS reached
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
+OOV_TOPK = 256
+
+
+def q_seq_oov_rate(sf_dir: str):
+    """Per row: tokens outside the corpus-wide top-256 vocabulary (count
+    DESC, token ASC ties) and the OOV fraction — the vocabulary-coverage
+    filter. Global counts via keyed_sum (vocab-bounded), top-K sorted on
+    the driver (K rows), broadcast, stateless searchsorted scoring map."""
+    import ray as _ray
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok", "tokens"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(vals), "c": pa.array(cnts.astype(np.int64))})
+
+    counts = keyed_sum(ds.map_batches(tok_partial, batch_format="pyarrow",
+                                      batch_size=None), "tok", ["c"],
+                       num_buckets=64)
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow")]
+    tok = np.concatenate([p["tok"].to_numpy(zero_copy_only=False) for p in parts])
+    c = np.concatenate([p["c"].to_numpy(zero_copy_only=False) for p in parts])
+    order = np.lexsort((tok, -c))[:OOV_TOPK]
+    vocab = np.sort(tok[order])
+    vocab_ref = _ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        v = _ray.get(vocab_ref)
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v, flat)
+        inv = idx < len(v)
+        inv[inv] = v[idx[inv]] == flat[inv]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        oov = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        if nz.any() and len(flat):
+            oov[nz] = np.add.reduceat((~inv).astype(np.int64), offs[:-1][nz])
+        rate = oov / np.maximum(lens, 1)
+        out = pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": pc.cast(b["n_tok"], pa.int64()),
+            "n_oov": pa.array(oov),
+            "oov_rate": pa.array(rate, type=pa.float64()),
+        })
+        return _round_cols(out, {"oov_rate": 6})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_seq_oov_rate(path: str) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, ts_ns, unnest(tokens) AS tok
+           FROM read_parquet('{path}/part-*.parquet')),
+v AS (SELECT tok FROM t GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT {OOV_TOPK})
+SELECT doc_id, ts_ns, count(*)::BIGINT AS n_tok,
+       count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v))::BIGINT AS n_oov,
+       round(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v))
+             / count(*)::DOUBLE, 6) AS oov_rate
+FROM t GROUP BY doc_id, ts_ns
+"""
+
+
+CONSTRAINT_COLS = ("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+CONSTRAINT_KEY = ("l_orderkey", "l_linenumber")
+
+
+def q_lineitem_constraints(sf_dir: str):
+    """Data-quality constraint suite over lineitem (stages/profile.py
+    constraint_checks): row count, per-column null counts, EXACT distinct
+    counts, and duplicate-(orderkey, linenumber) violations — one scan +
+    one block-distinct exchange, no driver value sets."""
+    from pymhealth_ray.stages.profile import constraint_checks
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=list(dict.fromkeys(CONSTRAINT_COLS + CONSTRAINT_KEY)))
+    return constraint_checks(ds, CONSTRAINT_COLS, unique_key=CONSTRAINT_KEY)
+
+
+SQL_LINEITEM_CONSTRAINTS = """
+SELECT check_name AS "check", value FROM (
+  SELECT 'rows' AS check_name, count(*)::BIGINT AS value FROM lineitem
+  UNION ALL SELECT 'null:l_orderkey', count(*) - count(l_orderkey) FROM lineitem
+  UNION ALL SELECT 'null:l_partkey', count(*) - count(l_partkey) FROM lineitem
+  UNION ALL SELECT 'null:l_quantity', count(*) - count(l_quantity) FROM lineitem
+  UNION ALL SELECT 'null:l_returnflag', count(*) - count(l_returnflag) FROM lineitem
+  UNION ALL SELECT 'distinct:l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
+  UNION ALL SELECT 'distinct:l_partkey', count(DISTINCT l_partkey) FROM lineitem
+  UNION ALL SELECT 'distinct:l_quantity', count(DISTINCT l_quantity) FROM lineitem
+  UNION ALL SELECT 'distinct:l_returnflag', count(DISTINCT l_returnflag) FROM lineitem
+  UNION ALL SELECT 'dup:l_orderkey,l_linenumber',
+    count(*) - count(DISTINCT concat(l_orderkey, '|', l_linenumber)) FROM lineitem
+) ORDER BY check_name
+"""
+
+
+def q_events_resample_interp(sf_dir: str):
+    """Per-user hourly grid with LINEAR interpolation of value between the
+    neighboring observations (stages/resample.py resample_interp; ts ties
+    collapsed to max event_id on both sides)."""
+    from pymhealth_ray.stages.resample import resample_interp
+
+    ds = _events(sf_dir, ["user_id", "ts", "value", "event_id"])
+    out = resample_interp(ds, "user_id", "ts_us", "value", HOUR_US,
+                          tiebreak_col="event_id", num_buckets=NB,
+                          grid_name="grid_us", out_name="value_interp")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"value_interp": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RESAMPLE_INTERP = f"""
+WITH e0 AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events),
+e AS (SELECT user_id, ts_us, value FROM
+        (SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+                                      ORDER BY event_id DESC) AS rn FROM e0)
+      WHERE rn = 1),
+b AS (SELECT user_id, min(ts_us) AS f, max(ts_us) AS l FROM e GROUP BY user_id),
+g AS (SELECT user_id,
+             unnest(generate_series(((f + {HOUR_US} - 1) // {HOUR_US}) * {HOUR_US},
+                                    (l // {HOUR_US}) * {HOUR_US},
+                                    {HOUR_US})) AS grid_us
+      FROM b),
+p AS (SELECT g.user_id, g.grid_us, max(e.ts_us) AS tp FROM g
+      JOIN e ON e.user_id = g.user_id AND e.ts_us <= g.grid_us
+      GROUP BY g.user_id, g.grid_us),
+n AS (SELECT g.user_id, g.grid_us, min(e.ts_us) AS tn FROM g
+      JOIN e ON e.user_id = g.user_id AND e.ts_us >= g.grid_us
+      GROUP BY g.user_id, g.grid_us)
+SELECT p.user_id, p.grid_us,
+       round(CASE WHEN n.tn = p.tp THEN ep.value
+                  ELSE ep.value + (en.value - ep.value) *
+                       (CAST(p.grid_us - p.tp AS DOUBLE) /
+                        CAST(n.tn - p.tp AS DOUBLE)) END, 6) AS value_interp
+FROM p JOIN n ON n.user_id = p.user_id AND n.grid_us = p.grid_us
+JOIN e ep ON ep.user_id = p.user_id AND ep.ts_us = p.tp
+JOIN e en ON en.user_id = n.user_id AND en.ts_us = n.tn
 """

@@ -80,3 +80,81 @@ def resample_ffill(ds, entity_col: str, ts_col: str, value_cols,
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
                              num_buckets=num_buckets)
+
+
+def resample_interp(ds, entity_col: str, ts_col: str, value_col: str,
+                    step: int, tiebreak_col: str | None = None,
+                    num_buckets: int = 32, grid_name: str = "grid_ts",
+                    out_name: str | None = None):
+    """Uniform-grid LINEAR INTERPOLATION of ``value_col`` per entity —
+    the alignment for continuous signals where forward-fill's staircase
+    biases downstream derivatives (reference rolling kernels assume a
+    uniform grid, reference:generic/window.py).
+
+    Same one-exchange plan as :func:`resample_ffill`; per tick the value is
+    ``vp + (vn - vp) * ((tick - tp) / (tn - tp))`` between the neighboring
+    observations (exactly the ffill value when the tick lands on one).
+    Timestamp ties within an entity are collapsed to the row with the
+    greatest ``tiebreak_col`` first, making the result deterministic and
+    SQL-reproducible (row_number() ... ORDER BY tiebreak DESC = 1).
+    """
+    if step <= 0:
+        raise ValueError("step must be positive")
+    out_name = out_name or f"{value_col}_interp"
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col,
+                                             tiebreak_col)
+        ent_all = tbl[entity_col]
+        if isinstance(ent_all, pa.ChunkedArray):
+            ent_all = ent_all.combine_chunks()
+        if n_ent == 0:
+            return pa.table({entity_col: ent_all.slice(0, 0),
+                             grid_name: pa.array([], pa.int64()),
+                             out_name: pa.array([], pa.float64())})
+        ts = column_i64(tbl, ts_col)
+        # collapse timestamp ties: keep the LAST row per (entity, ts) in
+        # (ts, tiebreak) order = greatest tiebreak
+        codes = ent_all.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        keep = np.ones(n, dtype=bool)
+        keep[:-1] = (codes[1:] != codes[:-1]) | (ts[1:] != ts[:-1])
+        kidx = np.flatnonzero(keep)
+        ts = ts[kidx]
+        vcol = tbl[value_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        vals = vcol.to_numpy(zero_copy_only=False).astype(np.float64)[kidx]
+        ent = ent_all.take(pa.array(kidx))
+        seg_of_kept = np.repeat(np.arange(n_ent), np.diff(starts))[kidx]
+        starts = np.concatenate(
+            ([0], np.cumsum(np.bincount(seg_of_kept, minlength=n_ent)))
+        ).astype(np.int64)
+
+        mn = ts[starts[:-1]]
+        mx = ts[starts[1:] - 1]
+        g0 = -(-mn // step)
+        g1 = mx // step
+        cnt = np.maximum(g1 - g0 + 1, 0)
+        total = int(cnt.sum())
+        gstarts = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+        within = np.arange(total, dtype=np.int64) - np.repeat(gstarts[:-1], cnt)
+        grid = (np.repeat(g0, cnt) + within) * step
+        from pymhealth_ray.stages.partition import segmented_searchsorted
+        prev = segmented_searchsorted(ts, starts, grid, gstarts,
+                                      side="right") - 1
+        nxt = segmented_searchsorted(ts, starts, grid, gstarts, side="left")
+        tp, tn = ts[prev], ts[nxt]
+        vp, vn = vals[prev], vals[nxt]
+        on_obs = tn == tp  # tick coincides with an observation
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = (grid - tp).astype(np.float64) / (tn - tp).astype(np.float64)
+        out = np.where(on_obs, vp, vp + (vn - vp) * frac)
+        take = pa.array(prev, type=pa.int64())
+        return pa.table({entity_col: ent.take(take),
+                         grid_name: pa.array(grid, type=pa.int64()),
+                         out_name: pa.array(out, type=pa.float64())})
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)

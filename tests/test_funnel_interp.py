@@ -1,0 +1,148 @@
+"""Round-3 operators: funnel, linear-interp resample, constraint checks."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pymhealth_ray.stages.funnel import funnel_steps
+from pymhealth_ray.stages.profile import constraint_checks
+from pymhealth_ray.stages.resample import resample_ffill, resample_interp
+
+
+class TestFunnel:
+    def _ds(self, rows, blocks=3):
+        df = pd.DataFrame(rows, columns=["user_id", "ts_us", "event_type"])
+        return ray.data.from_pandas(df).repartition(blocks)
+
+    def test_earliest_chain(self, ray_session):
+        rows = [
+            # u1 completes: view@10, click@20, purchase@30 (ignores later dups)
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            (1, 5, "click"),          # click BEFORE first view: not chained
+            (1, 40, "view"),
+            # u2 stalls at click (purchase before click)
+            (2, 10, "view"), (2, 5, "purchase"), (2, 20, "click"),
+            # u3 never views
+            (3, 10, "click"), (3, 20, "purchase"),
+            # u4 only unrelated events
+            (4, 10, "error"),
+        ]
+        got = (funnel_steps(self._ds(rows), ("view", "click", "purchase"),
+                            num_buckets=4)
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert got.reached.tolist() == [3, 2, 0, 0]
+        assert got.t1.tolist()[:2] == [10, 10]
+        assert got.t2.tolist()[:2] == [20, 20]
+        assert got.t3.iloc[0] == 30 and pd.isna(got.t3.iloc[1])
+        assert pd.isna(got.t1.iloc[2]) and pd.isna(got.t1.iloc[3])
+
+    def test_strictly_after_ties(self, ray_session):
+        # click at the SAME ts as view must not count (strict >)
+        rows = [(1, 10, "view"), (1, 10, "click"), (1, 11, "click")]
+        got = funnel_steps(self._ds(rows, 1), ("view", "click"),
+                           num_buckets=2).to_pandas()
+        assert got.reached.tolist() == [2]
+        assert got.t2.tolist() == [11]
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.default_rng(19)
+        rows = [(int(rng.integers(0, 40)), int(rng.integers(0, 10**6)),
+                 str(rng.choice(["view", "click", "purchase", "error"])))
+                for _ in range(3000)]
+        outs = [funnel_steps(self._ds(rows, b), ("view", "click", "purchase"),
+                             num_buckets=8)
+                .to_pandas().sort_values("user_id").reset_index(drop=True)
+                for b in (1, 13)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        assert outs[0].reached.max() == 3  # non-trivial fixture
+
+
+class TestResampleInterp:
+    def test_linear_between_and_on_obs(self, ray_session):
+        df = pd.DataFrame({
+            "user_id": [1] * 3,
+            "ts_us": [0, 100, 300],
+            "value": [0.0, 10.0, 30.0],
+            "event_id": [1, 2, 3],
+        })
+        got = (resample_interp(ray.data.from_pandas(df), "user_id", "ts_us",
+                               "value", 50, tiebreak_col="event_id",
+                               num_buckets=2)
+               .to_pandas().sort_values("grid_ts").reset_index(drop=True))
+        assert got.grid_ts.tolist() == [0, 50, 100, 150, 200, 250, 300]
+        np.testing.assert_allclose(got.value_interp.tolist(),
+                                   [0, 5, 10, 15, 20, 25, 30])
+
+    def test_tie_collapse_max_tiebreak(self, ray_session):
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1],
+            "ts_us": [0, 100, 100],      # tie at 100
+            "value": [0.0, 99.0, 10.0],  # event_id 3 wins -> 10.0
+            "event_id": [1, 2, 3],
+        })
+        got = (resample_interp(ray.data.from_pandas(df), "user_id", "ts_us",
+                               "value", 50, tiebreak_col="event_id",
+                               num_buckets=2)
+               .to_pandas().sort_values("grid_ts").reset_index(drop=True))
+        np.testing.assert_allclose(got.value_interp.tolist(), [0, 5, 10])
+
+    def test_matches_ffill_on_ticks_at_obs(self, ray_session):
+        rng = np.random.default_rng(3)
+        n = 400
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 10, n),
+            "ts_us": rng.integers(0, 10**5, n),
+            "value": rng.random(n),
+            "event_id": np.arange(n),
+        }).drop_duplicates(["user_id", "ts_us"])
+        ds = ray.data.from_pandas(df.reset_index(drop=True))
+        fi = (resample_interp(ds, "user_id", "ts_us", "value", 1000,
+                              tiebreak_col="event_id", num_buckets=4)
+              .to_pandas())
+        ff = (resample_ffill(ds, "user_id", "ts_us", ["value"], 1000,
+                             tiebreak_col="event_id", num_buckets=4)
+              .to_pandas())
+        assert len(fi) == len(ff)
+        # single-process replication
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values("ts_us")
+            ts, v = g.ts_us.values, g.value.values
+            sub = (fi[fi.user_id == uid].sort_values("grid_ts")
+                   .reset_index(drop=True))
+            exp = np.interp(sub.grid_ts.values, ts, v)
+            np.testing.assert_allclose(sub.value_interp.values, exp,
+                                       rtol=0, atol=1e-12)
+
+
+class TestConstraintChecks:
+    def test_matches_pandas(self, ray_session):
+        rng = np.random.default_rng(8)
+        n = 5000
+        df = pd.DataFrame({
+            "k1": rng.integers(0, 900, n),
+            "k2": rng.integers(0, 4, n),
+            "x": rng.choice([1.5, 2.5, np.nan], n),
+            "s": rng.choice(["a", "b", "c", None], n),
+        })
+        got = (constraint_checks(ray.data.from_pandas(df).repartition(7),
+                                 ["k1", "x", "s"], unique_key=("k1", "k2"))
+               .to_pandas().set_index("check").value.to_dict())
+        assert got["rows"] == n
+        assert got["null:x"] == int(df.x.isna().sum())
+        assert got["null:s"] == int(df.s.isna().sum())
+        assert got["distinct:k1"] == df.k1.nunique()
+        assert got["distinct:x"] == df.x.nunique()
+        assert got["distinct:s"] == df.s.nunique()
+        dup = n - df[["k1", "k2"]].drop_duplicates().shape[0]
+        assert got["dup:k1,k2"] == dup and dup > 0
+
+    def test_partition_invariant(self, ray_session):
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({"a": rng.integers(0, 50, 2000),
+                           "b": rng.random(2000)})
+        outs = [constraint_checks(ray.data.from_pandas(df).repartition(blocks),
+                                  ["a", "b"], unique_key=("a",))
+                .to_pandas().sort_values("check").reset_index(drop=True)
+                for blocks in (1, 9)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
