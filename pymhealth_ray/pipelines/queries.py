@@ -961,6 +961,10 @@ def build_queries() -> dict:
         "events_resample_interp": q_events_resample_interp,
         "seq_bpe_merges": q_seq_bpe_merges,
         "seq_bpe_apply": q_seq_bpe_apply,
+        "events_target_loo": q_events_target_loo,
+        "lineitem_rollup": q_lineitem_rollup,
+        "events_type_pivot": q_events_type_pivot,
+        "events_nearest_poi": q_events_nearest_poi,
     }
 
 
@@ -1113,6 +1117,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_resample_interp": SQL_EVENTS_RESAMPLE_INTERP,
         "seq_bpe_merges": sql_seq_bpe_merges(path),
         "seq_bpe_apply": sql_seq_bpe_apply(path),
+        "events_target_loo": SQL_EVENTS_TARGET_LOO,
+        "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+        "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+        "events_nearest_poi": sql_events_nearest_poi(),
     }
     _flush_pending_oracles()
     return out
@@ -6284,3 +6292,148 @@ def sql_seq_bpe_merges(path: str) -> str:
 
 def sql_seq_bpe_apply(path: str) -> str:
     return _materialized_oracle(path, "bpe_apply_v1", _bpe_apply_expected)
+
+
+# --------------------------------------------------------------------------
+# round 3: LOO target encoding / rollup / pivot counts / nearest-POI
+# --------------------------------------------------------------------------
+
+
+def q_events_target_loo(sf_dir: str):
+    """Leakage-safe leave-one-out target encoding of event_type against
+    value (stages/encode.target_encode_loo): per-category integer-cents
+    stats broadcast, per-row exclusion map; singleton categories NULL."""
+    from pymhealth_ray.stages.encode import target_encode_loo
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+    out = target_encode_loo(ds, "event_type", "value", out_name="value_loo")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "event_type", "value_loo"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TARGET_LOO = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+s AS (SELECT event_type, sum(vc) AS sc, count(*) AS n FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN s.n > 1
+            THEN CAST(s.sc - e.vc AS DOUBLE) / CAST(100 * (s.n - 1) AS DOUBLE)
+            END AS value_loo
+FROM e JOIN s USING (event_type)
+"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (returnflag, linestatus) of quantity cents + row
+    counts (stages/aggregate.grouped_rollup: finest level via partial
+    aggregation, coarser levels derived exactly — one scan)."""
+    from pymhealth_ray.stages.aggregate import grouped_rollup
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return _cents(b, "l_quantity", "qty_c").drop_columns(["l_quantity"])
+
+    out = grouped_rollup(ds.map_batches(cents, batch_format="pyarrow"),
+                         ["l_returnflag", "l_linestatus"], ["qty_c"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["l_returnflag", "l_linestatus", "qty_c_sum", "n"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c_sum,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_type_pivot(sf_dir: str):
+    """Per-user wide event-type count columns (one-hot aggregation,
+    stages/aggregate.grouped_pivot_counts) — the categorical feature
+    vector for downstream models."""
+    from pymhealth_ray.stages.aggregate import grouped_pivot_counts
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+    return grouped_pivot_counts(ds, "user_id", "event_type", PIVOT_TYPES)
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+#: fixed reference sites for the nearest-site join (inline VALUES in SQL)
+POI_SITES = [
+    (0, 45.10, 7.02), (1, 45.62, 7.08), (2, 46.55, 7.04),
+    (3, 47.08, 7.11), (4, 48.01, 6.98), (5, 49.53, 7.06),
+]
+
+
+def q_events_nearest_poi(sf_dir: str):
+    """Broadcast nearest-reference-site join: per event, the argmin site
+    over squared-degree distance (ties -> smaller site id) on the
+    deterministic synthetic coordinates — the reference's home-coords
+    broadcast lookup (reference:location/features.py:27-53) generalized to
+    an argmin over a site table. Pure-arithmetic distance keeps both sides
+    bit-exact."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "value"])
+    sites = np.array(POI_SITES, dtype=np.float64)
+
+    def score(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat, lon = _geo_coords(uid, eid, val)
+        dlat = lat[:, None] - sites[None, :, 1]
+        dlon = lon[:, None] - sites[None, :, 2]
+        d2 = dlat * dlat + dlon * dlon
+        best = np.argmin(d2, axis=1)  # first minimum = smallest site id
+        return pa.table({
+            "event_id": b["event_id"],
+            "poi_id": pa.array(sites[best, 0].astype(np.int64)),
+            "d2": pa.array(d2[np.arange(len(best)), best],
+                           type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_events_nearest_poi() -> str:
+    values = ", ".join(f"({pid}, {plat}, {plon})"
+                       for pid, plat, plon in POI_SITES)
+    return f"""
+WITH e AS (SELECT event_id,
+                  45.0 + (user_id % 10) * 0.5 + (event_id % 3) * 0.05
+                       + ((value * 1000.0) % 1.0 - 0.5) * 2e-4 AS lat,
+                  7.0 + (event_id % 3) * 0.05
+                      + ((value * 7777.0) % 1.0 - 0.5) * 2e-4 AS lon
+           FROM events),
+p(poi_id, plat, plon) AS (VALUES {values}),
+d AS (SELECT event_id, poi_id,
+             (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) AS d2,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY (lat - plat) * (lat - plat)
+                                       + (lon - plon) * (lon - plon), poi_id) AS rn
+      FROM e CROSS JOIN p)
+SELECT event_id, poi_id, d2 FROM d WHERE rn = 1
+"""

@@ -270,6 +270,109 @@ def grouped_quantiles(
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
 
+def grouped_rollup(ds, keys: List[str], sum_cols: List[str],
+                   count_name: str = "n"):
+    """SQL ``GROUP BY ROLLUP (k1, k2, …)`` for associative sums: one
+    partial-aggregation pass computes the FINEST level; every coarser
+    level (k1..k_{i}, then the grand total) is derived from it by exact
+    re-aggregation — zero extra scans, and exact because the measures are
+    integer/associative. Rolled-up key columns are NULL (SQL convention).
+
+    Output: keys (with NULLs) + sum_cols + count_name, one row per rollup
+    group."""
+    sum_cols = list(sum_cols)
+    fine = grouped_stats(ds, keys, sum_cols=sum_cols, count_name=count_name)
+
+    import pyarrow.compute as pc
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        levels = [tbl]
+        for i in range(len(keys) - 1, -1, -1):
+            gb_keys = keys[:i]
+            if gb_keys:  # every coarser level derives from the finest
+                up = tbl.group_by(gb_keys).aggregate(
+                    [(f"{c}_sum", "sum") for c in sum_cols]
+                    + [(count_name, "sum")])
+                names = []
+                for f in up.column_names:
+                    if f.endswith("_sum_sum"):
+                        names.append(f[:-4])
+                    elif f == f"{count_name}_sum":
+                        names.append(count_name)
+                    else:
+                        names.append(f)
+                up = up.rename_columns(names)
+            else:  # grand total
+                cols = {f"{c}_sum": pa.array(
+                    [pc.sum(tbl[f"{c}_sum"]).as_py() or 0], type=pa.int64())
+                    for c in sum_cols}
+                cols[count_name] = pa.array(
+                    [pc.sum(tbl[count_name]).as_py() or 0], type=pa.int64())
+                up = pa.table(cols)
+            for j in range(i, len(keys)):  # rolled-up keys are NULL
+                up = up.append_column(
+                    keys[j], pa.nulls(up.num_rows,
+                                      type=tbl.schema.field(keys[j]).type))
+            levels.append(up.select(tbl.column_names))
+        return pa.concat_tables([lv.replace_schema_metadata(None)
+                                 for lv in levels])
+
+    def const_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8)))
+
+    # the finest-level table is |groups|-bounded: one merge group suffices
+    return fine.map_batches(const_g, batch_format="pyarrow").groupby(
+        "__g").map_groups(lambda t: expand(t.drop_columns(["__g"])),
+                          batch_format="pyarrow")
+
+
+def grouped_pivot_counts(ds, entity_col: str, cat_col: str, categories,
+                         prefix: str = "n_"):
+    """Per-entity wide count columns (one-hot aggregation): SQL
+    ``count(*) FILTER (WHERE cat = '…')`` per category. One partial pass
+    collapses each block to (entity, cat) counts; the bucketed merge emits
+    ``prefix+cat`` int64 columns — the categorical feature-vector builder."""
+    categories = list(categories)
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([entity_col, cat_col]).group_by(
+            [entity_col, cat_col]).aggregate([([], "count_all")])
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b", pa.array(
+            _stable_bucket_of(batch[entity_col], 64), type=pa.int32()))
+
+    def pivot(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__b"])
+        tbl = tbl.group_by([entity_col, cat_col]).aggregate(
+            [("count_all", "sum")])
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        enc = ent.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        n_ent = len(enc.dictionary)
+        cat = tbl[cat_col]
+        if isinstance(cat, pa.ChunkedArray):
+            cat = cat.combine_chunks()
+        cvals = cat.to_pylist()
+        c = tbl["count_all_sum"].to_numpy(zero_copy_only=False)
+        cols = {entity_col: enc.dictionary}
+        for name in categories:
+            mask = np.fromiter((v == name for v in cvals), dtype=bool,
+                               count=len(cvals))
+            cols[f"{prefix}{name}"] = pa.array(np.bincount(
+                idx[mask], weights=c[mask],
+                minlength=n_ent).astype(np.int64))
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(pivot, batch_format="pyarrow"))
+
+
 def keyed_sum(ds, key_col: str, val_cols, num_buckets: int = 256,
               precombine_rows: int | None = 8_000_000):
     """Exact per-key sums for HIGH-CARDINALITY integer keys without a

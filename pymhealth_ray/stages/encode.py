@@ -112,3 +112,81 @@ def frequency_target_encode(ds, col: str, target_col: str | None = None,
     stats = category_stats(ds, col, target_col)
     enc_ref = ray.put(build_encoding(stats))
     return encode_categories(ds, col, enc_ref)
+
+
+# --------------------------------------------------------------------------
+# leave-one-out target encoding (round 3)
+# --------------------------------------------------------------------------
+
+
+def target_encode_loo(ds, cat_col: str, value_col: str,
+                      out_name: str | None = None, scale: int = 100):
+    """Leakage-safe leave-one-out target encoding: each row's category is
+    encoded as the TARGET mean over all OTHER rows of that category —
+    ``(sum_cat − own) / (n_cat − 1)`` (NULL for singleton categories), so
+    a row's own label never leaks into its feature (the zero-leakage
+    discipline of stages/asof.py applied to encoders).
+
+    One partial-aggregation pass → tiny per-category (int-cents sum, n)
+    broadcast → stateless per-row exclusion map. ``scale``: fixed-point
+    multiplier for exact integer sums (2-dec data → 100); enc is int/int
+    division, bit-equal to the SQL oracle."""
+    import ray
+
+    out_name = out_name or f"{value_col}_loo"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch[cat_col]
+        if isinstance(cat, pa.ChunkedArray):
+            cat = cat.combine_chunks()
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cents = np.rint(v.to_numpy(zero_copy_only=False).astype(np.float64)
+                        * scale).astype(np.int64)
+        enc = cat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table({
+            cat_col: enc.dictionary,
+            "s": pa.array(np.bincount(idx, weights=cents,
+                                      minlength=k).astype(np.int64)),
+            "n": pa.array(np.bincount(idx, minlength=k).astype(np.int64)),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby(cat_col).sum(["s", "n"]))
+    stats: dict = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for c, s, n in zip(b[cat_col].to_pylist(), b["sum(s)"].to_pylist(),
+                           b["sum(n)"].to_pylist()):
+            stats[c] = (int(s), int(n))
+    stats_ref = ray.put(stats)
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        cat = batch[cat_col]
+        if isinstance(cat, pa.ChunkedArray):
+            cat = cat.combine_chunks()
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cents = np.rint(v.to_numpy(zero_copy_only=False).astype(np.float64)
+                        * scale).astype(np.int64)
+        enc = cat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        dvals = enc.dictionary.to_pylist()
+        S = np.array([st.get(c, (0, 0))[0] for c in dvals], dtype=np.int64)
+        N = np.array([st.get(c, (0, 0))[1] for c in dvals], dtype=np.int64)
+        s_row, n_row = (S[idx], N[idx]) if len(dvals) else (
+            np.zeros(0, np.int64), np.zeros(0, np.int64))
+        ok = n_row > 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            enc_val = (s_row - cents).astype(np.float64) / (
+                scale * (n_row - 1)).astype(np.float64)
+        return batch.append_column(
+            out_name, pa.array(np.where(ok, enc_val, 0.0),
+                               type=pa.float64(), mask=~ok))
+
+    return ds.map_batches(score, batch_format="pyarrow")

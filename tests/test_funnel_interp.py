@@ -146,3 +146,80 @@ class TestConstraintChecks:
                 .to_pandas().sort_values("check").reset_index(drop=True)
                 for blocks in (1, 9)]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestTargetEncodeLoo:
+    def test_loo_exact(self, ray_session):
+        from pymhealth_ray.stages.encode import target_encode_loo
+
+        df = pd.DataFrame({
+            "id": range(5),
+            "cat": ["a", "a", "a", "b", "c"],
+            "v": [1.00, 2.00, 3.00, 4.00, 5.00],
+        })
+        got = (target_encode_loo(ray.data.from_pandas(df).repartition(2),
+                                 "cat", "v")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        np.testing.assert_allclose(got.v_loo[:3], [2.5, 2.0, 1.5])
+        assert got.v_loo[3:].isna().all()  # singleton categories -> NULL
+
+    def test_matches_pandas_loo(self, ray_session):
+        from pymhealth_ray.stages.encode import target_encode_loo
+
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({
+            "id": range(3000),
+            "cat": rng.choice(list("abcdefgh"), 3000),
+            "v": np.round(rng.random(3000) * 100, 2),
+        })
+        got = (target_encode_loo(ray.data.from_pandas(df).repartition(5),
+                                 "cat", "v")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        s = df.groupby("cat").v.transform("sum")
+        n = df.groupby("cat").v.transform("count")
+        exp = (s - df.v) / (n - 1)
+        np.testing.assert_allclose(got.v_loo.values, exp.values, atol=1e-9)
+
+
+class TestRollupPivot:
+    def test_rollup_matches_pandas(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_rollup
+
+        rng = np.random.default_rng(22)
+        df = pd.DataFrame({
+            "k1": rng.choice(["x", "y"], 4000),
+            "k2": rng.choice(["p", "q", "r"], 4000),
+            "m": rng.integers(0, 100, 4000).astype(np.int64),
+        })
+        got = (grouped_rollup(ray.data.from_pandas(df).repartition(6),
+                              ["k1", "k2"], ["m"])
+               .to_pandas())
+        fine = got[got.k2.notna()]
+        exp = df.groupby(["k1", "k2"]).m.agg(["sum", "count"]).reset_index()
+        assert len(fine) == len(exp)
+        for _, r in exp.iterrows():
+            row = fine[(fine.k1 == r.k1) & (fine.k2 == r.k2)].iloc[0]
+            assert row.m_sum == r["sum"] and row.n == r["count"]
+        sub = got[got.k2.isna() & got.k1.notna()].set_index("k1").sort_index()
+        exp1 = df.groupby("k1").m.sum().sort_index()
+        assert (sub.m_sum.values == exp1.values).all()
+        grand = got[got.k1.isna()]
+        assert len(grand) == 1
+        assert grand.m_sum.iloc[0] == df.m.sum() and grand.n.iloc[0] == 4000
+
+    def test_pivot_matches_pandas(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_pivot_counts
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame({
+            "u": rng.integers(0, 50, 5000),
+            "c": rng.choice(["a", "b", "z"], 5000),
+        })
+        got = (grouped_pivot_counts(ray.data.from_pandas(df).repartition(7),
+                                    "u", "c", ["a", "b", "z"])
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        exp = df.pivot_table(index="u", columns="c", aggfunc=len,
+                             fill_value=0)
+        for cat in ("a", "b", "z"):
+            np.testing.assert_array_equal(got[f"n_{cat}"].values,
+                                          exp[cat].values)
