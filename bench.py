@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "seq_oov_rate",
     "lineitem_constraints",
     "events_resample_interp",
+    "events_target_loo",
+    "lineitem_rollup",
+    "events_type_pivot",
+    "events_nearest_poi",
+    "events_value_hist",
+    "lineitem_corr",
+    "events_funnel_summary",
 ]
 
 

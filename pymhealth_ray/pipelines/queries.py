@@ -965,6 +965,9 @@ def build_queries() -> dict:
         "lineitem_rollup": q_lineitem_rollup,
         "events_type_pivot": q_events_type_pivot,
         "events_nearest_poi": q_events_nearest_poi,
+        "events_value_hist": q_events_value_hist,
+        "lineitem_corr": q_lineitem_corr,
+        "events_funnel_summary": q_events_funnel_summary,
     }
 
 
@@ -1121,6 +1124,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_rollup": SQL_LINEITEM_ROLLUP,
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
         "events_nearest_poi": sql_events_nearest_poi(),
+        "events_value_hist": SQL_EVENTS_VALUE_HIST,
+        "lineitem_corr": SQL_LINEITEM_CORR,
+        "events_funnel_summary": SQL_EVENTS_FUNNEL_SUMMARY,
     }
     _flush_pending_oracles()
     return out
@@ -6436,4 +6442,195 @@ d AS (SELECT event_id, poi_id,
                                        + (lon - plon) * (lon - plon), poi_id) AS rn
       FROM e CROSS JOIN p)
 SELECT event_id, poi_id, d2 FROM d WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# round 3: histogram / correlation matrix / funnel summary
+# --------------------------------------------------------------------------
+
+HIST_W = 50  # cents per bin
+
+
+def q_events_value_hist(sf_dir: str):
+    """Fixed-width histogram of value per event_type (bin = floor of
+    integer cents / width — exact on both sides). Partial bincounts per
+    block collapse the exchange to (type, bin) rows."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+
+    def binify(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "vc")
+        vc = b["vc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "bin": pa.array(vc // HIST_W),
+        })
+
+    out = grouped_stats(ds.map_batches(binify, batch_format="pyarrow"),
+                        ["event_type", "bin"], count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["event_type", "bin", "n"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_HIST = f"""
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) // {HIST_W} AS bin,
+       count(*) AS n
+FROM events GROUP BY event_type, bin
+"""
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Exact Pearson correlation matrix over the 2-dec lineitem measures:
+    per-block integer-cents partial sums (n, Sx, Sxx, Sxy) merge exactly,
+    the final correlation is one identical float expression on both sides
+    (cross-products bounded: cents² × rows < 2^63 at gate scale — at
+    larger scale shard the sums or widen to float partials)."""
+    cols = list(CORR_COLS)
+    ds = read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+    k = len(cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        mats = []
+        for c in cols:
+            v = b[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            mats.append(np.rint(v.to_numpy(zero_copy_only=False)
+                                .astype(np.float64) * 100).astype(np.int64))
+        M = np.stack(mats, axis=1)
+        names, vals = ["n"], [np.int64(len(M))]
+        for i in range(k):
+            names.append(f"s{i}")
+            vals.append(M[:, i].sum())
+        for i in range(k):
+            for j in range(i, k):
+                names.append(f"p{i}_{j}")
+                vals.append((M[:, i] * M[:, j]).sum())
+        return pa.table({nm: pa.array([v], type=pa.int64())
+                         for nm, v in zip(names, vals)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def const_g(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__g"])
+        sums = {nm: int(pc.sum(t[nm]).as_py() or 0) for nm in t.column_names}
+        n = sums["n"]
+        rows = []
+        for i in range(k):
+            for j in range(i + 1, k):
+                sx, sy = sums[f"s{i}"], sums[f"s{j}"]
+                sxx, syy = sums[f"p{i}_{i}"], sums[f"p{j}_{j}"]
+                sxy = sums[f"p{i}_{j}"]
+                num = float(n * sxy - sx * sy)
+                den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+                rows.append((cols[i], cols[j], num / np.sqrt(den)))
+        tbl = pa.table({
+            "col_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "col_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "corr": pa.array([r[2] for r in rows], type=pa.float64()),
+        })
+        return _round_cols(tbl, {"corr": 6})
+
+    return partials.map_batches(const_g, batch_format="pyarrow").groupby(
+        "__g").map_groups(merge, batch_format="pyarrow")
+
+
+def _sql_corr_pair(a: str, b: str) -> str:
+    ca = f"CAST(round({a} * 100) AS BIGINT)"
+    cb = f"CAST(round({b} * 100) AS BIGINT)"
+    return f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         round(CAST(count(*) * sum({ca} * {cb}) - sum({ca}) * sum({cb}) AS DOUBLE)
+               / sqrt(CAST(count(*) * sum({ca} * {ca}) - sum({ca}) * sum({ca}) AS DOUBLE)
+                      * CAST(count(*) * sum({cb} * {cb}) - sum({cb}) * sum({cb}) AS DOUBLE)), 6) AS corr
+  FROM lineitem"""
+
+
+SQL_LINEITEM_CORR = " UNION ALL ".join(
+    _sql_corr_pair(a, b)
+    for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:])
+
+
+def q_events_funnel_summary(sf_dir: str):
+    """Funnel conversion summary: user counts per reached level plus exact
+    mean step-transition times over completers of that step (integer-us
+    sums / counts — bit-exact int/int division both sides)."""
+    funnel = q_events_funnel(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        r = b["reached"].to_numpy(zero_copy_only=False)
+        t1 = b["t1"].to_numpy(zero_copy_only=False)
+        t2 = b["t2"].to_numpy(zero_copy_only=False)
+        t3 = b["t3"].to_numpy(zero_copy_only=False)
+        rows = {"reached": [], "n_users": [], "d12_sum": [], "d12_n": [],
+                "d23_sum": [], "d23_n": []}
+        for lvl in np.unique(r):
+            m = r == lvl
+            rows["reached"].append(int(lvl))
+            rows["n_users"].append(int(m.sum()))
+            m2 = m & (r >= 2)
+            d12 = (t2[m2] - t1[m2]) if m2.any() else np.array([], np.int64)
+            rows["d12_sum"].append(int(d12.sum()))
+            rows["d12_n"].append(int(m2.sum()))
+            m3 = m & (r >= 3)
+            d23 = (t3[m3] - t2[m3]) if m3.any() else np.array([], np.int64)
+            rows["d23_sum"].append(int(d23.sum()))
+            rows["d23_n"].append(int(m3.sum()))
+        return pa.table({k2: pa.array(v, type=pa.int64())
+                         for k2, v in rows.items()})
+
+    def const_g(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__g"]).group_by("reached").aggregate(
+            [("n_users", "sum"), ("d12_sum", "sum"), ("d12_n", "sum"),
+             ("d23_sum", "sum"), ("d23_n", "sum")])
+        r = t["reached"].to_numpy(zero_copy_only=False)
+        nu = t["n_users_sum"].to_numpy(zero_copy_only=False)
+        d12s = t["d12_sum_sum"].to_numpy(zero_copy_only=False)
+        d12n = t["d12_n_sum"].to_numpy(zero_copy_only=False)
+        d23s = t["d23_sum_sum"].to_numpy(zero_copy_only=False)
+        d23n = t["d23_n_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m12 = d12s / d12n
+            m23 = d23s / d23n
+        return pa.table({
+            "reached": pa.array(r, type=pa.int64()),
+            "n_users": pa.array(nu, type=pa.int64()),
+            "mean_t12_us": pa.array(np.where(d12n > 0, m12, 0.0),
+                                    type=pa.float64(), mask=d12n == 0),
+            "mean_t23_us": pa.array(np.where(d23n > 0, m23, 0.0),
+                                    type=pa.float64(), mask=d23n == 0),
+        })
+
+    return funnel.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).map_batches(
+        const_g, batch_format="pyarrow").groupby("__g").map_groups(
+        merge, batch_format="pyarrow")
+
+
+SQL_EVENTS_FUNNEL_SUMMARY = f"""
+WITH f AS ({SQL_EVENTS_FUNNEL})
+SELECT reached, count(*)::BIGINT AS n_users,
+       CAST(sum(t2 - t1) FILTER (WHERE reached >= 2) AS DOUBLE)
+           / count(*) FILTER (WHERE reached >= 2) AS mean_t12_us,
+       CAST(sum(t3 - t2) FILTER (WHERE reached >= 3) AS DOUBLE)
+           / count(*) FILTER (WHERE reached >= 3) AS mean_t23_us
+FROM f GROUP BY reached
 """
