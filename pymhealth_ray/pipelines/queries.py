@@ -968,6 +968,10 @@ def build_queries() -> dict:
         "events_value_hist": q_events_value_hist,
         "lineitem_corr": q_lineitem_corr,
         "events_funnel_summary": q_events_funnel_summary,
+        "lineitem_cube": q_lineitem_cube,
+        "lineitem_moments": q_lineitem_moments,
+        "lineitem_star_revenue": q_lineitem_star_revenue,
+        "orders_basket_pairs": q_orders_basket_pairs,
     }
 
 
@@ -1127,6 +1131,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_value_hist": SQL_EVENTS_VALUE_HIST,
         "lineitem_corr": SQL_LINEITEM_CORR,
         "events_funnel_summary": SQL_EVENTS_FUNNEL_SUMMARY,
+        "lineitem_cube": SQL_LINEITEM_CUBE,
+        "lineitem_moments": SQL_LINEITEM_MOMENTS,
+        "lineitem_star_revenue": SQL_LINEITEM_STAR_REVENUE,
+        "orders_basket_pairs": SQL_ORDERS_BASKET_PAIRS,
     }
     _flush_pending_oracles()
     return out
@@ -6633,4 +6641,205 @@ SELECT reached, count(*)::BIGINT AS n_users,
        CAST(sum(t3 - t2) FILTER (WHERE reached >= 3) AS DOUBLE)
            / count(*) FILTER (WHERE reached >= 3) AS mean_t23_us
 FROM f GROUP BY reached
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 second wave: OLAP / mining / rank / journey operators
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus): every grouping subset from
+    ONE input scan (stages/aggregate.grouped_cube — coarser sets derived
+    exactly from the finest partial aggregation)."""
+    from pymhealth_ray.stages.aggregate import grouped_cube
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return _cents(b, "l_quantity", "qty_c").drop_columns(["l_quantity"])
+
+    out = grouped_cube(ds.map_batches(cents, batch_format="pyarrow"),
+                       ["l_returnflag", "l_linestatus"], ["qty_c"])
+    return out.map_batches(
+        lambda b: b.select(["l_returnflag", "l_linestatus", "qty_c_sum", "n"]),
+        batch_format="pyarrow")
+
+
+SQL_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c_sum,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_lineitem_moments(sf_dir: str):
+    """Exact per-group skewness/kurtosis from integer power sums: quantity
+    is whole units 1..50, so Σq..Σq⁴ are exact int64 at any scale (q⁴ ≤
+    6.25e6 ⇒ ~1e12 group rows before overflow); the float expression tree
+    over the exact sums matches the SQL oracle op-for-op (population
+    moments: g1 = m3/m2^1.5, g2 = m4/m2² − 3)."""
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_quantity"])
+
+    def powers(b: pa.Table) -> pa.Table:
+        q = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "q1": pa.array(q), "q2": pa.array(q * q),
+            "q3": pa.array(q * q * q), "q4": pa.array(q * q * q * q),
+        })
+
+    agg = grouped_stats(ds.map_batches(powers, batch_format="pyarrow"),
+                        ["l_returnflag"], sum_cols=["q1", "q2", "q3", "q4"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = b["q1_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = b["q2_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s3 = b["q3_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s4 = b["q4_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        m4 = (s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+              - 3.0 * mu * mu * mu * mu)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"].cast(pa.int64()),
+            "mean_qty": pa.array(_round_away(mu, 6)),
+            "var_qty": pa.array(_round_away(m2, 6)),
+            "skew_qty": pa.array(_round_away(m3 / (m2 ** 1.5), 6)),
+            "kurt_qty": pa.array(_round_away(m4 / (m2 * m2) - 3.0, 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_MOMENTS = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(q) AS s1, sum(q*q) AS s2, sum(q*q*q) AS s3, sum(q*q*q*q) AS s4
+  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  round(CAST(s1 AS DOUBLE)/n, 6) AS mean_qty,
+  round(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 6) AS var_qty,
+  round((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+         + 2.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5), 6) AS skew_qty,
+  round((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+         + 6.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+         - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+           * (CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3.0, 6) AS kurt_qty
+FROM s
+"""
+
+
+def q_lineitem_star_revenue(sf_dir: str):
+    """TPC-H Q5-shape star join: lineitem ⋈ orders large-large
+    co-partitioned hash join, then the customer→nation→region dimension
+    chain applied as ONE broadcast map-side lookup (dims are small and
+    static — ray.put once, array-indexed per batch; no extra exchange).
+    Revenue in exact integer 10⁻⁴ units."""
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.stages.join import equi_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    ck = cust["c_custkey"].to_numpy()
+    c2n = np.zeros(int(ck.max()) + 1, dtype=np.int64)
+    c2n[ck] = cust["c_nationkey"].to_numpy().astype(np.int64)
+    nk = nat["n_nationkey"].to_numpy()
+    n_names = np.empty(int(nk.max()) + 1, dtype=object)
+    n_names[nk] = np.array(nat["n_name"].to_pylist(), dtype=object)
+    n2r = np.zeros(int(nk.max()) + 1, dtype=np.int64)
+    n2r[nk] = nat["n_regionkey"].to_numpy().astype(np.int64)
+    rk = reg["r_regionkey"].to_numpy()
+    r_names = np.empty(int(rk.max()) + 1, dtype=object)
+    r_names[rk] = np.array(reg["r_name"].to_pylist(), dtype=object)
+    dims_ref = ray.put((c2n, n_names, n2r, r_names))
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = np.rint(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "rev_u": pa.array(price_c * (100 - disc_c))})
+
+    j = equi_join(orders, li.map_batches(prep, batch_format="pyarrow"),
+                  on="o_orderkey", join_type="inner", num_buckets=NB)
+
+    class DimChain:
+        def __init__(self):
+            self.c2n, self.n_names, self.n2r, self.r_names = ray.get(dims_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+            nk = self.c2n[cust]
+            return pa.table({
+                "r_name": pa.array(self.r_names[self.n2r[nk]], type=pa.string()),
+                "n_name": pa.array(self.n_names[nk], type=pa.string()),
+                "rev_u": b["rev_u"],
+            })
+
+    annotated = j.map_batches(DimChain, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    agg = grouped_stats(annotated, ["r_name", "n_name"], sum_cols=["rev_u"],
+                        count_name="n_items")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "r_name": b["r_name"], "n_name": b["n_name"],
+            "n_items": b["n_items"].cast(pa.int64()),
+            "revenue_u": b["rev_u_sum"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_LINEITEM_STAR_REVENUE = """
+SELECT r_name, n_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_orders_basket_pairs(sf_dir: str):
+    """Market-basket mining: top-20 part pairs by the number of orders
+    containing both (stages/assoc.item_pair_topk — distributed pair
+    explosion bounded by per-order line counts, keyed_sum merge, top-k
+    partial pruning; deterministic (count DESC, part_a, part_b) order)."""
+    from pymhealth_ray.stages.assoc import item_pair_topk
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    return item_pair_topk(ds, "l_orderkey", "l_partkey", k=20, min_count=2,
+                          num_buckets=NB, out_a="part_a", out_b="part_b",
+                          count_name="n_orders")
+
+
+SQL_ORDERS_BASKET_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*)::BIGINT AS n_orders
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT part_a, part_b, n_orders FROM p WHERE n_orders >= 2
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """

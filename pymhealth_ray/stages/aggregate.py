@@ -327,6 +327,68 @@ def grouped_rollup(ds, keys: List[str], sum_cols: List[str],
                           batch_format="pyarrow")
 
 
+def grouped_cube(ds, keys: List[str], sum_cols: List[str],
+                 count_name: str = "n"):
+    """SQL ``GROUP BY CUBE (k1, k2, …)`` for associative sums: like
+    :func:`grouped_rollup` but over EVERY subset of ``keys`` (2^|keys|
+    grouping sets). One partial-aggregation pass computes the finest
+    level; every other grouping set is derived from it by exact
+    re-aggregation, so the input is scanned once regardless of the number
+    of grouping sets. Dropped key columns are NULL (SQL convention).
+
+    Output: keys (with NULLs) + ``{c}_sum`` per sum col + count_name, one
+    row per cube group."""
+    sum_cols = list(sum_cols)
+    fine = grouped_stats(ds, keys, sum_cols=sum_cols, count_name=count_name)
+
+    import pyarrow.compute as pc
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        levels = []
+        for mask in range(1 << len(keys)):
+            gb_keys = [k for i, k in enumerate(keys) if mask & (1 << i)]
+            if len(gb_keys) == len(keys):
+                levels.append(tbl)
+                continue
+            if gb_keys:
+                up = tbl.group_by(gb_keys).aggregate(
+                    [(f"{c}_sum", "sum") for c in sum_cols]
+                    + [(count_name, "sum")])
+                names = []
+                for f in up.column_names:
+                    if f.endswith("_sum_sum"):
+                        names.append(f[:-4])
+                    elif f == f"{count_name}_sum":
+                        names.append(count_name)
+                    else:
+                        names.append(f)
+                up = up.rename_columns(names)
+            else:  # grand total
+                cols = {f"{c}_sum": pa.array(
+                    [pc.sum(tbl[f"{c}_sum"]).as_py() or 0], type=pa.int64())
+                    for c in sum_cols}
+                cols[count_name] = pa.array(
+                    [pc.sum(tbl[count_name]).as_py() or 0], type=pa.int64())
+                up = pa.table(cols)
+            for i, k in enumerate(keys):  # dropped keys are NULL
+                if not mask & (1 << i):
+                    up = up.append_column(
+                        k, pa.nulls(up.num_rows,
+                                    type=tbl.schema.field(k).type))
+            levels.append(up.select(tbl.column_names))
+        return pa.concat_tables([lv.replace_schema_metadata(None)
+                                 for lv in levels])
+
+    def const_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8)))
+
+    # the finest-level table is |groups|-bounded: one merge group suffices
+    return fine.map_batches(const_g, batch_format="pyarrow").groupby(
+        "__g").map_groups(lambda t: expand(t.drop_columns(["__g"])),
+                          batch_format="pyarrow")
+
+
 def grouped_pivot_counts(ds, entity_col: str, cat_col: str, categories,
                          prefix: str = "n_"):
     """Per-entity wide count columns (one-hot aggregation): SQL

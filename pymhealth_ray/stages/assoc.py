@@ -118,3 +118,92 @@ def item_pair_counts(ds, group_col: str, item_col: str,
         "n_groups": pa.array(np.full(len(pairs), n_groups, dtype=np.int64)),
         "lift": pa.array(lift),
     }))
+
+
+def item_pair_topk(ds, group_col: str, item_col: str, k: int = 20,
+                   min_count: int = 2, num_buckets: int = 64,
+                   out_a: str = "item_a", out_b: str = "item_b",
+                   count_name: str = "c"):
+    """HIGH-CARDINALITY market-basket pair mining: top-k unordered item
+    pairs (item_a < item_b) by the number of distinct groups containing
+    both. Unlike :func:`item_pair_counts` (driver merge, O(items²)
+    domains), every step here is distributed, for item domains of any
+    size — only per-GROUP item counts must stay bounded (baskets: order
+    line counts; the pair explosion is Σ m_g·(m_g−1)/2).
+
+    Plan: one bucket exchange on the group key → per-bucket distinct
+    (group, item) + fully vectorized within-group pair explosion packed
+    into one int64 key (a·2³² + b; requires items < 2³¹) → exact counts
+    via ``keyed_sum`` (no row sort) → threshold filter → distributed
+    top-k via ``grouped_topk`` partial pruning. Deterministic total order:
+    (count DESC, item_a, item_b).
+
+    Both columns must be non-negative integers. Returns
+    (out_a, out_b, count_name), at most k rows.
+    """
+    from pymhealth_ray.stages.aggregate import grouped_topk, keyed_sum
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        g = tbl[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        it = tbl[item_col]
+        if isinstance(it, pa.ChunkedArray):
+            it = it.combine_chunks()
+        gv = g.to_numpy(zero_copy_only=False).astype(np.int64)
+        iv = it.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(iv) and (iv.min() < 0 or iv.max() >= (1 << 31)):
+            raise ValueError("item codes must be in [0, 2^31)")
+        # distinct (group, item), sorted by (group, item): group codes keep
+        # items packable even when group ids exceed 2^31
+        _, ginv = np.unique(gv, return_inverse=True)
+        du = np.unique(ginv.astype(np.int64) * SHIFT + iv)
+        dg, di = du >> np.int64(32), du & np.int64(0xFFFFFFFF)
+        seg_start = np.ones(len(dg), dtype=bool)
+        seg_start[1:] = dg[1:] != dg[:-1]
+        starts = np.flatnonzero(seg_start)
+        m = np.diff(np.append(starts, len(dg)))
+        within = np.arange(len(dg), dtype=np.int64) - np.repeat(starts, m)
+        nfirst = (np.repeat(m, m) - 1) - within  # pairs led by this row
+        P = int(nfirst.sum())
+        if P == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        a_flat = np.repeat(np.arange(len(dg), dtype=np.int64), nfirst)
+        offs = np.concatenate(([0], np.cumsum(nfirst)))[:-1]
+        b_flat = a_flat + (np.arange(P, dtype=np.int64)
+                           - np.repeat(offs, nfirst)) + 1
+        keys = di[a_flat] * SHIFT + di[b_flat]  # a < b within a segment
+        vals, cnts = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    partials = grouped_by_bucket(ds, per_bucket, entity_col=group_col,
+                                 num_buckets=num_buckets)
+    counts = keyed_sum(partials, "key", ["c"], num_buckets=num_buckets)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        kv = batch["key"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        keep = c >= min_count
+        kv, c = kv[keep], c[keep]
+        return pa.table({
+            out_a: pa.array(kv >> np.int64(32)),
+            out_b: pa.array(kv & np.int64(0xFFFFFFFF)),
+            count_name: pa.array(c),
+            "__one": pa.array(np.zeros(len(kv), dtype=np.int8)),
+        })
+
+    filtered = counts.map_batches(unpack, batch_format="pyarrow",
+                                  batch_size=None)
+    top = grouped_topk(filtered, ["__one"], count_name, k,
+                       descending=True, tie_cols=[out_a, out_b],
+                       num_buckets=1)
+    return top.map_batches(lambda b: b.drop_columns(["__one"]),
+                           batch_format="pyarrow")

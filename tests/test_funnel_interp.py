@@ -223,3 +223,80 @@ class TestRollupPivot:
         for cat in ("a", "b", "z"):
             np.testing.assert_array_equal(got[f"n_{cat}"].values,
                                           exp[cat].values)
+
+
+class TestCubeBasket:
+    def test_cube_matches_pandas(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_cube
+
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame({
+            "k1": rng.choice(["x", "y"], 3000),
+            "k2": rng.choice(["p", "q", "r"], 3000),
+            "m": rng.integers(0, 100, 3000).astype(np.int64),
+        })
+        got = (grouped_cube(ray.data.from_pandas(df).repartition(5),
+                            ["k1", "k2"], ["m"])
+               .to_pandas())
+        # 4 grouping sets: (k1,k2), (k1), (k2), ()
+        fine = got[got.k1.notna() & got.k2.notna()]
+        exp = df.groupby(["k1", "k2"]).m.agg(["sum", "count"]).reset_index()
+        assert len(fine) == len(exp)
+        for _, r in exp.iterrows():
+            row = fine[(fine.k1 == r.k1) & (fine.k2 == r.k2)].iloc[0]
+            assert row.m_sum == r["sum"] and row.n == r["count"]
+        k2only = got[got.k1.isna() & got.k2.notna()].set_index("k2").sort_index()
+        exp2 = df.groupby("k2").m.sum().sort_index()
+        assert (k2only.m_sum.values == exp2.values).all()
+        k1only = got[got.k2.isna() & got.k1.notna()].set_index("k1").sort_index()
+        exp1 = df.groupby("k1").m.sum().sort_index()
+        assert (k1only.m_sum.values == exp1.values).all()
+        grand = got[got.k1.isna() & got.k2.isna()]
+        assert len(grand) == 1 and grand.m_sum.iloc[0] == df.m.sum()
+
+    def test_pair_topk_matches_bruteforce(self, ray_session):
+        from itertools import combinations
+
+        from pymhealth_ray.stages.assoc import item_pair_topk
+
+        rng = np.random.default_rng(32)
+        n = 6000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 800, n),
+            "i": rng.integers(0, 60, n).astype(np.int64),
+        })
+        got = (item_pair_topk(ray.data.from_pandas(df).repartition(7),
+                              "g", "i", k=15, min_count=2)
+               .to_pandas()
+               .sort_values(["c", "item_a", "item_b"],
+                            ascending=[False, True, True])
+               .reset_index(drop=True))
+        from collections import Counter
+        cnt = Counter()
+        for _, grp in df.groupby("g"):
+            for a, b in combinations(sorted(set(grp.i)), 2):
+                cnt[(a, b)] += 1
+        exp = sorted(((c, a, b) for (a, b), c in cnt.items() if c >= 2),
+                     key=lambda t: (-t[0], t[1], t[2]))[:15]
+        assert len(got) == len(exp)
+        for row, (c, a, b) in zip(got.itertuples(index=False), exp):
+            assert (row.c, row.item_a, row.item_b) == (c, a, b)
+
+    def test_pair_topk_partition_invariant(self, ray_session):
+        from pymhealth_ray.stages.assoc import item_pair_topk
+
+        rng = np.random.default_rng(33)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 100, 2000),
+            "i": rng.integers(0, 2_000_000_000, 2000).astype(np.int64),
+        })
+        outs = []
+        for parts in (1, 9):
+            outs.append(
+                item_pair_topk(ray.data.from_pandas(df).repartition(parts),
+                               "g", "i", k=10, min_count=1)
+                .to_pandas()
+                .sort_values(["c", "item_a", "item_b"],
+                             ascending=[False, True, True])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
