@@ -972,6 +972,9 @@ def build_queries() -> dict:
         "lineitem_moments": q_lineitem_moments,
         "lineitem_star_revenue": q_lineitem_star_revenue,
         "orders_basket_pairs": q_orders_basket_pairs,
+        "events_ntile": q_events_ntile,
+        "events_attribution": q_events_attribution,
+        "events_journey": q_events_journey,
     }
 
 
@@ -1135,6 +1138,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_moments": SQL_LINEITEM_MOMENTS,
         "lineitem_star_revenue": SQL_LINEITEM_STAR_REVENUE,
         "orders_basket_pairs": SQL_ORDERS_BASKET_PAIRS,
+        "events_ntile": SQL_EVENTS_NTILE,
+        "events_attribution": SQL_EVENTS_ATTRIBUTION,
+        "events_journey": SQL_EVENTS_JOURNEY,
     }
     _flush_pending_oracles()
     return out
@@ -6842,4 +6848,116 @@ p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
       GROUP BY 1, 2)
 SELECT part_a, part_b, n_orders FROM p WHERE n_orders >= 2
 ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+
+def q_events_ntile(sf_dir: str):
+    """Exact NTILE(4) within event_type ordered by (value, event_id) —
+    the unbounded-domain distributed ranking plan
+    (stages/rank.partitioned_sort_rank: range-bucket on value, per-bucket
+    vectorized sort rank, O(partitions·bins) driver offsets)."""
+    from pymhealth_ray.stages.rank import ntile
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+    out = ntile(ds, "event_type", "value", "event_id", k=4, out="tile")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "event_type", "tile"]),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+            AS BIGINT) AS tile
+FROM events
+"""
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase as-of joins to the user's
+    most recent click (stages/asof.py — the sessionization-adjacent join
+    the reference's home-coords join-back prefigures), then revenue rolls
+    up by the attributed click's hour-of-day (NULL = unattributed).
+    Integer-cents revenue; hour from pure epoch-µs arithmetic so both
+    sides are bit-exact."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        b = _cents(b, "value", "rev_c")
+        return b.select(["event_id", "user_id", "ts_us", "rev_c"])
+
+    def clicks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "click"))
+        return b.select(["user_id", "ts_us"])
+
+    facts = ds.map_batches(purchases, batch_format="pyarrow")
+    dim = ds.map_batches(clicks, batch_format="pyarrow").materialize()
+    j = asof_join(facts, dim, [], entity_col="user_id", ts_col="ts_us",
+                  num_buckets=NB)
+
+    HOUR_US = 3_600_000_000
+
+    def hour_of(b: pa.Table) -> pa.Table:
+        cts = b["ts_us_asof"]
+        if isinstance(cts, pa.ChunkedArray):
+            cts = cts.combine_chunks()
+        valid = pc.is_valid(cts).to_numpy(zero_copy_only=False)
+        v = cts.fill_null(0).to_numpy(zero_copy_only=False)
+        # -1 sentinel = unattributed (group keys must be null-free for the
+        # bucket exchange); restored to SQL NULL in finish
+        hour = np.where(valid, (v // HOUR_US) % 24, -1)
+        return pa.table({
+            "click_hour": pa.array(hour.astype(np.int64)),
+            "rev_c": b["rev_c"],
+        })
+
+    agg = grouped_stats(j.map_batches(hour_of, batch_format="pyarrow"),
+                        ["click_hour"], sum_cols=["rev_c"],
+                        count_name="n_purchases")
+
+    def finish(b: pa.Table) -> pa.Table:
+        h = b["click_hour"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "click_hour": pa.array(h, type=pa.int64(), mask=h < 0),
+            "n_purchases": b["n_purchases"].cast(pa.int64()),
+            "revenue_cents": b["rev_c_sum"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+f AS (SELECT user_id, ts_us, CAST(round(value * 100) AS BIGINT) AS rev_c
+      FROM e WHERE event_type = 'purchase'),
+d AS (SELECT user_id, ts_us AS c_ts FROM e WHERE event_type = 'click'),
+j AS (SELECT f.rev_c, d.c_ts
+      FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_us >= d.c_ts)
+SELECT (c_ts // 3600000000) % 24 AS click_hour,
+       count(*) AS n_purchases,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1
+"""
+
+
+def q_events_journey(sf_dir: str):
+    """Per-user first-10-event journey string (ordered string_agg head —
+    stages/collect.grouped_head_collect: one entity exchange, vectorized
+    ListArray join, head clip in offset arithmetic)."""
+    from pymhealth_ray.stages.collect import grouped_head_collect
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return grouped_head_collect(ds, "user_id", "ts_us", "event_type", k=10,
+                                tiebreak_col="event_id", sep=">",
+                                out="journey", num_buckets=NB)
+
+
+SQL_EVENTS_JOURNEY = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS rn FROM e)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey,
+       count(*) AS n_first
+FROM r WHERE rn <= 10 GROUP BY user_id
 """

@@ -97,3 +97,55 @@ def grouped_ordered_collect(
 
     return grouped_by_bucket(ds, per_bucket, entity_col=group_col,
                              num_buckets=num_buckets)
+
+
+def grouped_head_collect(
+    ds,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    k: int,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+    out: str = "journey",
+    num_buckets: int = 32,
+):
+    """Per group: the sep-joined FIRST-k values in (order, tiebreak) order
+    plus ``n_first = min(n, k)`` — SQL ``string_agg(v, sep ORDER BY o)
+    FILTER (row_number() <= k)``. Same one-exchange plan as
+    :func:`grouped_ordered_collect`; the head clip is pure offset
+    arithmetic (segment ends clamped to start+k before the vectorized
+    ListArray join)."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl, starts, n_grp = entity_segments(tbl, group_col, order_col,
+                                             tiebreak_col)
+        if n_grp == 0:
+            return pa.table({
+                group_col: tbl[group_col],
+                out: pa.array([], type=pa.string()),
+                "n_first": pa.array([], type=pa.int64()),
+            })
+        vals = tbl[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        head = starts[:-1]
+        ends = np.minimum(starts[1:], head + k)
+        # compact the kept rows so one flat ListArray covers them
+        # (vectorized gather: no per-group Python)
+        keep_len = ends - head
+        new_starts = np.concatenate(([0], np.cumsum(keep_len)))
+        total = int(new_starts[-1])
+        keep_idx = (np.repeat(head, keep_len)
+                    + (np.arange(total, dtype=np.int64)
+                       - np.repeat(new_starts[:-1], keep_len)))
+        kept = vals.take(pa.array(keep_idx))
+        joined = _segment_join(kept, new_starts, sep)
+        return pa.table({
+            group_col: tbl[group_col].take(pa.array(head)),
+            out: joined,
+            "n_first": pa.array(ends - head),
+        })
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=group_col,
+                             num_buckets=num_buckets)

@@ -83,3 +83,113 @@ def global_rank(ds, value_col: str, scale: int = 100,
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def partitioned_sort_rank(ds, partition_col: str, value_col: str,
+                          tie_col: str, num_bins: int = 1024,
+                          rank_name: str = "rnk"):
+    """Exact 0-based ``row_number() OVER (PARTITION BY p ORDER BY value,
+    tie) - 1`` for UNBOUNDED value domains — the range-partition plan
+    (stages/shuffle.shuffle_positions topology, value ranges instead of
+    hash ranges):
+
+      1. one cheap partial-agg pass gets per-partition (min, max, n) —
+         |partitions| rows, driver-bounded;
+      2. map: bucket = partition-code · num_bins + equi-width bin(value)
+         (buckets are contiguous value ranges within a partition, so
+         global order within a partition == (bucket, within-bucket
+         order)); groupby(bucket) → vectorized sort (value, tie) →
+         within-bucket rank;
+      3. bucket counts → driver exclusive prefix sum per partition
+         (O(partitions·num_bins) state) → broadcast; rank = offset +
+         within-rank.
+
+    Equi-width bins only affect balance, never correctness; a skewed
+    production distribution would sample quantile edges instead (same
+    topology). ``tie_col`` must make (partition, value, tie) row-unique.
+    Returns the input columns + rank + ``__n_part`` (partition size,
+    for window functions like ntile that need it)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(ds.map_batches(
+        lambda b: b.select([partition_col, value_col]),
+        batch_format="pyarrow"), [partition_col],
+        min_cols=[value_col], max_cols=[value_col]).take_all()
+    parts = sorted(str(r[partition_col]) for r in stats)
+    pcode = {p: i for i, p in enumerate(parts)}
+    lo = np.empty(len(parts)); hi = np.empty(len(parts))
+    for r in stats:
+        i = pcode[str(r[partition_col])]
+        lo[i] = r[f"{value_col}_min"]
+        hi[i] = r[f"{value_col}_max"]
+    width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
+    edges_ref = ray.put((pcode, lo, width))
+    B, R = "__rkbucket", "__rkrank"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        codes_map, lo_, w_ = ray.get(edges_ref)
+        p = np.array([codes_map[str(x)] for x in
+                      batch[partition_col].to_pylist()], dtype=np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        binned = np.clip(((v - lo_[p]) / w_[p]).astype(np.int64),
+                         0, num_bins - 1)
+        return batch.append_column(
+            B, pa.array(p * num_bins + binned, type=pa.int64()))
+
+    def rank_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[(value_col, "ascending"),
+                                                (tie_col, "ascending")])
+        tbl = tbl.take(order)
+        return tbl.append_column(
+            R, pa.array(np.arange(tbl.num_rows, dtype=np.int64)))
+
+    ranked = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        B).map_groups(rank_bucket, batch_format="pyarrow").materialize()
+
+    counts = ranked.groupby(B).count().take_all()
+    nbuckets = len(parts) * num_bins
+    per_bucket = np.zeros(nbuckets, dtype=np.int64)
+    for r in counts:
+        per_bucket[r[B]] = r["count()"]
+    # exclusive prefix sum restarted at each partition boundary
+    grid = per_bucket.reshape(len(parts), num_bins)
+    n_part = grid.sum(axis=1)
+    offsets = np.cumsum(grid, axis=1) - grid
+    off_ref = ray.put((offsets.reshape(-1), n_part))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        off, npart = ray.get(off_ref)
+        b = batch[B].to_numpy(zero_copy_only=False)
+        r = batch[R].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns([B, R])
+        batch = batch.append_column(rank_name, pa.array(off[b] + r))
+        return batch.append_column(
+            "__n_part", pa.array(npart[b // num_bins]))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def ntile(ds, partition_col: str, value_col: str, tie_col: str, k: int,
+          num_bins: int = 1024, out: str = "tile"):
+    """Exact SQL ``NTILE(k) OVER (PARTITION BY p ORDER BY value, tie)``:
+    rank via :func:`partitioned_sort_rank`, then the SQL tile rule — with
+    n = q·k + r, the first r tiles get q+1 rows, the rest q."""
+
+    ranked = partitioned_sort_rank(ds, partition_col, value_col, tie_col,
+                                   num_bins=num_bins, rank_name="__rnk")
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        r = batch["__rnk"].to_numpy(zero_copy_only=False)
+        n = batch["__n_part"].to_numpy(zero_copy_only=False)
+        q, rem = n // k, n % k
+        big_span = rem * (q + 1)
+        small = np.maximum(q, 1)  # q=0: all rows land in the big tiles
+        t = np.where(r < big_span, r // np.maximum(q + 1, 1),
+                     rem + (r - big_span) // small)
+        batch = batch.drop_columns(["__rnk", "__n_part"])
+        return batch.append_column(out, pa.array(t.astype(np.int64) + 1))
+
+    return ranked.map_batches(tiles, batch_format="pyarrow")

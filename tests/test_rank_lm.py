@@ -70,3 +70,73 @@ class TestUnigramNLL:
         # corpus: a=3, b=2, total=5
         lp_a, lp_b = np.log(3 / 5.0), np.log(2 / 5.0)
         assert abs(out.nll.iloc[0] - (-(2 * lp_a + lp_b) / 3)) < 1e-12
+
+
+class TestPartitionedSortRank:
+    def test_ntile_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from pymhealth_ray.stages.rank import ntile
+
+        rng = np.random.default_rng(41)
+        n = 8000
+        df = pd.DataFrame({
+            "p": rng.choice(["a", "b", "c"], n),
+            # heavy ties + skew to stress bin edges
+            "v": np.round(rng.exponential(5.0, n), 1),
+            "id": np.arange(n, dtype=np.int64),
+        })
+        got = (ntile(ray.data.from_pandas(df).repartition(7),
+                     "p", "v", "id", k=4, num_bins=32)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = duckdb.sql(
+            "SELECT id, ntile(4) OVER (PARTITION BY p ORDER BY v, id) t "
+            "FROM df ORDER BY id").df()
+        np.testing.assert_array_equal(got.tile.values,
+                                      exp.t.values.astype(np.int64))
+
+    def test_rank_exact_with_constant_partition(self, ray_session):
+        from pymhealth_ray.stages.rank import partitioned_sort_rank
+
+        rng = np.random.default_rng(42)
+        df = pd.DataFrame({
+            "p": ["x"] * 3000,
+            "v": rng.normal(size=3000),
+            "id": np.arange(3000, dtype=np.int64),
+        })
+        got = (partitioned_sort_rank(ray.data.from_pandas(df).repartition(5),
+                                     "p", "v", "id", num_bins=16)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = df.sort_values(["v", "id"]).reset_index()
+        expected_rank = np.empty(3000, dtype=np.int64)
+        expected_rank[exp["index"].values] = np.arange(3000)
+        np.testing.assert_array_equal(got.rnk.values, expected_rank)
+        assert (got["__n_part"] == 3000).all()
+
+
+class TestHeadCollect:
+    def test_matches_duckdb_string_agg(self, ray_session):
+        import duckdb
+
+        from pymhealth_ray.stages.collect import grouped_head_collect
+
+        rng = np.random.default_rng(43)
+        n = 5000
+        df = pd.DataFrame({
+            "u": rng.integers(0, 120, n),
+            "o": rng.integers(0, 10**9, n),
+            "id": np.arange(n, dtype=np.int64),
+            "t": rng.choice(["A", "B", "C", "D"], n),
+        })
+        got = (grouped_head_collect(
+                   ray.data.from_pandas(df).repartition(6),
+                   "u", "o", "t", k=5, tiebreak_col="id", sep=">")
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        exp = duckdb.sql("""
+            WITH r AS (SELECT *, row_number() OVER
+                       (PARTITION BY u ORDER BY o, id) rn FROM df)
+            SELECT u, string_agg(t, '>' ORDER BY rn) j, count(*) nf
+            FROM r WHERE rn <= 5 GROUP BY u ORDER BY u""").df()
+        assert list(got.journey) == list(exp.j)
+        np.testing.assert_array_equal(got.n_first.values,
+                                      exp.nf.values.astype(np.int64))
