@@ -975,6 +975,9 @@ def build_queries() -> dict:
         "events_ntile": q_events_ntile,
         "events_attribution": q_events_attribution,
         "events_journey": q_events_journey,
+        "seq_token_spectrum": q_seq_token_spectrum,
+        "seq_distinct_ngrams": q_seq_distinct_ngrams,
+        "seq_vocab_growth": q_seq_vocab_growth,
     }
 
 
@@ -1141,6 +1144,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_ntile": SQL_EVENTS_NTILE,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_journey": SQL_EVENTS_JOURNEY,
+        "seq_token_spectrum": sql_seq_token_spectrum(path),
+        "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
+        "seq_vocab_growth": sql_seq_vocab_growth(path),
     }
     _flush_pending_oracles()
     return out
@@ -6960,4 +6966,185 @@ r AS (SELECT *, row_number() OVER (PARTITION BY user_id
 SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey,
        count(*) AS n_first
 FROM r WHERE rn <= 10 GROUP BY user_id
+"""
+
+
+def q_seq_token_spectrum(sf_dir: str):
+    """Zipf frequency spectrum: token → exact corpus count (keyed_sum —
+    no row sort), then count → #tokens at that count (second, tiny
+    keyed_sum). The spectrum is the corpus-statistics input to
+    vocabulary-size and subword decisions."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    tok_counts = keyed_sum(
+        ds.map_batches(tok_partial, batch_format="pyarrow", batch_size=None),
+        "tok", ["c"], num_buckets=64)
+
+    def spec_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(c, return_counts=True)
+        return pa.table({"freq": pa.array(vals),
+                         "n_tokens": pa.array(cnts.astype(np.int64))})
+
+    return keyed_sum(
+        tok_counts.map_batches(spec_partial, batch_format="pyarrow",
+                               batch_size=None),
+        "freq", ["n_tokens"], num_buckets=8, precombine_rows=None)
+
+
+def sql_seq_token_spectrum(path: str) -> str:
+    return f"""
+WITH t AS (SELECT unnest(tokens) AS tok FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY tok)
+SELECT c AS freq, count(*)::BIGINT AS n_tokens FROM c GROUP BY c
+"""
+
+
+def q_seq_distinct_ngrams(sf_dir: str):
+    """Per-row trigram diversity: distinct packed 3-token windows and the
+    distinct fraction (type-token ratio at the n-gram level) — a pure
+    map-only kernel (collision-free int packing, per-segment sorted
+    run-count; no exchange at all)."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    K = np.int64(2048)
+
+    def score(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        n_tri = np.maximum(lens - 2, 0)
+        pos = np.arange(len(flat), dtype=np.int64)
+        local = pos - np.repeat(offs[:-1], lens)
+        ok = local <= np.repeat(lens - 3, lens)
+        starts = np.flatnonzero(ok)
+        keys = flat[starts] + flat[starts + 1] * K + flat[starts + 2] * K * K
+        # distinct per row: sort within segments, count value runs
+        rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), n_tri)
+        order = np.lexsort((keys, rowidx))
+        ks, rs = keys[order], rowidx[order]
+        newv = np.ones(len(ks), dtype=np.int64)
+        newv[1:] = (ks[1:] != ks[:-1]) | (rs[1:] != rs[:-1])
+        nd = np.bincount(rs, weights=newv, minlength=len(lens)).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = nd.astype(np.float64) / n_tri
+        has = n_tri > 0
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_trigrams": pa.array(n_tri),
+            "n_distinct": pa.array(nd),
+            "distinct_frac": pa.array(np.where(has, frac, 0.0),
+                                      type=pa.float64(), mask=~has),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_seq_distinct_ngrams(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns,
+  CAST(greatest(len(tokens) - 2, 0) AS BIGINT) AS n_trigrams,
+  CAST(len(list_distinct([CAST(tokens[i] AS BIGINT)
+       + CAST(tokens[i+1] AS BIGINT)*2048
+       + CAST(tokens[i+2] AS BIGINT)*4194304
+       FOR i IN generate_series(1, len(tokens)-2)])) AS BIGINT) AS n_distinct,
+  CASE WHEN len(tokens) >= 3 THEN
+    CAST(len(list_distinct([CAST(tokens[i] AS BIGINT)
+         + CAST(tokens[i+1] AS BIGINT)*2048
+         + CAST(tokens[i+2] AS BIGINT)*4194304
+         FOR i IN generate_series(1, len(tokens)-2)])) AS DOUBLE)
+      / (len(tokens) - 2)
+  END AS distinct_frac
+FROM read_parquet('{path}/part-*.parquet')
+"""
+
+
+def q_seq_vocab_growth(sf_dir: str):
+    """Vocabulary-growth (Heaps-law) curve over event time: per token the
+    FIRST-SEEN timestamp (keyed_agg min — vocab-bounded output), then
+    cumulative vocabulary size at 10 equal time checkpoints. All integer
+    arithmetic; the curve is how data-mixture plans estimate marginal
+    novel-token yield."""
+    from pymhealth_ray.stages.aggregate import keyed_agg
+
+    ds, _ = _seq_ds(sf_dir, ["ts_ns", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = np.repeat(b["ts_ns"].to_numpy(zero_copy_only=False), lens)
+        order = np.argsort(flat, kind="stable")
+        fs, tss = flat[order], ts[order]
+        is_start = np.ones(len(fs), dtype=bool)
+        is_start[1:] = fs[1:] != fs[:-1]
+        st = np.flatnonzero(is_start)
+        first = (np.minimum.reduceat(tss, st) if len(st)
+                 else tss[:0])
+        return pa.table({"tok": pa.array(fs[st] if len(st) else fs[:0]),
+                         "first_ts": pa.array(first)})
+
+    firsts = keyed_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "tok", {"first_ts": "min"}, num_buckets=64)
+
+    import pyarrow.parquet as _pq  # noqa: F401  (driver-less bounds pass)
+    bounds = grouped_stats(
+        ds.map_batches(lambda b: pa.table(
+            {"one": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+             "ts_ns": b["ts_ns"]}), batch_format="pyarrow"),
+        ["one"], min_cols=["ts_ns"], max_cols=["ts_ns"]).take_all()
+    mn = int(bounds[0]["ts_ns_min"]); mx = int(bounds[0]["ts_ns_max"])
+    thr = np.array([mn + ((mx - mn) * cp) // 10 for cp in range(1, 11)],
+                   dtype=np.int64)
+    thr_ref = ray.put(thr)
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        f = b["first_ts"].to_numpy(zero_copy_only=False)
+        # tokens first seen ≤ thr_cp, per checkpoint (partial, summed below)
+        counts = np.searchsorted(np.sort(f), t, side="right")
+        return pa.table({"cp": pa.array(np.arange(1, 11, dtype=np.int64)),
+                         "thr_ts": pa.array(t),
+                         "vocab": pa.array(counts.astype(np.int64))})
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    parts = firsts.map_batches(hist, batch_format="pyarrow",
+                               batch_size=None)
+    merged = keyed_sum(parts, "cp", ["vocab"], num_buckets=1,
+                       precombine_rows=None)
+
+    def attach(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        cp = b["cp"].to_numpy(zero_copy_only=False)
+        return pa.table({"cp": b["cp"], "thr_ts": pa.array(t[cp - 1]),
+                         "vocab": b["vocab"]})
+
+    return merged.map_batches(attach, batch_format="pyarrow")
+
+
+def sql_seq_vocab_growth(path: str) -> str:
+    return f"""
+WITH s AS (SELECT ts_ns, unnest(tokens) AS tok FROM read_parquet('{path}/part-*.parquet')),
+f AS (SELECT tok, min(ts_ns) AS first_ts FROM s GROUP BY tok),
+b AS (SELECT min(ts_ns) AS mn, max(ts_ns) AS mx FROM read_parquet('{path}/part-*.parquet')),
+cps AS (SELECT unnest(generate_series(1, 10)) AS cp)
+SELECT cp, mn + ((mx - mn) * cp) // 10 AS thr_ts,
+       (SELECT count(*) FROM f WHERE first_ts <= mn + ((mx - mn) * cp) // 10) AS vocab
+FROM cps, b
 """

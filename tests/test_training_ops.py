@@ -1577,3 +1577,35 @@ class TestLineDedup:
             assert r.n_seg == len(segs)
             assert r.n_dropped == len(segs) - len(kept)
             assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+class TestTokenSpectrumGrowth:
+    def test_distinct_ngrams_bruteforce(self, ray_session):
+        from pymhealth_ray.pipelines.queries import q_seq_distinct_ngrams
+
+        # map kernel vs python brute force on the sf0.001 fixture
+        from pymhealth_ray.sources.generate import ensure_fixture
+        import pyarrow.parquet as pq
+        import glob
+        path = ensure_fixture("/root/testdata/sf0.001")
+        tbl = pa.concat_tables([pq.read_table(p) for p in
+                                sorted(glob.glob(f"{path}/part-*.parquet"))])
+        got = (q_seq_distinct_ngrams("/root/testdata/sf0.001")
+               .to_pandas().set_index(["doc_id", "ts_ns"]))
+        rows = tbl.to_pydict()
+        for did, ts, toks in list(zip(rows["doc_id"], rows["ts_ns"],
+                                      rows["tokens"]))[:200]:
+            tris = {tuple(toks[i:i+3]) for i in range(len(toks) - 2)}
+            r = got.loc[(did, ts)]
+            assert r.n_distinct == len(tris)
+            assert r.n_trigrams == max(len(toks) - 2, 0)
+
+    def test_vocab_growth_monotone_and_total(self, ray_session):
+        from pymhealth_ray.pipelines.queries import (q_seq_token_spectrum,
+                                                     q_seq_vocab_growth)
+
+        g = (q_seq_vocab_growth("/root/testdata/sf0.001")
+             .to_pandas().sort_values("cp"))
+        assert (np.diff(g.vocab.values) >= 0).all()
+        spec = q_seq_token_spectrum("/root/testdata/sf0.001").to_pandas()
+        assert g.vocab.iloc[-1] == spec.n_tokens.sum()
