@@ -17,6 +17,7 @@ columns by name):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -978,6 +979,7 @@ def build_queries() -> dict:
         "seq_token_spectrum": q_seq_token_spectrum,
         "seq_distinct_ngrams": q_seq_distinct_ngrams,
         "seq_vocab_growth": q_seq_vocab_growth,
+        "docs_ledger_ingest": q_docs_ledger_ingest,
     }
 
 
@@ -1147,6 +1149,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_token_spectrum": sql_seq_token_spectrum(path),
         "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
+        "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
     }
     _flush_pending_oracles()
     return out
@@ -7147,4 +7150,53 @@ cps AS (SELECT unnest(generate_series(1, 10)) AS cp)
 SELECT cp, mn + ((mx - mn) * cp) // 10 AS thr_ts,
        (SELECT count(*) FROM f WHERE first_ts <= mn + ((mx - mn) * cp) // 10) AS vocab
 FROM cps, b
+"""
+
+
+def q_docs_ledger_ingest(sf_dir: str):
+    """Two-phase incremental ingestion with a persistent dedup ledger
+    (stages/dedup.ledger_dedup_ingest): even doc_ids arrive first and
+    seed the ledger; odd doc_ids arrive second — the result is phase 2's
+    survivors (content never seen in phase 1, intra-shard deduped).
+    The ledger directory is rebuilt per run for determinism."""
+    import shutil
+    import tempfile
+
+    ldir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_fixtures",
+                        f"ledger_{os.path.basename(sf_dir)}_v1")
+    shutil.rmtree(ldir, ignore_errors=True)
+
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def even(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 2 == 0))
+
+    def odd(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 2 == 1))
+
+    from pymhealth_ray.stages.dedup import ledger_dedup_ingest
+
+    phase_a = ledger_dedup_ingest(
+        ds.map_batches(even, batch_format="pyarrow"), ldir,
+        ingest_tag="a", num_buckets=16)
+    phase_a.materialize()  # ledger write barrier: phase b must see a
+
+    phase_b = ledger_dedup_ingest(
+        ds.map_batches(odd, batch_format="pyarrow"), ldir,
+        ingest_tag="b", num_buckets=16)
+    return phase_b.map_batches(
+        lambda b: b.select(["doc_id", "key_md5", "n_dups"]),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_LEDGER_INGEST = """
+WITH a AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+wb AS (SELECT min(doc_id) AS doc_id, h, count(*)::BIGINT AS n_dups
+       FROM b GROUP BY h)
+SELECT doc_id, h AS key_md5, n_dups FROM wb
+WHERE h NOT IN (SELECT DISTINCT h FROM a)
 """

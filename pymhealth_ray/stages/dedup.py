@@ -676,3 +676,63 @@ def simhash_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
     return cands.map_batches(with_pair_bucket, batch_format="pyarrow",
                              batch_size=None).groupby("__pbucket").map_groups(
         dedup_pairs, batch_format="pyarrow")
+
+
+def ledger_dedup_ingest(ds, ledger_dir: str, key_col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 64,
+                        ingest_tag: str = "ingest0",
+                        keep_payload: bool = False):
+    """Incremental exact dedup against a PERSISTENT hash ledger — the
+    100 TB ingestion pattern: each arriving shard is deduplicated
+    intra-shard (:func:`exact_dedup`), then anti-joined against every
+    PREVIOUS ingest's hashes, and its surviving hashes are appended for
+    the next ingest to see.
+
+    The ledger is a bucket-partitioned parquet directory
+    (``bucket=B/<tag>.parquet`` holding one ``key_md5`` column): each
+    map_groups task reads ONLY its own bucket's files (partition-pruned,
+    no global state, no driver materialization) and appends exactly one
+    new file — so ingests never rewrite history and a re-run of the same
+    ``ingest_tag`` is idempotent (its own file is excluded from the
+    membership read and atomically overwritten).
+
+    Returns the surviving winner rows (key_md5, id_col[, payload],
+    n_dups). Complements state/lineage.ingest_delta (which tracks which
+    FILES were processed; this tracks which CONTENT was seen)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    winners = exact_dedup(ds, key_col=key_col, id_col=id_col,
+                          keep_payload=keep_payload)
+    B = "__ledbucket"
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        md5s = batch["key_md5"].to_pylist()
+        kb = np.fromiter((int(d[:8], 16) for d in md5s), dtype=np.uint32,
+                         count=len(md5s)) % np.uint32(num_buckets)
+        return batch.append_column(B, pa.array(kb.astype(np.int32)))
+
+    fname = f"{ingest_tag}.parquet"
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        bkt = int(tbl[B][0].as_py())
+        tbl = tbl.drop_columns([B])
+        bdir = os.path.join(ledger_dir, f"bucket={bkt:05d}")
+        os.makedirs(bdir, exist_ok=True)
+        seen = set()
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet") and f != fname:
+                seen.update(pq.read_table(
+                    os.path.join(bdir, f), columns=["key_md5"]
+                )["key_md5"].to_pylist())
+        mine = tbl["key_md5"].to_pylist()
+        keep = np.array([h not in seen for h in mine], dtype=bool)
+        out = tbl.filter(pa.array(keep))
+        tmp = os.path.join(bdir, f".{fname}.tmp")
+        pq.write_table(out.select(["key_md5"]), tmp)
+        os.replace(tmp, os.path.join(bdir, fname))
+        return out
+
+    return winners.map_batches(tag_bucket, batch_format="pyarrow").groupby(
+        B).map_groups(per_bucket, batch_format="pyarrow")

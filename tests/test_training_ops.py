@@ -5,6 +5,7 @@ import hashlib
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
@@ -1609,3 +1610,39 @@ class TestTokenSpectrumGrowth:
         assert (np.diff(g.vocab.values) >= 0).all()
         spec = q_seq_token_spectrum("/root/testdata/sf0.001").to_pandas()
         assert g.vocab.iloc[-1] == spec.n_tokens.sum()
+
+
+class TestLedgerDedup:
+    def test_three_phase_ingest_and_idempotence(self, ray_session, tmp_path):
+        from pymhealth_ray.stages.dedup import ledger_dedup_ingest
+
+        ldir = str(tmp_path / "ledger")
+
+        def mk(ids, texts):
+            return ray.data.from_pandas(
+                pd.DataFrame({"doc_id": ids, "text": texts})).repartition(3)
+
+        # phase 1: one intra-shard dup
+        out1 = ledger_dedup_ingest(
+            mk([1, 2, 3, 4], ["aa", "bb", "aa", "cc"]), ldir,
+            ingest_tag="p1", num_buckets=4).to_pandas()
+        assert sorted(out1.doc_id) == [1, 2, 4]
+        assert out1.set_index("doc_id").n_dups[1] == 2
+
+        # phase 2: one cross-phase dup ('bb'), one new
+        out2 = ledger_dedup_ingest(
+            mk([10, 11], ["bb", "dd"]), ldir,
+            ingest_tag="p2", num_buckets=4).to_pandas()
+        assert sorted(out2.doc_id) == [11]
+
+        # idempotent re-run of phase 2: same result, no self-filtering
+        out2b = ledger_dedup_ingest(
+            mk([10, 11], ["bb", "dd"]), ldir,
+            ingest_tag="p2", num_buckets=4).to_pandas()
+        assert sorted(out2b.doc_id) == [11]
+
+        # phase 3 sees everything including phase 2's survivor
+        out3 = ledger_dedup_ingest(
+            mk([20, 21], ["dd", "ee"]), ldir,
+            ingest_tag="p3", num_buckets=4).to_pandas()
+        assert sorted(out3.doc_id) == [21]
