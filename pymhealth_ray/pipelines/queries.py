@@ -980,6 +980,7 @@ def build_queries() -> dict:
         "seq_distinct_ngrams": q_seq_distinct_ngrams,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
+        "seq_concat_examples": q_seq_concat_examples,
     }
 
 
@@ -1150,6 +1151,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
+        "seq_concat_examples": sql_seq_concat_examples(path),
     }
     _flush_pending_oracles()
     return out
@@ -7199,4 +7201,61 @@ wb AS (SELECT min(doc_id) AS doc_id, h, count(*)::BIGINT AS n_dups
        FROM b GROUP BY h)
 SELECT doc_id, h AS key_md5, n_dups FROM wb
 WHERE h NOT IN (SELECT DISTINCT h FROM a)
+"""
+
+
+CONCAT_L = 2048
+
+
+def q_seq_concat_examples(sf_dir: str):
+    """Concat-then-split example layout (the GPT-style alternative to
+    greedy packing): documents concatenated in deterministic (ts_ns,
+    doc_id) order and cut into fixed 2048-token examples. Per document:
+    its global token offset (distributed scan —
+    stages/rank.ordered_prefix_sum), the first/last example it lands in,
+    and how many example boundaries cut it."""
+    from pymhealth_ray.stages.rank import ordered_prefix_sum
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+                         "n_tok": b["n_tok"].cast(pa.int64())})
+
+    cum = ordered_prefix_sum(ds.map_batches(widen, batch_format="pyarrow"),
+                             "n_tok", "ts_ns", "doc_id", out="cum")
+
+    def layout(b: pa.Table) -> pa.Table:
+        c = b["cum"].to_numpy(zero_copy_only=False)
+        n = b["n_tok"].to_numpy(zero_copy_only=False)
+        prev = c - n
+        first = prev // CONCAT_L
+        last = np.where(n > 0, (c - 1) // CONCAT_L, first)
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "tok_offset": pa.array(prev),
+            "first_example": pa.array(first),
+            "last_example": pa.array(last),
+            "n_cuts": pa.array(last - first),
+        })
+
+    return cum.map_batches(layout, batch_format="pyarrow")
+
+
+def sql_seq_concat_examples(path: str) -> str:
+    return f"""
+WITH e AS (SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+                  CAST(sum(CAST(n_tok AS BIGINT)) OVER (
+                      ORDER BY ts_ns, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+           FROM read_parquet('{path}/part-*.parquet'))
+SELECT doc_id, ts_ns, cum - n_tok AS tok_offset,
+       (cum - n_tok) // {CONCAT_L} AS first_example,
+       CASE WHEN n_tok > 0 THEN (cum - 1) // {CONCAT_L}
+            ELSE (cum - n_tok) // {CONCAT_L} END AS last_example,
+       (CASE WHEN n_tok > 0 THEN (cum - 1) // {CONCAT_L}
+             ELSE (cum - n_tok) // {CONCAT_L} END)
+           - ((cum - n_tok) // {CONCAT_L}) AS n_cuts
+FROM e
 """

@@ -193,3 +193,63 @@ def ntile(ds, partition_col: str, value_col: str, tie_col: str, k: int,
         return batch.append_column(out, pa.array(t.astype(np.int64) + 1))
 
     return ranked.map_batches(tiles, batch_format="pyarrow")
+
+
+def ordered_prefix_sum(ds, value_col: str, order_col: str, tie_col: str,
+                       num_bins: int = 1024, out: str = "cum"):
+    """Distributed inclusive SCAN: ``sum(value) OVER (ORDER BY order, tie
+    ROWS UNBOUNDED PRECEDING)`` — the parallel-prefix primitive behind
+    concat-then-split example layout, running totals and offset
+    assignment. Same range-bucket topology as
+    :func:`partitioned_sort_rank` (global order == (bucket, within-bucket
+    order) because buckets are contiguous ranges of ``order_col``):
+    per-bucket vectorized sort + cumsum, O(bins) bucket totals to the
+    driver, exclusive offsets broadcast back. Values must be int64 (exact
+    associativity — floats would make the result partitioning-dependent).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(ds.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            order_col: b[order_col]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=[order_col], max_cols=[order_col]).take_all()
+    lo = float(stats[0][f"{order_col}_min"])
+    hi = float(stats[0][f"{order_col}_max"])
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    B, C = "__psbucket", "__pscum"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        binned = np.clip(((o - lo) / width).astype(np.int64), 0, num_bins - 1)
+        return batch.append_column(B, pa.array(binned, type=pa.int64()))
+
+    def scan_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[(order_col, "ascending"),
+                                                (tie_col, "ascending")])
+        tbl = tbl.take(order)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column(C, pa.array(np.cumsum(v)))
+
+    scanned = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        B).map_groups(scan_bucket, batch_format="pyarrow").materialize()
+
+    totals = scanned.groupby(B).sum(value_col).take_all()
+    per_bucket = np.zeros(num_bins, dtype=np.int64)
+    for r in totals:
+        per_bucket[r[B]] = r[f"sum({value_col})"]
+    offsets = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        b = batch[B].to_numpy(zero_copy_only=False)
+        c = batch[C].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns([B, C])
+        return batch.append_column(out, pa.array(off[b] + c))
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

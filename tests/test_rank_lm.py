@@ -140,3 +140,41 @@ class TestHeadCollect:
         assert list(got.journey) == list(exp.j)
         np.testing.assert_array_equal(got.n_first.values,
                                       exp.nf.values.astype(np.int64))
+
+
+class TestOrderedPrefixSum:
+    def test_matches_pandas_cumsum(self, ray_session):
+        from pymhealth_ray.stages.rank import ordered_prefix_sum
+
+        rng = np.random.default_rng(44)
+        n = 7000
+        df = pd.DataFrame({
+            "o": rng.integers(0, 10**15, n),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        })
+        got = (ordered_prefix_sum(ray.data.from_pandas(df).repartition(9),
+                                  "v", "o", "id", num_bins=64)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = df.sort_values(["o", "id"]).v.cumsum()
+        exp_by_id = pd.Series(exp.values,
+                              index=df.sort_values(["o", "id"]).id.values)
+        np.testing.assert_array_equal(got.cum.values,
+                                      exp_by_id.sort_index().values)
+
+    def test_partition_invariant_with_ties(self, ray_session):
+        from pymhealth_ray.stages.rank import ordered_prefix_sum
+
+        rng = np.random.default_rng(45)
+        df = pd.DataFrame({
+            "o": rng.integers(0, 20, 3000),  # heavy ties
+            "id": np.arange(3000, dtype=np.int64),
+            "v": rng.integers(0, 9, 3000).astype(np.int64),
+        })
+        outs = []
+        for parts in (1, 8):
+            outs.append(
+                ordered_prefix_sum(ray.data.from_pandas(df).repartition(parts),
+                                   "v", "o", "id", num_bins=16)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
