@@ -96,6 +96,21 @@ BENCH_QUERIES = [
     "events_value_hist",
     "lineitem_corr",
     "events_funnel_summary",
+    # round-3 second wave
+    "lineitem_cube",
+    "lineitem_moments",
+    "lineitem_star_revenue",
+    "orders_basket_pairs",
+    "events_ntile",
+    "events_attribution",
+    "events_journey",
+    "seq_token_spectrum",
+    "seq_distinct_ngrams",
+    "seq_vocab_growth",
+    "docs_ledger_ingest",
+    "seq_concat_examples",
+    "events_retention",
+    "part_revenue_pareto",
 ]
 
 

@@ -981,6 +981,8 @@ def build_queries() -> dict:
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
+        "events_retention": q_events_retention,
+        "part_revenue_pareto": q_part_revenue_pareto,
     }
 
 
@@ -1152,6 +1154,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
+        "events_retention": SQL_EVENTS_RETENTION,
+        "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
     }
     _flush_pending_oracles()
     return out
@@ -7258,4 +7262,155 @@ SELECT doc_id, ts_ns, cum - n_tok AS tok_offset,
              ELSE (cum - n_tok) // {CONCAT_L} END)
            - ((cum - n_tok) // {CONCAT_L}) AS n_cuts
 FROM e
+"""
+
+
+DAY_US = 86_400_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active day; for
+    every (cohort_day, day_offset) the number of cohort users active that
+    day. ONE entity exchange: per-user bucket groups compute first day +
+    distinct active days vectorized (the sessionization partitioning
+    invariant reused); output is |days|² bounded."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(ts // DAY_US)})
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        d = tbl["day"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(u, return_inverse=True)
+        n_u = int(inv.max()) + 1 if len(inv) else 0
+        # distinct (user, day)
+        K = np.int64(1) << np.int64(32)
+        du = np.unique(inv.astype(np.int64) * K + d)
+        ug, ud = du >> np.int64(32), du & np.int64(0xFFFFFFFF)
+        first = np.zeros(n_u, dtype=np.int64)
+        seg = np.ones(len(ug), dtype=bool)
+        seg[1:] = ug[1:] != ug[:-1]
+        first[ug[np.flatnonzero(seg)]] = ud[np.flatnonzero(seg)]  # sorted ⇒ min
+        cohort = first[ug]
+        off = ud - cohort
+        keys, cnts = np.unique(cohort * K + off, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(keys >> np.int64(32)),
+            "day_offset": pa.array(keys & np.int64(0xFFFFFFFF)),
+            "n_users": pa.array(cnts.astype(np.int64)),
+        })
+
+    parts = grouped_by_bucket(ds.map_batches(days, batch_format="pyarrow"),
+                              per_bucket, entity_col="user_id",
+                              num_buckets=NB)
+    agg = grouped_stats(parts, ["cohort_day", "day_offset"],
+                        sum_cols=["n_users"], count_name="__nb")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cohort_day": b["cohort_day"],
+            "day_offset": b["day_offset"],
+            "n_users": b["n_users_sum"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_RETENTION = """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+def q_part_revenue_pareto(sf_dir: str):
+    """Revenue-concentration (Pareto/Lorenz) deciles: parts ranked by
+    revenue, cumulative share per decile — composes THREE distributed
+    primitives (keyed_sum rollup → partitioned_sort_rank global ordering
+    → decile aggregation) with int/int float division for bit-exact
+    shares."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.rank import partitioned_sort_rank
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = np.rint(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "rev_u": pa.array(price_c * (100 - disc_c))})
+
+    per_part = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
+                         "l_partkey", ["rev_u"], num_buckets=NB)
+
+    def negkey(b: pa.Table) -> pa.Table:
+        r = b["rev_u"].to_numpy(zero_copy_only=False)
+        b = b.append_column("neg_rev", pa.array(-r))
+        return b.append_column("one", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    ranked = partitioned_sort_rank(
+        per_part.map_batches(negkey, batch_format="pyarrow"),
+        "one", "neg_rev", "l_partkey", num_bins=256, rank_name="rnk")
+
+    def to_decile(b: pa.Table) -> pa.Table:
+        r = b["rnk"].to_numpy(zero_copy_only=False)
+        n = b["__n_part"].to_numpy(zero_copy_only=False)
+        dec = (10 * r) // np.maximum(n, 1) + 1
+        return pa.table({"decile": pa.array(dec.astype(np.int64)),
+                         "rev_u": b["rev_u"],
+                         "__one": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    agg = grouped_stats(ranked.map_batches(to_decile, batch_format="pyarrow"),
+                        ["decile"], sum_cols=["rev_u"], count_name="n_parts")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        d = tbl["decile"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        tbl = tbl.take(pa.array(order))
+        rev = tbl["rev_u_sum"].to_numpy(zero_copy_only=False)
+        total = rev.sum()
+        cum = np.cumsum(rev)
+        return pa.table({
+            "decile": tbl["decile"].cast(pa.int64()),
+            "n_parts": tbl["n_parts"].cast(pa.int64()),
+            "revenue_u": pa.array(rev.astype(np.int64)),
+            "rev_share": pa.array(rev.astype(np.float64) / total),
+            "cum_share": pa.array(cum.astype(np.float64) / total),
+        })
+
+    def const_g(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    # ≤10 rows: one merge group for the cumulative readout
+    return agg.map_batches(const_g, batch_format="pyarrow").groupby(
+        "__g").map_groups(lambda t: finish(t.drop_columns(["__g"])),
+                          batch_format="pyarrow")
+
+
+SQL_PART_REVENUE_PARETO = """
+WITH p AS (SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS rev_u
+           FROM lineitem GROUP BY l_partkey),
+r AS (SELECT rev_u,
+             row_number() OVER (ORDER BY rev_u DESC, l_partkey) - 1 AS rnk,
+             count(*) OVER () AS n FROM p),
+d AS (SELECT (10 * rnk) // n + 1 AS decile, count(*) AS n_parts,
+             CAST(sum(rev_u) AS BIGINT) AS revenue_u
+      FROM r GROUP BY 1)
+SELECT decile, n_parts, revenue_u,
+       CAST(revenue_u AS DOUBLE)
+           / (SELECT CAST(sum(revenue_u) AS BIGINT) FROM d) AS rev_share,
+       CAST(CAST(sum(revenue_u) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE)
+           / (SELECT CAST(sum(revenue_u) AS BIGINT) FROM d) AS cum_share
+FROM d ORDER BY decile
 """
