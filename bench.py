@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "seq_concat_examples",
     "events_retention",
     "part_revenue_pareto",
+    "events_zonemap_range",
 ]
 
 

@@ -983,6 +983,7 @@ def build_queries() -> dict:
         "seq_concat_examples": q_seq_concat_examples,
         "events_retention": q_events_retention,
         "part_revenue_pareto": q_part_revenue_pareto,
+        "events_zonemap_range": q_events_zonemap_range,
     }
 
 
@@ -1156,6 +1157,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_concat_examples": sql_seq_concat_examples(path),
         "events_retention": SQL_EVENTS_RETENTION,
         "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
+        "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
     }
     _flush_pending_oracles()
     return out
@@ -7423,4 +7425,59 @@ SELECT decile, n_parts, revenue_u,
             AS DOUBLE)
            / (SELECT CAST(sum(revenue_u) AS BIGINT) FROM d) AS cum_share
 FROM d ORDER BY decile
+"""
+
+
+def q_events_zonemap_range(sf_dir: str):
+    """Zone-map data skipping: events written range-partitioned by ts with
+    a (min,max) manifest (sources/io.write_zonemapped), then a mid-50%
+    time-range aggregate reads ONLY the overlapping files
+    (io.read_zonemapped — I/O ∝ selectivity, the file-level generalization
+    of parquet row-group stats). Pruning itself is pytest-asserted;
+    here the driver gates the end-to-end filtered aggregate."""
+    import shutil
+    import tempfile
+
+    from pymhealth_ray.sources.io import read_zonemapped, write_zonemapped
+
+    zdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_fixtures",
+                        f"zonemap_{os.path.basename(sf_dir)}_v1")
+    if not os.path.exists(os.path.join(zdir, "_zonemap.json")):
+        shutil.rmtree(zdir, ignore_errors=True)
+        ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+        write_zonemapped(ds, zdir, "ts_us", num_files=32)
+
+    import json as _json
+
+    with open(os.path.join(zdir, "_zonemap.json")) as f:
+        man = _json.load(f)
+    mn = min(m["zmin"] for m in man)
+    mx = max(m["zmax"] for m in man)
+    lo = mn + ((mx - mn) * 25) // 100
+    hi = mn + ((mx - mn) * 75) // 100
+    pruned, _, _ = read_zonemapped(zdir, "ts_us", lo, hi,
+                                   columns=["ts_us", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return _cents(b, "value", "val_c").select(["event_type", "val_c"])
+
+    agg = grouped_stats(pruned.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type"], sum_cols=["val_c"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].cast(pa.int64()),
+            "value_cents": b["val_c_sum"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_ZONEMAP_RANGE = """
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM e, b
+WHERE ts_us >= mn + ((mx - mn) * 25) // 100
+  AND ts_us <= mn + ((mx - mn) * 75) // 100
+GROUP BY event_type
 """

@@ -101,3 +101,96 @@ def write_partitioned(ds, out_dir: str, partition_col: str):
     done = ds.groupby(partition_col).map_groups(
         write_group, batch_format="pyarrow").take_all()
     return sorted(r[partition_col] for r in done)
+
+
+def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64):
+    """Range-partitioned parquet sink with a ZONE-MAP manifest: rows are
+    range-bucketed on ``sort_col`` (equi-width over the observed min/max),
+    each bucket writes one file sorted by ``sort_col``, and
+    ``_zonemap.json`` records every file's (min, max, rows). The 100 TB
+    point is the read side: a range predicate opens only the files whose
+    zone overlaps — I/O proportional to selectivity, not corpus size
+    (Parquet row-group statistics generalized to the file/manifest level,
+    so planning never touches the footers of non-matching files).
+
+    Writes are atomic per file (tmp + rename) and the manifest is written
+    last, so a partially failed write is invisible to readers."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    os.makedirs(out_dir, exist_ok=True)
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(ds.map_batches(
+        lambda b: pa.table({"one": pa.nulls(b.num_rows, pa.int8()).fill_null(0),
+                            sort_col: b[sort_col]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=[sort_col], max_cols=[sort_col]).take_all()
+    lo = float(stats[0][f"{sort_col}_min"])
+    hi = float(stats[0][f"{sort_col}_max"])
+    width = (hi - lo) / num_files if hi > lo else 1.0
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[sort_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = np.clip(((v - lo) / width).astype(np.int64), 0, num_files - 1)
+        return batch.append_column("__zfile", pa.array(f, type=pa.int32()))
+
+    def write_group(tbl: pa.Table) -> pa.Table:
+        fid = int(tbl["__zfile"][0].as_py())
+        tbl = tbl.drop_columns(["__zfile"])
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(sort_col, "ascending")]))
+        name = f"part-{fid:05d}.parquet"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        mn = tbl[sort_col][0].as_py()
+        mx = tbl[sort_col][tbl.num_rows - 1].as_py()
+        return pa.table({"file": pa.array([name]),
+                         "zmin": pa.array([int(mn)], type=pa.int64()),
+                         "zmax": pa.array([int(mx)], type=pa.int64()),
+                         "rows": pa.array([tbl.num_rows], type=pa.int64())})
+
+    manifest = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "__zfile").map_groups(write_group, batch_format="pyarrow").take_all()
+    manifest = sorted(manifest, key=lambda r: r["file"])
+    with open(os.path.join(out_dir, "_zonemap.json.tmp"), "w") as f:
+        _json.dump(manifest, f)
+    os.replace(os.path.join(out_dir, "_zonemap.json.tmp"),
+               os.path.join(out_dir, "_zonemap.json"))
+    return manifest
+
+
+def read_zonemapped(out_dir: str, sort_col: str, lo: int, hi: int,
+                    columns=None, blocks: int | None = None):
+    """Range-pruned read of a :func:`write_zonemapped` directory: only
+    files whose [zmin, zmax] overlaps [lo, hi] are opened; a vectorized
+    residual filter trims the two boundary files. Returns (dataset,
+    n_files_read, n_files_total) so callers/tests can assert pruning."""
+    import json as _json
+    import os
+
+    import pyarrow.compute as pc
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        manifest = _json.load(f)
+    hit = [m["file"] for m in manifest
+           if not (m["zmax"] < lo or m["zmin"] > hi)]
+    if not hit:
+        import ray.data as _rd
+
+        empty = pa.table({})
+        return _rd.from_arrow(empty), 0, len(manifest)
+    paths = [os.path.join(out_dir, h) for h in hit]
+    ds = read_table(paths, columns=columns, blocks=blocks)
+
+    def residual(b: pa.Table) -> pa.Table:
+        v = b[sort_col]
+        keep = pc.and_(pc.greater_equal(v, pa.scalar(lo)),
+                       pc.less_equal(v, pa.scalar(hi)))
+        return b.filter(keep)
+
+    return ds.map_batches(residual, batch_format="pyarrow"), len(hit), len(manifest)

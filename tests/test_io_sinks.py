@@ -58,3 +58,43 @@ class TestPartitionedSink:
         write_partitioned(ray.data.from_pandas(df), out, "part")
         files = os.listdir(os.path.join(out, "part=a"))
         assert files == ["data.parquet"]
+
+
+class TestZoneMap:
+    def test_roundtrip_and_pruning(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zonemapped, write_zonemapped
+
+        rng = np.random.default_rng(51)
+        n = 20_000
+        df = pd.DataFrame({
+            "t": np.sort(rng.integers(0, 10**9, n)).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        })
+        # shuffle so the writer has to range-partition
+        df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+        zdir = str(tmp_path / "zm")
+        man = write_zonemapped(ray.data.from_pandas(df).repartition(8),
+                               zdir, "t", num_files=16)
+        assert sum(m["rows"] for m in man) == n
+        # zones must be disjoint-ordered
+        man = sorted(man, key=lambda m: m["zmin"])
+        for a, b in zip(man, man[1:]):
+            assert a["zmax"] <= b["zmin"]
+
+        lo, hi = 250_000_000, 500_000_000
+        ds, n_read, n_total = read_zonemapped(zdir, "t", lo, hi)
+        assert n_read < n_total  # pruning actually happened
+        got = ds.to_pandas().sort_values(["t", "v"]).reset_index(drop=True)
+        exp = (df[(df.t >= lo) & (df.t <= hi)]
+               .sort_values(["t", "v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_empty_range(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zonemapped, write_zonemapped
+
+        df = pd.DataFrame({"t": np.arange(100, dtype=np.int64),
+                           "v": np.arange(100, dtype=np.int64)})
+        zdir = str(tmp_path / "zm2")
+        write_zonemapped(ray.data.from_pandas(df), zdir, "t", num_files=4)
+        ds, n_read, _ = read_zonemapped(zdir, "t", 10**6, 10**7)
+        assert n_read == 0 and ds.count() == 0
