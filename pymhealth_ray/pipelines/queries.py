@@ -984,6 +984,7 @@ def build_queries() -> dict:
         "events_retention": q_events_retention,
         "part_revenue_pareto": q_part_revenue_pareto,
         "events_zonemap_range": q_events_zonemap_range,
+        "embed_ivf_recall": q_embed_ivf_recall,
     }
 
 
@@ -1158,6 +1159,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_retention": SQL_EVENTS_RETENTION,
         "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
         "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
+        "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
     }
     _flush_pending_oracles()
     return out
@@ -7481,3 +7483,96 @@ WHERE ts_us >= mn + ((mx - mn) * 25) // 100
   AND ts_us <= mn + ((mx - mn) * 75) // 100
 GROUP BY event_type
 """
+
+
+_RECALL_K, _RECALL_NPROBE, _RECALL_NCENT, _RECALL_NQ = 10, 2, 8, 50
+
+
+def q_embed_ivf_recall(sf_dir: str):
+    """ANN quality evaluation as a first-class pipeline: recall@10 of the
+    nprobe=2 IVF probe against the exact brute-force top-10, per query —
+    the measurement loop a 100 TB embedding store runs before trusting an
+    approximate index (probes read only nprobe partitions; the exact side
+    streams the corpus once)."""
+    import pyarrow.parquet as pq
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    index_dir = f"/tmp/pymhealth_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    ann.build_ivf_index(ds, index_dir, n_centroids=_RECALL_NCENT)
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], _RECALL_NQ))
+    approx = ann.knn_ivf_partitioned(index_dir, queries, k=_RECALL_K,
+                                     nprobe=_RECALL_NPROBE)
+    exact = ann.knn_bruteforce(ds, queries, k=_RECALL_K)
+
+    def to_sets(tbl):
+        out = {}
+        for q, n in zip(tbl["query_id"].to_pylist(),
+                        tbl["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    a, e = to_sets(approx), to_sets(exact)
+    qids = sorted(e)
+    hits = np.array([len(a.get(q, set()) & e[q]) for q in qids],
+                    dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "n_hit": pa.array(hits),
+        "recall": pa.array(hits / np.float64(_RECALL_K)),
+    }))
+
+
+def _ivf_recall_oracle(sf_dir: str) -> str:
+    """Single-process numpy replication of the IVF-vs-exact recall —
+    independent of Ray partitioning/batching: same seeded centroid
+    training (pure-numpy kernel), full-matrix assignment, per-query
+    candidate sets from the top-nprobe centroids, tuple-order top-k
+    matching each engine path's tie rule."""
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/ivf_recall_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        from pymhealth_ray.stages.ann import _unit, train_ivf_centroids
+
+        tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+        emb = tbl["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = np.stack([np.asarray(r, dtype=np.float64)
+                      for r in emb.to_pylist()])
+        Xu = _unit(X)
+        cent = train_ivf_centroids(X[:2048], _RECALL_NCENT)
+        assign = np.argmax(Xu @ cent.T, axis=1)
+        rows = []
+        for qid in ids[ids < _RECALL_NQ]:
+            qi = int(np.flatnonzero(ids == qid)[0])
+            sims = Xu @ Xu[qi]
+            mask = ids != qid
+            # exact top-k: (-cosine, +neighbor_id) — brute-force tie rule
+            mi = np.flatnonzero(mask)
+            order = np.lexsort((ids[mi], -sims[mi]))[:_RECALL_K]
+            exact = set(ids[mi][order].tolist())
+            probes = np.argsort(-(Xu[qi] @ cent.T))[:_RECALL_NPROBE]
+            cmask = mask & np.isin(assign, probes)
+            ci = np.flatnonzero(cmask)
+            # ivf top-k: largest (cosine, neighbor_id) tuples — heap rule
+            order2 = np.lexsort((-ids[ci], -sims[ci]))[:_RECALL_K]
+            approx = set(ids[ci][order2].tolist())
+            rows.append((int(qid), len(approx & exact)))
+        qs = pa.array([r[0] for r in rows], type=pa.int64())
+        hs = np.array([r[1] for r in rows], dtype=np.int64)
+        exp = pa.table({"query_id": qs, "n_hit": pa.array(hs),
+                        "recall": pa.array(hs / np.float64(_RECALL_K))})
+        tmp = out + ".tmp"
+        pq_mod.write_table(exp, tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"

@@ -135,7 +135,8 @@ def knn_ivf(ds, queries: pa.Table, k: int = 5, n_centroids: int = 16, nprobe: in
     At cluster scale the bucketed dataset would be written partitioned by
     centroid so probes read only matching partitions.
     """
-    sample_tbl = ds.limit(train_sample).to_pandas()
+    sample_tbl = ds.limit(train_sample).to_pandas().sort_values(
+        id_col).reset_index(drop=True)
     sample = np.stack(sample_tbl[emb_col].to_list()).astype(np.float64)
     cent = train_ivf_centroids(sample, n_centroids)
     cent_ref = ray.put(cent)
@@ -212,7 +213,7 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     import json
 
     params = {"n_centroids": n_centroids, "seed": seed, "iters": iters,
-              "train_sample": train_sample, "kind": "ivf"}
+              "train_sample": train_sample, "kind": "ivf", "v": 2}
     cent_path = pathlib.Path(index_dir) / "centroids.npy"
     complete_path = pathlib.Path(index_dir) / "_complete.json"
     if cent_path.exists() and complete_path.exists():
@@ -223,7 +224,11 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
         except (ValueError, OSError):
             pass
 
-    sample_tbl = ds.limit(train_sample).to_pandas()
+    # sort the sample by id: ds.limit() row ORDER follows block arrival, and
+    # k-means init indexes into the sample — sorting makes the trained
+    # centroids independent of partitioning/scheduling (v2 of the index)
+    sample_tbl = ds.limit(train_sample).to_pandas().sort_values(
+        id_col).reset_index(drop=True)
     sample = np.stack(sample_tbl[emb_col].to_list()).astype(np.float64)
     cent = train_ivf_centroids(sample, n_centroids, iters=iters, seed=seed)
     cent_ref = ray.put(cent)
