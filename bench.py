@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "events_retention",
     "part_revenue_pareto",
     "events_zonemap_range",
+    "embed_ivf_recall",
+    "events_hourly_distinct",
+    "supplier_part_degree",
 ]
 
 

@@ -985,6 +985,8 @@ def build_queries() -> dict:
         "part_revenue_pareto": q_part_revenue_pareto,
         "events_zonemap_range": q_events_zonemap_range,
         "embed_ivf_recall": q_embed_ivf_recall,
+        "events_hourly_distinct": q_events_hourly_distinct,
+        "supplier_part_degree": q_supplier_part_degree,
     }
 
 
@@ -1160,6 +1162,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
         "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
+        "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
+        "supplier_part_degree": SQL_SUPPLIER_PART_DEGREE,
     }
     _flush_pending_oracles()
     return out
@@ -7576,3 +7580,60 @@ def _ivf_recall_oracle(sf_dir: str) -> str:
         pq_mod.write_table(exp, tmp)
         os.replace(tmp, out)
     return f"SELECT * FROM read_parquet('{out}')"
+
+
+def q_events_hourly_distinct(sf_dir: str):
+    """Time-windowed exact cardinality: distinct active users per hour
+    bucket (stages/aggregate.grouped_distinct_count — distinct (hour,user)
+    pairs co-locate by pair hash, per-bucket unique is globally exact, no
+    driver value sets)."""
+    from pymhealth_ray.stages.aggregate import grouped_distinct_count
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def hourify(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"hour": pa.array(ts // 3_600_000_000),
+                         "user_id": b["user_id"]})
+
+    return grouped_distinct_count(
+        ds.map_batches(hourify, batch_format="pyarrow"),
+        "hour", "user_id", out="n_users")
+
+
+SQL_EVENTS_HOURLY_DISTINCT = """
+SELECT epoch_us(ts) // 3600000000 AS hour,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_supplier_part_degree(sf_dir: str):
+    """Bipartite degree histogram of the supplier→part graph: exact
+    distinct part count per supplier, then the degree histogram — the
+    graph-shape profile (two grouped_distinct_count/keyed_sum levels)."""
+    from pymhealth_ray.stages.aggregate import (grouped_distinct_count,
+                                                keyed_sum)
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_suppkey", "l_partkey"])
+    deg = grouped_distinct_count(li, "l_suppkey", "l_partkey",
+                                 out="degree")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(vals),
+                         "n_suppliers": pa.array(cnts.astype(np.int64))})
+
+    return keyed_sum(deg.map_batches(hist_partial, batch_format="pyarrow",
+                                     batch_size=None),
+                     "degree", ["n_suppliers"], num_buckets=8,
+                     precombine_rows=None)
+
+
+SQL_SUPPLIER_PART_DEGREE = """
+WITH d AS (SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS degree
+           FROM lineitem GROUP BY l_suppkey)
+SELECT degree, count(*)::BIGINT AS n_suppliers FROM d GROUP BY degree
+"""

@@ -541,3 +541,68 @@ def keyed_agg(ds, key_col: str, spec: dict, num_buckets: int = 256,
     return (ds.map_batches(with_bucket, batch_format="pyarrow",
                            batch_size=None)
             .groupby(B).map_groups(rollup, batch_format="pyarrow"))
+
+
+def grouped_distinct_count(ds, group_col: str, value_col: str,
+                           num_buckets: int = 128,
+                           out: str = "n_distinct"):
+    """EXACT ``count(DISTINCT value) GROUP BY group`` for integer
+    group/value columns at any cardinality — no driver value sets, no row
+    sort: per-block distinct (group, value) partials (np.unique on the
+    packed pair), one hash-bucket exchange on the PAIR (equal pairs
+    co-locate, so per-bucket unique is globally exact), then a keyed_sum
+    rollup of per-group counts across buckets. Groups may span buckets;
+    pairs may not — that is the invariant that makes the count exact.
+
+    Both columns must be non-negative int64 with values < 2^31 in
+    ``value_col`` (packing bound; group codes are block-local)."""
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    SHIFT = np.int64(1) << np.int64(32)
+    B = "__dcbucket"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        gv = g.to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vv) and (vv.min() < 0 or vv.max() >= (1 << 31)):
+            raise ValueError("value codes must be in [0, 2^31)")
+        gu, ginv = np.unique(gv, return_inverse=True)
+        du = np.unique(ginv.astype(np.int64) * SHIFT + vv)
+        return pa.table({
+            group_col: pa.array(gu[(du >> np.int64(32))]),
+            value_col: pa.array(du & np.int64(0xFFFFFFFF)),
+        })
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = ((g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 ^ v.astype(np.uint64)) % np.uint64(num_buckets)
+        return batch.append_column(B, pa.array(h.astype(np.int32)))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        g = tbl[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        gu, ginv = np.unique(g, return_inverse=True)
+        du = np.unique(ginv.astype(np.int64) * SHIFT + v)
+        cnt = np.bincount((du >> np.int64(32)), minlength=len(gu))
+        return pa.table({group_col: pa.array(gu),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).map_batches(
+        with_bucket, batch_format="pyarrow", batch_size=None)
+    per_b = partials.groupby(B).map_groups(
+        lambda t: per_bucket(t.drop_columns([B])), batch_format="pyarrow")
+    summed = keyed_sum(per_b, group_col, ["c"], num_buckets=64,
+                       precombine_rows=None)
+    return summed.map_batches(
+        lambda b: b.rename_columns([group_col, out]),
+        batch_format="pyarrow", batch_size=None)

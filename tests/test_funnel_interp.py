@@ -300,3 +300,34 @@ class TestCubeBasket:
                              ascending=[False, True, True])
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGroupedDistinctCount:
+    def test_matches_pandas_nunique(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_distinct_count
+
+        rng = np.random.default_rng(61)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 300, 20000),
+            "v": rng.integers(0, 500, 20000).astype(np.int64),
+        })
+        got = (grouped_distinct_count(
+                   ray.data.from_pandas(df).repartition(9), "g", "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        exp = df.groupby("g").v.nunique().sort_index()
+        np.testing.assert_array_equal(got.g.values, exp.index.values)
+        np.testing.assert_array_equal(got.n_distinct.values, exp.values)
+
+    def test_partition_invariant(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_distinct_count
+
+        rng = np.random.default_rng(62)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 20, 5000),
+            "v": rng.integers(0, 2**30, 5000).astype(np.int64),
+        })
+        outs = [grouped_distinct_count(
+                    ray.data.from_pandas(df).repartition(p), "g", "v")
+                .to_pandas().sort_values("g").reset_index(drop=True)
+                for p in (1, 11)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
