@@ -194,3 +194,88 @@ def read_zonemapped(out_dir: str, sort_col: str, lo: int, hi: int,
         return b.filter(keep)
 
     return ds.map_batches(residual, batch_format="pyarrow"), len(hit), len(manifest)
+
+
+def compact_zonemapped(out_dir: str, target_files: int):
+    """Storage maintenance: merge a :func:`write_zonemapped` directory's
+    many small files into ~``target_files`` larger ones WITHOUT a global
+    re-sort — zones are disjoint and ordered, so concatenating adjacent
+    files in zmin order preserves the sorted-by-zone layout. Each output
+    group is merged by an independent Ray task (bounded by group bytes);
+    the new manifest is written LAST and old files removed only after it
+    lands, so readers never observe a half-compacted directory (crash
+    leaves orphan files, never a wrong manifest)."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+    import ray as _ray
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        manifest = sorted(_json.load(f), key=lambda m: m["zmin"])
+    if len(manifest) <= target_files:
+        return manifest
+    total = sum(m["rows"] for m in manifest)
+    per = max(1, total // target_files)
+    groups, cur, acc = [], [], 0
+    for m in manifest:
+        cur.append(m)
+        acc += m["rows"]
+        if acc >= per:
+            groups.append(cur)
+            cur, acc = [], 0
+    if cur:
+        groups.append(cur)
+
+    @_ray.remote
+    def merge(gidx: int, members: list) -> dict:
+        tbl = pa.concat_tables([
+            pq_mod.read_table(os.path.join(out_dir, m["file"]))
+            for m in members])
+        name = f"compact-{gidx:05d}.parquet"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return {"file": name,
+                "zmin": int(min(m["zmin"] for m in members)),
+                "zmax": int(max(m["zmax"] for m in members)),
+                "rows": int(tbl.num_rows)}
+
+    new_manifest = _ray.get([merge.remote(i, g) for i, g in enumerate(groups)])
+    new_manifest = sorted(new_manifest, key=lambda m: m["zmin"])
+    tmp = os.path.join(out_dir, "_zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(new_manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    for m in manifest:  # old files only after the manifest swap
+        try:
+            os.remove(os.path.join(out_dir, m["file"]))
+        except OSError:
+            pass
+    return new_manifest
+
+
+def read_table_evolved(paths, target_schema: "pa.Schema", blocks: int | None = None):
+    """Schema-evolution-tolerant parquet read: files written before a
+    column existed are read anyway — missing columns fill with typed
+    nulls, extra columns drop, and every batch casts to ``target_schema``
+    (so a widened int32 → int64 migration reads cleanly). The 100 TB
+    reality: a year of ingests never shares one schema; the reader, not a
+    rewrite job, absorbs the drift."""
+    ds = ray.data.read_parquet(paths, override_num_blocks=blocks or default_blocks())
+
+    def conform(batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)
+        cols = {}
+        for field in target_schema:
+            if field.name in batch.column_names:
+                col = batch[field.name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[field.name] = col.cast(field.type)
+            else:
+                cols[field.name] = pa.nulls(batch.num_rows, type=field.type)
+        return pa.table(cols)
+
+    return ds.map_batches(conform, batch_format="pyarrow")

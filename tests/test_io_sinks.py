@@ -98,3 +98,50 @@ class TestZoneMap:
         write_zonemapped(ray.data.from_pandas(df), zdir, "t", num_files=4)
         ds, n_read, _ = read_zonemapped(zdir, "t", 10**6, 10**7)
         assert n_read == 0 and ds.count() == 0
+
+
+class TestCompactionEvolution:
+    def test_compact_preserves_reads(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import (compact_zonemapped,
+                                              read_zonemapped,
+                                              write_zonemapped)
+
+        rng = np.random.default_rng(52)
+        df = pd.DataFrame({
+            "t": rng.integers(0, 10**8, 10_000).astype(np.int64),
+            "v": rng.integers(0, 50, 10_000).astype(np.int64),
+        })
+        zdir = str(tmp_path / "zc")
+        write_zonemapped(ray.data.from_pandas(df).repartition(6),
+                         zdir, "t", num_files=24)
+        before, _, _ = read_zonemapped(zdir, "t", 10**7, 6 * 10**7)
+        before = before.to_pandas().sort_values(["t", "v"]).reset_index(drop=True)
+
+        man = compact_zonemapped(zdir, target_files=5)
+        assert len(man) <= 8  # grouping is approximate but must shrink
+        import os
+        files = [f for f in os.listdir(zdir) if f.endswith(".parquet")]
+        assert len(files) == len(man)
+        after, n_read, n_total = read_zonemapped(zdir, "t", 10**7, 6 * 10**7)
+        after = after.to_pandas().sort_values(["t", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+        assert n_total == len(man)
+
+    def test_evolved_read_fills_and_casts(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pymhealth_ray.sources.io import read_table_evolved
+
+        old = pa.table({"a": pa.array([1, 2], type=pa.int32())})
+        new = pa.table({"a": pa.array([3], type=pa.int64()),
+                        "b": pa.array(["x"]),
+                        "extra": pa.array([9.0])})
+        pq.write_table(old, str(tmp_path / "old.parquet"))
+        pq.write_table(new, str(tmp_path / "new.parquet"))
+        target = pa.schema([("a", pa.int64()), ("b", pa.string())])
+        got = (read_table_evolved([str(tmp_path / "old.parquet"),
+                                   str(tmp_path / "new.parquet")], target)
+               .to_pandas().sort_values("a").reset_index(drop=True))
+        assert got.a.tolist() == [1, 2, 3]
+        assert got.b.tolist()[:2] == [None, None] and got.b.tolist()[2] == "x"
+        assert str(got.a.dtype) == "int64"
