@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "embed_ivf_recall",
     "events_hourly_distinct",
     "supplier_part_degree",
+    "seq_trigram_nll",
 ]
 
 

@@ -987,6 +987,7 @@ def build_queries() -> dict:
         "embed_ivf_recall": q_embed_ivf_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
         "supplier_part_degree": q_supplier_part_degree,
+        "seq_trigram_nll": q_seq_trigram_nll,
     }
 
 
@@ -1164,6 +1165,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
         "supplier_part_degree": SQL_SUPPLIER_PART_DEGREE,
+        "seq_trigram_nll": sql_seq_trigram_nll(path),
     }
     _flush_pending_oracles()
     return out
@@ -7637,3 +7639,53 @@ WITH d AS (SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS degree
            FROM lineitem GROUP BY l_suppkey)
 SELECT degree, count(*)::BIGINT AS n_suppliers FROM d GROUP BY degree
 """
+
+
+def q_seq_trigram_nll(sf_dir: str):
+    """Trigram LM scoring through the JOIN plan (stages/lm.trigram_nll):
+    counts attach via co-partitioned exchanges instead of a broadcast —
+    the path a vocab where |V|³ ≫ worker memory forces. Summation order
+    is pinned (window-start reduceat), so the result is bit-identical to
+    the single-process oracle."""
+    from pymhealth_ray.stages.lm import trigram_nll
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    return trigram_nll(ds, num_buckets=NB)
+
+
+def _trigram_nll_expected(src: pa.Table):
+    """Single-process replication: corpus trigram/context counts, per-row
+    start-order reduceat — the same float expression tree as the engine."""
+    import pandas as pd
+
+    from collections import Counter
+
+    docs = src["doc_id"].to_pylist()
+    tss = src["ts_ns"].to_pylist()
+    toks = src["tokens"].to_pylist()
+    c3: Counter = Counter()
+    c2: Counter = Counter()
+    for t in toks:
+        for i in range(len(t) - 2):
+            c3[(t[i], t[i + 1], t[i + 2])] += 1
+            c2[(t[i], t[i + 1])] += 1
+    out = {"doc_id": [], "ts_ns": [], "n_trigrams": [], "nll": []}
+    for d, ts, t in zip(docs, tss, toks):
+        n_tri = max(len(t) - 2, 0)
+        out["doc_id"].append(d)
+        out["ts_ns"].append(ts)
+        out["n_trigrams"].append(n_tri)
+        if n_tri == 0:
+            out["nll"].append(None)
+            continue
+        contrib = np.array([
+            np.log(float(c3[(t[i], t[i + 1], t[i + 2])]))
+            - np.log(float(c2[(t[i], t[i + 1])]))
+            for i in range(n_tri)])
+        out["nll"].append(-np.add.reduceat(contrib, [0])[0] / n_tri)
+    return pd.DataFrame(out)
+
+
+def sql_seq_trigram_nll(path: str) -> str:
+    return _materialized_oracle(path, "trigram_nll_v1",
+                                _trigram_nll_expected)

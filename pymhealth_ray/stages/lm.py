@@ -173,3 +173,243 @@ def bigram_nll(ds, tokens_col: str = "tokens", id_cols=("doc_id", "ts_ns"),
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def trigram_nll(ds, tokens_col: str = "tokens",
+                id_cols=("doc_id", "ts_ns"), key_mult: int = 2048,
+                num_buckets: int = 64):
+    """Per-row trigram LM NLL when the model table is TOO BIG TO
+    BROADCAST: bigram_nll ships a dense vocab² table to every worker
+    (32 MB at 2048 tokens); at vocab ≈ 10⁵ the trigram table is billions
+    of cells, so scoring flips to the join plan —
+
+      1. exact trigram counts c₃(a,b,c) via ``keyed_sum`` on the packed
+         int64 key (collision-free: key_mult³ < 2⁶³); context counts
+         c₂(a,b) derive map-side from c₃ (Σ_c — the MLE denominator);
+      2. every window row (key₃, ids…, start) joins its c₃ and then its
+         c₂ through two slim co-partitioned hash-bucket exchanges
+         (sorted-searchsorted attach per bucket, no row sort);
+      3. one entity-bucket regroup rebuilds per-row NLL with
+         contributions summed in WINDOW-START order (np.add.reduceat
+         after a lexsort) — float addition order is pinned, so the
+         result is bit-identical to a single-process evaluation.
+
+    Returns (ids…, n_trigrams, nll) with nll = −mean log(c₃/c₂); rows
+    with < 3 tokens get nll = NULL. Unsmoothed by design (the corpus
+    itself is the training set, every window's count ≥ 1)."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    id_cols = list(id_cols)
+    K2 = np.int64(key_mult) * np.int64(key_mult)
+
+    def win_partial(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, _, _, _ = _tri_windows(col, key_mult)
+        vals, cnts = np.unique(keys, return_counts=True)
+        return pa.table({"k3": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    c3 = keyed_sum(ds.map_batches(win_partial, batch_format="pyarrow",
+                                  batch_size=None), "k3", ["c"],
+                   num_buckets=num_buckets)
+
+    def ctx_partial(b: pa.Table) -> pa.Table:
+        k3 = b["k3"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        k2 = k3 % K2
+        vals, inv = np.unique(k2, return_inverse=True)
+        s = np.bincount(inv, weights=c, minlength=len(vals)).astype(np.int64)
+        return pa.table({"k2": pa.array(vals), "c": pa.array(s)})
+
+    c2 = keyed_sum(c3.map_batches(ctx_partial, batch_format="pyarrow",
+                                  batch_size=None), "k2", ["c"],
+                   num_buckets=num_buckets, precombine_rows=None)
+
+    def attach(win_ds, count_ds, key_name, out_name, carry):
+        """Co-partitioned count attach: windows + counts exchange on
+        hash(key); per bucket, sorted-searchsorted gather."""
+        B, TAG = f"__{key_name}bkt", f"__{key_name}side"
+
+        def wside(b: pa.Table) -> pa.Table:
+            cols = {key_name: b[key_name]}
+            for c_ in carry:
+                cols[c_] = b[c_]
+            cols["__c"] = pa.nulls(b.num_rows, type=pa.int64())
+            out = pa.table(cols)
+            out = out.append_column(TAG, pa.array(
+                np.zeros(b.num_rows, dtype=np.int8)))
+            return out.append_column(B, pa.array(
+                _stable_bucket_of(out[key_name], num_buckets),
+                type=pa.int32()))
+
+        sch = win_ds.schema()
+        carry_types = [(c_, sch.base_schema.field(c_).type) for c_ in carry]
+
+        def dside(b: pa.Table) -> pa.Table:
+            cols = {key_name: b[key_name]}
+            for c_, typ in carry_types:
+                cols[c_] = pa.nulls(b.num_rows, type=typ)
+            cols["__c"] = b["c"].cast(pa.int64())
+            out = pa.table(cols)
+            out = out.append_column(TAG, pa.array(
+                np.ones(b.num_rows, dtype=np.int8)))
+            return out.append_column(B, pa.array(
+                _stable_bucket_of(out[key_name], num_buckets),
+                type=pa.int32()))
+
+        w = win_ds.map_batches(wside, batch_format="pyarrow")
+        d = count_ds.map_batches(dside, batch_format="pyarrow",
+                                 batch_size=None)
+
+        def per_bucket(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.drop_columns([B])
+            side = tbl[TAG]
+            if isinstance(side, pa.ChunkedArray):
+                side = side.combine_chunks()
+            s = side.to_numpy(zero_copy_only=False)
+            dm = s == 1
+            dpart = tbl.filter(pa.array(dm))
+            dkeys = dpart[key_name].to_numpy(zero_copy_only=False)
+            dvals = dpart["__c"].to_numpy(zero_copy_only=False)
+            order = np.argsort(dkeys, kind="stable")
+            dkeys, dvals = dkeys[order], dvals[order]
+            wpart = tbl.filter(pa.array(~dm))
+            wkeys = wpart[key_name].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(dkeys, wkeys)
+            # every window's key exists in the counts (built from the same
+            # corpus), so the gather is total
+            got = dvals[np.minimum(idx, max(len(dvals) - 1, 0))] if len(dvals) else np.zeros(len(wkeys), np.int64)
+            cols = {c_: wpart[c_] for c_ in carry}
+            cols[out_name] = pa.array(got.astype(np.int64))
+            return pa.table(cols)
+
+        return w.union(d).groupby(B).map_groups(
+            per_bucket, batch_format="pyarrow")
+
+    def win_rows(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, rowidx, local, _ = _tri_windows_rows(col, key_mult)
+        cols = {"k3": pa.array(keys), "k2": pa.array(keys % K2)}
+        take = pa.array(rowidx)
+        for c_ in id_cols:
+            cols[c_] = b[c_].take(take)
+        cols["__start"] = pa.array(local)
+        return pa.table(cols)
+
+    wins = ds.map_batches(win_rows, batch_format="pyarrow")
+    with_c3 = attach(wins, c3, "k3", "__c3",
+                     carry=["k2"] + id_cols + ["__start"])
+    with_c2 = attach(with_c3, c2, "k2", "__c2",
+                     carry=id_cols + ["__start", "__c3"])
+
+    # per-row regroup: geometry side carries n_tok so empty rows survive
+    RB, RT = "__rowbkt", "__rowside"
+
+    def geom(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cols = {c_: b[c_] for c_ in id_cols}
+        cols["__len"] = pa.array(lens)
+        cols["__start"] = pa.nulls(b.num_rows, type=pa.int64())
+        cols["__c3"] = pa.nulls(b.num_rows, type=pa.int64())
+        cols["__c2"] = pa.nulls(b.num_rows, type=pa.int64())
+        out = pa.table(cols)
+        out = out.append_column(RT, pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+        return out.append_column(RB, pa.array(
+            _stable_bucket_of(out[id_cols[0]], num_buckets),
+            type=pa.int32()))
+
+    def wrows(b: pa.Table) -> pa.Table:
+        cols = {c_: b[c_] for c_ in id_cols}
+        cols["__len"] = pa.nulls(b.num_rows, type=pa.int64())
+        cols["__start"] = b["__start"]
+        cols["__c3"] = b["__c3"]
+        cols["__c2"] = b["__c2"]
+        out = pa.table(cols)
+        out = out.append_column(RT, pa.array(
+            np.ones(b.num_rows, dtype=np.int8)))
+        return out.append_column(RB, pa.array(
+            _stable_bucket_of(out[id_cols[0]], num_buckets),
+            type=pa.int32()))
+
+    from pymhealth_ray.stages.spans import _encode_pairs
+
+    def per_row(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns([RB])
+        side = tbl[RT]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        s = side.to_numpy(zero_copy_only=False)
+        rm = s == 0
+        rtbl = tbl.filter(pa.array(rm))
+        wtbl = tbl.filter(pa.array(~rm))
+        pairs = _encode_pairs(tbl, id_cols)
+        pR, pW = pairs[rm], pairs[~rm]
+        allp = np.concatenate([pR, pW]) if len(pW) else pR
+        _, inv = np.unique(allp, axis=0, return_inverse=True)
+        invR, invW = inv[:len(pR)], inv[len(pR):]
+        n_u = int(inv.max()) + 1 if len(inv) else 0
+        lensR = rtbl["__len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = (wtbl["__start"].to_numpy(zero_copy_only=False).astype(np.int64)
+              if wtbl.num_rows else np.empty(0, np.int64))
+        c3v = (wtbl["__c3"].to_numpy(zero_copy_only=False).astype(np.float64)
+               if wtbl.num_rows else np.empty(0))
+        c2v = (wtbl["__c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+               if wtbl.num_rows else np.empty(0))
+        order = np.lexsort((st, invW))
+        g = invW[order]
+        contrib = (np.log(c3v) - np.log(c2v))[order]
+        seg = np.ones(len(g), dtype=bool)
+        seg[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(seg)
+        sums = np.zeros(n_u, dtype=np.float64)
+        if len(starts):
+            sums[g[starts]] = np.add.reduceat(contrib, starts)
+        n_tri = np.maximum(lensR - 2, 0)
+        has = n_tri > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nll = -sums[invR] / n_tri
+        cols = {c_: rtbl[c_] for c_ in id_cols}
+        cols["n_trigrams"] = pa.array(n_tri)
+        cols["nll"] = pa.array(np.where(has, nll, 0.0),
+                               type=pa.float64(), mask=~has)
+        return pa.table(cols)
+
+    r = ds.map_batches(geom, batch_format="pyarrow")
+    w = with_c2.map_batches(wrows, batch_format="pyarrow")
+    return r.union(w).groupby(RB).map_groups(per_row,
+                                             batch_format="pyarrow")
+
+
+def _tri_windows(col, key_mult):
+    """(keys, starts, lens, offs) for 3-token windows — spans._flat_windows
+    specialized to L=3 (that module pins L=5)."""
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    pos = np.arange(len(flat), dtype=np.int64)
+    local = pos - np.repeat(offs[:-1], lens)
+    ok = local <= np.repeat(lens - 3, lens)
+    starts = np.flatnonzero(ok)
+    k = np.int64(key_mult)
+    keys = flat[starts] + flat[starts + 1] * k + flat[starts + 2] * k * k
+    return keys, starts, lens, offs
+
+
+def _tri_windows_rows(col, key_mult):
+    keys, starts, lens, offs = _tri_windows(col, key_mult)
+    n_w = np.maximum(lens - 2, 0)
+    rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), n_w)
+    local = starts - np.repeat(offs[:-1], n_w)
+    return keys, rowidx, local, lens

@@ -178,3 +178,54 @@ class TestOrderedPrefixSum:
                                    "v", "o", "id", num_bins=16)
                 .to_pandas().sort_values("id").reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestTrigramNLL:
+    def test_matches_single_process(self, ray_session):
+        from pymhealth_ray.stages.lm import trigram_nll
+
+        rng = np.random.default_rng(71)
+        rows = []
+        for i in range(300):
+            n = int(rng.integers(1, 40))
+            rows.append({"doc_id": f"d{i:04d}", "ts_ns": int(1e9 + i),
+                         "tokens": rng.integers(0, 12, n).astype(np.int32).tolist()})
+        df = pd.DataFrame(rows)
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = (trigram_nll(ds, key_mult=2048)
+               .to_pandas().set_index("doc_id").sort_index())
+
+        # single-process replication: corpus counts + per-row start-order sum
+        from collections import Counter
+        c3, c2 = Counter(), Counter()
+        for r in rows:
+            t = r["tokens"]
+            for i2 in range(len(t) - 2):
+                c3[(t[i2], t[i2+1], t[i2+2])] += 1
+                c2[(t[i2], t[i2+1])] += 1
+        for r in rows:
+            t = r["tokens"]
+            n_tri = max(len(t) - 2, 0)
+            g = got.loc[r["doc_id"]]
+            assert g.n_trigrams == n_tri
+            if n_tri == 0:
+                assert pd.isna(g.nll)
+                continue
+            contrib = np.array([np.log(float(c3[(t[i2], t[i2+1], t[i2+2])]))
+                                - np.log(float(c2[(t[i2], t[i2+1])]))
+                                for i2 in range(n_tri)])
+            exp = -np.add.reduceat(contrib, [0])[0] / n_tri
+            assert g.nll == exp  # bit-exact: pinned summation order
+
+    def test_partition_invariant(self, ray_session):
+        from pymhealth_ray.stages.lm import trigram_nll
+
+        rng = np.random.default_rng(72)
+        rows = [{"doc_id": f"d{i}", "ts_ns": i,
+                 "tokens": rng.integers(0, 6, int(rng.integers(3, 20))).astype(np.int32).tolist()}
+                for i in range(80)]
+        df = pd.DataFrame(rows)
+        outs = [trigram_nll(ray.data.from_pandas(df).repartition(p))
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+                for p in (1, 9)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
