@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_hourly_distinct",
     "supplier_part_degree",
     "seq_trigram_nll",
+    "seq_minhash_dupes",
 ]
 
 

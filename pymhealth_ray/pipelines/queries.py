@@ -988,6 +988,7 @@ def build_queries() -> dict:
         "events_hourly_distinct": q_events_hourly_distinct,
         "supplier_part_degree": q_supplier_part_degree,
         "seq_trigram_nll": q_seq_trigram_nll,
+        "seq_minhash_dupes": q_seq_minhash_dupes,
     }
 
 
@@ -1166,6 +1167,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
         "supplier_part_degree": SQL_SUPPLIER_PART_DEGREE,
         "seq_trigram_nll": sql_seq_trigram_nll(path),
+        "seq_minhash_dupes": sql_seq_minhash_dupes(path),
     }
     _flush_pending_oracles()
     return out
@@ -7689,3 +7691,122 @@ def _trigram_nll_expected(src: pa.Table):
 def sql_seq_trigram_nll(path: str) -> str:
     return _materialized_oracle(path, "trigram_nll_v1",
                                 _trigram_nll_expected)
+
+
+def _seed_near_dups(b: pa.Table) -> pa.Table:
+    """Append a perturbed copy of every 97th-hashed row (first token
+    flipped, ts_ns+1, doc_id suffixed): the synthetic corpus has no
+    natural near-dups, and a dedup demo over provably-empty ground truth
+    proves nothing. Map-local and deterministic — the oracle replicates
+    the same derivation."""
+    ts = b["ts_ns"].to_numpy(zero_copy_only=False)
+    pick = np.flatnonzero(ts % 97 == 0)
+    if not len(pick):
+        return b
+    take = pa.array(pick)
+    toks = b["tokens"].combine_chunks() if isinstance(
+        b["tokens"], pa.ChunkedArray) else b["tokens"]
+    copies = []
+    for i in pick.tolist():
+        t = list(toks[i].as_py())
+        if t:
+            t[0] = (t[0] + 1) % 2048
+        copies.append(t)
+    dup = pa.table({
+        "doc_id": pa.array([f"{v}~dup" for v in
+                            b["doc_id"].take(take).to_pylist()]),
+        "ts_ns": pa.array(ts[pick] + 1),
+        "tokens": pa.array(copies, type=toks.type),
+    })
+    return pa.concat_tables([b.select(["doc_id", "ts_ns", "tokens"]),
+                             dup]).combine_chunks()
+
+
+_TOKMH_CACHE: dict = {}
+
+
+def _cached_token_minhasher():
+    from pymhealth_ray.stages.dedup import TokenMinHasher
+
+    h = _TOKMH_CACHE.get("h")
+    if h is None:
+        h = _TOKMH_CACHE["h"] = TokenMinHasher(id_col="rid")
+    return h
+
+
+def q_seq_minhash_dupes(sf_dir: str):
+    """Near-duplicate SEQUENCES via token-shingle MinHash+LSH — the eighth
+    dedup modality: surrogate int ids from the deterministic global rank
+    (stages/rank.partitioned_sort_rank over (ts_ns, doc_id)), signatures
+    over packed-3-gram shingles (stages/dedup.TokenMinHasher), then the
+    existing banded-LSH pair machinery unchanged (sig_ds reuse). Returns
+    (id_a, id_b, est_jaccard) in rank space."""
+    from pymhealth_ray.stages.dedup import minhash_lsh_dupes
+    from pymhealth_ray.stages.rank import partitioned_sort_rank
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def add_one(b: pa.Table) -> pa.Table:
+        b = _seed_near_dups(b)
+        return b.append_column("one", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    ranked = partitioned_sort_rank(
+        ds.map_batches(add_one, batch_format="pyarrow"),
+        "one", "ts_ns", "doc_id", num_bins=256, rank_name="rid")
+
+    def sig(b: pa.Table) -> pa.Table:
+        return _cached_token_minhasher()(b)
+
+    sigs = ranked.map_batches(sig, batch_format="pyarrow").materialize()
+    return minhash_lsh_dupes(sigs, id_col="rid", jaccard_threshold=0.7,
+                             sig_ds=sigs)
+
+
+def _seq_minhash_expected(src: pa.Table):
+    """Single-process LSH replication (no bucket caps apply at gate
+    scale): same rank assignment, same TokenMinHasher family, same band
+    keys; pairs sharing ≥1 band kept when the signature Jaccard estimate
+    clears the threshold."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.dedup import _band_keys_vec
+
+    seeded = _seed_near_dups(src.select(["doc_id", "ts_ns", "tokens"]))
+    df = pd.DataFrame({
+        "doc_id": seeded["doc_id"].to_pylist(),
+        "ts_ns": seeded["ts_ns"].to_pylist(),
+        "tokens": seeded["tokens"].to_pylist(),
+    }).sort_values(["ts_ns", "doc_id"]).reset_index(drop=True)
+    h = _cached_token_minhasher()
+    tbl = pa.table({"rid": pa.array(np.arange(len(df), dtype=np.int64)),
+                    "tokens": pa.array(df.tokens.tolist(),
+                                       type=pa.list_(pa.int64()))})
+    sig_tbl = h(tbl)
+    sigs = sig_tbl["minhash"].combine_chunks().values.to_numpy(
+        zero_copy_only=False).reshape(len(df), -1).astype(np.uint64)
+    bands, rpb = 16, 4
+    cand = set()
+    for b in range(bands):
+        keys = _band_keys_vec(sigs, b, rpb)
+        buckets: dict = {}
+        for i, k2 in enumerate(keys.tolist()):
+            buckets.setdefault(k2, []).append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+    rows = []
+    for a, b2 in sorted(cand):
+        est = float((sigs[a] == sigs[b2]).mean())
+        if est >= 0.7:
+            rows.append((a, b2, est))
+    return pd.DataFrame({
+        "id_a": [r[0] for r in rows],
+        "id_b": [r[1] for r in rows],
+        "est_jaccard": [r[2] for r in rows]})
+
+
+def sql_seq_minhash_dupes(path: str) -> str:
+    return _materialized_oracle(path, "seq_minhash_v2",
+                                _seq_minhash_expected)

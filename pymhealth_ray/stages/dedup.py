@@ -356,7 +356,16 @@ def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
             [t for t in _ray.get(pairs.to_arrow_refs()) if t.num_rows]
         ) if n_pairs else None
         if pair_tbl is None:
-            return pairs  # empty (id_a, id_b) — schema-compatible
+            import ray.data as _rd
+
+            # empty result must still carry the FULL verified schema
+            # (id_a, id_b, est_jaccard) — callers and the driver's
+            # schema compare depend on it
+            return _rd.from_arrow(pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }))
         a_ids = np.asarray(pair_tbl["id_a"].to_pylist(), dtype=np.int64)
         b_ids = np.asarray(pair_tbl["id_b"].to_pylist(), dtype=np.int64)
         need = np.unique(np.concatenate([a_ids, b_ids]))
@@ -736,3 +745,76 @@ def ledger_dedup_ingest(ds, ledger_dir: str, key_col: str = "text",
 
     return winners.map_batches(tag_bucket, batch_format="pyarrow").groupby(
         B).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — spreads packed n-gram keys over uint64 so
+    the affine MinHash family sees uniform shingles."""
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+class TokenMinHasher:
+    """MinHash signatures over TOKEN n-gram shingles (the tokenized-corpus
+    analog of :class:`MinHasher`'s char shingles): shingle = splitmix64 of
+    the collision-free packed n-gram key, same seeded affine family.
+    Fully vectorized across rows — one flat window pass per batch, one
+    (num_hashes × windows) affine sweep, per-row segmented min. Rows
+    shorter than ``ngram`` hash their whole token list (md5) into a single
+    shingle, mirroring MinHasher's short-text fallback."""
+
+    def __init__(self, tokens_col: str = "tokens", id_col: str = "rid",
+                 num_hashes: int = 64, ngram: int = 3,
+                 key_mult: int = 2048, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+        self.tokens_col = tokens_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.ngram = ngram
+        self.key_mult = key_mult
+
+    def _shingles(self, toks: np.ndarray) -> np.ndarray:
+        k = np.int64(self.key_mult)
+        n = len(toks) - self.ngram + 1
+        if n <= 0:
+            return np.array([int.from_bytes(
+                hashlib.md5(toks.astype(np.int64).tobytes()).digest()[:8],
+                "big")], dtype=np.uint64)
+        keys = np.zeros(n, dtype=np.int64)
+        mult = np.int64(1)
+        for j in range(self.ngram):
+            keys += toks[j:j + n] * mult
+            mult *= k
+        return _splitmix64(keys)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        sh_list = [self._shingles(flat[offs[i]:offs[i + 1]])
+                   for i in range(len(lens))]
+        sh_lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64,
+                              count=len(sh_list))
+        sigs = np.empty((len(lens), self.num_hashes), dtype=np.uint64)
+        if len(lens):
+            allsh = np.concatenate(sh_list)
+            soffs = np.concatenate(([0], np.cumsum(sh_lens)))[:-1]
+            with np.errstate(over="ignore"):
+                vals = (allsh[None, :] * self.a[:, None]
+                        + self.b[:, None]) % np.uint64(_MERSENNE)
+            sigs = np.minimum.reduceat(vals, soffs, axis=1).T
+        out = pa.table({self.id_col: batch[self.id_col]})
+        return out.append_column("minhash", pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.astype(np.int64).ravel()), self.num_hashes))

@@ -143,3 +143,39 @@ class TestCrossDocSpans:
         assert got["key"].tolist() == exp["key"].tolist()
         assert got["c"].tolist() == exp["c"].tolist()
         assert got["v"].tolist() == exp["v"].tolist()
+
+
+class TestTokenMinHash:
+    def test_near_dup_vs_random_separation(self, ray_session):
+        from pymhealth_ray.stages.dedup import TokenMinHasher
+
+        rng = np.random.default_rng(81)
+        base = rng.integers(0, 2000, 60).astype(np.int64)
+        near = base.copy(); near[0] = (near[0] + 1) % 2048
+        rand = rng.integers(0, 2000, 60).astype(np.int64)
+        tbl = pa.table({
+            "rid": pa.array([0, 1, 2], type=pa.int64()),
+            "tokens": pa.array([base.tolist(), near.tolist(), rand.tolist()],
+                               type=pa.list_(pa.int64())),
+        })
+        h = TokenMinHasher(id_col="rid")
+        sig = h(tbl)["minhash"].combine_chunks().values.to_numpy(
+            zero_copy_only=False).reshape(3, -1)
+        est_near = (sig[0] == sig[1]).mean()
+        est_rand = (sig[0] == sig[2]).mean()
+        assert est_near > 0.8
+        assert est_rand < 0.2
+        # deterministic across instances
+        sig2 = TokenMinHasher(id_col="rid")(tbl)["minhash"].combine_chunks(
+            ).values.to_numpy(zero_copy_only=False).reshape(3, -1)
+        np.testing.assert_array_equal(sig, sig2)
+
+    def test_short_row_fallback(self, ray_session):
+        from pymhealth_ray.stages.dedup import TokenMinHasher
+
+        tbl = pa.table({"rid": pa.array([0, 1], type=pa.int64()),
+                        "tokens": pa.array([[5], [5]],
+                                           type=pa.list_(pa.int64()))})
+        sig = TokenMinHasher(id_col="rid")(tbl)["minhash"].combine_chunks(
+            ).values.to_numpy(zero_copy_only=False).reshape(2, -1)
+        np.testing.assert_array_equal(sig[0], sig[1])
