@@ -989,6 +989,7 @@ def build_queries() -> dict:
         "supplier_part_degree": q_supplier_part_degree,
         "seq_trigram_nll": q_seq_trigram_nll,
         "seq_minhash_dupes": q_seq_minhash_dupes,
+        "seq_vocab_coverage": q_seq_vocab_coverage,
     }
 
 
@@ -1168,6 +1169,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "supplier_part_degree": SQL_SUPPLIER_PART_DEGREE,
         "seq_trigram_nll": sql_seq_trigram_nll(path),
         "seq_minhash_dupes": sql_seq_minhash_dupes(path),
+        "seq_vocab_coverage": sql_seq_vocab_coverage(path),
     }
     _flush_pending_oracles()
     return out
@@ -7810,3 +7812,71 @@ def _seq_minhash_expected(src: pa.Table):
 def sql_seq_minhash_dupes(path: str) -> str:
     return _materialized_oracle(path, "seq_minhash_v2",
                                 _seq_minhash_expected)
+
+
+COVERAGE_KS = (100, 500, 1000, 2000)
+
+
+def q_seq_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: corpus token mass covered by the top-K
+    tokens, K ∈ {100,500,1000,2000} — the tokenizer-budget planning
+    companion to the Zipf spectrum. One keyed_sum exchange; the readout is
+    vocab-bounded (the same bound that lets LM tables broadcast)."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    counts = keyed_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None), "tok", ["c"],
+                       num_buckets=64)
+
+    def const_g(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tok = tbl["tok"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -c))
+        cs = c[order]
+        cum = np.cumsum(cs)
+        total = int(cum[-1]) if len(cum) else 0
+        ks = np.array(COVERAGE_KS, dtype=np.int64)
+        idx = np.minimum(ks, len(cs)) - 1
+        cum_k = np.where(idx >= 0, cum[np.maximum(idx, 0)], 0).astype(np.int64)
+        return pa.table({
+            "k": pa.array(ks),
+            "cum_tokens": pa.array(cum_k),
+            "total_tokens": pa.array(np.full(len(ks), total, dtype=np.int64)),
+            "coverage": pa.array(cum_k.astype(np.float64) / total),
+        })
+
+    return counts.map_batches(const_g, batch_format="pyarrow",
+                              batch_size=None).groupby("__g").map_groups(
+        lambda t: finish(t.drop_columns(["__g"])), batch_format="pyarrow")
+
+
+def sql_seq_vocab_coverage(path: str) -> str:
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return f"""
+WITH c AS (SELECT tok, count(*)::BIGINT AS c
+           FROM (SELECT unnest(tokens) AS tok
+                 FROM read_parquet('{path}/part-*.parquet')) GROUP BY tok),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM c),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+ks AS (SELECT unnest([{ks}]) AS k)
+SELECT k, CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= k) AS BIGINT) AS cum_tokens,
+       total AS total_tokens,
+       CAST(CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= k) AS BIGINT) AS DOUBLE)
+           / total AS coverage
+FROM ks, t
+"""
