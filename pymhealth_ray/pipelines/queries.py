@@ -990,6 +990,7 @@ def build_queries() -> dict:
         "seq_trigram_nll": q_seq_trigram_nll,
         "seq_minhash_dupes": q_seq_minhash_dupes,
         "seq_vocab_coverage": q_seq_vocab_coverage,
+        "orders_daily_ma": q_orders_daily_ma,
     }
 
 
@@ -1170,6 +1171,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_trigram_nll": sql_seq_trigram_nll(path),
         "seq_minhash_dupes": sql_seq_minhash_dupes(path),
         "seq_vocab_coverage": sql_seq_vocab_coverage(path),
+        "orders_daily_ma": SQL_ORDERS_DAILY_MA,
     }
     _flush_pending_oracles()
     return out
@@ -7879,4 +7881,63 @@ SELECT k, CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= k) AS BIGINT) AS c
        CAST(CAST((SELECT coalesce(sum(c), 0) FROM r WHERE rn <= k) AS BIGINT) AS DOUBLE)
            / total AS coverage
 FROM ks, t
+"""
+
+
+def q_orders_daily_ma(sf_dir: str):
+    """Daily revenue time series with a trailing 7-day moving average:
+    high-cardinality day rollup via keyed_sum, then the MA over the
+    |days|-bounded series in one merge group (exact int sums; MA is one
+    int/int division per day — bit-exact vs the SQL window oracle)."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        b = _cents(b, "o_totalprice", "rev_c")
+        return pa.table({"day": pa.array(day), "rev_c": b["rev_c"]})
+
+    daily = keyed_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                      "day", ["rev_c"], num_buckets=64,
+                      precombine_rows=None)
+
+    def const_g(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        d = tbl["day"].to_numpy(zero_copy_only=False)
+        r = tbl["rev_c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, r = d[order], r[order]
+        # trailing 7-ROW window over the dense daily series (the fixture's
+        # order dates are contiguous days; SQL oracle uses the same ROWS
+        # frame so semantics match even if gaps appeared)
+        cum = np.concatenate(([0], np.cumsum(r)))
+        lo = np.maximum(np.arange(len(r)) - 6, 0)
+        wsum = cum[np.arange(1, len(r) + 1)] - cum[lo]
+        wn = np.arange(1, len(r) + 1) - lo
+        return pa.table({
+            "day": pa.array(d),
+            "revenue_cents": pa.array(r.astype(np.int64)),
+            "ma7": pa.array(wsum.astype(np.float64) / wn),
+        })
+
+    return daily.map_batches(const_g, batch_format="pyarrow",
+                             batch_size=None).groupby("__g").map_groups(
+        lambda t: finish(t.drop_columns(["__g"])), batch_format="pyarrow")
+
+
+SQL_ORDERS_DAILY_MA = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM orders GROUP BY 1)
+SELECT day, revenue_cents,
+       CAST(CAST(sum(revenue_cents) OVER (ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+           / count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+FROM d
 """
