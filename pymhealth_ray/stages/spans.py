@@ -87,7 +87,11 @@ def span_counts(ds, tokens_col: str = "tokens", key_mult: int = 2048):
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None)
-    return keyed_sum(partials, "key", ["c"], num_buckets=256)
+    # span keys are mostly singletons: the big-coalesce pre-combine can't
+    # shrink them and only serializes the scan (8.3 s vs 4.2 s measured on
+    # the 10.8M-key trigram domain) — disable it
+    return keyed_sum(partials, "key", ["c"], num_buckets=256,
+                     precombine_rows=None)
 
 
 def _member(sorted_arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
@@ -108,16 +112,20 @@ def _collect_int64(ds, col: str) -> np.ndarray:
 
 
 def _encode_pairs(tbl: pa.Table, id_cols) -> np.ndarray:
-    """(n, len(id_cols)) int64 codes — dictionary codes per id column,
-    shared across the whole table so equal tuples get equal code rows."""
-    cols = []
+    """1-D int64 composite code per row — dictionary codes per id column
+    packed positionally (shared across the whole table, so equal id
+    tuples get equal codes). 1-D packing matters: ``np.unique(axis=0)``
+    on millions of window rows is a structured sort ~20× slower than the
+    flat int64 path."""
+    packed = np.zeros(tbl.num_rows, dtype=np.int64)
     for c in id_cols:
         col = tbl[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         enc = col.dictionary_encode()
-        cols.append(enc.indices.to_numpy(zero_copy_only=False).astype(np.int64))
-    return np.stack(cols, axis=1)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = packed * np.int64(len(enc.dictionary) + 1) + codes
+    return packed
 
 
 def _dup_window_rows(ds, set_ds, tokens_col, id_cols, key_mult,
@@ -271,7 +279,7 @@ def _scored_from_windows(ds, dupwin, tokens_col, id_cols, score_bucket_fn,
         pairs = _encode_pairs(tbl, id_cols)
         pR, pW = pairs[rm], pairs[~rm]
         allp = np.concatenate([pR, pW]) if len(pW) else pR
-        _, inv = np.unique(allp, axis=0, return_inverse=True)
+        _, inv = np.unique(allp, return_inverse=True)
         invR, invW = inv[:len(pR)], inv[len(pR):]
         lensR = rtbl["__len"].to_numpy(zero_copy_only=False).astype(np.int64)
         startW = (wtbl[START].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -442,7 +450,7 @@ def _flagged_set_ds(ds, tokens_col, entity_col, key_mult):
     agg = keyed_agg(ds.map_batches(partial, batch_format="pyarrow",
                                    batch_size=None),
                     "key", {"c": "sum", "dmin": "min", "dmax": "max"},
-                    num_buckets=256)
+                    num_buckets=256, precombine_rows=None)
 
     def classify(batch: pa.Table) -> pa.Table:
         c = batch["c"].to_numpy(zero_copy_only=False)

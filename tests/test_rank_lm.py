@@ -229,3 +229,21 @@ class TestTrigramNLL:
                 .to_pandas().sort_values("doc_id").reset_index(drop=True)
                 for p in (1, 9)]
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestTrigramPlans:
+    def test_broadcast_equals_join_plan(self, ray_session):
+        from pymhealth_ray.stages.lm import trigram_nll
+
+        rng = np.random.default_rng(73)
+        rows = [{"doc_id": f"d{i:03d}", "ts_ns": i,
+                 "tokens": rng.integers(0, 9, int(rng.integers(1, 30))).astype(np.int32).tolist()}
+                for i in range(150)]
+        df = pd.DataFrame(rows)
+        a = (trigram_nll(ray.data.from_pandas(df).repartition(6),
+                         plan="broadcast")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (trigram_nll(ray.data.from_pandas(df).repartition(6),
+                         plan="join")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
