@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "supplier_part_degree",
     "seq_trigram_nll",
     "seq_minhash_dupes",
+    "seq_vocab_coverage",
+    "orders_daily_ma",
+    "events_props_extract",
+    "events_sliding_distinct",
 ]
 
 

@@ -992,6 +992,7 @@ def build_queries() -> dict:
         "seq_vocab_coverage": q_seq_vocab_coverage,
         "orders_daily_ma": q_orders_daily_ma,
         "events_props_extract": q_events_props_extract,
+        "events_sliding_distinct": q_events_sliding_distinct,
     }
 
 
@@ -1174,6 +1175,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_vocab_coverage": sql_seq_vocab_coverage(path),
         "orders_daily_ma": SQL_ORDERS_DAILY_MA,
         "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
+        "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
     }
     _flush_pending_oracles()
     return out
@@ -7999,4 +8001,63 @@ SELECT event_type,
        CAST(sum(k) AS BIGINT) AS k_sum,
        CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS k_mean
 FROM e GROUP BY event_type
+"""
+
+
+def q_events_sliding_distinct(sf_dir: str):
+    """Sliding-window cardinality: distinct users in each trailing 24-hour
+    window, hourly steps. Distinct counts don't subtract, so the exact
+    plan explodes each distinct (hour, user) fact into the ≤24 windows it
+    feeds (bounded fan-out) and reuses grouped_distinct_count — the
+    window-end hour is the group, the user the value. Windows are emitted
+    only for observed end-hours (SQL oracle mirrors via a self-join over
+    hour offsets)."""
+    from pymhealth_ray.stages.aggregate import grouped_distinct_count
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    HOUR_US = 3_600_000_000
+
+    def hour_user(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        h = ts // HOUR_US
+        du = np.unique(h * np.int64(1 << 22) + u)  # user_id < 2^22 here
+        return pa.table({"hour": pa.array(du >> np.int64(22)),
+                         "user_id": pa.array(du & np.int64((1 << 22) - 1))})
+
+    facts = ds.map_batches(hour_user, batch_format="pyarrow")
+
+    # observed hours, broadcast (bounded by the time span)
+    hours = sorted({r["hour"] for r in
+                    facts.groupby("hour").count().take_all()})
+    hours_arr = np.array(hours, dtype=np.int64)
+    href = ray.put(hours_arr)
+
+    def explode(b: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        h = b["hour"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        # window end-hours: observed hours in [h, h+23]
+        lo = np.searchsorted(hs, h, side="left")
+        hi = np.searchsorted(hs, h + 24, side="left")
+        n_w = hi - lo
+        rep_u = np.repeat(u, n_w)
+        flat = (np.repeat(lo, n_w)
+                + (np.arange(int(n_w.sum()), dtype=np.int64)
+                   - np.repeat(np.concatenate(([0], np.cumsum(n_w)))[:-1],
+                               n_w)))
+        return pa.table({"end_hour": pa.array(hs[flat]),
+                         "user_id": pa.array(rep_u)})
+
+    exploded = facts.map_batches(explode, batch_format="pyarrow")
+    return grouped_distinct_count(exploded, "end_hour", "user_id",
+                                  out="n_users_24h")
+
+
+SQL_EVENTS_SLIDING_DISTINCT = """
+WITH f AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour, user_id FROM events),
+h AS (SELECT DISTINCT hour FROM f)
+SELECT h.hour AS end_hour, count(DISTINCT f.user_id)::BIGINT AS n_users_24h
+FROM h JOIN f ON f.hour BETWEEN h.hour - 23 AND h.hour
+GROUP BY h.hour
 """
