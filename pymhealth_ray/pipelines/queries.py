@@ -993,6 +993,7 @@ def build_queries() -> dict:
         "orders_daily_ma": q_orders_daily_ma,
         "events_props_extract": q_events_props_extract,
         "events_sliding_distinct": q_events_sliding_distinct,
+        "docs_audio_real": q_docs_audio_real,
     }
 
 
@@ -1176,6 +1177,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_daily_ma": SQL_ORDERS_DAILY_MA,
         "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
         "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
+        "docs_audio_real": _docs_materialized_oracle(
+            sf_dir_for_fixture, "audio_real_v1", _audio_real_expected,
+            columns=("doc_id",)),
     }
     _flush_pending_oracles()
     return out
@@ -8061,3 +8065,85 @@ SELECT h.hour AS end_hour, count(DISTINCT f.user_id)::BIGINT AS n_users_24h
 FROM h JOIN f ON f.hour BETWEEN h.hour - 23 AND h.hour
 GROUP BY h.hour
 """
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic REAL RIFF/PCM WAV payload per doc (16-bit mono sine +
+    seeded noise, 2000 samples @8 kHz) — a genuine encoder (stdlib wave)
+    so the decode path exercises a real codec, not a stub."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(doc_id + 7)
+    t = np.arange(2000, dtype=np.float64)
+    freq = 100.0 + (doc_id % 40) * 25.0
+    sig = 0.5 * np.sin(2 * np.pi * freq * t / 8000.0)
+    sig = sig + 0.1 * rng.standard_normal(2000)
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _docs_wav_table(b: pa.Table) -> pa.Table:
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "payload": pa.array([_synth_wav(int(i)) for i in ids],
+                            type=pa.binary()),
+    })
+
+
+def q_docs_audio_real(sf_dir: str):
+    """REAL-codec audio pipeline under the driver gate: per-doc WAV bytes
+    (genuinely RIFF/PCM-encoded) → actor-pool stdlib-wave decode
+    (stages/multimodal.AudioFrameSampler, decoder='real') → strided frame
+    features → per-doc summary. Decode is payload-deterministic, so the
+    oracle replays the same class single-process — the real-codec analog
+    of docs_media_decode's fake-decoder gate."""
+    from pymhealth_ray.stages.multimodal import sample_audio_frames
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_wav_table, batch_format="pyarrow")
+    dec = sample_audio_frames(media, decoder="real")
+
+    def finish(b: pa.Table) -> pa.Table:
+        fv = b["frame_feats"]
+        if isinstance(fv, pa.ChunkedArray):
+            fv = fv.combine_chunks()
+        mat = np.asarray(fv.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(b.num_rows, -1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_norm": pa.array(np.round(np.linalg.norm(mat, axis=1), 6)),
+            "frame_mean": pa.array(np.round(mat.mean(axis=1), 6)),
+        })
+
+    return dec.map_batches(finish, batch_format="pyarrow")
+
+
+def _audio_real_expected(df):
+    """Single-process replay of the real WAV decode."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import AudioFrameSampler
+
+    tbl = pa.table({
+        "doc_id": pa.array(df["doc_id"].tolist(), type=pa.int64()),
+    })
+    media = _docs_wav_table(tbl)
+    out = AudioFrameSampler(decoder="real")(media)
+    fv = out["frame_feats"]
+    if isinstance(fv, pa.ChunkedArray):
+        fv = fv.combine_chunks()
+    mat = np.asarray(fv.values.to_numpy(zero_copy_only=False),
+                     dtype=np.float64).reshape(out.num_rows, -1)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].tolist(),
+        "frame_norm": np.round(np.linalg.norm(mat, axis=1), 6),
+        "frame_mean": np.round(mat.mean(axis=1), 6),
+    })
