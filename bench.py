@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "orders_daily_ma",
     "events_props_extract",
     "events_sliding_distinct",
+    "docs_audio_real",
+    "docs_image_real",
 ]
 
 

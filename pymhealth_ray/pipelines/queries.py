@@ -994,6 +994,7 @@ def build_queries() -> dict:
         "events_props_extract": q_events_props_extract,
         "events_sliding_distinct": q_events_sliding_distinct,
         "docs_audio_real": q_docs_audio_real,
+        "docs_image_real": q_docs_image_real,
     }
 
 
@@ -1179,6 +1180,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_sliding_distinct": SQL_EVENTS_SLIDING_DISTINCT,
         "docs_audio_real": _docs_materialized_oracle(
             sf_dir_for_fixture, "audio_real_v1", _audio_real_expected,
+            columns=("doc_id",)),
+        "docs_image_real": _docs_materialized_oracle(
+            sf_dir_for_fixture, "image_real_v1", _image_real_expected,
             columns=("doc_id",)),
     }
     _flush_pending_oracles()
@@ -8146,4 +8150,80 @@ def _audio_real_expected(df):
         "doc_id": df["doc_id"].tolist(),
         "frame_norm": np.round(np.linalg.norm(mat, axis=1), 6),
         "frame_mean": np.round(mat.mean(axis=1), 6),
+    })
+
+
+def _synth_pnm(doc_id: int) -> tuple:
+    """Deterministic binary P5 PNM payload per doc (REAL image container:
+    header + raw gray bytes) with its (w, h)."""
+    rng = np.random.default_rng(doc_id + 31)
+    w = int(16 + (doc_id % 17))
+    h = int(16 + (doc_id % 13))
+    pix = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    header = f"P5\n{w} {h}\n255\n".encode()
+    return header + pix.tobytes(), w, h
+
+
+def _docs_pnm_table(b: pa.Table) -> pa.Table:
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    payloads, ws, hs = [], [], []
+    for i in ids:
+        p, w, h = _synth_pnm(int(i))
+        payloads.append(p); ws.append(w); hs.append(h)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.array(ws, dtype=np.int32)),
+        "height": pa.array(np.array(hs, dtype=np.int32)),
+    })
+
+
+def q_docs_image_real(sf_dir: str):
+    """REAL-codec image pipeline under the driver gate: binary P5 PNM
+    payloads (real container: header parse + raw gray plane) →
+    actor-pool decode (stages/multimodal.ImageDecoder, decoder='real',
+    pure-numpy PNM parser — PIL absent in this container) → 8×8
+    block-mean thumbnails → per-doc stats; oracle replays the class
+    single-process."""
+    from pymhealth_ray.stages.multimodal import decode_images
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_pnm_table, batch_format="pyarrow")
+    dec = decode_images(media, decoder="real", thumb=8)
+
+    def finish(b: pa.Table) -> pa.Table:
+        tv = b["thumb_vec"]
+        if isinstance(tv, pa.ChunkedArray):
+            tv = tv.combine_chunks()
+        mat = np.asarray(tv.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(b.num_rows, -1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pixel_mean": pa.array(np.round(
+                b["pixel_mean"].to_numpy(zero_copy_only=False), 6)),
+            "thumb_norm": pa.array(np.round(np.linalg.norm(mat, axis=1), 6)),
+        })
+
+    return dec.map_batches(finish, batch_format="pyarrow")
+
+
+def _image_real_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import ImageDecoder
+
+    tbl = pa.table({"doc_id": pa.array(df["doc_id"].tolist(),
+                                       type=pa.int64())})
+    media = _docs_pnm_table(tbl)
+    out = ImageDecoder(decoder="real", thumb=8)(media)
+    tv = out["thumb_vec"]
+    if isinstance(tv, pa.ChunkedArray):
+        tv = tv.combine_chunks()
+    mat = np.asarray(tv.values.to_numpy(zero_copy_only=False),
+                     dtype=np.float64).reshape(out.num_rows, -1)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].tolist(),
+        "pixel_mean": np.round(
+            out["pixel_mean"].to_numpy(zero_copy_only=False), 6),
+        "thumb_norm": np.round(np.linalg.norm(mat, axis=1), 6),
     })
