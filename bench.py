@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "events_sliding_distinct",
     "docs_audio_real",
     "docs_image_real",
+    "docs_video_frames",
 ]
 
 

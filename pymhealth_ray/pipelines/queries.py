@@ -995,6 +995,7 @@ def build_queries() -> dict:
         "events_sliding_distinct": q_events_sliding_distinct,
         "docs_audio_real": q_docs_audio_real,
         "docs_image_real": q_docs_image_real,
+        "docs_video_frames": q_docs_video_frames,
     }
 
 
@@ -1183,6 +1184,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             columns=("doc_id",)),
         "docs_image_real": _docs_materialized_oracle(
             sf_dir_for_fixture, "image_real_v1", _image_real_expected,
+            columns=("doc_id",)),
+        "docs_video_frames": _docs_materialized_oracle(
+            sf_dir_for_fixture, "video_frames_v1", _video_frames_expected,
             columns=("doc_id",)),
     }
     _flush_pending_oracles()
@@ -8226,4 +8230,68 @@ def _image_real_expected(df):
         "pixel_mean": np.round(
             out["pixel_mean"].to_numpy(zero_copy_only=False), 6),
         "thumb_norm": np.round(np.linalg.norm(mat, axis=1), 6),
+    })
+
+
+def _docs_clip_table(b: pa.Table) -> pa.Table:
+    """Deterministic fake clip payloads (size sets the derived frame
+    count, contents seed the fake frames)."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in ids:
+        rng = np.random.default_rng(int(i) + 101)
+        size = int(512 + (int(i) % 13) * 384)
+        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+    return pa.table({
+        "media_id": b["doc_id"].cast(pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+def q_docs_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing under the driver gate: clip payloads
+    → actor-pool frame explode (one ROW PER SAMPLED FRAME, keyed
+    (media_id, frame_idx) — stages/multimodal.VideoFrameSampler; real
+    decode honestly stubbed, PyAV absent) → per-frame thumb norms. The
+    explode layout, byte-sized batching and actor signature are the real
+    contract a production decoder drops into."""
+    from pymhealth_ray.stages.multimodal import sample_video_frames
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_clip_table, batch_format="pyarrow")
+    frames = sample_video_frames(media, decoder="fake")
+
+    def finish(b: pa.Table) -> pa.Table:
+        fv = b["frame_vec"]
+        if isinstance(fv, pa.ChunkedArray):
+            fv = fv.combine_chunks()
+        mat = np.asarray(fv.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(b.num_rows, -1)
+        return pa.table({
+            "media_id": b["media_id"],
+            "frame_idx": b["frame_idx"],
+            "frame_norm": pa.array(np.round(np.linalg.norm(mat, axis=1), 6)),
+        })
+
+    return frames.map_batches(finish, batch_format="pyarrow")
+
+
+def _video_frames_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import VideoFrameSampler
+
+    tbl = pa.table({"doc_id": pa.array(df["doc_id"].tolist(),
+                                       type=pa.int64())})
+    media = _docs_clip_table(tbl)
+    out = VideoFrameSampler(decoder="fake")(media)
+    fv = out["frame_vec"]
+    if isinstance(fv, pa.ChunkedArray):
+        fv = fv.combine_chunks()
+    mat = np.asarray(fv.values.to_numpy(zero_copy_only=False),
+                     dtype=np.float64).reshape(out.num_rows, -1)
+    return pd.DataFrame({
+        "media_id": out["media_id"].to_pylist(),
+        "frame_idx": out["frame_idx"].to_pylist(),
+        "frame_norm": np.round(np.linalg.norm(mat, axis=1), 6),
     })
