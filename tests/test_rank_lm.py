@@ -247,3 +247,50 @@ class TestTrigramPlans:
                          plan="join")
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestNewStageEdgeCases:
+    def test_single_group_single_row(self, ray_session):
+        from pymhealth_ray.stages.rank import ntile, ordered_prefix_sum
+
+        df = pd.DataFrame({"p": ["a"], "v": [1.0],
+                           "id": np.array([0], dtype=np.int64),
+                           "w": np.array([5], dtype=np.int64)})
+        t = ntile(ray.data.from_pandas(df), "p", "v", "id", k=4).to_pandas()
+        assert t.tile.tolist() == [1]
+        s = ordered_prefix_sum(ray.data.from_pandas(df), "w", "v", "id",
+                               num_bins=4).to_pandas()
+        assert s.cum.tolist() == [5]
+
+    def test_head_collect_k_larger_than_group(self, ray_session):
+        from pymhealth_ray.stages.collect import grouped_head_collect
+
+        df = pd.DataFrame({"u": [1, 1, 2], "o": [3, 1, 5],
+                           "id": np.array([0, 1, 2], dtype=np.int64),
+                           "t": ["x", "y", "z"]})
+        got = (grouped_head_collect(ray.data.from_pandas(df), "u", "o", "t",
+                                    k=10, tiebreak_col="id")
+               .to_pandas().sort_values("u"))
+        assert got.journey.tolist() == ["y>x", "z"]
+        assert got.n_first.tolist() == [2, 1]
+
+    def test_distinct_count_all_identical(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_distinct_count
+
+        df = pd.DataFrame({"g": np.zeros(1000, dtype=np.int64),
+                           "v": np.full(1000, 7, dtype=np.int64)})
+        got = grouped_distinct_count(
+            ray.data.from_pandas(df).repartition(5), "g", "v").to_pandas()
+        assert got.n_distinct.tolist() == [1]
+
+    def test_trigram_all_short_rows(self, ray_session):
+        from pymhealth_ray.stages.lm import trigram_nll
+
+        df = pd.DataFrame({
+            "doc_id": ["a", "b"], "ts_ns": [1, 2],
+            "tokens": [[1, 2], [3]],
+        })
+        got = (trigram_nll(ray.data.from_pandas(df))
+               .to_pandas().sort_values("doc_id"))
+        assert got.n_trigrams.tolist() == [0, 0]
+        assert got.nll.isna().all()
