@@ -145,3 +145,20 @@ class TestCompactionEvolution:
         assert got.a.tolist() == [1, 2, 3]
         assert got.b.tolist()[:2] == [None, None] and got.b.tolist()[2] == "x"
         assert str(got.a.dtype) == "int64"
+
+
+class TestZoneMapDegenerate:
+    def test_constant_sort_key(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zonemapped, write_zonemapped
+
+        df = pd.DataFrame({"t": np.full(500, 42, dtype=np.int64),
+                           "v": np.arange(500, dtype=np.int64)})
+        zdir = str(tmp_path / "zconst")
+        man = write_zonemapped(ray.data.from_pandas(df).repartition(4),
+                               zdir, "t", num_files=8)
+        assert len(man) == 1  # all rows share one zone
+        ds, n_read, n_total = read_zonemapped(zdir, "t", 0, 100)
+        assert (n_read, n_total) == (1, 1)
+        assert ds.count() == 500
+        ds2, n_read2, _ = read_zonemapped(zdir, "t", 43, 100)
+        assert n_read2 == 0 and ds2.count() == 0
