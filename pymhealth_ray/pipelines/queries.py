@@ -7833,7 +7833,7 @@ def _seq_minhash_expected(src: pa.Table):
 
 
 def sql_seq_minhash_dupes(path: str) -> str:
-    return _materialized_oracle(path, "seq_minhash_v2",
+    return _materialized_oracle(path, "seq_minhash_v3",
                                 _seq_minhash_expected)
 
 

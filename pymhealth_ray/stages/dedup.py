@@ -762,9 +762,13 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 class TokenMinHasher:
     """MinHash signatures over TOKEN n-gram shingles (the tokenized-corpus
     analog of :class:`MinHasher`'s char shingles): shingle = splitmix64 of
-    the collision-free packed n-gram key, same seeded affine family.
-    Fully vectorized across rows — one flat window pass per batch, one
-    (num_hashes × windows) affine sweep, per-row segmented min. Rows
+    the collision-free packed n-gram key, hashed per function with a
+    seeded MULTIPLY-SHIFT family (odd multiplier, add, natural mod-2⁶⁴ —
+    no modulo instruction: the %-Mersenne reduction was ~½ the signature
+    cost at 8M shingles × 64 hashes; multiply-shift is the standard
+    universal family and the splitmix pre-mix already decorrelates the
+    packed keys). Fully vectorized across rows — one flat window pass per
+    batch, one (num_hashes × windows) sweep, per-row segmented min. Rows
     shorter than ``ngram`` hash their whole token list (md5) into a single
     shingle, mirroring MinHasher's short-text fallback."""
 
@@ -772,8 +776,11 @@ class TokenMinHasher:
                  num_hashes: int = 64, ngram: int = 3,
                  key_mult: int = 2048, seed: int = 13):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+        self.a = (rng.integers(1, 1 << 62, num_hashes,
+                               dtype=np.int64).astype(np.uint64)
+                  | np.uint64(1))  # odd multipliers
+        self.b = rng.integers(0, 1 << 62, num_hashes,
+                              dtype=np.int64).astype(np.uint64)
         self.tokens_col = tokens_col
         self.id_col = id_col
         self.num_hashes = num_hashes
@@ -844,7 +851,7 @@ class TokenMinHasher:
                 chunk = allsh[base:base + tot]
                 with np.errstate(over="ignore"):
                     vals = (chunk[None, :] * self.a[:, None]
-                            + self.b[:, None]) % np.uint64(_MERSENNE)
+                            + self.b[:, None])  # mod 2^64 by wraparound
                 sigs[i:j2] = np.minimum.reduceat(
                     vals, soffs[i:j2] - base, axis=1).T
                 i = j2
