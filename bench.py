@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "docs_audio_real",
     "docs_image_real",
     "docs_video_frames",
+    "seq_prep_pipeline",
 ]
 
 

@@ -996,6 +996,7 @@ def build_queries() -> dict:
         "docs_audio_real": q_docs_audio_real,
         "docs_image_real": q_docs_image_real,
         "docs_video_frames": q_docs_video_frames,
+        "seq_prep_pipeline": q_seq_prep_pipeline,
     }
 
 
@@ -1188,6 +1189,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_video_frames": _docs_materialized_oracle(
             sf_dir_for_fixture, "video_frames_v1", _video_frames_expected,
             columns=("doc_id",)),
+        "seq_prep_pipeline": sql_seq_prep_pipeline(path),
     }
     _flush_pending_oracles()
     return out
@@ -8295,3 +8297,201 @@ def _video_frames_expected(df):
         "frame_idx": out["frame_idx"].to_pylist(),
         "frame_norm": np.round(np.linalg.norm(mat, axis=1), 6),
     })
+
+
+SEQ_PREP_KEEP_Q = 0.7      # keep the best 70% by LM score
+SEQ_PREP_CALIB_K = 2048    # deterministic calibration-sample size
+SEQ_PREP_EVAL_FRAC = 0.1
+SEQ_PREP_L = 2048
+
+
+def _md5_pri60(rids) -> np.ndarray:
+    """First 15 md5 hex chars of each rid as int64 — the deterministic
+    sample priority (fits int64; same expression on both sides)."""
+    return np.array([int(hashlib.md5(f"{r}-cal".encode())
+                         .hexdigest()[:15], 16) for r in rids],
+                    dtype=np.int64)
+
+
+def q_seq_prep_pipeline(sf_dir: str):
+    """Token-native curation chain — the composed flagship for the
+    sequences table: exact payload dedup (md5 of the token ids, first
+    (doc_id,ts_ns) wins) → trigram-LM quality filter (broadcast-plan
+    trigram_nll trained on the DEDUPED corpus, n_tok riding the score
+    as a dependent id column — no join back) → deterministic md5
+    train/eval split → per-split concat-then-split example layout
+    (distributed scan). Every stage is an already-gated primitive; this
+    gate proves they compose hash-exactly. The quality cut is CALIBRATED
+    ON A DETERMINISTIC SAMPLE (md5-priority bottom-k → quantile_disc of
+    its nll) so the kept fraction is scale-free — fixed absolute
+    thresholds drift with corpus size because unsmoothed LM scores grow
+    with the context counts."""
+    from pymhealth_ray.stages.aggregate import grouped_topk
+    from pymhealth_ray.stages.dedup import exact_dedup
+    from pymhealth_ray.stages.lm import trigram_nll
+    from pymhealth_ray.stages.rank import ordered_prefix_sum
+    from pymhealth_ray.stages.sample import split_train_eval
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens", "n_tok"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        key = [",".join(str(x) for x in row) for row in toks.to_pylist()]
+        rid = [f"{d}|{t:020d}" for d, t in
+               zip(b["doc_id"].to_pylist(), b["ts_ns"].to_pylist())]
+        return pa.table({"seq": pa.array(key, type=pa.string()),
+                         "rid": pa.array(rid, type=pa.string()),
+                         "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+                         "tokens": b["tokens"],
+                         "n_tok": b["n_tok"].cast(pa.int64())})
+
+    winners = exact_dedup(ds.map_batches(add_key, batch_format="pyarrow"),
+                          key_col="seq", id_col="rid",
+                          carry_cols=["doc_id", "ts_ns", "tokens", "n_tok"])
+    survivors = winners.map_batches(
+        lambda b: b.select(["doc_id", "ts_ns", "tokens", "n_tok", "rid"]),
+        batch_format="pyarrow").materialize()
+
+    scored = trigram_nll(survivors,
+                         id_cols=("doc_id", "ts_ns", "n_tok", "rid"),
+                         num_buckets=NB)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        nt = b["n_trigrams"].to_numpy(zero_copy_only=False)
+        nll = b["nll"].to_numpy(zero_copy_only=False)
+        ok = (nt >= 1) & ~np.isnan(nll)
+        return b.filter(pa.array(ok)).select(
+            ["doc_id", "ts_ns", "n_tok", "rid", "nll"])
+
+    cand = scored.map_batches(candidates,
+                              batch_format="pyarrow").materialize()
+
+    # threshold calibration: deterministic md5-priority bottom-k sample,
+    # quantile_disc over ITS nll (grouped_topk partial pruning — the
+    # sample, not the corpus, reaches the driver)
+    def pri(b: pa.Table) -> pa.Table:
+        p = _md5_pri60(b["rid"].to_pylist())
+        b = b.append_column("__pri", pa.array(p))
+        return b.append_column("__one", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    samp = grouped_topk(cand.map_batches(pri, batch_format="pyarrow"),
+                        ["__one"], "__pri", SEQ_PREP_CALIB_K,
+                        descending=False, tie_cols=["rid"], num_buckets=1)
+    svals = np.sort(np.concatenate(
+        [t["nll"].to_numpy(zero_copy_only=False)
+         for t in samp.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0)]))
+    import math
+    thr = (float(svals[max(math.ceil(SEQ_PREP_KEEP_Q * len(svals)) - 1, 0)])
+           if len(svals) else float("inf"))
+
+    def keep(b: pa.Table) -> pa.Table:
+        nll = b["nll"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(nll <= thr))
+
+    kept = split_train_eval(
+        cand.map_batches(keep, batch_format="pyarrow"),
+        "rid", eval_fraction=SEQ_PREP_EVAL_FRAC).materialize()
+
+    outs = []
+    for split in ("train", "eval"):
+        part = kept.map_batches(
+            lambda b, s=split: b.filter(pc.equal(b["split"], s)),
+            batch_format="pyarrow")
+        cum = ordered_prefix_sum(part, "n_tok", "ts_ns", "doc_id",
+                                 out="cum")
+
+        def layout(b: pa.Table) -> pa.Table:
+            c = b["cum"].to_numpy(zero_copy_only=False)
+            n = b["n_tok"].to_numpy(zero_copy_only=False)
+            prev = c - n
+            return pa.table({
+                "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+                "split": b["split"], "n_tok": b["n_tok"],
+                "nll": b["nll"],
+                "tok_offset": pa.array(prev),
+                "first_example": pa.array(prev // SEQ_PREP_L),
+            })
+
+        outs.append(cum.map_batches(layout, batch_format="pyarrow"))
+    return outs[0].union(outs[1])
+
+
+def _seq_prep_expected(src: pa.Table):
+    """Single-process replication of the whole chain (dedup → trigram
+    counts on survivors → filter → md5 split → per-split cumsum)."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    docs = src["doc_id"].to_pylist()
+    tss = src["ts_ns"].to_pylist()
+    toks = src["tokens"].to_pylist()
+    ntoks = src["n_tok"].to_pylist()
+    # dedup: first (doc,ts) composite per distinct token payload
+    best = {}
+    for d, t, tk, nt in zip(docs, tss, toks, ntoks):
+        key = ",".join(str(x) for x in tk)
+        rid = f"{d}|{t:020d}"
+        if key not in best or rid < best[key][0]:
+            best[key] = (rid, d, t, tk, int(nt))
+    surv = sorted(best.values())
+    # trigram counts over survivors
+    from collections import Counter
+    c3, c2 = Counter(), Counter()
+    for _, _, _, tk, _ in surv:
+        for i in range(len(tk) - 2):
+            c3[(tk[i], tk[i+1], tk[i+2])] += 1
+            c2[(tk[i], tk[i+1])] += 1
+    cand_rows = []
+    for rid, d, t, tk, nt in surv:
+        n_tri = max(len(tk) - 2, 0)
+        if n_tri < 1:
+            continue
+        contrib = np.array([
+            np.log(float(c3[(tk[i], tk[i+1], tk[i+2])]))
+            - np.log(float(c2[(tk[i], tk[i+1])]))
+            for i in range(n_tri)])
+        nll = -np.add.reduceat(contrib, [0])[0] / n_tri
+        cand_rows.append((rid, d, t, nt, nll))
+    # calibration: same md5-priority bottom-k, same quantile_disc rule
+    import math
+    pri = _md5_pri60([r[0] for r in cand_rows])
+    order = np.lexsort((np.array([r[0] for r in cand_rows], dtype=object),
+                        pri))[:SEQ_PREP_CALIB_K]
+    svals = np.sort(np.array([cand_rows[i][4] for i in order]))
+    thr = (float(svals[max(math.ceil(SEQ_PREP_KEEP_Q * len(svals)) - 1, 0)])
+           if len(svals) else float("inf"))
+    rows = []
+    for rid, d, t, nt, nll in cand_rows:
+        if not nll <= thr:
+            continue
+        hx = _h.md5(f"{rid}-0".encode()).hexdigest()[:8]
+        is_eval = int(hx, 16) < int(SEQ_PREP_EVAL_FRAC * float(1 << 32))
+        rows.append((d, t, "eval" if is_eval else "train", nt, nll))
+    out = {"doc_id": [], "ts_ns": [], "split": [], "n_tok": [],
+           "nll": [], "tok_offset": [], "first_example": []}
+    df = pd.DataFrame(rows, columns=["doc_id", "ts_ns", "split",
+                                     "n_tok", "nll"])
+    for split in ("train", "eval"):
+        part = df[df.split == split].sort_values(
+            ["ts_ns", "doc_id"]).reset_index(drop=True)
+        cum = part.n_tok.cumsum().to_numpy(dtype=np.int64)
+        prev = cum - part.n_tok.to_numpy(dtype=np.int64)
+        out["doc_id"].extend(part.doc_id.tolist())
+        out["ts_ns"].extend(part.ts_ns.tolist())
+        out["split"].extend(part.split.tolist())
+        out["n_tok"].extend(part.n_tok.astype("int64").tolist())
+        out["nll"].extend(part.nll.tolist())
+        out["tok_offset"].extend(prev.tolist())
+        out["first_example"].extend((prev // SEQ_PREP_L).tolist())
+    return pd.DataFrame(out)
+
+
+def sql_seq_prep_pipeline(path: str) -> str:
+    return _materialized_oracle(path, "seq_prep_v2", _seq_prep_expected,
+                                columns=("doc_id", "ts_ns", "tokens",
+                                         "n_tok"))

@@ -218,6 +218,12 @@ def ordered_prefix_sum(ds, value_col: str, order_col: str, tie_col: str,
             order_col: b[order_col]}),
         batch_format="pyarrow"), ["one"],
         min_cols=[order_col], max_cols=[order_col]).take_all()
+    if not stats:  # empty input: emit the schema (+ cum) with zero rows
+        def empty_cum(batch: pa.Table) -> pa.Table:
+            return batch.append_column(out, pa.array(
+                np.zeros(batch.num_rows, dtype=np.int64)))
+
+        return ds.map_batches(empty_cum, batch_format="pyarrow")
     lo = float(stats[0][f"{order_col}_min"])
     hi = float(stats[0][f"{order_col}_max"])
     width = (hi - lo) / num_bins if hi > lo else 1.0
