@@ -294,3 +294,13 @@ class TestNewStageEdgeCases:
                .to_pandas().sort_values("doc_id"))
         assert got.n_trigrams.tolist() == [0, 0]
         assert got.nll.isna().all()
+
+
+def test_ordered_prefix_sum_empty_input(ray_session):
+    from pymhealth_ray.stages.rank import ordered_prefix_sum
+
+    df = pd.DataFrame({"o": np.array([], dtype=np.int64),
+                       "id": np.array([], dtype=np.int64),
+                       "v": np.array([], dtype=np.int64)})
+    out = ordered_prefix_sum(ray.data.from_pandas(df), "v", "o", "id")
+    assert out.count() == 0
