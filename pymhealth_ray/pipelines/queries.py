@@ -8329,7 +8329,6 @@ def q_seq_prep_pipeline(sf_dir: str):
     from pymhealth_ray.stages.aggregate import grouped_topk
     from pymhealth_ray.stages.dedup import exact_dedup
     from pymhealth_ray.stages.lm import trigram_nll
-    from pymhealth_ray.stages.rank import ordered_prefix_sum
     from pymhealth_ray.stages.sample import split_train_eval
 
     ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens", "n_tok"])
@@ -8396,28 +8395,26 @@ def q_seq_prep_pipeline(sf_dir: str):
         cand.map_batches(keep, batch_format="pyarrow"),
         "rid", eval_fraction=SEQ_PREP_EVAL_FRAC).materialize()
 
-    outs = []
-    for split in ("train", "eval"):
-        part = kept.map_batches(
-            lambda b, s=split: b.filter(pc.equal(b["split"], s)),
-            batch_format="pyarrow")
-        cum = ordered_prefix_sum(part, "n_tok", "ts_ns", "doc_id",
-                                 out="cum")
+    # ONE partition-aware scan covers both splits (per-split
+    # ordered_prefix_sum would pay the whole barrier chain twice)
+    from pymhealth_ray.stages.rank import partitioned_prefix_sum
 
-        def layout(b: pa.Table) -> pa.Table:
-            c = b["cum"].to_numpy(zero_copy_only=False)
-            n = b["n_tok"].to_numpy(zero_copy_only=False)
-            prev = c - n
-            return pa.table({
-                "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
-                "split": b["split"], "n_tok": b["n_tok"],
-                "nll": b["nll"],
-                "tok_offset": pa.array(prev),
-                "first_example": pa.array(prev // SEQ_PREP_L),
-            })
+    cum = partitioned_prefix_sum(kept, "split", "n_tok", "ts_ns",
+                                 "doc_id", out="cum")
 
-        outs.append(cum.map_batches(layout, batch_format="pyarrow"))
-    return outs[0].union(outs[1])
+    def layout(b: pa.Table) -> pa.Table:
+        c = b["cum"].to_numpy(zero_copy_only=False)
+        n = b["n_tok"].to_numpy(zero_copy_only=False)
+        prev = c - n
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "split": b["split"], "n_tok": b["n_tok"],
+            "nll": b["nll"],
+            "tok_offset": pa.array(prev),
+            "first_example": pa.array(prev // SEQ_PREP_L),
+        })
+
+    return cum.map_batches(layout, batch_format="pyarrow")
 
 
 def _seq_prep_expected(src: pa.Table):

@@ -259,3 +259,78 @@ def ordered_prefix_sum(ds, value_col: str, order_col: str, tie_col: str,
         return batch.append_column(out, pa.array(off[b] + c))
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def partitioned_prefix_sum(ds, partition_col: str, value_col: str,
+                           order_col: str, tie_col: str,
+                           num_bins: int = 512, out: str = "cum"):
+    """Inclusive scan WITHIN each partition — ``sum(value) OVER
+    (PARTITION BY p ORDER BY order, tie ROWS UNBOUNDED PRECEDING)`` — in
+    ONE pass for every partition (:func:`ordered_prefix_sum` per
+    partition value would pay the full execution-barrier chain per
+    partition; here partitions share the range-bucket grid exactly like
+    :func:`partitioned_sort_rank`). Driver state is
+    O(partitions · num_bins) offsets."""
+    import pyarrow.compute as pc
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(ds.map_batches(
+        lambda b: b.select([partition_col, order_col]),
+        batch_format="pyarrow"), [partition_col],
+        min_cols=[order_col], max_cols=[order_col]).take_all()
+    if not stats:
+        def empty_cum(batch: pa.Table) -> pa.Table:
+            return batch.append_column(out, pa.array(
+                np.zeros(batch.num_rows, dtype=np.int64)))
+
+        return ds.map_batches(empty_cum, batch_format="pyarrow")
+    parts = sorted(str(r[partition_col]) for r in stats)
+    pcode = {p: i for i, p in enumerate(parts)}
+    lo = np.empty(len(parts)); hi = np.empty(len(parts))
+    for r in stats:
+        i = pcode[str(r[partition_col])]
+        lo[i] = r[f"{order_col}_min"]
+        hi[i] = r[f"{order_col}_max"]
+    width = np.where(hi > lo, (hi - lo) / num_bins, 1.0)
+    edges_ref = ray.put((pcode, lo, width))
+    B, C = "__ppsbucket", "__ppscum"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        codes_map, lo_, w_ = ray.get(edges_ref)
+        p = np.array([codes_map[str(x)] for x in
+                      batch[partition_col].to_pylist()], dtype=np.int64)
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        binned = np.clip(((o - lo_[p]) / w_[p]).astype(np.int64),
+                         0, num_bins - 1)
+        return batch.append_column(
+            B, pa.array(p * num_bins + binned, type=pa.int64()))
+
+    def scan_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[(order_col, "ascending"),
+                                                (tie_col, "ascending")])
+        tbl = tbl.take(order)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column(C, pa.array(np.cumsum(v)))
+
+    scanned = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        B).map_groups(scan_bucket, batch_format="pyarrow").materialize()
+
+    totals = scanned.groupby(B).sum(value_col).take_all()
+    nb = len(parts) * num_bins
+    per_bucket = np.zeros(nb, dtype=np.int64)
+    for r in totals:
+        per_bucket[r[B]] = r[f"sum({value_col})"]
+    grid = per_bucket.reshape(len(parts), num_bins)
+    offsets = (np.cumsum(grid, axis=1) - grid).reshape(-1)
+    off_ref = ray.put(offsets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        b = batch[B].to_numpy(zero_copy_only=False)
+        c = batch[C].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns([B, C])
+        return batch.append_column(out, pa.array(off[b] + c))
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
