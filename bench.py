@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "docs_image_real",
     "docs_video_frames",
     "seq_prep_pipeline",
+    "events_value_rank",
 ]
 
 

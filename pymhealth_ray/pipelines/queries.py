@@ -997,6 +997,7 @@ def build_queries() -> dict:
         "docs_image_real": q_docs_image_real,
         "docs_video_frames": q_docs_video_frames,
         "seq_prep_pipeline": q_seq_prep_pipeline,
+        "events_value_rank": q_events_value_rank,
     }
 
 
@@ -1190,6 +1191,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "video_frames_v1", _video_frames_expected,
             columns=("doc_id",)),
         "seq_prep_pipeline": sql_seq_prep_pipeline(path),
+        "events_value_rank": SQL_EVENTS_VALUE_RANK,
     }
     _flush_pending_oracles()
     return out
@@ -8492,3 +8494,32 @@ def sql_seq_prep_pipeline(path: str) -> str:
     return _materialized_oracle(path, "seq_prep_v2", _seq_prep_expected,
                                 columns=("doc_id", "ts_ns", "tokens",
                                          "n_tok"))
+
+
+def q_events_value_rank(sf_dir: str):
+    """Exact global rank / dense_rank / percent_rank over the value column
+    (stages/rank.global_rank — broadcast value-histogram CDF, bounded by
+    distinct cents values; percent_rank is one int/int IEEE division,
+    bit-exact vs SQL)."""
+    from pymhealth_ray.stages.rank import global_rank
+
+    ds = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"])
+    out = global_rank(ds, "value", scale=100)
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "rnk": b["rnk"], "drnk": b["drnk"],
+            "pct": b["pct"]}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_RANK = """
+WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+SELECT event_id,
+       rank() OVER (ORDER BY vc) AS rnk,
+       dense_rank() OVER (ORDER BY vc) AS drnk,
+       CAST(rank() OVER (ORDER BY vc) - 1 AS DOUBLE)
+           / (count(*) OVER () - 1) AS pct
+FROM e
+"""

@@ -304,3 +304,26 @@ def test_ordered_prefix_sum_empty_input(ray_session):
                        "v": np.array([], dtype=np.int64)})
     out = ordered_prefix_sum(ray.data.from_pandas(df), "v", "o", "id")
     assert out.count() == 0
+
+
+def test_partitioned_prefix_sum_matches_duckdb(ray_session):
+    import duckdb
+
+    from pymhealth_ray.stages.rank import partitioned_prefix_sum
+
+    rng = np.random.default_rng(91)
+    n = 6000
+    df = pd.DataFrame({
+        "p": rng.choice(["x", "y", "z"], n),
+        "o": rng.integers(0, 30, n),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    got = (partitioned_prefix_sum(ray.data.from_pandas(df).repartition(7),
+                                  "p", "v", "o", "id", num_bins=16)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, CAST(sum(v) OVER (PARTITION BY p ORDER BY o, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) c
+        FROM df ORDER BY id""").df()
+    np.testing.assert_array_equal(got.cum.values, exp.c.values)
