@@ -13,9 +13,11 @@ chain run single-process is a hash-exact oracle (see
 ``pipelines.queries.q_docs_prep_pipeline``, which is this function plus a
 column-ordering finish).
 
-Scale notes: the only driver-side state is the non-canonical drop set
-(bounded by the verified near-dup pair count — the LSH bucket caps bound
-it) which is broadcast via ``ray.put`` once; everything else streams.
+Scale notes: no unbounded driver-side state. The non-canonical drop set
+is applied through ``stages/dropset.filter_by_keys`` — broadcast only
+under its key threshold, bloom-prefiltered co-partitioned anti-join in
+the cluster above it — so dup-heavy corpora (where the label count grows
+linearly with corpus size) never collect labels to the driver.
 
 Execution shape (round-3 rework): the minhash signature is computed in the
 SAME map pass as the quality filter + md5 and carried through the
@@ -34,13 +36,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 
 from pymhealth_ray.stages.dedup import (
     _cached_minhasher,
     exact_dedup,
     minhash_lsh_dupes,
 )
+from pymhealth_ray.stages.dropset import filter_by_keys
 from pymhealth_ray.stages.graph import connected_components
 from pymhealth_ray.stages.pack import pack_assignments
 from pymhealth_ray.stages.sample import split_train_eval
@@ -67,16 +69,19 @@ def corpus_prep(docs, *, min_chars: int = 100, jaccard_threshold: float = 0.5,
                               num_hashes=num_hashes, shingle_k=shingle_k,
                               sig_ds=d1)
     labels = connected_components(pairs, "id_a", "id_b",
-                                  num_buckets=num_buckets).to_pandas()
-    drop = pa.array(
-        sorted(labels.v[labels.v != labels.l].astype("int64").tolist()),
-        type=pa.int64())
-    drop_ref = ray.put(drop)
-
-    def drop_noncanon(b: pa.Table) -> pa.Table:
-        return b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=ray.get(drop_ref))))
-
-    d2 = d1.map_batches(drop_noncanon, batch_format="pyarrow")
+                                  num_buckets=num_buckets)
+    # non-canonical members of every dup cluster; the drop SET stays in the
+    # cluster — stages/dropset.py broadcasts only under its key threshold and
+    # switches to the bloom-prefiltered co-partitioned anti-join above it
+    # (round-3 VERDICT: driver-collected labels grow linearly on dup-heavy
+    # corpora)
+    drop_keys = labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.filter(pc.not_equal(b["v"], b["l"]))["v"].cast(
+                pa.int64())}),
+        batch_format="pyarrow")
+    d2 = filter_by_keys(d1, "doc_id", drop_keys, keep=False,
+                        num_buckets=num_buckets)
     d3 = split_train_eval(d2, "doc_id", eval_fraction=eval_fraction, salt=salt)
 
     def lenify(b: pa.Table) -> pa.Table:

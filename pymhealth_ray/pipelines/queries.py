@@ -5144,10 +5144,13 @@ QUALIFY rn <= 5
 def q_docs_dedup_keep_best(sf_dir: str):
     """Curation decision: among each near-dup cluster keep the HIGHEST
     QUALITY doc (longest n_chars, doc_id tiebreak) instead of the
-    arbitrary min-id — LSH pairs → connected components → broadcast
-    cluster labels → grouped_topk(k=1). Singleton docs keep themselves.
+    arbitrary min-id — LSH pairs → connected components →
+    stages/dropset.lookup_with_default (labels stay IN THE CLUSTER above
+    the broadcast threshold: bloom-prefiltered co-partitioned left join;
+    singleton docs default to their own id) → grouped_topk(k=1).
     Output: one row per kept doc (cluster_id, doc_id, n_chars)."""
     from pymhealth_ray.stages.aggregate import grouped_topk
+    from pymhealth_ray.stages.dropset import lookup_with_default
     from pymhealth_ray.stages.graph import connected_components
 
     docs = read_table(f"{sf_dir}/documents.parquet",
@@ -5156,23 +5159,17 @@ def q_docs_dedup_keep_best(sf_dir: str):
         docs.map_batches(lambda b: b.select(["doc_id", "text"]),
                          batch_format="pyarrow"),
         jaccard_threshold=0.5)
-    labels = {r["v"]: r["l"] for r in
-              connected_components(pairs, "id_a", "id_b",
-                                   num_buckets=NB).take_all()}
-    lab_ref = ray.put(labels)
+    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        lab = ray.get(lab_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        cl = np.array([lab.get(int(i), int(i)) for i in ids],
-                      dtype=np.int64)
+    def slim(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "cluster_id": pa.array(cl),
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "n_chars": batch["n_chars"].cast(pa.int64()),
         })
 
-    assigned = docs.map_batches(assign, batch_format="pyarrow")
+    assigned = lookup_with_default(
+        docs.map_batches(slim, batch_format="pyarrow"),
+        "doc_id", labels, "v", "l", "cluster_id", num_buckets=NB)
     best = grouped_topk(assigned, ["cluster_id"], "n_chars", 1,
                         descending=True, tie_cols=["doc_id"],
                         rank_name="rn", num_buckets=NB)
