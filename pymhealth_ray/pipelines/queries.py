@@ -699,12 +699,11 @@ def q_seq_tokens_md5(sf_dir: str):
     ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
 
     def fn(b: pa.Table) -> pa.Table:
-        toks = b["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        digests = [
-            hashlib.md5(",".join(str(x) for x in row).encode()).hexdigest() for row in toks.to_pylist()
-        ]
+        from pymhealth_ray.stages.dedup import tokens_join_key
+
+        key = tokens_join_key(b["tokens"])
+        digests = [hashlib.md5(s).hexdigest()
+                   for s in key.cast(pa.binary()).to_pylist()]
         return pa.table({"doc_id": b["doc_id"], "ts_ns": b["ts_ns"], "tok_md5": pa.array(digests, type=pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -3427,29 +3426,22 @@ def q_seq_dedup_tokens(sf_dir: str):
     the first (doc_id, ts_ns) per distinct sequence with its duplicate
     count — stages/dedup.py exact_dedup with a zero-padded composite row
     id so min-string == min-(doc_id, ts_ns)."""
-    from pymhealth_ray.stages.dedup import exact_dedup
+    from pymhealth_ray.stages.dedup import (composite_rid, exact_dedup,
+                                            split_rid, tokens_join_key)
 
     ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
 
     def add_key(b: pa.Table) -> pa.Table:
-        toks = b["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        key = [",".join(str(x) for x in row) for row in toks.to_pylist()]
         # doc_id is fixed-width ("dNNNNNN") so lexicographic == natural
         # order; ts_ns zero-padded to 20 digits keeps the composite sortable.
-        rid = [f"{d}|{t:020d}" for d, t in
-               zip(b["doc_id"].to_pylist(), b["ts_ns"].to_pylist())]
-        return pa.table({"seq": pa.array(key, type=pa.string()),
-                         "rid": pa.array(rid, type=pa.string())})
+        return pa.table({"seq": tokens_join_key(b["tokens"]),
+                         "rid": composite_rid(b["doc_id"], b["ts_ns"])})
 
     dd = exact_dedup(ds.map_batches(add_key, batch_format="pyarrow"),
                      key_col="seq", id_col="rid")
 
     def finish(b: pa.Table) -> pa.Table:
-        rid = b["rid"].to_pylist()
-        doc = pa.array([r.split("|")[0] for r in rid], type=pa.string())
-        ts = pa.array([int(r.split("|")[1]) for r in rid], type=pa.int64())
+        doc, ts = split_rid(b["rid"])
         return pa.table({"tok_md5": b["key_md5"], "doc_id": doc, "ts_ns": ts,
                          "n_dups": b["n_dups"]})
 
@@ -8333,14 +8325,10 @@ def q_seq_prep_pipeline(sf_dir: str):
     ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens", "n_tok"])
 
     def add_key(b: pa.Table) -> pa.Table:
-        toks = b["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        key = [",".join(str(x) for x in row) for row in toks.to_pylist()]
-        rid = [f"{d}|{t:020d}" for d, t in
-               zip(b["doc_id"].to_pylist(), b["ts_ns"].to_pylist())]
-        return pa.table({"seq": pa.array(key, type=pa.string()),
-                         "rid": pa.array(rid, type=pa.string()),
+        from pymhealth_ray.stages.dedup import composite_rid, tokens_join_key
+
+        return pa.table({"seq": tokens_join_key(b["tokens"]),
+                         "rid": composite_rid(b["doc_id"], b["ts_ns"]),
                          "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
                          "tokens": b["tokens"],
                          "n_tok": b["n_tok"].cast(pa.int64())})

@@ -457,31 +457,44 @@ def _trigram_nll_broadcast(ds, tokens_col, id_cols, key_mult, num_buckets,
 
     K2 = np.int64(key_mult) * np.int64(key_mult)
 
-    # round 1: fingerprint counts (3x slimmer exchange than exact keys)
-    def fp_partial(b: pa.Table) -> pa.Table:
+    # round 1 (FUSED): fingerprint counts (3x slimmer exchange than exact
+    # keys) AND dense vocab² context counts in ONE scan + ONE exchange.
+    # ctx keys live in [0, K2); fp keys (31-bit) are offset by K2 — the
+    # tagged domains are disjoint so one keyed_sum sums both families.
+    # (Round-4 fusion: was two separate scans/exchanges; counts identical.)
+    def fp_ctx_partial(b: pa.Table) -> pa.Table:
         col = b[tokens_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         keys, _, _, _ = _tri_windows(col, key_mult)
         fps = _splitmix_fp31(keys)
-        vals, cnts = np.unique(fps, return_counts=True)
-        return pa.table({"fp": pa.array(vals),
+        both = np.concatenate([fps + K2, keys % K2])
+        vals, cnts = np.unique(both, return_counts=True)
+        return pa.table({"k": pa.array(vals),
                          "c": pa.array(cnts.astype(np.int64))})
 
     # fingerprints are mostly singletons -> no pre-combine (see keyed_sum)
-    fp_counts = keyed_sum(ds.map_batches(fp_partial, batch_format="pyarrow",
-                                         batch_size=None),
-                          "fp", ["c"], num_buckets=num_buckets,
-                          precombine_rows=None)
+    fused_counts = keyed_sum(
+        ds.map_batches(fp_ctx_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "k", ["c"], num_buckets=num_buckets, precombine_rows=None)
 
-    def fp_dups(b: pa.Table) -> pa.Table:
+    def slim_counts(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
         c = b["c"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(c >= 2)).select(["fp"])
+        keep = (k < K2) | (c >= 2)  # all ctx cells + only DUP fingerprints
+        return pa.table({"k": pa.array(k[keep]), "c": pa.array(c[keep])})
 
-    cand_parts = [t["fp"].to_numpy(zero_copy_only=False)
-                  for t in fp_counts.map_batches(
-                      fp_dups, batch_format="pyarrow",
-                      batch_size=None).iter_batches(batch_format="pyarrow")]
+    cand_parts = []
+    dense = np.zeros(int(K2), dtype=np.int64)
+    for t in fused_counts.map_batches(
+            slim_counts, batch_format="pyarrow",
+            batch_size=None).iter_batches(batch_format="pyarrow"):
+        k = t["k"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        is_ctx = k < K2
+        dense[k[is_ctx]] = c[is_ctx]
+        cand_parts.append(k[~is_ctx] - K2)
     cand = (np.sort(np.concatenate(cand_parts)) if cand_parts
             else np.empty(0, np.int64))
     if len(cand) > rep_threshold and not strict:
@@ -525,28 +538,7 @@ def _trigram_nll_broadcast(ds, tokens_col, id_cols, key_mult, num_buckets,
     if len(rk) > rep_threshold and not strict:
         return None
 
-    # dense vocab² CONTEXT counts (Σ_c c3 == window-context bigram counts)
-    def ctx_partial(b: pa.Table) -> pa.Table:
-        col = b[tokens_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        keys, _, _, _ = _tri_windows(col, key_mult)
-        k2 = keys % K2
-        vals, cnts = np.unique(k2, return_counts=True)
-        return pa.table({"k2": pa.array(vals),
-                         "c": pa.array(cnts.astype(np.int64))})
-
-    # context keys are vocab2-bounded (~2.6x duplication across blocks):
-    # a SMALL coalesce shrinks the exchange without serializing the scan
-    c2_counts = keyed_sum(ds.map_batches(ctx_partial, batch_format="pyarrow",
-                                         batch_size=None),
-                          "k2", ["c"], num_buckets=num_buckets,
-                          precombine_rows=2_000_000)
-    dense = np.zeros(int(K2), dtype=np.int64)
-    for t in c2_counts.iter_batches(batch_format="pyarrow"):
-        dense[t["k2"].to_numpy(zero_copy_only=False)] = \
-            t["c"].to_numpy(zero_copy_only=False)
-
+    # dense vocab² CONTEXT counts came out of the fused round-1 exchange
     rep_ref = ray.put((rk, rc))
     dense_ref = ray.put(dense)
 
