@@ -61,7 +61,8 @@ def corpus_prep(docs, *, min_chars: int = 100, jaccard_threshold: float = 0.5,
             ["n_chars"])
         return _cached_minhasher("text", num_hashes, shingle_k)(b)
 
-    q = docs.map_batches(quality_sig, batch_format="pyarrow")
+    q = docs.map_batches(quality_sig, batch_format="pyarrow",
+                         batch_size=None)
     d1 = exact_dedup(q, keep_payload=True, carry_cols=["minhash"]).map_batches(
         lambda b: b.select(["doc_id", "text", "minhash"]),
         batch_format="pyarrow").materialize()
