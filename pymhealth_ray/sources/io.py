@@ -130,6 +130,12 @@ def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64):
                             sort_col: b[sort_col]}),
         batch_format="pyarrow"), ["one"],
         min_cols=[sort_col], max_cols=[sort_col]).take_all()
+    if not stats:  # empty input: write an empty (valid) manifest
+        with open(os.path.join(out_dir, "_zonemap.json.tmp"), "w") as f:
+            _json.dump([], f)
+        os.replace(os.path.join(out_dir, "_zonemap.json.tmp"),
+                   os.path.join(out_dir, "_zonemap.json"))
+        return []
     lo = float(stats[0][f"{sort_col}_min"])
     hi = float(stats[0][f"{sort_col}_max"])
     width = (hi - lo) / num_files if hi > lo else 1.0
@@ -180,9 +186,19 @@ def read_zonemapped(out_dir: str, sort_col: str, lo: int, hi: int,
     hit = [m["file"] for m in manifest
            if not (m["zmax"] < lo or m["zmin"] > hi)]
     if not hit:
+        import pyarrow.parquet as pq_mod
         import ray.data as _rd
 
-        empty = pa.table({})
+        # carry the REAL file schema so callers can still project/filter
+        # on sort_col; a column-less table breaks them
+        if manifest:
+            schema = pq_mod.read_schema(
+                os.path.join(out_dir, manifest[0]["file"]))
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            empty = schema.empty_table()
+        else:
+            empty = pa.table({})
         return _rd.from_arrow(empty), 0, len(manifest)
     paths = [os.path.join(out_dir, h) for h in hit]
     ds = read_table(paths, columns=columns, blocks=blocks)
@@ -228,12 +244,22 @@ def compact_zonemapped(out_dir: str, target_files: int):
     if cur:
         groups.append(cur)
 
+    # Generation-prefixed output names: re-compacting a directory whose
+    # manifest already holds compact-* files must not overwrite inputs that
+    # sibling merge tasks haven't read yet (silent data loss), so every
+    # compaction writes a FRESH generation namespace.
+    import re as _re
+
+    gens = [int(g.group(1)) for m in manifest
+            for g in [_re.match(r"compact-g(\d+)-", m["file"])] if g]
+    gen = (max(gens) + 1) if gens else 0
+
     @_ray.remote
     def merge(gidx: int, members: list) -> dict:
         tbl = pa.concat_tables([
             pq_mod.read_table(os.path.join(out_dir, m["file"]))
             for m in members])
-        name = f"compact-{gidx:05d}.parquet"
+        name = f"compact-g{gen:03d}-{gidx:05d}.parquet"
         tmp = os.path.join(out_dir, "." + name + ".tmp")
         pq_mod.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(out_dir, name))
@@ -248,11 +274,15 @@ def compact_zonemapped(out_dir: str, target_files: int):
     with open(tmp, "w") as f:
         _json.dump(new_manifest, f)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
-    for m in manifest:  # old files only after the manifest swap
-        try:
-            os.remove(os.path.join(out_dir, m["file"]))
-        except OSError:
-            pass
+    # old files only after the manifest swap — and NEVER a name the new
+    # manifest still points at
+    live = {m["file"] for m in new_manifest}
+    for m in manifest:
+        if m["file"] not in live:
+            try:
+                os.remove(os.path.join(out_dir, m["file"]))
+            except OSError:
+                pass
     return new_manifest
 
 

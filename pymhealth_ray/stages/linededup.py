@@ -96,7 +96,10 @@ class HotSegments:
         h2 = int.from_bytes(d[8:], "little") | 1
         n_bits = len(self.bitmap) * 8
         for i in range(self.k):
-            pos = (h1 + i * h2) % n_bits
+            # mask to 64 bits FIRST: build_bloom's numpy side wraps mod 2^64
+            # before the % n_bits reduction; unbounded Python ints agree only
+            # when n_bits is a power of two — silent false negatives otherwise
+            pos = ((h1 + i * h2) & ((1 << 64) - 1)) % n_bits
             if not (self.bitmap[pos >> 3] >> (pos & 7)) & 1:
                 return False
         return True

@@ -134,7 +134,17 @@ def constraint_checks(ds, columns, unique_key=None, num_buckets: int = 64):
             vals.extend(u.to_pylist())
             counts.extend([0] * len(u))
         if key_cols:
-            parts = [_col_as_str(batch[c]) for c in key_cols]
+            # Injective composite: length-prefix every component (so a '|'
+            # inside a string key can't alias another tuple) and map NULL
+            # components to a sentinel no length-prefixed value can produce
+            # (non-null parts always start with digits + ':'), so null-keyed
+            # rows participate in the distinct count like SQL row tuples.
+            def _inj(p: pa.Array) -> pa.Array:
+                ln = pc.cast(pc.binary_length(p), pa.string())
+                return pc.fill_null(
+                    pc.binary_join_element_wise(ln, p, ":"), "N")
+
+            parts = [_inj(_col_as_str(batch[c])) for c in key_cols]
             composite = parts[0]
             for p in parts[1:]:
                 composite = pc.binary_join_element_wise(composite, p, "|")

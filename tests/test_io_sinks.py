@@ -127,6 +127,53 @@ class TestCompactionEvolution:
         pd.testing.assert_frame_equal(before, after)
         assert n_total == len(man)
 
+    def test_recompaction_is_lossless(self, ray_session, tmp_path):
+        """Second compaction must not overwrite inputs sibling merge tasks
+        haven't read (generation-prefixed names) nor delete files the new
+        manifest points at."""
+        import os
+
+        from pymhealth_ray.sources.io import (compact_zonemapped,
+                                              read_zonemapped,
+                                              write_zonemapped)
+
+        rng = np.random.default_rng(53)
+        df = pd.DataFrame({
+            "t": rng.integers(0, 10**8, 8_000).astype(np.int64),
+            "v": rng.integers(0, 50, 8_000).astype(np.int64),
+        })
+        zdir = str(tmp_path / "zc2")
+        write_zonemapped(ray.data.from_pandas(df).repartition(6),
+                         zdir, "t", num_files=32)
+        man1 = compact_zonemapped(zdir, target_files=8)
+        man2 = compact_zonemapped(zdir, target_files=2)
+        assert len(man2) < len(man1)
+        files = {f for f in os.listdir(zdir) if f.endswith(".parquet")}
+        assert files == {m["file"] for m in man2}
+        got, _, _ = read_zonemapped(zdir, "t", 0, 10**8)
+        got = got.to_pandas().sort_values(["t", "v"]).reset_index(drop=True)
+        want = df.sort_values(["t", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_write_and_schema_carrying_miss(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zonemapped, write_zonemapped
+
+        zdir = str(tmp_path / "zempty")
+        empty = pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="int64")})
+        assert write_zonemapped(ray.data.from_pandas(empty), zdir, "t") == []
+        ds, n_read, n_total = read_zonemapped(zdir, "t", 0, 10)
+        assert n_read == 0 and n_total == 0 and ds.count() == 0
+
+        zdir2 = str(tmp_path / "zmiss")
+        df = pd.DataFrame({"t": np.arange(100, dtype=np.int64),
+                           "v": np.arange(100, dtype=np.int64)})
+        write_zonemapped(ray.data.from_pandas(df), zdir2, "t", num_files=4)
+        ds, n_read, _ = read_zonemapped(zdir2, "t", 10**9, 2 * 10**9)
+        assert n_read == 0
+        # the no-hit dataset carries the REAL file schema
+        assert set(ds.schema().names) == {"t", "v"}
+
     def test_evolved_read_fills_and_casts(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
 

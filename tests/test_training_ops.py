@@ -1527,6 +1527,21 @@ class TestLineDedup:
         assert (out.n_dropped == out.n_seg).all()  # no false negatives
         assert (out.clean_text == "").all()
 
+    def test_bloom_no_false_negatives_non_pow2_bits(self, ray_session):
+        """Non-power-of-two bloom_bits: the Python-side __contains__ must
+        wrap mod 2^64 like build_bloom's numpy side, or members silently
+        test negative (round-3 ADVICE)."""
+        import pandas as pd
+        from pymhealth_ray.stages.linededup import hot_segment_set
+
+        docs = ["warm common boiler plate words here today"] * 12
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        ds = ray.data.from_pandas(df).repartition(3)
+        hot = hot_segment_set(ds, words_per_seg=3, max_df=2, max_set_size=0,
+                              bloom_bits=24_000)  # not a power of two
+        for seg in ("warm common boiler", "plate words here", "today"):
+            assert seg in hot
+
     def test_bloom_fallback_superset_of_exact(self, ray_session):
         """Bloom mode drops AT LEAST the exact hot set (FPs may add a few)."""
         import pandas as pd
