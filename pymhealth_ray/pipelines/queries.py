@@ -924,6 +924,7 @@ def build_queries() -> dict:
         "seq_drift": q_seq_drift,
         "orders_anti_returned": q_orders_anti_returned,
         "embed_kmeans": q_embed_kmeans,
+        "embed_semdedup": q_embed_semdedup,
         "embed_pca": q_embed_pca,
         "seq_zscore": q_seq_zscore,
         "seq_bigram_nll": q_seq_bigram_nll,
@@ -977,6 +978,7 @@ def build_queries() -> dict:
         "events_journey": q_events_journey,
         "seq_token_spectrum": q_seq_token_spectrum,
         "seq_distinct_ngrams": q_seq_distinct_ngrams,
+        "seq_repetition": q_seq_repetition,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1109,6 +1111,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_drift": sql_seq_drift(path),
         "orders_anti_returned": SQL_ORDERS_ANTI_RETURNED,
         "embed_kmeans": _kmeans_oracle(sf_dir_for_fixture),
+        "embed_semdedup": _semdedup_oracle(sf_dir_for_fixture),
         "embed_pca": _pca_oracle(sf_dir_for_fixture),
         "seq_zscore": sql_seq_zscore(path),
         "seq_bigram_nll": sql_seq_bigram_nll(path),
@@ -1165,6 +1168,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_journey": SQL_EVENTS_JOURNEY,
         "seq_token_spectrum": sql_seq_token_spectrum(path),
         "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
+        "seq_repetition": sql_seq_repetition(path),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -4251,7 +4255,11 @@ def q_embed_kmeans(sf_dir: str):
 
     ds = read_table(f"{sf_dir}/embeddings.parquet",
                     columns=["vec_id", "embedding"])
-    sample_tbl = pa.Table.from_pandas(ds.limit(2048).to_pandas())
+    # sort by id: ds.limit() row ORDER follows block arrival (round-3
+    # lesson) and the centroid trainer is sample-order-dependent; the
+    # oracle's file-order slice is vec_id-sorted
+    sample_tbl = pa.Table.from_pandas(
+        ds.limit(2048).to_pandas().sort_values("vec_id").reset_index(drop=True))
     sample = _emb_matrix(sample_tbl, "embedding").astype(np.float64)
     cent = train_ivf_centroids(sample, n_centroids=8).astype(np.float64)
     cent_ref = ray.put(cent)
@@ -4303,6 +4311,73 @@ def _kmeans_oracle(sf_dir: str) -> str:
     if not os.path.exists(out):
         os.makedirs(out_dir, exist_ok=True)
         exp = _kmeans_expected(sf_dir)
+        tmp = out + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"
+
+
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic near-dup removal:
+    k-means-cluster the embeddings, ONE exchange on the cluster id, then
+    per-cluster pairwise-cosine dup graph → local union-find → keep the
+    min-id member per component (stages/semdedup.py). Oracle:
+    single-process replication (materialized parquet passthrough)."""
+    from pymhealth_ray.stages.semdedup import semantic_dedup
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, n_clusters=8, threshold=0.9)
+
+
+def _semdedup_expected(sf_dir: str):
+    """Single-process SemDeDup replication (numpy only)."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages.ann import _unit, train_ivf_centroids
+    from pymhealth_ray.stages.semdedup import _local_components
+
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    ids_all = tbl["vec_id"].to_pandas().to_numpy().astype(np.int64)
+    emb = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    order = np.argsort(ids_all)
+    ids_all, emb = ids_all[order], emb[order]
+    cent = train_ivf_centroids(emb[:2048], n_centroids=8).astype(np.float64)
+    m = _unit(emb)
+    lab = np.argmax(m @ cent.T, axis=1)
+    out = {"vec_id": [], "cluster": [], "rep_id": [], "keep": []}
+    for cl in np.unique(lab):
+        sel = np.flatnonzero(lab == cl)  # already id-sorted
+        sims = m[sel] @ m[sel].T
+        iu, ju = np.triu_indices(len(sel), k=1)
+        hit = sims[iu, ju] > 0.9
+        comp = _local_components(len(sel), iu[hit], ju[hit])
+        rep = ids_all[sel][comp]
+        out["vec_id"].extend(ids_all[sel].tolist())
+        out["cluster"].extend([int(cl)] * len(sel))
+        out["rep_id"].extend(rep.tolist())
+        out["keep"].extend((rep == ids_all[sel]).tolist())
+    return pd.DataFrame({
+        "vec_id": np.array(out["vec_id"], dtype=np.int64),
+        "cluster": np.array(out["cluster"], dtype=np.int64),
+        "rep_id": np.array(out["rep_id"], dtype=np.int64),
+        "keep": np.array(out["keep"], dtype=bool),
+    })
+
+
+def _semdedup_oracle(sf_dir: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/semdedup_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _semdedup_expected(sf_dir)
         tmp = out + ".tmp"
         pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False), tmp)
         os.replace(tmp, out)
@@ -7117,6 +7192,42 @@ SELECT doc_id, ts_ns,
       / (len(tokens) - 2)
   END AS distinct_frac
 FROM read_parquet('{path}/part-*.parquet')
+"""
+
+
+def q_seq_repetition(sf_dir: str):
+    """Gopher/MassiveText intra-document repetition signals per row
+    (stages/repetition.py — map-only, one lexsort per batch, no exchange):
+    distinct-token fraction, most-frequent-token fraction, duplicate-bigram
+    fraction. The standard pre-training quality filters for boilerplate/
+    spam-dominated documents."""
+    from pymhealth_ray.stages.repetition import repetition_stats
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    return repetition_stats(ds)
+
+
+def sql_seq_repetition(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')),
+t AS (SELECT doc_id, ts_ns, unnest(tokens) AS tok FROM s),
+c AS (SELECT doc_id, ts_ns, tok, count(*) AS c FROM t GROUP BY 1, 2, 3),
+m AS (SELECT doc_id, ts_ns, CAST(max(c) AS BIGINT) AS top_c,
+             CAST(count(*) AS BIGINT) AS n_distinct FROM c GROUP BY 1, 2),
+b AS (SELECT doc_id, ts_ns, CAST(len(tokens) AS BIGINT) AS n_tok,
+             CAST(greatest(len(tokens) - 1, 0) AS BIGINT) AS n_bg,
+             CAST(len(list_distinct([CAST(tokens[i] AS BIGINT) * 2048
+                                     + CAST(tokens[i+1] AS BIGINT)
+                   FOR i IN generate_series(1, len(tokens) - 1)])) AS BIGINT) AS d_bg
+      FROM s)
+SELECT b.doc_id, b.ts_ns, b.n_tok,
+       CASE WHEN b.n_tok > 0
+            THEN CAST(m.n_distinct AS DOUBLE) / b.n_tok END AS distinct_frac,
+       CASE WHEN b.n_tok > 0
+            THEN CAST(m.top_c AS DOUBLE) / b.n_tok END AS top_tok_frac,
+       CASE WHEN b.n_bg > 0
+            THEN CAST(b.n_bg - b.d_bg AS DOUBLE) / b.n_bg END AS dup_bigram_frac
+FROM b LEFT JOIN m USING (doc_id, ts_ns)
 """
 
 
