@@ -911,6 +911,7 @@ def build_queries() -> dict:
         "orders_priority_encode": q_orders_priority_encode,
         "lineitem_quantity_rank": q_lineitem_quantity_rank,
         "docs_lm_nll": q_docs_lm_nll,
+        "docs_dsir_weights": q_docs_dsir_weights,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
         "docs_bm25": q_docs_bm25,
@@ -1098,6 +1099,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_priority_encode": SQL_ORDERS_PRIORITY_ENCODE,
         "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
         "docs_lm_nll": SQL_DOCS_LM_NLL,
+        "docs_dsir_weights": _docs_materialized_oracle(
+            sf_dir_for_fixture, "dsir_weights_v1", _dsir_expected,
+            columns=("doc_id", "text", "lang")),
         "docs_sorted_neighborhood": SQL_DOCS_SORTED_NEIGHBORHOOD,
         "events_type_pairs": SQL_EVENTS_TYPE_PAIRS,
         "docs_bm25": SQL_DOCS_BM25,
@@ -3668,6 +3672,71 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
        percent_rank() OVER (ORDER BY l_quantity) AS pct
 FROM lineitem
 """
+
+
+def q_docs_dsir_weights(sf_dir: str):
+    """DSIR importance log-weights (Xie et al. 2023) for every document:
+    target = the English subcorpus, raw = everything; hashed word-bigram
+    multinomials with add-1 smoothing (stages/dsir.py — one fused count
+    exchange, fixed 4096-bucket broadcast, map-only scoring). Oracle:
+    single-process replication with the identical reduceat float chain."""
+    from pymhealth_ray.stages.dsir import dsir_fit, dsir_scores
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+
+    def target(batch: pa.Table) -> np.ndarray:
+        m = pc.fill_null(pc.equal(batch["lang"], "en"), False)
+        return m.to_numpy(zero_copy_only=False)
+
+    lr, _, _ = dsir_fit(docs, "text", target, num_buckets=NB)
+    lr_ref = ray.put(lr)
+    return dsir_scores(docs, lr_ref)
+
+
+def _dsir_expected(df):
+    """Single-process DSIR replication: same md5-prefix bucketing, same
+    add-1 formula, and the SAME flat-reduceat float chain (one 'batch' of
+    the whole table) so sums are bit-exact."""
+    import hashlib
+
+    import pandas as pd
+
+    B = 4096
+    feats = []
+    for t in df["text"].tolist():
+        w = t.split(" ")
+        feats.append([int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:3],
+                          16) for a, b in zip(w[:-1], w[1:])])
+    raw = np.zeros(B, dtype=np.int64)
+    tgt = np.zeros(B, dtype=np.int64)
+    is_en = (df["lang"] == "en").to_numpy()
+    for f, e in zip(feats, is_en):
+        for b in f:
+            raw[b] += 1
+            if e:
+                tgt[b] += 1
+    n_raw, n_tgt = int(raw.sum()), int(tgt.sum())
+    lr = (np.log(tgt + 1.0) - np.log(float(n_tgt + B))
+          - np.log(raw + 1.0) + np.log(float(n_raw + B)))
+    n_feat = np.array([len(f) for f in feats], dtype=np.int64)
+    flat = np.concatenate([np.asarray(f, dtype=np.int64) for f in feats]) \
+        if n_feat.sum() else np.empty(0, np.int64)
+    contrib = lr[flat]
+    starts = np.concatenate(([0], np.cumsum(n_feat)))[:-1]
+    sums = np.zeros(len(n_feat), dtype=np.float64)
+    nz = n_feat > 0
+    if nz.any() and len(contrib):
+        sums[nz] = np.add.reduceat(contrib, starts[nz])
+    out = pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+        "n_feat": n_feat,
+        "dsir_logw": sums,
+    })
+    # featureless docs are NULL (pd.NA -> parquet null), matching the
+    # engine's masked column
+    out.loc[~nz, "dsir_logw"] = None
+    return out
 
 
 def q_docs_lm_nll(sf_dir: str):

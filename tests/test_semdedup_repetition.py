@@ -79,3 +79,44 @@ class TestSemDedup:
         # representatives are always kept rows
         reps = set(out1[out1.keep].vec_id)
         assert set(out1.rep_id).issubset(reps)
+
+
+class TestDSIR:
+    def test_partition_invariance_and_direction(self, ray_session):
+        import pyarrow.compute as pc
+
+        from pymhealth_ray.stages.dsir import dsir_fit, dsir_scores
+
+        rng = np.random.default_rng(11)
+        en_words = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+        de_words = ["der", "hund", "lief", "auf", "dem", "weg", "heute"]
+        rows = []
+        for i in range(400):
+            en = i % 2 == 0
+            vocab = en_words if en else de_words
+            rows.append((i, " ".join(rng.choice(vocab, 12)),
+                         "en" if en else "de"))
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+        })
+
+        def target(batch):
+            return pc.fill_null(pc.equal(batch["lang"], "en"),
+                                False).to_numpy(zero_copy_only=False)
+
+        outs = []
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            lr, n_raw, n_tgt = dsir_fit(ds, "text", target)
+            assert n_raw > n_tgt > 0
+            lr_ref = ray.put(lr)
+            outs.append(dsir_scores(ds, lr_ref).to_pandas()
+                        .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = outs[0].merge(pd.DataFrame(
+            {"doc_id": [r[0] for r in rows], "lang": [r[2] for r in rows]}))
+        # every English doc must outscore every German doc
+        assert got[got.lang == "en"].dsir_logw.min() > \
+            got[got.lang == "de"].dsir_logw.max()
