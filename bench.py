@@ -126,6 +126,11 @@ BENCH_QUERIES = [
     "docs_video_frames",
     "seq_prep_pipeline",
     "events_value_rank",
+    # round 4
+    "seq_repetition",
+    "embed_semdedup",
+    "docs_dsir_weights",
+    "docs_gopher_rules",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -912,6 +912,7 @@ def build_queries() -> dict:
         "lineitem_quantity_rank": q_lineitem_quantity_rank,
         "docs_lm_nll": q_docs_lm_nll,
         "docs_dsir_weights": q_docs_dsir_weights,
+        "docs_gopher_rules": q_docs_gopher_rules,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
         "docs_bm25": q_docs_bm25,
@@ -1099,6 +1100,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_priority_encode": SQL_ORDERS_PRIORITY_ENCODE,
         "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
         "docs_lm_nll": SQL_DOCS_LM_NLL,
+        "docs_gopher_rules": sql_docs_gopher_rules(),
         "docs_dsir_weights": _docs_materialized_oracle(
             sf_dir_for_fixture, "dsir_weights_v1", _dsir_expected,
             columns=("doc_id", "text", "lang")),
@@ -3671,6 +3673,51 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
        CAST(dense_rank() OVER (ORDER BY l_quantity) AS BIGINT) AS drnk,
        percent_rank() OVER (ORDER BY l_quantity) AS pct
 FROM lineitem
+"""
+
+
+def q_docs_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText quality RULES per document (stages/text.py
+    gopher_rules — map-only, Arrow split + one RE2 kernel + bincount
+    sums): word-count bounds, mean-word-length window, alphabetic-word
+    fraction, stopword-presence rule, and their conjunction."""
+    from pymhealth_ray.stages.text import gopher_rules
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return gopher_rules(docs)
+
+
+def sql_docs_gopher_rules() -> str:
+    stops = ", ".join(f"'{s}'" for s in
+                      ("the", "be", "to", "of", "and", "that", "have",
+                       "with"))
+    return f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum([CAST(length(x) AS BIGINT) FOR x IN ws]), 0)
+             AS BIGINT) AS char_sum,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(list_intersect(list_distinct([lower(x) FOR x IN ws]),
+                                [{stops}])) AS BIGINT) AS stop_hits
+      FROM w)
+SELECT doc_id, n_words,
+  CASE WHEN n_words > 0
+       THEN CAST(char_sum AS DOUBLE) / n_words END AS mean_word_len,
+  CASE WHEN n_words > 0
+       THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+  stop_hits,
+  CASE WHEN n_words > 0 THEN
+    n_words BETWEEN 50 AND 100000
+    AND (CAST(char_sum AS DOUBLE) / n_words) BETWEEN 3.0 AND 10.0
+    AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8
+    AND stop_hits >= 2
+  END AS passes
+FROM s
 """
 
 

@@ -76,6 +76,79 @@ def quality_scores(ds, text_col: str = "text", batch_size: int = 4096):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mwl: float = 3.0, max_mwl: float = 10.0,
+                 min_alpha_frac: float = 0.8, min_stop_hits: int = 2):
+    """Gopher/MassiveText document-quality RULES (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length window, fraction of words with an
+    alphabetic character, and the must-contain-stopwords rule; ``passes``
+    is their conjunction. Map-only and Arrow-vectorized (one split, one
+    regex kernel, reduceat sums); ratios are int/int double divisions for
+    bit-exact SQL parity. Words = single-space split with empties dropped
+    (SQL ``list_filter(string_split(text,' '), x -> x <> '')``)."""
+    import pyarrow.compute as pc
+
+    stop_arr = pa.array(list(GOPHER_STOPWORDS))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, pattern=" ")
+        flat = words.values if isinstance(words, pa.ListArray) else \
+            words.combine_chunks().values
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row_of = row_of[keep]
+        n_rows = len(lens)
+        n_words = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        char_sum = np.bincount(row_of, weights=wl,
+                               minlength=n_rows).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.bincount(row_of, weights=alpha,
+                              minlength=n_rows).astype(np.int64)
+        # distinct stopwords present per row: (row, stop-index) pairs deduped
+        low = pc.utf8_lower(flat)
+        sidx = pc.index_in(low, value_set=stop_arr)
+        hitmask = sidx.is_valid().to_numpy(zero_copy_only=False)
+        pair = row_of[hitmask] * np.int64(len(GOPHER_STOPWORDS)) + \
+            sidx.to_numpy(zero_copy_only=False)[hitmask].astype(np.int64)
+        upair = np.unique(pair)
+        stop_hits = np.bincount((upair // len(GOPHER_STOPWORDS)).astype(
+            np.int64), minlength=n_rows).astype(np.int64)
+
+        nz = n_words > 0
+        mwl = np.zeros(n_rows, dtype=np.float64)
+        mwl[nz] = char_sum[nz] / n_words[nz]
+        afrac = np.zeros(n_rows, dtype=np.float64)
+        afrac[nz] = n_alpha[nz] / n_words[nz]
+        passes = ((n_words >= min_words) & (n_words <= max_words)
+                  & (mwl >= min_mwl) & (mwl <= max_mwl)
+                  & (afrac >= min_alpha_frac)
+                  & (stop_hits >= min_stop_hits))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mwl, type=pa.float64(), mask=~nz),
+            "alpha_frac": pa.array(afrac, type=pa.float64(), mask=~nz),
+            "stop_hits": pa.array(stop_hits),
+            "passes": pa.array(passes, type=pa.bool_(), mask=~nz),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def content_hashes(ds, text_col: str = "text", batch_size: int = 4096):
     """Deterministic content hashes per doc: md5 hex (dedup key), crc32 and a
     64-bit FNV-1a rolling fingerprint (cheap shard-stable id)."""
