@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "embed_semdedup",
     "docs_dsir_weights",
     "docs_gopher_rules",
+    "docs_cross_dupes",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

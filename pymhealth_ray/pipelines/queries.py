@@ -913,6 +913,7 @@ def build_queries() -> dict:
         "docs_lm_nll": q_docs_lm_nll,
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_rules": q_docs_gopher_rules,
+        "docs_cross_dupes": q_docs_cross_dupes,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
         "docs_bm25": q_docs_bm25,
@@ -1101,6 +1102,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
         "docs_lm_nll": SQL_DOCS_LM_NLL,
         "docs_gopher_rules": sql_docs_gopher_rules(),
+        "docs_cross_dupes": _docs_materialized_oracle(
+            sf_dir_for_fixture, "cross_dupes_v1", _cross_dupes_expected),
         "docs_dsir_weights": _docs_materialized_oracle(
             sf_dir_for_fixture, "dsir_weights_v1", _dsir_expected,
             columns=("doc_id", "text", "lang")),
@@ -3674,6 +3677,66 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
        percent_rank() OVER (ORDER BY l_quantity) AS pct
 FROM lineitem
 """
+
+
+def q_docs_cross_dupes(sf_dir: str):
+    """Cross-split CONTAMINATION pairs: MinHash-LSH near-dup pairs where
+    one side landed in train and the other in eval under the
+    deterministic md5 split — the near-dup generalization of n-gram
+    decontamination (exact-overlap decontam is `docs_decontam`). The
+    split side is a pure function of doc_id, so pair sides are
+    recomputed MAP-SIDE on the (small) verified pair set — no join back
+    to the corpus. Output: (train_id, eval_id, est_jaccard)."""
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5)
+    thr = _threshold_hex(0.1)
+
+    def cross(b: pa.Table) -> pa.Table:
+        ev_a = _hex8(b["id_a"], "xc") < thr
+        ev_b = _hex8(b["id_b"], "xc") < thr
+        keep = ev_a != ev_b
+        b = b.filter(pa.array(keep))
+        ev_a = ev_a[keep]
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        return _round_cols(pa.table({
+            "train_id": pa.array(np.where(ev_a, ib, ia).astype(np.int64)),
+            "eval_id": pa.array(np.where(ev_a, ia, ib).astype(np.int64)),
+            "est_jaccard": b["est_jaccard"],
+        }), {"est_jaccard": 4})
+
+    return pairs.map_batches(cross, batch_format="pyarrow")
+
+
+def _cross_dupes_expected(df):
+    """Single-process replication: the `_minhash_pairs_expected` LSH
+    replay restricted to cross-split pairs with the same md5 side rule."""
+    import hashlib
+
+    import pandas as pd
+
+    from pymhealth_ray.stages.sample import _threshold_hex
+
+    pairs = _minhash_pairs_expected(df)
+    thr = _threshold_hex(0.1)
+
+    def is_eval(i: int) -> bool:
+        return hashlib.md5(f"{i}-xc".encode()).hexdigest()[:8] < thr
+
+    rows = []
+    for r in pairs.itertuples(index=False):
+        ea, eb = is_eval(int(r.id_a)), is_eval(int(r.id_b))
+        if ea != eb:
+            t, e = (r.id_b, r.id_a) if ea else (r.id_a, r.id_b)
+            rows.append({"train_id": int(t), "eval_id": int(e),
+                         "est_jaccard": r.est_jaccard})
+    return pd.DataFrame(rows, columns=["train_id", "eval_id",
+                                       "est_jaccard"]).astype(
+        {"train_id": np.int64, "eval_id": np.int64,
+         "est_jaccard": np.float64})
 
 
 def q_docs_gopher_rules(sf_dir: str):
