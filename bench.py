@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "docs_dsir_weights",
     "docs_gopher_rules",
     "docs_cross_dupes",
+    "docs_quality_deciles",
+    "embed_quantized_recall",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

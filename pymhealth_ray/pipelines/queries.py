@@ -914,6 +914,7 @@ def build_queries() -> dict:
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_rules": q_docs_gopher_rules,
         "docs_cross_dupes": q_docs_cross_dupes,
+        "docs_quality_deciles": q_docs_quality_deciles,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
         "docs_bm25": q_docs_bm25,
@@ -989,6 +990,7 @@ def build_queries() -> dict:
         "part_revenue_pareto": q_part_revenue_pareto,
         "events_zonemap_range": q_events_zonemap_range,
         "embed_ivf_recall": q_embed_ivf_recall,
+        "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
         "supplier_part_degree": q_supplier_part_degree,
         "seq_trigram_nll": q_seq_trigram_nll,
@@ -1102,6 +1104,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_quantity_rank": SQL_LINEITEM_QUANTITY_RANK,
         "docs_lm_nll": SQL_DOCS_LM_NLL,
         "docs_gopher_rules": sql_docs_gopher_rules(),
+        "docs_quality_deciles": sql_docs_quality_deciles(),
         "docs_cross_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "cross_dupes_v1", _cross_dupes_expected),
         "docs_dsir_weights": _docs_materialized_oracle(
@@ -1185,6 +1188,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
         "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
+        "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
         "supplier_part_degree": SQL_SUPPLIER_PART_DEGREE,
         "seq_trigram_nll": sql_seq_trigram_nll(path),
@@ -3676,6 +3680,66 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
        CAST(dense_rank() OVER (ORDER BY l_quantity) AS BIGINT) AS drnk,
        percent_rank() OVER (ORDER BY l_quantity) AS pct
 FROM lineitem
+"""
+
+
+def q_docs_quality_deciles(sf_dir: str):
+    """Composite quality DECILES: one map pass extracts the Gopher
+    signals (stages/text.gopher_rules), a single int/int-exact composite
+    score (alphabetic-word fraction + stopword-hit rate) ranks every doc,
+    and exact NTILE(10) (stages/rank.ntile — range-bucket distributed
+    ranking) assigns the decile. The curriculum/mixture-planning shape:
+    score map-side, rank once, bucket."""
+    from pymhealth_ray.stages.rank import ntile
+    from pymhealth_ray.stages.text import gopher_rules
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    sig = gopher_rules(docs)
+
+    def score(b: pa.Table) -> pa.Table:
+        nw = b["n_words"].to_numpy(zero_copy_only=False)
+        af = b["alpha_frac"].to_numpy(zero_copy_only=False)
+        sh = b["stop_hits"].to_numpy(zero_copy_only=False)
+        keep = nw > 0
+        s = af + sh / nw  # same operand order as the SQL expression
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "score": pa.array(s),
+            # ntile ranks ascending; negate for ORDER BY score DESC
+            "neg_score": pa.array(-s),
+            "one": pa.array(np.zeros(len(nw), dtype=np.int8)),
+        }).filter(pa.array(keep))
+
+    out = ntile(sig.map_batches(score, batch_format="pyarrow"),
+                "one", "neg_score", "doc_id", k=10, out="decile")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "score", "decile"]),
+        batch_format="pyarrow")
+
+
+def sql_docs_quality_deciles() -> str:
+    stops = ", ".join(f"'{s}'" for s in
+                      ("the", "be", "to", "of", "and", "that", "have",
+                       "with"))
+    return f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha,
+        CAST(len(list_intersect(list_distinct([lower(x) FOR x IN ws]),
+                                [{stops}])) AS BIGINT) AS stop_hits
+      FROM w),
+sc AS (SELECT doc_id,
+         CAST(n_alpha AS DOUBLE) / n_words
+         + CAST(stop_hits AS DOUBLE) / n_words AS score
+       FROM s WHERE n_words > 0)
+SELECT doc_id, score,
+       CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+FROM sc
 """
 
 
@@ -7840,6 +7904,97 @@ def q_embed_ivf_recall(sf_dir: str):
         "n_hit": pa.array(hits),
         "recall": pa.array(hits / np.float64(_RECALL_K)),
     }))
+
+
+def q_embed_quantized_recall(sf_dir: str):
+    """Recall@10 cost of int8 per-vector quantization: exact brute-force
+    top-10 over the FLOAT corpus vs the same search over the
+    quantize→dequantize corpus (stages/ann.quantized_embeddings — the 4x
+    storage compression every 100 TB embedding store considers), per
+    query. Same measurement loop as embed_ivf_recall."""
+    import pyarrow.parquet as pq
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], _RECALL_NQ))
+    exact = ann.knn_bruteforce(ds, queries, k=_RECALL_K)
+    quant = ann.knn_bruteforce(ann.quantized_embeddings(ds), queries,
+                               k=_RECALL_K)
+
+    def to_sets(tbl):
+        out = {}
+        for q, n in zip(tbl["query_id"].to_pylist(),
+                        tbl["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    a, e = to_sets(quant), to_sets(exact)
+    qids = sorted(e)
+    hits = np.array([len(a.get(q, set()) & e[q]) for q in qids],
+                    dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "n_hit": pa.array(hits),
+        "recall": pa.array(hits / np.float64(_RECALL_K)),
+    }))
+
+
+def _quant_recall_expected(sf_dir: str):
+    """Single-process replication: full-matrix float and dequantized-int8
+    top-k with knn_bruteforce's exact tie rule (lexsort on (id, -cos))."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages.ann import _unit, quantize_dequantize_int8
+
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pandas().to_numpy().astype(np.int64)
+    emb = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    qsel = ids < _RECALL_NQ
+    q_ids, q_mat = ids[qsel], emb[qsel]
+
+    def topk_sets(corpus):
+        m = _unit(corpus)
+        qs = _unit(q_mat)
+        sims = m @ qs.T  # (n, nq)
+        out = {}
+        for j, qid in enumerate(q_ids):
+            s = sims[:, j].copy()
+            mask = ids != qid  # exclude self
+            cand_ids, cand_s = ids[mask], s[mask]
+            order = np.lexsort((cand_ids, -cand_s))[:_RECALL_K]
+            out[int(qid)] = set(cand_ids[order].tolist())
+        return out
+
+    e = topk_sets(emb)
+    a = topk_sets(quantize_dequantize_int8(emb))
+    qids = sorted(e)
+    hits = np.array([len(a.get(q, set()) & e[q]) for q in qids],
+                    dtype=np.int64)
+    return pd.DataFrame({
+        "query_id": np.array(qids, dtype=np.int64),
+        "n_hit": hits,
+        "recall": hits / np.float64(_RECALL_K),
+    })
+
+
+def _quant_recall_oracle(sf_dir: str) -> str:
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/quant_recall_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _quant_recall_expected(sf_dir)
+        tmp = out + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False),
+                           tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"
 
 
 def _ivf_recall_oracle(sf_dir: str) -> str:

@@ -110,6 +110,36 @@ def knn_bruteforce(ds, queries: pa.Table, k: int = 5, emb_col: str = "embedding"
                      "cosine": pa.array(out_c, type=pa.float64())})
 
 
+def quantize_dequantize_int8(mat: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 quantization, returned DEQUANTIZED
+    (float64): q = round(x · 127/max|x|), back to q/scale. Elementwise
+    (no reductions across rows), so engine batches and a single-process
+    full matrix produce bit-identical values."""
+    m = mat.astype(np.float64)
+    amax = np.abs(m).max(axis=1)
+    amax[amax == 0] = 1.0
+    scale = 127.0 / amax
+    q = np.round(m * scale[:, None])
+    return q / scale[:, None]
+
+
+def quantized_embeddings(ds, emb_col: str = "embedding",
+                         id_col: str = "vec_id"):
+    """Map-only int8 quantize→dequantize of the embedding column — the
+    4x-storage-compression path of a 100 TB embedding store; pair with
+    :func:`knn_bruteforce` to measure the recall cost."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        deq = quantize_dequantize_int8(_emb_matrix(batch, emb_col))
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            emb_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(deq.ravel(), type=pa.float64()), deq.shape[1]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 5) -> np.ndarray:
     """Mini k-means on unit vectors (cosine == dot): seeded, deterministic."""
     rng = np.random.default_rng(seed)
