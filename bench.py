@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "docs_cross_dupes",
     "docs_quality_deciles",
     "embed_quantized_recall",
+    "seq_epoch_shuffle",
+    "docs_dup_rate_by_source",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

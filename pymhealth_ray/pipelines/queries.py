@@ -914,6 +914,7 @@ def build_queries() -> dict:
         "docs_dsir_weights": q_docs_dsir_weights,
         "docs_gopher_rules": q_docs_gopher_rules,
         "docs_cross_dupes": q_docs_cross_dupes,
+        "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
         "docs_quality_deciles": q_docs_quality_deciles,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
@@ -983,6 +984,7 @@ def build_queries() -> dict:
         "seq_token_spectrum": q_seq_token_spectrum,
         "seq_distinct_ngrams": q_seq_distinct_ngrams,
         "seq_repetition": q_seq_repetition,
+        "seq_epoch_shuffle": q_seq_epoch_shuffle,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1107,6 +1109,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_quality_deciles": sql_docs_quality_deciles(),
         "docs_cross_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "cross_dupes_v1", _cross_dupes_expected),
+        "docs_dup_rate_by_source": _docs_materialized_oracle(
+            sf_dir_for_fixture, "dup_rate_by_source_v1",
+            _dup_rate_by_source_expected,
+            columns=("doc_id", "text", "source")),
         "docs_dsir_weights": _docs_materialized_oracle(
             sf_dir_for_fixture, "dsir_weights_v1", _dsir_expected,
             columns=("doc_id", "text", "lang")),
@@ -1181,6 +1187,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_token_spectrum": sql_seq_token_spectrum(path),
         "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
         "seq_repetition": sql_seq_repetition(path),
+        "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -3683,6 +3690,51 @@ FROM lineitem
 """
 
 
+def q_seq_epoch_shuffle(sf_dir: str):
+    """Deterministic EPOCH SHUFFLE order: every row's position in a
+    seeded global permutation — rank of md5(row-id + epoch salt)
+    (stages/rank.partitioned_sort_rank over the 15-hex-digit priority as
+    int64). The scale-safe alternative to ``random_shuffle()``: the
+    permutation is a pure function of (row id, epoch), so any failed/
+    resumed reader reproduces it without coordination, and a different
+    salt re-shuffles the next epoch. SQL-exact (hex-string order ==
+    numeric order at fixed width)."""
+    from pymhealth_ray.stages.rank import partitioned_sort_rank
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns"])
+
+    def pri(b: pa.Table) -> pa.Table:
+        docs = b["doc_id"].to_pylist()
+        tss = b["ts_ns"].to_pylist()
+        p = np.fromiter(
+            (int(hashlib.md5(f"{d}|{t}-e0".encode()).hexdigest()[:15], 16)
+             for d, t in zip(docs, tss)),
+            dtype=np.int64, count=len(docs))
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "one": pa.array(np.zeros(len(docs), dtype=np.int8)),
+            "pri": pa.array(p),
+        })
+
+    ranked = partitioned_sort_rank(
+        ds.map_batches(pri, batch_format="pyarrow"),
+        "one", "pri", "doc_id", num_bins=256, rank_name="epoch_pos")
+    return ranked.map_batches(
+        lambda b: b.select(["doc_id", "ts_ns", "epoch_pos"]),
+        batch_format="pyarrow")
+
+
+def sql_seq_epoch_shuffle(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns,
+       CAST(row_number() OVER (
+         ORDER BY substr(md5(doc_id || '|' || CAST(ts_ns AS VARCHAR)
+                             || '-e0'), 1, 15), doc_id, ts_ns) - 1
+            AS BIGINT) AS epoch_pos
+FROM read_parquet('{path}/part-*.parquet')
+"""
+
+
 def q_docs_quality_deciles(sf_dir: str):
     """Composite quality DECILES: one map pass extracts the Gopher
     signals (stages/text.gopher_rules), a single int/int-exact composite
@@ -3741,6 +3793,92 @@ SELECT doc_id, score,
        CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
 FROM sc
 """
+
+
+def q_docs_dup_rate_by_source(sf_dir: str):
+    """Dedup ANALYTICS: per source, how many docs participate in at least
+    one verified near-dup pair and the dup rate — the per-provenance
+    quality report a crawl pipeline reviews before re-weighting sources.
+    Plan: LSH pairs → distinct dup ids (tiny) → co-partitioned equi-join
+    back to (doc_id, source) → per-block partial counts merged
+    driver-side (bounded by #sources × blocks). Oracle: single-process
+    LSH replay + pandas rollup."""
+    from pymhealth_ray.stages.join import equi_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    pairs = minhash_lsh_dupes(
+        docs.map_batches(lambda b: b.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        jaccard_threshold=0.5)
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64))})
+
+    dup_ids = pairs.map_batches(pair_ids, batch_format="pyarrow",
+                                batch_size=None)
+    # global distinct (block partials may overlap): one tiny groupby
+    dup_ids = dup_ids.groupby("doc_id").count().map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    meta = docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                            "source": b["source"]}),
+        batch_format="pyarrow")
+    dup_src = equi_join(dup_ids, meta, on="doc_id", num_buckets=NB)
+
+    def src_counts(ds_):
+        import pyarrow.compute as pc_
+
+        counts: dict = {}
+        part = ds_.map_batches(
+            lambda b: pa.table(
+                {"source": pc_.value_counts(b["source"]).field("values"),
+                 "c": pc_.value_counts(b["source"]).field("counts").cast(
+                     pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        for t in part.iter_batches(batch_format="pyarrow"):
+            for s, c in zip(t["source"].to_pylist(), t["c"].to_pylist()):
+                counts[s] = counts.get(s, 0) + c
+        return counts
+
+    total = src_counts(meta)
+    dups = src_counts(dup_src)
+    srcs = sorted(total)
+    n_docs = np.array([total[s] for s in srcs], dtype=np.int64)
+    n_dup = np.array([dups.get(s, 0) for s in srcs], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "n_docs": pa.array(n_docs),
+        "n_dup_docs": pa.array(n_dup),
+        "dup_rate": pa.array(n_dup / n_docs),
+    }))
+
+
+def _dup_rate_by_source_expected(df):
+    """Single-process replication: LSH pair replay + pandas rollup."""
+    import pandas as pd
+
+    pairs = _minhash_pairs_expected(df[["doc_id", "text"]])
+    dup = set(pairs.id_a.tolist()) | set(pairs.id_b.tolist())
+    src = dict(zip(df.doc_id.astype(np.int64), df.source))
+    total: dict = {}
+    dups: dict = {}
+    for d, s in src.items():
+        total[s] = total.get(s, 0) + 1
+        if d in dup:
+            dups[s] = dups.get(s, 0) + 1
+    srcs = sorted(total)
+    n_docs = np.array([total[s] for s in srcs], dtype=np.int64)
+    n_dup = np.array([dups.get(s, 0) for s in srcs], dtype=np.int64)
+    return pd.DataFrame({
+        "source": srcs,
+        "n_docs": n_docs,
+        "n_dup_docs": n_dup,
+        "dup_rate": n_dup / n_docs,
+    })
 
 
 def q_docs_cross_dupes(sf_dir: str):
