@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "embed_quantized_recall",
     "seq_epoch_shuffle",
     "docs_dup_rate_by_source",
+    "events_cusum",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

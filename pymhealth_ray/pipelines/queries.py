@@ -985,6 +985,7 @@ def build_queries() -> dict:
         "seq_distinct_ngrams": q_seq_distinct_ngrams,
         "seq_repetition": q_seq_repetition,
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
+        "events_cusum": q_events_cusum,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1188,6 +1189,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
         "seq_repetition": sql_seq_repetition(path),
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
+        "events_cusum": SQL_EVENTS_CUSUM,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -5725,6 +5727,51 @@ def sql_seq_repeated_spans(path: str) -> str:
 # --------------------------------------------------------------------------
 # temporal feature pack over the events table (integer-cents values)
 # --------------------------------------------------------------------------
+
+
+def q_events_cusum(sf_dir: str):
+    """Per-user CUSUM change-detection statistic + alarm flag
+    (stages/cusum.py): one-sided upper CUSUM over integer-cents values in
+    event-time order, vectorized via the clamped-scan closed form
+    (cumsum − segmented running min, no sequential loop). All-int64
+    arithmetic → the SQL window oracle matches bit-for-bit."""
+    from pymhealth_ray.stages.cusum import cusum
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: _cents(b, "value", "v_c").drop_columns(["value"]),
+        batch_format="pyarrow")
+    out = cusum(ds, "user_id", "ts_us", "v_c", k=6000, h=10000,
+                tiebreak_col="event_id", num_buckets=NB)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "ts_us", "v_c", "cusum", "alarm"]),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_CUSUM = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), p AS (
+  SELECT user_id, ts_us, v_c, event_id,
+         CAST(sum(v_c - 6000) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+  FROM e
+), m AS (
+  SELECT user_id, ts_us, v_c, pf,
+         least(CAST(min(pf) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT),
+               0) AS mn
+  FROM p
+)
+SELECT user_id, ts_us, v_c,
+       CAST(pf - mn AS BIGINT) AS cusum,
+       (pf - mn) > 10000 AS alarm
+FROM m
+"""
 
 
 def q_events_temporal_pack(sf_dir: str):
