@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "seq_epoch_shuffle",
     "docs_dup_rate_by_source",
     "events_cusum",
+    "docs_k_anonymize",
+    "seq_length_buckets",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -915,6 +915,7 @@ def build_queries() -> dict:
         "docs_gopher_rules": q_docs_gopher_rules,
         "docs_cross_dupes": q_docs_cross_dupes,
         "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
+        "docs_k_anonymize": q_docs_k_anonymize,
         "docs_quality_deciles": q_docs_quality_deciles,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
@@ -986,6 +987,7 @@ def build_queries() -> dict:
         "seq_repetition": q_seq_repetition,
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
         "events_cusum": q_events_cusum,
+        "seq_length_buckets": q_seq_length_buckets,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1108,6 +1110,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_lm_nll": SQL_DOCS_LM_NLL,
         "docs_gopher_rules": sql_docs_gopher_rules(),
         "docs_quality_deciles": sql_docs_quality_deciles(),
+        "docs_k_anonymize": sql_docs_k_anonymize(),
         "docs_cross_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "cross_dupes_v1", _cross_dupes_expected),
         "docs_dup_rate_by_source": _docs_materialized_oracle(
@@ -1190,6 +1193,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_repetition": sql_seq_repetition(path),
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
         "events_cusum": SQL_EVENTS_CUSUM,
+        "seq_length_buckets": sql_seq_length_buckets(path),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -3692,6 +3696,75 @@ FROM lineitem
 """
 
 
+def q_seq_length_buckets(sf_dir: str):
+    """Length-bucketed INFERENCE batching layout: rank every row by
+    n_tok globally (one partitioned_sort_rank exchange), then derive its
+    NTILE(10) length bucket AND its fixed-size batch index inside the
+    bucket from (rank, total) map-side with the exact SQL tile rule — so
+    similar-length rows batch together (minimal padding waste) and the
+    whole layout is one exchange + integer arithmetic, reproducible by
+    any reader."""
+    from pymhealth_ray.stages.dedup import composite_rid
+    from pymhealth_ray.stages.rank import partitioned_sort_rank
+
+    K_TILES, BATCH = 10, 32
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": b["n_tok"].cast(pa.int64()),
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "rid": composite_rid(b["doc_id"], b["ts_ns"]),
+        })
+
+    ranked = partitioned_sort_rank(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "one", "n_tok", "rid", num_bins=256, rank_name="rnk")
+
+    def tiles(b: pa.Table) -> pa.Table:
+        r = b["rnk"].to_numpy(zero_copy_only=False)
+        n = b["__n_part"].to_numpy(zero_copy_only=False)
+        q, rem = n // K_TILES, n % K_TILES
+        cut = rem * (q + 1)
+        in_big = r < cut
+        tile = np.where(in_big, r // np.maximum(q + 1, 1),
+                        rem + (r - cut) // np.maximum(q, 1))
+        start = np.where(in_big, tile * (q + 1), cut + (tile - rem) * q)
+        batch_idx = (r - start) // BATCH
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"], "n_tok": b["n_tok"],
+            "bucket": pa.array(tile.astype(np.int64) + 1),
+            "batch_idx": pa.array(batch_idx.astype(np.int64)),
+        })
+
+    return ranked.map_batches(tiles, batch_format="pyarrow")
+
+
+def sql_seq_length_buckets(path: str) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(row_number() OVER (ORDER BY n_tok, doc_id, ts_ns) - 1
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM read_parquet('{path}/part-*.parquet')
+)
+SELECT doc_id, ts_ns, n_tok,
+  CASE WHEN rnk < (n % 10) * (n // 10 + 1)
+       THEN rnk // (n // 10 + 1)
+       ELSE (n % 10) + (rnk - (n % 10) * (n // 10 + 1)) // (n // 10)
+  END + 1 AS bucket,
+  CASE WHEN rnk < (n % 10) * (n // 10 + 1)
+       THEN (rnk - (rnk // (n // 10 + 1)) * (n // 10 + 1)) // 32
+       ELSE (rnk - ((n % 10) * (n // 10 + 1)
+             + ((rnk - (n % 10) * (n // 10 + 1)) // (n // 10)) * (n // 10)))
+            // 32
+  END AS batch_idx
+FROM r
+"""
+
+
 def q_seq_epoch_shuffle(sf_dir: str):
     """Deterministic EPOCH SHUFFLE order: every row's position in a
     seeded global permutation — rank of md5(row-id + epoch salt)
@@ -3794,6 +3867,53 @@ sc AS (SELECT doc_id,
 SELECT doc_id, score,
        CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
 FROM sc
+"""
+
+
+def q_docs_k_anonymize(sf_dir: str):
+    """k-anonymity suppression over quasi-identifiers: keep only docs
+    whose (lang, source) group has ≥ k members — the governance filter a
+    pipeline runs before releasing provenance-annotated data. Per-block
+    partial group counts merge driver-side (bounded by |langs×sources| ×
+    blocks), the small kept-group set broadcasts, the filter is map-only."""
+    K_ANON = 5
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b["lang"], b["source"], "\x00")
+        vc = pc.value_counts(key)
+        return pa.table({"g": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    counts: dict = {}
+    for t in docs.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).iter_batches(
+                                  batch_format="pyarrow"):
+        for g, c in zip(t["g"].to_pylist(), t["c"].to_pylist()):
+            counts[g] = counts.get(g, 0) + c
+    kept = pa.array(sorted(g for g, c in counts.items() if c >= K_ANON))
+    n_of = {g: c for g, c in counts.items()}
+    kept_ref = ray.put((kept, n_of))
+
+    def keep(b: pa.Table) -> pa.Table:
+        kp, nof = ray.get(kept_ref)
+        key = pc.binary_join_element_wise(b["lang"], b["source"], "\x00")
+        m = pc.is_in(key, value_set=kp)
+        b = b.append_column("group_n", pa.array(
+            np.array([nof[k_] for k_ in key.to_pylist()], dtype=np.int64)))
+        return b.filter(m)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_docs_k_anonymize() -> str:
+    return """
+SELECT doc_id, lang, source, group_n FROM (
+  SELECT doc_id, lang, source,
+         CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT) AS group_n
+  FROM documents)
+WHERE group_n >= 5
 """
 
 
