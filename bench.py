@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "events_cusum",
     "docs_k_anonymize",
     "seq_length_buckets",
+    "events_hampel",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -905,6 +905,7 @@ def build_queries() -> dict:
         "docs_tokenize": q_docs_tokenize,
         "seq_dedup_tokens": q_seq_dedup_tokens,
         "seq_length_buckets": q_seq_length_buckets,
+        "events_hampel": q_events_hampel,
         "docs_line_dedup": q_docs_line_dedup,
         "events_user_sequences": q_events_user_sequences,
         "docs_inverted_index": q_docs_inverted_index,
@@ -988,6 +989,7 @@ def build_queries() -> dict:
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
         "events_cusum": q_events_cusum,
         "seq_length_buckets": q_seq_length_buckets,
+        "events_hampel": q_events_hampel,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1102,6 +1104,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "tokenize_v1", _tokenize_expected),
         "seq_dedup_tokens": sql_seq_dedup_tokens(path),
         "seq_length_buckets": sql_seq_length_buckets(path),
+        "events_hampel": SQL_EVENTS_HAMPEL,
         "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
         "events_user_sequences": SQL_EVENTS_USER_SEQUENCES,
         "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
@@ -1194,6 +1197,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "seq_length_buckets": sql_seq_length_buckets(path),
+        "events_hampel": SQL_EVENTS_HAMPEL,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -5890,6 +5894,54 @@ WITH e AS (
 SELECT user_id, ts_us, v_c,
        CAST(pf - mn AS BIGINT) AS cusum,
        (pf - mn) > 10000 AS alarm
+FROM m
+"""
+
+
+def q_events_hampel(sf_dir: str):
+    """Hampel despiking per user (stages/hampel.py): centered rolling
+    median + rolling MAD over integer-cents values, spike = deviation
+    > 3 MADs. NaN-padded sliding-window kernel — every shrinking-edge
+    window in one batched nanmedian, no per-row loop; dyadic medians
+    match DuckDB's interpolated median bit-for-bit."""
+    from pymhealth_ray.stages.hampel import hampel_filter
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: _cents(b, "value", "v_c").drop_columns(["value"]),
+        batch_format="pyarrow")
+    out = hampel_filter(ds, "user_id", "ts_us", "v_c", k=4, n_mads=3.0,
+                        tiebreak_col="event_id", num_buckets=NB)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "ts_us", "v_c", "med", "mad",
+                            "spike"]),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_HAMPEL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+), r AS (
+  SELECT user_id, ts_us, v_c,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS BIGINT) AS rn
+  FROM e
+), w AS (
+  SELECT a.user_id, a.rn, a.ts_us, a.v_c, median(b.v_c) AS med
+  FROM r a JOIN r b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn + 4
+  GROUP BY a.user_id, a.rn, a.ts_us, a.v_c
+), m AS (
+  SELECT w.user_id, w.rn, w.ts_us, w.v_c, w.med,
+         median(abs(b.v_c - w.med)) AS mad
+  FROM w JOIN r b
+    ON w.user_id = b.user_id AND b.rn BETWEEN w.rn - 4 AND w.rn + 4
+  GROUP BY w.user_id, w.rn, w.ts_us, w.v_c, w.med
+)
+SELECT user_id, ts_us, v_c, med, mad,
+       abs(v_c - med) > 3.0 * mad AS spike
 FROM m
 """
 

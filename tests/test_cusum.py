@@ -52,3 +52,38 @@ def test_partition_invariance(ray_session):
         for p, b in ((1, 1), (9, 7))
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestHampel:
+    def test_matches_naive_windows(self, ray_session):
+        from pymhealth_ray.stages.hampel import hampel_filter
+
+        rng = np.random.default_rng(31)
+        n = 1500
+        df = pd.DataFrame({
+            "user": rng.integers(0, 13, n).astype(np.int64),
+            "ts": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        })
+        k = 3
+        got = (hampel_filter(ray.data.from_pandas(df).repartition(5),
+                             "user", "ts", "v", k=k, num_buckets=4)
+               .to_pandas().sort_values(["user", "ts"]).reset_index(drop=True))
+        ref_med, ref_mad = [], []
+        for _, g in df.sort_values(["user", "ts"]).groupby("user", sort=True):
+            vals = g.v.to_numpy().astype(np.float64)
+            for i in range(len(vals)):
+                w = vals[max(0, i - k): i + k + 1]
+                m = np.median(w)
+                ref_med.append(m)
+                ref_mad.append(np.median(np.abs(w - m)))
+        assert (got.med.to_numpy() == np.array(ref_med)).all()
+        assert (got.mad.to_numpy() == np.array(ref_mad)).all()
+        # planted extreme spike is flagged
+        df2 = df.copy()
+        df2.loc[df2.index[100], "v"] = 10**7
+        got2 = (hampel_filter(ray.data.from_pandas(df2), "user", "ts", "v",
+                              k=k, num_buckets=2)
+                .to_pandas())
+        u, t = df2.loc[df2.index[100], ["user", "ts"]]
+        assert bool(got2[(got2.user == u) & (got2.ts == t)].spike.iloc[0])
