@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "docs_k_anonymize",
     "seq_length_buckets",
     "events_hampel",
+    "docs_cluster_size_hist",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

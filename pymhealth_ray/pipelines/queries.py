@@ -917,6 +917,7 @@ def build_queries() -> dict:
         "docs_cross_dupes": q_docs_cross_dupes,
         "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
         "docs_k_anonymize": q_docs_k_anonymize,
+        "docs_cluster_size_hist": q_docs_cluster_size_hist,
         "docs_quality_deciles": q_docs_quality_deciles,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
         "events_type_pairs": q_events_type_pairs,
@@ -1114,6 +1115,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_gopher_rules": sql_docs_gopher_rules(),
         "docs_quality_deciles": sql_docs_quality_deciles(),
         "docs_k_anonymize": sql_docs_k_anonymize(),
+        "docs_cluster_size_hist": _docs_materialized_oracle(
+            sf_dir_for_fixture, "cluster_size_hist_v1",
+            _cluster_size_hist_expected),
         "docs_cross_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "cross_dupes_v1", _cross_dupes_expected),
         "docs_dup_rate_by_source": _docs_materialized_oracle(
@@ -2689,6 +2693,48 @@ def q_docs_dedup_clusters(sf_dir: str):
         return pa.table({"doc_id": b["v"], "cluster_id": b["l"]})
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def q_docs_cluster_size_hist(sf_dir: str):
+    """Dedup analytics #2: the near-dup CLUSTER-SIZE distribution —
+    (cluster_size, n_clusters) including the size-1 row for documents in
+    no pair. What a curation run reads to pick keep-best vs drop-all
+    policies. Sizes come from one tiny groupby over the CC labels; the
+    singleton count is total-docs − labeled-docs (two scalars)."""
+    from pymhealth_ray.stages.graph import connected_components
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    n_docs = docs.count()
+    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB)
+    sizes = labels.groupby("l").count()
+    hist: dict = {}
+    n_labeled = 0
+    for t in sizes.iter_batches(batch_format="pyarrow"):
+        for c in t["count()"].to_pylist():
+            hist[c] = hist.get(c, 0) + 1
+            n_labeled += c
+    hist[1] = hist.get(1, 0) + (n_docs - n_labeled)
+    ks = sorted(hist)
+    return ray.data.from_arrow(pa.table({
+        "cluster_size": pa.array(ks, type=pa.int64()),
+        "n_clusters": pa.array([hist[k] for k in ks], type=pa.int64()),
+    }))
+
+
+def _cluster_size_hist_expected(df):
+    import pandas as pd
+
+    clusters = _dedup_clusters_expected(df)
+    sizes = clusters.groupby("cluster_id").size()
+    hist = sizes.value_counts().to_dict()
+    hist[1] = hist.get(1, 0) + (len(df) - len(clusters))
+    ks = sorted(hist)
+    return pd.DataFrame({
+        "cluster_size": np.array(ks, dtype=np.int64),
+        "n_clusters": np.array([hist[k] for k in ks], dtype=np.int64),
+    })
 
 
 def _dedup_clusters_expected(df):
