@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "seq_length_buckets",
     "events_hampel",
     "docs_cluster_size_hist",
+    "docs_keyword_tags",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -917,6 +917,7 @@ def build_queries() -> dict:
         "docs_cross_dupes": q_docs_cross_dupes,
         "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
         "docs_k_anonymize": q_docs_k_anonymize,
+        "docs_keyword_tags": q_docs_keyword_tags,
         "docs_cluster_size_hist": q_docs_cluster_size_hist,
         "docs_quality_deciles": q_docs_quality_deciles,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
@@ -1115,6 +1116,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_gopher_rules": sql_docs_gopher_rules(),
         "docs_quality_deciles": sql_docs_quality_deciles(),
         "docs_k_anonymize": sql_docs_k_anonymize(),
+        "docs_keyword_tags": sql_docs_keyword_tags(),
         "docs_cluster_size_hist": _docs_materialized_oracle(
             sf_dir_for_fixture, "cluster_size_hist_v1",
             _cluster_size_hist_expected),
@@ -3918,6 +3920,36 @@ SELECT doc_id, score,
        CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
 FROM sc
 """
+
+
+KEYWORD_TAGS = ("data", "model", "user", "system", "energy")
+
+
+def q_docs_keyword_tags(sf_dir: str):
+    """Multi-keyword occurrence tagging (brand-safety / topic-routing
+    shape): per doc, substring occurrence counts for a fixed keyword list
+    — one Arrow ``count_substring`` kernel per keyword, map-only, no
+    exchange. SQL parity via the length-difference identity."""
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        cols = {"doc_id": b["doc_id"]}
+        for kw in KEYWORD_TAGS:
+            cols[f"n_{kw}"] = pc.count_substring(txt, kw).cast(pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(tag, batch_format="pyarrow")
+
+
+def sql_docs_keyword_tags() -> str:
+    cols = ",\n  ".join(
+        f"CAST((length(text) - length(replace(text, '{kw}', '')))"
+        f" // {len(kw)} AS BIGINT) AS n_{kw}" for kw in KEYWORD_TAGS)
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"
 
 
 def q_docs_k_anonymize(sf_dir: str):
