@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "events_hampel",
     "docs_cluster_size_hist",
     "docs_keyword_tags",
+    "events_pushdown_scan",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -990,6 +990,7 @@ def build_queries() -> dict:
         "seq_repetition": q_seq_repetition,
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
         "events_cusum": q_events_cusum,
+        "events_pushdown_scan": q_events_pushdown_scan,
         "seq_length_buckets": q_seq_length_buckets,
         "events_hampel": q_events_hampel,
         "seq_vocab_growth": q_seq_vocab_growth,
@@ -1202,6 +1203,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_repetition": sql_seq_repetition(path),
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
         "events_cusum": SQL_EVENTS_CUSUM,
+        "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "seq_length_buckets": sql_seq_length_buckets(path),
         "events_hampel": SQL_EVENTS_HAMPEL,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
@@ -5929,6 +5931,33 @@ def sql_seq_repeated_spans(path: str) -> str:
 # --------------------------------------------------------------------------
 # temporal feature pack over the events table (integer-cents values)
 # --------------------------------------------------------------------------
+
+
+def q_events_pushdown_scan(sf_dir: str):
+    """Predicate-pushdown read (sources/io.read_table_filtered): the
+    high-value slice ``value >= 100`` is evaluated AT THE PARQUET SCAN
+    (row-group statistics pruning + reader-side filtering) — no
+    downstream filter stage, nothing crosses the object store but
+    matches. Oracle: plain SQL WHERE."""
+    import pyarrow.dataset as pads
+
+    from pymhealth_ray.sources.io import read_table_filtered
+
+    ds = read_table_filtered(
+        f"{sf_dir}/events.parquet",
+        pads.field("value") >= 100.0,
+        columns=["event_id", "user_id", "value"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _cents(b, "value", "v_c").drop_columns(["value"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_PUSHDOWN_SCAN = """
+SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS v_c
+FROM events WHERE value >= 100.0
+"""
 
 
 def q_events_cusum(sf_dir: str):

@@ -37,6 +37,23 @@ def read_table(path: str, columns=None, blocks: int | None = None):
     return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
+def read_table_filtered(path: str, filter_expr, columns=None,
+                        blocks: int | None = None):
+    """Predicate-pushdown parquet read: ``filter_expr`` is a
+    ``pyarrow.dataset`` expression evaluated AT THE SCAN — row groups
+    whose statistics exclude the predicate are never decoded, and
+    surviving row groups are filtered before any block leaves the read
+    task. The 100 TB rule: selectivity belongs in the reader, not in a
+    downstream map over rows that already crossed the object store."""
+    ds = ray.data.read_parquet(
+        path,
+        columns=columns,
+        filter=filter_expr,
+        override_num_blocks=blocks or default_blocks(),
+    )
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
+
+
 def read_jsonl(path: str, columns=None, blocks: int | None = None):
     """Newline-delimited JSON source (the raw-crawl interchange format).
 
