@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "docs_cluster_size_hist",
     "docs_keyword_tags",
     "events_pushdown_scan",
+    "docs_lsh_incremental",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -916,6 +916,7 @@ def build_queries() -> dict:
         "docs_gopher_rules": q_docs_gopher_rules,
         "docs_cross_dupes": q_docs_cross_dupes,
         "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
+        "docs_lsh_incremental": q_docs_lsh_incremental,
         "docs_k_anonymize": q_docs_k_anonymize,
         "docs_keyword_tags": q_docs_keyword_tags,
         "docs_cluster_size_hist": q_docs_cluster_size_hist,
@@ -1127,6 +1128,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "dup_rate_by_source_v1",
             _dup_rate_by_source_expected,
             columns=("doc_id", "text", "source")),
+        "docs_lsh_incremental": _docs_materialized_oracle(
+            sf_dir_for_fixture, "lsh_incremental_v1",
+            _lsh_incremental_expected),
         "docs_dsir_weights": _docs_materialized_oracle(
             sf_dir_for_fixture, "dsir_weights_v1", _dsir_expected,
             columns=("doc_id", "text", "lang")),
@@ -3999,6 +4003,80 @@ SELECT doc_id, lang, source, group_n FROM (
   FROM documents)
 WHERE group_n >= 5
 """
+
+
+def q_docs_lsh_incremental(sf_dir: str):
+    """Incremental near-dup dedup against a PERSISTENT LSH index
+    (stages/lshindex.py): the standing corpus (train split) is indexed
+    once — hash-partitioned band-key and signature layouts + a params
+    manifest — and the ingest batch (eval split) probes it with PRUNED
+    reads (only the band partitions its keys hash into, only the sig
+    partitions holding candidate ids). Nothing about the standing corpus
+    recomputes at ingest. Output: (new_id, old_id, est_jaccard)."""
+    import os as _os
+
+    from pymhealth_ray.stages.lshindex import lsh_index_probe, lsh_index_write
+    from pymhealth_ray.stages.sample import split_train_eval
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    split = split_train_eval(docs, "doc_id", eval_fraction=0.2, salt="ix")
+    train = split.filter(lambda r: r["split"] == "train").map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
+    new = split.filter(lambda r: r["split"] == "eval").map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
+
+    name = _os.path.basename(_os.path.normpath(sf_dir))
+    index_dir = f"/tmp/pymhealth_ray_lshidx/{name}_v1"
+    if not _os.path.exists(_os.path.join(index_dir, "_lsh_index.json")):
+        lsh_index_write(train, index_dir)
+    return lsh_index_probe(new, index_dir, jaccard_threshold=0.5)
+
+
+def _lsh_incremental_expected(df):
+    """Single-process replication: same split rule, same hash family; the
+    band index and probe are plain dicts."""
+    import hashlib
+
+    import pandas as pd
+
+    from pymhealth_ray.stages.dedup import MinHasher, _band_keys_vec
+    from pymhealth_ray.stages.sample import _threshold_hex
+
+    thr = _threshold_hex(0.2)
+    ids = df.doc_id.to_numpy().astype(np.int64)
+    is_eval = np.array(
+        [hashlib.md5(f"{i}-ix".encode()).hexdigest()[:8] < thr
+         for i in ids])
+    hasher = MinHasher()
+    sigs = np.stack([hasher.signature(t) for t in df.text.values]).astype(
+        np.uint64)
+    bands, rpb = 16, 4
+    index: dict = {}
+    for b in range(bands):
+        keys = _band_keys_vec(sigs[~is_eval], b, rpb)
+        for k, i in zip(keys.tolist(), ids[~is_eval].tolist()):
+            index.setdefault((b, k), []).append(i)
+    old_pos = {int(i): j for j, i in enumerate(ids[~is_eval])}
+    old_sigs = sigs[~is_eval]
+    rows = []
+    new_ids = ids[is_eval]
+    new_sigs = sigs[is_eval]
+    for j, nid in enumerate(new_ids.tolist()):
+        cand = set()
+        for b in range(bands):
+            k = int(_band_keys_vec(new_sigs[j:j + 1], b, rpb)[0])
+            cand.update(index.get((b, k), ()))
+        for oid in sorted(cand):
+            est = float((new_sigs[j] == old_sigs[old_pos[oid]]).mean())
+            if est >= 0.5:
+                rows.append((nid, oid, round(est, 4)))
+    rows.sort()
+    return pd.DataFrame({
+        "new_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "old_id": np.array([r[1] for r in rows], dtype=np.int64),
+        "est_jaccard": np.array([r[2] for r in rows], dtype=np.float64),
+    })
 
 
 def q_docs_dup_rate_by_source(sf_dir: str):

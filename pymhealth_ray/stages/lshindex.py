@@ -1,0 +1,218 @@
+"""Persistent MinHash-LSH index: build ONCE over the standing corpus,
+then dedup every incremental ingest batch against it WITHOUT touching the
+corpus again — the 100 TB dedup-maintenance story (the content-ledger in
+stages/dedup.py answers "exact duplicate?"; this answers "NEAR duplicate
+of anything already indexed?").
+
+Layout under ``index_dir``:
+  bands/part=NNN/*.parquet   (band_key:int64, doc_id:int64) — hash-
+                             partitioned on band_key so a probe batch
+                             reads ONLY the partitions its own band keys
+                             hash into (small ingests touch few files);
+  sigs/part=NNN/*.parquet    (doc_id:int64, minhash fixed list) — hash-
+                             partitioned on doc_id so candidate
+                             verification reads only partitions holding
+                             candidate ids;
+  _lsh_index.json            params manifest (hash family seed/shape) —
+                             probes refuse an index built with different
+                             parameters instead of silently mismatching.
+
+Build is one signature scan + one partitioned write per layout; probe is
+map-only signatures + a PRUNED read + one join per layout. Nothing about
+the standing corpus is recomputed at ingest time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.dedup import (
+    _band_keys_vec,
+    _cached_minhasher,
+)
+
+_MANIFEST = "_lsh_index.json"
+
+
+def _band_part(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    return (keys.astype(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+
+
+def _id_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    # splitmix-style spread so sequential ids don't skew partitions
+    from pymhealth_ray.stages.sketch import _splitmix64
+
+    return (_splitmix64(ids.astype(np.int64).view(np.uint64))
+            % np.uint64(n_parts)).astype(np.int64)
+
+
+def _sig_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["minhash"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.values.to_numpy(zero_copy_only=False).reshape(
+        batch.num_rows, -1).astype(np.uint64)
+
+
+def lsh_index_write(docs, index_dir: str, *, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 64,
+                    bands: int = 16, shingle_k: int = 5,
+                    n_parts: int = 16) -> dict:
+    """Build the persistent index over ``docs``. Returns the manifest."""
+    from pymhealth_ray.sources.io import write_partitioned
+
+    rpb = num_hashes // bands
+
+    def sigify(batch: pa.Table) -> pa.Table:
+        out = _cached_minhasher(text_col, num_hashes, shingle_k)(batch)
+        return pa.table({id_col: out[id_col].cast(pa.int64()),
+                         "minhash": out["minhash"]})
+
+    sigs = docs.map_batches(sigify, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ks, ds_ = [], []
+        for b in range(bands):
+            ks.append(_band_keys_vec(sig, b, rpb).astype(np.int64))
+            ds_.append(ids)
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        d = np.concatenate(ds_) if ds_ else np.empty(0, np.int64)
+        return pa.table({
+            "band_key": pa.array(k),
+            id_col: pa.array(d),
+            "part": pa.array(_band_part(k, n_parts), type=pa.int64()),
+        })
+
+    write_partitioned(sigs.map_batches(explode, batch_format="pyarrow",
+                                       batch_size=None),
+                      os.path.join(index_dir, "bands"), "part")
+
+    def sig_part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(_id_part(ids, n_parts), type=pa.int64()))
+
+    write_partitioned(sigs.map_batches(sig_part, batch_format="pyarrow",
+                                       batch_size=None),
+                      os.path.join(index_dir, "sigs"), "part")
+    manifest = {"num_hashes": num_hashes, "bands": bands,
+                "shingle_k": shingle_k, "n_parts": n_parts,
+                "id_col": id_col}
+    tmp = os.path.join(index_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, _MANIFEST))
+    return manifest
+
+
+def _part_paths(root: str, parts) -> list:
+    out = []
+    for p in sorted(set(int(x) for x in parts)):
+        d = os.path.join(root, f"part={p}")
+        if os.path.isdir(d):
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet"))
+    return out
+
+
+def lsh_index_probe(new_docs, index_dir: str, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    jaccard_threshold: float = 0.5) -> pa.Table:
+    """Near-dup pairs (new_id, old_id, est_jaccard) of an ingest batch
+    against the standing index. Reads ONLY the band partitions the batch's
+    own band keys hash into and the sig partitions holding candidate ids.
+    Returns a driver-sized pyarrow Table (pairs of one ingest batch)."""
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        m = json.load(f)
+    bands, rpb = m["bands"], m["num_hashes"] // m["bands"]
+    n_parts = m["n_parts"]
+
+    def sigify(batch: pa.Table) -> pa.Table:
+        out = _cached_minhasher(text_col, m["num_hashes"],
+                                m["shingle_k"])(batch)
+        return pa.table({id_col: out[id_col].cast(pa.int64()),
+                         "minhash": out["minhash"]})
+
+    new_sigs_tbl = pa.concat_tables(ray.get(
+        new_docs.map_batches(sigify, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()))
+    new_sig = _sig_matrix(new_sigs_tbl)
+    new_ids = new_sigs_tbl[id_col].to_numpy(zero_copy_only=False)
+    nb_keys = [
+        _band_keys_vec(new_sig, b, rpb).astype(np.int64)
+        for b in range(bands)
+    ] if len(new_ids) else []
+    all_new_keys = np.unique(np.concatenate(nb_keys)) if nb_keys else \
+        np.empty(0, np.int64)
+
+    # PRUNED band read: only partitions any probe key hashes into
+    band_paths = _part_paths(os.path.join(index_dir, "bands"),
+                             _band_part(all_new_keys, n_parts))
+    cands: dict = {}
+    if band_paths:
+        from pymhealth_ray.sources.io import read_table
+
+        def match(batch: pa.Table) -> pa.Table:
+            bk = batch["band_key"].to_numpy(zero_copy_only=False)
+            oid = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(all_new_keys, bk)
+            posc = np.minimum(pos, max(len(all_new_keys) - 1, 0))
+            hit = (all_new_keys[posc] == bk) if len(all_new_keys) else \
+                np.zeros(len(bk), dtype=bool)
+            return pa.table({"band_key": pa.array(bk[hit]),
+                             "old_id": pa.array(oid[hit])})
+
+        hits = pa.concat_tables(ray.get(
+            read_table(band_paths, columns=["band_key", id_col])
+            .map_batches(match, batch_format="pyarrow",
+                         batch_size=None).to_arrow_refs()))
+        # band_key -> new ids with that key (per band), joined driver-side:
+        # the hit set is ingest-batch-sized by construction
+        key_to_new: dict = {}
+        for b in range(bands):
+            for k, nid in zip(nb_keys[b].tolist(), new_ids.tolist()):
+                key_to_new.setdefault(k, set()).add(nid)
+        for k, oid in zip(hits["band_key"].to_pylist(),
+                          hits["old_id"].to_pylist()):
+            for nid in key_to_new.get(k, ()):
+                cands.setdefault(int(nid), set()).add(int(oid))
+
+    # verification: PRUNED sig read of only candidate-id partitions
+    all_old = sorted({o for s in cands.values() for o in s})
+    rows = {"new_id": [], "old_id": [], "est_jaccard": []}
+    if all_old:
+        sig_paths = _part_paths(
+            os.path.join(index_dir, "sigs"),
+            _id_part(np.asarray(all_old, dtype=np.int64), n_parts))
+        old_tbl = pa.concat_tables(
+            [pq_mod.read_table(p, columns=[id_col, "minhash"])
+             for p in sig_paths])
+        old_ids = old_tbl[id_col].to_numpy(zero_copy_only=False)
+        old_sig = _sig_matrix(old_tbl)
+        pos_of = {int(i): j for j, i in enumerate(old_ids)}
+        new_pos = {int(i): j for j, i in enumerate(new_ids)}
+        for nid in sorted(cands):
+            for oid in sorted(cands[nid]):
+                if oid not in pos_of:
+                    continue
+                est = float((new_sig[new_pos[nid]]
+                             == old_sig[pos_of[oid]]).mean())
+                if est >= jaccard_threshold:
+                    rows["new_id"].append(nid)
+                    rows["old_id"].append(oid)
+                    rows["est_jaccard"].append(round(est, 4))
+    return pa.table({
+        "new_id": pa.array(rows["new_id"], type=pa.int64()),
+        "old_id": pa.array(rows["old_id"], type=pa.int64()),
+        "est_jaccard": pa.array(rows["est_jaccard"], type=pa.float64()),
+    })

@@ -1,0 +1,53 @@
+"""stages/lshindex: persistent index build + pruned incremental probe."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pymhealth_ray.stages import lshindex
+from pymhealth_ray.stages.lshindex import lsh_index_probe, lsh_index_write
+
+
+def _corpus(n=120, seed=3):
+    # diverse random-letter words so unrelated docs share few char shingles
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    return [" ".join("".join(rng.choice(letters, 8)) for _ in range(40))
+            for _ in range(n)]
+
+
+def test_probe_finds_near_dups_and_prunes(ray_session, tmp_path):
+    texts = _corpus()
+    old = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                        "text": texts[:100]})
+    idx = str(tmp_path / "lsh")
+    lsh_index_write(ray.data.from_pandas(old).repartition(4), idx,
+                    n_parts=8)
+
+    # ingest: one near-dup of doc 7 (tiny suffix change), one novel doc
+    new = pd.DataFrame({
+        "doc_id": np.array([1000, 1001], dtype=np.int64),
+        "text": [old.text[7] + " alpha", texts[110]],
+    })
+    pairs = lsh_index_probe(ray.data.from_pandas(new), idx,
+                            jaccard_threshold=0.5).to_pandas()
+    assert 7 in set(pairs[pairs.new_id == 1000].old_id)
+    assert (pairs.new_id != 1001).all()
+    assert (pairs.est_jaccard >= 0.5).all()
+
+    # idempotence of the probe (pure function of index + batch)
+    pairs2 = lsh_index_probe(ray.data.from_pandas(new), idx,
+                             jaccard_threshold=0.5).to_pandas()
+    pd.testing.assert_frame_equal(pairs.sort_values(["new_id", "old_id"])
+                                  .reset_index(drop=True),
+                                  pairs2.sort_values(["new_id", "old_id"])
+                                  .reset_index(drop=True))
+
+    # pruning: a single probe key set touches a strict subset of the sig
+    # partitions (band partitions may all be hit: 16 bands x 1 doc = up to
+    # 16 distinct hash cells over 8 parts — so assert on the id side)
+    one_old = lshindex._part_paths(
+        f"{idx}/sigs", lshindex._id_part(np.array([7], dtype=np.int64), 8))
+    all_sig = lshindex._part_paths(f"{idx}/sigs", range(8))
+    assert len(one_old) < len(all_sig)
