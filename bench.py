@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "docs_keyword_tags",
     "events_pushdown_scan",
     "docs_lsh_incremental",
+    "seq_streaming_sessions",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -744,6 +744,37 @@ FROM s2 GROUP BY doc_id, session_id
 """
 
 
+def q_seq_streaming_sessions(sf_dir: str):
+    """The north-star execution shape taken literally: sessionize by
+    STREAMING each partition of a sorted entity-bucketed layout through
+    ParquetFile.iter_batches with ONE open-session carry across Arrow
+    batch boundaries (stages/streaming.py) — bounded memory per task, no
+    exchange at query time; the one sort happened at ingest
+    (state/lineage.resumable_write(sort_cols=...), cached layout). Same
+    SQL oracle as the sort-based seq_sessions — identical semantics,
+    different physical plan."""
+    import os as _os
+
+    from pymhealth_ray.state.lineage import read_manifests, resumable_write
+    from pymhealth_ray.stages.streaming import streaming_session_stats
+
+    ds, path = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    name = _os.path.basename(_os.path.normpath(sf_dir))
+    layout = f"/tmp/pymhealth_ray_sorted_layout/{name}_v1"
+    if len(read_manifests(layout)) < 16:
+        resumable_write(ds, layout, entity_col="doc_id", num_buckets=16,
+                        params={"sorted": ["doc_id", "ts_ns"], "v": 1},
+                        sort_cols=["doc_id", "ts_ns"])
+    out = streaming_session_stats(layout, gap=GAP_NS)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "session_id", "n_events", "start_ns",
+                         "end_ns", "duration_ns", "n_tok_sum",
+                         "n_tok_mean"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_seq_windows_1h(sf_dir: str):
     ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
     wf = window_features(
@@ -990,6 +1021,7 @@ def build_queries() -> dict:
         "seq_distinct_ngrams": q_seq_distinct_ngrams,
         "seq_repetition": q_seq_repetition,
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
+        "seq_streaming_sessions": q_seq_streaming_sessions,
         "events_cusum": q_events_cusum,
         "events_pushdown_scan": q_events_pushdown_scan,
         "seq_length_buckets": q_seq_length_buckets,
@@ -1206,6 +1238,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_distinct_ngrams": sql_seq_distinct_ngrams(path),
         "seq_repetition": sql_seq_repetition(path),
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
+        "seq_streaming_sessions": sql_seq_sessions(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "seq_length_buckets": sql_seq_length_buckets(path),

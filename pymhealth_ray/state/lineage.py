@@ -56,6 +56,7 @@ def resumable_write(
     params: dict | None = None,
     fail_buckets: set | None = None,
     bucket_col: str | None = None,
+    sort_cols: list | None = None,
 ):
     """Write ``ds`` partitioned by entity bucket with per-partition manifests;
     skips buckets whose manifest already matches. Returns the manifest list
@@ -98,6 +99,14 @@ def resumable_write(
     def write_bucket(tbl: pa.Table) -> pa.Table:
         bucket = int(tbl[BUCKET_COL][0].as_py())
         tbl = tbl.drop_columns([BUCKET_COL])
+        if sort_cols:
+            # sort ONCE at ingest so every later job streams the partition
+            # in (entity, ts) order without re-sorting (include sort_cols in
+            # ``params`` so the manifest cache key reflects the layout)
+            import pyarrow.compute as pc
+
+            tbl = tbl.take(pc.sort_indices(
+                tbl, sort_keys=[(c, "ascending") for c in sort_cols]))
         if bucket in fail:
             raise RuntimeError(f"injected failure for bucket {bucket}")
         pdir = out_path / f"part={bucket}"

@@ -1,0 +1,45 @@
+"""stages/streaming: the streaming per-file sessionizer equals the
+sort-based bucket sessionizer, including with TINY Arrow batches so the
+open-session carry crosses many batch boundaries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from pymhealth_ray.stages.session import session_stats
+from pymhealth_ray.stages.streaming import streaming_session_stats
+from pymhealth_ray.state.lineage import resumable_write
+
+GAP = 1000
+
+
+def _df(n=3000, seed=17):
+    rng = np.random.default_rng(seed)
+    ent = np.array([f"d{int(i):04d}" for i in rng.integers(0, 40, n)])
+    ts = rng.integers(0, 200_000, n).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ent, "ts_ns": ts,
+                       "n_tok": rng.integers(1, 50, n).astype(np.int64)})
+    return df.drop_duplicates(["doc_id", "ts_ns"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("batch_rows", [7, 64, 65536])
+def test_streaming_equals_sorted_buckets(ray_session, tmp_path, batch_rows):
+    df = _df()
+    ds = ray.data.from_pandas(df).repartition(6)
+    layout = str(tmp_path / "lay")
+    resumable_write(ds, layout, entity_col="doc_id", num_buckets=8,
+                    params={"sorted": True}, sort_cols=["doc_id", "ts_ns"])
+    got = (streaming_session_stats(layout, gap=GAP, batch_rows=batch_rows)
+           .to_pandas().sort_values(["doc_id", "session_id"])
+           .reset_index(drop=True))
+    want = (session_stats(ds, GAP, value_col="n_tok", num_buckets=8)
+            .to_pandas()
+            [["doc_id", "session_id", "n_events", "start_ns", "end_ns",
+              "duration_ns", "n_tok_sum", "n_tok_mean"]]
+            .sort_values(["doc_id", "session_id"]).reset_index(drop=True))
+    got = got[want.columns]
+    pd.testing.assert_frame_equal(
+        got.astype({"n_tok_sum": np.int64}),
+        want.astype({"n_tok_sum": np.int64}))
