@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "events_pushdown_scan",
     "docs_lsh_incremental",
     "seq_streaming_sessions",
+    "seq_asof_stream",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -753,18 +753,10 @@ def q_seq_streaming_sessions(sf_dir: str):
     (state/lineage.resumable_write(sort_cols=...), cached layout). Same
     SQL oracle as the sort-based seq_sessions — identical semantics,
     different physical plan."""
-    import os as _os
-
-    from pymhealth_ray.state.lineage import read_manifests, resumable_write
     from pymhealth_ray.stages.streaming import streaming_session_stats
 
     ds, path = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
-    name = _os.path.basename(_os.path.normpath(sf_dir))
-    layout = f"/tmp/pymhealth_ray_sorted_layout/{name}_v1"
-    if len(read_manifests(layout)) < 16:
-        resumable_write(ds, layout, entity_col="doc_id", num_buckets=16,
-                        params={"sorted": ["doc_id", "ts_ns"], "v": 1},
-                        sort_cols=["doc_id", "ts_ns"])
+    layout = _sorted_layout(sf_dir, ds)
     out = streaming_session_stats(layout, gap=GAP_NS)
 
     def finish(b: pa.Table) -> pa.Table:
@@ -773,6 +765,62 @@ def q_seq_streaming_sessions(sf_dir: str):
                          "n_tok_mean"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
+                   num_buckets: int = 16):
+    """Cached SORTED entity-bucketed layout for the streaming scans."""
+    import os as _os
+
+    from pymhealth_ray.state.lineage import read_manifests, resumable_write
+
+    name = _os.path.basename(_os.path.normpath(sf_dir))
+    layout = f"/tmp/pymhealth_ray_sorted_layout/{name}{suffix}_v1"
+    if len(read_manifests(layout)) < num_buckets:
+        src = ds if filter_fn is None else ds.map_batches(
+            filter_fn, batch_format="pyarrow")
+        resumable_write(src, layout, entity_col="doc_id",
+                        num_buckets=num_buckets,
+                        params={"sorted": ["doc_id", "ts_ns"],
+                                "suffix": suffix, "v": 1},
+                        sort_cols=["doc_id", "ts_ns"])
+    return layout
+
+
+ASOF_STREAM_T = 56
+
+
+def q_seq_asof_stream(sf_dir: str):
+    """STREAMING sorted-merge as-of join (stages/streaming.py — the
+    north-star phrase taken literally): left = every row, right = the
+    high-token rows (n_tok ≥ 56), both as sorted co-bucketed layouts;
+    each task streams ONE partition pair with a merge cursor and a
+    trimmed right buffer — zero query-time exchange, bounded memory.
+    Inclusive backward semantics; SQL oracle = IGNORE NULLS running
+    last_value window."""
+    from pymhealth_ray.stages.streaming import streaming_asof_join
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    left = _sorted_layout(sf_dir, ds)
+
+    def big_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_tok"], ASOF_STREAM_T))
+
+    right = _sorted_layout(sf_dir, ds, suffix="_big", filter_fn=big_only)
+    return streaming_asof_join(left, right, out_ts="asof_ts",
+                               out_val="asof_n_tok")
+
+
+def sql_seq_asof_stream(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns,
+  CAST(max(CASE WHEN n_tok >= {ASOF_STREAM_T} THEN ts_ns END)
+       OVER w AS BIGINT) AS asof_ts,
+  CAST(last_value(CASE WHEN n_tok >= {ASOF_STREAM_T} THEN n_tok END
+                  IGNORE NULLS) OVER w AS BIGINT) AS asof_n_tok
+FROM read_parquet('{path}/part-*.parquet')
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING)
+"""
 
 
 def q_seq_windows_1h(sf_dir: str):
@@ -1022,6 +1070,7 @@ def build_queries() -> dict:
         "seq_repetition": q_seq_repetition,
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
         "seq_streaming_sessions": q_seq_streaming_sessions,
+        "seq_asof_stream": q_seq_asof_stream,
         "events_cusum": q_events_cusum,
         "events_pushdown_scan": q_events_pushdown_scan,
         "seq_length_buckets": q_seq_length_buckets,
@@ -1239,6 +1288,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_repetition": sql_seq_repetition(path),
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
         "seq_streaming_sessions": sql_seq_sessions(path),
+        "seq_asof_stream": sql_seq_asof_stream(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "seq_length_buckets": sql_seq_length_buckets(path),

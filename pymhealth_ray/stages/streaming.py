@@ -133,3 +133,132 @@ def streaming_session_stats(layout_dir: str, *, gap: int,
         })
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def _asof_one_pair(lpath: str, rpath: str, entity_col: str, ts_col: str,
+                   val_col: str, out_ts: str, out_val: str,
+                   batch_rows: int):
+    """Streaming sorted-merge as-of join of one co-bucketed partition
+    pair: the left file streams batch-by-batch; right batches load only
+    until their key range covers the current left batch, and the right
+    BUFFER is trimmed after every left batch to (last match of the
+    boundary entity + unconsumed future rows) — memory stays O(batch +
+    right rows overlapping one left batch's key range)."""
+    import pyarrow.parquet as pq
+
+    lpf = pq.ParquetFile(lpath)
+    r_iter = pq.ParquetFile(rpath).iter_batches(
+        batch_size=batch_rows, columns=[entity_col, ts_col, val_col])
+    r_exhausted = False
+    r_ent: list = []
+    r_ts = np.empty(0, np.int64)
+    r_val = np.empty(0, np.int64)
+    out_tables = []
+    for rb in lpf.iter_batches(batch_size=batch_rows,
+                               columns=[entity_col, ts_col]):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        l_ent = tbl[entity_col].combine_chunks().to_pylist()
+        l_ts = tbl[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        max_key = (l_ent[-1], int(l_ts[-1]))
+        # pull right batches until the buffer's tail passes the left max
+        while not r_exhausted and (
+                len(r_ent) == 0 or (r_ent[-1], int(r_ts[-1])) <= max_key):
+            nxt = next(r_iter, None)
+            if nxt is None:
+                r_exhausted = True
+                break
+            t = pa.Table.from_batches([nxt])
+            r_ent.extend(t[entity_col].combine_chunks().to_pylist())
+            r_ts = np.concatenate(
+                [r_ts, t[ts_col].combine_chunks().to_numpy(
+                    zero_copy_only=False)])
+            r_val = np.concatenate(
+                [r_val, t[val_col].combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int64)])
+        # vectorized per-entity backward search over the SHARED sorted
+        # entity list (codes monotone with entity order on both sides)
+        from pymhealth_ray.stages.partition import segmented_searchsorted
+
+        ents = sorted(set(r_ent) | set(l_ent))
+        code = {e: i for i, e in enumerate(ents)}
+        rc = np.fromiter((code[e] for e in r_ent), dtype=np.int64,
+                         count=len(r_ent))
+        lc = np.fromiter((code[e] for e in l_ent), dtype=np.int64,
+                         count=len(l_ent))
+        grid = np.arange(len(ents) + 1, dtype=np.int64)
+        r_starts = np.searchsorted(rc, grid).astype(np.int64)
+        l_starts = np.searchsorted(lc, grid).astype(np.int64)
+        if len(r_ts):
+            pos = segmented_searchsorted(r_ts, r_starts, l_ts, l_starts,
+                                         side="right") - 1
+            ok = pos >= r_starts[lc]
+        else:
+            pos = np.zeros(len(l_ts), dtype=np.int64)
+            ok = np.zeros(len(l_ts), dtype=bool)
+        safe = np.maximum(pos, 0)
+        mts = np.where(ok, r_ts[safe] if len(r_ts) else 0, 0)
+        mval = np.where(ok, r_val[safe] if len(r_val) else 0, 0)
+        out_tables.append(pa.table({
+            entity_col: tbl[entity_col],
+            ts_col: tbl[ts_col],
+            out_ts: pa.array(mts.astype(np.int64), type=pa.int64(),
+                             mask=~ok),
+            out_val: pa.array(mval.astype(np.int64), type=pa.int64(),
+                              mask=~ok),
+        }))
+        # trim the right buffer: drop everything strictly before the
+        # boundary entity; within it keep only the current best match +
+        # unconsumed future rows
+        be = lc[-1]
+        keep = rc > be
+        same = rc == be
+        matched = same & (r_ts <= l_ts[-1])
+        if matched.any():
+            keep[np.flatnonzero(matched)[-1]] = True
+        keep |= same & (r_ts > l_ts[-1])
+        sel = np.flatnonzero(keep)
+        r_ent = [r_ent[i] for i in sel.tolist()]
+        r_ts = r_ts[sel]
+        r_val = r_val[sel]
+    return out_tables
+
+
+def streaming_asof_join(left_layout: str, right_layout: str, *,
+                        entity_col: str = "doc_id", ts_col: str = "ts_ns",
+                        val_col: str = "n_tok", out_ts: str = "asof_ts",
+                        out_val: str = "asof_val",
+                        batch_rows: int = 65536):
+    """Backward (inclusive) as-of join of two SORTED co-bucketed layouts
+    written with the same entity hash — each task streams ONE partition
+    pair with the sorted-merge cursor; no exchange, bounded memory."""
+    import glob
+    import os
+
+    import ray
+
+    def parts(root):
+        return {os.path.basename(d): sorted(
+            glob.glob(os.path.join(d, "*.parquet")))[0]
+            for d in glob.glob(os.path.join(root, "part=*"))}
+
+    lp, rp = parts(left_layout), parts(right_layout)
+    pairs = [{"left": lp[k], "right": rp[k]} for k in sorted(lp) if k in rp]
+    pds = ray.data.from_items(pairs).repartition(max(len(pairs), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for lpath, rpath in zip(batch["left"].to_pylist(),
+                                batch["right"].to_pylist()):
+            outs.extend(_asof_one_pair(lpath, rpath, entity_col, ts_col,
+                                       val_col, out_ts, out_val,
+                                       batch_rows))
+        return pa.concat_tables(outs) if outs else pa.table({
+            entity_col: pa.array([], type=pa.string()),
+            ts_col: pa.array([], type=pa.int64()),
+            out_ts: pa.array([], type=pa.int64()),
+            out_val: pa.array([], type=pa.int64()),
+        })
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

@@ -43,3 +43,42 @@ def test_streaming_equals_sorted_buckets(ray_session, tmp_path, batch_rows):
     pd.testing.assert_frame_equal(
         got.astype({"n_tok_sum": np.int64}),
         want.astype({"n_tok_sum": np.int64}))
+
+
+@pytest.mark.parametrize("batch_rows", [5, 64, 65536])
+def test_streaming_asof_matches_pandas(ray_session, tmp_path, batch_rows):
+    from pymhealth_ray.stages.streaming import streaming_asof_join
+
+    rng = np.random.default_rng(29)
+    n = 2500
+    df = pd.DataFrame({
+        "doc_id": np.array([f"d{int(i):03d}" for i in rng.integers(0, 25, n)]),
+        "ts_ns": rng.integers(0, 10**6, n).astype(np.int64),
+        "n_tok": rng.integers(1, 100, n).astype(np.int64),
+    }).drop_duplicates(["doc_id", "ts_ns"]).reset_index(drop=True)
+    T = 80
+    ds = ray.data.from_pandas(df).repartition(5)
+    left = str(tmp_path / "L")
+    right = str(tmp_path / "R")
+    resumable_write(ds, left, entity_col="doc_id", num_buckets=6,
+                    params={"s": 1}, sort_cols=["doc_id", "ts_ns"])
+    resumable_write(
+        ds.filter(lambda r: r["n_tok"] >= T), right, entity_col="doc_id",
+        num_buckets=6, params={"s": 2}, sort_cols=["doc_id", "ts_ns"])
+    got = (streaming_asof_join(left, right, batch_rows=batch_rows)
+           .to_pandas().sort_values(["doc_id", "ts_ns"])
+           .reset_index(drop=True))
+    # pandas reference: running last qualifying (ts, val) per entity
+    want_ts, want_val = [], []
+    for _, g in df.sort_values(["doc_id", "ts_ns"]).groupby("doc_id",
+                                                            sort=True):
+        last = None
+        for ts, v in zip(g.ts_ns, g.n_tok):
+            if v >= T:
+                last = (ts, v)
+            want_ts.append(last[0] if last else None)
+            want_val.append(last[1] if last else None)
+    assert ([None if pd.isna(x) else int(x) for x in got.asof_ts]
+            == [None if t is None else int(t) for t in want_ts])
+    assert ([None if pd.isna(x) else int(x) for x in got.asof_val]
+            == [None if v is None else int(v) for v in want_val])
