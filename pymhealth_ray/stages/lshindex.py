@@ -124,7 +124,8 @@ def _part_paths(root: str, parts) -> list:
 
 def lsh_index_probe(new_docs, index_dir: str, *, text_col: str = "text",
                     id_col: str = "doc_id",
-                    jaccard_threshold: float = 0.5) -> pa.Table:
+                    jaccard_threshold: float = 0.5,
+                    max_candidates_per_doc: int = 4096) -> pa.Table:
     """Near-dup pairs (new_id, old_id, est_jaccard) of an ingest batch
     against the standing index. Reads ONLY the band partitions the batch's
     own band keys hash into and the sig partitions holding candidate ids.
@@ -186,6 +187,19 @@ def lsh_index_probe(new_docs, index_dir: str, *, text_col: str = "text",
                           hits["old_id"].to_pylist()):
             for nid in key_to_new.get(k, ()):
                 cands.setdefault(int(nid), set()).add(int(oid))
+
+    # degenerate-band guard: a boilerplate band key shared by much of the
+    # standing corpus would otherwise make one probe doc pull corpus-sized
+    # candidates; cap per doc (sorted-id truncation, logged) — the same
+    # contract as minhash_lsh_dupes' max_bucket_size
+    for nid, s in cands.items():
+        if len(s) > max_candidates_per_doc:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_index_probe: doc %s hit %d candidates; capping at %d",
+                nid, len(s), max_candidates_per_doc)
+            cands[nid] = set(sorted(s)[:max_candidates_per_doc])
 
     # verification: PRUNED sig read of only candidate-id partitions
     all_old = sorted({o for s in cands.values() for o in s})
