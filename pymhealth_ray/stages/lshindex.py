@@ -112,6 +112,65 @@ def lsh_index_write(docs, index_dir: str, *, text_col: str = "text",
     return manifest
 
 
+def lsh_index_append(new_docs, index_dir: str, *, text_col: str = "text",
+                     id_col: str = "doc_id", ingest_tag: str = "a") -> int:
+    """Index MAINTENANCE: fold an ingest batch into the standing index —
+    signatures computed once, band/sig rows appended as NEW FILES inside
+    the existing hash partitions (append-only; no rewrite of standing
+    data). Idempotent per ``ingest_tag``: re-running the same tag is a
+    no-op, so a failed ingest can simply re-run. Returns rows appended
+    (0 when the tag already landed)."""
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        m = json.load(f)
+    bands, rpb = m["bands"], m["num_hashes"] // m["bands"]
+    n_parts = m["n_parts"]
+    marker = os.path.join(index_dir, f"_ingest_{ingest_tag}.json")
+    if os.path.exists(marker):
+        return 0
+
+    def sigify(batch: pa.Table) -> pa.Table:
+        out = _cached_minhasher(text_col, m["num_hashes"],
+                                m["shingle_k"])(batch)
+        return pa.table({id_col: out[id_col].cast(pa.int64()),
+                         "minhash": out["minhash"]})
+
+    sigs = pa.concat_tables(ray.get(
+        new_docs.map_batches(sigify, batch_format="pyarrow",
+                             batch_size=None).to_arrow_refs()))
+    ids = sigs[id_col].to_numpy(zero_copy_only=False)
+    sig = _sig_matrix(sigs)
+    # band rows grouped per destination partition, one new file each
+    ks = [_band_keys_vec(sig, b, rpb).astype(np.int64) for b in range(bands)]
+    k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+    d = np.concatenate([ids] * bands) if bands and len(ids) else \
+        np.empty(0, np.int64)
+    bp = _band_part(k, n_parts)
+    for p in np.unique(bp):
+        sel = bp == p
+        pdir = os.path.join(index_dir, "bands", f"part={int(p)}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".ingest-{ingest_tag}.parquet.tmp")
+        pq_mod.write_table(pa.table({"band_key": pa.array(k[sel]),
+                                     id_col: pa.array(d[sel])}), tmp)
+        os.replace(tmp, os.path.join(pdir, f"ingest-{ingest_tag}.parquet"))
+    sp = _id_part(ids, n_parts)
+    for p in np.unique(sp):
+        sel = sp == p
+        pdir = os.path.join(index_dir, "sigs", f"part={int(p)}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".ingest-{ingest_tag}.parquet.tmp")
+        pq_mod.write_table(
+            sigs.filter(pa.array(sel)).select([id_col, "minhash"]), tmp)
+        os.replace(tmp, os.path.join(pdir, f"ingest-{ingest_tag}.parquet"))
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"rows": int(len(ids))}, f)
+    os.replace(marker + ".tmp", marker)
+    return int(len(ids))
+
+
 def _part_paths(root: str, parts) -> list:
     out = []
     for p in sorted(set(int(x) for x in parts)):

@@ -51,3 +51,27 @@ def test_probe_finds_near_dups_and_prunes(ray_session, tmp_path):
         f"{idx}/sigs", lshindex._id_part(np.array([7], dtype=np.int64), 8))
     all_sig = lshindex._part_paths(f"{idx}/sigs", range(8))
     assert len(one_old) < len(all_sig)
+
+
+def test_append_then_probe_sees_new_docs(ray_session, tmp_path):
+    from pymhealth_ray.stages.lshindex import lsh_index_append
+
+    texts = _corpus(seed=9)
+    old = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                        "text": texts[:60]})
+    idx = str(tmp_path / "lsh2")
+    lsh_index_write(ray.data.from_pandas(old).repartition(3), idx,
+                    n_parts=6)
+    batch1 = pd.DataFrame({"doc_id": np.array([500], dtype=np.int64),
+                           "text": [texts[61]]})
+    n = lsh_index_append(ray.data.from_pandas(batch1), idx, ingest_tag="b1")
+    assert n == 1
+    # idempotent re-run
+    assert lsh_index_append(ray.data.from_pandas(batch1), idx,
+                            ingest_tag="b1") == 0
+    # a later probe finds near-dups of the APPENDED doc too
+    probe = pd.DataFrame({"doc_id": np.array([900], dtype=np.int64),
+                          "text": [texts[61] + " zz"]})
+    pairs = lsh_index_probe(ray.data.from_pandas(probe), idx,
+                            jaccard_threshold=0.5).to_pandas()
+    assert 500 in set(pairs.old_id)
