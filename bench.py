@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "docs_lsh_incremental",
     "seq_streaming_sessions",
     "seq_asof_stream",
+    "seq_streaming_lag",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

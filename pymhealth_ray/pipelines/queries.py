@@ -787,6 +787,29 @@ def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
     return layout
 
 
+def q_seq_streaming_lag(sf_dir: str):
+    """Per-row lag/delta/successive-diff by STREAMING the sorted layout
+    (stages/streaming.streaming_lag_features — one-row carry across
+    Arrow batch boundaries, no exchange at query time). Same semantics
+    as the sort-based stages/lag.py; SQL window oracle."""
+    from pymhealth_ray.stages.streaming import streaming_lag_features
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    layout = _sorted_layout(sf_dir, ds)
+    return streaming_lag_features(layout)
+
+
+def sql_seq_streaming_lag(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(lag(n_tok) OVER w AS BIGINT) AS lag1,
+  ts_ns - lag(ts_ns) OVER w AS dt,
+  CAST(coalesce(n_tok - lag(n_tok) OVER w, 0) AS BIGINT) AS diff1
+FROM read_parquet('{path}/part-*.parquet')
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns)
+"""
+
+
 ASOF_STREAM_T = 56
 
 
@@ -1071,6 +1094,7 @@ def build_queries() -> dict:
         "seq_epoch_shuffle": q_seq_epoch_shuffle,
         "seq_streaming_sessions": q_seq_streaming_sessions,
         "seq_asof_stream": q_seq_asof_stream,
+        "seq_streaming_lag": q_seq_streaming_lag,
         "events_cusum": q_events_cusum,
         "events_pushdown_scan": q_events_pushdown_scan,
         "seq_length_buckets": q_seq_length_buckets,
@@ -1289,6 +1313,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_epoch_shuffle": sql_seq_epoch_shuffle(path),
         "seq_streaming_sessions": sql_seq_sessions(path),
         "seq_asof_stream": sql_seq_asof_stream(path),
+        "seq_streaming_lag": sql_seq_streaming_lag(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "seq_length_buckets": sql_seq_length_buckets(path),

@@ -135,6 +135,82 @@ def streaming_session_stats(layout_dir: str, *, gap: int,
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
 
 
+def _lag_one_file(path: str, entity_col: str, ts_col: str, value_col: str,
+                  head_fill: int, batch_rows: int):
+    """Per-row lag1/delta-ts/diff1 for one sorted partition file with a
+    ONE-ROW carry across Arrow batch boundaries (entity, last ts, last
+    value). Heads take ``head_fill`` for diff1 (the successive_distance
+    convention) and NULL for lag1/dt."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    carry = None  # (entity, ts, value)
+    out = []
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[entity_col, ts_col, value_col]):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        ent = tbl[entity_col].combine_chunks()
+        ts = tbl[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = tbl[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        n = len(ts)
+        lag = np.empty(n, dtype=np.int64)
+        lts = np.empty(n, dtype=np.int64)
+        lag[1:] = v[:-1]
+        lts[1:] = ts[:-1]
+        head = np.empty(n, dtype=bool)
+        head[0] = True
+        head[1:] = codes[1:] != codes[:-1]
+        if carry is not None and ent[0].as_py() == carry[0]:
+            head[0] = False
+            lts[0] = carry[1]
+            lag[0] = carry[2]
+        out.append(pa.table({
+            entity_col: tbl[entity_col],
+            ts_col: tbl[ts_col],
+            value_col: tbl[value_col],
+            "lag1": pa.array(np.where(head, 0, lag), type=pa.int64(),
+                             mask=head),
+            "dt": pa.array(np.where(head, 0, ts - lts), type=pa.int64(),
+                           mask=head),
+            "diff1": pa.array(np.where(head, head_fill, v - lag),
+                              type=pa.int64()),
+        }))
+        carry = (ent[n - 1].as_py(), int(ts[n - 1]), int(v[n - 1]))
+    return out
+
+
+def streaming_lag_features(layout_dir: str, *, entity_col: str = "doc_id",
+                           ts_col: str = "ts_ns",
+                           value_col: str = "n_tok", head_fill: int = 0,
+                           batch_rows: int = 65536):
+    """Per-entity lag/delta/successive-diff from a sorted bucketed layout
+    — one task per partition file, one-row carry across batch boundaries,
+    no exchange (the streaming form of ``stages/lag.lag_features``)."""
+    import glob
+    import os
+
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(layout_dir, "part=*",
+                                          "*.parquet")))
+    pds = ray.data.from_items([{"path": p} for p in paths]).repartition(
+        max(len(paths), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["path"].to_pylist():
+            outs.extend(_lag_one_file(p, entity_col, ts_col, value_col,
+                                      head_fill, batch_rows))
+        return pa.concat_tables(outs)
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
 def _asof_one_pair(lpath: str, rpath: str, entity_col: str, ts_col: str,
                    val_col: str, out_ts: str, out_val: str,
                    batch_rows: int):

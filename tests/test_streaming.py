@@ -82,3 +82,27 @@ def test_streaming_asof_matches_pandas(ray_session, tmp_path, batch_rows):
             == [None if t is None else int(t) for t in want_ts])
     assert ([None if pd.isna(x) else int(x) for x in got.asof_val]
             == [None if v is None else int(v) for v in want_val])
+
+
+@pytest.mark.parametrize("batch_rows", [6, 65536])
+def test_streaming_lag_matches_pandas(ray_session, tmp_path, batch_rows):
+    from pymhealth_ray.stages.streaming import streaming_lag_features
+
+    df = _df(seed=41)
+    ds = ray.data.from_pandas(df).repartition(4)
+    layout = str(tmp_path / "lag")
+    resumable_write(ds, layout, entity_col="doc_id", num_buckets=5,
+                    params={"s": 3}, sort_cols=["doc_id", "ts_ns"])
+    got = (streaming_lag_features(layout, batch_rows=batch_rows)
+           .to_pandas().sort_values(["doc_id", "ts_ns"])
+           .reset_index(drop=True))
+    ref = df.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+    g = ref.groupby("doc_id", sort=True)
+    want_lag = g.n_tok.shift(1)
+    want_dt = ref.ts_ns - g.ts_ns.shift(1)
+    want_diff = (ref.n_tok - g.n_tok.shift(1)).fillna(0)
+    assert ([None if pd.isna(x) else int(x) for x in got.lag1]
+            == [None if pd.isna(x) else int(x) for x in want_lag])
+    assert ([None if pd.isna(x) else int(x) for x in got.dt]
+            == [None if pd.isna(x) else int(x) for x in want_dt])
+    assert got.diff1.astype(int).tolist() == want_diff.astype(int).tolist()
