@@ -772,11 +772,15 @@ def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
     """Cached SORTED entity-bucketed layout for the streaming scans."""
     import os as _os
 
-    from pymhealth_ray.state.lineage import read_manifests, resumable_write
+    from pymhealth_ray.state.lineage import resumable_write
 
     name = _os.path.basename(_os.path.normpath(sf_dir))
     layout = f"/tmp/pymhealth_ray_sorted_layout/{name}{suffix}_v1"
-    if len(read_manifests(layout)) < num_buckets:
+    # completion MARKER, not a manifest count: a filtered layout may leave
+    # buckets legitimately empty (no manifest), and the count ignores
+    # params — both would force a rebuild on every call
+    marker = _os.path.join(layout, "_LAYOUT_OK")
+    if not _os.path.exists(marker):
         src = ds if filter_fn is None else ds.map_batches(
             filter_fn, batch_format="pyarrow")
         resumable_write(src, layout, entity_col="doc_id",
@@ -784,6 +788,9 @@ def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
                         params={"sorted": ["doc_id", "ts_ns"],
                                 "suffix": suffix, "v": 1},
                         sort_cols=["doc_id", "ts_ns"])
+        with open(marker + ".tmp", "w") as f:
+            f.write("ok")
+        _os.replace(marker + ".tmp", marker)
     return layout
 
 
@@ -1097,8 +1104,6 @@ def build_queries() -> dict:
         "seq_streaming_lag": q_seq_streaming_lag,
         "events_cusum": q_events_cusum,
         "events_pushdown_scan": q_events_pushdown_scan,
-        "seq_length_buckets": q_seq_length_buckets,
-        "events_hampel": q_events_hampel,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1316,8 +1321,6 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_streaming_lag": sql_seq_streaming_lag(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
-        "seq_length_buckets": sql_seq_length_buckets(path),
-        "events_hampel": SQL_EVENTS_HAMPEL,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -4096,8 +4099,13 @@ def q_docs_k_anonymize(sf_dir: str):
         kp, nof = ray.get(kept_ref)
         key = pc.binary_join_element_wise(b["lang"], b["source"], "\x00")
         m = pc.is_in(key, value_set=kp)
+        # group_n looked up once per DISTINCT group, not per row
+        enc = key.dictionary_encode() if isinstance(key, pa.Array) else \
+            key.combine_chunks().dictionary_encode()
+        lut = np.array([nof[k_] for k_ in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
         b = b.append_column("group_n", pa.array(
-            np.array([nof[k_] for k_ in key.to_pylist()], dtype=np.int64)))
+            lut[enc.indices.to_numpy(zero_copy_only=False)]))
         return b.filter(m)
 
     return docs.map_batches(keep, batch_format="pyarrow")
@@ -6007,9 +6015,12 @@ def q_docs_dedup_keep_best(sf_dir: str):
             "n_chars": batch["n_chars"].cast(pa.int64()),
         })
 
+    # materialize the NARROW projection (16 B/row): the distributed lookup
+    # consumes its input twice (bloom-miss pass + bloom-hit exchange) —
+    # pinned blocks beat a second parquet scan of the docs table
+    slim_ds = docs.map_batches(slim, batch_format="pyarrow").materialize()
     assigned = lookup_with_default(
-        docs.map_batches(slim, batch_format="pyarrow"),
-        "doc_id", labels, "v", "l", "cluster_id", num_buckets=NB)
+        slim_ds, "doc_id", labels, "v", "l", "cluster_id", num_buckets=NB)
     best = grouped_topk(assigned, ["cluster_id"], "n_chars", 1,
                         descending=True, tie_cols=["doc_id"],
                         rank_name="rn", num_buckets=NB)

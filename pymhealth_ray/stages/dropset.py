@@ -20,6 +20,13 @@ round 3. This module generalizes that plan to any (data, key-set) pair:
   membership is decided per bucket. Result = passthrough UNION exact —
   hash-identical to the broadcast plan; only exchange shape differs.
 
+Caller contract: the LARGE-set plans consume ``ds`` TWICE (the bloom-miss
+pass-through and the bloom-hit exchange are independent map chains) — pass
+a materialized dataset or a cheap re-scannable source (a pruned-column
+parquet read), never an expensive unmaterialized chain; both in-repo call
+sites (pipelines/prep.py's materialized dedup output,
+docs_dedup_keep_best's materialized narrow projection) do.
+
 Reference has no distributed analog (single-process arrays); the pattern
 follows stages/spans.py:131 (``_dup_window_rows``).
 """

@@ -54,8 +54,11 @@ def _sig_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["minhash"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    width = col.type.list_size
+    if batch.num_rows == 0:  # reshape(0, -1) raises in numpy
+        return np.empty((0, width), dtype=np.uint64)
     return col.values.to_numpy(zero_copy_only=False).reshape(
-        batch.num_rows, -1).astype(np.uint64)
+        batch.num_rows, width).astype(np.uint64)
 
 
 def lsh_index_write(docs, index_dir: str, *, text_col: str = "text",
@@ -137,9 +140,12 @@ def lsh_index_append(new_docs, index_dir: str, *, text_col: str = "text",
         return pa.table({id_col: out[id_col].cast(pa.int64()),
                          "minhash": out["minhash"]})
 
-    sigs = pa.concat_tables(ray.get(
-        new_docs.map_batches(sigify, batch_format="pyarrow",
-                             batch_size=None).to_arrow_refs()))
+    arefs = ray.get(new_docs.map_batches(
+        sigify, batch_format="pyarrow", batch_size=None).to_arrow_refs())
+    sigs = pa.concat_tables(arefs) if arefs else pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "minhash": pa.array([], type=pa.list_(pa.int64(),
+                                               m["num_hashes"]))})
     ids = sigs[id_col].to_numpy(zero_copy_only=False)
     sig = _sig_matrix(sigs)
     # band rows grouped per destination partition, one new file each
@@ -203,9 +209,12 @@ def lsh_index_probe(new_docs, index_dir: str, *, text_col: str = "text",
         return pa.table({id_col: out[id_col].cast(pa.int64()),
                          "minhash": out["minhash"]})
 
-    new_sigs_tbl = pa.concat_tables(ray.get(
-        new_docs.map_batches(sigify, batch_format="pyarrow",
-                             batch_size=None).to_arrow_refs()))
+    refs = ray.get(new_docs.map_batches(
+        sigify, batch_format="pyarrow", batch_size=None).to_arrow_refs())
+    new_sigs_tbl = pa.concat_tables(refs) if refs else pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "minhash": pa.array([], type=pa.list_(pa.int64(),
+                                               m["num_hashes"]))})
     new_sig = _sig_matrix(new_sigs_tbl)
     new_ids = new_sigs_tbl[id_col].to_numpy(zero_copy_only=False)
     nb_keys = [

@@ -224,8 +224,9 @@ def _asof_one_pair(lpath: str, rpath: str, entity_col: str, ts_col: str,
 
     lpf = pq.ParquetFile(lpath)
     r_iter = pq.ParquetFile(rpath).iter_batches(
-        batch_size=batch_rows, columns=[entity_col, ts_col, val_col])
-    r_exhausted = False
+        batch_size=batch_rows, columns=[entity_col, ts_col, val_col]) \
+        if rpath is not None else iter(())
+    r_exhausted = rpath is None
     r_ent: list = []
     r_ts = np.empty(0, np.int64)
     r_val = np.empty(0, np.int64)
@@ -320,15 +321,18 @@ def streaming_asof_join(left_layout: str, right_layout: str, *,
             for d in glob.glob(os.path.join(root, "part=*"))}
 
     lp, rp = parts(left_layout), parts(right_layout)
-    pairs = [{"left": lp[k], "right": rp[k]} for k in sorted(lp) if k in rp]
+    # left partitions with NO right counterpart (a filtered right side may
+    # leave buckets empty → no part dir at all) still emit every left row,
+    # with NULL as-of columns — matching SQL left-join semantics
+    pairs = [{"left": lp[k], "right": rp.get(k, "")} for k in sorted(lp)]
     pds = ray.data.from_items(pairs).repartition(max(len(pairs), 1))
 
     def scan(batch: pa.Table) -> pa.Table:
         outs = []
         for lpath, rpath in zip(batch["left"].to_pylist(),
                                 batch["right"].to_pylist()):
-            outs.extend(_asof_one_pair(lpath, rpath, entity_col, ts_col,
-                                       val_col, out_ts, out_val,
+            outs.extend(_asof_one_pair(lpath, rpath or None, entity_col,
+                                       ts_col, val_col, out_ts, out_val,
                                        batch_rows))
         return pa.concat_tables(outs) if outs else pa.table({
             entity_col: pa.array([], type=pa.string()),

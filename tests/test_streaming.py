@@ -106,3 +106,33 @@ def test_streaming_lag_matches_pandas(ray_session, tmp_path, batch_rows):
     assert ([None if pd.isna(x) else int(x) for x in got.dt]
             == [None if pd.isna(x) else int(x) for x in want_dt])
     assert got.diff1.astype(int).tolist() == want_diff.astype(int).tolist()
+
+
+def test_streaming_asof_missing_right_partitions(ray_session, tmp_path):
+    """A filtered right side can leave whole buckets without a part dir;
+    those left partitions must still emit every row with NULL as-ofs
+    (round-4 code-review finding)."""
+    from pymhealth_ray.stages.streaming import streaming_asof_join
+
+    df = pd.DataFrame({
+        "doc_id": np.array([f"d{i:02d}" for i in range(30)
+                            for _ in range(4)]),
+        "ts_ns": np.tile(np.arange(4, dtype=np.int64), 30),
+        "n_tok": np.ones(120, dtype=np.int64),
+    })
+    # right side: qualifying rows exist for ONE doc only -> most right
+    # buckets are empty and get no part dir at all
+    df.loc[(df.doc_id == "d03"), "n_tok"] = 99
+    ds = ray.data.from_pandas(df).repartition(3)
+    left = str(tmp_path / "L2")
+    right = str(tmp_path / "R2")
+    resumable_write(ds, left, entity_col="doc_id", num_buckets=8,
+                    params={"s": 1}, sort_cols=["doc_id", "ts_ns"])
+    resumable_write(ds.filter(lambda r: r["n_tok"] >= 99), right,
+                    entity_col="doc_id", num_buckets=8, params={"s": 2},
+                    sort_cols=["doc_id", "ts_ns"])
+    got = streaming_asof_join(left, right).to_pandas()
+    assert len(got) == 120  # no left row dropped
+    hit = got[got.doc_id == "d03"]
+    assert hit.asof_val.notna().all()
+    assert got[got.doc_id != "d03"].asof_val.isna().all()
