@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "seq_streaming_sessions",
     "seq_asof_stream",
     "seq_streaming_lag",
+    "docs_shingle_diversity",
+    "events_stickiness",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

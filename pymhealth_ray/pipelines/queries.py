@@ -1028,6 +1028,7 @@ def build_queries() -> dict:
         "docs_lsh_incremental": q_docs_lsh_incremental,
         "docs_k_anonymize": q_docs_k_anonymize,
         "docs_keyword_tags": q_docs_keyword_tags,
+        "docs_shingle_diversity": q_docs_shingle_diversity,
         "docs_cluster_size_hist": q_docs_cluster_size_hist,
         "docs_quality_deciles": q_docs_quality_deciles,
         "docs_sorted_neighborhood": q_docs_sorted_neighborhood,
@@ -1104,6 +1105,7 @@ def build_queries() -> dict:
         "seq_streaming_lag": q_seq_streaming_lag,
         "events_cusum": q_events_cusum,
         "events_pushdown_scan": q_events_pushdown_scan,
+        "events_stickiness": q_events_stickiness,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1229,6 +1231,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_quality_deciles": sql_docs_quality_deciles(),
         "docs_k_anonymize": sql_docs_k_anonymize(),
         "docs_keyword_tags": sql_docs_keyword_tags(),
+        "docs_shingle_diversity": sql_docs_shingle_diversity(),
         "docs_cluster_size_hist": _docs_materialized_oracle(
             sf_dir_for_fixture, "cluster_size_hist_v1",
             _cluster_size_hist_expected),
@@ -1321,6 +1324,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_streaming_lag": sql_seq_streaming_lag(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
+        "events_stickiness": SQL_EVENTS_STICKINESS,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -4036,6 +4040,32 @@ sc AS (SELECT doc_id,
 SELECT doc_id, score,
        CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
 FROM sc
+"""
+
+
+def q_docs_shingle_diversity(sf_dir: str):
+    """Char-5-gram diversity per doc (stages/repetition.shingle_diversity
+    — packed byte shingles, one lexsort per batch, map-only): the
+    char-level templatedness/boilerplate signal. Oracle: pure-SQL
+    substr list comprehension (byte == char shingles on this ASCII
+    corpus)."""
+    from pymhealth_ray.stages.repetition import shingle_diversity
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return shingle_diversity(docs)
+
+
+def sql_docs_shingle_diversity() -> str:
+    return """
+WITH s AS (SELECT doc_id,
+  CAST(greatest(length(text) - 4, 0) AS BIGINT) AS n_sh,
+  CAST(len(list_distinct([substr(text, i, 5)
+       FOR i IN generate_series(1, length(text) - 4)])) AS BIGINT) AS d_sh
+FROM documents)
+SELECT doc_id, n_sh, d_sh,
+  CASE WHEN n_sh > 0 THEN CAST(d_sh AS DOUBLE) / n_sh END AS distinct_frac
+FROM s
 """
 
 
@@ -8733,6 +8763,56 @@ SQL_EVENTS_HOURLY_DISTINCT = """
 SELECT epoch_us(ts) // 3600000000 AS hour,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1
+"""
+
+
+def q_events_stickiness(sf_dir: str):
+    """Engagement STICKINESS per user: distinct active hours / distinct
+    active days (the DAU/MAU shape at user grain) — two
+    grouped_distinct_count passes co-partitioned by pair hash, joined on
+    the user (one co-partitioned equi-join; both sides are user-sized)."""
+    from pymhealth_ray.stages.aggregate import grouped_distinct_count
+    from pymhealth_ray.stages.join import equi_join
+
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+    ds = _events(sf_dir, ["user_id", "ts"]).materialize()
+
+    def bucketize(div: int, name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ts = b["ts_us"].to_numpy(zero_copy_only=False)
+            return pa.table({"user_id": b["user_id"],
+                             name: pa.array(ts // div)})
+        return fn
+
+    hours = grouped_distinct_count(
+        ds.map_batches(bucketize(HOUR, "hour"), batch_format="pyarrow"),
+        "user_id", "hour", out="n_hours")
+    days = grouped_distinct_count(
+        ds.map_batches(bucketize(DAY, "day"), batch_format="pyarrow"),
+        "user_id", "day", out="n_days")
+    joined = equi_join(hours, days, on="user_id", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nh = b["n_hours"].to_numpy(zero_copy_only=False)
+        nd = b["n_days"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_hours": pa.array(nh.astype(np.int64)),
+            "n_days": pa.array(nd.astype(np.int64)),
+            "stickiness": pa.array(nh / nd),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_STICKINESS = """
+SELECT user_id,
+  CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT) AS n_hours,
+  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+  CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS DOUBLE)
+    / count(DISTINCT epoch_us(ts) // 86400000000) AS stickiness
+FROM events GROUP BY user_id
 """
 
 

@@ -45,6 +45,53 @@ def _segmented_unique_stats(row_of: np.ndarray, keys: np.ndarray,
     return n_distinct, max_run
 
 
+def shingle_diversity(ds, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 5):
+    """Per-doc distinct character-k-gram fraction — the char-level
+    templatedness signal (low diversity ⇒ boilerplate/generated text).
+    Byte 5-grams packed into int64 keys (40 bits), per-row distinct via
+    the shared one-lexsort segmented kernel; byte-shingles == SQL
+    character ``substr`` shingles on ASCII corpora (asserted against the
+    fixture: length(text) == strlen(text) everywhere)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bcol = col.cast(pa.binary())
+        # BinaryArray exposes offsets only via raw buffers (int32, shifted
+        # by the array's own offset for sliced arrays)
+        offs = np.frombuffer(bcol.buffers()[1], dtype=np.int32)[
+            bcol.offset: bcol.offset + len(bcol) + 1].astype(np.int64)
+        data = np.frombuffer(bcol.buffers()[2], dtype=np.uint8)
+        lo = offs[0]
+        flat = data[lo:offs[-1]].astype(np.int64)
+        offs = offs - lo
+        lens = np.diff(offs)
+        n_rows = len(lens)
+        n_sh = np.maximum(lens - k + 1, 0)
+        pos = np.arange(len(flat), dtype=np.int64)
+        local = pos - np.repeat(offs[:-1], lens)
+        ok = local <= np.repeat(lens - k, lens)
+        starts = np.flatnonzero(ok)
+        keys = np.zeros(len(starts), dtype=np.int64)
+        for j in range(k):
+            keys |= flat[starts + j] << np.int64(8 * j)
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n_sh)
+        d_sh, _ = _segmented_unique_stats(row_of, keys, n_rows)
+        frac = np.zeros(n_rows, dtype=np.float64)
+        nz = n_sh > 0
+        frac[nz] = d_sh[nz] / n_sh[nz]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_sh": pa.array(n_sh),
+            "d_sh": pa.array(d_sh),
+            "distinct_frac": pa.array(frac, type=pa.float64(), mask=~nz),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def repetition_stats(ds, tokens_col: str = "tokens",
                      id_cols=("doc_id", "ts_ns"), key_mult: int = 2048):
     """Per row: ``n_tok``, ``distinct_frac`` (distinct tokens / tokens),
