@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "seq_streaming_lag",
     "docs_shingle_diversity",
     "events_stickiness",
+    "docs_langid_confusion",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

@@ -524,6 +524,47 @@ def q_docs_langid(sf_dir: str):
     return language_id(ds).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
+def q_docs_langid_confusion(sf_dir: str):
+    """Language-ID EVALUATION: confusion matrix of predicted vs labeled
+    language — (lang, lang_pred, n) counts via per-block partial
+    value_counts merged driver-side (bounded by |langs|²·blocks). The
+    model-eval query every classifier-gated pipeline runs before trusting
+    the router."""
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang"])
+    pred = language_id(ds)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b["lang"], b["lang_pred"], "\x00")
+        vc = pc.value_counts(key)
+        return pa.table({"k": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    counts: dict = {}
+    for t in pred.map_batches(pairs, batch_format="pyarrow",
+                              batch_size=None).iter_batches(
+                                  batch_format="pyarrow"):
+        for k, c in zip(t["k"].to_pylist(), t["c"].to_pylist()):
+            counts[k] = counts.get(k, 0) + c
+    ks = sorted(counts)
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array([k.split("\x00")[0] for k in ks]),
+        "lang_pred": pa.array([k.split("\x00")[1] for k in ks]),
+        "n": pa.array([counts[k] for k in ks], type=pa.int64()),
+    }))
+
+
+def _langid_confusion_expected(df):
+    import pandas as pd
+
+    pred = _langid_expected(df[["doc_id", "text"]])
+    m = df[["doc_id", "lang"]].merge(pred, on="doc_id")
+    g = m.groupby(["lang", "lang_pred"]).size().reset_index(name="n")
+    g = g.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    return pd.DataFrame({"lang": g.lang, "lang_pred": g.lang_pred,
+                         "n": g.n.astype(np.int64)})
+
+
 def q_docs_simhash(sf_dir: str):
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_signatures(ds).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
@@ -956,6 +997,7 @@ def build_queries() -> dict:
         "docs_hashes": q_docs_hashes,
         "docs_dedup_first8": q_docs_dedup_first8,
         "docs_langid": q_docs_langid,
+        "docs_langid_confusion": q_docs_langid_confusion,
         "docs_simhash": q_docs_simhash,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "embed_stats": q_embed_stats,
@@ -1180,6 +1222,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_simhash": _docs_materialized_oracle(sf_dir_for_fixture, "simhash_v1", _simhash_expected),
         "docs_minhash_pairs": _docs_materialized_oracle(sf_dir_for_fixture, "minhash_pairs_v1", _minhash_pairs_expected),
         "docs_langid": _docs_materialized_oracle(sf_dir_for_fixture, "langid_v1", _langid_expected),
+        "docs_langid_confusion": _docs_materialized_oracle(
+            sf_dir_for_fixture, "langid_confusion_v1",
+            _langid_confusion_expected,
+            columns=("doc_id", "text", "lang")),
         "docs_dedup_clusters": _docs_materialized_oracle(sf_dir_for_fixture, "dedup_clusters_v1", _dedup_clusters_expected),
         "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
         "region_revenue": SQL_REGION_REVENUE,
