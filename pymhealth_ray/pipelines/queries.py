@@ -1148,6 +1148,7 @@ def build_queries() -> dict:
         "events_cusum": q_events_cusum,
         "events_pushdown_scan": q_events_pushdown_scan,
         "events_stickiness": q_events_stickiness,
+        "docs_temperature_sample": q_docs_temperature_sample,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1371,6 +1372,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "events_stickiness": SQL_EVENTS_STICKINESS,
+        "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -9758,4 +9760,41 @@ SELECT event_id,
        CAST(rank() OVER (ORDER BY vc) - 1 AS DOUBLE)
            / (count(*) OVER () - 1) AS pct
 FROM e
+"""
+
+
+def q_docs_temperature_sample(sf_dir: str):
+    """Multinomial temperature (alpha=0.5) rebalancing across sources
+    (stages.sample.temperature_sample): per-source keep rate
+    sqrt(n_min/n_s), applied as a deterministic md5 threshold — the
+    multilingual-corpus composition control. One bounded count pass + one
+    map-only filter; zero exchanges. Bit-exact SQL parity because sqrt and
+    float division are IEEE-correctly-rounded on both sides and the
+    threshold scale 16^15 is a power of two."""
+    from pymhealth_ray.stages.sample import temperature_sample
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang"])
+    out = temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "lang": b["lang"]}),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_TEMPERATURE_SAMPLE = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), mn AS (SELECT min(n) AS n_min FROM counts),
+thr AS (
+  SELECT c.lang, c.n,
+         CASE WHEN c.n = m.n_min THEN NULL
+              ELSE lpad(lower(to_hex(CAST(floor(
+                     sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n AS DOUBLE))
+                     * 1152921504606846976) AS BIGINT))), 15, '0')
+         END AS t
+  FROM counts c, mn m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE thr.t IS NULL
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || '-temp'), 1, 15) < thr.t
 """

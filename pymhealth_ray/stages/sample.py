@@ -24,6 +24,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hex8(col, salt: str) -> np.ndarray:
@@ -190,3 +191,82 @@ def stratified_sample(ds, strata_col: str, key_col: str,
         return batch.filter(pa.array(keep.astype(bool)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def temperature_thresholds(counts: dict, alpha: float = 0.5) -> dict:
+    """Per-group keep rates for multinomial temperature sampling
+    (downsample-only variant): target composition ∝ n_g^alpha, anchored so
+    the SMALLEST group is kept whole — keep_rate_g = (n_min / n_g)^(1-alpha).
+
+    The rebalancing rule used for multilingual corpora (XLM-R / mT5 style
+    alpha-sampling; reference computes no such thing — this is a
+    training-data op the 100 TB tier needs). With the default alpha=0.5 the
+    rate is a single ``sqrt(n_min/n_g)`` — both numpy and DuckDB evaluate
+    IEEE-correctly-rounded sqrt and division, so the md5 threshold below is
+    bit-identical to the SQL oracle. Returns {group: 15-hex threshold or
+    None}; None means "keep all" (the n_min group).
+    """
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    out: dict = {}
+    for g, n in counts.items():
+        if n == n_min:
+            out[g] = None
+            continue
+        if alpha == 0.5:
+            rate = float(np.sqrt(np.float64(n_min) / np.float64(n)))
+        else:
+            rate = float((np.float64(n_min) / np.float64(n)) ** (1.0 - alpha))
+        # 16^15 = 2^60 is an exact power of two: the multiply only shifts
+        # the exponent, so floor() agrees bit-for-bit with DuckDB's
+        # floor(rate * 1152921504606846976)
+        out[g] = format(int(np.floor(rate * float(16**15))), "015x")
+    return out
+
+
+def temperature_sample(ds, group_col: str, key_col: str, alpha: float = 0.5,
+                       salt: str = "temp"):
+    """Deterministic temperature (alpha) sampling across a provenance
+    column: per-group md5-threshold keep with rates from
+    :func:`temperature_thresholds`, so group sizes end up ∝ n_g^alpha.
+
+    Plan: one bounded partial-count pass (per-block value_counts merged on
+    the driver — bounded by |groups| × blocks, groups = languages/sources,
+    a small domain by construction), then a stateless map-only filter. At
+    100 TB this is two scans and zero exchanges; the count pass reads only
+    ``group_col``.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b[group_col].combine_chunks()
+                             if isinstance(b[group_col], pa.ChunkedArray)
+                             else b[group_col])
+        return pa.table({"g": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    counts: dict = {}
+    for t in (ds.select_columns([group_col])
+              .map_batches(partial, batch_format="pyarrow", batch_size=None)
+              .iter_batches(batch_format="pyarrow")):
+        for g, c in zip(t["g"].to_pylist(), t["c"].to_pylist()):
+            counts[g] = counts.get(g, 0) + c
+    thr_map = temperature_thresholds(counts, alpha)
+    import ray as _ray
+    thr_ref = _ray.put(thr_map)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        tm = _ray.get(thr_ref)
+        h = _hexn(batch[key_col], salt, 15)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        thr = np.array([tm.get(v) for v in uniq], dtype=object)
+        keep_all = np.array([tm.get(v) is None for v in uniq], dtype=bool)
+        row_thr = thr[idx]
+        mask = keep_all[idx] | (h < np.where(row_thr == None, "", row_thr))  # noqa: E711
+        return batch.filter(pa.array(mask.astype(bool)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1661,3 +1661,32 @@ class TestLedgerDedup:
             mk([20, 21], ["dd", "ee"]), ldir,
             ingest_tag="p3", num_buckets=4).to_pandas()
         assert sorted(out3.doc_id) == [21]
+
+
+class TestTemperatureSample:
+    def test_thresholds_math(self):
+        from pymhealth_ray.stages.sample import temperature_thresholds
+
+        thr = temperature_thresholds({"a": 100, "b": 400, "c": 100})
+        assert thr["a"] is None and thr["c"] is None
+        # rate for b = sqrt(100/400) = 0.5 exactly -> threshold 0.5 * 16^15
+        assert int(thr["b"], 16) == 16**15 // 2
+
+    def test_rebalances_toward_alpha(self, ray_session):
+        from pymhealth_ray.stages.sample import temperature_sample
+
+        n_a, n_b = 4000, 250
+        tbl = pa.table({
+            "k": pa.array(np.arange(n_a + n_b, dtype=np.int64)),
+            "g": pa.array(["a"] * n_a + ["b"] * n_b),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        out = temperature_sample(ds, "g", "k", alpha=0.5).to_pandas()
+        vc = out.g.value_counts()
+        # b (the min group) kept whole; a cut to ~sqrt(250/4000)*4000 = 1000
+        assert vc["b"] == n_b
+        assert abs(vc["a"] - 1000) < 120
+        # rerun-stable and partition-count invariant
+        out2 = temperature_sample(
+            ray.data.from_arrow(tbl).repartition(3), "g", "k").to_pandas()
+        assert sorted(out.k.tolist()) == sorted(out2.k.tolist())
