@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "docs_shingle_diversity",
     "events_stickiness",
     "docs_langid_confusion",
+    "docs_jaccard_dupes",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

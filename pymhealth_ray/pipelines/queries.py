@@ -1149,6 +1149,7 @@ def build_queries() -> dict:
         "events_pushdown_scan": q_events_pushdown_scan,
         "events_stickiness": q_events_stickiness,
         "docs_temperature_sample": q_docs_temperature_sample,
+        "docs_jaccard_dupes": q_docs_jaccard_dupes,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1373,6 +1374,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "events_stickiness": SQL_EVENTS_STICKINESS,
         "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
+        "docs_jaccard_dupes": SQL_DOCS_JACCARD_DUPES,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -9797,4 +9799,32 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN thr ON d.lang = thr.lang
 WHERE thr.t IS NULL
    OR substr(md5(CAST(d.doc_id AS VARCHAR) || '-temp'), 1, 15) < thr.t
+"""
+
+
+def q_docs_jaccard_dupes(sf_dir: str):
+    """EXACT word-3-shingle Jaccard self-join at tau=0.8
+    (stages/setjoin.py — prefix-filtered set-similarity join, the
+    verification-grade 9th dedup modality next to MinHash/SimHash
+    estimates): slim (shingle,id) exchanges, rarest-first prefixes, pair
+    counts reduced per bucket. jaccard is an int/int division — bit-exact
+    vs the SQL brute force."""
+    from pymhealth_ray.stages.setjoin import similarity_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return similarity_join(docs, tau=0.8, num_buckets=NB)
+
+
+SQL_DOCS_JACCARD_DUPES = """
+WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+tok AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+size_ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id ia, b.doc_id ib, CAST(count(*) AS BIGINT) c
+  FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, c AS n_shared,
+       CAST(c AS DOUBLE) / (sa.m + sb.m - c) AS jaccard
+FROM inter JOIN size_ sa ON ia = sa.doc_id JOIN size_ sb ON ib = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= 0.8
 """

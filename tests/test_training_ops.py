@@ -1690,3 +1690,74 @@ class TestTemperatureSample:
         out2 = temperature_sample(
             ray.data.from_arrow(tbl).repartition(3), "g", "k").to_pandas()
         assert sorted(out.k.tolist()) == sorted(out2.k.tolist())
+
+
+class TestSimilarityJoin:
+    def _brute(self, texts, tau, k=3):
+        import itertools
+        sets = {}
+        for i, t in enumerate(texts):
+            w = t.lower().split(" ")
+            sets[i] = {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)}
+        out = []
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb)
+            if c and c / (len(sa) + len(sb) - c) >= tau:
+                out.append((a, b, c, c / (len(sa) + len(sb) - c)))
+        return sorted(out)
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(60)]
+        texts = []
+        for i in range(80):
+            n = int(rng.integers(8, 40))
+            texts.append(" ".join(rng.choice(vocab, size=n)))
+        # seeded near-dups: perturb one word of an existing doc
+        for i in range(0, 40, 5):
+            w = texts[i].split(" ")
+            w[len(w) // 2] = "zz"
+            texts.append(" ".join(w))
+        return texts
+
+    def test_matches_bruteforce(self, ray_session, corpus):
+        from pymhealth_ray.stages.setjoin import similarity_join
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(corpus), dtype=np.int64)),
+            "text": pa.array(corpus)})).repartition(5)
+        got = similarity_join(ds, tau=0.6, num_buckets=8).to_pandas()
+        got = sorted(zip(got.id_a, got.id_b, got.n_shared, got.jaccard))
+        exp = self._brute(corpus, 0.6)
+        assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in exp]
+        assert np.allclose([j for *_, j in got], [j for *_, j in exp])
+
+    def test_distributed_plan_equals_broadcast(self, ray_session, corpus):
+        # broadcast_threshold=0 forces the bloom/co-partitioned dropset
+        # restriction, the no-prefilter count exchange, and the equi_join
+        # size attach — rows must be identical to the broadcast plan
+        from pymhealth_ray.stages.setjoin import similarity_join
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(corpus), dtype=np.int64)),
+            "text": pa.array(corpus)})).repartition(3)
+        small = similarity_join(ds, tau=0.6, num_buckets=8).to_pandas()
+        big = similarity_join(ds, tau=0.6, num_buckets=8,
+                              broadcast_threshold=0).to_pandas()
+        key = ["id_a", "id_b"]
+        pd.testing.assert_frame_equal(
+            small.sort_values(key).reset_index(drop=True),
+            big.sort_values(key).reset_index(drop=True))
+
+    def test_empty_and_short_docs(self, ray_session):
+        from pymhealth_ray.stages.setjoin import similarity_join
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["", "one two", "a b c d"])}))
+        out = similarity_join(ds, tau=0.5).to_pandas()
+        assert len(out) == 0
