@@ -1150,6 +1150,7 @@ def build_queries() -> dict:
         "events_stickiness": q_events_stickiness,
         "docs_temperature_sample": q_docs_temperature_sample,
         "docs_jaccard_dupes": q_docs_jaccard_dupes,
+        "docs_eval_containment": q_docs_eval_containment,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1375,6 +1376,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_stickiness": SQL_EVENTS_STICKINESS,
         "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
         "docs_jaccard_dupes": SQL_DOCS_JACCARD_DUPES,
+        "docs_eval_containment": SQL_DOCS_EVAL_CONTAINMENT,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -9827,4 +9829,58 @@ SELECT ia AS id_a, ib AS id_b, c AS n_shared,
        CAST(c AS DOUBLE) / (sa.m + sb.m - c) AS jaccard
 FROM inter JOIN size_ sa ON ia = sa.doc_id JOIN size_ sb ON ib = sb.doc_id
 WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= 0.8
+"""
+
+
+def q_docs_eval_containment(sf_dir: str):
+    """EXACT cross-split contamination (stages/setjoin.py
+    containment_join): for every eval doc (md5 '-xc' split, 10%), the
+    train docs containing >= 50% of its word-3-shingles — the exact
+    counterpart of the bloom decontam (`docs_decontam`) and MinHash
+    cross pairs (`docs_cross_dupes`). Right-side-only prefix filter
+    (left never pruned), rarest-first by LEFT df; containment is an
+    int/int division — bit-exact vs the SQL brute force."""
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+    from pymhealth_ray.stages.setjoin import containment_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    thr = _threshold_hex(0.1)
+
+    def split(is_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ev = _hex8(b["doc_id"], "xc") < thr
+            return b.filter(pa.array(ev if is_eval else ~ev))
+        return fn
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    ev = docs.map_batches(split(True), batch_format="pyarrow")
+    out = containment_join(train, ev, tau=0.5, num_buckets=NB)
+    return out.map_batches(
+        lambda b: pa.table({
+            "train_id": b["id_a"], "eval_id": b["id_b"],
+            "n_shared": b["n_shared"], "containment": b["containment"]}),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_EVAL_CONTAINMENT = """
+WITH base AS (
+  SELECT doc_id, lower(text) AS t,
+         substr(md5(CAST(doc_id AS VARCHAR) || '-xc'), 1, 8) < '19999999'
+           AS is_eval
+  FROM documents),
+words AS (SELECT doc_id, is_eval, string_split(t, ' ') AS w FROM base),
+tok AS (SELECT DISTINCT doc_id, is_eval,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+esz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+  FROM tok WHERE is_eval GROUP BY doc_id),
+inter AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                 CAST(count(*) AS BIGINT) AS c
+  FROM tok tr JOIN tok ev ON tr.sh = ev.sh
+  WHERE NOT tr.is_eval AND ev.is_eval GROUP BY 1, 2)
+SELECT train_id, eval_id, c AS n_shared,
+       CAST(c AS DOUBLE) / m AS containment
+FROM inter JOIN esz ON eval_id = esz.doc_id
+WHERE CAST(c AS DOUBLE) / m >= 0.5
 """

@@ -191,6 +191,260 @@ def _with_pair_key(ds):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _cross_pairs_of_bucket(tbl: pa.Table, id_col: str,
+                           member: tuple | None = None) -> pa.Table:
+    """Per-shingle CROSS-SIDE pair explosion (side 0 = left/train, side 1 =
+    right/eval) + within-bucket partial counts — the R×S analog of
+    `_pairs_of_bucket`. Vectorized: per shared shingle, left rows repeat
+    ne times against the contiguous right slice."""
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    sh = tbl["sh"].combine_chunks().dictionary_encode()
+    codes = sh.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    side = tbl["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t_mask = side == 0
+    t_codes, t_ids = codes[t_mask], ids[t_mask]
+    e_codes, e_ids = codes[~t_mask], ids[~t_mask]
+    if len(t_codes) == 0 or len(e_codes) == 0:
+        return empty
+    to = np.argsort(t_codes, kind="stable")
+    t_codes, t_ids = t_codes[to], t_ids[to]
+    eo = np.argsort(e_codes, kind="stable")
+    e_codes, e_ids = e_codes[eo], e_ids[eo]
+    # per-left-row right-run [start, len) of its shingle code
+    r_start = np.searchsorted(e_codes, t_codes, side="left")
+    r_end = np.searchsorted(e_codes, t_codes, side="right")
+    reps = r_end - r_start
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    a = np.repeat(t_ids, reps)
+    cum0 = np.cumsum(reps) - reps
+    off = np.arange(total) - np.repeat(cum0, reps)
+    b = e_ids[np.repeat(r_start, reps) + off]
+    if member is not None and len(a):
+        pk_lo, = member
+        packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        hit = np.isin(packed.astype(np.int64), pk_lo, assume_unique=False)
+        a, b = a[hit], b[hit]
+    a, b, c = _reduce_pairs(a, b)
+    return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                     "id_b": pa.array(b, type=pa.int64()),
+                     "c": pa.array(c, type=pa.int64())})
+
+
+def containment_join(left_ds, right_ds, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3, tau: float = 0.5,
+                     num_buckets: int = 32,
+                     broadcast_threshold: int = BROADCAST_THRESHOLD):
+    """Exact R×S containment join: every (left_id, right_id) pair where
+    containment C = |S_left ∩ S_right| / |S_right| >= tau over word
+    k-shingle sets — "which training docs contain at least tau of this
+    eval doc's shingles", the exact counterpart of bloom decontamination
+    (stages/decontam.py) and MinHash cross-split pairs.
+
+    Plan mirrors `similarity_join` with an asymmetric prefix filter:
+    the LEFT (train) side is never pruned, so completeness needs only a
+    RIGHT-side prefix — if C >= tau then |∩| >= t = floor(tau*m_r), and
+    any (m_r - t + 1)-prefix of the right set must hit the intersection.
+    Right prefixes sort rarest-first by LEFT-side document frequency
+    (right-only shingles have df 0, sort first, and generate no
+    candidates — they prune for free). Exchanges carry only
+    (shingle, id, side) — never documents. containment = c/m int/int
+    division, bit-exact vs SQL."""
+    import ray
+
+    t_rows = shingle_rows(left_ds, id_col, text_col, k)
+    e_rows = shingle_rows(right_ds, id_col, text_col, k)
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side", pa.array(np.full(b.num_rows, side, dtype=np.int64)))
+        return fn
+
+    both = t_rows.map_batches(tag(0), batch_format="pyarrow").union(
+        e_rows.map_batches(tag(1), batch_format="pyarrow"))
+
+    def attach_left_df(tbl: pa.Table) -> pa.Table:
+        # left-side document frequency per shingle, attached to RIGHT rows
+        sh = tbl["sh"].combine_chunks()
+        enc = sh.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        side = tbl["side"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx[side == 0],
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        right = tbl.filter(pa.array(side == 1)).select([id_col, "sh"])
+        return right.append_column(
+            "df", pa.array(cnt[idx[side == 1]], type=pa.int64()))
+
+    e_df = grouped_by_bucket(both, attach_left_df, entity_col="sh",
+                             num_buckets=num_buckets)
+
+    def mark_prefix(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        pdf = pdf.sort_values([id_col, "df", "sh"],
+                              kind="mergesort").reset_index(drop=True)
+        grp = pdf.groupby(id_col, sort=False)
+        m = grp[id_col].transform("size").to_numpy().astype(np.int64)
+        pos = grp.cumcount().to_numpy()
+        pfx_len = np.minimum(m, m - np.floor(tau * m).astype(np.int64) + 1)
+        return pa.table({
+            id_col: pa.array(pdf[id_col].to_numpy(), type=pa.int64()),
+            "sh": pa.array(pdf["sh"].tolist(), type=pa.string()),
+            "m": pa.array(m, type=pa.int64()),
+            "pfx": pa.array(pos < pfx_len, type=pa.bool_()),
+            "first": pa.array(pos == 0, type=pa.bool_()),
+        })
+
+    ann = grouped_by_bucket(e_df, mark_prefix, entity_col=id_col,
+                            num_buckets=num_buckets).materialize()
+
+    def with_side(side: int, cols):
+        def fn(b: pa.Table) -> pa.Table:
+            out = b.select(cols)
+            return out.append_column("side", pa.array(
+                np.full(out.num_rows, side, dtype=np.int64)))
+        return fn
+
+    pfx = ann.map_batches(
+        lambda b: b.filter(b["pfx"]).select([id_col, "sh"]).append_column(
+            "side", pa.array(np.ones(int(pc.sum(b["pfx"]).as_py() or 0),
+                                     dtype=np.int64))),
+        batch_format="pyarrow")
+    cand_in = t_rows.map_batches(with_side(0, [id_col, "sh"]),
+                                 batch_format="pyarrow").union(pfx)
+    cand = grouped_by_bucket(
+        cand_in,
+        lambda t: _cross_pairs_of_bucket(t, id_col).select(["id_a", "id_b"]),
+        entity_col="sh", num_buckets=num_buckets)
+
+    def uniq_pairs(tbl: pa.Table) -> pa.Table:
+        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b, _ = _reduce_pairs(a, b)
+        return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                         "id_b": pa.array(b, type=pa.int64())})
+
+    pairs = grouped_by_bucket(_with_pair_key(cand), uniq_pairs,
+                              entity_col=PAIR_KEY,
+                              num_buckets=num_buckets).materialize()
+
+    t_restricted = filter_by_keys(
+        t_rows, id_col,
+        pairs.map_batches(lambda b: pa.table({id_col: b["id_a"]}),
+                          batch_format="pyarrow"),
+        keep=True, broadcast_threshold=broadcast_threshold,
+        num_buckets=num_buckets)
+    e_restricted = filter_by_keys(
+        ann.map_batches(lambda b: b.select([id_col, "sh", "m", "first"]),
+                        batch_format="pyarrow"),
+        id_col,
+        pairs.map_batches(lambda b: pa.table({id_col: b["id_b"]}),
+                          batch_format="pyarrow"),
+        keep=True, broadcast_threshold=broadcast_threshold,
+        num_buckets=num_buckets).materialize()
+
+    n_pairs = pairs.count()
+    member = None
+    if n_pairs <= broadcast_threshold:
+        packed_parts = []
+        for t in pairs.iter_batches(batch_format="pyarrow"):
+            pa_ = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pb_ = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(pa_) and (pa_.max() >= 2**32 or pb_.max() >= 2**32):
+                packed_parts = None
+                break
+            packed_parts.append(((pa_ << np.uint64(32)) | pb_).astype(np.int64))
+        if packed_parts is not None:
+            member_arr = np.sort(np.concatenate(packed_parts)) if packed_parts \
+                else np.array([], dtype=np.int64)
+            member = ray.put(member_arr)
+
+    count_in = t_restricted.map_batches(
+        with_side(0, [id_col, "sh"]), batch_format="pyarrow").union(
+        e_restricted.map_batches(with_side(1, [id_col, "sh"]),
+                                 batch_format="pyarrow"))
+
+    def count_bucket(tbl: pa.Table) -> pa.Table:
+        mem = (ray.get(member),) if member is not None else None
+        return _cross_pairs_of_bucket(tbl, id_col, mem)
+
+    partials = grouped_by_bucket(count_in, count_bucket, entity_col="sh",
+                                 num_buckets=num_buckets)
+
+    def sum_pairs(tbl: pa.Table) -> pa.Table:
+        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b, c = _reduce_pairs(a, b, c)
+        return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                         "id_b": pa.array(b, type=pa.int64()),
+                         "c": pa.array(c, type=pa.int64())})
+
+    counts = grouped_by_bucket(_with_pair_key(partials), sum_pairs,
+                               entity_col=PAIR_KEY, num_buckets=num_buckets)
+
+    sizes = e_restricted.map_batches(
+        lambda b: b.filter(b["first"]).select([id_col, "m"]),
+        batch_format="pyarrow")
+    n_cand = sizes.count()
+    if n_cand <= broadcast_threshold:
+        sid, sm = [], []
+        for t in sizes.iter_batches(batch_format="pyarrow"):
+            sid.append(t[id_col].to_numpy(zero_copy_only=False))
+            sm.append(t["m"].to_numpy(zero_copy_only=False))
+        sid = np.concatenate(sid) if sid else np.array([], dtype=np.int64)
+        sm = np.concatenate(sm) if sm else np.array([], dtype=np.int64)
+        order = np.argsort(sid)
+        sizes_ref = ray.put((sid[order], sm[order]))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ids_s, ms = ray.get(sizes_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mb = ms[np.searchsorted(ids_s, b)]
+            con = c.astype(np.float64) / mb.astype(np.float64)
+            keep = con >= tau
+            return pa.table({
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+                "n_shared": pa.array(c[keep], type=pa.int64()),
+                "containment": pa.array(con[keep], type=pa.float64()),
+            })
+
+        return counts.map_batches(verify, batch_format="pyarrow")
+
+    from pymhealth_ray.stages.join import equi_join
+
+    cb = equi_join(
+        counts.map_batches(lambda b: pa.table(
+            {"id_a": b["id_a"], id_col: b["id_b"], "c": b["c"]}),
+            batch_format="pyarrow"),
+        sizes, on=id_col, num_buckets=num_buckets, right_suffix="_b")
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mb = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        con = c.astype(np.float64) / mb.astype(np.float64)
+        keep = con >= tau
+        return pa.table({
+            "id_a": pa.array(a[keep], type=pa.int64()),
+            "id_b": pa.array(b[keep], type=pa.int64()),
+            "n_shared": pa.array(c[keep], type=pa.int64()),
+            "containment": pa.array(con[keep], type=pa.float64()),
+        })
+
+    return cb.map_batches(verify_joined, batch_format="pyarrow")
+
+
 def similarity_join(ds, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3, tau: float = 0.8, num_buckets: int = 32,
                     broadcast_threshold: int = BROADCAST_THRESHOLD):

@@ -1761,3 +1761,81 @@ class TestSimilarityJoin:
             "text": pa.array(["", "one two", "a b c d"])}))
         out = similarity_join(ds, tau=0.5).to_pandas()
         assert len(out) == 0
+
+
+class TestContainmentJoin:
+    def _brute(self, left, right, tau, k=3):
+        def sh(t):
+            w = t.lower().split(" ")
+            return {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)}
+        ls = {i: sh(t) for i, t in enumerate(left)}
+        rs = {1000 + i: sh(t) for i, t in enumerate(right)}
+        out = []
+        for a, sa in sorted(ls.items()):
+            for b, sb in sorted(rs.items()):
+                if not sb:
+                    continue
+                c = len(sa & sb)
+                if c and c / len(sb) >= tau:
+                    out.append((a, b, c, c / len(sb)))
+        return sorted(out)
+
+    @pytest.fixture(scope="class")
+    def corpora(self):
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(50)]
+        left = [" ".join(rng.choice(vocab, size=int(rng.integers(10, 40))))
+                for _ in range(60)]
+        right = []
+        for i in range(12):
+            # eval docs: contiguous slices of train docs (high containment)
+            w = left[i * 3].split(" ")
+            right.append(" ".join(w[: max(6, len(w) // 2)]))
+        for _ in range(10):
+            right.append(" ".join(rng.choice(vocab,
+                                             size=int(rng.integers(8, 20)))))
+        return left, right
+
+    def _ds(self, texts, base):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64) + base),
+            "text": pa.array(texts)})).repartition(4)
+
+    def test_matches_bruteforce(self, ray_session, corpora):
+        from pymhealth_ray.stages.setjoin import containment_join
+
+        left, right = corpora
+        got = containment_join(self._ds(left, 0), self._ds(right, 1000),
+                               tau=0.5, num_buckets=8).to_pandas()
+        got = sorted(zip(got.id_a, got.id_b, got.n_shared, got.containment))
+        exp = self._brute(left, right, 0.5)
+        assert [(a, b, c) for a, b, c, _ in got] == \
+            [(a, b, c) for a, b, c, _ in exp]
+        assert np.allclose([x for *_, x in got], [x for *_, x in exp])
+        assert len(got) >= 12  # every seeded slice is found
+
+    def test_distributed_plan_equals_broadcast(self, ray_session, corpora):
+        from pymhealth_ray.stages.setjoin import containment_join
+
+        left, right = corpora
+        small = containment_join(self._ds(left, 0), self._ds(right, 1000),
+                                 tau=0.4, num_buckets=8).to_pandas()
+        big = containment_join(self._ds(left, 0), self._ds(right, 1000),
+                               tau=0.4, num_buckets=8,
+                               broadcast_threshold=0).to_pandas()
+        key = ["id_a", "id_b"]
+        pd.testing.assert_frame_equal(
+            small.sort_values(key).reset_index(drop=True),
+            big.sort_values(key).reset_index(drop=True))
+
+    def test_empty_sides(self, ray_session):
+        from pymhealth_ray.stages.setjoin import containment_join
+
+        left = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["a b c d e", "x y z w v"])}))
+        right = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([5], type=pa.int64()),
+            "text": pa.array(["q r"])}))
+        out = containment_join(left, right, tau=0.5).to_pandas()
+        assert len(out) == 0
