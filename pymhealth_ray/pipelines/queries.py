@@ -1151,6 +1151,8 @@ def build_queries() -> dict:
         "docs_temperature_sample": q_docs_temperature_sample,
         "docs_jaccard_dupes": q_docs_jaccard_dupes,
         "docs_eval_containment": q_docs_eval_containment,
+        "events_upsert_latest": q_events_upsert_latest,
+        "events_winsorized": q_events_winsorized,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1377,6 +1379,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
         "docs_jaccard_dupes": SQL_DOCS_JACCARD_DUPES,
         "docs_eval_containment": SQL_DOCS_EVAL_CONTAINMENT,
+        "events_upsert_latest": SQL_EVENTS_UPSERT_LATEST,
+        "events_winsorized": SQL_EVENTS_WINSORIZED,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -9883,4 +9887,52 @@ SELECT train_id, eval_id, c AS n_shared,
        CAST(c AS DOUBLE) / m AS containment
 FROM inter JOIN esz ON eval_id = esz.doc_id
 WHERE CAST(c AS DOUBLE) / m >= 0.5
+"""
+
+
+def q_events_upsert_latest(sf_dir: str):
+    """CDC upsert / log compaction (stages/dedup.py latest_by_key):
+    latest event per (user_id, event_type) under (ts, event_id) order —
+    one exchange on user_id, per-bucket mergesort + group-boundary take
+    (Arrow take keeps the timestamp dtype bit-faithful)."""
+    from pymhealth_ray.stages.dedup import latest_by_key
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "ts", "user_id",
+                             "event_type", "value"])
+    return latest_by_key(ev, ["user_id", "event_type"],
+                         ["ts", "event_id"], num_buckets=NB)
+
+
+SQL_EVENTS_UPSERT_LATEST = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_events_winsorized(sf_dir: str):
+    """Per-type winsorization (stages/normalize.py winsorize_by_group):
+    clip value to the exact [p5, p95] group quantiles from the
+    distributed histogram combiner — broadcast thresholds, zero row
+    exchange; output doubles are verbatim inputs or thresholds, bit-exact
+    vs SQL least/greatest over quantile_disc."""
+    from pymhealth_ray.stages.normalize import winsorize_by_group
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+    return winsorize_by_group(ev, "event_type", "value", lo=0.05, hi=0.95)
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH thr AS (
+  SELECT event_type, quantile_disc(value, 0.05) AS qlo,
+         quantile_disc(value, 0.95) AS qhi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, thr.qlo), thr.qhi) AS value_w
+FROM events e JOIN thr USING (event_type)
 """

@@ -895,3 +895,44 @@ class TokenMinHasher:
         out = pa.table({self.id_col: batch[self.id_col]})
         return out.append_column("minhash", pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.astype(np.int64).ravel()), self.num_hashes))
+
+
+def latest_by_key(ds, key_cols, order_cols, num_buckets: int = 64):
+    """Latest-version-wins dedup — the CDC upsert / log-compaction MERGE:
+    for every distinct composite key keep the single row maximal under
+    ``order_cols`` (lexicographic ascending; make the last order col a
+    unique id so ties are impossible). SQL equivalent:
+    ``row_number() OVER (PARTITION BY keys ORDER BY order DESC) = 1``.
+
+    One hash exchange on the FIRST key col (all rows of a composite key
+    share it, so groups are co-located); per bucket one mergesort + a
+    group-boundary mask; survivors leave via Arrow ``take`` so every
+    column keeps its exact dtype (timestamps included). At 100 TB this is
+    the standard compaction shape: the exchange carries whole rows once,
+    and a sorted/bucketed ingest layout (stages/streaming.py) turns it
+    into a zero-exchange per-partition scan."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    sort_cols = key_cols + order_cols
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        pdf = tbl.select(sort_cols).to_pandas()
+        pdf["__i"] = np.arange(len(pdf), dtype=np.int64)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        keys = pdf[key_cols]
+        is_end = np.ones(len(pdf), dtype=bool)
+        if len(pdf) > 1:
+            same_next = np.ones(len(pdf) - 1, dtype=bool)
+            for c in key_cols:
+                a = keys[c].to_numpy()
+                same_next &= a[1:] == a[:-1]
+            is_end[:-1] = ~same_next
+        take_idx = pdf["__i"].to_numpy()[is_end]
+        return tbl.take(pa.array(np.sort(take_idx)))
+
+    return grouped_by_bucket(ds, pick, entity_col=key_cols[0],
+                             num_buckets=num_buckets)

@@ -239,3 +239,44 @@ def percent_rank_by_group(ds, group_col: str, value_col: str,
         return batch.append_column(out_name, out)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def winsorize_by_group(ds, group_col: str, value_col: str,
+                       lo: float = 0.05, hi: float = 0.95,
+                       out_name: str = "value_w"):
+    """Append ``value_col`` clipped to its group's exact [lo, hi]
+    quantiles (quantile_disc semantics) — winsorization, the standard
+    tail-taming step before scale-sensitive features. Thresholds come
+    from the distributed ``grouped_quantiles`` histogram combiner and are
+    broadcast; the clip emits either the original value or a threshold
+    value verbatim, so results are bit-exact against SQL
+    ``least(greatest(x, q_lo), q_hi)``."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+
+    q_names = [f"q{int(round(q * 100))}" for q in (lo, hi)]
+    thr_rows = grouped_quantiles(ds, [group_col], value_col,
+                                 qs=(lo, hi)).take_all()
+    thr = {r[group_col]: (r[q_names[0]], r[q_names[1]]) for r in thr_rows}
+    thr_ref = ray.put(thr)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        pairs = [t[v] for v in enc.dictionary.to_pylist()]
+        lo_a = np.array([p[0] for p in pairs], dtype=np.float64)[idx]
+        hi_a = np.array([p[1] for p in pairs], dtype=np.float64)[idx]
+        x = batch[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        v = x.to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            out_name, pa.array(np.minimum(np.maximum(v, lo_a), hi_a),
+                               type=pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

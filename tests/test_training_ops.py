@@ -1839,3 +1839,79 @@ class TestContainmentJoin:
             "text": pa.array(["q r"])}))
         out = containment_join(left, right, tau=0.5).to_pandas()
         assert len(out) == 0
+
+
+class TestLatestByKey:
+    def test_matches_pandas(self, ray_session):
+        from pymhealth_ray.stages.dedup import latest_by_key
+
+        rng = np.random.default_rng(3)
+        n = 500
+        tbl = pa.table({
+            "k1": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+            "k2": pa.array([f"t{v}" for v in rng.integers(0, 4, n)]),
+            "ts": pa.array(rng.integers(0, 100, n).astype("datetime64[us]")),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.normal(size=n)),
+        })
+        got = latest_by_key(
+            ray.data.from_arrow(tbl).repartition(7),
+            ["k1", "k2"], ["ts", "id"], num_buckets=8).to_pandas()
+        pdf = tbl.to_pandas()
+        exp = (pdf.sort_values(["k1", "k2", "ts", "id"])
+               .groupby(["k1", "k2"], sort=False).tail(1))
+        key = ["k1", "k2"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            exp.sort_values(key).reset_index(drop=True))
+        # dtype-faithful: timestamp stays timestamp
+        assert str(got["ts"].dtype).startswith("datetime64")
+
+    def test_partition_invariance(self, ray_session):
+        from pymhealth_ray.stages.dedup import latest_by_key
+
+        rng = np.random.default_rng(5)
+        n = 300
+        tbl = pa.table({
+            "k": pa.array(rng.integers(0, 10, n), type=pa.int64()),
+            "ver": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        outs = []
+        for p in (1, 4, 9):
+            got = latest_by_key(ray.data.from_arrow(tbl).repartition(p),
+                                ["k"], ["ver", "id"],
+                                num_buckets=5).to_pandas()
+            outs.append(got.sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+class TestWinsorizeByGroup:
+    def test_matches_manual(self, ray_session):
+        from pymhealth_ray.stages.normalize import winsorize_by_group
+
+        rng = np.random.default_rng(9)
+        n = 400
+        g = rng.integers(0, 3, n)
+        v = np.round(rng.normal(50, 20, n), 2)
+        tbl = pa.table({
+            "grp": pa.array([f"g{x}" for x in g]),
+            "val": pa.array(v, type=pa.float64()),
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        got = winsorize_by_group(
+            ray.data.from_arrow(tbl).repartition(5), "grp", "val",
+            lo=0.1, hi=0.9, out_name="w").to_pandas()
+        # quantile_disc semantics: sorted[ceil(q*n)-1]
+        import math
+        exp_w = np.empty(n)
+        for gi in range(3):
+            mask = g == gi
+            vs = np.sort(v[mask])
+            m = len(vs)
+            qlo = vs[max(0, math.ceil(0.1 * m) - 1)]
+            qhi = vs[max(0, math.ceil(0.9 * m) - 1)]
+            exp_w[mask] = np.clip(v[mask], qlo, qhi)
+        got = got.sort_values("rid").reset_index(drop=True)
+        assert np.array_equal(got["w"].to_numpy(), exp_w)
