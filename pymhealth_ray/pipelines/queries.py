@@ -1153,6 +1153,9 @@ def build_queries() -> dict:
         "docs_eval_containment": q_docs_eval_containment,
         "events_upsert_latest": q_events_upsert_latest,
         "events_winsorized": q_events_winsorized,
+        "events_value_share": q_events_value_share,
+        "events_session_type_pairs": q_events_session_type_pairs,
+        "orders_repeat_gap": q_orders_repeat_gap,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1381,6 +1384,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_eval_containment": SQL_DOCS_EVAL_CONTAINMENT,
         "events_upsert_latest": SQL_EVENTS_UPSERT_LATEST,
         "events_winsorized": SQL_EVENTS_WINSORIZED,
+        "events_value_share": SQL_EVENTS_VALUE_SHARE,
+        "events_session_type_pairs": SQL_EVENTS_SESSION_TYPE_PAIRS,
+        "orders_repeat_gap": SQL_ORDERS_REPEAT_GAP,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -9935,4 +9941,187 @@ WITH thr AS (
 SELECT e.event_id, e.event_type, e.value,
        least(greatest(e.value, thr.qlo), thr.qhi) AS value_w
 FROM events e JOIN thr USING (event_type)
+"""
+
+
+def q_events_value_share(sf_dir: str):
+    """Per-row share of its user's total value — the percent-of-total
+    feature, exact: 2-decimal values become integer cents, per-user
+    totals are bincount sums inside the user's bucket (ONE exchange of
+    rows, zero joins), share = cents/total int/int division — bit-exact
+    against the SQL window sum either side of any partitioning."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def share_of_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = _cents(tbl, "value", "__c")
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl["__c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(uid, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64))
+        tot = np.rint(tot).astype(np.int64)
+        share = c.astype(np.float64) / tot[inv].astype(np.float64)
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "value": tbl["value"],
+            "share": pa.array(share, type=pa.float64()),
+        })
+
+    return grouped_by_bucket(ev, share_of_bucket, entity_col="user_id",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_VALUE_SHARE = """
+WITH c AS (SELECT event_id, user_id, value,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT event_id, user_id, value,
+       CAST(cents AS DOUBLE) /
+       CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS share
+FROM c
+"""
+
+
+def q_events_session_type_pairs(sf_dir: str):
+    """Session-scoped co-occurrence: for every unordered event-type pair,
+    how many (user, session) sessions contain BOTH types. Sessionize +
+    distinct-types + vectorized pair explosion
+    (stages/setjoin._explode_pairs) run FUSED inside ONE bucket
+    map_groups call — the whole bucket arrives as a single table, so a
+    (user, session) group can never straddle a block boundary (a separate
+    map_batches stage could see map_groups outputs re-split by the block
+    sizer and silently double-count). The final rollup moves <= |types|^2
+    rows per bucket."""
+    from pymhealth_ray.stages.partition import (entity_segments,
+                                                grouped_by_bucket)
+    from pymhealth_ray.stages.session import _session_ids
+    from pymhealth_ray.stages.setjoin import _explode_pairs
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                          "type_b": pa.array([], type=pa.string()),
+                          "n_sessions": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        sid = _session_ids(ts.astype(np.int64), starts, GAP_US)
+        tbl = tbl.append_column("session_id",
+                                pa.array(sid, type=pa.int64()))
+        et = tbl["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = np.asarray(et.dictionary.to_pylist(), dtype=object)
+        order = np.argsort(types, kind="stable")  # pair codes in type order
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        codes = rank[codes]
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = tbl["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = uid * np.int64(1 << 20) + sid  # session_id < 2^20 per user
+        key = grp * np.int64(len(types) + 1) + codes
+        key = np.unique(key)  # distinct (group, type), sorted => types asc
+        g2 = key // np.int64(len(types) + 1)
+        c2 = key % np.int64(len(types) + 1)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g2[1:] != g2[:-1]) + 1, [len(g2)]))
+        a, b = _explode_pairs(c2, starts)
+        if len(a) == 0:
+            return empty
+        pk = a * np.int64(len(types) + 1) + b
+        u, cnt = np.unique(pk, return_counts=True)
+        ta = types[order][u // np.int64(len(types) + 1)]
+        tb = types[order][u % np.int64(len(types) + 1)]
+        return pa.table({
+            "type_a": pa.array(list(ta), type=pa.string()),
+            "type_b": pa.array(list(tb), type=pa.string()),
+            "n_sessions": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = grouped_by_bucket(ev, pairs_of_bucket, entity_col="user_id",
+                                 num_buckets=NB)
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(["type_a", "type_b"]).aggregate(
+            [("n_sessions", "sum")]).rename_columns(
+            ["type_a", "type_b", "n_sessions"])
+
+    return grouped_by_bucket(partials, rollup, entity_col="type_a",
+                             num_buckets=4)
+
+
+SQL_EVENTS_SESSION_TYPE_PAIRS = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s AS (SELECT user_id, ts_us, event_type,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > {GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s2 AS (SELECT user_id, event_type,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       FROM s),
+t AS (SELECT DISTINCT user_id, session_id, event_type FROM s2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM t a JOIN t b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_orders_repeat_gap(sf_dir: str):
+    """Repeat-purchase cadence per customer: integer day gaps between
+    consecutive orders (date asc, orderkey tiebreak), per-customer count
+    / exact median (quantile_disc rule) / max — one exchange on custkey,
+    all-integer arithmetic."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // np.int64(86_400_000_000)
+        cust = tbl["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = tbl["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((okey, d, cust))
+        cust, d = cust[order], d[order]
+        gap = np.diff(d)
+        same = cust[1:] == cust[:-1]
+        gaps, gcust = gap[same], cust[1:][same]
+        if len(gaps) == 0:
+            return pa.table({"custkey": pa.array([], type=pa.int64()),
+                             "n_gaps": pa.array([], type=pa.int64()),
+                             "median_gap_days": pa.array([], type=pa.int64()),
+                             "max_gap_days": pa.array([], type=pa.int64())})
+        o2 = np.lexsort((gaps, gcust))
+        gaps, gcust = gaps[o2], gcust[o2]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(gcust[1:] != gcust[:-1]) + 1, [len(gcust)]))
+        n = np.diff(starts)
+        med_idx = starts[:-1] + np.ceil(0.5 * n).astype(np.int64) - 1
+        max_idx = starts[1:] - 1  # gaps sorted asc within customer
+        return pa.table({
+            "custkey": pa.array(gcust[starts[:-1]]),
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "median_gap_days": pa.array(gaps[med_idx]),
+            "max_gap_days": pa.array(gaps[max_idx]),
+        })
+
+    return grouped_by_bucket(ds, per_bucket, entity_col="o_custkey",
+                             num_buckets=NB)
+
+
+SQL_ORDERS_REPEAT_GAP = """
+WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS d,
+                  o_orderkey FROM orders),
+g AS (SELECT o_custkey,
+             d - lag(d) OVER (PARTITION BY o_custkey
+                              ORDER BY d, o_orderkey) AS gap
+      FROM o)
+SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
 """
