@@ -1156,6 +1156,7 @@ def build_queries() -> dict:
         "events_value_share": q_events_value_share,
         "events_session_type_pairs": q_events_session_type_pairs,
         "orders_repeat_gap": q_orders_repeat_gap,
+        "seq_streaming_latest": q_seq_streaming_latest,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1387,6 +1388,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_value_share": SQL_EVENTS_VALUE_SHARE,
         "events_session_type_pairs": SQL_EVENTS_SESSION_TYPE_PAIRS,
         "orders_repeat_gap": SQL_ORDERS_REPEAT_GAP,
+        "seq_streaming_latest": sql_seq_streaming_latest(path),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -10124,4 +10126,26 @@ SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days,
        CAST(max(gap) AS BIGINT) AS max_gap_days
 FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+"""
+
+
+def q_seq_streaming_latest(sf_dir: str):
+    """Latest-version-wins compaction by STREAMING the sorted layout
+    (stages/streaming.streaming_latest): per entity one output row
+    (count, last ts, last value) read off each partition file's entity
+    segments with a single boundary carry — zero query-time exchange;
+    the streaming counterpart of stages/dedup.latest_by_key."""
+    from pymhealth_ray.stages.streaming import streaming_latest
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    layout = _sorted_layout(sf_dir, ds)
+    return streaming_latest(layout)
+
+
+def sql_seq_streaming_latest(path: str) -> str:
+    return f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+       max(ts_ns) AS last_ts,
+       CAST(arg_max(n_tok, ts_ns) AS BIGINT) AS last_val
+FROM read_parquet('{path}/part-*.parquet') GROUP BY doc_id
 """

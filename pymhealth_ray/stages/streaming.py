@@ -342,3 +342,96 @@ def streaming_asof_join(left_layout: str, right_layout: str, *,
         })
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def _latest_one_file(path: str, entity_col: str, ts_col: str,
+                     val_col: str, batch_rows: int):
+    """One sorted partition file -> (entity, n_rows, last_ts, last_val)
+    per entity: the file is sorted by (entity, ts), so each entity's
+    LAST row is its latest version; only the boundary entity's running
+    (count, last row) carries across Arrow batches — O(batch) memory."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    carry = None  # [entity(py), n, last_ts, last_val]
+    ent_parts, n_parts, ts_parts, val_parts = [], [], [], []
+
+    def emit_carry():
+        ent_parts.append(pa.array([carry[0]]))
+        n_parts.append(np.array([carry[1]], dtype=np.int64))
+        ts_parts.append(np.array([carry[2]], dtype=np.int64))
+        val_parts.append(np.array([carry[3]], dtype=np.int64))
+
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[entity_col, ts_col, val_col]):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        ent = tbl[entity_col].combine_chunks()
+        codes = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        ts = tbl[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        val = tbl[val_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.empty(len(codes), dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(codes)]]) - 1
+        n = (ends - starts + 1).astype(np.int64)
+        if carry is not None and carry[0] == ent[0].as_py():
+            n[0] += carry[1]
+        elif carry is not None:
+            emit_carry()
+        # all segments but the last complete in this batch — vectorized
+        if len(starts) > 1:
+            ent_parts.append(ent.take(pa.array(starts[:-1])))
+            n_parts.append(n[:-1])
+            ts_parts.append(ts[ends[:-1]].astype(np.int64))
+            val_parts.append(val[ends[:-1]].astype(np.int64))
+        carry = [ent[int(starts[-1])].as_py(), int(n[-1]),
+                 int(ts[-1]), int(val[-1])]
+    if carry is not None:
+        emit_carry()
+    if not ent_parts:
+        return None
+    return (pa.concat_arrays([a.cast(ent_parts[0].type)
+                              for a in ent_parts]),
+            np.concatenate(n_parts), np.concatenate(ts_parts),
+            np.concatenate(val_parts))
+
+
+def streaming_latest(layout_dir: str, *, entity_col: str = "doc_id",
+                     ts_col: str = "ts_ns", val_col: str = "n_tok",
+                     batch_rows: int = 65536):
+    """Latest-version-wins compaction by STREAMING a sorted bucketed
+    layout (the zero-exchange counterpart of stages/dedup.latest_by_key):
+    one task per partition file, one boundary-entity carry, output one
+    row per entity — (entity, n_rows, last_ts, last_val)."""
+    import glob
+    import os
+
+    import ray
+
+    files = sorted(glob.glob(os.path.join(layout_dir, "part=*",
+                                          "*.parquet")))
+    pds = ray.data.from_items([{"path": p} for p in files]).repartition(
+        max(len(files), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        parts = [r for p in batch["path"].to_pylist()
+                 if (r := _latest_one_file(p, entity_col, ts_col, val_col,
+                                           batch_rows)) is not None]
+        if not parts:
+            return pa.table({entity_col: pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "last_ts": pa.array([], type=pa.int64()),
+                             "last_val": pa.array([], type=pa.int64())})
+        return pa.table({
+            entity_col: pa.concat_arrays(
+                [p[0].cast(parts[0][0].type) for p in parts]),
+            "n_rows": pa.array(np.concatenate([p[1] for p in parts])),
+            "last_ts": pa.array(np.concatenate([p[2] for p in parts])),
+            "last_val": pa.array(np.concatenate([p[3] for p in parts])),
+        })
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

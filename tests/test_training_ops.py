@@ -1915,3 +1915,35 @@ class TestWinsorizeByGroup:
             exp_w[mask] = np.clip(v[mask], qlo, qhi)
         got = got.sort_values("rid").reset_index(drop=True)
         assert np.array_equal(got["w"].to_numpy(), exp_w)
+
+
+class TestStreamingLatest:
+    def test_carry_across_batches_matches_groupby(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pymhealth_ray.stages.streaming import streaming_latest
+
+        rng = np.random.default_rng(13)
+        # sorted layout: one partition file, sorted by (entity, ts)
+        ents = np.repeat(np.arange(40, dtype=np.int64),
+                         rng.integers(1, 9, 40))
+        ts = np.arange(len(ents), dtype=np.int64)
+        val = rng.integers(0, 100, len(ents)).astype(np.int64)
+        d = tmp_path / "part=0"
+        d.mkdir()
+        pq.write_table(pa.table({"doc_id": ents, "ts_ns": ts,
+                                 "n_tok": val}), d / "data.parquet")
+        # batch_rows=7 forces many mid-entity batch boundaries
+        got = streaming_latest(str(tmp_path), batch_rows=7).to_pandas()
+        pdf = pa.table({"doc_id": ents, "ts_ns": ts,
+                        "n_tok": val}).to_pandas()
+        exp = pdf.groupby("doc_id").agg(
+            n_rows=("ts_ns", "size"), last_ts=("ts_ns", "max")
+        ).reset_index()
+        exp["last_val"] = pdf.loc[pdf.groupby("doc_id")["ts_ns"].idxmax(),
+                                  "n_tok"].to_numpy()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+        assert got["last_ts"].tolist() == exp["last_ts"].tolist()
+        assert got["last_val"].tolist() == exp["last_val"].tolist()
