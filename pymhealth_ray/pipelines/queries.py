@@ -1157,6 +1157,7 @@ def build_queries() -> dict:
         "events_session_type_pairs": q_events_session_type_pairs,
         "orders_repeat_gap": q_orders_repeat_gap,
         "seq_streaming_latest": q_seq_streaming_latest,
+        "docs_fuzzy_pairs": q_docs_fuzzy_pairs,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1389,6 +1390,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_session_type_pairs": SQL_EVENTS_SESSION_TYPE_PAIRS,
         "orders_repeat_gap": SQL_ORDERS_REPEAT_GAP,
         "seq_streaming_latest": sql_seq_streaming_latest(path),
+        "docs_fuzzy_pairs": SQL_DOCS_FUZZY_PAIRS,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -10148,4 +10150,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
        max(ts_ns) AS last_ts,
        CAST(arg_max(n_tok, ts_ns) AS BIGINT) AS last_val
 FROM read_parquet('{path}/part-*.parquet') GROUP BY doc_id
+"""
+
+
+def q_docs_fuzzy_pairs(sf_dir: str):
+    """Entity-resolution verify step (stages/fuzzy.py): equi-block on the
+    8-char lowercased prefix, then EXACT Levenshtein over 24-char
+    prefixes — the Wagner-Fischer DP vectorized ACROSS pairs (uint32
+    codepoint matrices, O(cap^2) numpy passes for any number of pairs).
+    One exchange on the block key; hot blocks capped + logged."""
+    from pymhealth_ray.stages.fuzzy import fuzzy_pairs
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return fuzzy_pairs(docs, block_prefix=8, sim_prefix=24, max_dist=5,
+                       num_buckets=NB)
+
+
+SQL_DOCS_FUZZY_PAIRS = """
+WITH t AS (SELECT doc_id, substr(lower(text), 1, 8) AS bkey,
+                  substr(lower(text), 1, 24) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 5
 """

@@ -1,0 +1,144 @@
+"""Blocked fuzzy string matching — the VERIFY half of entity resolution.
+
+`stages/neighborhood.py` (sorted-neighborhood) and plain equi-blocking
+generate candidate pairs; this module scores them with an exact
+Levenshtein edit distance so a pipeline can do the classic
+block → verify record-linkage plan entirely inside the engine. The
+reference (an array-kernel library, /root/reference/src/mhealth) has no
+string ops; semantics follow the standard Wagner–Fischer DP and DuckDB's
+`levenshtein` (unicode codepoints), which the driver oracle checks
+bit-for-bit.
+
+The DP is VECTORIZED ACROSS PAIRS, not per string: all pair strings are
+packed into fixed-width uint32 codepoint matrices (numpy 'U' views), and
+the (i, j) loop runs over the capped prefix lengths with every operation
+a length-n vector op — n pairs cost O(cap²) numpy passes, never a Python
+loop per pair.
+
+Scale note: the per-block pair explosion is quadratic in block size, so
+the blocking key must keep blocks small (prefixes, n-char buckets,
+phonetic keys). Hot blocks are capped by ``max_block`` (dropped + counted
+in the log) rather than silently exploding a task — the same skew defense
+as the LSH bucket cap in stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+
+def _to_codes(strs: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pack python strings into an (n, width) uint32 codepoint matrix
+    (zero-padded) plus the true lengths (capped at width)."""
+    arr = np.array(strs, dtype=f"U{width}")
+    lens = np.minimum(np.fromiter((len(s) for s in strs), dtype=np.int64,
+                                  count=len(strs)), width)
+    if len(strs) == 0:
+        return np.zeros((0, width), dtype=np.uint32), lens
+    mat = arr.view(np.uint32).reshape(len(strs), -1)[:, :width]
+    return mat, lens
+
+
+def levenshtein_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
+    """Exact Levenshtein distance for each (a[i], b[i]) pair, both sides
+    truncated to ``width`` codepoints — one Wagner–Fischer DP vectorized
+    across all pairs (two rolling rows of shape (n, width+1))."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    am, al = _to_codes(a, width)
+    bm, bl = _to_codes(b, width)
+    la_max = int(al.max()) if n else 0
+    prev = np.tile(np.arange(width + 1, dtype=np.int64), (n, 1))
+    # rows where a_len == 0: distance = b_len (row 0 of the DP)
+    out[al == 0] = bl[al == 0]
+    for i in range(1, la_max + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = am[:, i - 1]
+        for j in range(1, width + 1):
+            cost = (ai != bm[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                              cur[:, j - 1] + 1),
+                                   prev[:, j - 1] + cost)
+        done = al == i
+        if done.any():
+            out[done] = cur[done, bl[done]]
+        prev = cur
+    return out
+
+
+def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                block_prefix: int = 8, sim_prefix: int = 24,
+                max_dist: int = 5, num_buckets: int = 32,
+                max_block: int = 10_000, lowercase: bool = True):
+    """All id pairs (a < b) sharing an exact ``block_prefix``-codepoint
+    prefix whose ``sim_prefix``-codepoint prefixes are within
+    ``max_dist`` Levenshtein edits. One hash exchange on the block key;
+    per block a vectorized pair explosion + the across-pairs DP. Blocks
+    larger than ``max_block`` rows are dropped (logged) — size the
+    blocking key so this never fires on real data."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+    from pymhealth_ray.stages.setjoin import _explode_pairs
+
+    def prep(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        return pa.table({
+            id_col: batch[id_col],
+            "bkey": pc.utf8_slice_codeunits(txt, 0, block_prefix),
+            "s": pc.utf8_slice_codeunits(txt, 0, sim_prefix),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "dist": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        key = tbl["bkey"].combine_chunks().dictionary_encode()
+        codes = key.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        sizes = np.bincount(codes)
+        big = np.flatnonzero(sizes > max_block)
+        if len(big):
+            logger.warning("fuzzy_pairs: dropping %d blocks over max_block"
+                           "=%d (largest %d rows)", len(big), max_block,
+                           int(sizes.max()))
+            keep = ~np.isin(codes, big)
+            codes, ids, order = codes[keep], ids[keep], order[keep]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [len(codes)]))
+        idx = np.arange(len(codes))
+        ia, ib = _explode_pairs(idx, starts)
+        if len(ia) == 0:
+            return empty
+        s = tbl["s"].combine_chunks().take(pa.array(order)).to_pylist()
+        sa = [s[i] for i in ia.tolist()]
+        sb = [s[i] for i in ib.tolist()]
+        dist = levenshtein_pairs(sa, sb, sim_prefix)
+        hit = dist <= max_dist
+        a, b = ids[ia[hit]], ids[ib[hit]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({"id_a": pa.array(a2, type=pa.int64()),
+                         "id_b": pa.array(b2, type=pa.int64()),
+                         "dist": pa.array(dist[hit], type=pa.int64())})
+
+    return grouped_by_bucket(rows, pairs_of_bucket, entity_col="bkey",
+                             num_buckets=num_buckets)

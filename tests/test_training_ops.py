@@ -1947,3 +1947,68 @@ class TestStreamingLatest:
         assert got["n_rows"].tolist() == exp["n_rows"].tolist()
         assert got["last_ts"].tolist() == exp["last_ts"].tolist()
         assert got["last_val"].tolist() == exp["last_val"].tolist()
+
+
+class TestFuzzyPairs:
+    def test_levenshtein_kernel(self):
+        from pymhealth_ray.stages.fuzzy import levenshtein_pairs
+
+        def ref(a, b):
+            dp = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, len(b) + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                                prev + (a[i - 1] != b[j - 1]))
+                    prev = cur
+            return dp[len(b)]
+
+        import string
+        rng = np.random.default_rng(1)
+        alphabet = list(string.ascii_lowercase + " ")
+        pairs = []
+        for _ in range(200):
+            la, lb = rng.integers(0, 16, 2)
+            pairs.append(("".join(rng.choice(alphabet, la)),
+                          "".join(rng.choice(alphabet, lb))))
+        got = levenshtein_pairs([p[0] for p in pairs],
+                                [p[1] for p in pairs], 16)
+        assert got.tolist() == [ref(a, b) for a, b in pairs]
+
+    def test_blocked_pairs_match_bruteforce(self, ray_session):
+        from pymhealth_ray.stages.fuzzy import fuzzy_pairs
+
+        rng = np.random.default_rng(2)
+        texts = []
+        for i in range(60):
+            base = f"record {i % 7} " + "".join(
+                rng.choice(list("abcdef "), 20))
+            texts.append(base)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts)})).repartition(5)
+        got = fuzzy_pairs(ds, block_prefix=8, sim_prefix=16, max_dist=4,
+                          num_buckets=8).to_pandas()
+
+        def ref(a, b):
+            dp = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, len(b) + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                                prev + (a[i - 1] != b[j - 1]))
+                    prev = cur
+            return dp[len(b)]
+
+        exp = []
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                a, b = texts[i].lower(), texts[j].lower()
+                if a[:8] != b[:8]:
+                    continue
+                d = ref(a[:16], b[:16])
+                if d <= 4:
+                    exp.append((i, j, d))
+        assert sorted(zip(got.id_a, got.id_b, got.dist)) == sorted(exp)
