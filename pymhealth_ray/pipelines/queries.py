@@ -1158,6 +1158,7 @@ def build_queries() -> dict:
         "orders_repeat_gap": q_orders_repeat_gap,
         "seq_streaming_latest": q_seq_streaming_latest,
         "docs_fuzzy_pairs": q_docs_fuzzy_pairs,
+        "events_type_transitions": q_events_type_transitions,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1391,6 +1392,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_repeat_gap": SQL_ORDERS_REPEAT_GAP,
         "seq_streaming_latest": sql_seq_streaming_latest(path),
         "docs_fuzzy_pairs": SQL_DOCS_FUZZY_PAIRS,
+        "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -10174,4 +10176,73 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
 FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE levenshtein(a.s, b.s) <= 5
+"""
+
+
+def q_events_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix over user event streams:
+    consecutive event-type pairs per user ((ts, event_id) order), global
+    counts, and exact row-normalized probabilities (int/int division —
+    the from-type rollup bucket co-locates a row's whole distribution).
+    One full exchange (user buckets) + one tiny pair exchange."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"type_from": pa.array([], type=pa.string()),
+                          "type_to": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        et = tbl["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = np.asarray(et.dictionary.to_pylist(), dtype=object)
+        k = len(types)
+        same = np.ones(len(codes) - 1, dtype=bool) if len(codes) > 1 \
+            else np.zeros(0, dtype=bool)
+        same[starts[1:-1] - 1] = False  # user boundaries break pairs
+        key = codes[:-1][same] * np.int64(k) + codes[1:][same]
+        if len(key) == 0:
+            return empty
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "type_from": pa.array(list(types[u // k]), type=pa.string()),
+            "type_to": pa.array(list(types[u % k]), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    partials = grouped_by_bucket(ev, pairs_of_bucket, entity_col="user_id",
+                                 num_buckets=NB)
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["type_from", "type_to"]).aggregate(
+            [("n", "sum")]).rename_columns(["type_from", "type_to", "n"])
+        tf = agg["type_from"].combine_chunks().dictionary_encode()
+        idx = tf.indices.to_numpy(zero_copy_only=False)
+        n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(idx, weights=n.astype(np.float64))
+        tot = np.rint(tot).astype(np.int64)
+        p = n.astype(np.float64) / tot[idx].astype(np.float64)
+        return agg.append_column("p", pa.array(p, type=pa.float64()))
+
+    return grouped_by_bucket(partials, rollup, entity_col="type_from",
+                             num_buckets=4)
+
+
+SQL_EVENTS_TYPE_TRANSITIONS = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+t AS (SELECT event_type AS tf,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS tt
+      FROM e),
+c AS (SELECT tf AS type_from, tt AS type_to, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE tt IS NOT NULL GROUP BY 1, 2)
+SELECT type_from, type_to, n,
+       CAST(n AS DOUBLE) /
+       CAST(sum(n) OVER (PARTITION BY type_from) AS BIGINT) AS p
+FROM c
 """
