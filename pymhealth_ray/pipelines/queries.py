@@ -9958,7 +9958,9 @@ def q_events_value_share(sf_dir: str):
     against the SQL window sum either side of any partitioning."""
     from pymhealth_ray.stages.partition import grouped_by_bucket
 
-    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    # no temporal component — read only the three columns the share needs
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "value"])
 
     def share_of_bucket(tbl: pa.Table) -> pa.Table:
         tbl = _cents(tbl, "value", "__c")
@@ -10026,7 +10028,13 @@ def q_events_session_type_pairs(sf_dir: str):
         codes = rank[codes]
         uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sid = tbl["session_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        grp = uid * np.int64(1 << 20) + sid  # session_id < 2^20 per user
+        # dynamic-width packing with a LOUD overflow guard (a silent
+        # wrap would merge sessions across users)
+        w = np.int64(sid.max() + 1)
+        if int(uid.max()) >= (1 << 62) // (int(w) * (len(types) + 1)):
+            raise OverflowError("session-pair key packing would overflow; "
+                                "re-key users or split the bucket")
+        grp = uid * w + sid
         key = grp * np.int64(len(types) + 1) + codes
         key = np.unique(key)  # distinct (group, type), sorted => types asc
         g2 = key // np.int64(len(types) + 1)

@@ -45,18 +45,21 @@ def _to_codes(strs: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def levenshtein_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
-    """Exact Levenshtein distance for each (a[i], b[i]) pair, both sides
-    truncated to ``width`` codepoints — one Wagner–Fischer DP vectorized
-    across all pairs (two rolling rows of shape (n, width+1))."""
-    n = len(a)
+# pairs per DP chunk: bounds the two rolling (chunk, width+1) int32 rows
+# + gathered code matrices to ~100 MB however many pairs a block emits
+_DP_CHUNK = 1 << 18
+
+
+def _lev_codes(am: np.ndarray, al: np.ndarray, bm: np.ndarray,
+               bl: np.ndarray, width: int) -> np.ndarray:
+    """Wagner–Fischer DP vectorized across pairs of pre-packed codepoint
+    rows (two rolling rows of shape (n, width+1), int32)."""
+    n = len(al)
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return out
-    am, al = _to_codes(a, width)
-    bm, bl = _to_codes(b, width)
-    la_max = int(al.max()) if n else 0
-    prev = np.tile(np.arange(width + 1, dtype=np.int64), (n, 1))
+    la_max = int(al.max())
+    prev = np.tile(np.arange(width + 1, dtype=np.int32), (n, 1))
     # rows where a_len == 0: distance = b_len (row 0 of the DP)
     out[al == 0] = bl[al == 0]
     for i in range(1, la_max + 1):
@@ -64,7 +67,7 @@ def levenshtein_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
         cur[:, 0] = i
         ai = am[:, i - 1]
         for j in range(1, width + 1):
-            cost = (ai != bm[:, j - 1]).astype(np.int64)
+            cost = (ai != bm[:, j - 1]).astype(np.int32)
             cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
                                               cur[:, j - 1] + 1),
                                    prev[:, j - 1] + cost)
@@ -73,6 +76,14 @@ def levenshtein_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
             out[done] = cur[done, bl[done]]
         prev = cur
     return out
+
+
+def levenshtein_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
+    """Exact Levenshtein distance for each (a[i], b[i]) pair, both sides
+    truncated to ``width`` codepoints."""
+    am, al = _to_codes(a, width)
+    bm, bl = _to_codes(b, width)
+    return _lev_codes(am, al, bm, bl, width)
 
 
 def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -127,18 +138,29 @@ def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         ia, ib = _explode_pairs(idx, starts)
         if len(ia) == 0:
             return empty
+        # encode each ROW once; pairs gather rows from the packed matrix —
+        # and the DP runs in bounded chunks so a block emitting millions
+        # of pairs never materializes them all in the rolling rows
         s = tbl["s"].combine_chunks().take(pa.array(order)).to_pylist()
-        sa = [s[i] for i in ia.tolist()]
-        sb = [s[i] for i in ib.tolist()]
-        dist = levenshtein_pairs(sa, sb, sim_prefix)
-        hit = dist <= max_dist
-        a, b = ids[ia[hit]], ids[ib[hit]]
+        mat, lens = _to_codes(s, sim_prefix)
+        outs_a, outs_b, outs_d = [], [], []
+        for lo in range(0, len(ia), _DP_CHUNK):
+            ca, cb = ia[lo:lo + _DP_CHUNK], ib[lo:lo + _DP_CHUNK]
+            dist = _lev_codes(mat[ca], lens[ca], mat[cb], lens[cb],
+                              sim_prefix)
+            hit = dist <= max_dist
+            outs_a.append(ids[ca[hit]])
+            outs_b.append(ids[cb[hit]])
+            outs_d.append(dist[hit])
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        dist = np.concatenate(outs_d)
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
         return pa.table({"id_a": pa.array(a2, type=pa.int64()),
                          "id_b": pa.array(b2, type=pa.int64()),
-                         "dist": pa.array(dist[hit], type=pa.int64())})
+                         "dist": pa.array(dist, type=pa.int64())})
 
     return grouped_by_bucket(rows, pairs_of_bucket, entity_col="bkey",
                              num_buckets=num_buckets)

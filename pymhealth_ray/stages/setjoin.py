@@ -110,9 +110,11 @@ def _shingle_batch(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Ta
 
 
 def shingle_rows(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    # batch_size=None: compute-heavy per-batch kernel — the 1024-row
+    # default would re-pay the numpy/pandas setup per 1024 rows
     return ds.map_batches(
         lambda b: _shingle_batch(b, id_col, text_col, k),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
 
 
 def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -191,6 +193,62 @@ def _with_pair_key(ds):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _uniq_pairs_tbl(tbl: pa.Table) -> pa.Table:
+    """Distinct (id_a, id_b) rows of one pair bucket."""
+    a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a, b, _ = _reduce_pairs(a, b)
+    return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                     "id_b": pa.array(b, type=pa.int64())})
+
+
+def _sum_pairs_tbl(tbl: pa.Table) -> pa.Table:
+    """Merge per-bucket partial (id_a, id_b, c) counts."""
+    a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a, b, c = _reduce_pairs(a, b, c)
+    return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                     "id_b": pa.array(b, type=pa.int64()),
+                     "c": pa.array(c, type=pa.int64())})
+
+
+def _endpoint_ids(pairs, id_col: str, cols=("id_a", "id_b")):
+    """Key-set dataset of pair endpoints, DEDUPED per batch before it
+    reaches dropset — the plan decision there counts raw rows, and a
+    dup-heavy corpus has ~n² pair rows over only n distinct docs (the
+    round-3 LSH-threshold lesson)."""
+    cols = list(cols)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        parts = [b[c].combine_chunks().cast(pa.int64()) for c in cols]
+        arr = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+        u = np.unique(arr.to_numpy(zero_copy_only=False))
+        return pa.table({id_col: pa.array(u, type=pa.int64())})
+
+    return pairs.map_batches(uniq, batch_format="pyarrow")
+
+
+def _pack_member(pairs, broadcast_threshold: int):
+    """Broadcast the candidate-pair set as one sorted packed-int64 array
+    when it fits (PPJoin prefilter); returns an ObjectRef or None. Pairs
+    must pack into 32-bit halves — bail to None otherwise."""
+    import ray
+
+    if pairs.count() > broadcast_threshold:
+        return None
+    packed_parts = []
+    for t in pairs.iter_batches(batch_format="pyarrow"):
+        pa_ = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb_ = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(pa_) and (pa_.max() >= 2**32 or pb_.max() >= 2**32):
+            return None
+        packed_parts.append(((pa_ << np.uint64(32)) | pb_).astype(np.int64))
+    member_arr = np.sort(np.concatenate(packed_parts)) if packed_parts \
+        else np.array([], dtype=np.int64)
+    return ray.put(member_arr)
+
+
 def _cross_pairs_of_bucket(tbl: pa.Table, id_col: str,
                            member: tuple | None = None) -> pa.Table:
     """Per-shingle CROSS-SIDE pair explosion (side 0 = left/train, side 1 =
@@ -258,7 +316,10 @@ def containment_join(left_ds, right_ds, id_col: str = "doc_id",
     division, bit-exact vs SQL."""
     import ray
 
-    t_rows = shingle_rows(left_ds, id_col, text_col, k)
+    # the left (train) shingle rows feed THREE executions (df exchange,
+    # candidate generation, exact counts) — materialize once instead of
+    # re-reading + re-shingling the big side each time
+    t_rows = shingle_rows(left_ds, id_col, text_col, k).materialize()
     e_rows = shingle_rows(right_ds, id_col, text_col, k)
 
     def tag(side: int):
@@ -323,47 +384,22 @@ def containment_join(left_ds, right_ds, id_col: str = "doc_id",
         lambda t: _cross_pairs_of_bucket(t, id_col).select(["id_a", "id_b"]),
         entity_col="sh", num_buckets=num_buckets)
 
-    def uniq_pairs(tbl: pa.Table) -> pa.Table:
-        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a, b, _ = _reduce_pairs(a, b)
-        return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64())})
-
-    pairs = grouped_by_bucket(_with_pair_key(cand), uniq_pairs,
+    pairs = grouped_by_bucket(_with_pair_key(cand), _uniq_pairs_tbl,
                               entity_col=PAIR_KEY,
                               num_buckets=num_buckets).materialize()
 
     t_restricted = filter_by_keys(
-        t_rows, id_col,
-        pairs.map_batches(lambda b: pa.table({id_col: b["id_a"]}),
-                          batch_format="pyarrow"),
+        t_rows, id_col, _endpoint_ids(pairs, id_col, cols=("id_a",)),
         keep=True, broadcast_threshold=broadcast_threshold,
         num_buckets=num_buckets)
     e_restricted = filter_by_keys(
         ann.map_batches(lambda b: b.select([id_col, "sh", "m", "first"]),
                         batch_format="pyarrow"),
-        id_col,
-        pairs.map_batches(lambda b: pa.table({id_col: b["id_b"]}),
-                          batch_format="pyarrow"),
+        id_col, _endpoint_ids(pairs, id_col, cols=("id_b",)),
         keep=True, broadcast_threshold=broadcast_threshold,
         num_buckets=num_buckets).materialize()
 
-    n_pairs = pairs.count()
-    member = None
-    if n_pairs <= broadcast_threshold:
-        packed_parts = []
-        for t in pairs.iter_batches(batch_format="pyarrow"):
-            pa_ = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            pb_ = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            if len(pa_) and (pa_.max() >= 2**32 or pb_.max() >= 2**32):
-                packed_parts = None
-                break
-            packed_parts.append(((pa_ << np.uint64(32)) | pb_).astype(np.int64))
-        if packed_parts is not None:
-            member_arr = np.sort(np.concatenate(packed_parts)) if packed_parts \
-                else np.array([], dtype=np.int64)
-            member = ray.put(member_arr)
+    member = _pack_member(pairs, broadcast_threshold)
 
     count_in = t_restricted.map_batches(
         with_side(0, [id_col, "sh"]), batch_format="pyarrow").union(
@@ -377,16 +413,7 @@ def containment_join(left_ds, right_ds, id_col: str = "doc_id",
     partials = grouped_by_bucket(count_in, count_bucket, entity_col="sh",
                                  num_buckets=num_buckets)
 
-    def sum_pairs(tbl: pa.Table) -> pa.Table:
-        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a, b, c = _reduce_pairs(a, b, c)
-        return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64()),
-                         "c": pa.array(c, type=pa.int64())})
-
-    counts = grouped_by_bucket(_with_pair_key(partials), sum_pairs,
+    counts = grouped_by_bucket(_with_pair_key(partials), _sum_pairs_tbl,
                                entity_col=PAIR_KEY, num_buckets=num_buckets)
 
     sizes = e_restricted.map_batches(
@@ -495,22 +522,11 @@ def similarity_join(ds, id_col: str = "doc_id", text_col: str = "text",
         pfx, lambda t: _pairs_of_bucket(t, id_col).select(["id_a", "id_b"]),
         entity_col="sh", num_buckets=num_buckets)
 
-    def uniq_pairs(tbl: pa.Table) -> pa.Table:
-        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a, b, _ = _reduce_pairs(a, b)
-        return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64())})
-
-    pairs = grouped_by_bucket(_with_pair_key(cand), uniq_pairs,
+    pairs = grouped_by_bucket(_with_pair_key(cand), _uniq_pairs_tbl,
                               entity_col=PAIR_KEY,
                               num_buckets=num_buckets).materialize()
 
-    cand_ids = pairs.map_batches(
-        lambda b: pa.table({id_col: pa.concat_arrays([
-            b["id_a"].combine_chunks().cast(pa.int64()),
-            b["id_b"].combine_chunks().cast(pa.int64())])}),
-        batch_format="pyarrow")
+    cand_ids = _endpoint_ids(pairs, id_col)
     restricted = filter_by_keys(
         ann.map_batches(lambda b: b.select([id_col, "sh", "m", "first"]),
                         batch_format="pyarrow"),
@@ -519,22 +535,7 @@ def similarity_join(ds, id_col: str = "doc_id", text_col: str = "text",
         num_buckets=num_buckets).materialize()
 
     # optional candidate-pair prefilter for the count exchange
-    n_pairs = pairs.count()
-    member = None
-    if n_pairs <= broadcast_threshold:
-        packed_parts = []
-        for t in pairs.iter_batches(batch_format="pyarrow"):
-            pa_ = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            pb_ = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            if len(pa_) and (pa_.max() >= 2**32 or pb_.max() >= 2**32):
-                packed_parts = None
-                break
-            packed_parts.append(((pa_ << np.uint64(32)) | pb_).astype(np.int64))
-        if packed_parts is not None:
-            member_arr = np.sort(np.concatenate(packed_parts)) if packed_parts \
-                else np.array([], dtype=np.int64)
-            member_ref = ray.put(member_arr)
-            member = member_ref
+    member = _pack_member(pairs, broadcast_threshold)
 
     def count_bucket(tbl: pa.Table) -> pa.Table:
         mem = (ray.get(member),) if member is not None else None
@@ -543,16 +544,7 @@ def similarity_join(ds, id_col: str = "doc_id", text_col: str = "text",
     partials = grouped_by_bucket(restricted, count_bucket, entity_col="sh",
                                  num_buckets=num_buckets)
 
-    def sum_pairs(tbl: pa.Table) -> pa.Table:
-        a = tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a, b, c = _reduce_pairs(a, b, c)
-        return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64()),
-                         "c": pa.array(c, type=pa.int64())})
-
-    counts = grouped_by_bucket(_with_pair_key(partials), sum_pairs,
+    counts = grouped_by_bucket(_with_pair_key(partials), _sum_pairs_tbl,
                                entity_col=PAIR_KEY, num_buckets=num_buckets)
 
     sizes = restricted.map_batches(

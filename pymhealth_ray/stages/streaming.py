@@ -418,11 +418,19 @@ def streaming_latest(layout_dir: str, *, entity_col: str = "doc_id",
         max(len(files), 1))
 
     def scan(batch: pa.Table) -> pa.Table:
-        parts = [r for p in batch["path"].to_pylist()
+        import pyarrow.parquet as pq
+
+        paths = batch["path"].to_pylist()
+        parts = [r for p in paths
                  if (r := _latest_one_file(p, entity_col, ts_col, val_col,
                                            batch_rows)) is not None]
         if not parts:
-            return pa.table({entity_col: pa.array([], type=pa.string()),
+            # take the entity dtype from the file schema — a hardcoded
+            # string here would break schema unification against blocks
+            # that did produce rows (int64 layouts)
+            ent_type = (pq.read_schema(paths[0]).field(entity_col).type
+                        if paths else pa.string())
+            return pa.table({entity_col: pa.array([], type=ent_type),
                              "n_rows": pa.array([], type=pa.int64()),
                              "last_ts": pa.array([], type=pa.int64()),
                              "last_val": pa.array([], type=pa.int64())})
