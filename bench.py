@@ -320,6 +320,11 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
         for name in order:
             if rnd > 0 and time.time() - section_start > QUERY_BUDGET_SEC:
                 break
+            # hard stop even mid-first-pass: a hypervisor steal burst must
+            # degrade the artifact (fewer queries), never lose it to the
+            # driver's outer timeout (round-3 lesson: no JSON at all)
+            if rnd == 0 and time.time() - section_start > QUERY_BUDGET_SEC * 1.5:
+                break
             s0 = _steal_jiffies()
             t0 = time.time()
             _consume(qs[name](sf_dir))
