@@ -1159,6 +1159,7 @@ def build_queries() -> dict:
         "seq_streaming_latest": q_seq_streaming_latest,
         "docs_fuzzy_pairs": q_docs_fuzzy_pairs,
         "events_type_transitions": q_events_type_transitions,
+        "docs_jw_pairs": q_docs_jw_pairs,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1393,6 +1394,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_streaming_latest": sql_seq_streaming_latest(path),
         "docs_fuzzy_pairs": SQL_DOCS_FUZZY_PAIRS,
         "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
+        "docs_jw_pairs": SQL_DOCS_JW_PAIRS,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -10253,4 +10255,30 @@ SELECT type_from, type_to, n,
        CAST(n AS DOUBLE) /
        CAST(sum(n) OVER (PARTITION BY type_from) AS BIGINT) AS p
 FROM c
+"""
+
+
+def q_docs_jw_pairs(sf_dir: str):
+    """Jaro-Winkler record-linkage pairs (stages/fuzzy.py metric=
+    'jaro_winkler'): same 8-char equi-blocking as docs_fuzzy_pairs, but
+    scored by the across-pairs Jaro-Winkler kernel — greedy window
+    matching, FLOORED transposition count, 0.7 boost threshold, <=4
+    prefix at 0.1 scale — bit-exact vs DuckDB's RapidFuzz-derived
+    jaro_winkler_similarity (3000-pair fuzz in pytest)."""
+    from pymhealth_ray.stages.fuzzy import fuzzy_pairs
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return fuzzy_pairs(docs, block_prefix=8, sim_prefix=24,
+                       metric="jaro_winkler", min_sim=0.85,
+                       num_buckets=NB)
+
+
+SQL_DOCS_JW_PAIRS = """
+WITH t AS (SELECT doc_id, substr(lower(text), 1, 8) AS bkey,
+                  substr(lower(text), 1, 24) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       jaro_winkler_similarity(a.s, b.s) AS sim
+FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE jaro_winkler_similarity(a.s, b.s) >= 0.85
 """

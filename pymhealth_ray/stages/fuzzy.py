@@ -89,13 +89,21 @@ def levenshtein_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
 def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 block_prefix: int = 8, sim_prefix: int = 24,
                 max_dist: int = 5, num_buckets: int = 32,
-                max_block: int = 10_000, lowercase: bool = True):
+                max_block: int = 10_000, lowercase: bool = True,
+                metric: str = "levenshtein", min_sim: float = 0.9):
     """All id pairs (a < b) sharing an exact ``block_prefix``-codepoint
-    prefix whose ``sim_prefix``-codepoint prefixes are within
-    ``max_dist`` Levenshtein edits. One hash exchange on the block key;
-    per block a vectorized pair explosion + the across-pairs DP. Blocks
-    larger than ``max_block`` rows are dropped (logged) — size the
-    blocking key so this never fires on real data."""
+    prefix whose ``sim_prefix``-codepoint prefixes match under the chosen
+    metric: ``levenshtein`` (edit distance <= ``max_dist``, int ``dist``
+    column) or ``jaro_winkler`` (similarity >= ``min_sim``, double
+    ``sim`` column, DuckDB-bit-exact). One hash exchange on the block
+    key; per block a vectorized pair explosion + the across-pairs
+    kernel. Blocks larger than ``max_block`` rows are dropped (logged) —
+    size the blocking key so this never fires on real data."""
+    if metric not in ("levenshtein", "jaro_winkler"):
+        raise ValueError(f"unknown metric {metric!r}")
+    jw = metric == "jaro_winkler"
+    out_col = "sim" if jw else "dist"
+    out_type = pa.float64() if jw else pa.int64()
     from pymhealth_ray.stages.partition import grouped_by_bucket
     from pymhealth_ray.stages.setjoin import _explode_pairs
 
@@ -116,7 +124,7 @@ def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                           "id_b": pa.array([], type=pa.int64()),
-                          "dist": pa.array([], type=pa.int64())})
+                          out_col: pa.array([], type=out_type)})
         if tbl.num_rows == 0:
             return empty
         key = tbl["bkey"].combine_chunks().dictionary_encode()
@@ -146,21 +154,78 @@ def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         outs_a, outs_b, outs_d = [], [], []
         for lo in range(0, len(ia), _DP_CHUNK):
             ca, cb = ia[lo:lo + _DP_CHUNK], ib[lo:lo + _DP_CHUNK]
-            dist = _lev_codes(mat[ca], lens[ca], mat[cb], lens[cb],
-                              sim_prefix)
-            hit = dist <= max_dist
+            if jw:
+                score = _jw_codes(mat[ca], lens[ca], mat[cb], lens[cb],
+                                  sim_prefix)
+                hit = score >= min_sim
+            else:
+                score = _lev_codes(mat[ca], lens[ca], mat[cb], lens[cb],
+                                   sim_prefix)
+                hit = score <= max_dist
             outs_a.append(ids[ca[hit]])
             outs_b.append(ids[cb[hit]])
-            outs_d.append(dist[hit])
+            outs_d.append(score[hit])
         a = np.concatenate(outs_a)
         b = np.concatenate(outs_b)
-        dist = np.concatenate(outs_d)
+        score = np.concatenate(outs_d)
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
         return pa.table({"id_a": pa.array(a2, type=pa.int64()),
                          "id_b": pa.array(b2, type=pa.int64()),
-                         "dist": pa.array(dist, type=pa.int64())})
+                         out_col: pa.array(score, type=out_type)})
 
     return grouped_by_bucket(rows, pairs_of_bucket, entity_col="bkey",
                              num_buckets=num_buckets)
+
+
+def jaro_winkler_pairs(a: list[str], b: list[str], width: int) -> np.ndarray:
+    """Jaro-Winkler similarity for each (a[i], b[i]) pair, truncated to
+    ``width`` codepoints — vectorized ACROSS pairs like the Levenshtein
+    kernel. Semantics match DuckDB's ``jaro_winkler_similarity``:
+    match window ``max(la,lb)//2 - 1``, transpositions = mismatched
+    matched positions / 2 (float), Winkler prefix boost (<=4 chars,
+    scale 0.1) applied only when jaro > 0.7, empty strings score 0."""
+    am, al = _to_codes(a, width)
+    bm, bl = _to_codes(b, width)
+    return _jw_codes(am, al, bm, bl, width)
+
+
+def _jw_codes(am: np.ndarray, al: np.ndarray, bm: np.ndarray,
+              bl: np.ndarray, width: int) -> np.ndarray:
+    n = len(al)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    w = np.maximum(np.maximum(al, bl) // 2 - 1, 0)
+    used_b = np.zeros((n, width), dtype=bool)
+    matched_a = np.zeros((n, width), dtype=bool)
+    cols = np.arange(width)
+    la_max = int(al.max()) if n else 0
+    for i in range(la_max):
+        lo = np.maximum(0, i - w)[:, None]
+        hi = np.minimum(bl, i + w + 1)[:, None]
+        cand = ((cols >= lo) & (cols < hi) & ~used_b
+                & (bm == am[:, i][:, None]) & (i < al)[:, None])
+        found = cand.any(axis=1)
+        j = cand.argmax(axis=1)
+        used_b[found, j[found]] = True
+        matched_a[found, i] = True
+    m = matched_a.sum(axis=1).astype(np.int64)
+    # k-th matched char of each side, in position order (scatter by rank)
+    a_seq = np.zeros((n, width), dtype=np.uint32)
+    b_seq = np.zeros((n, width), dtype=np.uint32)
+    ra, ca = np.nonzero(matched_a)
+    a_seq[ra, np.cumsum(matched_a, axis=1)[ra, ca] - 1] = am[ra, ca]
+    rb, cb = np.nonzero(used_b)
+    b_seq[rb, np.cumsum(used_b, axis=1)[rb, cb] - 1] = bm[rb, cb]
+    diff = ((a_seq != b_seq) & (cols < m[:, None])).sum(axis=1)
+    t = diff // 2  # DuckDB/RapidFuzz FLOOR the transposition count
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mf = m.astype(np.float64)
+        jaro = (mf / al + mf / bl + (mf - t) / mf) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+    pfx_eq = np.cumprod((am[:, :4] == bm[:, :4]) &
+                        (cols[:4] < np.minimum(al, bl)[:, None]), axis=1)
+    L = pfx_eq.sum(axis=1).astype(np.float64)
+    jw = np.where(jaro > 0.7, jaro + L * 0.1 * (1.0 - jaro), jaro)
+    return jw

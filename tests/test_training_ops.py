@@ -2012,3 +2012,29 @@ class TestFuzzyPairs:
                 if d <= 4:
                     exp.append((i, j, d))
         assert sorted(zip(got.id_a, got.id_b, got.dist)) == sorted(exp)
+
+
+class TestJaroWinkler:
+    def test_fuzz_vs_duckdb(self):
+        import duckdb
+
+        from pymhealth_ray.stages.fuzzy import jaro_winkler_pairs
+
+        rng = np.random.default_rng(17)
+        alphabet = list("abcdefgh ")
+        pairs = []
+        for _ in range(3000):
+            la, lb = rng.integers(0, 20, 2)
+            pairs.append(("".join(rng.choice(alphabet, la)),
+                          "".join(rng.choice(alphabet, lb))))
+        got = jaro_winkler_pairs([p[0] for p in pairs],
+                                 [p[1] for p in pairs], 20)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES " +
+            ",".join(f"('{a}','{b}',{i})"
+                     for i, (a, b) in enumerate(pairs)) + ") v(a,b,i)")
+        exp = np.array([r[0] for r in con.execute(
+            "SELECT jaro_winkler_similarity(a,b) FROM t ORDER BY i"
+        ).fetchall()])
+        assert np.array_equal(got, exp)  # bit-exact, not allclose
