@@ -1160,6 +1160,7 @@ def build_queries() -> dict:
         "docs_fuzzy_pairs": q_docs_fuzzy_pairs,
         "events_type_transitions": q_events_type_transitions,
         "docs_jw_pairs": q_docs_jw_pairs,
+        "docs_er_clusters": q_docs_er_clusters,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1395,6 +1396,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_fuzzy_pairs": SQL_DOCS_FUZZY_PAIRS,
         "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
         "docs_jw_pairs": SQL_DOCS_JW_PAIRS,
+        "docs_er_clusters": SQL_DOCS_ER_CLUSTERS,
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -10281,4 +10283,43 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        jaro_winkler_similarity(a.s, b.s) AS sim
 FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE jaro_winkler_similarity(a.s, b.s) >= 0.85
+"""
+
+
+def q_docs_er_clusters(sf_dir: str):
+    """End-to-end ENTITY RESOLUTION: 8-char equi-blocking → across-pairs
+    Levenshtein verify (stages/fuzzy.py) → min-label connected components
+    (stages/graph.py) → (doc_id, canonical_id) for every doc in a fuzzy
+    cluster. The string-similarity twin of the MinHash chain
+    (docs_dedup_clusters); SQL oracle closes the same clusters with a
+    recursive transitive-closure CTE."""
+    from pymhealth_ray.stages.fuzzy import fuzzy_pairs
+    from pymhealth_ray.stages.graph import connected_components
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    pairs = fuzzy_pairs(docs, block_prefix=8, sim_prefix=24, max_dist=5,
+                        num_buckets=NB)
+    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["v"], "canonical_id": b["l"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_ER_CLUSTERS = """
+WITH RECURSIVE
+t AS (SELECT doc_id, substr(lower(text), 1, 8) AS bkey,
+             substr(lower(text), 1, 24) AS s FROM documents),
+p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 5),
+edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+FROM reach GROUP BY u
 """
