@@ -1161,6 +1161,7 @@ def build_queries() -> dict:
         "events_type_transitions": q_events_type_transitions,
         "docs_jw_pairs": q_docs_jw_pairs,
         "docs_er_clusters": q_docs_er_clusters,
+        "docs_lsh_calibration": q_docs_lsh_calibration,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1397,6 +1398,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
         "docs_jw_pairs": SQL_DOCS_JW_PAIRS,
         "docs_er_clusters": SQL_DOCS_ER_CLUSTERS,
+        "docs_lsh_calibration": _docs_materialized_oracle(
+            sf_dir_for_fixture, "lsh_calibration_v1",
+            _lsh_calibration_expected),
         "seq_vocab_growth": sql_seq_vocab_growth(path),
         "docs_ledger_ingest": SQL_DOCS_LEDGER_INGEST,
         "seq_concat_examples": sql_seq_concat_examples(path),
@@ -10323,3 +10327,77 @@ reach(u, v) AS (
 SELECT u AS doc_id, least(u, min(v)) AS canonical_id
 FROM reach GROUP BY u
 """
+
+
+def q_docs_lsh_calibration(sf_dir: str):
+    """Estimator CALIBRATION: for every LSH-verified near-dup pair,
+    the signature-estimated Jaccard next to the EXACT Jaccard of the
+    same rolling-hash shingle sets (stages/dedup._shingle_hashes) — the
+    report a curation run reads to pick an LSH threshold. The exact side
+    touches only the verified pairs: endpoint texts come back through
+    the dropset restriction + two co-partitioned equi-joins (never a
+    full corpus pass), and the per-pair set intersection is bounded by
+    the dup-pair count. exact_jaccard = |∩|/|∪| int/int — bit-exact vs
+    the single-process materialized oracle."""
+    from pymhealth_ray.stages.dedup import _shingle_hashes
+    from pymhealth_ray.stages.dropset import filter_by_keys
+    from pymhealth_ray.stages.join import equi_join
+    from pymhealth_ray.stages.setjoin import _endpoint_ids
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5).materialize()
+    docs_r = filter_by_keys(docs, "doc_id", _endpoint_ids(pairs, "doc_id"),
+                            keep=True, num_buckets=NB)
+    j1 = equi_join(
+        pairs.map_batches(lambda b: pa.table(
+            {"doc_id": b["id_a"], "id_b": b["id_b"],
+             "est_jaccard": b["est_jaccard"]}), batch_format="pyarrow"),
+        docs_r, on="doc_id", num_buckets=NB, right_suffix="_a")
+    j1 = j1.map_batches(lambda b: pa.table(
+        {"id_a": b["doc_id"], "doc_id": b["id_b"],
+         "est_jaccard": b["est_jaccard"], "text_a": b["text"]}),
+        batch_format="pyarrow")
+    j2 = equi_join(j1, docs_r, on="doc_id", num_buckets=NB,
+                   right_suffix="_b")
+
+    def calib(b: pa.Table) -> pa.Table:
+        ta = b["text_a"].to_pylist()
+        tb = b["text"].to_pylist()
+        exact = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            ha = _shingle_hashes(x)
+            hb = _shingle_hashes(y)
+            c = len(np.intersect1d(ha, hb, assume_unique=True))
+            exact[i] = c / (len(ha) + len(hb) - c)
+        out = pa.table({
+            "id_a": b["id_a"], "id_b": b["doc_id"],
+            "est_jaccard": b["est_jaccard"],
+            "exact_jaccard": pa.array(exact, type=pa.float64()),
+        })
+        return _round_cols(out, {"est_jaccard": 4})
+
+    return j2.map_batches(calib, batch_format="pyarrow")
+
+
+def _lsh_calibration_expected(df):
+    """Single-process replication: the LSH pair replay + per-pair exact
+    shingle-hash-set Jaccard."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.dedup import _shingle_hashes
+
+    pairs = _minhash_pairs_expected(df)
+    texts = dict(zip(df["doc_id"].astype(int), df["text"]))
+    rows = []
+    for r in pairs.itertuples(index=False):
+        ha = _shingle_hashes(texts[int(r.id_a)])
+        hb = _shingle_hashes(texts[int(r.id_b)])
+        c = len(np.intersect1d(ha, hb, assume_unique=True))
+        rows.append({"id_a": int(r.id_a), "id_b": int(r.id_b),
+                     "est_jaccard": r.est_jaccard,
+                     "exact_jaccard": c / (len(ha) + len(hb) - c)})
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard",
+                                       "exact_jaccard"]).astype(
+        {"id_a": np.int64, "id_b": np.int64,
+         "est_jaccard": np.float64, "exact_jaccard": np.float64})
