@@ -1162,6 +1162,7 @@ def build_queries() -> dict:
         "docs_jw_pairs": q_docs_jw_pairs,
         "docs_er_clusters": q_docs_er_clusters,
         "docs_lsh_calibration": q_docs_lsh_calibration,
+        "events_value_runs": q_events_value_runs,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1398,6 +1399,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
         "docs_jw_pairs": SQL_DOCS_JW_PAIRS,
         "docs_er_clusters": SQL_DOCS_ER_CLUSTERS,
+        "events_value_runs": SQL_EVENTS_VALUE_RUNS,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10401,3 +10403,73 @@ def _lsh_calibration_expected(df):
                                        "exact_jaccard"]).astype(
         {"id_a": np.int64, "id_b": np.int64,
          "est_jaccard": np.float64, "exact_jaccard": np.float64})
+
+
+def q_events_value_runs(sf_dir: str):
+    """Gaps-and-islands: per user, the RUNS of consecutive
+    above-threshold events ((ts, event_id) order) — run count, longest
+    run, and total hot events. One bucket exchange; runs fall out of a
+    boundary mask over the sorted segments, all-integer. SQL oracle is
+    the classic row_number-difference islands trick."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    THR = 50.0
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def runs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_runs": pa.array([], type=pa.int64()),
+                          "longest_run": pa.array([], type=pa.int64()),
+                          "n_hot": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = tbl["value"].to_numpy(zero_copy_only=False) > THR
+        seg_id = np.zeros(len(uid), dtype=np.int64)
+        seg_id[starts[1:-1]] = 1
+        seg_id = np.cumsum(seg_id)
+        # run starts: hot row whose predecessor is cold or another user
+        prev_hot = np.concatenate(([False], hot[:-1]))
+        prev_same = np.concatenate(([False], seg_id[1:] == seg_id[:-1]))
+        run_start = hot & ~(prev_hot & prev_same)
+        if not hot.any():
+            return empty
+        run_id = np.cumsum(run_start) - 1  # valid only on hot rows
+        run_len = np.bincount(run_id[hot])
+        run_user = uid[run_start]
+        order = np.argsort(run_user, kind="stable")
+        ru, rl = run_user[order], run_len[order]
+        ustarts = np.concatenate(
+            ([0], np.flatnonzero(ru[1:] != ru[:-1]) + 1, [len(ru)]))
+        n_runs = np.diff(ustarts)
+        longest = np.maximum.reduceat(rl, ustarts[:-1])
+        n_hot = np.add.reduceat(rl, ustarts[:-1])
+        return pa.table({
+            "user_id": pa.array(ru[ustarts[:-1]]),
+            "n_runs": pa.array(n_runs.astype(np.int64)),
+            "longest_run": pa.array(longest.astype(np.int64)),
+            "n_hot": pa.array(n_hot.astype(np.int64)),
+        })
+
+    return grouped_by_bucket(ev, runs_of_bucket, entity_col="user_id",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_VALUE_RUNS = """
+WITH e AS (SELECT user_id, value > 50.0 AS hot,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+h AS (SELECT user_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS grp
+      FROM e WHERE hot),
+r AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      FROM h GROUP BY user_id, grp)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS longest_run,
+       CAST(sum(len) AS BIGINT) AS n_hot
+FROM r GROUP BY user_id
+"""
