@@ -1163,6 +1163,7 @@ def build_queries() -> dict:
         "docs_er_clusters": q_docs_er_clusters,
         "docs_lsh_calibration": q_docs_lsh_calibration,
         "events_value_runs": q_events_value_runs,
+        "events_zorder_box": q_events_zorder_box,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1400,6 +1401,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_jw_pairs": SQL_DOCS_JW_PAIRS,
         "docs_er_clusters": SQL_DOCS_ER_CLUSTERS,
         "events_value_runs": SQL_EVENTS_VALUE_RUNS,
+        "events_zorder_box": SQL_EVENTS_ZORDER_BOX,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10472,4 +10474,69 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
        CAST(max(len) AS BIGINT) AS longest_run,
        CAST(sum(len) AS BIGINT) AS n_hot
 FROM r GROUP BY user_id
+"""
+
+
+def q_events_zorder_box(sf_dir: str):
+    """TWO-column data skipping: events written Z-ORDERED on
+    (ts_us, user_id) (sources/io.write_zordered — Morton-interleaved key,
+    per-file bounding box in BOTH columns), then a mid-50% time × mid-50%
+    user BOX aggregate reads only the overlapping files
+    (io.read_zordered). A single-column sort cannot skip on the second
+    predicate; the Morton layout prunes on both at once (pruning itself
+    is pytest-asserted; the driver gates the end-to-end box aggregate)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pymhealth_ray.sources.io import read_zordered, write_zordered
+
+    zdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_fixtures",
+                        f"zorder_{os.path.basename(sf_dir)}_v1")
+    if not os.path.exists(os.path.join(zdir, "_zordermap.json")):
+        shutil.rmtree(zdir, ignore_errors=True)
+        ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                              "value"])
+        write_zordered(ds, zdir, "ts_us", "user_id", num_files=32)
+
+    with open(os.path.join(zdir, "_zordermap.json")) as f:
+        man = _json.load(f)
+    t_mn = min(m["x_min"] for m in man)
+    t_mx = max(m["x_max"] for m in man)
+    u_mn = min(m["y_min"] for m in man)
+    u_mx = max(m["y_max"] for m in man)
+    t_lo = t_mn + ((t_mx - t_mn) * 25) // 100
+    t_hi = t_mn + ((t_mx - t_mn) * 75) // 100
+    u_lo = u_mn + ((u_mx - u_mn) * 25) // 100
+    u_hi = u_mn + ((u_mx - u_mn) * 75) // 100
+    pruned, _, _ = read_zordered(zdir, "ts_us", "user_id",
+                                 t_lo, t_hi, u_lo, u_hi,
+                                 columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return _cents(b, "value", "val_c").select(["event_type", "val_c"])
+
+    agg = grouped_stats(pruned.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type"], sum_cols=["val_c"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].cast(pa.int64()),
+            "value_cents": b["val_c_sum"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_ZORDER_BOX = """
+WITH e AS (SELECT event_type, value, user_id, epoch_us(ts) AS ts_us
+           FROM events),
+b AS (SELECT min(ts_us) AS tmn, max(ts_us) AS tmx,
+             min(user_id) AS umn, max(user_id) AS umx FROM e)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM e, b
+WHERE ts_us >= tmn + ((tmx - tmn) * 25) // 100
+  AND ts_us <= tmn + ((tmx - tmn) * 75) // 100
+  AND user_id >= umn + ((umx - umn) * 25) // 100
+  AND user_id <= umn + ((umx - umn) * 75) // 100
+GROUP BY event_type
 """

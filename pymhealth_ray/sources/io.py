@@ -326,3 +326,147 @@ def read_table_evolved(paths, target_schema: "pa.Schema", blocks: int | None = N
         return pa.table(cols)
 
     return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def _spread16(v):
+    """Spread the low 16 bits of each uint32 to even bit positions."""
+    import numpy as np
+
+    v = v.astype(np.uint32)
+    v = (v | (v << np.uint32(8))) & np.uint32(0x00FF00FF)
+    v = (v | (v << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    v = (v | (v << np.uint32(2))) & np.uint32(0x33333333)
+    v = (v | (v << np.uint32(1))) & np.uint32(0x55555555)
+    return v
+
+
+def zorder_key(x, y, x_lo, x_hi, y_lo, y_hi):
+    """32-bit Morton code of two int columns normalized to a 16-bit grid
+    each — nearby (x, y) points land in nearby keys, so range-bucketing
+    the key gives every file a TIGHT bounding box in BOTH dimensions."""
+    import numpy as np
+
+    def grid(v, lo, hi):
+        span = (hi - lo) if hi > lo else 1
+        g = ((v.astype(np.float64) - lo) / span * 65535.0)
+        return np.clip(g, 0, 65535).astype(np.uint32)
+
+    with np.errstate(over="ignore"):
+        return (_spread16(grid(x, x_lo, x_hi)) |
+                (_spread16(grid(y, y_lo, y_hi)) << np.uint32(1))).astype(
+            np.int64)
+
+
+def write_zordered(ds, out_dir: str, col_x: str, col_y: str,
+                   num_files: int = 64):
+    """Z-ORDER (Morton-interleaved) parquet sink: the 2-D generalization
+    of ``write_zonemapped`` — rows are bucketed on the interleaved-bit
+    key of (col_x, col_y), each file is written sorted by the key, and
+    ``_zordermap.json`` records every file's bounding box in BOTH
+    columns. A 2-D box predicate on the read side opens only the files
+    whose box overlaps — data skipping on two columns at once, which a
+    single-column sort cannot give (sorting by x makes y's per-file
+    ranges span the whole domain). Atomic per-file writes; manifest
+    written last."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    os.makedirs(out_dir, exist_ok=True)
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(ds.map_batches(
+        lambda b: pa.table({
+            "one": pa.nulls(b.num_rows, pa.int8()).fill_null(0),
+            col_x: b[col_x], col_y: b[col_y]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=[col_x, col_y], max_cols=[col_x, col_y]).take_all()
+    man_path = os.path.join(out_dir, "_zordermap.json")
+    if not stats:
+        with open(man_path + ".tmp", "w") as f:
+            _json.dump([], f)
+        os.replace(man_path + ".tmp", man_path)
+        return []
+    x_lo, x_hi = int(stats[0][f"{col_x}_min"]), int(stats[0][f"{col_x}_max"])
+    y_lo, y_hi = int(stats[0][f"{col_y}_min"]), int(stats[0][f"{col_y}_max"])
+    # the grid stretches min→0, max→65535, so keys span ~the full 32-bit
+    # domain: equi-width bucketing over it is the 1-D writer's compromise
+    width = max((1 << 32) // num_files, 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        x = batch[col_x].to_numpy(zero_copy_only=False)
+        y = batch[col_y].to_numpy(zero_copy_only=False)
+        z = zorder_key(x, y, x_lo, x_hi, y_lo, y_hi)
+        batch = batch.append_column("__zkey", pa.array(z, type=pa.int64()))
+        return batch.append_column(
+            "__zfile", pa.array(np.minimum(z // width, num_files - 1)
+                                .astype(np.int32)))
+
+    def write_group(tbl: pa.Table) -> pa.Table:
+        fid = int(tbl["__zfile"][0].as_py())
+        tbl = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("__zkey", "ascending")]))
+        tbl = tbl.drop_columns(["__zfile", "__zkey"])
+        name = f"part-{fid:05d}.parquet"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        pq_mod.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({
+            "file": pa.array([name]),
+            "x_min": pa.array([pc.min(tbl[col_x]).as_py()], type=pa.int64()),
+            "x_max": pa.array([pc.max(tbl[col_x]).as_py()], type=pa.int64()),
+            "y_min": pa.array([pc.min(tbl[col_y]).as_py()], type=pa.int64()),
+            "y_max": pa.array([pc.max(tbl[col_y]).as_py()], type=pa.int64()),
+            "rows": pa.array([tbl.num_rows], type=pa.int64()),
+        })
+
+    entries = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "__zfile").map_groups(write_group, batch_format="pyarrow").take_all()
+    entries = sorted(entries, key=lambda e: e["file"])
+    with open(man_path + ".tmp", "w") as f:
+        _json.dump(entries, f)
+    os.replace(man_path + ".tmp", man_path)
+    return entries
+
+
+def read_zordered(out_dir: str, col_x: str, col_y: str,
+                  x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+                  columns=None):
+    """Read only the z-ordered files whose bounding box overlaps the
+    2-D box [x_lo, x_hi] × [y_lo, y_hi] (inclusive), then apply the
+    residual row filter. Returns (dataset, files_read, files_total)."""
+    import json as _json
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    with open(os.path.join(out_dir, "_zordermap.json")) as f:
+        man = _json.load(f)
+    hits = [m for m in man
+            if m["x_max"] >= x_lo and m["x_min"] <= x_hi
+            and m["y_max"] >= y_lo and m["y_min"] <= y_hi]
+    if not hits:
+        schema_cols = columns or [col_x, col_y]
+        return (ray.data.from_arrow(pa.table(
+            {c: pa.array([], type=pa.int64()) for c in schema_cols})),
+            0, len(man))
+    paths = [os.path.join(out_dir, m["file"]) for m in hits]
+    need = columns if columns is None else sorted(
+        set(columns) | {col_x, col_y})
+    ds = ray.data.read_parquet(paths, columns=need,
+                               override_num_blocks=max(len(paths), 8))
+
+    def box(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b[col_x], x_lo),
+                    pc.less_equal(b[col_x], x_hi)),
+            pc.and_(pc.greater_equal(b[col_y], y_lo),
+                    pc.less_equal(b[col_y], y_hi)))
+        out = b.filter(keep)
+        return out.select(columns) if columns is not None else out
+
+    return ds.map_batches(box, batch_format="pyarrow"), len(hits), len(man)

@@ -2038,3 +2038,43 @@ class TestJaroWinkler:
             "SELECT jaro_winkler_similarity(a,b) FROM t ORDER BY i"
         ).fetchall()])
         assert np.array_equal(got, exp)  # bit-exact, not allclose
+
+
+class TestZOrder:
+    def test_box_prunes_and_matches(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zordered, write_zordered
+
+        rng = np.random.default_rng(23)
+        n = 20000
+        x = rng.integers(0, 10_000, n).astype(np.int64)
+        y = rng.integers(0, 10_000, n).astype(np.int64)
+        v = rng.integers(0, 100, n).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"x": x, "y": y, "v": v})
+                                 ).repartition(6)
+        write_zordered(ds, str(tmp_path), "x", "y", num_files=64)
+        got, files_read, files_total = read_zordered(
+            str(tmp_path), "x", "y", 2000, 3000, 7000, 8000,
+            columns=["x", "y", "v"])
+        pdf = got.to_pandas().sort_values(["x", "y", "v"]).reset_index(
+            drop=True)
+        mask = (x >= 2000) & (x <= 3000) & (y >= 7000) & (y <= 8000)
+        exp = (pa.table({"x": x[mask], "y": y[mask], "v": v[mask]})
+               .to_pandas().sort_values(["x", "y", "v"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(pdf, exp)
+        # the point of the Morton layout: a ~1% box opens FEW files; a
+        # single-column sort would still open ~all of them on the second
+        # predicate
+        assert files_total >= 32
+        assert files_read <= files_total // 4
+
+    def test_empty_input_and_miss(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zordered, write_zordered
+
+        ds = ray.data.from_arrow(pa.table({
+            "x": pa.array([], type=pa.int64()),
+            "y": pa.array([], type=pa.int64())}))
+        assert write_zordered(ds, str(tmp_path), "x", "y") == []
+        got, nread, ntot = read_zordered(str(tmp_path), "x", "y",
+                                         0, 10, 0, 10, columns=["x", "y"])
+        assert got.count() == 0 and nread == 0 and ntot == 0
