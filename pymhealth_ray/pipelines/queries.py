@@ -1164,6 +1164,7 @@ def build_queries() -> dict:
         "docs_lsh_calibration": q_docs_lsh_calibration,
         "events_value_runs": q_events_value_runs,
         "events_zorder_box": q_events_zorder_box,
+        "events_incremental_daily": q_events_incremental_daily,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1402,6 +1403,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_er_clusters": SQL_DOCS_ER_CLUSTERS,
         "events_value_runs": SQL_EVENTS_VALUE_RUNS,
         "events_zorder_box": SQL_EVENTS_ZORDER_BOX,
+        "events_incremental_daily": SQL_EVENTS_INCREMENTAL_DAILY,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10539,4 +10541,59 @@ WHERE ts_us >= tmn + ((tmx - tmn) * 25) // 100
   AND user_id >= umn + ((umx - umn) * 25) // 100
   AND user_id <= umn + ((umx - umn) * 75) // 100
 GROUP BY event_type
+"""
+
+
+def q_events_incremental_daily(sf_dir: str):
+    """Incremental MATERIALIZED-VIEW maintenance (state/aggstate.py):
+    the per-(day, event_type) count+cents rollup is built by folding two
+    ingest deltas (event_id parity split) into persisted hash-bucketed
+    state — map-side partials, ONE exchange ∝ distinct groups, each
+    bucket merges + atomically rewrites only its own file; re-applying a
+    tag is a per-bucket no-op (the first delta is applied twice here on
+    purpose). Oracle: one full GROUP BY over everything — incremental
+    state must equal the full recompute exactly."""
+    import tempfile
+
+    from pymhealth_ray.state.aggstate import (apply_group_sum_delta,
+                                              read_group_sum_state)
+
+    sdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_fixtures",
+                        f"aggstate_{os.path.basename(sf_dir)}_v1")
+
+    def delta(par: int):
+        ev = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(
+                pc.bit_wise_and(b["event_id"], 1), par))
+            b = _cents(b, "value", "val_c")
+            day = pc.divide(b["ts_us"], 86_400_000_000)
+            return pa.table({"day": day.cast(pa.int64()),
+                             "event_type": b["event_type"],
+                             "val_c": b["val_c"]})
+
+        return ev.map_batches(prep, batch_format="pyarrow")
+
+    apply_group_sum_delta(delta(0), sdir, ["day", "event_type"],
+                          ["val_c"], tag="d0", num_buckets=NB)
+    apply_group_sum_delta(delta(1), sdir, ["day", "event_type"],
+                          ["val_c"], tag="d1", num_buckets=NB)
+    # retried ingest: must be a no-op, not a double count
+    apply_group_sum_delta(delta(0), sdir, ["day", "event_type"],
+                          ["val_c"], tag="d0", num_buckets=NB)
+
+    st = read_group_sum_state(sdir)
+    return st.map_batches(
+        lambda b: pa.table({"day": b["day"], "event_type": b["event_type"],
+                            "n": b["n"], "value_cents": b["val_c_sum"]}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_INCREMENTAL_DAILY = """
+SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1, 2
 """

@@ -2078,3 +2078,42 @@ class TestZOrder:
         got, nread, ntot = read_zordered(str(tmp_path), "x", "y",
                                          0, 10, 0, 10, columns=["x", "y"])
         assert got.count() == 0 and nread == 0 and ntot == 0
+
+
+class TestAggState:
+    def test_incremental_equals_full_and_idempotent(self, ray_session,
+                                                    tmp_path):
+        from pymhealth_ray.state.aggstate import (apply_group_sum_delta,
+                                                  read_group_sum_state)
+
+        rng = np.random.default_rng(29)
+        n = 3000
+        g = rng.integers(0, 40, n).astype(np.int64)
+        t = np.array([f"t{v}" for v in rng.integers(0, 3, n)])
+        v = rng.integers(0, 1000, n).astype(np.int64)
+
+        def ds_of(mask):
+            return ray.data.from_arrow(pa.table(
+                {"g": g[mask], "t": t[mask], "v": v[mask]})).repartition(4)
+
+        sdir = str(tmp_path / "state")
+        third = np.arange(n) % 3
+        for tag in ("a", "b", "c"):
+            apply_group_sum_delta(ds_of(third == ord(tag) - ord("a")),
+                                  sdir, ["g", "t"], ["v"], tag=tag,
+                                  num_buckets=8)
+        # replay every delta (retried ingest) — must change nothing
+        for tag in ("b", "a", "c"):
+            apply_group_sum_delta(ds_of(third == ord(tag) - ord("a")),
+                                  sdir, ["g", "t"], ["v"], tag=tag,
+                                  num_buckets=8)
+        got = read_group_sum_state(sdir).to_pandas().sort_values(
+            ["g", "t"]).reset_index(drop=True)
+        exp = (pa.table({"g": g, "t": t, "v": v}).to_pandas()
+               .groupby(["g", "t"], as_index=False)
+               .agg(n=("v", "size"), v_sum=("v", "sum")))
+        exp = exp.sort_values(["g", "t"]).reset_index(drop=True)
+        assert got["g"].tolist() == exp["g"].tolist()
+        assert got["t"].tolist() == exp["t"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        assert got["v_sum"].tolist() == exp["v_sum"].tolist()
