@@ -1165,6 +1165,7 @@ def build_queries() -> dict:
         "events_value_runs": q_events_value_runs,
         "events_zorder_box": q_events_zorder_box,
         "events_incremental_daily": q_events_incremental_daily,
+        "events_session_enriched": q_events_session_enriched,
         "seq_vocab_growth": q_seq_vocab_growth,
         "docs_ledger_ingest": q_docs_ledger_ingest,
         "seq_concat_examples": q_seq_concat_examples,
@@ -1404,6 +1405,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_value_runs": SQL_EVENTS_VALUE_RUNS,
         "events_zorder_box": SQL_EVENTS_ZORDER_BOX,
         "events_incremental_daily": SQL_EVENTS_INCREMENTAL_DAILY,
+        "events_session_enriched": SQL_EVENTS_SESSION_ENRICHED,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10596,4 +10598,71 @@ SELECT epoch_us(ts) // 86400000000 AS day, event_type,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_session_enriched(sf_dir: str):
+    """SESSION-WINDOW JOIN without a join: every event annotated with
+    its own session's size, span, and position in it. The session
+    assignment and the summary attach happen in the SAME bucket pass
+    (a session lives entirely inside its user's bucket), so enrichment
+    costs zero exchanges beyond the one the sessionizer already pays —
+    the window-join shape SQL expresses as two window functions."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+    from pymhealth_ray.stages.session import _session_ids
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def enrich(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "session_id": pa.array([], type=pa.int64()),
+                             "session_n": pa.array([], type=pa.int64()),
+                             "session_span_us": pa.array([], type=pa.int64()),
+                             "pos_in_session": pa.array([], type=pa.int64())})
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        sid = _session_ids(ts.astype(np.int64), starts, GAP_US)
+        # session boundaries: new user segment OR session id change
+        new = np.zeros(len(sid), dtype=bool)
+        new[0] = True
+        new[starts[1:-1]] = True
+        new[1:] |= sid[1:] != sid[:-1]
+        sstart = np.flatnonzero(new)
+        send = np.concatenate([sstart[1:], [len(sid)]])
+        n = (send - sstart).astype(np.int64)
+        span = ts[send - 1] - ts[sstart]
+        srun = np.cumsum(new) - 1
+        pos = np.arange(len(sid)) - sstart[srun]
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "session_id": pa.array(sid, type=pa.int64()),
+            "session_n": pa.array(n[srun]),
+            "session_span_us": pa.array(span[srun].astype(np.int64)),
+            "pos_in_session": pa.array(pos.astype(np.int64)),
+        })
+
+    return grouped_by_bucket(ev, enrich, entity_col="user_id",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_SESSION_ENRICHED = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+s AS (SELECT event_id, user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > {GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s2 AS (SELECT event_id, user_id, ts_us,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       FROM s)
+SELECT event_id, user_id, session_id,
+       CAST(count(*) OVER w AS BIGINT) AS session_n,
+       max(ts_us) OVER w - min(ts_us) OVER w AS session_span_us,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts_us, event_id) - 1 AS BIGINT)
+         AS pos_in_session
+FROM s2 WINDOW w AS (PARTITION BY user_id, session_id)
 """
