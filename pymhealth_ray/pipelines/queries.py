@@ -1187,6 +1187,7 @@ def build_queries() -> dict:
         "docs_video_frames": q_docs_video_frames,
         "seq_prep_pipeline": q_seq_prep_pipeline,
         "events_value_rank": q_events_value_rank,
+        "events_concurrency": q_events_concurrency,
     }
 
 
@@ -1406,6 +1407,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_zorder_box": SQL_EVENTS_ZORDER_BOX,
         "events_incremental_daily": SQL_EVENTS_INCREMENTAL_DAILY,
         "events_session_enriched": SQL_EVENTS_SESSION_ENRICHED,
+        "events_concurrency": SQL_EVENTS_CONCURRENCY,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10665,4 +10667,65 @@ SELECT event_id, user_id, session_id,
                                ORDER BY ts_us, event_id) - 1 AS BIGINT)
          AS pos_in_session
 FROM s2 WINDOW w AS (PARTITION BY user_id, session_id)
+"""
+
+
+def q_events_concurrency(sf_dir: str):
+    """GLOBAL sweep line: per-day PEAK number of concurrently-open user
+    sessions. Sessions are built in their user's bucket (one exchange),
+    collapse to (start, end) intervals, and the cross-entity question —
+    how many are open at once — runs as interval→±1 deltas through the
+    distributed ordered prefix sum (stages/sweep.py). No per-row window
+    join, no driver loop; all int64."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+    from pymhealth_ray.stages.session import _session_ids
+    from pymhealth_ray.stages.sweep import peak_concurrency
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def to_intervals(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"s": pa.array([], type=pa.int64()),
+                             "e": pa.array([], type=pa.int64())})
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sid = _session_ids(ts, starts, GAP_US)
+        new = np.zeros(len(sid), dtype=bool)
+        new[0] = True
+        new[starts[1:-1]] = True
+        new[1:] |= sid[1:] != sid[:-1]
+        sstart = np.flatnonzero(new)
+        send = np.concatenate([sstart[1:], [len(sid)]])
+        return pa.table({"s": pa.array(ts[sstart]),
+                         "e": pa.array(ts[send - 1])})
+
+    iv = grouped_by_bucket(ev, to_intervals, entity_col="user_id",
+                           num_buckets=NB)
+    out = peak_concurrency(iv, "s", "e")
+    return out.map_batches(
+        lambda b: pa.table({"day": b["period"],
+                            "peak_sessions": b["peak"]}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_CONCURRENCY = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+s AS (SELECT user_id, ts_us, event_id,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > {GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s2 AS (SELECT user_id, ts_us,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       FROM s),
+iv AS (SELECT user_id, sid, min(ts_us) AS s, max(ts_us) AS e
+       FROM s2 GROUP BY user_id, sid),
+d AS (SELECT s AS t, s * 2 + 1 AS key, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT e + 1 AS t, (e + 1) * 2 AS key, CAST(-1 AS BIGINT) AS d FROM iv),
+c AS (SELECT t, CAST(sum(d) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d)
+SELECT t // 86400000000 AS day, CAST(max(cum) AS BIGINT) AS peak_sessions
+FROM c GROUP BY 1
 """
