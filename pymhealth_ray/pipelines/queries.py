@@ -1188,6 +1188,7 @@ def build_queries() -> dict:
         "seq_prep_pipeline": q_seq_prep_pipeline,
         "events_value_rank": q_events_value_rank,
         "events_concurrency": q_events_concurrency,
+        "events_snapshot_diff": q_events_snapshot_diff,
     }
 
 
@@ -1408,6 +1409,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_incremental_daily": SQL_EVENTS_INCREMENTAL_DAILY,
         "events_session_enriched": SQL_EVENTS_SESSION_ENRICHED,
         "events_concurrency": SQL_EVENTS_CONCURRENCY,
+        "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10728,4 +10730,86 @@ c AS (SELECT t, CAST(sum(d) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGI
       FROM d)
 SELECT t // 86400000000 AS day, CAST(max(cum) AS BIGINT) AS peak_sessions
 FROM c GROUP BY 1
+"""
+
+
+def q_events_snapshot_diff(sf_dir: str):
+    """CDC snapshot DIFF: the first- and second-half-of-time latest
+    value per user (latest_by_key, the log-compaction MERGE) are
+    reconciled with ONE co-partitioned FULL OUTER join and classified
+    added / removed / changed / same — the change-audit shape between
+    two warehouse snapshots. The midpoint comes from the data (global
+    min/max, O(1) driver state); values compare in integer cents."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.dedup import latest_by_key
+    from pymhealth_ray.stages.join import equi_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+    st = grouped_stats(ev.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)), "ts_us": b["ts_us"]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=["ts_us"], max_cols=["ts_us"]).take_all()
+    tmn, tmx = int(st[0]["ts_us_min"]), int(st[0]["ts_us_max"])
+    tmid = tmn + (tmx - tmn) // 2
+
+    def half(keep_first: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.less_equal(b["ts_us"], tmid) if keep_first \
+                else pc.greater(b["ts_us"], tmid)
+            return b.filter(m)
+        name = "val_a" if keep_first else "val_b"
+        latest = latest_by_key(ev.map_batches(f, batch_format="pyarrow"),
+                               ["user_id"], ["ts_us", "event_id"],
+                               num_buckets=NB)
+        return latest.map_batches(
+            lambda b: pa.table({"user_id": b["user_id"], name: b["val_c"]}),
+            batch_format="pyarrow")
+
+    joined = equi_join(half(True), half(False), on="user_id",
+                       join_type="full outer", num_buckets=NB)
+
+    def classify(b: pa.Table) -> pa.Table:
+        a, v = b["val_a"], b["val_b"]
+        a_null = pc.is_null(a)
+        b_null = pc.is_null(v)
+        status = pc.if_else(
+            b_null, pa.scalar("removed"),
+            pc.if_else(a_null, pa.scalar("added"),
+                       pc.if_else(pc.equal(a, v), pa.scalar("same"),
+                                  pa.scalar("changed"))))
+        return pa.table({"user_id": b["user_id"], "status": status,
+                         "val_a_c": a.cast(pa.int64()),
+                         "val_b_c": v.cast(pa.int64())})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_EVENTS_SNAPSHOT_DIFF = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS val_c FROM events),
+b0 AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS tmid FROM e),
+a AS (SELECT user_id, val_c FROM (
+        SELECT user_id, val_c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM e, b0 WHERE ts_us <= tmid) WHERE rn = 1),
+b AS (SELECT user_id, val_c FROM (
+        SELECT user_id, val_c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM e, b0 WHERE ts_us > tmid) WHERE rn = 1)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.user_id IS NULL THEN 'added'
+            WHEN a.val_c = b.val_c THEN 'same'
+            ELSE 'changed' END AS status,
+       a.val_c AS val_a_c, b.val_c AS val_b_c
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 """
