@@ -1189,6 +1189,7 @@ def build_queries() -> dict:
         "events_value_rank": q_events_value_rank,
         "events_concurrency": q_events_concurrency,
         "events_snapshot_diff": q_events_snapshot_diff,
+        "part_skyline": q_part_skyline,
     }
 
 
@@ -1410,6 +1411,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_session_enriched": SQL_EVENTS_SESSION_ENRICHED,
         "events_concurrency": SQL_EVENTS_CONCURRENCY,
         "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
+        "part_skyline": SQL_PART_SKYLINE,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10812,4 +10814,39 @@ SELECT COALESCE(a.user_id, b.user_id) AS user_id,
             ELSE 'changed' END AS status,
        a.val_c AS val_a_c, b.val_c AS val_b_c
 FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+def q_part_skyline(sf_dir: str):
+    """Pareto FRONT of the part catalog: cheapest price for the size you
+    get (minimize retail cents, maximize size). Skylines merge without an
+    exchange — local front per block, union, one coalesced re-pass
+    (stages/skyline.py) — so the operator is map-only at any scale.
+    Ties on both dimensions all survive, matching NOT EXISTS dominance."""
+    from pymhealth_ray.stages.skyline import skyline_2d
+
+    part = read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "p_retailprice", "price_c")
+        return pa.table({"p_partkey": b["p_partkey"],
+                         "price_c": b["price_c"],
+                         "p_size": b["p_size"].cast(pa.int64())})
+
+    front = skyline_2d(part.map_batches(prep, batch_format="pyarrow"),
+                       "price_c", "p_size")
+    return front
+
+
+SQL_PART_SKYLINE = """
+WITH p AS (SELECT p_partkey,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                  CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+SELECT p_partkey, price_c, p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
 """
