@@ -1190,6 +1190,7 @@ def build_queries() -> dict:
         "events_concurrency": q_events_concurrency,
         "events_snapshot_diff": q_events_snapshot_diff,
         "part_skyline": q_part_skyline,
+        "item_triangles": q_item_triangles,
     }
 
 
@@ -1412,6 +1413,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_concurrency": SQL_EVENTS_CONCURRENCY,
         "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
         "part_skyline": SQL_PART_SKYLINE,
+        "item_triangles": SQL_ITEM_TRIANGLES,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10849,4 +10851,49 @@ WHERE NOT EXISTS (
   SELECT 1 FROM p b
   WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
     AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+"""
+
+
+def q_item_triangles(sf_dir: str):
+    """TRIANGLE COUNTING on the item co-purchase graph: parts are nodes,
+    orders containing both parts are edges, and each part reports how
+    many triangles it sits in. Edges dedupe through a packed-key
+    keyed_sum; edges orient by (degree, id) rank — the O(√m) out-degree
+    bound that keeps the wedge fan-out polynomial at web scale; wedges
+    close via the exact dual-plan semi-join (stages/triangles.py)."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.triangles import (cooccurrence_edges,
+                                                triangle_node_counts)
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    st = grouped_stats(li.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "l_partkey": b["l_partkey"]}),
+        batch_format="pyarrow"), ["one"],
+        max_cols=["l_partkey"]).take_all()
+    mx = int(st[0]["l_partkey_max"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_item=mx,
+                               num_buckets=NB)
+    tri = triangle_node_counts(edges, max_node=mx, num_buckets=NB)
+    return tri.map_batches(
+        lambda b: pa.table({"p_partkey": b["node"],
+                            "n_triangles": b["n_triangles"]}),
+        batch_format="pyarrow")
+
+
+SQL_ITEM_TRIANGLES = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+n AS (SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node
 """

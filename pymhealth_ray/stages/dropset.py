@@ -48,8 +48,12 @@ SIDE_COL = "__ks_side"
 
 def _collect_keys(keys_ds, col: str) -> pa.Array:
     """Driver-side collect of the key column (BROADCAST path only)."""
-    tabs = _resolved_tables(
-        keys_ds.map_batches(lambda b: b.select([col]), batch_format="pyarrow"))
+    def sel(b: pa.Table) -> pa.Table:
+        if col not in b.column_names:  # zero-column empty block
+            return pa.table({col: pa.array([], type=pa.int64())})
+        return b.select([col])
+
+    tabs = _resolved_tables(keys_ds.map_batches(sel, batch_format="pyarrow"))
     parts = [t[col].combine_chunks() for t in tabs if t.num_rows]
     if not parts:
         return pa.array([], type=pa.int64())
@@ -187,7 +191,10 @@ def lookup_with_default(ds, key_col: str, map_ds, map_key: str,
         return batch.append_column(out_col, filled)
 
     if n_keys <= broadcast_threshold:
-        mt = pa.concat_tables(_resolved_tables(map_ds)) if n_keys else \
+        # skip zero-row blocks: empty map_groups outputs can carry a
+        # zero-COLUMN schema that poisons concat_tables
+        tabs = [t for t in _resolved_tables(map_ds) if t.num_rows]
+        mt = pa.concat_tables(tabs) if tabs else \
             pa.table({map_key: pa.array([], type=pa.int64()),
                       map_val: pa.array([], type=out_type)})
         mt = mt.select([map_key, map_val]).combine_chunks()

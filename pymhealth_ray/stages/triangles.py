@@ -1,0 +1,191 @@
+"""Distributed triangle counting over a co-occurrence graph.
+
+The classic graph-analytics benchmark, built Ray-Data-first from the
+repo's own primitives:
+
+  1. EDGES — distinct unordered item pairs per group (basket, session,
+     doc) explode vectorized inside the group's bucket and dedupe through
+     ``keyed_sum`` on a packed int64 pair key (singleton-heavy domain ⇒
+     ``precombine_rows=None``, the round-3 lesson).
+  2. ORIENT — every edge points from its lower (degree, id)-ranked
+     endpoint to the higher one. Degree ordering is THE scale lever: it
+     bounds every out-degree by O(√m), so the wedge stage below emits
+     O(m^1.5) rows worst case instead of Σ deg² (a hub node with degree
+     10⁶ would otherwise explode 10¹² wedges).
+  3. WEDGES — per source node (one bucket exchange), all out-neighbor
+     pairs, again via the vectorized segment-pair expansion.
+  4. CLOSE — a wedge (u, v) centered at a is a triangle iff edge (u, v)
+     exists: exact semi-join of wedge keys against the edge key set via
+     ``dropset.filter_by_keys`` (broadcast under threshold, bloom-
+     prefiltered co-partitioned exchange above — never approximate).
+
+Each triangle is found exactly once (the unique node with out-edges to
+the other two under a total-order orientation), so per-node counts are
+exact under any partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pymhealth_ray.stages.partition import grouped_by_bucket
+
+
+def segment_pairs(lens: np.ndarray):
+    """All within-segment index pairs (i < j), fully vectorized: for
+    segments of lengths ``lens`` laid out consecutively, return global
+    (first, second) index arrays covering every unordered pair."""
+    lens = lens.astype(np.int64)
+    if not len(lens):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    n = int(lens.sum())
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    cnt = np.repeat(lens, lens) - 1 - pos  # partners to the right
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    first = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    csum = np.concatenate(([0], np.cumsum(cnt)))
+    within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], cnt)
+    return first, first + 1 + within
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str, max_item: int,
+                       num_buckets: int = 32):
+    """Distinct undirected edges (a < b, int64 item ids) from group/item
+    memberships, with ``w`` = number of distinct groups containing both.
+    Columns: ``pkey`` (a·K + b, K = max_item+1), ``a``, ``b``, ``w``."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    K = int(max_item) + 1
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"pkey": pa.array([], type=pa.int64()),
+                          "one": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        grp = tbl[group_col].combine_chunks() \
+            if isinstance(tbl[group_col], pa.ChunkedArray) else tbl[group_col]
+        itm = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = grp.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(g * K + itm)  # distinct (group, item), item asc
+        ug, ui = uniq // K, uniq % K
+        seg = np.concatenate(
+            ([0], np.flatnonzero(ug[1:] != ug[:-1]) + 1, [len(ug)]))
+        fi, se = segment_pairs(np.diff(seg))
+        if not len(fi):
+            return empty
+        pkey = ui[fi] * K + ui[se]  # a < b within each group
+        return pa.table({"pkey": pa.array(pkey),
+                         "one": pa.array(np.ones(len(pkey),
+                                                 dtype=np.int64))})
+
+    pairs = grouped_by_bucket(ds, pairs_of_bucket, entity_col=group_col,
+                              num_buckets=num_buckets)
+    agg = keyed_sum(pairs, "pkey", ["one"], num_buckets=num_buckets,
+                    precombine_rows=None)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["pkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"pkey": b["pkey"],
+                         "a": pa.array(pk // K), "b": pa.array(pk % K),
+                         "w": b["one"].cast(pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def triangle_node_counts(edges, max_node: int, num_buckets: int = 32,
+                         broadcast_threshold: int = 4_000_000):
+    """Per-node triangle participation counts from a distinct-edge
+    Dataset with int64 columns ``a`` < ``b``. Returns (node,
+    n_triangles); nodes in no triangle are absent."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.dropset import filter_by_keys, lookup_with_default
+
+    K = int(max_node) + 1
+    edges = edges.materialize()  # consumed 4x below (degrees/orient/keys)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, bb])),
+                         "one": pa.array(np.ones(2 * len(a),
+                                                 dtype=np.int64))})
+
+    deg = keyed_sum(edges.map_batches(endpoints, batch_format="pyarrow"),
+                    "node", ["one"], num_buckets=num_buckets,
+                    precombine_rows=None)
+    # total-order rank: (degree, id) packed — unique because id is unique
+    ranks = deg.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "rank": pc.add(pc.multiply(
+                                b["one"].cast(pa.int64()), K),
+                                b["node"]).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    er = lookup_with_default(edges, "a", ranks, "node", "rank", "rank_a",
+                             broadcast_threshold=broadcast_threshold,
+                             num_buckets=num_buckets)
+    er = lookup_with_default(er, "b", ranks, "node", "rank", "rank_b",
+                             broadcast_threshold=broadcast_threshold,
+                             num_buckets=num_buckets)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        fwd = (b["rank_a"].to_numpy(zero_copy_only=False)
+               < b["rank_b"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(np.where(fwd, a, bb)),
+                         "dst": pa.array(np.where(fwd, bb, a))})
+
+    oriented = er.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"wkey": pa.array([], type=pa.int64()),
+                          "center": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        seg = np.concatenate(
+            ([0], np.flatnonzero(src[1:] != src[:-1]) + 1, [len(src)]))
+        fi, se = segment_pairs(np.diff(seg))
+        if not len(fi):
+            return empty
+        u, v = dst[fi], dst[se]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"wkey": pa.array(lo * K + hi),
+                         "center": pa.array(src[fi])})
+
+    wedges = grouped_by_bucket(oriented, wedges_of_bucket,
+                               entity_col="src", num_buckets=num_buckets)
+    closed = filter_by_keys(wedges, "wkey",
+                            edges.select_columns(["pkey"]), keys_col="pkey",
+                            keep=True,
+                            broadcast_threshold=broadcast_threshold,
+                            num_buckets=num_buckets)
+
+    def tri_nodes(b: pa.Table) -> pa.Table:
+        wk = b["wkey"].to_numpy(zero_copy_only=False)
+        c = b["center"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([c, wk // K, wk % K])
+        return pa.table({"node": pa.array(nodes),
+                         "one": pa.array(np.ones(len(nodes),
+                                                 dtype=np.int64))})
+
+    counts = keyed_sum(closed.map_batches(tri_nodes,
+                                          batch_format="pyarrow"),
+                       "node", ["one"], num_buckets=num_buckets,
+                       precombine_rows=None)
+    return counts.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "n_triangles": b["one"].cast(pa.int64())}),
+        batch_format="pyarrow")

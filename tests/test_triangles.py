@@ -1,0 +1,85 @@
+"""Triangle counting (stages/triangles.py)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+
+def test_segment_pairs_small():
+    from pymhealth_ray.stages.triangles import segment_pairs
+
+    fi, se = segment_pairs(np.array([3, 1, 2]))
+    # segment [0,1,2] → (0,1),(0,2),(1,2); [3] → none; [4,5] → (4,5)
+    assert fi.tolist() == [0, 0, 1, 4]
+    assert se.tolist() == [1, 2, 2, 5]
+    fi, se = segment_pairs(np.array([], dtype=np.int64))
+    assert len(fi) == 0 and len(se) == 0
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_node_counts_bruteforce():
+    from pymhealth_ray.stages.triangles import triangle_node_counts
+
+    rng = np.random.default_rng(13)
+    n_nodes = 40
+    pairs = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n_nodes, size=(300, 2)) if a < b})
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    K = n_nodes
+    tbl = pa.table({"pkey": pa.array(a * K + b), "a": pa.array(a),
+                    "b": pa.array(b)})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = triangle_node_counts(ds, max_node=n_nodes - 1,
+                               num_buckets=8).to_pandas()
+    want = _brute_triangles(pairs)
+    assert dict(zip(got["node"], got["n_triangles"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooccurrence_edges_and_partition_invariance():
+    from pymhealth_ray.stages.triangles import (cooccurrence_edges,
+                                                triangle_node_counts)
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 200, size=2000).astype(np.int64)
+    i = rng.integers(0, 60, size=2000).astype(np.int64)
+    tbl = pa.table({"g": pa.array(g), "i": pa.array(i)})
+
+    def run(n_part, nb):
+        ds = ray.data.from_arrow(tbl).repartition(n_part)
+        e = cooccurrence_edges(ds, "g", "i", max_item=59, num_buckets=nb)
+        t = triangle_node_counts(e, max_node=59, num_buckets=nb).to_pandas()
+        return t.sort_values("node").reset_index(drop=True)
+
+    x, y = run(3, 4), run(19, 11)
+    assert x.equals(y)
+    # edge weights: number of distinct groups containing both items
+    e = cooccurrence_edges(ray.data.from_arrow(tbl), "g", "i",
+                           max_item=59, num_buckets=8).to_pandas()
+    sets = {}
+    for gg, ii in zip(g, i):
+        sets.setdefault(gg, set()).add(ii)
+    from collections import Counter
+    want = Counter()
+    for members in sets.values():
+        for aa, bb in itertools.combinations(sorted(members), 2):
+            want[(aa, bb)] += 1
+    got = {(r.a, r.b): r.w for r in e.itertuples()}
+    assert got == dict(want)
