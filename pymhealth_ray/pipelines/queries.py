@@ -1191,6 +1191,7 @@ def build_queries() -> dict:
         "events_snapshot_diff": q_events_snapshot_diff,
         "part_skyline": q_part_skyline,
         "item_triangles": q_item_triangles,
+        "events_scd2": q_events_scd2,
     }
 
 
@@ -1414,6 +1415,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
         "part_skyline": SQL_PART_SKYLINE,
         "item_triangles": SQL_ITEM_TRIANGLES,
+        "events_scd2": SQL_EVENTS_SCD2,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10896,4 +10898,83 @@ n AS (SELECT x AS node FROM t
       UNION ALL SELECT z FROM t)
 SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
 FROM n GROUP BY node
+"""
+
+
+def q_events_scd2(sf_dir: str):
+    """Type-2 SLOWLY-CHANGING-DIMENSION build: the per-user event_type
+    stream collapses to validity intervals [valid_from, valid_to) — one
+    row per constant-value run, valid_to = the next run's start (NULL on
+    the open current row). One bucket exchange; run boundaries and the
+    lead fall out of the same sorted segment masks the sessionizer uses.
+    Oracle: islands trick + lead() — the warehouse-standard SCD2 MERGE."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def scd_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "event_type": pa.array([], type=pa.string()),
+                          "valid_from": pa.array([], type=pa.int64()),
+                          "valid_to": pa.array([], type=pa.int64()),
+                          "version_n": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = tbl["event_type"].combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new = np.zeros(len(ts), dtype=bool)
+        new[0] = True
+        new[starts[1:-1]] = True
+        new[1:] |= codes[1:] != codes[:-1]
+        rstart = np.flatnonzero(new)
+        rend = np.concatenate([rstart[1:], [len(ts)]])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)[rstart]
+        # lead(valid_from): next run's start within the same user
+        vfrom = ts[rstart]
+        vto = np.empty(len(rstart), dtype=np.int64)
+        vto[:-1] = vfrom[1:]
+        vto[-1] = 0
+        last_of_user = np.zeros(len(rstart), dtype=bool)
+        last_of_user[:-1] = uid[1:] != uid[:-1]
+        last_of_user[-1] = True
+        # version number within user (1-based)
+        firsts = np.concatenate(([True], uid[1:] != uid[:-1]))
+        ver = np.arange(len(rstart), dtype=np.int64)
+        ver -= np.maximum.accumulate(np.where(firsts, ver, -1))
+        ver += 1
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": et.take(pa.array(rstart)),
+            "valid_from": pa.array(vfrom),
+            "valid_to": pa.array(vto, type=pa.int64(), mask=last_of_user),
+            "version_n": pa.array(ver),
+        })
+
+    return grouped_by_bucket(ev, scd_of_bucket, entity_col="user_id",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_SCD2 = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+m AS (SELECT user_id, ts_us, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+r AS (SELECT user_id, ts_us, event_type,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM m),
+iv AS (SELECT user_id, event_type, run, min(ts_us) AS valid_from
+       FROM r GROUP BY user_id, event_type, run)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       CAST(run AS BIGINT) AS version_n
+FROM iv
 """

@@ -65,3 +65,21 @@ def test_peak_concurrency_ties_close_before_open():
     out = peak_concurrency(ray.data.from_arrow(tbl), "s", "e",
                            period_us=1_000_000).to_pandas()
     assert out["peak"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scd2_intervals_tile_the_timeline():
+    import pyarrow.parquet  # noqa: F401
+    from pymhealth_ray.pipelines.queries import q_events_scd2
+
+    out = q_events_scd2("/root/testdata/sf0.001").to_pandas()
+    out = out.sort_values(["user_id", "version_n"])
+    for uid, g in out.groupby("user_id"):
+        v = g.reset_index(drop=True)
+        # versions are 1..n, exactly one open row (the last), and each
+        # valid_to equals the next version's valid_from
+        assert v["version_n"].tolist() == list(range(1, len(v) + 1))
+        assert v["valid_to"].isna().tolist() == [False] * (len(v) - 1) + [True]
+        if len(v) > 1:
+            assert (v["valid_to"].iloc[:-1].to_numpy()
+                    == v["valid_from"].iloc[1:].to_numpy()).all()
