@@ -1192,6 +1192,7 @@ def build_queries() -> dict:
         "part_skyline": q_part_skyline,
         "item_triangles": q_item_triangles,
         "events_scd2": q_events_scd2,
+        "item_triples": q_item_triples,
     }
 
 
@@ -1416,6 +1417,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_skyline": SQL_PART_SKYLINE,
         "item_triangles": SQL_ITEM_TRIANGLES,
         "events_scd2": SQL_EVENTS_SCD2,
+        "item_triples": SQL_ITEM_TRIPLES,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -10977,4 +10979,48 @@ SELECT user_id, event_type, valid_from,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
        CAST(run AS BIGINT) AS version_n
 FROM iv
+"""
+
+
+def q_item_triples(sf_dir: str):
+    """A-PRIORI frequent 3-itemsets over customer purchase baskets
+    (orders ⋈ lineitem → distinct parts per customer): triples of parts
+    at least 3 customers all bought. Pair supports prune first
+    (monotonicity — no triple outlives an infrequent sub-pair), so the
+    cubic candidate space never materializes; both membership checks run
+    through the exact dual-plan semi-join (stages/assoc.frequent_triples)."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.assoc import frequent_triples
+    from pymhealth_ray.stages.join import equi_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: pa.table({"o_orderkey": b["l_orderkey"],
+                            "p": b["l_partkey"]}),
+        batch_format="pyarrow")
+    ub = equi_join(li, orders, on="o_orderkey", num_buckets=NB)
+    ub = ub.map_batches(
+        lambda b: pa.table({"u": b["o_custkey"], "p": b["p"]}),
+        batch_format="pyarrow")
+    st = grouped_stats(ub.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)), "p": b["p"]}),
+        batch_format="pyarrow"), ["one"], max_cols=["p"]).take_all()
+    mx = int(st[0]["p_max"])
+    return frequent_triples(ub, "u", "p", max_item=mx, min_support=3,
+                            num_buckets=NB)
+
+
+SQL_ITEM_TRIPLES = """
+WITH ub AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT x.p AS item_a, y.p AS item_b, z.p AS item_c,
+       CAST(count(*) AS BIGINT) AS support
+FROM ub x
+JOIN ub y ON y.u = x.u AND y.p > x.p
+JOIN ub z ON z.u = x.u AND z.p > y.p
+GROUP BY 1, 2, 3 HAVING count(*) >= 3
 """

@@ -31,6 +31,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pymhealth_ray.stages.partition import grouped_by_bucket
 
@@ -210,3 +211,118 @@ def item_pair_topk(ds, group_col: str, item_col: str, k: int = 20,
                        num_buckets=1)
     return top.map_batches(lambda b: b.drop_columns(["__one"]),
                            batch_format="pyarrow")
+
+
+def frequent_triples(ds, group_col: str, item_col: str, max_item: int,
+                     min_support: int, num_buckets: int = 32):
+    """A-PRIORI frequent 3-itemsets: unordered item triples contained in
+    at least ``min_support`` groups. The classic mining plan, kept exact
+    and cluster-resident end to end:
+
+      1. one bucket exchange on the group key → distinct (group, item)
+         → vectorized pair explosion (triangles.segment_pairs), keeping
+         the group id on every pair row;
+      2. pair supports via ``keyed_sum`` on the packed pair key;
+         pairs < min_support leave the game — the A-priori
+         monotonicity step (support(triple) ≤ support(every sub-pair)),
+         so no triple is lost;
+      3. the group-pair rows semi-join the frequent key set
+         (dropset.filter_by_keys — broadcast or bloom+exchange, exact
+         either way), so the cubic explosion never happens: candidate
+         triples are TRIANGLES of the per-group frequent-pair graph,
+         enumerated per (group, min-item) segment, and the closing
+         (b, c) pair is checked by one more semi-join;
+      4. exact support per packed triple key (a·K² + b·K + c, K =
+         max_item+1 — callers must keep K³ < 2⁶³) via ``keyed_sum``,
+         filtered to ``min_support``.
+
+    Output: (item_a, item_b, item_c, support), item_a < item_b < item_c.
+    """
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.dropset import filter_by_keys
+    from pymhealth_ray.stages.triangles import segment_pairs
+
+    K = int(max_item) + 1
+
+    def group_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        itm = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = grp.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (group, item); group ids must fit g*K+i in int64 —
+        # dictionary-encode the group to local codes first
+        codes, ginv = np.unique(g, return_inverse=True)
+        uniq = np.unique(ginv * K + itm)
+        ug, ui = uniq // K, uniq % K
+        seg = np.concatenate(
+            ([0], np.flatnonzero(ug[1:] != ug[:-1]) + 1, [len(ug)]))
+        fi, se = segment_pairs(np.diff(seg))
+        if not len(fi):
+            return empty
+        return pa.table({"g": pa.array(codes[ug[fi]]),
+                         "pkey": pa.array(ui[fi] * K + ui[se])})
+
+    gp = grouped_by_bucket(ds, group_pairs, entity_col=group_col,
+                           num_buckets=num_buckets).materialize()
+
+    counts = keyed_sum(gp.map_batches(
+        lambda b: pa.table({"pkey": b["pkey"],
+                            "one": pa.array(np.ones(b.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow"), "pkey", ["one"],
+        num_buckets=num_buckets, precombine_rows=None)
+    fp = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["one"], min_support))
+                   .select(["pkey"]),
+        batch_format="pyarrow")
+
+    ge = filter_by_keys(gp, "pkey", fp, keep=True,
+                        num_buckets=num_buckets)
+
+    def wedges(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"wkey": pa.array([], type=pa.int64()),
+                          "tkey": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        g = tbl["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = tbl["pkey"].to_numpy(zero_copy_only=False)
+        a, b = pk // K, pk % K
+        order = np.lexsort((b, a, g))
+        g, a, b = g[order], a[order], b[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (g[1:] != g[:-1]) | (a[1:] != a[:-1])
+        seg = np.concatenate((np.flatnonzero(new), [len(g)]))
+        fi, se = segment_pairs(np.diff(seg))
+        if not len(fi):
+            return empty
+        # b's ascend within a (group, a) segment → u < v
+        u, v = b[fi], b[se]
+        return pa.table({"wkey": pa.array(u * K + v),
+                         "tkey": pa.array(a[fi] * K * K + u * K + v)})
+
+    wd = grouped_by_bucket(ge, wedges, entity_col="g",
+                           num_buckets=num_buckets)
+    closed = filter_by_keys(wd, "wkey", fp, keys_col="pkey", keep=True,
+                            num_buckets=num_buckets)
+
+    sup = keyed_sum(closed.map_batches(
+        lambda b: pa.table({"tkey": b["tkey"],
+                            "one": pa.array(np.ones(b.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow"), "tkey", ["one"],
+        num_buckets=num_buckets, precombine_rows=None)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["one"], min_support))
+        tk = b["tkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"item_a": pa.array(tk // (K * K)),
+                         "item_b": pa.array((tk // K) % K),
+                         "item_c": pa.array(tk % K),
+                         "support": b["one"].cast(pa.int64())})
+
+    return sup.map_batches(unpack, batch_format="pyarrow")

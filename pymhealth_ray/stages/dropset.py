@@ -49,9 +49,9 @@ SIDE_COL = "__ks_side"
 def _collect_keys(keys_ds, col: str) -> pa.Array:
     """Driver-side collect of the key column (BROADCAST path only)."""
     def sel(b: pa.Table) -> pa.Table:
-        if col not in b.column_names:  # zero-column empty block
+        if b.num_columns == 0:  # schema-less empty block from map_groups
             return pa.table({col: pa.array([], type=pa.int64())})
-        return b.select([col])
+        return b.select([col])  # missing col on a REAL block must raise
 
     tabs = _resolved_tables(keys_ds.map_batches(sel, batch_format="pyarrow"))
     parts = [t[col].combine_chunks() for t in tabs if t.num_rows]

@@ -83,3 +83,44 @@ def test_cooccurrence_edges_and_partition_invariance():
             want[(aa, bb)] += 1
     got = {(r.a, r.b): r.w for r in e.itertuples()}
     assert got == dict(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frequent_triples_bruteforce():
+    from pymhealth_ray.stages.assoc import frequent_triples
+
+    rng = np.random.default_rng(0)
+    rows_g, rows_p = [], []
+    for u in range(30):
+        for p in rng.choice(50, size=8, replace=False):
+            rows_g.append(u)
+            rows_p.append(int(p))
+    tbl = pa.table({"u": pa.array(rows_g, type=pa.int64()),
+                    "p": pa.array(rows_p, type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = frequent_triples(ds, "u", "p", max_item=49, min_support=2,
+                           num_buckets=4).to_pandas()
+    from collections import Counter
+    baskets = {}
+    for u, p in zip(rows_g, rows_p):
+        baskets.setdefault(u, set()).add(p)
+    c = Counter()
+    for b in baskets.values():
+        for t in itertools.combinations(sorted(b), 3):
+            c[t] += 1
+    want = {t: n for t, n in c.items() if n >= 2}
+    got = {(r.item_a, r.item_b, r.item_c): r.support
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_dropset_collect_raises_on_missing_column():
+    # a zero-COLUMN empty block is tolerated, but a real block missing
+    # the key column must raise (it indicates a miswired keys_col)
+    from pymhealth_ray.stages.dropset import _collect_keys  # noqa: F401
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({"other": pa.array([1, 2])}))
+    with pytest.raises(Exception):
+        _collect_keys(ds, "pkey")
