@@ -1193,6 +1193,7 @@ def build_queries() -> dict:
         "item_triangles": q_item_triangles,
         "events_scd2": q_events_scd2,
         "item_triples": q_item_triples,
+        "events_cuped": q_events_cuped,
     }
 
 
@@ -1418,6 +1419,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "item_triangles": SQL_ITEM_TRIANGLES,
         "events_scd2": SQL_EVENTS_SCD2,
         "item_triples": SQL_ITEM_TRIPLES,
+        "events_cuped": SQL_EVENTS_CUPED,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11023,4 +11025,120 @@ FROM ub x
 JOIN ub y ON y.u = x.u AND y.p > x.p
 JOIN ub z ON z.u = x.u AND z.p > y.p
 GROUP BY 1, 2, 3 HAVING count(*) >= 3
+"""
+
+
+def q_events_cuped(sf_dir: str):
+    """CUPED experiment readout: per-user pre/post-period spend (integer
+    cents, split at the global time midpoint), deterministic md5 variant
+    assignment, and the variance-reduced adjusted mean per variant —
+    ``post̄_v − θ·(prē_v − prē)`` with θ = cov(pre,post)/var(pre) pooled.
+    Scale shape: ONE keyed_sum on user_id builds the per-user panel, one
+    tiny grouped_stats emits 2 rows of exact int64 moments; θ and the
+    adjustment are computed from those ints in arbitrary-precision
+    Python, mirroring the oracle's HUGEINT → DOUBLE cast sequence, so
+    the floats are bit-identical. Driver state is O(variants)."""
+    import hashlib
+
+    from pymhealth_ray.stages.aggregate import grouped_stats, keyed_sum
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return pa.table({"user_id": b["user_id"], "ts_us": b["ts_us"],
+                         "val_c": b["val_c"]})
+
+    ev = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    st = grouped_stats(ev.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)), "ts_us": b["ts_us"]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=["ts_us"], max_cols=["ts_us"]).take_all()
+    tmn, tmx = int(st[0]["ts_us_min"]), int(st[0]["ts_us_max"])
+    tmid = tmn + (tmx - tmn) // 2
+
+    def split_cols(b: pa.Table) -> pa.Table:
+        pre_m = pc.less_equal(b["ts_us"], tmid)
+        v = b["val_c"]
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table({"user_id": b["user_id"],
+                         "pre": pc.if_else(pre_m, v, zero),
+                         "post": pc.if_else(pre_m, zero, v)})
+
+    panel = keyed_sum(ev.map_batches(split_cols, batch_format="pyarrow"),
+                      "user_id", ["pre", "post"], num_buckets=NB,
+                      precombine_rows=None)
+
+    def moments(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        h = np.array([hashlib.md5(f"{u}-cuped".encode()).hexdigest()[:8]
+                      for u in uid], dtype=object)
+        variant = (h >= "80000000").astype(np.int64)
+        pre = b["pre"].to_numpy(zero_copy_only=False)
+        post = b["post"].to_numpy(zero_copy_only=False)
+        return pa.table({"variant": pa.array(variant),
+                         "pre": pa.array(pre), "post": pa.array(post),
+                         "pre2": pa.array(pre * pre),
+                         "prepost": pa.array(pre * post)})
+
+    agg = grouped_stats(panel.map_batches(moments, batch_format="pyarrow"),
+                        ["variant"],
+                        sum_cols=["pre", "post", "pre2", "prepost"])
+    rows = sorted(agg.take_all(), key=lambda r: r["variant"])
+    # pooled θ from arbitrary-precision ints; floats mirror the SQL cast
+    # sequence exactly: CAST(int AS DOUBLE) → float(int), then IEEE ops
+    n_p = sum(int(r["n"]) for r in rows)
+    sx_p = sum(int(r["pre_sum"]) for r in rows)
+    sy_p = sum(int(r["post_sum"]) for r in rows)
+    sxx_p = sum(int(r["pre2_sum"]) for r in rows)
+    sxy_p = sum(int(r["prepost_sum"]) for r in rows)
+    num = sxy_p * n_p - sx_p * sy_p
+    den = sxx_p * n_p - sx_p * sx_p
+    theta = float(num) / float(den)
+    mean_pre_pool = float(sx_p) / float(n_p)
+    out_v, out_n, out_adj = [], [], []
+    for r in rows:
+        n_v = int(r["n"])
+        adj = (float(int(r["post_sum"])) / float(n_v)
+               - theta * (float(int(r["pre_sum"])) / float(n_v)
+                          - mean_pre_pool))
+        out_v.append(int(r["variant"]))
+        out_n.append(n_v)
+        out_adj.append(float(_round_away(np.array([adj]), 6)[0]))
+    return pa.table({"variant": pa.array(out_v, type=pa.int64()),
+                     "n_users": pa.array(out_n, type=pa.int64()),
+                     "adj_mean_c": pa.array(out_adj, type=pa.float64())})
+
+
+SQL_EVENTS_CUPED = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS val_c FROM events),
+b0 AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS tmid FROM e),
+u AS (SELECT user_id,
+             CAST(sum(CASE WHEN ts_us <= tmid THEN val_c ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN ts_us > tmid THEN val_c ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM e, b0 GROUP BY user_id),
+v AS (SELECT CASE WHEN substr(md5(user_id || '-cuped'), 1, 8) >= '80000000'
+                  THEN 1 ELSE 0 END AS variant, pre, post FROM u),
+agg AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pre) AS BIGINT) AS sx,
+               CAST(sum(post) AS BIGINT) AS sy,
+               CAST(sum(pre * pre) AS BIGINT) AS sxx,
+               CAST(sum(pre * post) AS BIGINT) AS sxy
+        FROM v GROUP BY variant),
+pool AS (SELECT CAST(sum(n) AS HUGEINT) AS n, CAST(sum(sx) AS HUGEINT) AS sx,
+                CAST(sum(sy) AS HUGEINT) AS sy,
+                CAST(sum(sxx) AS HUGEINT) AS sxx,
+                CAST(sum(sxy) AS HUGEINT) AS sxy FROM agg)
+SELECT a.variant, a.n AS n_users,
+       round(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - (CAST(p.sxy * p.n - p.sx * p.sy AS DOUBLE)
+                / CAST(p.sxx * p.n - p.sx * p.sx AS DOUBLE))
+               * (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)), 6)
+         AS adj_mean_c
+FROM agg a, pool p
 """
