@@ -1194,6 +1194,7 @@ def build_queries() -> dict:
         "events_scd2": q_events_scd2,
         "item_triples": q_item_triples,
         "events_cuped": q_events_cuped,
+        "embed_rrf": q_embed_rrf,
     }
 
 
@@ -1420,6 +1421,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_scd2": SQL_EVENTS_SCD2,
         "item_triples": SQL_ITEM_TRIPLES,
         "events_cuped": SQL_EVENTS_CUPED,
+        "embed_rrf": SQL_EMBED_RRF,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11141,4 +11143,72 @@ SELECT a.variant, a.n AS n_users,
                   - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)), 6)
          AS adj_mean_c
 FROM agg a, pool p
+"""
+
+
+def q_embed_rrf(sf_dir: str):
+    """RECIPROCAL-RANK FUSION of two retrieval views: exact cosine top-20
+    and exact inner-product (MIPS) top-20 per query fuse as
+    Σ 1/(60 + rank) — the standard hybrid-retrieval merge. Both rankings
+    stream the candidate set (partial top-k per batch, driver merges
+    n_q × k rows); the fusion itself is O(queries × k). Ranks tie-break
+    on neighbor id, matching the oracle's window order exactly."""
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages import ann
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    full = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], 8))
+    K_RET = 20
+
+    def ranks_of(tbl: pa.Table) -> dict:
+        # tbl is sorted (query_id, -score, neighbor_id); rank = position
+        out = {}
+        qi = tbl["query_id"].to_numpy(zero_copy_only=False)
+        ni = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+        r = 0
+        prev = None
+        for q, n in zip(qi, ni):
+            r = r + 1 if q == prev else 1
+            prev = q
+            out[(int(q), int(n))] = r
+        return out
+
+    ra = ranks_of(ann.knn_bruteforce(ds, queries, k=K_RET, metric="cosine"))
+    rb = ranks_of(ann.knn_bruteforce(ds, queries, k=K_RET, metric="dot"))
+    keys = sorted(set(ra) | set(rb))
+    rrf = [(0.0 if k not in ra else 1.0 / (60 + ra[k]))
+           + (0.0 if k not in rb else 1.0 / (60 + rb[k])) for k in keys]
+    return pa.table({
+        "query_id": pa.array([k[0] for k in keys], type=pa.int64()),
+        "neighbor_id": pa.array([k[1] for k in keys], type=pa.int64()),
+        "rrf": pa.array(_round_away(np.array(rrf, dtype=np.float64), 9)),
+    })
+
+
+SQL_EMBED_RRF = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 8),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+a AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, n.e) DESC,
+                                         n.vec_id) AS rnk
+      FROM q CROSS JOIN n WHERE q.vec_id <> n.vec_id),
+b AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_inner_product(q.e, n.e) DESC,
+                                         n.vec_id) AS rnk
+      FROM q CROSS JOIN n WHERE q.vec_id <> n.vec_id),
+a20 AS (SELECT * FROM a WHERE rnk <= 20),
+b20 AS (SELECT * FROM b WHERE rnk <= 20)
+SELECT COALESCE(a20.query_id, b20.query_id) AS query_id,
+       COALESCE(a20.neighbor_id, b20.neighbor_id) AS neighbor_id,
+       round(COALESCE(1.0 / (60 + a20.rnk), 0.0)
+             + COALESCE(1.0 / (60 + b20.rnk), 0.0), 9) AS rrf
+FROM a20 FULL OUTER JOIN b20
+  ON a20.query_id = b20.query_id AND a20.neighbor_id = b20.neighbor_id
 """

@@ -36,17 +36,20 @@ class _BruteForceScorer:
     """Actor: queries fetched from the object store and normalized ONCE in
     __init__; __call__ is one matmul + partial top-k per batch."""
 
-    def __init__(self, q_ref, emb_col: str, id_col: str, k: int, exclude_self: bool):
+    def __init__(self, q_ref, emb_col: str, id_col: str, k: int, exclude_self: bool,
+                 metric: str = "cosine"):
         q_ids, q_mat = ray.get(q_ref)
         self.q_ids = q_ids
-        self.q = _unit(q_mat)
+        self.q = _unit(q_mat) if metric == "cosine" else q_mat.astype(np.float64)
         self.emb_col = emb_col
         self.id_col = id_col
         self.k = k
         self.exclude_self = exclude_self
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _unit(_emb_matrix(batch, self.emb_col))
+        mat = _emb_matrix(batch, self.emb_col)
+        mat = _unit(mat) if self.metric == "cosine" else mat.astype(np.float64)
         ids = np.asarray(batch[self.id_col].to_pylist())
         sims = self.q @ mat.T  # (n_q, n_batch)
         if self.exclude_self:
@@ -68,8 +71,11 @@ class _BruteForceScorer:
 
 
 def knn_bruteforce(ds, queries: pa.Table, k: int = 5, emb_col: str = "embedding",
-                   id_col: str = "vec_id", exclude_self: bool = True, concurrency=(2, 8)):
-    """Exact cosine top-k of every query against the whole dataset.
+                   id_col: str = "vec_id", exclude_self: bool = True, concurrency=(2, 8),
+                   metric: str = "cosine"):
+    """Exact top-k of every query against the whole dataset under
+    ``metric`` ("cosine" or "dot" — raw inner product, the MIPS ranking;
+    the score column is named "cosine" either way for schema stability).
 
     Per-batch partial top-k flows to the driver (tiny: n_q × k per batch) and
     is merged there — the dataset itself streams, only candidates collect.
@@ -82,7 +88,7 @@ def knn_bruteforce(ds, queries: pa.Table, k: int = 5, emb_col: str = "embedding"
 
     partials = ds.map_batches(
         _BruteForceScorer,
-        fn_constructor_args=(q_ref, emb_col, id_col, k, exclude_self),
+        fn_constructor_args=(q_ref, emb_col, id_col, k, exclude_self, metric),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

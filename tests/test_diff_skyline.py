@@ -72,3 +72,23 @@ def test_skyline_2d_partition_invariant():
         dom = ((mn <= r["cost"]) & (mx >= r["gain"])
                & ((mn < r["cost"]) | (mx > r["gain"]))).any()
         assert not dom
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_dot_metric_vs_numpy():
+    from pymhealth_ray.stages.ann import knn_bruteforce
+
+    rng = np.random.default_rng(2)
+    mat = rng.normal(size=(200, 16))
+    tbl = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "embedding": pa.array(list(mat))})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    q = tbl.slice(0, 3)
+    got = knn_bruteforce(ds, q, k=4, metric="dot")
+    sims = mat[:3] @ mat.T
+    for qi in range(3):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((np.arange(200), -s))[:4]
+        m = got.filter(pa.compute.equal(got["query_id"], qi))
+        assert m["neighbor_id"].to_pylist() == order.tolist()
