@@ -1195,6 +1195,7 @@ def build_queries() -> dict:
         "item_triples": q_item_triples,
         "events_cuped": q_events_cuped,
         "embed_rrf": q_embed_rrf,
+        "seq_streaming_rolling": q_seq_streaming_rolling,
     }
 
 
@@ -1394,6 +1395,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_streaming_sessions": sql_seq_sessions(path),
         "seq_asof_stream": sql_seq_asof_stream(path),
         "seq_streaming_lag": sql_seq_streaming_lag(path),
+        "seq_streaming_rolling": sql_seq_streaming_rolling(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "events_stickiness": SQL_EVENTS_STICKINESS,
@@ -11211,4 +11213,28 @@ SELECT COALESCE(a20.query_id, b20.query_id) AS query_id,
              + COALESCE(1.0 / (60 + b20.rnk), 0.0), 9) AS rrf
 FROM a20 FULL OUTER JOIN b20
   ON a20.query_id = b20.query_id AND a20.neighbor_id = b20.neighbor_id
+"""
+
+
+def q_seq_streaming_rolling(sf_dir: str):
+    """Trailing 8-row window sum/count per entity by STREAMING the
+    sorted layout (stages/streaming.streaming_rolling — bounded
+    ≤ window−1 carry across Arrow batch boundaries, zero query-time
+    exchange): the streaming twin of the exchange-based rolling stage.
+    Int64-exact; SQL ROWS-window oracle."""
+    from pymhealth_ray.stages.streaming import streaming_rolling
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+    layout = _sorted_layout(sf_dir, ds)
+    return streaming_rolling(layout, window=8)
+
+
+def sql_seq_streaming_rolling(path: str) -> str:
+    return f"""
+SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(sum(n_tok) OVER w AS BIGINT) AS wsum,
+  CAST(count(*) OVER w AS BIGINT) AS wn
+FROM read_parquet('{path}/part-*.parquet')
+WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
 """

@@ -443,3 +443,82 @@ def streaming_latest(layout_dir: str, *, entity_col: str = "doc_id",
         })
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def _rolling_one_file(path: str, entity_col: str, ts_col: str,
+                      value_col: str, window: int, batch_rows: int):
+    """Trailing ROWS-window sum/count for one sorted partition file with
+    a bounded carry (≤ window−1 trailing values of the open entity)
+    across Arrow batch boundaries. Int64-exact: each batch recomputes a
+    fresh cumsum over carry+batch (no cross-batch cumsum differences)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    carry_ent = None
+    carry_vals = np.zeros(0, dtype=np.int64)
+    out = []
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[entity_col, ts_col, value_col]):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        ent = tbl[entity_col].combine_chunks()
+        v = tbl[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        n = len(v)
+        joined = carry_ent is not None and ent[0].as_py() == carry_ent
+        pre = carry_vals if joined else np.zeros(0, dtype=np.int64)
+        arr = np.concatenate([pre, v])
+        cs = np.concatenate([[0], np.cumsum(arr)])
+        # segment start (GLOBAL index into arr) for every batch row
+        head = np.empty(n, dtype=bool)
+        head[0] = not joined
+        head[1:] = codes[1:] != codes[:-1]
+        g = np.arange(n, dtype=np.int64) + len(pre)
+        seg_start = np.where(head, g, 0)
+        seg_start[0] = 0 if joined else len(pre)  # open entity reaches back
+        seg_start = np.maximum.accumulate(seg_start)
+        win_start = np.maximum(g - window + 1, seg_start)
+        out.append(pa.table({
+            entity_col: tbl[entity_col],
+            ts_col: tbl[ts_col],
+            value_col: tbl[value_col],
+            "wsum": pa.array(cs[g + 1] - cs[win_start], type=pa.int64()),
+            "wn": pa.array(g + 1 - win_start, type=pa.int64()),
+        }))
+        # carry: trailing ≤ window−1 values of the batch's LAST entity
+        seg_vals = arr[int(seg_start[-1]):]
+        carry_ent = ent[n - 1].as_py()
+        carry_vals = seg_vals[max(len(seg_vals) - (window - 1), 0):].copy() \
+            if window > 1 else np.zeros(0, dtype=np.int64)
+    return out
+
+
+def streaming_rolling(layout_dir: str, *, entity_col: str = "doc_id",
+                      ts_col: str = "ts_ns", value_col: str = "n_tok",
+                      window: int = 8, batch_rows: int = 65536):
+    """Per-entity trailing ROWS-window sum/count by streaming the sorted
+    bucketed layout — one task per partition file, bounded (≤ window−1
+    rows) carry across batch boundaries, ZERO query-time exchange: the
+    streaming twin of stages/rolling.py, same shape SQL expresses as
+    ``sum(v) OVER (PARTITION BY e ORDER BY ts ROWS window−1 PRECEDING)``."""
+    import glob
+    import os
+
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(layout_dir, "part=*",
+                                          "*.parquet")))
+    pds = ray.data.from_items([{"path": p} for p in paths]).repartition(
+        max(len(paths), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["path"].to_pylist():
+            outs.extend(_rolling_one_file(p, entity_col, ts_col, value_col,
+                                          window, batch_rows))
+        return pa.concat_tables(outs)
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

@@ -136,3 +136,23 @@ def test_streaming_asof_missing_right_partitions(ray_session, tmp_path):
     hit = got[got.doc_id == "d03"]
     assert hit.asof_val.notna().all()
     assert got[got.doc_id != "d03"].asof_val.isna().all()
+
+
+def test_streaming_rolling_tiny_batches_match_pandas(ray_session, tmp_path):
+    """Trailing-window sums with batch_rows=7 (carry crosses many batch
+    boundaries) equal the pandas groupby.rolling reference."""
+    from pymhealth_ray.stages.streaming import streaming_rolling
+
+    df = _df(2500, seed=23)
+    ds = ray.data.from_pandas(df).repartition(3)
+    layout = str(tmp_path / "RW")
+    resumable_write(ds, layout, entity_col="doc_id", num_buckets=6,
+                    params={"s": 3}, sort_cols=["doc_id", "ts_ns"])
+    got = streaming_rolling(layout, window=8, batch_rows=7).to_pandas()
+    got = got.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+    ref = df.sort_values(["doc_id", "ts_ns"]).reset_index(drop=True)
+    g = ref.groupby("doc_id")["n_tok"]
+    want_sum = g.rolling(8, min_periods=1).sum().reset_index(drop=True)
+    want_n = g.rolling(8, min_periods=1).count().reset_index(drop=True)
+    assert (got["wsum"].to_numpy() == want_sum.to_numpy().astype(np.int64)).all()
+    assert (got["wn"].to_numpy() == want_n.to_numpy().astype(np.int64)).all()
