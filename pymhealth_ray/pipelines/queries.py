@@ -1196,6 +1196,7 @@ def build_queries() -> dict:
         "events_cuped": q_events_cuped,
         "embed_rrf": q_embed_rrf,
         "seq_streaming_rolling": q_seq_streaming_rolling,
+        "events_hourly_trend": q_events_hourly_trend,
     }
 
 
@@ -1424,6 +1425,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "item_triples": SQL_ITEM_TRIPLES,
         "events_cuped": SQL_EVENTS_CUPED,
         "embed_rrf": SQL_EMBED_RRF,
+        "events_hourly_trend": SQL_EVENTS_HOURLY_TREND,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11237,4 +11239,63 @@ SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
 FROM read_parquet('{path}/part-*.parquet')
 WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns
              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_hourly_trend(sf_dir: str):
+    """Per-event-type OLS trend of spend vs hour-of-day: slope and
+    intercept from EXACT int64 moment partials (n, Σx, Σy, Σxx, Σxy —
+    map-side sums, one tiny exchange over event types), finished in
+    arbitrary-precision Python mirroring the oracle's HUGEINT → DOUBLE
+    cast sequence. The grouped-regression shape (regr_slope) without
+    float accumulation — partitioning-independent by construction."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "y")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        x = (ts // 3_600_000_000) % 24
+        y = b["y"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"], "x": pa.array(x),
+                         "y": b["y"], "xx": pa.array(x * x),
+                         "xy": pa.array(x * y)})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type"], sum_cols=["x", "y", "xx", "xy"])
+    rows = agg.take_all()
+    et, ns, slopes, icepts = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["event_type"]):
+        n, sx, sy = int(r["n"]), int(r["x_sum"]), int(r["y_sum"])
+        sxx, sxy = int(r["xx_sum"]), int(r["xy_sum"])
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        icept = (float(sy) - slope * float(sx)) / float(n)
+        et.append(r["event_type"])
+        ns.append(n)
+        slopes.append(float(_round_away(np.array([slope]), 6)[0]))
+        icepts.append(float(_round_away(np.array([icept]), 6)[0]))
+    return pa.table({"event_type": pa.array(et), "n": pa.array(ns, type=pa.int64()),
+                     "slope_c": pa.array(slopes, type=pa.float64()),
+                     "intercept_c": pa.array(icepts, type=pa.float64())})
+
+
+SQL_EVENTS_HOURLY_TREND = """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+agg AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(x * y) AS HUGEINT) AS sxy
+        FROM e GROUP BY event_type),
+s AS (SELECT event_type, n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM agg)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(slope, 6) AS slope_c,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_c
+FROM s
 """
