@@ -151,6 +151,16 @@ BENCH_QUERIES = [
     "events_stickiness",
     "docs_langid_confusion",
     "docs_jaccard_dupes",
+    # round-4 continuation wave (item_triangles / item_triples /
+    # events_snapshot_diff stay gate-only: 10-16 s each at sf0.1 would
+    # eat the budget's best-of re-run headroom)
+    "events_concurrency",
+    "events_scd2",
+    "events_cuped",
+    "events_hourly_trend",
+    "part_skyline",
+    "embed_rrf",
+    "seq_streaming_rolling",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only
@@ -286,9 +296,10 @@ def _steal_jiffies() -> int:
         return -1
 
 
-# 280: one full pass of the 107-query list (~255 s) + ~25 s of
-# heaviest-first best-of re-runs; keeps the whole bench under ~330 s
-QUERY_BUDGET_SEC = float(os.environ.get("BENCH_QUERY_BUDGET", "280"))
+# 310: one full pass of the 117-query list (~275 s quiet) + ~35 s of
+# heaviest-first best-of re-runs; hard stop at 1.5x (465 s) only in
+# pathological steal windows, where the artifact degrades tail-first
+QUERY_BUDGET_SEC = float(os.environ.get("BENCH_QUERY_BUDGET", "310"))
 
 
 def run_queries(sf_dir: str) -> tuple[dict, dict]:
