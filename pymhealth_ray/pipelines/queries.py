@@ -1197,6 +1197,7 @@ def build_queries() -> dict:
         "embed_rrf": q_embed_rrf,
         "seq_streaming_rolling": q_seq_streaming_rolling,
         "events_hourly_trend": q_events_hourly_trend,
+        "docs_cluster_split": q_docs_cluster_split,
     }
 
 
@@ -1255,6 +1256,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _langid_confusion_expected,
             columns=("doc_id", "text", "lang")),
         "docs_dedup_clusters": _docs_materialized_oracle(sf_dir_for_fixture, "dedup_clusters_v1", _dedup_clusters_expected),
+        "docs_cluster_split": _docs_materialized_oracle(sf_dir_for_fixture, "cluster_split_v1", _cluster_split_expected),
         "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
         "region_revenue": SQL_REGION_REVENUE,
         "part_brand_pricing": SQL_PART_BRAND_PRICING,
@@ -11299,3 +11301,51 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
              / CAST(n AS DOUBLE), 6) AS intercept_c
 FROM s
 """
+
+
+def q_docs_cluster_split(sf_dir: str):
+    """LEAKAGE-FREE train/eval split: the md5 split key is the near-dup
+    CLUSTER id, not the doc id, so a duplicate family can never straddle
+    the split boundary (the classic contamination hole a doc-keyed split
+    leaves open). LSH pairs → CC labels → dual-plan cluster lookup
+    (singletons default to their own id) → one map-only md5 predicate.
+    80/20 split; oracle = single-process replication to parquet."""
+    from pymhealth_ray.stages.dropset import lookup_with_default
+    from pymhealth_ray.stages.graph import connected_components
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    pairs = minhash_lsh_dupes(docs, jaccard_threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b", num_buckets=NB)
+    with_cluster = lookup_with_default(
+        docs.select_columns(["doc_id"]), "doc_id", labels, "v", "l",
+        "cluster_id", num_buckets=NB)
+    thr = _threshold_hex(0.8)
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = _hex8(b["cluster_id"], "clsplit")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "cluster_id": b["cluster_id"].cast(pa.int64()),
+            "split": pa.array(np.where(h < thr, "train", "eval")),
+        })
+
+    return with_cluster.map_batches(assign, batch_format="pyarrow")
+
+
+def _cluster_split_expected(df):
+    """Single-process replication: UF clusters (singletons = self), then
+    the same md5-prefix predicate per cluster."""
+    import pandas as pd
+
+    lab = _dedup_clusters_expected(df)
+    cmap = dict(zip(lab.doc_id.values, lab.cluster_id.values))
+    cl = np.array([cmap.get(int(d), int(d)) for d in df.doc_id.values],
+                  dtype=np.int64)
+    thr = format(int(0.8 * 16**8), "08x")
+    split = np.array([
+        "train" if hashlib.md5(f"{c}-clsplit".encode()).hexdigest()[:8] < thr
+        else "eval" for c in cl])
+    return pd.DataFrame({"doc_id": df.doc_id.values.astype(np.int64),
+                         "cluster_id": cl, "split": split})
