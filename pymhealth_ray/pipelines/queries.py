@@ -1198,6 +1198,7 @@ def build_queries() -> dict:
         "seq_streaming_rolling": q_seq_streaming_rolling,
         "events_hourly_trend": q_events_hourly_trend,
         "docs_cluster_split": q_docs_cluster_split,
+        "events_labeled_examples": q_events_labeled_examples,
     }
 
 
@@ -1428,6 +1429,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_cuped": SQL_EVENTS_CUPED,
         "embed_rrf": SQL_EMBED_RRF,
         "events_hourly_trend": SQL_EVENTS_HOURLY_TREND,
+        "events_labeled_examples": SQL_EVENTS_LABELED_EXAMPLES,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11349,3 +11351,75 @@ def _cluster_split_expected(df):
         else "eval" for c in cl])
     return pd.DataFrame({"doc_id": df.doc_id.values.astype(np.int64),
                          "cluster_id": cl, "split": split})
+
+
+def q_events_labeled_examples(sf_dir: str):
+    """Supervised EXAMPLE BUILDER for next-event prediction: per user
+    (ts, event_id order) each row becomes features drawn strictly from
+    its own past — current type, gap to the previous event, trailing
+    3-row spend — plus ``label_type`` = the NEXT event's type; last rows
+    (no future) drop out. The leakage discipline is structural: features
+    are windowed ≤ current row, only the label looks forward, all in the
+    one sorted bucket pass the sessionizer already pays for."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+
+    def build(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "cur_type": pa.array([], type=pa.string()),
+                          "dt_prev_us": pa.array([], type=pa.int64()),
+                          "w3_sum_c": pa.array([], type=pa.int64()),
+                          "label_type": pa.array([], type=pa.string())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl = _cents(tbl, "value", "val_c")
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = tbl["val_c"].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        head = np.zeros(n, dtype=bool)
+        head[starts[:-1]] = True
+        seg_start = np.maximum.accumulate(
+            np.where(head, np.arange(n), 0))
+        g = np.arange(n)
+        win = np.maximum(g - 2, seg_start)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        w3 = cs[g + 1] - cs[win]
+        dt = np.empty(n, dtype=np.int64)
+        dt[1:] = ts[1:] - ts[:-1]
+        dt[0] = 0
+        last = np.zeros(n, dtype=bool)
+        last[starts[1:] - 1] = True
+        keep = ~last
+        et = tbl["event_type"].combine_chunks()
+        nxt_idx = np.minimum(g + 1, n - 1)
+        out = pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "cur_type": et,
+            "dt_prev_us": pa.array(dt, type=pa.int64(), mask=head),
+            "w3_sum_c": pa.array(w3.astype(np.int64)),
+            "label_type": et.take(pa.array(nxt_idx)),
+        })
+        return out.filter(pa.array(keep))
+
+    return grouped_by_bucket(ev, build, entity_col="user_id",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_LABELED_EXAMPLES = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS val_c FROM events),
+w AS (SELECT event_id, user_id, event_type AS cur_type,
+             ts_us - lag(ts_us) OVER win AS dt_prev_us,
+             CAST(sum(val_c) OVER (win ROWS BETWEEN 2 PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS w3_sum_c,
+             lead(event_type) OVER win AS label_type
+      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+SELECT * FROM w WHERE label_type IS NOT NULL
+"""
