@@ -1199,6 +1199,7 @@ def build_queries() -> dict:
         "events_hourly_trend": q_events_hourly_trend,
         "docs_cluster_split": q_docs_cluster_split,
         "events_labeled_examples": q_events_labeled_examples,
+        "orders_smb_join": q_orders_smb_join,
     }
 
 
@@ -1430,6 +1431,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_rrf": SQL_EMBED_RRF,
         "events_hourly_trend": SQL_EVENTS_HOURLY_TREND,
         "events_labeled_examples": SQL_EVENTS_LABELED_EXAMPLES,
+        "orders_smb_join": SQL_ORDERS_SMB_JOIN,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11422,4 +11424,74 @@ w AS (SELECT event_id, user_id, event_type AS cur_type,
              lead(event_type) OVER win AS label_type
       FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
 SELECT * FROM w WHERE label_type IS NOT NULL
+"""
+
+
+def _keyed_layout(sf_dir: str, ds, *, key_col: str, tag: str,
+                  num_buckets: int = 16):
+    """Cached key-bucketed sorted layout (the SMB-join ingest side):
+    same completion-marker discipline as _sorted_layout."""
+    import os as _os
+
+    from pymhealth_ray.state.lineage import resumable_write
+
+    name = _os.path.basename(_os.path.normpath(sf_dir))
+    layout = f"/tmp/pymhealth_ray_sorted_layout/{name}_smb_{tag}_v1"
+    marker = _os.path.join(layout, "_LAYOUT_OK")
+    if not _os.path.exists(marker):
+        resumable_write(ds, layout, entity_col=key_col,
+                        num_buckets=num_buckets,
+                        params={"sorted": [key_col], "tag": tag, "v": 1},
+                        sort_cols=[key_col])
+        with open(marker + ".tmp", "w") as f:
+            f.write("ok")
+        _os.replace(marker + ".tmp", marker)
+    return layout
+
+
+def q_orders_smb_join(sf_dir: str):
+    """SMB (sort-merge-bucket) JOIN: orders and customers are written
+    ONCE as co-bucketed sorted layouts on the customer key (same entity
+    hash ⇒ partition k joins partition k), then the join runs with ZERO
+    query-time exchange — one local pa.Table.join per partition pair
+    (stages/streaming.streaming_equi_join). Bucket at ingest, join
+    forever for free: the lakehouse answer to the repeated
+    fact-dimension join. Output at order grain, price in cents."""
+    from pymhealth_ray.stages.streaming import streaming_equi_join
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "price_c")
+        return pa.table({"custkey": b["o_custkey"],
+                         "o_orderkey": b["o_orderkey"],
+                         "price_c": b["price_c"]})
+
+    cust = read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": b["c_custkey"],
+                         "segment": b["c_mktsegment"]})
+
+    lo = _keyed_layout(sf_dir, orders.map_batches(o_prep,
+                                                  batch_format="pyarrow"),
+                       key_col="custkey", tag="orders")
+    lc = _keyed_layout(sf_dir, cust.map_batches(c_prep,
+                                                batch_format="pyarrow"),
+                       key_col="custkey", tag="cust")
+    out = streaming_equi_join(lo, lc, key_col="custkey")
+    return out.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "custkey": b["custkey"],
+                            "segment": b["segment"],
+                            "price_c": b["price_c"]}),
+        batch_format="pyarrow")
+
+
+SQL_ORDERS_SMB_JOIN = """
+SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment AS segment,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """

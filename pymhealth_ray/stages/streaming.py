@@ -522,3 +522,55 @@ def streaming_rolling(layout_dir: str, *, entity_col: str = "doc_id",
         return pa.concat_tables(outs)
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def streaming_equi_join(left_layout: str, right_layout: str, *,
+                        key_col: str, join_type: str = "inner",
+                        right_suffix: str = "_r"):
+    """SMB (sort-merge-bucket) JOIN: equi-join two layouts bucketed with
+    the SAME entity hash on ``key_col`` — each task joins ONE partition
+    pair locally (vectorized ``pa.Table.join``), so the join pays ZERO
+    query-time exchange. The lakehouse pattern for repeated joins against
+    a big fact table: bucket once at ingest, join forever for free.
+    Missing right partitions (a filtered right side) behave as an empty
+    right table — inner drops, left outer NULL-pads."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    def parts(root):
+        return {os.path.basename(d): sorted(
+            glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(root, "part=*"))}
+
+    lp, rp = parts(left_layout), parts(right_layout)
+    pairs = [{"left": ";".join(lp[k]), "right": ";".join(rp.get(k, []))}
+             for k in sorted(lp)]
+    pds = ray.data.from_items(pairs).repartition(max(len(pairs), 1))
+    # right schema for NULL-padding empty partitions
+    any_r = next((v for v in rp.values() if v), None)
+    r_schema = pq.read_schema(any_r[0]) if any_r else None
+
+    def join_pair(batch: pa.Table) -> pa.Table:
+        outs = []
+        for lpaths, rpaths in zip(batch["left"].to_pylist(),
+                                  batch["right"].to_pylist()):
+            lt = pa.concat_tables([pq.read_table(p)
+                                   for p in lpaths.split(";") if p])
+            if rpaths:
+                rt = pa.concat_tables([pq.read_table(p)
+                                       for p in rpaths.split(";") if p])
+            elif r_schema is not None:
+                rt = r_schema.empty_table()
+            else:
+                continue
+            outs.append(lt.join(rt, keys=[key_col], join_type=join_type,
+                                right_suffix=right_suffix,
+                                use_threads=False)
+                        .replace_schema_metadata(None))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return pds.map_batches(join_pair, batch_format="pyarrow",
+                           batch_size=None)

@@ -156,3 +156,34 @@ def test_streaming_rolling_tiny_batches_match_pandas(ray_session, tmp_path):
     want_n = g.rolling(8, min_periods=1).count().reset_index(drop=True)
     assert (got["wsum"].to_numpy() == want_sum.to_numpy().astype(np.int64)).all()
     assert (got["wn"].to_numpy() == want_n.to_numpy().astype(np.int64)).all()
+
+
+def test_streaming_equi_join_matches_pyarrow(ray_session, tmp_path):
+    """SMB join over co-bucketed layouts == a plain hash join, for inner
+    and left outer, including right buckets with NO part dir."""
+    from pymhealth_ray.stages.streaming import streaming_equi_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({
+        "k": np.array([f"k{i:03d}" for i in rng.integers(0, 120, 800)]),
+        "lv": rng.integers(0, 1000, 800).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": np.array([f"k{i:03d}" for i in range(0, 120, 3)]),
+        "rv": np.arange(0, 120, 3, dtype=np.int64)})
+    ll = str(tmp_path / "L")
+    rr = str(tmp_path / "R")
+    resumable_write(ray.data.from_pandas(left), ll, entity_col="k",
+                    num_buckets=8, params={"t": 1}, sort_cols=["k"])
+    resumable_write(ray.data.from_pandas(right), rr, entity_col="k",
+                    num_buckets=8, params={"t": 2}, sort_cols=["k"])
+    for jt in ("inner", "left outer"):
+        got = streaming_equi_join(ll, rr, key_col="k",
+                                  join_type=jt).to_pandas()
+        want = left.merge(right, on="k",
+                          how="inner" if jt == "inner" else "left")
+        got = got.sort_values(["k", "lv"]).reset_index(drop=True)
+        want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+        assert got["rv"].fillna(-1).to_numpy().tolist() == \
+            want["rv"].fillna(-1).to_numpy().tolist()
