@@ -809,12 +809,14 @@ def q_seq_streaming_sessions(sf_dir: str):
 
 
 def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
-                   num_buckets: int = 16):
+                   num_buckets: int = 16, entity_col: str = "doc_id",
+                   sort_cols: list | None = None):
     """Cached SORTED entity-bucketed layout for the streaming scans."""
     import os as _os
 
     from pymhealth_ray.state.lineage import resumable_write
 
+    sort_cols = sort_cols or ["doc_id", "ts_ns"]
     name = _os.path.basename(_os.path.normpath(sf_dir))
     layout = f"/tmp/pymhealth_ray_sorted_layout/{name}{suffix}_v1"
     # completion MARKER, not a manifest count: a filtered layout may leave
@@ -824,11 +826,11 @@ def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
     if not _os.path.exists(marker):
         src = ds if filter_fn is None else ds.map_batches(
             filter_fn, batch_format="pyarrow")
-        resumable_write(src, layout, entity_col="doc_id",
+        resumable_write(src, layout, entity_col=entity_col,
                         num_buckets=num_buckets,
-                        params={"sorted": ["doc_id", "ts_ns"],
+                        params={"sorted": sort_cols,
                                 "suffix": suffix, "v": 1},
-                        sort_cols=["doc_id", "ts_ns"])
+                        sort_cols=sort_cols)
         with open(marker + ".tmp", "w") as f:
             f.write("ok")
         _os.replace(marker + ".tmp", marker)
@@ -10748,10 +10750,17 @@ iv AS (SELECT user_id, sid, min(ts_us) AS s, max(ts_us) AS e
 d AS (SELECT s AS t, s * 2 + 1 AS key, CAST(1 AS BIGINT) AS d FROM iv
       UNION ALL
       SELECT e + 1 AS t, (e + 1) * 2 AS key, CAST(-1 AS BIGINT) AS d FROM iv),
-c AS (SELECT t, CAST(sum(d) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      FROM d)
-SELECT t // 86400000000 AS day, CAST(max(cum) AS BIGINT) AS peak_sessions
-FROM c GROUP BY 1
+c AS (SELECT t, d, CAST(sum(d) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d),
+p AS (SELECT t // 86400000000 AS day, CAST(max(cum) AS BIGINT) AS mx,
+             CAST(sum(d) AS BIGINT) AS dsum
+      FROM c GROUP BY 1),
+q AS (SELECT day, mx,
+             CAST(coalesce(sum(dsum) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS entering
+      FROM p)
+SELECT day, greatest(entering, mx) AS peak_sessions FROM q
 """
 
 
@@ -10772,7 +10781,8 @@ def q_events_snapshot_diff(sf_dir: str):
         b = _cents(b, "value", "val_c")
         return b.select(["event_id", "user_id", "ts_us", "val_c"])
 
-    ev = ev.map_batches(prep, batch_format="pyarrow")
+    # consumed three times (range probe + both snapshot halves)
+    ev = ev.map_batches(prep, batch_format="pyarrow").materialize()
     st = grouped_stats(ev.map_batches(
         lambda b: pa.table({"one": pa.array(
             np.zeros(b.num_rows, dtype=np.int8)), "ts_us": b["ts_us"]}),
@@ -11015,15 +11025,18 @@ def q_item_triples(sf_dir: str):
         lambda b: pa.table({"o_orderkey": b["l_orderkey"],
                             "p": b["l_partkey"]}),
         batch_format="pyarrow")
-    ub = equi_join(li, orders, on="o_orderkey", num_buckets=NB)
-    ub = ub.map_batches(
-        lambda b: pa.table({"u": b["o_custkey"], "p": b["p"]}),
-        batch_format="pyarrow")
-    st = grouped_stats(ub.map_batches(
+    # max(l_partkey) probed on the RAW lineitem read (every lineitem
+    # row joins an order, so the join cannot change the max) — avoids
+    # re-executing the whole equi_join for a scalar
+    st = grouped_stats(li.map_batches(
         lambda b: pa.table({"one": pa.array(
             np.zeros(b.num_rows, dtype=np.int8)), "p": b["p"]}),
         batch_format="pyarrow"), ["one"], max_cols=["p"]).take_all()
     mx = int(st[0]["p_max"])
+    ub = equi_join(li, orders, on="o_orderkey", num_buckets=NB)
+    ub = ub.map_batches(
+        lambda b: pa.table({"u": b["o_custkey"], "p": b["p"]}),
+        batch_format="pyarrow")
     return frequent_triples(ub, "u", "p", max_item=mx, min_support=3,
                             num_buckets=NB)
 
@@ -11107,7 +11120,9 @@ def q_events_cuped(sf_dir: str):
     sxy_p = sum(int(r["prepost_sum"]) for r in rows)
     num = sxy_p * n_p - sx_p * sy_p
     den = sxx_p * n_p - sx_p * sx_p
-    theta = float(num) / float(den)
+    # constant pre-period spend: var(pre)=0, CUPED degenerates to the
+    # plain mean (theta irrelevant since pre deviations are all zero)
+    theta = float(num) / float(den) if den else 0.0
     mean_pre_pool = float(sx_p) / float(n_p)
     out_v, out_n, out_adj = [], [], []
     for r in rows:
@@ -11275,12 +11290,18 @@ def q_events_hourly_trend(sf_dir: str):
     for r in sorted(rows, key=lambda r: r["event_type"]):
         n, sx, sy = int(r["n"]), int(r["x_sum"]), int(r["y_sum"])
         sxx, sxy = int(r["xx_sum"]), int(r["xy_sum"])
-        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
-        icept = (float(sy) - slope * float(sx)) / float(n)
+        den = n * sxx - sx * sx
+        if den == 0:  # zero x-variance: SQL's division yields NULL
+            slope = icept = None
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            icept = (float(sy) - slope * float(sx)) / float(n)
+            slope = float(_round_away(np.array([slope]), 6)[0])
+            icept = float(_round_away(np.array([icept]), 6)[0])
         et.append(r["event_type"])
         ns.append(n)
-        slopes.append(float(_round_away(np.array([slope]), 6)[0]))
-        icepts.append(float(_round_away(np.array([icept]), 6)[0]))
+        slopes.append(slope)
+        icepts.append(icept)
     return pa.table({"event_type": pa.array(et), "n": pa.array(ns, type=pa.int64()),
                      "slope_c": pa.array(slopes, type=pa.float64()),
                      "intercept_c": pa.array(icepts, type=pa.float64())})
@@ -11429,24 +11450,11 @@ SELECT * FROM w WHERE label_type IS NOT NULL
 
 def _keyed_layout(sf_dir: str, ds, *, key_col: str, tag: str,
                   num_buckets: int = 16):
-    """Cached key-bucketed sorted layout (the SMB-join ingest side):
-    same completion-marker discipline as _sorted_layout."""
-    import os as _os
-
-    from pymhealth_ray.state.lineage import resumable_write
-
-    name = _os.path.basename(_os.path.normpath(sf_dir))
-    layout = f"/tmp/pymhealth_ray_sorted_layout/{name}_smb_{tag}_v1"
-    marker = _os.path.join(layout, "_LAYOUT_OK")
-    if not _os.path.exists(marker):
-        resumable_write(ds, layout, entity_col=key_col,
-                        num_buckets=num_buckets,
-                        params={"sorted": [key_col], "tag": tag, "v": 1},
-                        sort_cols=[key_col])
-        with open(marker + ".tmp", "w") as f:
-            f.write("ok")
-        _os.replace(marker + ".tmp", marker)
-    return layout
+    """Cached key-bucketed sorted layout (the SMB-join ingest side) —
+    one marker discipline, shared with _sorted_layout."""
+    return _sorted_layout(sf_dir, ds, suffix=f"_smb_{tag}",
+                          num_buckets=num_buckets, entity_col=key_col,
+                          sort_cols=[key_col])
 
 
 def q_orders_smb_join(sf_dir: str):

@@ -240,7 +240,7 @@ def frequent_triples(ds, group_col: str, item_col: str, max_item: int,
     """
     from pymhealth_ray.stages.aggregate import keyed_sum
     from pymhealth_ray.stages.dropset import filter_by_keys
-    from pymhealth_ray.stages.triangles import segment_pairs
+    from pymhealth_ray.stages.triangles import group_pair_rows, segment_pairs
 
     K = int(max_item) + 1
 
@@ -249,23 +249,11 @@ def frequent_triples(ds, group_col: str, item_col: str, max_item: int,
                           "pkey": pa.array([], type=pa.int64())})
         if tbl.num_rows == 0:
             return empty
-        grp = tbl[group_col]
-        if isinstance(grp, pa.ChunkedArray):
-            grp = grp.combine_chunks()
-        itm = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = grp.to_numpy(zero_copy_only=False).astype(np.int64)
-        # distinct (group, item); group ids must fit g*K+i in int64 —
-        # dictionary-encode the group to local codes first
-        codes, ginv = np.unique(g, return_inverse=True)
-        uniq = np.unique(ginv * K + itm)
-        ug, ui = uniq // K, uniq % K
-        seg = np.concatenate(
-            ([0], np.flatnonzero(ug[1:] != ug[:-1]) + 1, [len(ug)]))
-        fi, se = segment_pairs(np.diff(seg))
-        if not len(fi):
+        gdict, ugf, pkey = group_pair_rows(tbl, group_col, item_col, K)
+        if not len(pkey):
             return empty
-        return pa.table({"g": pa.array(codes[ug[fi]]),
-                         "pkey": pa.array(ui[fi] * K + ui[se])})
+        return pa.table({"g": gdict.take(pa.array(ugf)).cast(pa.int64()),
+                         "pkey": pa.array(pkey)})
 
     gp = grouped_by_bucket(ds, group_pairs, entity_col=group_col,
                            num_buckets=num_buckets).materialize()
@@ -279,7 +267,7 @@ def frequent_triples(ds, group_col: str, item_col: str, max_item: int,
     fp = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b["one"], min_support))
                    .select(["pkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # consumed by BOTH semi-joins
 
     ge = filter_by_keys(gp, "pkey", fp, keep=True,
                         num_buckets=num_buckets)

@@ -533,12 +533,18 @@ def streaming_equi_join(left_layout: str, right_layout: str, *,
     query-time exchange. The lakehouse pattern for repeated joins against
     a big fact table: bucket once at ingest, join forever for free.
     Missing right partitions (a filtered right side) behave as an empty
-    right table — inner drops, left outer NULL-pads."""
+    right table — inner drops, left outer NULL-pads. Only inner /
+    left outer are supported: pairs enumerate from LEFT part dirs, so a
+    right- or full-outer join would silently drop right-only buckets."""
     import glob
     import os
 
     import pyarrow.parquet as pq
     import ray
+
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(
+            f"streaming_equi_join supports inner/left outer, got {join_type!r}")
 
     def parts(root):
         return {os.path.basename(d): sorted(
@@ -546,6 +552,10 @@ def streaming_equi_join(left_layout: str, right_layout: str, *,
             for d in glob.glob(os.path.join(root, "part=*"))}
 
     lp, rp = parts(left_layout), parts(right_layout)
+    if not rp:
+        raise ValueError(
+            f"right layout has no part=*/ partitions: {right_layout!r} — "
+            "cannot infer the right schema to honor the join contract")
     pairs = [{"left": ";".join(lp[k]), "right": ";".join(rp.get(k, []))}
              for k in sorted(lp)]
     pds = ray.data.from_items(pairs).repartition(max(len(pairs), 1))
@@ -562,10 +572,8 @@ def streaming_equi_join(left_layout: str, right_layout: str, *,
             if rpaths:
                 rt = pa.concat_tables([pq.read_table(p)
                                        for p in rpaths.split(";") if p])
-            elif r_schema is not None:
-                rt = r_schema.empty_table()
             else:
-                continue
+                rt = r_schema.empty_table()
             outs.append(lt.join(rt, keys=[key_col], join_type=join_type,
                                 right_suffix=right_suffix,
                                 use_threads=False)

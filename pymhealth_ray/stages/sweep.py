@@ -17,9 +17,10 @@ partitioning-independent — all int64 arithmetic.
 
 Scale notes: the delta table is 2x the interval count and the only
 exchange is the range-bucketed scan; output is one row per active period.
-Periods with no interval boundary carry no row (the sweep value is
-constant across them) — callers wanting gap-filled periods can forward
-fill, which keeps the contract exact at the boundary points.
+Periods with no interval boundary carry no row: the level is constant
+across them and equals the previous active period's entering level plus
+its delta sum — gap-filling callers should propagate THAT level, not the
+previous peak.
 """
 
 from __future__ import annotations
@@ -50,10 +51,15 @@ def peak_concurrency(ds, start_col: str, end_col: str,
                      period_us: int = 86_400_000_000,
                      num_bins: int = 1024):
     """Per-period (default: per-day) PEAK number of concurrently-open
-    intervals. Returns columns ``period`` (t // period_us) and ``peak``
-    (int64). Exact under any partitioning — the scan is the distributed
-    prefix sum, the max is a plain mergeable aggregate."""
+    intervals, over periods containing at least one boundary. The peak
+    accounts for the level CARRIED INTO the period (intervals opened
+    earlier and still open): per period the scan yields max(cum) and
+    sum(d); an O(periods) ordered pass turns the per-period delta sums
+    into exclusive entering levels, and peak = max(entering, max cum).
+    Periods with no boundary hold a constant level equal to the previous
+    period's entering+sum — exact under any partitioning (all int64)."""
     import pyarrow.compute as pc
+    import ray
 
     from pymhealth_ray.stages.aggregate import grouped_stats
     from pymhealth_ray.stages.rank import ordered_prefix_sum
@@ -64,12 +70,20 @@ def peak_concurrency(ds, start_col: str, end_col: str,
 
     def to_period(b: pa.Table) -> pa.Table:
         per = pc.divide(b["t"], period_us).cast(pa.int64())
-        return pa.table({"period": per, "cum": b["cum"].cast(pa.int64())})
+        return pa.table({"period": per, "cum": b["cum"].cast(pa.int64()),
+                         "d": b["d"].cast(pa.int64())})
 
     agg = grouped_stats(scanned.map_batches(to_period,
                                             batch_format="pyarrow"),
-                        ["period"], max_cols=["cum"])
-    return agg.map_batches(
-        lambda b: pa.table({"period": b["period"],
-                            "peak": b["cum_max"].cast(pa.int64())}),
-        batch_format="pyarrow")
+                        ["period"], max_cols=["cum"], sum_cols=["d"])
+    # O(active periods) driver state — bounded by the calendar, not rows
+    rows = sorted(agg.take_all(), key=lambda r: r["period"])
+    periods, peaks = [], []
+    entering = 0
+    for r in rows:
+        periods.append(int(r["period"]))
+        peaks.append(max(entering, int(r["cum_max"])))
+        entering += int(r["d_sum"])
+    return ray.data.from_arrow(pa.table({
+        "period": pa.array(periods, type=pa.int64()),
+        "peak": pa.array(peaks, type=pa.int64())}))

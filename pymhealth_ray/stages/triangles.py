@@ -55,6 +55,30 @@ def segment_pairs(lens: np.ndarray):
     return first, first + 1 + within
 
 
+
+def group_pair_rows(tbl: pa.Table, group_col: str, item_col: str, K: int):
+    """Shared kernel: distinct (group, item) memberships → vectorized
+    within-group pair explosion. Returns (group_dict, ug_first, pkey):
+    ``pkey = a·K + b`` with a < b inside each group, ``ug_first`` indexes
+    ``group_dict`` (the group dictionary) per pair row. Items must be
+    int64 in [0, K); callers must keep K² < 2⁶³ (K³ for triple packing).
+    """
+    grp = tbl[group_col].combine_chunks() \
+        if isinstance(tbl[group_col], pa.ChunkedArray) else tbl[group_col]
+    itm = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    genc = grp.dictionary_encode()
+    g = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.unique(g * K + itm)  # distinct (group, item), item asc
+    ug, ui = uniq // K, uniq % K
+    seg = np.concatenate(
+        ([0], np.flatnonzero(ug[1:] != ug[:-1]) + 1, [len(ug)]))
+    fi, se = segment_pairs(np.diff(seg))
+    if not len(fi):
+        z = np.zeros(0, dtype=np.int64)
+        return genc.dictionary, z, z
+    return genc.dictionary, ug[fi], ui[fi] * K + ui[se]
+
+
 def cooccurrence_edges(ds, group_col: str, item_col: str, max_item: int,
                        num_buckets: int = 32):
     """Distinct undirected edges (a < b, int64 item ids) from group/item
@@ -69,19 +93,9 @@ def cooccurrence_edges(ds, group_col: str, item_col: str, max_item: int,
                           "one": pa.array([], type=pa.int64())})
         if tbl.num_rows == 0:
             return empty
-        grp = tbl[group_col].combine_chunks() \
-            if isinstance(tbl[group_col], pa.ChunkedArray) else tbl[group_col]
-        itm = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = grp.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        uniq = np.unique(g * K + itm)  # distinct (group, item), item asc
-        ug, ui = uniq // K, uniq % K
-        seg = np.concatenate(
-            ([0], np.flatnonzero(ug[1:] != ug[:-1]) + 1, [len(ug)]))
-        fi, se = segment_pairs(np.diff(seg))
-        if not len(fi):
+        _, _, pkey = group_pair_rows(tbl, group_col, item_col, K)
+        if not len(pkey):
             return empty
-        pkey = ui[fi] * K + ui[se]  # a < b within each group
         return pa.table({"pkey": pa.array(pkey),
                          "one": pa.array(np.ones(len(pkey),
                                                  dtype=np.int64))})
@@ -127,7 +141,7 @@ def triangle_node_counts(edges, max_node: int, num_buckets: int = 32,
                             "rank": pc.add(pc.multiply(
                                 b["one"].cast(pa.int64()), K),
                                 b["node"]).cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # two lookups consume it
 
     er = lookup_with_default(edges, "a", ranks, "node", "rank", "rank_a",
                              broadcast_threshold=broadcast_threshold,

@@ -187,3 +187,16 @@ def test_streaming_equi_join_matches_pyarrow(ray_session, tmp_path):
         assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
         assert got["rv"].fillna(-1).to_numpy().tolist() == \
             want["rv"].fillna(-1).to_numpy().tolist()
+
+
+def test_streaming_equi_join_contract_guards(ray_session, tmp_path):
+    from pymhealth_ray.stages.streaming import streaming_equi_join
+
+    ll = str(tmp_path / "L3")
+    resumable_write(ray.data.from_pandas(
+        pd.DataFrame({"k": ["a"], "v": [1]})), ll, entity_col="k",
+        num_buckets=2, params={"t": 9}, sort_cols=["k"])
+    with pytest.raises(ValueError, match="inner/left outer"):
+        streaming_equi_join(ll, ll, key_col="k", join_type="full outer")
+    with pytest.raises(ValueError, match="no part"):
+        streaming_equi_join(ll, str(tmp_path / "nope"), key_col="k")

@@ -8,14 +8,18 @@ import ray
 
 
 def _brute_peak(iv, period_us):
-    """Reference: evaluate concurrency at every delta point."""
+    """Reference: evaluate concurrency at every delta point AND at each
+    active period's start (the carried-in level)."""
     pts = sorted([(s, 1) for s, _ in iv] + [(e + 1, -1) for _, e in iv],
                  key=lambda p: (p[0], p[1]))
-    cum, best = 0, {}
+    cum, best, last_per = 0, {}, None
     for t, d in pts:
-        cum += d
         per = t // period_us
-        best[per] = max(best.get(per, -10**18), cum)
+        if per != last_per:
+            best[per] = max(best.get(per, -10**18), cum)  # entering level
+            last_per = per
+        cum += d
+        best[per] = max(best[per], cum)
     return best
 
 
