@@ -1202,6 +1202,7 @@ def build_queries() -> dict:
         "docs_cluster_split": q_docs_cluster_split,
         "events_labeled_examples": q_events_labeled_examples,
         "orders_smb_join": q_orders_smb_join,
+        "embed_rerank": q_embed_rerank,
     }
 
 
@@ -1434,6 +1435,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_hourly_trend": SQL_EVENTS_HOURLY_TREND,
         "events_labeled_examples": SQL_EVENTS_LABELED_EXAMPLES,
         "orders_smb_join": SQL_ORDERS_SMB_JOIN,
+        "embed_rerank": SQL_EMBED_RERANK,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11502,4 +11504,46 @@ SQL_ORDERS_SMB_JOIN = """
 SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment AS segment,
        CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_embed_rerank(sf_dir: str):
+    """RETRIEVE-THEN-RERANK: exact cosine top-20 per query (stage one)
+    rescored pairwise by a batched actor-pool cross-encoder (stage two —
+    model state per actor, inference per batch; stages/rerank.py). The
+    scorer is the deterministic md5 stub (no ML runtime in-container),
+    which is exactly what makes the WHOLE serving pipeline — candidate
+    fan-in, actor batching, rank reassembly — SQL-gateable bit-for-bit."""
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages import ann
+    from pymhealth_ray.stages.rerank import rerank_candidates
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    full = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], 8))
+    cands = ann.knn_bruteforce(ds, queries, k=20, metric="cosine")
+    return rerank_candidates(cands, salt="xe")
+
+
+SQL_EMBED_RERANK = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 8),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+a AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, n.e) DESC,
+                                         n.vec_id) AS rnk
+      FROM q CROSS JOIN n WHERE q.vec_id <> n.vec_id),
+c AS (SELECT query_id, neighbor_id,
+             substr(md5(query_id || ':' || neighbor_id || '-xe'), 1, 8)
+               AS score
+      FROM a WHERE rnk <= 20)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id)
+            AS BIGINT) AS rank
+FROM c
 """
