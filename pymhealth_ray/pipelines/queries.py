@@ -1203,6 +1203,7 @@ def build_queries() -> dict:
         "events_labeled_examples": q_events_labeled_examples,
         "orders_smb_join": q_orders_smb_join,
         "embed_rerank": q_embed_rerank,
+        "events_daily_top_types": q_events_daily_top_types,
     }
 
 
@@ -1436,6 +1437,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_labeled_examples": SQL_EVENTS_LABELED_EXAMPLES,
         "orders_smb_join": SQL_ORDERS_SMB_JOIN,
         "embed_rerank": SQL_EMBED_RERANK,
+        "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11546,4 +11548,47 @@ SELECT query_id, neighbor_id, score,
                                ORDER BY score DESC, neighbor_id)
             AS BIGINT) AS rank
 FROM c
+"""
+
+
+def q_events_daily_top_types(sf_dir: str):
+    """TRENDING report: each day's top-3 event types by exact spend —
+    the daily-leaderboard shape. Partial per-group sums map-side, one
+    tiny (day, type) rollup, then distributed top-k with map-side
+    pruning (grouped_topk: the exchange carries ≤ k rows per group per
+    block). All-integer; rank ties break on type."""
+    from pymhealth_ray.stages.aggregate import grouped_stats, grouped_topk
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(ts // 86_400_000_000),
+                         "event_type": b["event_type"],
+                         "val_c": b["val_c"]})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["day", "event_type"], sum_cols=["val_c"])
+    day_type = agg.map_batches(
+        lambda b: pa.table({"day": b["day"],
+                            "event_type": b["event_type"],
+                            "spend_c": b["val_c_sum"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    return grouped_topk(day_type, ["day"], "spend_c", k=3,
+                        tie_cols=["event_type"], rank_name="rnk",
+                        num_buckets=NB)
+
+
+SQL_EVENTS_DAILY_TOP_TYPES = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS val_c FROM events),
+a AS (SELECT day, event_type, CAST(sum(val_c) AS BIGINT) AS spend_c
+      FROM e GROUP BY 1, 2),
+r AS (SELECT day, event_type, spend_c,
+             CAST(row_number() OVER (PARTITION BY day
+                                     ORDER BY spend_c DESC, event_type)
+                  AS BIGINT) AS rnk
+      FROM a)
+SELECT day, event_type, spend_c, rnk FROM r WHERE rnk <= 3
 """
