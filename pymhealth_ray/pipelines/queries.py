@@ -1204,6 +1204,7 @@ def build_queries() -> dict:
         "orders_smb_join": q_orders_smb_join,
         "embed_rerank": q_embed_rerank,
         "events_daily_top_types": q_events_daily_top_types,
+        "docs_phash_dupes": q_docs_phash_dupes,
     }
 
 
@@ -1263,6 +1264,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             columns=("doc_id", "text", "lang")),
         "docs_dedup_clusters": _docs_materialized_oracle(sf_dir_for_fixture, "dedup_clusters_v1", _dedup_clusters_expected),
         "docs_cluster_split": _docs_materialized_oracle(sf_dir_for_fixture, "cluster_split_v1", _cluster_split_expected),
+        "docs_phash_dupes": _docs_materialized_oracle(sf_dir_for_fixture, "phash_dupes_v1", _phash_dupes_expected, columns=("doc_id",)),
         "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
         "region_revenue": SQL_REGION_REVENUE,
         "part_brand_pricing": SQL_PART_BRAND_PRICING,
@@ -11592,3 +11594,72 @@ r AS (SELECT day, event_type, spend_c,
       FROM a)
 SELECT day, event_type, spend_c, rnk FROM r WHERE rnk <= 3
 """
+
+
+def _docs_phash_media(b: pa.Table) -> pa.Table:
+    """Image payloads with SEEDED near-duplicates: docs with
+    doc_id % 7 == 3 carry a lightly-perturbed copy of doc_id−1's image
+    (the synthetic corpus has no natural visual near-dups — same
+    convention as seq_minhash_dupes; the oracle builds the identical
+    table single-process)."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in ids:
+        i = int(i)
+        if i % 7 == 3 and i > 0:
+            # rebuild doc_id−1's RAW uint8 plane (the PNM parser
+            # normalizes to [0,1] floats — perturb bytes, not floats)
+            rng = np.random.default_rng((i - 1) + 31)
+            w = int(16 + ((i - 1) % 17))
+            h = int(16 + ((i - 1) % 13))
+            pix = rng.integers(0, 256, (h, w), dtype=np.uint8).copy()
+            pix[:2, :2] = np.clip(pix[:2, :2].astype(np.int64) + 1,
+                                  0, 255).astype(np.uint8)
+            payloads.append(f"P5\n{w} {h}\n255\n".encode() + pix.tobytes())
+        else:
+            payloads.append(_synth_pnm(i)[0])
+    return pa.table({"doc_id": b["doc_id"],
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+def q_docs_phash_dupes(sf_dir: str):
+    """PERCEPTUAL image dedup (9th dedup modality): binary image
+    payloads → actor-pool pHash (32² resample → pure-numpy 2-D DCT-II →
+    64-bit median-threshold signature, stages/multimodal.phash64) →
+    pigeonhole-complete Hamming-ball pairs over the banded signature
+    (stages/dedup.hamming_ball_pairs — the machinery SimHash uses,
+    applied to a different modality). Seeded perturbed copies are the
+    ground truth; oracle replays everything single-process."""
+    from pymhealth_ray.stages.dedup import hamming_ball_pairs
+    from pymhealth_ray.stages.multimodal import phash_images
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_phash_media, batch_format="pyarrow")
+    sigs = phash_images(media)
+    return hamming_ball_pairs(sigs, sig_col="phash", max_hamming=6,
+                              num_bands=8, num_buckets=NB)
+
+
+def _phash_dupes_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import ImagePHasher
+
+    tbl = pa.table({"doc_id": pa.array(df["doc_id"].tolist(),
+                                       type=pa.int64())})
+    media = _docs_phash_media(tbl)
+    sigs = ImagePHasher()(media)
+    ids = sigs["doc_id"].to_numpy(zero_copy_only=False)
+    ph = sigs["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = ph[ia] ^ ph[ib]
+    h = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        h += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    keep = h <= 6
+    a, bb = ids[ia[keep]], ids[ib[keep]]
+    lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+    order = np.lexsort((hi, lo))
+    return pd.DataFrame({"id_a": lo[order], "id_b": hi[order],
+                         "hamming": h[keep][order]})

@@ -622,15 +622,29 @@ def simhash_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
                   num_buckets: int = 256, max_bucket_size: int = 512,
                   concurrency=(2, 8)):
     """Near-dup pairs within Hamming distance ``max_hamming`` of the 64-bit
-    SimHash: split the signature into ``num_bands`` equal bands — any pair
-    with at most ``num_bands - 1`` differing bits must agree EXACTLY on at
-    least one band (pigeonhole), so banded exact-match buckets are a
-    COMPLETE candidate generator. Verification is an in-bucket vectorized
-    XOR popcount: unlike MinHash's 512-byte signatures there is nothing to
-    slim — the 8-byte signature rides the explode. Band buckets are capped
-    at ``max_bucket_size`` (sorted-id truncation) so a degenerate band
-    value cannot create a quadratic hot task. Two exchanges total
-    (candidates, pair-dedup). Returns (id_a, id_b, hamming), id_a < id_b.
+    SimHash — signature stage + the generic :func:`hamming_ball_pairs`
+    banding/verify machinery."""
+    sigs = simhash_signatures(ds, text_col=text_col, concurrency=concurrency)
+    return hamming_ball_pairs(sigs, id_col=id_col, sig_col="simhash",
+                              max_hamming=max_hamming, num_bands=num_bands,
+                              num_buckets=num_buckets,
+                              max_bucket_size=max_bucket_size)
+
+
+def hamming_ball_pairs(sigs, id_col: str = "doc_id",
+                       sig_col: str = "simhash", max_hamming: int = 3,
+                       num_bands: int = 4, num_buckets: int = 256,
+                       max_bucket_size: int = 512):
+    """All id pairs within Hamming distance ``max_hamming`` of a 64-bit
+    signature column (SimHash, pHash, any LSB-packed sketch): split the
+    signature into ``num_bands`` equal bands — any pair with at most
+    ``num_bands - 1`` differing bits must agree EXACTLY on at least one
+    band (pigeonhole), so banded exact-match buckets are a COMPLETE
+    candidate generator. Verification is an in-bucket vectorized XOR
+    popcount; band buckets are capped at ``max_bucket_size`` (sorted-id
+    truncation) so a degenerate band value cannot create a quadratic hot
+    task. Two exchanges total (candidates, pair-dedup). Returns
+    (id_a, id_b, hamming), id_a < id_b.
     """
     from pymhealth_ray.stages.partition import _stable_bucket_of
 
@@ -639,10 +653,8 @@ def simhash_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
     band_bits = 64 // num_bands
     mask = np.uint64((1 << band_bits) - 1)
 
-    sigs = simhash_signatures(ds, text_col=text_col, concurrency=concurrency)
-
     def explode(batch: pa.Table) -> pa.Table:
-        sc = batch["simhash"]
+        sc = batch[sig_col]
         if isinstance(sc, pa.ChunkedArray):
             sc = sc.combine_chunks()
         ic = batch[id_col]

@@ -336,3 +336,53 @@ def embed_thumbnails(ds, in_dim: int, out_dim: int = 16, concurrency=(2, 8), bat
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def phash64(gray: np.ndarray, grid: int = 32, keep: int = 8) -> np.int64:
+    """Perceptual hash of a grayscale image: nearest-neighbor resample to
+    ``grid``², 2-D DCT-II (pure-numpy cosine basis — no scipy in this
+    container), keep the ``keep``² lowest-frequency coefficients and set
+    bit k when coefficient k exceeds their median. Robust to resizing
+    and small pixel noise; two perceptually-similar images land within a
+    small Hamming distance, which :func:`pymhealth_ray.stages.dedup.
+    hamming_ball_pairs` turns into the 9th dedup modality."""
+    h, w = gray.shape
+    ri = (np.arange(grid) * h) // grid
+    ci = (np.arange(grid) * w) // grid
+    small = gray[np.ix_(ri, ci)].astype(np.float64)
+    n = grid
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    C = np.cos(np.pi * k * (2 * x + 1) / (2 * n))
+    D = C @ small @ C.T
+    coef = D[:keep, :keep].ravel()
+    med = np.median(coef)
+    bits = (coef > med).astype(np.uint64)
+    packed = int((bits << np.arange(keep * keep, dtype=np.uint64)).sum())
+    return np.int64(packed - (1 << 64) if packed >= (1 << 63) else packed)
+
+
+class ImagePHasher:
+    """Actor: perceptual-hash a batch of binary image payloads (P5 PNM
+    via the pure-numpy parser; PIL-backed codecs would slot into
+    _parse_pnm's place exactly as in ImageDecoder)."""
+
+    def __init__(self, grid: int = 32, keep: int = 8):
+        self.grid = grid
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        payloads = batch["payload"].to_pylist()
+        hashes = np.array([phash64(_parse_pnm(p), self.grid, self.keep)
+                           for p in payloads], dtype=np.int64)
+        return pa.table({"doc_id": ids, "phash": pa.array(hashes)})
+
+
+def phash_images(ds, grid: int = 32, keep: int = 8, concurrency=(2, 8),
+                 batch_size: int = 64):
+    """Actor-pool perceptual hashing of an image payload Dataset →
+    (doc_id, phash int64)."""
+    return ds.map_batches(ImagePHasher, fn_constructor_args=(grid, keep),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

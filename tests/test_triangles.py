@@ -124,3 +124,26 @@ def test_dropset_collect_raises_on_missing_column():
     ds = ray.data.from_arrow(pa.table({"other": pa.array([1, 2])}))
     with pytest.raises(Exception):
         _collect_keys(ds, "pkey")
+
+
+def test_phash64_noise_robust_and_deterministic():
+    from pymhealth_ray.stages.multimodal import phash64
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 30), dtype=np.uint8)
+    h1 = phash64(img.astype(np.float64) / 255.0)
+    # tiny perturbation -> small hamming; resize-invariance-ish: the
+    # nearest-neighbor upsample of the same image hashes identically
+    pert = img.copy()
+    pert[:2, :2] = np.clip(pert[:2, :2].astype(np.int64) + 1, 0, 255) \
+        .astype(np.uint8)
+    h2 = phash64(pert.astype(np.float64) / 255.0)
+    ham = bin(int(h1.astype(np.uint64)) ^ int(h2.astype(np.uint64))) \
+        .count("1")
+    assert ham <= 7
+    assert phash64(img.astype(np.float64) / 255.0) == h1
+    # unrelated image -> far away
+    other = rng.integers(0, 256, (24, 30), dtype=np.uint8)
+    h3 = phash64(other.astype(np.float64) / 255.0)
+    assert bin(int(h1.astype(np.uint64)) ^ int(h3.astype(np.uint64))) \
+        .count("1") > 12
