@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     "part_skyline",
     "embed_rrf",
     "seq_streaming_rolling",
+    "events_labeled_examples",
+    "events_daily_top_types",
+    "embed_rerank",
+    "orders_smb_join",
+    "docs_phash_dupes",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only
