@@ -1205,6 +1205,7 @@ def build_queries() -> dict:
         "embed_rerank": q_embed_rerank,
         "events_daily_top_types": q_events_daily_top_types,
         "docs_phash_dupes": q_docs_phash_dupes,
+        "item_similarity_topk": q_item_similarity_topk,
     }
 
 
@@ -1440,6 +1441,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_smb_join": SQL_ORDERS_SMB_JOIN,
         "embed_rerank": SQL_EMBED_RERANK,
         "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
+        "item_similarity_topk": SQL_ITEM_SIMILARITY_TOPK,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11663,3 +11665,107 @@ def _phash_dupes_expected(df):
     order = np.lexsort((hi, lo))
     return pd.DataFrame({"id_a": lo[order], "id_b": hi[order],
                          "hamming": h[keep][order]})
+
+
+def q_item_similarity_topk(sf_dir: str):
+    """ITEM-ITEM collaborative filtering: for every part, the 5 most
+    similar parts by basket Jaccard — c_ab / (c_a + c_b − c_ab) over
+    customer purchase sets. Edges and per-item counts are exact int64
+    (cooccurrence_edges + keyed_sum); each edge explodes into both
+    directed rows, similarity is ONE int/int IEEE division (bit-exact vs
+    SQL), and the leaderboard is the map-side-pruned distributed top-k.
+    The classic recommender precompute, cluster-resident end to end."""
+    from pymhealth_ray.stages.aggregate import grouped_stats, grouped_topk, keyed_sum
+    from pymhealth_ray.stages.dropset import lookup_with_default
+    from pymhealth_ray.stages.join import equi_join
+    from pymhealth_ray.stages.triangles import cooccurrence_edges
+
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda b: pa.table({"o_orderkey": b["l_orderkey"],
+                            "p": b["l_partkey"]}),
+        batch_format="pyarrow")
+    st = grouped_stats(li.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)), "p": b["p"]}),
+        batch_format="pyarrow"), ["one"], max_cols=["p"]).take_all()
+    mx = int(st[0]["p_max"])
+    ub = equi_join(li, orders, on="o_orderkey", num_buckets=NB)
+    ub = ub.map_batches(
+        lambda b: pa.table({"u": b["o_custkey"], "p": b["p"]}),
+        batch_format="pyarrow").materialize()
+
+    edges = cooccurrence_edges(ub, "u", "p", max_item=mx, num_buckets=NB)
+
+    # exact distinct-user count per item: one bucket pass emits distinct
+    # (u, p) partials, keyed_sum folds them
+    def distinct_up(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"p": pa.array([], type=pa.int64()),
+                             "one": pa.array([], type=pa.int64())})
+        K = mx + 1
+        u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = tbl["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, inv = np.unique(u, return_inverse=True)
+        uniq = np.unique(inv.astype(np.int64) * K + p)
+        return pa.table({"p": pa.array(uniq % K),
+                         "one": pa.array(np.ones(len(uniq),
+                                                 dtype=np.int64))})
+
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+    cnt = keyed_sum(grouped_by_bucket(ub, distinct_up, entity_col="u",
+                                      num_buckets=NB),
+                    "p", ["one"], num_buckets=NB,
+                    precombine_rows=None).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"item": pa.array(np.concatenate([a, bb])),
+                         "other": pa.array(np.concatenate([bb, a])),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    both = edges.map_batches(explode, batch_format="pyarrow")
+    both = lookup_with_default(both, "item", cnt, "p", "one", "ca",
+                               num_buckets=NB)
+    both = lookup_with_default(both, "other", cnt, "p", "one", "cb",
+                               num_buckets=NB)
+
+    def jac(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = b["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = b["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"item": b["item"], "other": b["other"],
+                         "w": pa.array(w),
+                         "jac": pa.array(w.astype(np.float64)
+                                         / (ca + cb - w))})
+
+    scored = both.map_batches(jac, batch_format="pyarrow")
+    return grouped_topk(scored, ["item"], "jac", k=5,
+                        tie_cols=["other"], rank_name="rnk",
+                        num_buckets=NB)
+
+
+SQL_ITEM_SIMILARITY_TOPK = """
+WITH ub AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM ub GROUP BY p),
+e AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+      FROM ub x JOIN ub y ON y.u = x.u AND y.p > x.p GROUP BY 1, 2),
+dir AS (SELECT a AS item, b AS other, w FROM e
+        UNION ALL SELECT b, a, w FROM e),
+j AS (SELECT d.item, d.other, d.w,
+             CAST(d.w AS DOUBLE) / (ca.c + cb.c - d.w) AS jac
+      FROM dir d JOIN cnt ca ON ca.p = d.item
+                 JOIN cnt cb ON cb.p = d.other),
+r AS (SELECT item, other, w, jac,
+             CAST(row_number() OVER (PARTITION BY item
+                                     ORDER BY jac DESC, other)
+                  AS BIGINT) AS rnk
+      FROM j)
+SELECT item, other, w, jac, rnk FROM r WHERE rnk <= 5
+"""
