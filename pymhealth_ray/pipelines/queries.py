@@ -1206,6 +1206,7 @@ def build_queries() -> dict:
         "events_daily_top_types": q_events_daily_top_types,
         "docs_phash_dupes": q_docs_phash_dupes,
         "item_similarity_topk": q_item_similarity_topk,
+        "lineitem_join_estimate": q_lineitem_join_estimate,
     }
 
 
@@ -1266,6 +1267,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_dedup_clusters": _docs_materialized_oracle(sf_dir_for_fixture, "dedup_clusters_v1", _dedup_clusters_expected),
         "docs_cluster_split": _docs_materialized_oracle(sf_dir_for_fixture, "cluster_split_v1", _cluster_split_expected),
         "docs_phash_dupes": _docs_materialized_oracle(sf_dir_for_fixture, "phash_dupes_v1", _phash_dupes_expected, columns=("doc_id",)),
+        "lineitem_join_estimate": _table_materialized_oracle(sf_dir_for_fixture, "lineitem", "join_estimate_v1", _join_estimate_expected, ("l_orderkey",)),
         "embed_dupes": sql_embed_dupes(sf_dir_for_fixture),
         "region_revenue": SQL_REGION_REVENUE,
         "part_brand_pricing": SQL_PART_BRAND_PRICING,
@@ -11769,3 +11771,69 @@ r AS (SELECT item, other, w, jac,
       FROM j)
 SELECT item, other, w, jac, rnk FROM r WHERE rnk <= 5
 """
+
+
+def _table_materialized_oracle(sf_dir: str, table: str, name: str, builder,
+                               columns) -> str:
+    """Materialized-oracle helper over an arbitrary testdata TABLE —
+    the _docs_materialized_oracle pattern, parameterized by table."""
+    import os
+
+    from pymhealth_ray.sources.generate import fixture_dir_for
+
+    out_dir = fixture_dir_for(sf_dir).rstrip("/") + f"_{table}_oracle"
+    out_path = os.path.join(out_dir, f"{name}.parquet")
+    if not os.path.exists(out_path):
+        os.makedirs(out_dir, exist_ok=True)
+        _PENDING_ORACLES.append((f"{sf_dir}/{table}.parquet", out_path,
+                                 builder, list(columns), True, 1))
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+def q_lineitem_join_estimate(sf_dir: str):
+    """OPTIMIZER STATISTICS: estimate the self-equi-join cardinality of
+    lineitem on orderkey with a count-min sketch INNER PRODUCT
+    (est = min_d Σ_w cms[d,w]² — the classic AMS/CMS join-size bound,
+    always ≥ truth) next to the exact Σ c(k)² (keyed_sum). The sketch
+    is a fixed-size mergeable array — the only thing that crosses the
+    cluster — which is why this is THE join-size primitive at 100 TB.
+    One row out: (exact_pairs, cms_estimate, ratio)."""
+    from pymhealth_ray.stages.aggregate import grouped_stats, keyed_sum
+    from pymhealth_ray.stages.sketch import build_count_min
+
+    li = read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    li = li.materialize()  # consumed by the sketch AND the exact count
+    cms = build_count_min(li, "l_orderkey")
+    est = int(np.min((cms.astype(np.float64) ** 2).sum(axis=1)))
+
+    counts = keyed_sum(li.map_batches(
+        lambda b: pa.table({"k": b["l_orderkey"],
+                            "one": pa.array(np.ones(b.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow"), "k", ["one"], num_buckets=NB,
+        precombine_rows=None)
+    sq = grouped_stats(counts.map_batches(
+        lambda b: pa.table({"one2": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "c2": pa.array(b["one"].to_numpy(zero_copy_only=False) ** 2)}),
+        batch_format="pyarrow"), ["one2"], sum_cols=["c2"]).take_all()
+    exact = int(sq[0]["c2_sum"])
+    return pa.table({
+        "exact_pairs": pa.array([exact], type=pa.int64()),
+        "cms_estimate": pa.array([est], type=pa.int64()),
+        "ratio": pa.array([float(est) / float(exact)], type=pa.float64()),
+    })
+
+
+def _join_estimate_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.sketch import _cms_rows
+
+    col = pa.array(df["l_orderkey"].to_numpy(), type=pa.int64())
+    cms = _cms_rows(col, 1 << 14, 4)
+    est = int(np.min((cms.astype(np.float64) ** 2).sum(axis=1)))
+    c = df["l_orderkey"].value_counts().to_numpy().astype(np.int64)
+    exact = int((c * c).sum())
+    return pd.DataFrame({"exact_pairs": [exact], "cms_estimate": [est],
+                         "ratio": [float(est) / float(exact)]})
