@@ -1207,6 +1207,7 @@ def build_queries() -> dict:
         "docs_phash_dupes": q_docs_phash_dupes,
         "item_similarity_topk": q_item_similarity_topk,
         "lineitem_join_estimate": q_lineitem_join_estimate,
+        "seq_prefix_dupes": q_seq_prefix_dupes,
     }
 
 
@@ -1410,6 +1411,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_asof_stream": sql_seq_asof_stream(path),
         "seq_streaming_lag": sql_seq_streaming_lag(path),
         "seq_streaming_rolling": sql_seq_streaming_rolling(path),
+        "seq_prefix_dupes": sql_seq_prefix_dupes(path),
         "events_cusum": SQL_EVENTS_CUSUM,
         "events_pushdown_scan": SQL_EVENTS_PUSHDOWN_SCAN,
         "events_stickiness": SQL_EVENTS_STICKINESS,
@@ -11837,3 +11839,65 @@ def _join_estimate_expected(df):
     exact = int((c * c).sum())
     return pd.DataFrame({"exact_pairs": [exact], "cms_estimate": [est],
                          "ratio": [float(est) / float(exact)]})
+
+
+def _seed_trunc_copies(b: pa.Table) -> pa.Table:
+    """Append a half-length TRUNCATED copy of every 89th-hashed row: the
+    synthetic corpus has no natural truncation dups. Map-local and
+    deterministic; the oracle derives the identical rows in SQL."""
+    ts = b["ts_ns"].to_numpy(zero_copy_only=False)
+    toks = b["tokens"].combine_chunks() if isinstance(
+        b["tokens"], pa.ChunkedArray) else b["tokens"]
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.diff(off)
+    pick = np.flatnonzero((ts % 89 == 0) & (n >= 8))
+    base = pa.table({"doc_id": b["doc_id"], "tokens": toks})
+    if not len(pick):
+        return base
+    copies = []
+    for i in pick.tolist():
+        t = toks[i].as_py()
+        copies.append(t[: len(t) // 2])
+    dup = pa.table({
+        "doc_id": pa.array([f"{v}~trunc" for v in
+                            b["doc_id"].take(pa.array(pick)).to_pylist()]),
+        "tokens": pa.array(copies, type=toks.type),
+    })
+    return pa.concat_tables([base, dup]).combine_chunks()
+
+
+def q_seq_prefix_dupes(sf_dir: str):
+    """TRUNCATION dedup over token sequences (10th dedup modality):
+    pairs where one sequence is a strict PREFIX of another — the
+    same-page-cut-at-different-lengths shape. Distinct-length broadcast,
+    per-length prefix hashing (Arrow list_slice + the vectorized join
+    key), one hash-bucket exchange (stages/dedup.prefix_dupes). Seeded
+    half-length copies are the ground truth; the oracle derives the
+    identical seeded table and match in pure SQL."""
+    from pymhealth_ray.stages.dedup import prefix_dupes
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    seeded = ds.map_batches(_seed_trunc_copies, batch_format="pyarrow")
+    return prefix_dupes(seeded, num_buckets=NB)
+
+
+def sql_seq_prefix_dupes(path: str) -> str:
+    return f"""
+WITH base AS (SELECT doc_id, ts_ns, tokens, len(tokens) AS n
+              FROM read_parquet('{path}/part-*.parquet')),
+seeded AS (SELECT doc_id, tokens, n FROM base
+           UNION ALL
+           SELECT doc_id || '~trunc' AS doc_id,
+                  tokens[1:CAST(n // 2 AS BIGINT)] AS tokens,
+                  n // 2 AS n
+           FROM base WHERE ts_ns % 89 = 0 AND n >= 8),
+lens AS (SELECT DISTINCT n FROM seeded),
+fulls AS (SELECT doc_id, n, md5(array_to_string(tokens, ',')) AS h
+          FROM seeded),
+cands AS (SELECT s.doc_id AS long_id, l.n AS L,
+                 md5(array_to_string(s.tokens[1:CAST(l.n AS BIGINT)], ','))
+                   AS h
+          FROM seeded s JOIN lens l ON l.n < s.n)
+SELECT f.doc_id AS short_id, c.long_id
+FROM fulls f JOIN cands c ON c.L = f.n AND c.h = f.h
+"""

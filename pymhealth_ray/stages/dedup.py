@@ -948,3 +948,113 @@ def latest_by_key(ds, key_cols, order_cols, num_buckets: int = 64):
 
     return grouped_by_bucket(ds, pick, entity_col=key_cols[0],
                              num_buckets=num_buckets)
+
+
+def prefix_dupes(ds, id_col: str = "doc_id", tokens_col: str = "tokens",
+                 num_buckets: int = 64):
+    """TRUNCATION dedup: pairs (short, long) where short's token sequence
+    is a strict PREFIX of long's — the truncated-duplicate shape web
+    scrapes produce (same page cut at different lengths). Exact and
+    SQL-reproducible:
+
+      1. the distinct-length set collects to the driver (bounded by the
+         max sequence length — a config constant at 100 TB, not a data
+         scale) and broadcasts;
+      2. every doc emits one FULL row (md5 of the canonical
+         array_to_string key, at its own length) and one CANDIDATE row
+         per shorter corpus length L (md5 of its L-prefix — Arrow
+         list_slice + the vectorized join key; only the md5 is per-row);
+      3. one hash-bucket exchange co-locates equal (hash, L); fulls
+         match candidates in-bucket. A doc never self-matches (strict
+         L < n). Cost is O(rows × |distinct lengths|) hashes — the
+         scale path swaps md5 for a rolling polynomial hash, same plan.
+    """
+    import hashlib
+
+    import ray
+
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def lens_partial(b: pa.Table) -> pa.Table:
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"L": pa.array(np.unique(np.diff(off)))})
+
+    lens_rows = ds.map_batches(lens_partial, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    lens = np.unique(np.array([r["L"] for r in lens_rows],
+                              dtype=np.int64))
+    lens_ref = ray.put(lens)
+
+    def emit(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        L_set = ray.get(lens_ref)
+        toks = b[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(off)
+        ids = b[id_col]
+        full_keys = tokens_join_key(toks).to_pylist()
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in full_keys]
+        out_h, out_L, out_kind, out_id = [hs], [n], \
+            [np.zeros(len(n), dtype=np.int8)], [ids]
+        for L in L_set.tolist():
+            m = n > L
+            if not m.any():
+                continue
+            sub = toks.filter(pa.array(m))
+            pref = pc.list_slice(sub, 0, L)
+            keys = tokens_join_key(pref).to_pylist()
+            out_h.append([hashlib.md5(s.encode()).hexdigest()
+                          for s in keys])
+            out_L.append(np.full(int(m.sum()), L, dtype=np.int64))
+            out_kind.append(np.ones(int(m.sum()), dtype=np.int8))
+            out_id.append(ids.filter(pa.array(m)))
+        return pa.table({
+            "h": pa.array(sum([list(x) if not isinstance(x, list) else x
+                               for x in out_h], [])),
+            "L": pa.array(np.concatenate(out_L)),
+            "kind": pa.array(np.concatenate(out_kind)),
+            id_col: pa.concat_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                 else x for x in out_id]),
+        })
+
+    tagged = ds.map_batches(emit, batch_format="pyarrow",
+                            batch_size=None)
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        bk = _stable_bucket_of(b["h"], num_buckets)
+        return b.append_column("__hbucket", pa.array(bk, type=pa.int32()))
+
+    def match(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"short_id": pa.array([], type=pa.string()),
+                          "long_id": pa.array([], type=pa.string())})
+        if tbl.num_rows == 0:
+            return empty
+        h = np.asarray(tbl["h"].to_pylist(), dtype=object)
+        L = tbl["L"].to_numpy(zero_copy_only=False)
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(tbl[id_col].to_pylist(), dtype=object)
+        fulls = {}
+        fm = kind == 0
+        for hh, ll, ii in zip(h[fm], L[fm], ids[fm]):
+            fulls.setdefault((hh, int(ll)), []).append(ii)
+        sa, lb = [], []
+        cm = kind == 1
+        for hh, ll, ii in zip(h[cm], L[cm], ids[cm]):
+            for s in fulls.get((hh, int(ll)), ()):
+                sa.append(s)
+                lb.append(ii)
+        return pa.table({"short_id": pa.array(sa, type=pa.string()),
+                         "long_id": pa.array(lb, type=pa.string())})
+
+    return tagged.map_batches(with_bucket, batch_format="pyarrow",
+                              batch_size=None) \
+        .groupby("__hbucket").map_groups(
+            lambda t: match(t.drop_columns(["__hbucket"])),
+            batch_format="pyarrow")
