@@ -1208,6 +1208,7 @@ def build_queries() -> dict:
         "item_similarity_topk": q_item_similarity_topk,
         "lineitem_join_estimate": q_lineitem_join_estimate,
         "seq_prefix_dupes": q_seq_prefix_dupes,
+        "events_burstiness": q_events_burstiness,
     }
 
 
@@ -1446,6 +1447,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_rerank": SQL_EMBED_RERANK,
         "events_daily_top_types": SQL_EVENTS_DAILY_TOP_TYPES,
         "item_similarity_topk": SQL_ITEM_SIMILARITY_TOPK,
+        "events_burstiness": SQL_EVENTS_BURSTINESS,
         "docs_lsh_calibration": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_calibration_v1",
             _lsh_calibration_expected),
@@ -11900,4 +11902,73 @@ cands AS (SELECT s.doc_id AS long_id, l.n AS L,
           FROM seeded s JOIN lens l ON l.n < s.n)
 SELECT f.doc_id AS short_id, c.long_id
 FROM fulls f JOIN cands c ON c.L = f.n AND c.h = f.h
+"""
+
+
+def q_events_burstiness(sf_dir: str):
+    """Per-user BURSTINESS (Fano factor) of hourly activity: variance /
+    mean of the user's per-hour event counts, over their observed hours.
+    fano = (n·Σc² − (Σc)²) / (n·Σc): exact int64 all the way to ONE IEEE
+    division (bit-exact vs SQL). Two bucketed exchanges: packed
+    (user, hour) counts via keyed_sum, then per-user moment rollup."""
+    from pymhealth_ray.stages.aggregate import keyed_agg, keyed_sum
+
+    HOUR = 3_600_000_000
+    ev = _events(sf_dir, ["user_id", "ts"])
+    st = grouped_stats(ev.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "user_id": b["user_id"]}),
+        batch_format="pyarrow"), ["one"], max_cols=["user_id"]).take_all()
+    K = int(st[0]["user_id_max"]) + 1
+
+    def pack(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["ts_us"].to_numpy(zero_copy_only=False) // HOUR
+        return pa.table({"uh": pa.array(h * K + u),
+                         "one": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64))})
+
+    per_hour = keyed_sum(ev.map_batches(pack, batch_format="pyarrow"),
+                         "uh", ["one"], num_buckets=NB,
+                         precombine_rows=None)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        uh = b["uh"].to_numpy(zero_copy_only=False)
+        c = b["one"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pa.array(uh % K),
+                         "n": pa.array(np.ones(len(c), dtype=np.int64)),
+                         "s": pa.array(c), "sq": pa.array(c * c)})
+
+    mom = keyed_agg(per_hour.map_batches(unpack, batch_format="pyarrow"),
+                    "user_id", {"n": "sum", "s": "sum", "sq": "sum"},
+                    num_buckets=NB, precombine_rows=None)
+
+    def fano(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = b["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_hours": pa.array(n),
+            "n_events": pa.array(s),
+            "fano": pa.array((n * sq - s * s).astype(np.float64)
+                             / (n * s).astype(np.float64)),
+        })
+
+    return mom.map_batches(fano, batch_format="pyarrow")
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour
+           FROM events),
+hc AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS c
+       FROM e GROUP BY 1, 2),
+m AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(c * c) AS HUGEINT) AS sq
+      FROM hc GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_hours, CAST(s AS BIGINT) AS n_events,
+       CAST(n * sq - s * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS fano
+FROM m
 """
