@@ -11644,8 +11644,11 @@ def q_docs_phash_dupes(sf_dir: str):
     docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = docs.map_batches(_docs_phash_media, batch_format="pyarrow")
     sigs = phash_images(media)
+    # num_bands=8 → 8-bit bands (256 values): size the bucket cap to the
+    # corpus so the pigeonhole completeness is not silently voided
     return hamming_ball_pairs(sigs, sig_col="phash", max_hamming=6,
-                              num_bands=8, num_buckets=NB)
+                              num_bands=8, num_buckets=NB,
+                              max_bucket_size=65536)
 
 
 def _phash_dupes_expected(df):
@@ -11693,7 +11696,7 @@ def q_item_similarity_topk(sf_dir: str):
     li = li.map_batches(
         lambda b: pa.table({"o_orderkey": b["l_orderkey"],
                             "p": b["l_partkey"]}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # probe + join consume it
     st = grouped_stats(li.map_batches(
         lambda b: pa.table({"one": pa.array(
             np.zeros(b.num_rows, dtype=np.int8)), "p": b["p"]}),

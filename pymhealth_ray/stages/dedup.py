@@ -643,7 +643,12 @@ def hamming_ball_pairs(sigs, id_col: str = "doc_id",
     candidate generator. Verification is an in-bucket vectorized XOR
     popcount; band buckets are capped at ``max_bucket_size`` (sorted-id
     truncation) so a degenerate band value cannot create a quadratic hot
-    task. Two exchanges total (candidates, pair-dedup). Returns
+    task — NOTE the cap trades completeness for skew defense: once a
+    band value's population exceeds it, pairs confined to the truncated
+    tail in EVERY band are missed. Size it to ~corpus/2^band_bits
+    (band_bits = 64/num_bands): narrow bands (num_bands=8 → 256 values)
+    saturate far sooner than SimHash's default 16-bit bands. Two
+    exchanges total (candidates, pair-dedup). Returns
     (id_a, id_b, hamming), id_a < id_b.
     """
     from pymhealth_ray.stages.partition import _stable_bucket_of
@@ -989,8 +994,15 @@ def prefix_dupes(ds, id_col: str = "doc_id", tokens_col: str = "tokens",
     lens_ref = ray.put(lens)
 
     def emit(b: pa.Table) -> pa.Table:
+        import itertools
+
         import pyarrow.compute as pc
 
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.string()),
+                             "L": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.int8()),
+                             id_col: pa.array([], type=pa.string())})
         L_set = ray.get(lens_ref)
         toks = b[tokens_col]
         if isinstance(toks, pa.ChunkedArray):
@@ -1015,8 +1027,8 @@ def prefix_dupes(ds, id_col: str = "doc_id", tokens_col: str = "tokens",
             out_kind.append(np.ones(int(m.sum()), dtype=np.int8))
             out_id.append(ids.filter(pa.array(m)))
         return pa.table({
-            "h": pa.array(sum([list(x) if not isinstance(x, list) else x
-                               for x in out_h], [])),
+            "h": pa.array(list(itertools.chain.from_iterable(out_h)),
+                          type=pa.string()),
             "L": pa.array(np.concatenate(out_L)),
             "kind": pa.array(np.concatenate(out_kind)),
             id_col: pa.concat_arrays(

@@ -346,6 +346,8 @@ def phash64(gray: np.ndarray, grid: int = 32, keep: int = 8) -> np.int64:
     and small pixel noise; two perceptually-similar images land within a
     small Hamming distance, which :func:`pymhealth_ray.stages.dedup.
     hamming_ball_pairs` turns into the 9th dedup modality."""
+    if keep * keep > 64:
+        raise ValueError("phash64 packs keep^2 bits into int64: keep <= 8")
     h, w = gray.shape
     ri = (np.arange(grid) * h) // grid
     ci = (np.arange(grid) * w) // grid

@@ -58,8 +58,13 @@ def rerank_candidates(candidates: pa.Table, *, salt: str = "xe",
                             batch_format="pyarrow",
                             batch_size=batch_size,
                             concurrency=concurrency)
-    tbl = pa.concat_tables(
-        [t for t in ray.get(scored.to_arrow_refs()) if t.num_rows])
+    tabs = [t for t in ray.get(scored.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "neighbor_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.string()),
+                         "rank": pa.array([], type=pa.int64())})
+    tbl = pa.concat_tables(tabs)
     q = np.asarray(tbl["query_id"].to_pylist())
     n = np.asarray(tbl["neighbor_id"].to_pylist())
     s = np.asarray(tbl["score"].to_pylist(), dtype=object)
@@ -76,8 +81,10 @@ def rerank_candidates(candidates: pa.Table, *, salt: str = "xe",
                      "rank": pa.array(rank)})
 
 
+_HEX_COMPLEMENT = str.maketrans("0123456789abcdef", "fedcba9876543210")
+
+
 def _neg_hex(h: str) -> str:
     """Lexicographic inversion of a fixed-width hex string (descending
     sort via ascending lexsort): complement each nibble."""
-    tr = str.maketrans("0123456789abcdef", "fedcba9876543210")
-    return h.translate(tr)
+    return h.translate(_HEX_COMPLEMENT)
