@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "embed_rerank",
     "orders_smb_join",
     "docs_phash_dupes",
+    "events_burstiness",
+    "lineitem_join_estimate",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only
