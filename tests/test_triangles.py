@@ -147,3 +147,35 @@ def test_phash64_noise_robust_and_deterministic():
     h3 = phash64(other.astype(np.float64) / 255.0)
     assert bin(int(h1.astype(np.uint64)) ^ int(h3.astype(np.uint64))) \
         .count("1") > 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prefix_dupes_bruteforce_and_partition_invariant():
+    from pymhealth_ray.stages.dedup import prefix_dupes
+
+    rng = np.random.default_rng(9)
+    docs, ids = [], []
+    for i in range(80):
+        docs.append(rng.integers(0, 6, rng.integers(4, 12)).tolist())
+        ids.append(f"d{i:03d}")
+    # seed real prefixes
+    for i in range(0, 80, 9):
+        docs.append(docs[i][: max(1, len(docs[i]) // 2)])
+        ids.append(f"d{i:03d}~t")
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "tokens": pa.array(docs, type=pa.list_(pa.int32()))})
+
+    def run(n_part, nb):
+        ds = ray.data.from_arrow(tbl).repartition(n_part)
+        out = prefix_dupes(ds, num_buckets=nb).to_pandas()
+        return set(zip(out["short_id"], out["long_id"]))
+
+    got = run(3, 4)
+    assert got == run(11, 7)  # partition/bucket invariance
+    want = set()
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a != b and len(docs[a]) < len(docs[b]) \
+                    and docs[b][: len(docs[a])] == docs[a]:
+                want.add((ids[a], ids[b]))
+    assert got == want
