@@ -10811,11 +10811,17 @@ def q_events_snapshot_diff(sf_dir: str):
                 else pc.greater(b["ts_us"], tmid)
             return b.filter(m)
         name = "val_a" if keep_first else "val_b"
+        # explicit presence flag: classification must test "row exists in
+        # this snapshot half", not val NULL-ness (a NULL latest value
+        # would otherwise masquerade as added/removed — ADVICE r4)
+        flag = "in_a" if keep_first else "in_b"
         latest = latest_by_key(ev.map_batches(f, batch_format="pyarrow"),
                                ["user_id"], ["ts_us", "event_id"],
                                num_buckets=NB)
         return latest.map_batches(
-            lambda b: pa.table({"user_id": b["user_id"], name: b["val_c"]}),
+            lambda b: pa.table({"user_id": b["user_id"], name: b["val_c"],
+                                flag: pa.array(np.ones(b.num_rows,
+                                                       dtype=np.int8))}),
             batch_format="pyarrow")
 
     joined = equi_join(half(True), half(False), on="user_id",
@@ -10823,8 +10829,8 @@ def q_events_snapshot_diff(sf_dir: str):
 
     def classify(b: pa.Table) -> pa.Table:
         a, v = b["val_a"], b["val_b"]
-        a_null = pc.is_null(a)
-        b_null = pc.is_null(v)
+        a_null = pc.is_null(b["in_a"])
+        b_null = pc.is_null(b["in_b"])
         status = pc.if_else(
             b_null, pa.scalar("removed"),
             pc.if_else(a_null, pa.scalar("added"),
@@ -11908,6 +11914,24 @@ FROM fulls f JOIN cands c ON c.L = f.n AND c.h = f.h
 """
 
 
+def _fano_exact(n: np.ndarray, s: np.ndarray, sq: np.ndarray) -> np.ndarray:
+    """(n·sq − s²) / (n·s) with the HUGEINT semantics SQL uses: the int
+    products are exact, only the final cast to DOUBLE rounds. Vectorized
+    int64 fast path; rows whose products could exceed 2⁶² finish in
+    arbitrary-precision python ints (ADVICE r4 overflow guard)."""
+    num = n * sq - s * s
+    den = n * s
+    big = ((np.abs(sq) >= 2 ** 62 // np.maximum(n, 1))
+           | (np.abs(s) >= np.int64(3_037_000_499)))
+    if big.any():
+        f = num.astype(np.float64) / den.astype(np.float64)
+        for i in np.flatnonzero(big):
+            ni, si, qi = int(n[i]), int(s[i]), int(sq[i])
+            f[i] = float(ni * qi - si * si) / float(ni * si)
+        return f
+    return num.astype(np.float64) / den.astype(np.float64)
+
+
 def q_events_burstiness(sf_dir: str):
     """Per-user BURSTINESS (Fano factor) of hourly activity: variance /
     mean of the user's per-hour event counts, over their observed hours.
@@ -11921,9 +11945,15 @@ def q_events_burstiness(sf_dir: str):
     st = grouped_stats(ev.map_batches(
         lambda b: pa.table({"one": pa.array(
             np.zeros(b.num_rows, dtype=np.int8)),
-            "user_id": b["user_id"]}),
-        batch_format="pyarrow"), ["one"], max_cols=["user_id"]).take_all()
+            "user_id": b["user_id"], "ts_us": b["ts_us"]}),
+        batch_format="pyarrow"), ["one"],
+        max_cols=["user_id", "ts_us"]).take_all()
     K = int(st[0]["user_id_max"]) + 1
+    hmax = int(st[0]["ts_us_max"]) // HOUR
+    if hmax * K + (K - 1) >= 2 ** 63:  # python ints — no silent wrap
+        raise ValueError(
+            f"events_burstiness: packed (hour·K+user) key overflows "
+            f"int64 (K={K}, max hour={hmax}); re-id users densely")
 
     def pack(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -11955,8 +11985,7 @@ def q_events_burstiness(sf_dir: str):
             "user_id": b["user_id"],
             "n_hours": pa.array(n),
             "n_events": pa.array(s),
-            "fano": pa.array((n * sq - s * s).astype(np.float64)
-                             / (n * s).astype(np.float64)),
+            "fano": pa.array(_fano_exact(n, s, sq)),
         })
 
     return mom.map_batches(fano, batch_format="pyarrow")

@@ -243,6 +243,10 @@ def frequent_triples(ds, group_col: str, item_col: str, max_item: int,
     from pymhealth_ray.stages.triangles import group_pair_rows, segment_pairs
 
     K = int(max_item) + 1
+    if K ** 3 >= 2 ** 63:  # python ints — checked before any int64 math
+        raise ValueError(
+            f"frequent_triples: K={K} overflows int64 triple packing "
+            f"(K³ ≥ 2⁶³); re-id items to a dense domain first")
 
     def group_pairs(tbl: pa.Table) -> pa.Table:
         empty = pa.table({"g": pa.array([], type=pa.int64()),

@@ -519,7 +519,15 @@ def streaming_rolling(layout_dir: str, *, entity_col: str = "doc_id",
         for p in batch["path"].to_pylist():
             outs.extend(_rolling_one_file(p, entity_col, ts_col, value_col,
                                           window, batch_rows))
-        return pa.concat_tables(outs)
+        # a task whose partition files all yield zero batches must still
+        # return a typed table (mirrors the streaming_asof scan's guard)
+        return pa.concat_tables(outs) if outs else pa.table({
+            entity_col: pa.array([], type=pa.string()),
+            ts_col: pa.array([], type=pa.int64()),
+            value_col: pa.array([], type=pa.int64()),
+            "wsum": pa.array([], type=pa.int64()),
+            "wn": pa.array([], type=pa.int64()),
+        })
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
 

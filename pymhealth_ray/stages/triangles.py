@@ -63,6 +63,10 @@ def group_pair_rows(tbl: pa.Table, group_col: str, item_col: str, K: int):
     ``group_dict`` (the group dictionary) per pair row. Items must be
     int64 in [0, K); callers must keep K² < 2⁶³ (K³ for triple packing).
     """
+    if K * K >= 2 ** 63:  # python ints — no wrap; int64 pkey would
+        raise ValueError(
+            f"group_pair_rows: K={K} overflows int64 pair packing "
+            f"(K² ≥ 2⁶³); re-id items to a dense domain first")
     grp = tbl[group_col].combine_chunks() \
         if isinstance(tbl[group_col], pa.ChunkedArray) else tbl[group_col]
     itm = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
