@@ -35,6 +35,12 @@ SCALING_ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
 # host's effective-core ceiling (hypervisor steal — BASELINE.md)
 SCALING_PAIR = (int(os.environ.get("SCALING_N", "4")), int(os.environ.get("SCALING_4N", "16")))
 
+# The ~76 most informative queries (VERDICT r4 item 2): the flagship
+# path, every family's heaviest members, composed chains, streaming
+# twins, and the newest ops. The other ~150 registry queries are
+# gate-only (tools/check_correctness.py covers all of them at sf0.01);
+# they were uniformly ≤ ~2 s gate-scale reads here and their first-pass
+# cost was squeezing the best-of re-run headroom out of the budget.
 BENCH_QUERIES = [
     "events_window_1h",
     "events_sessions",
@@ -47,86 +53,41 @@ BENCH_QUERIES = [
     "docs_dedup_first8",
     "docs_minhash_pairs",
     "embed_knn",
-    # round 2
     "orders_customer_join_salted",
     "embed_knn_ivf",
     "events_geo_clusters",
-    "embed_dupes",
     "events_orders_range_join",
-    "docs_topk_chars",
-    "seq_quantiles",
-    "docs_approx_distinct",
-    "docs_split_sample",
-    "docs_top_tokens",
-    "seq_pack",
     "docs_dedup_clusters",
-    "docs_sample_per_lang",
     "orders_bloom_semi",
     "docs_decontam",
-    "lineitem_profile",
     "docs_prep_pipeline",
     "docs_simhash_dupes",
-    "docs_redact",
-    "seq_weighted_sample",
     "lineitem_cms_counts",
-    "docs_media_decode",
-    # round-2 second wave
     "seq_ewma",
     "seq_pmi",
-    "seq_resample",
-    "seq_rolling_corr",
-    "seq_zscore",
     "seq_bigram_nll",
     "embed_pca",
-    "orders_anti_returned",
     "seq_feature_matrix",
-    "seq_mad_outliers",
     "embed_kmeans",
     "seq_temporal_pack",
     "seq_repeated_spans",
-    # round 3
     "events_funnel",
-    "seq_oov_rate",
-    "lineitem_constraints",
-    "events_resample_interp",
     "events_target_loo",
-    "lineitem_rollup",
-    "events_type_pivot",
-    "events_nearest_poi",
-    "events_value_hist",
-    "lineitem_corr",
-    "events_funnel_summary",
-    # round-3 second wave
-    "lineitem_cube",
-    "lineitem_moments",
     "lineitem_star_revenue",
     "orders_basket_pairs",
     "events_ntile",
     "events_attribution",
-    "events_journey",
-    "seq_token_spectrum",
-    "seq_distinct_ngrams",
-    "seq_vocab_growth",
     "docs_ledger_ingest",
     "seq_concat_examples",
     "events_retention",
-    "part_revenue_pareto",
     "events_zonemap_range",
     "embed_ivf_recall",
-    "events_hourly_distinct",
-    "supplier_part_degree",
     "seq_trigram_nll",
     "seq_minhash_dupes",
-    "seq_vocab_coverage",
-    "orders_daily_ma",
-    "events_props_extract",
-    "events_sliding_distinct",
+    "seq_prep_pipeline",
     "docs_audio_real",
     "docs_image_real",
     "docs_video_frames",
-    "seq_prep_pipeline",
-    "events_value_rank",
-    # round 4
     "seq_repetition",
     "embed_semdedup",
     "docs_dsir_weights",
@@ -135,34 +96,23 @@ BENCH_QUERIES = [
     "docs_quality_deciles",
     "embed_quantized_recall",
     "seq_epoch_shuffle",
-    "docs_dup_rate_by_source",
     "events_cusum",
-    "docs_k_anonymize",
     "seq_length_buckets",
     "events_hampel",
-    "docs_cluster_size_hist",
     "docs_keyword_tags",
     "events_pushdown_scan",
     "docs_lsh_incremental",
     "seq_streaming_sessions",
     "seq_asof_stream",
     "seq_streaming_lag",
-    "docs_shingle_diversity",
-    "events_stickiness",
-    "docs_langid_confusion",
+    "seq_streaming_rolling",
     "docs_jaccard_dupes",
-    # round-4 continuation wave (item_triangles / item_triples /
-    # events_snapshot_diff stay gate-only: 10-16 s each at sf0.1 would
-    # eat the budget's best-of re-run headroom)
     "events_concurrency",
     "events_scd2",
     "events_cuped",
     "events_hourly_trend",
     "part_skyline",
     "embed_rrf",
-    "seq_streaming_rolling",
-    "events_labeled_examples",
-    "events_daily_top_types",
     "embed_rerank",
     "orders_smb_join",
     "docs_phash_dupes",
@@ -303,13 +253,24 @@ def _steal_jiffies() -> int:
         return -1
 
 
-# 310: one full pass of the 117-query list (~275 s quiet) + ~35 s of
-# heaviest-first best-of re-runs; hard stop at 1.5x (465 s) only in
-# pathological steal windows, where the artifact degrades tail-first
-QUERY_BUDGET_SEC = float(os.environ.get("BENCH_QUERY_BUDGET", "310"))
+# 270: one full pass of the trimmed 76-query list (~180-200 s moderate
+# weather) + ~70-90 s of heaviest-first best-of re-runs; hard stop at
+# 1.5x (405 s) only in pathological steal windows, where the artifact
+# degrades tail-first
+QUERY_BUDGET_SEC = float(os.environ.get("BENCH_QUERY_BUDGET", "270"))
 
 
-def run_queries(sf_dir: str) -> tuple[dict, dict]:
+def _write_ckpt(path: str, best: dict, best_steal: dict, meta: dict):
+    """Atomic checkpoint after every query: a child death loses at most
+    the in-flight query, never the section (VERDICT r4 item 1)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"queries": {n: round(v, 3) for n, v in best.items()},
+                   "query_steal_jiffies": best_steal, **meta}, f)
+    os.replace(tmp, path)
+
+
+def run_queries(sf_dir: str, ckpt_path: str | None = None) -> tuple[dict, dict]:
     """Steal-resistant per-query timing: the full query list runs in
     INTERLEAVED rounds (round 1 all queries, round 2 all queries, ...) on
     the shared warm cluster, taking the per-query minimum — a hypervisor
@@ -325,16 +286,33 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
     qs = build_queries()
     best: dict = {}
     best_steal: dict = {}
+    # a restarted child resumes from the checkpoint: completed queries
+    # keep their best time and round 0 skips them, so the retry spends
+    # its budget on the queries the dead run never reached
+    if ckpt_path and os.path.exists(ckpt_path):
+        try:
+            prev = json.load(open(ckpt_path))
+            best = dict(prev.get("queries", {}))
+            best_steal = dict(prev.get("query_steal_jiffies", {}))
+        except Exception:
+            pass
     section_start = time.time()
     steal_start = _steal_jiffies()
+
+    def meta_now() -> dict:
+        return {
+            "steal_jiffies_total": _steal_jiffies() - steal_start,
+            "query_section_sec": round(time.time() - section_start, 1),
+        }
+
     for rnd in range(3):
         if rnd > 0 and time.time() - section_start > QUERY_BUDGET_SEC:
             break
         # later rounds re-run HEAVIEST-first: when the list outgrows the
         # budget, the best-of correction lands on the queries where a
         # steal burst distorts most
-        order = BENCH_QUERIES if rnd == 0 else sorted(
-            BENCH_QUERIES, key=lambda n: -best.get(n, 0.0))
+        order = [n for n in BENCH_QUERIES if n not in best] if rnd == 0 \
+            else sorted(BENCH_QUERIES, key=lambda n: -best.get(n, 0.0))
         for name in order:
             if rnd > 0 and time.time() - section_start > QUERY_BUDGET_SEC:
                 break
@@ -350,11 +328,12 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
             if sec < best.get(name, float("inf")):
                 best[name] = sec
                 best_steal[name] = _steal_jiffies() - s0
-    meta = {
-        "query_steal_jiffies": {n: best_steal[n] for n in best},
-        "steal_jiffies_total": _steal_jiffies() - steal_start,
-        "query_section_sec": round(time.time() - section_start, 1),
-    }
+            if ckpt_path:
+                _write_ckpt(ckpt_path, best, best_steal, meta_now())
+    meta = {"query_steal_jiffies": {n: best_steal[n] for n in best},
+            **meta_now()}
+    if ckpt_path:
+        _write_ckpt(ckpt_path, best, best_steal, meta_now())
     return {n: round(v, 3) for n, v in best.items()}, meta
 
 
@@ -460,40 +439,121 @@ def main():
         }))
         return
 
-    import ray
+    if "--headline-job-only" in sys.argv:
+        import ray
 
+        h = run_headline(NUM_CPUS)
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "flagship_e2e",
+            "value": round(h["sec"], 3),
+            "unit": "sec",
+            "num_cpus": NUM_CPUS,
+            "flagship_rows": h["rows"],
+            "sequences_per_sec": round(h["rows_per_sec"], 1),
+        }))
+        return
+
+    if "--query-job-only" in sys.argv:
+        import ray
+
+        ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False)
+        _tune_context()
+        _warmup(NUM_CPUS)
+        run_queries(SF_DIR, ckpt_path=ckpt)
+        ray.shutdown()
+        print(json.dumps({"status": "ok", "ckpt": ckpt}))
+        return
+
+    # Default mode: crash-proof artifact pipeline (VERDICT r4 item 1 —
+    # rounds 3 AND 4 both lost the driver's bench artifact, once to stdout
+    # truncation and once to a transient Ray core-worker abort late in one
+    # long-lived process). The parent never touches Ray: the headline and
+    # the per-query section each run in their OWN child process, the
+    # headline's compact JSON is printed+flushed the moment it lands, the
+    # query child checkpoints after every query and is restarted once on
+    # death — so any single crash degrades the artifact instead of
+    # destroying it. The compact headline JSON stays the LAST stdout line
+    # (the driver tails ~2000 chars).
     headline_only = "--headline-only" in sys.argv
-    h = run_headline(NUM_CPUS)
-    queries, qmeta = ({}, {}) if headline_only else run_queries(SF_DIR)
-    ray.shutdown()
-    rep = {
-        "metric": "flagship_e2e",
-        "value": round(h["sec"], 3),
-        "unit": "sec",
-        "queries": queries,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "flagship_rows": h["rows"],
-        "sequences_per_sec": round(h["rows_per_sec"], 1),
-    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    err = None
+    head: dict = {}
+
+    def child(args: list[str], budget: float | None = None):
+        env = dict(os.environ)
+        if budget is not None:
+            env["BENCH_QUERY_BUDGET"] = str(int(budget))
+        return subprocess.run([sys.executable, __file__] + args, env=env,
+                              capture_output=True, text=True, cwd=here)
+
+    def compact() -> str:
+        return json.dumps({
+            "metric": "flagship_e2e",
+            "value": head.get("value"),
+            "unit": "sec",
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "flagship_rows": head.get("flagship_rows"),
+            "sequences_per_sec": head.get("sequences_per_sec"),
+            "queries_run": len(queries),
+            "query_section_sec": qmeta.get("query_section_sec"),
+            "steal_jiffies_total": qmeta.get("steal_jiffies_total"),
+            "err": err,
+        })
+
+    queries: dict = {}
+    qmeta: dict = {}
+    proc = child(["--headline-job-only"])
+    lines = [l for l in proc.stdout.strip().splitlines()
+             if l.startswith("{")]
+    if proc.returncode == 0 and lines:
+        head = json.loads(lines[-1])
+    else:
+        err = f"headline child rc={proc.returncode}: " \
+              f"{(proc.stderr or proc.stdout)[-300:]}"
+    sys.stdout.write(compact() + "\n")
+    sys.stdout.flush()
+
+    if not headline_only:
+        ckpt = f"/tmp/bench_queries_ckpt_{os.getpid()}.json"
+        try:
+            os.remove(ckpt)
+        except FileNotFoundError:
+            pass
+        t0 = time.time()
+        proc = child(["--query-job-only", "--ckpt", ckpt])
+        if proc.returncode != 0:
+            qerr = f"query child rc={proc.returncode}: " \
+                   f"{(proc.stderr or proc.stdout)[-300:]}"
+            remaining = QUERY_BUDGET_SEC - (time.time() - t0)
+            if remaining > 30:  # one retry, resuming from the checkpoint
+                proc = child(["--query-job-only", "--ckpt", ckpt],
+                             budget=remaining)
+                if proc.returncode == 0:
+                    qerr = None
+            err = "; ".join(e for e in (err, qerr) if e) or None
+        try:
+            prev = json.load(open(ckpt))
+            queries = prev.get("queries", {})
+            qmeta = {k: prev[k] for k in
+                     ("query_steal_jiffies", "steal_jiffies_total",
+                      "query_section_sec") if k in prev}
+        except Exception:
+            pass
+
+    # full report (per-query dict) for humans / BASELINE.md, then the
+    # compact line LAST for the driver's stdout tail
+    rep = {"metric": "flagship_e2e", "value": head.get("value"),
+           "unit": "sec", "queries": queries, "sf": SF_DIR,
+           "num_cpus": NUM_CPUS, "flagship_rows": head.get("flagship_rows"),
+           "sequences_per_sec": head.get("sequences_per_sec")}
     rep.update(qmeta)
     print(json.dumps(rep))
-    # The driver parses only the last ~2000 chars of stdout; round 3's
-    # headline was truncated away once the per-query dict grew to 83 entries
-    # (BENCH_r03.json parsed:null). Keep the full report above for humans and
-    # print a compact headline-only JSON as the absolute LAST line.
-    print(json.dumps({
-        "metric": "flagship_e2e",
-        "value": round(h["sec"], 3),
-        "unit": "sec",
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "flagship_rows": h["rows"],
-        "sequences_per_sec": round(h["rows_per_sec"], 1),
-        "queries_run": len(queries),
-        "query_section_sec": qmeta.get("query_section_sec"),
-        "steal_jiffies_total": qmeta.get("steal_jiffies_total"),
-    }))
+    print(compact())
 
 
 if __name__ == "__main__":

@@ -52,9 +52,14 @@ def corpus_prep(docs, *, min_chars: int = 100, jaccard_threshold: float = 0.5,
                 eval_fraction: float = 0.1, salt: str = "s",
                 max_len: int = 2048, num_buckets: int = 32,
                 tok_per_char: int = 4, num_hashes: int = 64,
-                shingle_k: int = 5):
+                shingle_k: int = 5,
+                drop_broadcast_threshold: int | None = None):
     """Run the full prep chain; returns a Dataset with one row per surviving
-    document: (doc_id, split, est_tok, pack_id)."""
+    document: (doc_id, split, est_tok, pack_id).
+
+    ``drop_broadcast_threshold`` overrides stages/dropset's broadcast-vs-
+    bloom-exchange switch for the cluster-drop step (0 forces the
+    above-threshold bloom plan; results are exact under either plan)."""
 
     def quality_sig(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater_equal(b["n_chars"], min_chars)).drop_columns(
@@ -81,8 +86,10 @@ def corpus_prep(docs, *, min_chars: int = 100, jaccard_threshold: float = 0.5,
             {"doc_id": b.filter(pc.not_equal(b["v"], b["l"]))["v"].cast(
                 pa.int64())}),
         batch_format="pyarrow")
+    fk_kwargs = {} if drop_broadcast_threshold is None else \
+        {"broadcast_threshold": drop_broadcast_threshold}
     d2 = filter_by_keys(d1, "doc_id", drop_keys, keep=False,
-                        num_buckets=num_buckets)
+                        num_buckets=num_buckets, **fk_kwargs)
     d3 = split_train_eval(d2, "doc_id", eval_fraction=eval_fraction, salt=salt)
 
     def lenify(b: pa.Table) -> pa.Table:

@@ -38,6 +38,20 @@ from pymhealth_ray.stages.window import window_features
 from pymhealth_ray.stages import ann
 
 HOUR_US = 3_600_000_000
+
+# The correctness gate overlaps queries in threads (tools/
+# check_correctness.py GATE_WORKERS): /tmp caches SHARED between queries
+# (sorted layouts, the IVF index, the ranked-minhash fixture) must be
+# built once under a per-path lock, not raced by two cold threads.
+import threading as _threading
+
+_PATH_LOCKS: dict = {}
+_PATH_LOCKS_GUARD = _threading.Lock()
+
+
+def _build_lock(path: str):
+    with _PATH_LOCKS_GUARD:
+        return _PATH_LOCKS.setdefault(path, _threading.Lock())
 MIN5_US = 300_000_000
 GAP_US = 1_800_000_000
 HOUR_NS = 3_600_000_000_000
@@ -824,16 +838,18 @@ def _sorted_layout(sf_dir: str, ds, *, suffix: str = "", filter_fn=None,
     # params — both would force a rebuild on every call
     marker = _os.path.join(layout, "_LAYOUT_OK")
     if not _os.path.exists(marker):
-        src = ds if filter_fn is None else ds.map_batches(
-            filter_fn, batch_format="pyarrow")
-        resumable_write(src, layout, entity_col=entity_col,
-                        num_buckets=num_buckets,
-                        params={"sorted": sort_cols,
-                                "suffix": suffix, "v": 1},
-                        sort_cols=sort_cols)
-        with open(marker + ".tmp", "w") as f:
-            f.write("ok")
-        _os.replace(marker + ".tmp", marker)
+        with _build_lock(layout):
+            if not _os.path.exists(marker):
+                src = ds if filter_fn is None else ds.map_batches(
+                    filter_fn, batch_format="pyarrow")
+                resumable_write(src, layout, entity_col=entity_col,
+                                num_buckets=num_buckets,
+                                params={"sorted": sort_cols,
+                                        "suffix": suffix, "v": 1},
+                                sort_cols=sort_cols)
+                with open(marker + ".tmp", "w") as f:
+                    f.write("ok")
+                _os.replace(marker + ".tmp", marker)
     return layout
 
 
@@ -1045,6 +1061,7 @@ def build_queries() -> dict:
         "docs_decontam": q_docs_decontam,
         "lineitem_profile": q_lineitem_profile,
         "docs_prep_pipeline": q_docs_prep_pipeline,
+        "docs_prep_bloom": q_docs_prep_bloom,
         "docs_simhash_dupes": q_docs_simhash_dupes,
         "docs_redact": q_docs_redact,
         "seq_weighted_sample": q_seq_weighted_sample,
@@ -1290,6 +1307,11 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_simhash_dupes": _docs_materialized_oracle(
             sf_dir_for_fixture, "simhash_dupes_v1", _simhash_dupes_expected),
         "docs_prep_pipeline": _docs_materialized_oracle(
+            sf_dir_for_fixture, "prep_pipeline_v1", _prep_expected_docs,
+            columns=("doc_id", "text", "n_chars")),
+        # same chain, dropset forced onto the bloom-exchange plan — the
+        # result is plan-independent, so the oracle is shared
+        "docs_prep_bloom": _docs_materialized_oracle(
             sf_dir_for_fixture, "prep_pipeline_v1", _prep_expected_docs,
             columns=("doc_id", "text", "n_chars")),
         "seq_weighted_sample": _materialized_oracle(
@@ -2063,7 +2085,8 @@ def q_embed_knn_ivf(sf_dir: str):
     n_centroids = 8
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     index_dir = f"/tmp/pymhealth_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
-    ann.build_ivf_index(ds, index_dir, n_centroids=n_centroids)
+    with _build_lock(index_dir):
+        ann.build_ivf_index(ds, index_dir, n_centroids=n_centroids)
 
     full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     queries = full.filter(pc.less(full["vec_id"], 10))
@@ -3195,6 +3218,22 @@ def q_docs_prep_pipeline(sf_dir: str):
                        num_buckets=NB)
 
 
+def q_docs_prep_bloom(sf_dir: str):
+    """The SAME composed prep chain as docs_prep_pipeline, with the
+    cluster-drop step FORCED onto dropset's above-threshold plan
+    (broadcast_threshold=0 → bloom-prefiltered co-partitioned anti-join
+    instead of the small-set broadcast). Exact under either plan — the
+    shared oracle closes the loop the plan-equality pytest opened:
+    the 100-TB drop-set path is now itself driver-gated end-to-end."""
+    from pymhealth_ray.pipelines.prep import corpus_prep
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    return corpus_prep(docs, min_chars=100, jaccard_threshold=0.5,
+                       eval_fraction=0.1, salt="s", max_len=2048,
+                       num_buckets=NB, drop_broadcast_threshold=0)
+
+
 def _prep_expected_docs(df):
     """Single-process replication of the whole prep chain (every stage is
     deterministic and partitioning-invariant, so the driver hash-compares
@@ -4301,7 +4340,10 @@ def q_docs_lsh_incremental(sf_dir: str):
     name = _os.path.basename(_os.path.normpath(sf_dir))
     index_dir = f"/tmp/pymhealth_ray_lshidx/{name}_v1"
     if not _os.path.exists(_os.path.join(index_dir, "_lsh_index.json")):
-        lsh_index_write(train, index_dir)
+        with _build_lock(index_dir):
+            if not _os.path.exists(_os.path.join(index_dir,
+                                                 "_lsh_index.json")):
+                lsh_index_write(train, index_dir)
     return lsh_index_probe(new, index_dir, jaccard_threshold=0.5)
 
 
@@ -7391,8 +7433,11 @@ def _bpe_merges_for(sf_dir: str):
 
     ds, path = _seq_ds(sf_dir, ["tokens"])
     if path not in _BPE_MEMO:
-        _BPE_MEMO[path] = bpe_train(ds, "tokens", n_merges=BPE_MERGES,
-                                    base_vocab=BPE_BASE)
+        with _build_lock(f"bpe:{path}"):  # train once even when the
+            if path not in _BPE_MEMO:     # gate overlaps both BPE queries
+                _BPE_MEMO[path] = bpe_train(ds, "tokens",
+                                            n_merges=BPE_MERGES,
+                                            base_vocab=BPE_BASE)
     return _BPE_MEMO[path]
 
 
@@ -8696,7 +8741,8 @@ def q_embed_ivf_recall(sf_dir: str):
     ds = read_table(f"{sf_dir}/embeddings.parquet",
                     columns=["vec_id", "embedding"])
     index_dir = f"/tmp/pymhealth_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
-    ann.build_ivf_index(ds, index_dir, n_centroids=_RECALL_NCENT)
+    with _build_lock(index_dir):
+        ann.build_ivf_index(ds, index_dir, n_centroids=_RECALL_NCENT)
 
     full = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -9083,22 +9129,25 @@ def q_seq_minhash_dupes(sf_dir: str):
     cache = f"/tmp/pymhealth_ray_fixtures/minhash_ranked_{name}_v1"
     marker = _os.path.join(cache, "_OK")
     if not _os.path.exists(marker):
-        ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+        with _build_lock(cache):
+            if not _os.path.exists(marker):
+                ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
 
-        def add_one(b: pa.Table) -> pa.Table:
-            b = _seed_near_dups(b)
-            return b.append_column("one", pa.array(
-                np.zeros(b.num_rows, dtype=np.int8)))
+                def add_one(b: pa.Table) -> pa.Table:
+                    b = _seed_near_dups(b)
+                    return b.append_column("one", pa.array(
+                        np.zeros(b.num_rows, dtype=np.int8)))
 
-        ranked_ds = partitioned_sort_rank(
-            ds.map_batches(add_one, batch_format="pyarrow"),
-            "one", "ts_ns", "doc_id", num_bins=256, rank_name="rid")
-        ranked_ds.map_batches(
-            lambda b: b.select(["rid", "tokens"]),
-            batch_format="pyarrow").write_parquet(cache)
-        with open(marker + ".tmp", "w") as f:
-            f.write("ok")
-        _os.replace(marker + ".tmp", marker)
+                ranked_ds = partitioned_sort_rank(
+                    ds.map_batches(add_one, batch_format="pyarrow"),
+                    "one", "ts_ns", "doc_id", num_bins=256,
+                    rank_name="rid")
+                ranked_ds.map_batches(
+                    lambda b: b.select(["rid", "tokens"]),
+                    batch_format="pyarrow").write_parquet(cache)
+                with open(marker + ".tmp", "w") as f:
+                    f.write("ok")
+                _os.replace(marker + ".tmp", marker)
     ranked = read_table(cache, columns=["rid", "tokens"])
 
     def sig(b: pa.Table) -> pa.Table:
@@ -9157,7 +9206,7 @@ def _seq_minhash_expected(src: pa.Table):
 
 
 def sql_seq_minhash_dupes(path: str) -> str:
-    return _materialized_oracle(path, "seq_minhash_v3",
+    return _materialized_oracle(path, "seq_minhash_v4",  # v4: uint32 lanes
                                 _seq_minhash_expected)
 
 
@@ -11880,9 +11929,9 @@ def _seed_trunc_copies(b: pa.Table) -> pa.Table:
 def q_seq_prefix_dupes(sf_dir: str):
     """TRUNCATION dedup over token sequences (10th dedup modality):
     pairs where one sequence is a strict PREFIX of another — the
-    same-page-cut-at-different-lengths shape. Distinct-length broadcast,
-    per-length prefix hashing (Arrow list_slice + the vectorized join
-    key), one hash-bucket exchange (stages/dedup.prefix_dupes). Seeded
+    same-page-cut-at-different-lengths shape. Power-of-two-level prefix
+    hashing (O(rows·log max_len) slim fan-out) + an in-bucket
+    sort-adjacency prefix-stack scan (stages/dedup.prefix_dupes). Seeded
     half-length copies are the ground truth; the oracle derives the
     identical seeded table and match in pure SQL."""
     from pymhealth_ray.stages.dedup import prefix_dupes

@@ -1,0 +1,83 @@
+"""Failure injection for the streaming layouts (VERDICT r4 item 8): a
+resumable_write killed mid-layout leaves some buckets missing; the rerun
+must complete ONLY the missing buckets and every streaming consumer over
+the resumed layout must equal the one built in a single clean pass."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from pymhealth_ray.state.lineage import read_manifests, resumable_write
+
+GAP = 1000
+
+
+def _df(n=2500, seed=31):
+    rng = np.random.default_rng(seed)
+    ent = np.array([f"d{int(i):04d}" for i in rng.integers(0, 30, n)])
+    ts = rng.integers(0, 150_000, n).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ent, "ts_ns": ts,
+                       "n_tok": rng.integers(1, 50, n).astype(np.int64)})
+    return df.drop_duplicates(["doc_id", "ts_ns"]).reset_index(drop=True)
+
+
+def _build(ds, layout, fail_buckets=None):
+    resumable_write(ds, layout, entity_col="doc_id", num_buckets=6,
+                    params={"v": 1}, sort_cols=["doc_id", "ts_ns"],
+                    fail_buckets=fail_buckets)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interrupted_layout_resumes_and_streams_identically(tmp_path):
+    from pymhealth_ray.stages.streaming import (streaming_lag_features,
+                                                streaming_rolling,
+                                                streaming_session_stats)
+
+    df = _df()
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    clean = str(tmp_path / "CLEAN")
+    _build(ds, clean)
+
+    # injected death before buckets 2 and 4 get manifests
+    resumed = str(tmp_path / "RESUMED")
+    with pytest.raises(Exception):
+        _build(ds, resumed, fail_buckets={2, 4})
+    done = read_manifests(resumed)
+    assert 2 not in done and 4 not in done
+    # the rerun completes only the missing buckets
+    _build(ds, resumed)
+    assert set(read_manifests(resumed)) == set(read_manifests(clean))
+
+    def canon(got: pd.DataFrame) -> pd.DataFrame:
+        return got.sort_values(list(got.columns)).reset_index(drop=True)
+
+    for fn, kw in ((streaming_session_stats, {"gap": GAP}),
+                   (streaming_lag_features, {}),
+                   (streaming_rolling, {"window": 8})):
+        a = canon(fn(clean, **kw).to_pandas())
+        b = canon(fn(resumed, **kw).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_skips_completed_buckets(tmp_path):
+    """The rerun must not rewrite finished partitions: data files of
+    completed buckets keep their mtime/inode across the resume."""
+    df = _df(seed=32)
+    ds = ray.data.from_pandas(df).repartition(3)
+    layout = str(tmp_path / "SKIP")
+    with pytest.raises(Exception):
+        _build(ds, layout, fail_buckets={1})
+    before = {p: os.stat(p).st_mtime_ns
+              for p in glob.glob(os.path.join(layout, "part=*",
+                                              "*.parquet"))}
+    assert before  # some buckets did finish before the injected death
+    _build(ds, layout)
+    after = {p: os.stat(p).st_mtime_ns for p in before}
+    assert before == after

@@ -162,6 +162,10 @@ def test_prefix_dupes_bruteforce_and_partition_invariant():
     for i in range(0, 80, 9):
         docs.append(docs[i][: max(1, len(docs[i]) // 2)])
         ids.append(f"d{i:03d}~t")
+    # zero-length sequences: strict prefixes of every non-empty doc
+    # (the broadcast side-path), but never of each other
+    docs.extend([[], []])
+    ids.extend(["e000", "e001"])
     tbl = pa.table({"doc_id": pa.array(ids),
                     "tokens": pa.array(docs, type=pa.list_(pa.int32()))})
 
