@@ -75,3 +75,66 @@ def test_append_then_probe_sees_new_docs(ray_session, tmp_path):
     pairs = lsh_index_probe(ray.data.from_pandas(probe), idx,
                             jaccard_threshold=0.5).to_pandas()
     assert 500 in set(pairs.old_id)
+
+
+def test_append_interrupted_then_rerun_converges(ray_session, tmp_path):
+    """A mid-append death (some ingest files written, marker absent) must
+    converge on re-run: same files, no duplicates, probe results equal an
+    index that ingested the batch cleanly."""
+    import glob
+    import os
+
+    from pymhealth_ray.stages.lshindex import lsh_index_append
+
+    texts = _corpus(seed=5)
+    old = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                        "text": texts[:80]})
+    batch = pd.DataFrame({
+        "doc_id": np.array([500, 501], dtype=np.int64),
+        "text": [old.text[3] + " tail", texts[100]],
+    })
+    probe = pd.DataFrame({
+        "doc_id": np.array([900], dtype=np.int64),
+        "text": [old.text[3] + " other"],
+    })
+
+    clean = str(tmp_path / "clean")
+    lsh_index_write(ray.data.from_pandas(old).repartition(3), clean,
+                    n_parts=4)
+    lsh_index_append(ray.data.from_pandas(batch), clean, ingest_tag="t1")
+
+    crashed = str(tmp_path / "crashed")
+    lsh_index_write(ray.data.from_pandas(old).repartition(3), crashed,
+                    n_parts=4)
+    lsh_index_append(ray.data.from_pandas(batch), crashed, ingest_tag="t1")
+    # simulate the death: marker gone, HALF the ingest files gone — the
+    # re-run must rewrite the full deterministic file set, no dupes
+    os.remove(os.path.join(crashed, "_ingest_t1.json"))
+    ingest_files = sorted(glob.glob(
+        os.path.join(crashed, "*", "part=*", "ingest-t1.parquet")))
+    assert ingest_files
+    for p in ingest_files[::2]:
+        os.remove(p)
+    appended = lsh_index_append(ray.data.from_pandas(batch), crashed,
+                                ingest_tag="t1")
+    assert appended == 2
+    # third run: marker present → no-op
+    assert lsh_index_append(ray.data.from_pandas(batch), crashed,
+                            ingest_tag="t1") == 0
+
+    got_c = sorted(os.path.basename(os.path.dirname(p)) + "/" +
+                   os.path.basename(p) for p in glob.glob(
+                       os.path.join(crashed, "*", "part=*", "*.parquet")))
+    got_k = sorted(os.path.basename(os.path.dirname(p)) + "/" +
+                   os.path.basename(p) for p in glob.glob(
+                       os.path.join(clean, "*", "part=*", "*.parquet")))
+    assert got_c == got_k  # identical deterministic file sets
+
+    a = lsh_index_probe(ray.data.from_pandas(probe), clean,
+                        jaccard_threshold=0.5).to_pandas()
+    b = lsh_index_probe(ray.data.from_pandas(probe), crashed,
+                        jaccard_threshold=0.5).to_pandas()
+    key = ["new_id", "old_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))

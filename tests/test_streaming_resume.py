@@ -66,6 +66,47 @@ def test_interrupted_layout_resumes_and_streams_identically(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_equi_join_and_latest_over_resumed_layouts(tmp_path):
+    """The two consumers the round-4 review called out: SMB equi-join
+    over a LEFT layout that died mid-ingest and was resumed, and
+    latest-compaction over a resumed layout — both must equal their
+    clean-build twins."""
+    from pymhealth_ray.stages.streaming import (streaming_equi_join,
+                                                streaming_latest)
+
+    df = _df(seed=33)
+    ds = ray.data.from_pandas(df).repartition(3)
+    right = pd.DataFrame({
+        "doc_id": sorted(df.doc_id.unique())[::2],
+    })
+    right["rv"] = np.arange(len(right), dtype=np.int64)
+    rds = ray.data.from_pandas(right)
+
+    clean_l, res_l = str(tmp_path / "JL"), str(tmp_path / "JLR")
+    rlay = str(tmp_path / "JR")
+    _build(ds, clean_l)
+    with pytest.raises(Exception):
+        _build(ds, res_l, fail_buckets={0, 3})
+    _build(ds, res_l)
+    resumable_write(rds, rlay, entity_col="doc_id", num_buckets=6,
+                    params={"v": 1}, sort_cols=["doc_id"])
+
+    def canon(got: pd.DataFrame) -> pd.DataFrame:
+        return got.sort_values(list(got.columns)).reset_index(drop=True)
+
+    for jt in ("inner", "left outer"):
+        a = canon(streaming_equi_join(clean_l, rlay, key_col="doc_id",
+                                      join_type=jt).to_pandas())
+        b = canon(streaming_equi_join(res_l, rlay, key_col="doc_id",
+                                      join_type=jt).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+    a = canon(streaming_latest(clean_l).to_pandas())
+    b = canon(streaming_latest(res_l).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_skips_completed_buckets(tmp_path):
     """The rerun must not rewrite finished partitions: data files of
     completed buckets keep their mtime/inode across the resume."""
