@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "docs_phash_dupes",
     "events_burstiness",
     "lineitem_join_estimate",
+    "embed_diversity",
+    "events_bloom_point",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

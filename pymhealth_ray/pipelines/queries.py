@@ -1107,6 +1107,7 @@ def build_queries() -> dict:
         "embed_kmeans": q_embed_kmeans,
         "embed_semdedup": q_embed_semdedup,
         "embed_pca": q_embed_pca,
+        "embed_diversity": q_embed_diversity,
         "seq_zscore": q_seq_zscore,
         "seq_bigram_nll": q_seq_bigram_nll,
         "seq_ewma_td": q_seq_ewma_td,
@@ -1191,6 +1192,7 @@ def build_queries() -> dict:
         "events_retention": q_events_retention,
         "part_revenue_pareto": q_part_revenue_pareto,
         "events_zonemap_range": q_events_zonemap_range,
+        "events_bloom_point": q_events_bloom_point,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1373,6 +1375,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_kmeans": _kmeans_oracle(sf_dir_for_fixture),
         "embed_semdedup": _semdedup_oracle(sf_dir_for_fixture),
         "embed_pca": _pca_oracle(sf_dir_for_fixture),
+        "embed_diversity": SQL_EMBED_DIVERSITY,
         "seq_zscore": sql_seq_zscore(path),
         "seq_bigram_nll": sql_seq_bigram_nll(path),
         "seq_ewma_td": sql_seq_ewma_td(path),
@@ -1479,6 +1482,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_retention": SQL_EVENTS_RETENTION,
         "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
         "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
+        "events_bloom_point": SQL_EVENTS_BLOOM_POINT,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -5368,6 +5372,47 @@ def _semdedup_oracle(sf_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def q_embed_diversity(sf_dir: str):
+    """Corpus embedding DIVERSITY: exact mean pairwise squared distance
+    via the sum-vector identity (stages/pca.embedding_dispersion) — the
+    pairwise statistic with NO pairwise computation: one streaming pass,
+    per-dim integer sums, python-int driver finish mirroring the SQL
+    HUGEINT → DOUBLE cast chain bit-for-bit. Half-away quantization at
+    2^18 matches SQL ROUND."""
+    from pymhealth_ray.stages.pca import embedding_dispersion
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    r = embedding_dispersion(ds)
+    n, A, B = r["n"], r["A"], r["B"]
+    mpsd = (float(n * B - A) * 2 / (float(n) * float(n - 1))
+            / 262144.0 / 262144.0)
+    return pa.table({
+        "n_vectors": pa.array([n], type=pa.int64()),
+        "mean_pairwise_sq_dist": pa.array([mpsd], type=pa.float64()),
+    })
+
+
+SQL_EMBED_DIVERSITY = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+xs AS (SELECT vec_id, unnest(emb) AS x, generate_subscripts(emb, 1) AS d
+       FROM e),
+qs AS (SELECT d, CAST(round(x * 262144) AS BIGINT) AS qv FROM xs),
+agg AS (SELECT d, CAST(sum(qv) AS HUGEINT) AS sd,
+               CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS bd
+        FROM qs GROUP BY d),
+t AS (SELECT CAST(sum(sd * sd) AS HUGEINT) AS A,
+             CAST(sum(bd) AS HUGEINT) AS B FROM agg),
+c AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(n * B - A AS DOUBLE) * 2
+         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+         / 262144.0 / 262144.0 AS mean_pairwise_sq_dist
+FROM t, c
+"""
+
+
 def q_embed_pca(sf_dir: str):
     """Project every embedding onto the corpus' top-2 principal directions
     — stages/pca.py: per-block EXACT integer scatter partials (quantized
@@ -8713,6 +8758,50 @@ def q_events_zonemap_range(sf_dir: str):
             "n": b["n"].cast(pa.int64()),
             "value_cents": b["val_c_sum"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def q_events_bloom_point(sf_dir: str):
+    """Per-file BLOOM data skipping for point lookups on a column the
+    layout is NOT sorted by (the Delta/Iceberg bloom-index shape): events
+    written range-partitioned by time with a bloom on user_id in every
+    file's manifest entry (io.write_zonemapped bloom_cols), then one
+    user's full history read through io.read_zonemapped_point — only
+    files that MAY contain the user are opened; an exact equality filter
+    trims bloom false positives. Pruning is pytest-asserted; the driver
+    gates the end-to-end result."""
+    import shutil
+    import tempfile
+
+    from pymhealth_ray.sources.io import (read_zonemapped_point,
+                                          write_zonemapped)
+
+    zdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_fixtures",
+                        f"zonemap_bloom_{os.path.basename(sf_dir)}_v1")
+    if not os.path.exists(os.path.join(zdir, "_zonemap.json")):
+        with _build_lock(zdir):
+            if not os.path.exists(os.path.join(zdir, "_zonemap.json")):
+                shutil.rmtree(zdir, ignore_errors=True)
+                ds = _events(sf_dir, ["event_id", "user_id", "ts",
+                                      "value"])
+                write_zonemapped(ds, zdir, "ts_us", num_files=32,
+                                 bloom_cols=["user_id"])
+
+    pruned, _, _ = read_zonemapped_point(
+        zdir, "user_id", 7,
+        columns=["event_id", "user_id", "ts_us", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+    return pruned.map_batches(prep, batch_format="pyarrow")
+
+
+SQL_EVENTS_BLOOM_POINT = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(round(value * 100) AS BIGINT) AS val_c
+FROM events WHERE user_id = 7
+"""
 
 
 SQL_EVENTS_ZONEMAP_RANGE = """

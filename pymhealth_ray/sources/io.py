@@ -120,7 +120,9 @@ def write_partitioned(ds, out_dir: str, partition_col: str):
     return sorted(r[partition_col] for r in done)
 
 
-def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64):
+def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64,
+                     bloom_cols: list | None = None,
+                     bloom_bits: int = 1 << 14, bloom_k: int = 7):
     """Range-partitioned parquet sink with a ZONE-MAP manifest: rows are
     range-bucketed on ``sort_col`` (equi-width over the observed min/max),
     each bucket writes one file sorted by ``sort_col``, and
@@ -129,6 +131,13 @@ def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64):
     zone overlaps — I/O proportional to selectivity, not corpus size
     (Parquet row-group statistics generalized to the file/manifest level,
     so planning never touches the footers of non-matching files).
+
+    ``bloom_cols`` adds a per-file BLOOM FILTER on each named column to
+    the manifest (hex-packed, stages/bloom hashing) — the skipping index
+    for POINT lookups on columns the layout is NOT sorted by (the
+    Delta/Iceberg bloom-index shape): a user-id equality probe over a
+    time-zonemapped events layout opens only the files that may contain
+    that user. No false negatives; FP files cost one wasted read.
 
     Writes are atomic per file (tmp + rename) and the manifest is written
     last, so a partially failed write is invisible to readers."""
@@ -172,10 +181,20 @@ def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64):
         os.replace(tmp, os.path.join(out_dir, name))
         mn = tbl[sort_col][0].as_py()
         mx = tbl[sort_col][tbl.num_rows - 1].as_py()
-        return pa.table({"file": pa.array([name]),
-                         "zmin": pa.array([int(mn)], type=pa.int64()),
-                         "zmax": pa.array([int(mx)], type=pa.int64()),
-                         "rows": pa.array([tbl.num_rows], type=pa.int64())})
+        cols = {"file": pa.array([name]),
+                "zmin": pa.array([int(mn)], type=pa.int64()),
+                "zmax": pa.array([int(mx)], type=pa.int64()),
+                "rows": pa.array([tbl.num_rows], type=pa.int64())}
+        for c in (bloom_cols or []):
+            from pymhealth_ray.stages.bloom import _bitmap_of
+
+            bm = _bitmap_of(tbl[c].combine_chunks()
+                            if isinstance(tbl[c], pa.ChunkedArray)
+                            else tbl[c], bloom_bits, bloom_k)
+            cols[f"bloom__{c}"] = pa.array([bm.tobytes().hex()])
+        if bloom_cols:
+            cols["bloom_k"] = pa.array([bloom_k], type=pa.int64())
+        return pa.table(cols)
 
     manifest = ds.map_batches(tag, batch_format="pyarrow").groupby(
         "__zfile").map_groups(write_group, batch_format="pyarrow").take_all()
@@ -229,6 +248,58 @@ def read_zonemapped(out_dir: str, sort_col: str, lo: int, hi: int,
     return ds.map_batches(residual, batch_format="pyarrow"), len(hit), len(manifest)
 
 
+def read_zonemapped_point(out_dir: str, col: str, value, columns=None,
+                          blocks: int | None = None):
+    """POINT-lookup read of a bloom-indexed zonemapped directory: only
+    files whose per-file bloom on ``col`` MAY contain ``value`` are
+    opened (no false negatives — a file the bloom rejects definitely
+    lacks the value); an exact equality filter trims bloom false
+    positives. Files written without a bloom on ``col`` are always read
+    (safe fallback). Returns (dataset, n_files_read, n_files_total)."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pymhealth_ray.stages.bloom import bloom_contains
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        manifest = _json.load(f)
+    key = f"bloom__{col}"
+    probe = pa.array([value])
+    hit = []
+    for m in manifest:
+        hx = m.get(key)
+        if hx is None:
+            hit.append(m["file"])  # no index → must read
+            continue
+        bm = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8)
+        if bool(bloom_contains(bm, probe, int(m.get("bloom_k", 7)))[0]):
+            hit.append(m["file"])
+    if not hit:
+        import pyarrow.parquet as pq_mod
+        import ray.data as _rd
+
+        if manifest:
+            schema = pq_mod.read_schema(
+                os.path.join(out_dir, manifest[0]["file"]))
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            empty = schema.empty_table()
+        else:
+            empty = pa.table({})
+        return _rd.from_arrow(empty), 0, len(manifest)
+    ds = read_table([os.path.join(out_dir, h) for h in hit],
+                    columns=columns, blocks=blocks)
+
+    def residual(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b[col], pa.scalar(value)))
+
+    return (ds.map_batches(residual, batch_format="pyarrow"),
+            len(hit), len(manifest))
+
+
 def compact_zonemapped(out_dir: str, target_files: int):
     """Storage maintenance: merge a :func:`write_zonemapped` directory's
     many small files into ~``target_files`` larger ones WITHOUT a global
@@ -280,10 +351,25 @@ def compact_zonemapped(out_dir: str, target_files: int):
         tmp = os.path.join(out_dir, "." + name + ".tmp")
         pq_mod.write_table(tbl, tmp)
         os.replace(tmp, os.path.join(out_dir, name))
-        return {"file": name,
-                "zmin": int(min(m["zmin"] for m in members)),
-                "zmax": int(max(m["zmax"] for m in members)),
-                "rows": int(tbl.num_rows)}
+        out = {"file": name,
+               "zmin": int(min(m["zmin"] for m in members)),
+               "zmax": int(max(m["zmax"] for m in members)),
+               "rows": int(tbl.num_rows)}
+        # per-file blooms OR together (same bit positions) — carried
+        # through compaction only when EVERY member has a same-shape
+        # bloom; otherwise the merged file falls back to always-read
+        bloom_keys = {k for m in members for k in m
+                      if k.startswith("bloom__")}
+        for key in bloom_keys:
+            if not all(key in m for m in members):
+                continue
+            bms = [np.frombuffer(bytes.fromhex(m[key]), dtype=np.uint8)
+                   for m in members]
+            ks = {int(m.get("bloom_k", 7)) for m in members}
+            if len({len(b) for b in bms}) == 1 and len(ks) == 1:
+                out[key] = np.bitwise_or.reduce(bms).tobytes().hex()
+                out["bloom_k"] = ks.pop()
+        return out
 
     new_manifest = _ray.get([merge.remote(i, g) for i, g in enumerate(groups)])
     new_manifest = sorted(new_manifest, key=lambda m: m["zmin"])

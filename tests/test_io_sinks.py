@@ -209,3 +209,64 @@ class TestZoneMapDegenerate:
         assert ds.count() == 500
         ds2, n_read2, _ = read_zonemapped(zdir, "t", 43, 100)
         assert n_read2 == 0 and ds2.count() == 0
+
+
+class TestZoneMapBloom:
+    RARE = 99_999
+
+    def _layout(self, tmp_path, n=20_000, users=400, num_files=16):
+        from pymhealth_ray.sources.io import write_zonemapped
+
+        rng = np.random.default_rng(61)
+        df = pd.DataFrame({
+            "t": np.sort(rng.integers(0, 10**9, n)).astype(np.int64),
+            "u": rng.integers(0, users, n).astype(np.int64),
+        })
+        # a user confined to a narrow time band: present in ~1-2 of the
+        # 16 zones, so bloom skipping has something to skip
+        rare_rows = pd.DataFrame({
+            "t": rng.integers(0, 3 * 10**7, 30).astype(np.int64),
+            "u": np.full(30, self.RARE, dtype=np.int64),
+        })
+        df = pd.concat([df, rare_rows], ignore_index=True)
+        df = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+        zdir = str(tmp_path / "zb")
+        man = write_zonemapped(ray.data.from_pandas(df).repartition(8),
+                               zdir, "t", num_files=num_files,
+                               bloom_cols=["u"])
+        return df, zdir, man
+
+    def test_point_lookup_prunes_and_is_exact(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import read_zonemapped_point
+
+        df, zdir, man = self._layout(tmp_path)
+        assert all("bloom__u" in m for m in man)
+        # the rare user lives in a narrow time band: files without it
+        # must be skipped, and the result must equal the plain filter
+        sub = df[df.u == self.RARE]
+        ds, n_read, n_total = read_zonemapped_point(zdir, "u", self.RARE)
+        got = ds.to_pandas().sort_values(["t"]).reset_index(drop=True)
+        exp = sub.sort_values(["t"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        assert n_read < n_total  # skipping actually happened
+
+    def test_absent_value_reads_nothing_or_fp_only(self, ray_session,
+                                                   tmp_path):
+        from pymhealth_ray.sources.io import read_zonemapped_point
+
+        df, zdir, _ = self._layout(tmp_path)
+        ds, n_read, n_total = read_zonemapped_point(zdir, "u", 10**9)
+        assert ds.count() == 0  # equality residual kills bloom FPs
+        assert n_read < n_total
+
+    def test_compaction_carries_blooms(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import (compact_zonemapped,
+                                              read_zonemapped_point)
+
+        df, zdir, _ = self._layout(tmp_path)
+        man = compact_zonemapped(zdir, target_files=4)
+        assert all("bloom__u" in m for m in man)
+        ds, n_read, n_total = read_zonemapped_point(zdir, "u", self.RARE)
+        got = ds.to_pandas().sort_values(["t"]).reset_index(drop=True)
+        exp = df[df.u == self.RARE].sort_values(["t"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
