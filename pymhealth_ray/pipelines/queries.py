@@ -1193,6 +1193,7 @@ def build_queries() -> dict:
         "part_revenue_pareto": q_part_revenue_pareto,
         "events_zonemap_range": q_events_zonemap_range,
         "events_bloom_point": q_events_bloom_point,
+        "events_upsert_merge": q_events_upsert_merge,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1483,6 +1484,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_revenue_pareto": SQL_PART_REVENUE_PARETO,
         "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
         "events_bloom_point": SQL_EVENTS_BLOOM_POINT,
+        "events_upsert_merge": SQL_EVENTS_UPSERT_MERGE,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -8795,6 +8797,85 @@ def q_events_bloom_point(sf_dir: str):
         return b.select(["event_id", "user_id", "ts_us", "val_c"])
 
     return pruned.map_batches(prep, batch_format="pyarrow")
+
+
+def q_events_upsert_merge(sf_dir: str):
+    """Copy-on-write MERGE into a zonemapped layout (the Iceberg/Delta
+    upsert shape): a correction batch (value bump for every 97th event)
+    plus an insert batch (a derived copy for one user cohort) folds into
+    the time-partitioned layout REWRITING ONLY THE TOUCHED FILES
+    (io.upsert_zonemapped — replacements land in the file holding their
+    old version because event-time is immutable per key). The driver
+    gates the post-merge table; partial-rewrite behavior is
+    pytest-asserted. The layout is rebuilt fresh per run (the op mutates
+    it — caching would make the query non-idempotent)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.sources.io import upsert_zonemapped, write_zonemapped
+
+    zdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_out",
+                        f"upsert_merge_{os.path.basename(sf_dir)}")
+    with _build_lock(zdir):
+        shutil.rmtree(zdir, ignore_errors=True)
+        ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = _cents(b, "value", "val_c")
+            return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+        base = ds.map_batches(prep, batch_format="pyarrow")
+        write_zonemapped(base, zdir, "ts_us", num_files=32)
+
+        # driver-sized correction+insert batch, derived deterministically
+        def delta_of(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            uid = b["user_id"].to_numpy(zero_copy_only=False)
+            upd = b.filter(pa.array(eid % 97 == 0))
+            upd = pa.table({
+                "event_id": upd["event_id"],
+                "user_id": upd["user_id"],
+                "ts_us": upd["ts_us"],
+                "val_c": pc.add(upd["val_c"], 100),
+            })
+            ins = b.filter(pa.array(uid % 37 == 5))
+            ins = pa.table({
+                "event_id": pc.add(ins["event_id"], 10_000_000),
+                "user_id": ins["user_id"],
+                "ts_us": ins["ts_us"],
+                "val_c": pc.multiply(ins["val_c"], 2),
+            })
+            return pa.concat_tables([upd, ins])
+
+        delta = pa.concat_tables(
+            ray.get(base.map_batches(delta_of, batch_format="pyarrow",
+                                     batch_size=None).to_arrow_refs()))
+        upsert_zonemapped(zdir, delta.combine_chunks(), "event_id",
+                          "ts_us")
+        merged = pa.concat_tables([
+            pq_mod.read_table(os.path.join(zdir, f))
+            for f in sorted(os.listdir(zdir)) if f.endswith(".parquet")])
+    return merged.select(["event_id", "ts_us", "val_c"])
+
+
+SQL_EVENTS_UPSERT_MERGE = """
+WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CAST(round(value * 100) AS BIGINT) AS val_c
+              FROM events),
+delta AS (
+  SELECT event_id, ts_us, val_c + 100 AS val_c FROM base
+  WHERE event_id % 97 = 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, ts_us, val_c * 2 AS val_c
+  FROM base WHERE user_id % 37 = 5),
+merged AS (
+  SELECT event_id, ts_us, val_c FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM delta)
+  UNION ALL SELECT event_id, ts_us, val_c FROM delta)
+SELECT event_id, ts_us, val_c FROM merged
+"""
 
 
 SQL_EVENTS_BLOOM_POINT = """

@@ -300,6 +300,93 @@ def read_zonemapped_point(out_dir: str, col: str, value, columns=None,
             len(hit), len(manifest))
 
 
+def upsert_zonemapped(out_dir: str, delta: "pa.Table", key_col: str,
+                      sort_col: str):
+    """MERGE (upsert) a delta batch into a zonemapped layout, rewriting
+    ONLY the files the delta touches — the Iceberg/Delta copy-on-write
+    MERGE shape: at 100 TB a correction batch touching 0.1% of zones
+    rewrites 0.1% of the files, not the table.
+
+    Semantics: delta rows REPLACE same-``key_col`` rows; new keys
+    insert. ``sort_col`` must be immutable per key (the event-time
+    layout contract — a correction carries its original timestamp), so
+    every replacement lands in the file that holds its old version.
+    Delta keys must be unique (raises otherwise). Each touched file is
+    rewritten by its own Ray task (read + combine + sort + tmp/rename);
+    per-file blooms are recomputed with the entry's own parameters; the
+    manifest swaps LAST, so readers never observe a half-merged layout.
+    Returns (n_files_rewritten, n_files_total)."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+    import ray as _ray
+
+    if isinstance(delta, pa.Table) is False:
+        raise TypeError("delta must be a pyarrow Table (driver-sized "
+                        "correction batch); stream large deltas in "
+                        "several calls")
+    keys = delta[key_col].to_numpy(zero_copy_only=False)
+    if len(np.unique(keys)) != len(keys):
+        raise ValueError("delta keys must be unique per upsert batch")
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        manifest = sorted(_json.load(f), key=lambda m: m["zmin"])
+    if not manifest:
+        raise ValueError("cannot upsert into an empty layout")
+    zmax = np.array([m["zmax"] for m in manifest], dtype=np.int64)
+    sv = delta[sort_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # route each delta row to the first zone whose zmax covers it (rows
+    # beyond the last zone append to the last file)
+    fidx = np.minimum(np.searchsorted(zmax, sv), len(manifest) - 1)
+
+    bloom_keys = [k for k in manifest[0] if k.startswith("bloom__")]
+
+    @_ray.remote
+    def rewrite(i: int, sub: pa.Table) -> dict:
+        m = manifest[i]
+        path = os.path.join(out_dir, m["file"])
+        base = pq_mod.read_table(path)
+        drop = pc.is_in(base[key_col], value_set=sub[key_col].combine_chunks()
+                        if isinstance(sub[key_col], pa.ChunkedArray)
+                        else sub[key_col])
+        kept = base.filter(pc.invert(drop))
+        merged = pa.concat_tables([kept, sub.select(base.column_names)])
+        merged = merged.take(pc.sort_indices(
+            merged, sort_keys=[(sort_col, "ascending")]))
+        tmp = os.path.join(out_dir, "." + m["file"] + ".tmp")
+        pq_mod.write_table(merged, tmp)
+        os.replace(tmp, path)
+        out = dict(m)
+        out["zmin"] = int(merged[sort_col][0].as_py())
+        out["zmax"] = int(merged[sort_col][merged.num_rows - 1].as_py())
+        out["rows"] = int(merged.num_rows)
+        for bk in bloom_keys:
+            from pymhealth_ray.stages.bloom import _bitmap_of
+
+            col = bk[len("bloom__"):]
+            n_bits = len(bytes.fromhex(m[bk])) * 8
+            out[bk] = _bitmap_of(
+                merged[col].combine_chunks(), n_bits,
+                int(m.get("bloom_k", 7))).tobytes().hex()
+        return out
+
+    touched = np.unique(fidx)
+    reps = _ray.get([
+        rewrite.remote(int(i), delta.filter(pa.array(fidx == i)))
+        for i in touched])
+    new_manifest = list(manifest)
+    for i, rep in zip(touched, reps):
+        new_manifest[int(i)] = rep
+    tmp = os.path.join(out_dir, "_zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(sorted(new_manifest, key=lambda m: m["file"]), f)
+    os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    return len(touched), len(manifest)
+
+
 def compact_zonemapped(out_dir: str, target_files: int):
     """Storage maintenance: merge a :func:`write_zonemapped` directory's
     many small files into ~``target_files`` larger ones WITHOUT a global

@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -270,3 +271,89 @@ class TestZoneMapBloom:
         got = ds.to_pandas().sort_values(["t"]).reset_index(drop=True)
         exp = df[df.u == self.RARE].sort_values(["t"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestZoneMapUpsert:
+    def _layout(self, tmp_path):
+        from pymhealth_ray.sources.io import write_zonemapped
+
+        rng = np.random.default_rng(71)
+        n = 12_000
+        df = pd.DataFrame({
+            "k": np.arange(n, dtype=np.int64),
+            "t": np.sort(rng.integers(0, 10**9, n)).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        })
+        df = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+        zdir = str(tmp_path / "zu")
+        write_zonemapped(ray.data.from_pandas(df).repartition(6),
+                         zdir, "t", num_files=16, bloom_cols=["k"])
+        return df, zdir
+
+    def test_partial_rewrite_and_exact_merge(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        from pymhealth_ray.sources.io import (read_zonemapped,
+                                              read_zonemapped_point,
+                                              upsert_zonemapped)
+
+        df, zdir = self._layout(tmp_path)
+        # corrections confined to an early time band + one brand-new key
+        band = df[(df.t < 5 * 10**7)]
+        upd = band.head(40).copy()
+        upd["v"] = upd.v + 1000
+        ins = pd.DataFrame({"k": [10**6], "t": [upd.t.iloc[0] + 1],
+                            "v": [7]})
+        delta = pa.Table.from_pandas(pd.concat([upd, ins]),
+                                     preserve_index=False)
+
+        before = {p: os.stat(p).st_mtime_ns
+                  for p in glob.glob(os.path.join(zdir, "*.parquet"))}
+        n_touch, n_total = upsert_zonemapped(zdir, delta, "k", "t")
+        assert 0 < n_touch < n_total  # only the touched files rewrote
+        changed = [p for p in before
+                   if os.stat(p).st_mtime_ns != before[p]]
+        assert len(changed) == n_touch
+
+        # merged content equals the pandas merge
+        exp = df[~df.k.isin(upd.k)].copy()
+        exp = pd.concat([exp, upd, ins], ignore_index=True)
+        got, _, _ = read_zonemapped(zdir, "t", 0, 2 * 10**9)
+        got = got.to_pandas().sort_values(["k"]).reset_index(drop=True)
+        exp = exp.sort_values(["k"]).reset_index(drop=True)[got.columns]
+        pd.testing.assert_frame_equal(
+            got, exp.astype({c: got[c].dtype for c in got.columns}))
+
+        # blooms were recomputed: point lookup finds the inserted key
+        ds, n_read, n_tot = read_zonemapped_point(zdir, "k", 10**6)
+        assert ds.count() == 1
+        assert n_read < n_tot
+
+    def test_duplicate_delta_keys_rejected(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import upsert_zonemapped
+
+        df, zdir = self._layout(tmp_path)
+        bad = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                        "t": pa.array([5, 6], type=pa.int64()),
+                        "v": pa.array([0, 0], type=pa.int64())})
+        with pytest.raises(ValueError, match="unique"):
+            upsert_zonemapped(zdir, bad, "k", "t")
+
+    def test_zones_stay_disjoint_after_gap_inserts(self, ray_session,
+                                                   tmp_path):
+        import json
+
+        from pymhealth_ray.sources.io import upsert_zonemapped
+
+        df, zdir = self._layout(tmp_path)
+        # inserts beyond both ends and into inter-zone gaps
+        delta = pa.table({
+            "k": pa.array([2 * 10**6, 2 * 10**6 + 1], type=pa.int64()),
+            "t": pa.array([-5, 2 * 10**9], type=pa.int64()),
+            "v": pa.array([1, 2], type=pa.int64())})
+        upsert_zonemapped(zdir, delta, "k", "t")
+        with open(f"{zdir}/_zonemap.json") as f:
+            man = sorted(json.load(f), key=lambda m: m["zmin"])
+        for a, b in zip(man, man[1:]):
+            assert a["zmax"] <= b["zmin"]
