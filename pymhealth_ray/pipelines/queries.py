@@ -1194,6 +1194,7 @@ def build_queries() -> dict:
         "events_zonemap_range": q_events_zonemap_range,
         "events_bloom_point": q_events_bloom_point,
         "events_upsert_merge": q_events_upsert_merge,
+        "events_time_travel": q_events_time_travel,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1485,6 +1486,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_zonemap_range": SQL_EVENTS_ZONEMAP_RANGE,
         "events_bloom_point": SQL_EVENTS_BLOOM_POINT,
         "events_upsert_merge": SQL_EVENTS_UPSERT_MERGE,
+        "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -8854,10 +8856,71 @@ def q_events_upsert_merge(sf_dir: str):
                                      batch_size=None).to_arrow_refs()))
         upsert_zonemapped(zdir, delta.combine_chunks(), "event_id",
                           "ts_us")
+        # read through the CURRENT manifest (MVCC keeps the pre-merge
+        # files on disk for time travel — a raw listdir would double-read)
+        from pymhealth_ray.sources.io import zonemap_manifest
+
         merged = pa.concat_tables([
-            pq_mod.read_table(os.path.join(zdir, f))
-            for f in sorted(os.listdir(zdir)) if f.endswith(".parquet")])
+            pq_mod.read_table(os.path.join(zdir, m["file"]))
+            for m in zonemap_manifest(zdir)])
     return merged.select(["event_id", "ts_us", "val_c"])
+
+
+def q_events_time_travel(sf_dir: str):
+    """MVCC TIME TRAVEL: after a copy-on-write MERGE mutates the
+    zonemapped layout, reading at pinned ``version=0``
+    (io.zonemap_manifest — mutations archive the pre-edit manifest and
+    keep its data files until vacuum) returns the table EXACTLY as
+    originally written. The oracle is simply the unmodified base table —
+    if any merged file leaked into the snapshot the hash breaks."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.sources.io import (upsert_zonemapped,
+                                          write_zonemapped,
+                                          zonemap_manifest)
+
+    zdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_out",
+                        f"time_travel_{os.path.basename(sf_dir)}")
+    with _build_lock(zdir):
+        shutil.rmtree(zdir, ignore_errors=True)
+        ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = _cents(b, "value", "val_c")
+            return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+        base = ds.map_batches(prep, batch_format="pyarrow")
+        write_zonemapped(base, zdir, "ts_us", num_files=16)
+
+        def delta_of(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            upd = b.filter(pa.array(eid % 53 == 0))
+            return pa.table({
+                "event_id": upd["event_id"],
+                "user_id": upd["user_id"],
+                "ts_us": upd["ts_us"],
+                "val_c": pc.add(upd["val_c"], 999),
+            })
+
+        delta = pa.concat_tables(
+            ray.get(base.map_batches(delta_of, batch_format="pyarrow",
+                                     batch_size=None).to_arrow_refs()))
+        upsert_zonemapped(zdir, delta.combine_chunks(), "event_id",
+                          "ts_us")
+        snap = pa.concat_tables([
+            pq_mod.read_table(os.path.join(zdir, m["file"]))
+            for m in zonemap_manifest(zdir, version=0)])
+    return snap.select(["event_id", "ts_us", "val_c"])
+
+
+SQL_EVENTS_TIME_TRAVEL = """
+SELECT event_id, epoch_us(ts) AS ts_us,
+       CAST(round(value * 100) AS BIGINT) AS val_c
+FROM events
+"""
 
 
 SQL_EVENTS_UPSERT_MERGE = """

@@ -207,18 +207,18 @@ def write_zonemapped(ds, out_dir: str, sort_col: str, num_files: int = 64,
 
 
 def read_zonemapped(out_dir: str, sort_col: str, lo: int, hi: int,
-                    columns=None, blocks: int | None = None):
+                    columns=None, blocks: int | None = None,
+                    version: int | None = None):
     """Range-pruned read of a :func:`write_zonemapped` directory: only
     files whose [zmin, zmax] overlaps [lo, hi] are opened; a vectorized
-    residual filter trims the two boundary files. Returns (dataset,
+    residual filter trims the two boundary files. ``version`` pins an
+    archived MVCC generation (time travel). Returns (dataset,
     n_files_read, n_files_total) so callers/tests can assert pruning."""
-    import json as _json
     import os
 
     import pyarrow.compute as pc
 
-    with open(os.path.join(out_dir, "_zonemap.json")) as f:
-        manifest = _json.load(f)
+    manifest = zonemap_manifest(out_dir, version)
     hit = [m["file"] for m in manifest
            if not (m["zmax"] < lo or m["zmin"] > hi)]
     if not hit:
@@ -249,14 +249,15 @@ def read_zonemapped(out_dir: str, sort_col: str, lo: int, hi: int,
 
 
 def read_zonemapped_point(out_dir: str, col: str, value, columns=None,
-                          blocks: int | None = None):
+                          blocks: int | None = None,
+                          version: int | None = None):
     """POINT-lookup read of a bloom-indexed zonemapped directory: only
     files whose per-file bloom on ``col`` MAY contain ``value`` are
     opened (no false negatives — a file the bloom rejects definitely
     lacks the value); an exact equality filter trims bloom false
     positives. Files written without a bloom on ``col`` are always read
-    (safe fallback). Returns (dataset, n_files_read, n_files_total)."""
-    import json as _json
+    (safe fallback). ``version`` pins an archived MVCC generation.
+    Returns (dataset, n_files_read, n_files_total)."""
     import os
 
     import numpy as np
@@ -264,8 +265,7 @@ def read_zonemapped_point(out_dir: str, col: str, value, columns=None,
 
     from pymhealth_ray.stages.bloom import bloom_contains
 
-    with open(os.path.join(out_dir, "_zonemap.json")) as f:
-        manifest = _json.load(f)
+    manifest = zonemap_manifest(out_dir, version)
     key = f"bloom__{col}"
     probe = pa.array([value])
     hit = []
@@ -300,23 +300,98 @@ def read_zonemapped_point(out_dir: str, col: str, value, columns=None,
             len(hit), len(manifest))
 
 
+def _zonemap_versions(out_dir: str) -> int:
+    """Number of ARCHIVED manifest generations (current = this index)."""
+    import glob as _glob
+    import os
+
+    return len(_glob.glob(os.path.join(out_dir, "_zonemap.v*.json")))
+
+
+def zonemap_manifest(out_dir: str, version: int | None = None) -> list:
+    """Load a layout manifest — current (``version=None``) or a pinned
+    historical generation (time travel): mutating ops archive the
+    pre-edit manifest as ``_zonemap.v{N}.json`` and keep the data files
+    it references, so ``version=K`` reads the layout exactly as it was
+    after its K-th mutation epoch (0 = as originally written)."""
+    import json as _json
+    import os
+
+    if version is None:
+        path = os.path.join(out_dir, "_zonemap.json")
+    else:
+        cur = _zonemap_versions(out_dir)
+        if version == cur:
+            path = os.path.join(out_dir, "_zonemap.json")
+        else:
+            path = os.path.join(out_dir, f"_zonemap.v{version}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"zonemap version {version} not found (current is "
+                    f"{cur}; vacuumed history is unrecoverable)")
+    with open(path) as f:
+        return _json.load(f)
+
+
+def _archive_and_swap(out_dir: str, old_manifest: list,
+                      new_manifest: list) -> int:
+    """MVCC commit: archive the pre-edit manifest as the next
+    ``_zonemap.v{N}.json``, then atomically swap ``_zonemap.json``.
+    Data files the old manifest references are KEPT (readers pinned to
+    version N still resolve) until :func:`vacuum_zonemapped`."""
+    import json as _json
+    import os
+
+    gen = _zonemap_versions(out_dir)
+    arch = os.path.join(out_dir, f"_zonemap.v{gen}.json")
+    with open(arch + ".tmp", "w") as f:
+        _json.dump(old_manifest, f)
+    os.replace(arch + ".tmp", arch)
+    tmp = os.path.join(out_dir, "_zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(sorted(new_manifest, key=lambda m: m["file"]), f)
+    os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    return gen + 1
+
+
+def _rewritten_name(orig: str, gen: int) -> str:
+    import re as _re
+
+    return f"u{gen:03d}-{_re.sub(r'^u[0-9]+-', '', orig)}"
+
+
+def _recomputed_blooms(m: dict, merged: "pa.Table",
+                       bloom_keys: list) -> dict:
+    out = {}
+    for bk in bloom_keys:
+        from pymhealth_ray.stages.bloom import _bitmap_of
+
+        col = bk[len("bloom__"):]
+        n_bits = len(bytes.fromhex(m[bk])) * 8
+        out[bk] = _bitmap_of(merged[col].combine_chunks(), n_bits,
+                             int(m.get("bloom_k", 7))).tobytes().hex()
+    return out
+
+
 def upsert_zonemapped(out_dir: str, delta: "pa.Table", key_col: str,
                       sort_col: str):
     """MERGE (upsert) a delta batch into a zonemapped layout, rewriting
     ONLY the files the delta touches — the Iceberg/Delta copy-on-write
     MERGE shape: at 100 TB a correction batch touching 0.1% of zones
-    rewrites 0.1% of the files, not the table.
+    rewrites 0.1% of the files, not the table. MVCC: rewritten files get
+    NEW generation-prefixed names and the pre-edit manifest is archived,
+    so concurrent/pinned readers keep a consistent snapshot and
+    ``zonemap_manifest(version=K)`` time-travels (until vacuum).
 
     Semantics: delta rows REPLACE same-``key_col`` rows; new keys
     insert. ``sort_col`` must be immutable per key (the event-time
     layout contract — a correction carries its original timestamp), so
     every replacement lands in the file that holds its old version.
     Delta keys must be unique (raises otherwise). Each touched file is
-    rewritten by its own Ray task (read + combine + sort + tmp/rename);
-    per-file blooms are recomputed with the entry's own parameters; the
-    manifest swaps LAST, so readers never observe a half-merged layout.
+    rewritten by its own Ray task; per-file blooms are recomputed with
+    the entry's own parameters; the manifest swaps LAST, so readers
+    never observe a half-merged layout.
     Returns (n_files_rewritten, n_files_total)."""
-    import json as _json
     import os
 
     import numpy as np
@@ -332,10 +407,10 @@ def upsert_zonemapped(out_dir: str, delta: "pa.Table", key_col: str,
     if len(np.unique(keys)) != len(keys):
         raise ValueError("delta keys must be unique per upsert batch")
 
-    with open(os.path.join(out_dir, "_zonemap.json")) as f:
-        manifest = sorted(_json.load(f), key=lambda m: m["zmin"])
+    manifest = sorted(zonemap_manifest(out_dir), key=lambda m: m["zmin"])
     if not manifest:
         raise ValueError("cannot upsert into an empty layout")
+    gen = _zonemap_versions(out_dir) + 1
     zmax = np.array([m["zmax"] for m in manifest], dtype=np.int64)
     sv = delta[sort_col].to_numpy(zero_copy_only=False).astype(np.int64)
     # route each delta row to the first zone whose zmax covers it (rows
@@ -347,8 +422,7 @@ def upsert_zonemapped(out_dir: str, delta: "pa.Table", key_col: str,
     @_ray.remote
     def rewrite(i: int, sub: pa.Table) -> dict:
         m = manifest[i]
-        path = os.path.join(out_dir, m["file"])
-        base = pq_mod.read_table(path)
+        base = pq_mod.read_table(os.path.join(out_dir, m["file"]))
         drop = pc.is_in(base[key_col], value_set=sub[key_col].combine_chunks()
                         if isinstance(sub[key_col], pa.ChunkedArray)
                         else sub[key_col])
@@ -356,21 +430,16 @@ def upsert_zonemapped(out_dir: str, delta: "pa.Table", key_col: str,
         merged = pa.concat_tables([kept, sub.select(base.column_names)])
         merged = merged.take(pc.sort_indices(
             merged, sort_keys=[(sort_col, "ascending")]))
-        tmp = os.path.join(out_dir, "." + m["file"] + ".tmp")
+        name = _rewritten_name(m["file"], gen)
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
         pq_mod.write_table(merged, tmp)
-        os.replace(tmp, path)
+        os.replace(tmp, os.path.join(out_dir, name))
         out = dict(m)
+        out["file"] = name
         out["zmin"] = int(merged[sort_col][0].as_py())
         out["zmax"] = int(merged[sort_col][merged.num_rows - 1].as_py())
         out["rows"] = int(merged.num_rows)
-        for bk in bloom_keys:
-            from pymhealth_ray.stages.bloom import _bitmap_of
-
-            col = bk[len("bloom__"):]
-            n_bits = len(bytes.fromhex(m[bk])) * 8
-            out[bk] = _bitmap_of(
-                merged[col].combine_chunks(), n_bits,
-                int(m.get("bloom_k", 7))).tobytes().hex()
+        out.update(_recomputed_blooms(m, merged, bloom_keys))
         return out
 
     touched = np.unique(fidx)
@@ -380,11 +449,107 @@ def upsert_zonemapped(out_dir: str, delta: "pa.Table", key_col: str,
     new_manifest = list(manifest)
     for i, rep in zip(touched, reps):
         new_manifest[int(i)] = rep
-    tmp = os.path.join(out_dir, "_zonemap.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump(sorted(new_manifest, key=lambda m: m["file"]), f)
-    os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
+    _archive_and_swap(out_dir, manifest, new_manifest)
     return len(touched), len(manifest)
+
+
+def delete_zonemapped(out_dir: str, key_col: str, keys):
+    """Copy-on-write DELETE by key: candidate files are found through
+    each file's bloom on ``key_col`` when present (a file whose bloom
+    rejects every key definitely holds none of them — zero reads for the
+    untouched 99.9%), rewritten without the matching rows, and committed
+    MVCC like :func:`upsert_zonemapped` (archive + swap; a file left
+    empty drops out of the manifest). Files without a bloom are scanned.
+    Returns (n_files_rewritten, n_files_total, n_rows_deleted)."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+    import ray as _ray
+
+    from pymhealth_ray.stages.bloom import bloom_contains
+
+    keys = pa.array(keys) if not isinstance(keys, (pa.Array,
+                                                   pa.ChunkedArray)) \
+        else keys
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    manifest = sorted(zonemap_manifest(out_dir), key=lambda m: m["zmin"])
+    gen = _zonemap_versions(out_dir) + 1
+    bk = f"bloom__{key_col}"
+    bloom_keys = [k for k in (manifest[0] if manifest else {})
+                  if k.startswith("bloom__")]
+
+    cand = []
+    for i, m in enumerate(manifest):
+        hx = m.get(bk)
+        if hx is None:
+            cand.append(i)
+            continue
+        bm = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8)
+        if bool(bloom_contains(bm, keys,
+                               int(m.get("bloom_k", 7))).any()):
+            cand.append(i)
+
+    @_ray.remote
+    def rewrite(i: int) -> tuple:
+        m = manifest[i]
+        base = pq_mod.read_table(os.path.join(out_dir, m["file"]))
+        drop = pc.is_in(base[key_col], value_set=keys)
+        n_dropped = int(pc.sum(drop.cast(pa.int64())).as_py() or 0)
+        if n_dropped == 0:
+            return m, 0  # bloom false positive — file untouched
+        kept = base.filter(pc.invert(drop))
+        if kept.num_rows == 0:
+            return None, n_dropped
+        name = _rewritten_name(m["file"], gen)
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        pq_mod.write_table(kept, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        out = dict(m)
+        out["file"] = name
+        out["rows"] = int(kept.num_rows)
+        out.update(_recomputed_blooms(m, kept, bloom_keys))
+        return out, n_dropped
+
+    results = _ray.get([rewrite.remote(int(i)) for i in cand])
+    n_deleted = sum(r[1] for r in results)
+    rewritten = sum(1 for r in results if r[1] > 0)
+    if rewritten == 0:
+        return 0, len(manifest), 0  # nothing matched: no new version
+    new_manifest = list(manifest)
+    for i, (rep, nd) in zip(cand, results):
+        new_manifest[int(i)] = rep if nd > 0 else manifest[int(i)]
+    new_manifest = [m for m in new_manifest if m is not None]
+    _archive_and_swap(out_dir, manifest, new_manifest)
+    return rewritten, len(manifest), n_deleted
+
+
+def vacuum_zonemapped(out_dir: str) -> int:
+    """Reclaim MVCC history: drop every archived manifest generation and
+    delete data files only the history references. After vacuum only the
+    CURRENT state is readable and version indices RESET — the current
+    state becomes version 0; any higher pin raises. Returns the number
+    of data files removed."""
+    import glob as _glob
+    import os
+
+    live = {m["file"] for m in zonemap_manifest(out_dir)}
+    removed = 0
+    for p in _glob.glob(os.path.join(out_dir, "*.parquet")):
+        if os.path.basename(p) not in live:
+            try:
+                os.remove(p)
+                removed += 1
+            except OSError:
+                pass
+    for p in _glob.glob(os.path.join(out_dir, "_zonemap.v*.json")):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return removed
 
 
 def compact_zonemapped(out_dir: str, target_files: int):
@@ -465,7 +630,16 @@ def compact_zonemapped(out_dir: str, target_files: int):
         _json.dump(new_manifest, f)
     os.replace(tmp, os.path.join(out_dir, "_zonemap.json"))
     # old files only after the manifest swap — and NEVER a name the new
-    # manifest still points at
+    # manifest still points at. Compaction is a SPACE op: it also drops
+    # the MVCC history (archived generations reference the files being
+    # deleted here), like vacuum_zonemapped.
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(out_dir, "_zonemap.v*.json")):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     live = {m["file"] for m in new_manifest}
     for m in manifest:
         if m["file"] not in live:

@@ -312,9 +312,15 @@ class TestZoneMapUpsert:
                   for p in glob.glob(os.path.join(zdir, "*.parquet"))}
         n_touch, n_total = upsert_zonemapped(zdir, delta, "k", "t")
         assert 0 < n_touch < n_total  # only the touched files rewrote
-        changed = [p for p in before
-                   if os.stat(p).st_mtime_ns != before[p]]
-        assert len(changed) == n_touch
+        # MVCC: originals are untouched (kept for time travel); exactly
+        # n_touch NEW generation-named files appeared
+        for p, mt in before.items():
+            assert os.stat(p).st_mtime_ns == mt
+        new_files = [p for p in glob.glob(os.path.join(zdir, "*.parquet"))
+                     if p not in before]
+        assert len(new_files) == n_touch
+        assert all(os.path.basename(p).startswith("u001-")
+                   for p in new_files)
 
         # merged content equals the pandas merge
         exp = df[~df.k.isin(upd.k)].copy()
@@ -357,3 +363,97 @@ class TestZoneMapUpsert:
             man = sorted(json.load(f), key=lambda m: m["zmin"])
         for a, b in zip(man, man[1:]):
             assert a["zmax"] <= b["zmin"]
+
+
+class TestZoneMapMVCC:
+    def _layout(self, tmp_path):
+        from pymhealth_ray.sources.io import write_zonemapped
+
+        rng = np.random.default_rng(81)
+        n = 8_000
+        df = pd.DataFrame({
+            "k": np.arange(n, dtype=np.int64),
+            "t": np.sort(rng.integers(0, 10**9, n)).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        })
+        df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        zdir = str(tmp_path / "zm")
+        write_zonemapped(ray.data.from_pandas(df).repartition(4),
+                         zdir, "t", num_files=12, bloom_cols=["k"])
+        return df, zdir
+
+    def _full(self, zdir, version=None):
+        from pymhealth_ray.sources.io import read_zonemapped
+
+        ds, _, _ = read_zonemapped(zdir, "t", -10**12, 10**13,
+                                   version=version)
+        return ds.to_pandas().sort_values("k").reset_index(drop=True)
+
+    def test_time_travel_and_vacuum(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import (upsert_zonemapped,
+                                              vacuum_zonemapped)
+
+        df, zdir = self._layout(tmp_path)
+        orig = self._full(zdir)
+        delta = pa.Table.from_pandas(
+            df.head(25).assign(v=lambda d: d.v + 500),
+            preserve_index=False)
+        upsert_zonemapped(zdir, delta, "k", "t")
+        # current reflects the merge; version 0 is the pre-merge table
+        cur = self._full(zdir)
+        assert (cur.v.to_numpy() != orig.v.to_numpy()).sum() > 0
+        pd.testing.assert_frame_equal(self._full(zdir, version=0), orig)
+        # second mutation → version 1 snapshot == state after mutation 1
+        delta2 = pa.Table.from_pandas(
+            df.tail(10).assign(v=lambda d: d.v + 9), preserve_index=False)
+        upsert_zonemapped(zdir, delta2, "k", "t")
+        pd.testing.assert_frame_equal(self._full(zdir, version=1), cur)
+        pd.testing.assert_frame_equal(self._full(zdir, version=0), orig)
+        # vacuum drops history, keeps current readable; version indices
+        # RESET (current becomes version 0), higher pins raise
+        cur2 = self._full(zdir)
+        removed = vacuum_zonemapped(zdir)
+        assert removed > 0
+        pd.testing.assert_frame_equal(self._full(zdir), cur2)
+        pd.testing.assert_frame_equal(self._full(zdir, version=0), cur2)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            self._full(zdir, version=1)
+
+    def test_delete_prunes_with_blooms(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import delete_zonemapped
+
+        df, zdir = self._layout(tmp_path)
+        # keys clustered in one time band → few candidate files
+        band_keys = df[df.t < 10**8].k.head(30).to_numpy()
+        n_rw, n_total, n_del = delete_zonemapped(zdir, "k", band_keys)
+        assert n_del == len(band_keys)
+        assert 0 < n_rw < n_total  # bloom pruned the untouched files
+        got = self._full(zdir)
+        exp = df[~df.k.isin(band_keys)].sort_values("k") \
+            .reset_index(drop=True)[got.columns]
+        pd.testing.assert_frame_equal(
+            got, exp.astype({c: got[c].dtype for c in got.columns}))
+        # deleting absent keys is a no-op that creates NO new version
+        from pymhealth_ray.sources.io import _zonemap_versions
+
+        v_before = _zonemap_versions(zdir)
+        n_rw2, _, n_del2 = delete_zonemapped(zdir, "k", [10**9])
+        assert n_rw2 == 0 and n_del2 == 0
+        assert _zonemap_versions(zdir) == v_before
+
+    def test_delete_empties_file_drops_manifest_entry(self, ray_session,
+                                                      tmp_path):
+        from pymhealth_ray.sources.io import (delete_zonemapped,
+                                              zonemap_manifest)
+
+        df, zdir = self._layout(tmp_path)
+        man = sorted(zonemap_manifest(zdir), key=lambda m: m["zmin"])
+        # wipe every key of the first zone's file
+        first = man[0]
+        lo_keys = df.sort_values("t").head(first["rows"]).k.to_numpy()
+        delete_zonemapped(zdir, "k", lo_keys)
+        names = {m["file"] for m in zonemap_manifest(zdir)}
+        assert first["file"] not in names
+        assert len(names) == len(man) - 1
+        got = self._full(zdir)
+        assert len(got) == len(df) - len(lo_keys)
