@@ -1108,6 +1108,7 @@ def build_queries() -> dict:
         "embed_semdedup": q_embed_semdedup,
         "embed_pca": q_embed_pca,
         "embed_diversity": q_embed_diversity,
+        "seq_heavy_hitters": q_seq_heavy_hitters,
         "seq_zscore": q_seq_zscore,
         "seq_bigram_nll": q_seq_bigram_nll,
         "seq_ewma_td": q_seq_ewma_td,
@@ -1378,6 +1379,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_semdedup": _semdedup_oracle(sf_dir_for_fixture),
         "embed_pca": _pca_oracle(sf_dir_for_fixture),
         "embed_diversity": SQL_EMBED_DIVERSITY,
+        "seq_heavy_hitters": _mg_oracle(path),
         "seq_zscore": sql_seq_zscore(path),
         "seq_bigram_nll": sql_seq_bigram_nll(path),
         "seq_ewma_td": sql_seq_ewma_td(path),
@@ -5415,6 +5417,57 @@ SELECT CAST(n AS BIGINT) AS n_vectors,
          / 262144.0 / 262144.0 AS mean_pairwise_sq_dist
 FROM t, c
 """
+
+
+MG_K, MG_TOP = 64, 10
+
+
+def q_seq_heavy_hitters(sf_dir: str):
+    """Misra–Gries HEAVY HITTERS over the corpus token stream: one
+    k-counter summary per input file (parallel tasks, bounded memory
+    whatever the vocabulary), folded in sorted-path order — MG merging
+    is commutative but NOT associative, so a scheduler-dependent fold
+    would break determinism (stages/sketch.misra_gries_topk). Output:
+    top-10 by estimated count with the global undercount bound. Every
+    item with true frequency > n/(k+1) is guaranteed to survive the
+    summary (pytest-verified against exact counts)."""
+    import glob
+
+    from pymhealth_ray.stages.sketch import misra_gries_topk
+
+    _, path = _seq_ds(sf_dir, ["tokens"])
+    paths = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    return misra_gries_topk(paths, "tokens", k=MG_K, top=MG_TOP)
+
+
+def _mg_oracle(path: str) -> str:
+    """Single-process fold of the identical per-file summaries (no Ray —
+    only the parallel summary computation differs)."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages.sketch import (_mg_merge,
+                                             misra_gries_file_summary)
+
+    out = os.path.join(path, "_oracle_mg_topk_v1.parquet")
+    if not os.path.exists(out):
+        paths = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        acc = (np.zeros(0, np.int64), np.zeros(0, np.int64), 0)
+        for p in paths:
+            acc = _mg_merge(acc, misra_gries_file_summary(p, "tokens",
+                                                          MG_K), MG_K)
+        keys, counts, err = acc
+        order = np.lexsort((keys, -counts))[:MG_TOP]
+        tbl = pa.table({
+            "token": pa.array(keys[order]),
+            "est_count": pa.array(counts[order]),
+            "max_undercount": pa.array(np.full(len(order), err,
+                                               dtype=np.int64)),
+        })
+        pq_mod.write_table(tbl, out + ".tmp")
+        os.replace(out + ".tmp", out)
+    return f"SELECT * FROM read_parquet('{out}')"
 
 
 def q_embed_pca(sf_dir: str):

@@ -239,3 +239,92 @@ def count_min_estimate(cms: np.ndarray, col, ) -> np.ndarray:
         idx = (hd % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, cms[d][idx])
     return est
+
+
+# --------------------------------------------------------------------------
+# Misra–Gries heavy hitters: the mergeable bounded-memory frequency
+# summary (Agarwal et al., "Mergeable Summaries"). k counters per
+# summary; after any sequence of merges every surviving estimate obeys
+#   true − err ≤ est ≤ true      (err returned alongside),
+# and every item with true frequency > n/(k+1) is guaranteed to survive.
+# Summaries are built ONE PER INPUT FILE and folded in sorted-path order,
+# so the result is DETERMINISTIC (MG merging is commutative but not
+# associative — scheduler-dependent fold order would break hash parity).
+# --------------------------------------------------------------------------
+
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep ≤ k counters: subtract the (k+1)-th largest count from all
+    and drop the non-positive — the classic MG decrement, vectorized.
+    Returns (keys, counts, decrement) with keys ascending."""
+    if len(keys) <= k:
+        order = np.argsort(keys)
+        return keys[order], counts[order], 0
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    c2 = counts - kth
+    keep = c2 > 0
+    keys, c2 = keys[keep], c2[keep]
+    order = np.argsort(keys)
+    return keys[order], c2[order], int(kth)
+
+
+def _mg_merge(a: tuple, b: tuple, k: int) -> tuple:
+    """Merge two (keys, counts, err) summaries: sum counts on the key
+    union, re-compress, accumulate the error bound (prior errors + this
+    merge's decrement)."""
+    ka, ca, ea = a
+    kb, cb, eb = b
+    keys = np.concatenate([ka, kb])
+    counts = np.concatenate([ca, cb])
+    uk, inv = np.unique(keys, return_inverse=True)
+    uc = np.bincount(inv, weights=counts.astype(np.float64)) \
+        .astype(np.int64)
+    uk2, uc2, dec = _mg_compress(uk, uc, k)
+    return uk2, uc2, ea + eb + dec
+
+
+def misra_gries_file_summary(path: str, tokens_col: str,
+                             k: int) -> tuple:
+    """(keys, counts, err) summary of one parquet file's flattened token
+    column. Per-file counting is exact here (the fixture vocabulary is
+    bounded); an unbounded-vocab file would run the same MG decrement
+    chunk by chunk — the summary contract is identical either way."""
+    import pyarrow.parquet as pq_mod
+
+    import pyarrow.compute as pc
+
+    tbl = pq_mod.read_table(path, columns=[tokens_col])
+    flat = pc.list_flatten(tbl[tokens_col].combine_chunks()) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    uk, uc = np.unique(flat, return_counts=True)
+    uk2, uc2, dec = _mg_compress(uk, uc.astype(np.int64), k)
+    return uk2, uc2, dec
+
+
+def misra_gries_topk(paths: list, tokens_col: str, k: int = 64,
+                     top: int = 10) -> pa.Table:
+    """Distributed heavy hitters: one MG summary per file (parallel Ray
+    tasks), folded on the driver in SORTED PATH ORDER (deterministic).
+    Output: top-``top`` surviving items by estimated count with the
+    global error bound — (token, est_count, max_undercount). The driver
+    holds O(files · k) ints while folding, never the value domain."""
+    import ray
+
+    @ray.remote
+    def one(p: str) -> tuple:
+        return misra_gries_file_summary(p, tokens_col, k)
+
+    paths = sorted(paths)
+    parts = ray.get([one.remote(p) for p in paths])
+    acc = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), 0)
+    for part in parts:
+        acc = _mg_merge(acc, part, k)
+    keys, counts, err = acc
+    order = np.lexsort((keys, -counts))[:top]
+    return pa.table({
+        "token": pa.array(keys[order]),
+        "est_count": pa.array(counts[order]),
+        "max_undercount": pa.array(np.full(len(order), err,
+                                           dtype=np.int64)),
+    })

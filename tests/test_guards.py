@@ -71,3 +71,52 @@ def test_streaming_rolling_all_empty_partition_files(ray_session, tmp_path):
     assert got.count() == 0
     assert set(got.schema().names) == {"doc_id", "ts_ns", "n_tok",
                                        "wsum", "wn"}
+
+
+class TestMisraGries:
+    def _files(self, tmp_path, n_files=5, rows=400, vocab=3000, seed=7):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(seed)
+        paths = []
+        all_tokens = []
+        for i in range(n_files):
+            toks = []
+            for _ in range(rows):
+                # zipf-ish skew so real heavy hitters exist
+                t = (rng.zipf(1.3, rng.integers(5, 40)) % vocab)
+                toks.append(t.astype(np.int64).tolist())
+                all_tokens.extend(toks[-1])
+            p = tmp_path / f"part-{i:03d}.parquet"
+            pq.write_table(pa.table({"tokens": pa.array(
+                toks, type=pa.list_(pa.int64()))}), p)
+            paths.append(str(p))
+        return paths, np.asarray(all_tokens, dtype=np.int64)
+
+    def test_guarantees_vs_exact(self, ray_session, tmp_path):
+        from pymhealth_ray.stages.sketch import misra_gries_topk
+
+        k = 16
+        paths, flat = self._files(tmp_path)
+        out = misra_gries_topk(paths, "tokens", k=k, top=10).to_pandas()
+        uk, uc = np.unique(flat, return_counts=True)
+        exact = dict(zip(uk.tolist(), uc.tolist()))
+        n = len(flat)
+        err = int(out.max_undercount.iloc[0])
+        for _, r in out.iterrows():
+            true = exact[int(r.token)]
+            # est never overcounts; undercount bounded by the tracked err
+            assert r.est_count <= true <= r.est_count + err
+        # every item with true freq > n/(k+1) must survive and be in the
+        # top list when top >= number of such items
+        musts = {int(t) for t, c in exact.items() if c > n / (k + 1)}
+        assert musts <= set(out.token.astype(int))
+
+    def test_fold_order_is_deterministic(self, ray_session, tmp_path):
+        from pymhealth_ray.stages.sketch import misra_gries_topk
+
+        paths, _ = self._files(tmp_path, seed=8)
+        a = misra_gries_topk(paths, "tokens", k=16, top=10).to_pandas()
+        b = misra_gries_topk(list(reversed(paths)), "tokens",
+                             k=16, top=10).to_pandas()
+        pd.testing.assert_frame_equal(a, b)  # sorted internally
