@@ -1196,6 +1196,7 @@ def build_queries() -> dict:
         "events_bloom_point": q_events_bloom_point,
         "events_upsert_merge": q_events_upsert_merge,
         "events_time_travel": q_events_time_travel,
+        "events_change_feed": q_events_change_feed,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1489,6 +1490,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_bloom_point": SQL_EVENTS_BLOOM_POINT,
         "events_upsert_merge": SQL_EVENTS_UPSERT_MERGE,
         "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
+        "events_change_feed": SQL_EVENTS_CHANGE_FEED,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12338,4 +12340,104 @@ m AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
 SELECT user_id, CAST(n AS BIGINT) AS n_hours, CAST(s AS BIGINT) AS n_events,
        CAST(n * sq - s * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS fano
 FROM m
+"""
+
+
+def q_events_change_feed(sf_dir: str):
+    """CDC CHANGE FEED between MVCC versions of a zonemapped layout
+    (io.zonemap_change_feed — the Delta/Iceberg ``table_changes``
+    shape): base write (v0) → copy-on-write UPSERT of updates+inserts
+    (v1) → bloom-pruned DELETE (v2), then the feed diffs v0→current and
+    emits insert/delete/update rows only. Files shared by both
+    manifests are pruned from BOTH sides before any read (rewrites
+    rename, so a shared name is byte-identical); the surviving files'
+    unchanged rows drop out of one co-partitioned full-outer join. A
+    key updated in v1 then deleted in v2 correctly surfaces as a
+    single ``delete`` against its v0 value."""
+    import shutil
+    import tempfile
+
+    from pymhealth_ray.sources.io import (delete_zonemapped,
+                                          upsert_zonemapped,
+                                          write_zonemapped,
+                                          zonemap_change_feed)
+
+    zdir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_out",
+                        f"change_feed_{os.path.basename(sf_dir)}")
+    with _build_lock(zdir):
+        shutil.rmtree(zdir, ignore_errors=True)
+        ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = _cents(b, "value", "val_c")
+            return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+        base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+        write_zonemapped(
+            base.map_batches(lambda b: b.drop_columns(["user_id"]),
+                             batch_format="pyarrow"),
+            zdir, "ts_us", num_files=32, bloom_cols=["event_id"])
+
+        def delta_of(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            uid = b["user_id"].to_numpy(zero_copy_only=False)
+            upd = b.filter(pa.array(eid % 53 == 0))
+            upd = pa.table({"event_id": upd["event_id"],
+                            "ts_us": upd["ts_us"],
+                            "val_c": pc.add(upd["val_c"], 999)})
+            ins = b.filter(pa.array(uid % 41 == 3))
+            ins = pa.table({"event_id": pc.add(ins["event_id"],
+                                               10_000_000),
+                            "ts_us": ins["ts_us"],
+                            "val_c": pc.multiply(ins["val_c"], 2)})
+            return pa.concat_tables([upd, ins])
+
+        delta = pa.concat_tables(
+            ray.get(base.map_batches(delta_of, batch_format="pyarrow",
+                                     batch_size=None).to_arrow_refs()))
+        upsert_zonemapped(zdir, delta.combine_chunks(), "event_id",
+                          "ts_us")  # -> version 1
+
+        def del_keys_of(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(eid % 71 == 0)).select(["event_id"])
+
+        del_keys = pa.concat_tables(
+            ray.get(base.map_batches(del_keys_of, batch_format="pyarrow",
+                                     batch_size=None).to_arrow_refs()))
+        delete_zonemapped(zdir, "event_id",
+                          del_keys["event_id"].combine_chunks())  # -> v2
+
+        feed = zonemap_change_feed(zdir, "event_id", from_version=0,
+                                   compare_cols=["val_c"],
+                                   num_buckets=NB)
+        feed = feed.map_batches(
+            lambda b: pa.table({"event_id": b["event_id"],
+                                "change": b["change"],
+                                "old_val_c": b["old_val_c"],
+                                "new_val_c": b["new_val_c"]}),
+            batch_format="pyarrow").materialize()
+    return feed
+
+
+SQL_EVENTS_CHANGE_FEED = """
+WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CAST(round(value * 100) AS BIGINT) AS val_c
+              FROM events),
+newt AS (
+  SELECT event_id,
+         CASE WHEN event_id % 53 = 0 THEN val_c + 999 ELSE val_c END
+           AS val_c
+  FROM base WHERE event_id % 71 <> 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, val_c * 2 AS val_c
+  FROM base WHERE user_id % 41 = 3),
+oldt AS (SELECT event_id, val_c FROM base)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN n.event_id IS NULL THEN 'delete'
+            WHEN o.event_id IS NULL THEN 'insert'
+            ELSE 'update' END AS change,
+       o.val_c AS old_val_c, n.val_c AS new_val_c
+FROM oldt o FULL OUTER JOIN newt n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.val_c <> n.val_c
 """

@@ -457,3 +457,82 @@ class TestZoneMapMVCC:
         assert len(names) == len(man) - 1
         got = self._full(zdir)
         assert len(got) == len(df) - len(lo_keys)
+
+
+class TestChangeFeed:
+    def _layout(self, tmp_path):
+        from pymhealth_ray.sources.io import write_zonemapped
+
+        rng = np.random.default_rng(93)
+        n = 9_000
+        df = pd.DataFrame({
+            "k": np.arange(n, dtype=np.int64),
+            "t": np.sort(rng.integers(0, 10**9, n)).astype(np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        })
+        zdir = str(tmp_path / "zcf")
+        write_zonemapped(ray.data.from_pandas(df).repartition(6),
+                         zdir, "t", num_files=16, bloom_cols=["k"])
+        return df, zdir
+
+    def test_feed_matches_bruteforce_and_prunes(self, ray_session,
+                                                tmp_path):
+        from pymhealth_ray.sources.io import (change_feed_file_sets,
+                                              delete_zonemapped,
+                                              upsert_zonemapped,
+                                              zonemap_change_feed)
+
+        df, zdir = self._layout(tmp_path)
+        # mutate a narrow time band only (so most files stay shared)
+        band = df[df.t < 10**8]
+        upd = band.head(60).copy()
+        upd["v"] = upd.v + 1000
+        ins = pd.DataFrame({"k": [10**6, 10**6 + 1],
+                            "t": [int(band.t.iloc[0]) + 1] * 2,
+                            "v": [7, 8]})
+        upsert_zonemapped(zdir, pa.Table.from_pandas(
+            pd.concat([upd, ins]), preserve_index=False), "k", "t")
+        del_keys = band.k.to_numpy()[60:90]
+        delete_zonemapped(zdir, "k", del_keys)
+
+        old_only, new_only, shared = change_feed_file_sets(zdir, 0)
+        assert shared, "untouched zones must stay shared"
+        assert old_only and new_only
+
+        feed = zonemap_change_feed(zdir, "k", 0, compare_cols=["v"])
+        got = feed.to_pandas().sort_values("k").reset_index(drop=True)
+
+        # brute force: old snapshot = df; new = upsert+delete applied
+        new = df[~df.k.isin(upd.k) & ~df.k.isin(del_keys)]
+        new = pd.concat([new, upd[~upd.k.isin(del_keys)], ins],
+                        ignore_index=True)
+        om = df.set_index("k").v
+        nm = new.set_index("k").v
+        rows = []
+        for k in sorted(set(om.index) | set(nm.index)):
+            o = om.get(k)
+            nv = nm.get(k)
+            if o is None:
+                rows.append((k, "insert", np.nan, float(nv)))
+            elif nv is None:
+                rows.append((k, "delete", float(o), np.nan))
+            elif o != nv:
+                rows.append((k, "update", float(o), float(nv)))
+        exp = pd.DataFrame(rows, columns=["k", "change", "old_v",
+                                          "new_v"])
+        assert list(got.columns) == ["k", "change", "old_v", "new_v"]
+        pd.testing.assert_frame_equal(
+            got.astype({"old_v": float, "new_v": float}), exp)
+
+    def test_same_version_feed_is_empty(self, ray_session, tmp_path):
+        from pymhealth_ray.sources.io import (upsert_zonemapped,
+                                              zonemap_change_feed)
+
+        df, zdir = self._layout(tmp_path)
+        upd = df.head(5).copy()
+        upd["v"] = upd.v + 1
+        upsert_zonemapped(zdir, pa.Table.from_pandas(
+            upd, preserve_index=False), "k", "t")
+        feed = zonemap_change_feed(zdir, "k", 1, to_version=1,
+                                   compare_cols=["v"])
+        assert feed.count() == 0
