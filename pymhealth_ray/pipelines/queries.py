@@ -1197,6 +1197,7 @@ def build_queries() -> dict:
         "events_upsert_merge": q_events_upsert_merge,
         "events_time_travel": q_events_time_travel,
         "events_change_feed": q_events_change_feed,
+        "part_kcore": q_part_kcore,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1491,6 +1492,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_upsert_merge": SQL_EVENTS_UPSERT_MERGE,
         "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
         "events_change_feed": SQL_EVENTS_CHANGE_FEED,
+        "part_kcore": _table_materialized_oracle(
+            sf_dir_for_fixture, "lineitem", "kcore_v1",
+            _kcore_expected, ("l_orderkey", "l_partkey")),
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12441,3 +12445,56 @@ SELECT COALESCE(o.event_id, n.event_id) AS event_id,
 FROM oldt o FULL OUTER JOIN newt n ON o.event_id = n.event_id
 WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.val_c <> n.val_c
 """
+
+
+def _kcore_expected(df):
+    """Exact coreness of the item co-purchase graph, single-process:
+    distinct within-order part pairs -> Batagelj-Zaveršnik peel."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.graph import coreness_peel_exact
+    from pymhealth_ray.stages.triangles import segment_pairs
+
+    d = df.drop_duplicates().sort_values(["l_orderkey", "l_partkey"])
+    o = d.l_orderkey.to_numpy()
+    p = d.l_partkey.to_numpy().astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+    lens = np.diff(np.append(starts, len(o)))
+    fi, se = segment_pairs(lens)
+    K = int(p.max()) + 1
+    pk = np.unique(np.minimum(p[fi], p[se]) * K
+                   + np.maximum(p[fi], p[se]))
+    nodes, core = coreness_peel_exact(pk // K, pk % K)
+    return pd.DataFrame({"p_partkey": nodes, "core": core})
+
+
+def q_part_kcore(sf_dir: str):
+    """CORE DECOMPOSITION of the item co-purchase graph: parts are
+    nodes, an edge joins two parts bought together in some order, and
+    each part reports its k-core number — the standard density measure
+    for community mining / influence pruning. Edges dedupe through the
+    packed-key exchange (stages/triangles.cooccurrence_edges); coreness
+    runs the hybrid plan (stages/graph.coreness): exact O(m) driver
+    peel under the edge threshold, distributed H-INDEX ITERATION above
+    it (c0=deg, c(v) <- H of neighbor values; monotone fixpoint ==
+    coreness — Lü et al. 2016), each round two co-partitioned
+    exchanges over narrow (node, value) rows. Oracle: materialized
+    single-process peel."""
+    from pymhealth_ray.stages.graph import coreness
+    from pymhealth_ray.stages.triangles import cooccurrence_edges
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    st = grouped_stats(li.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "l_partkey": b["l_partkey"]}),
+        batch_format="pyarrow"), ["one"],
+        max_cols=["l_partkey"]).take_all()
+    mx = int(st[0]["l_partkey_max"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_item=mx,
+                               num_buckets=NB)
+    out = coreness(edges, num_buckets=NB)
+    return out.map_batches(
+        lambda b: pa.table({"p_partkey": b["node"], "core": b["core"]}),
+        batch_format="pyarrow")

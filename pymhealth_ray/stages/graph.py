@@ -336,3 +336,202 @@ def pagerank_tokens(ds, tokens_col: str = "tokens", iters: int = 10,
         "rank": pa.array(r[top_nodes]),
         "rn": pa.array(np.arange(1, len(top_nodes) + 1, dtype=np.int64)),
     })
+
+
+def coreness_peel_exact(a: np.ndarray, b: np.ndarray):
+    """Single-process EXACT core decomposition (Batagelj-Zaveršnik
+    bucket peel, O(m)) over a distinct undirected edge list — the
+    oracle for :func:`coreness_hindex`. Returns (nodes, core) int64
+    arrays sorted by node id."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    deg = (np.bincount(ai, minlength=n)
+           + np.bincount(bi, minlength=n)).astype(np.int64)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.argsort(src, kind="stable")
+    adj_to = dst[order]
+    starts = np.concatenate(([0], np.cumsum(deg)))
+    d = deg.copy()
+    md = int(d.max()) if n else 0
+    bin_ptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(d, minlength=md + 1))))[:md + 1]
+    bin_ptr = bin_ptr.astype(np.int64)
+    vert = np.argsort(d, kind="stable").astype(np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    pos[vert] = np.arange(n)
+    core = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        v = vert[i]
+        core[v] = d[v]
+        for u in adj_to[starts[v]:starts[v + 1]]:
+            if d[u] > d[v]:
+                du = d[u]
+                pu = pos[u]
+                pw = bin_ptr[du]
+                w = vert[pw]
+                if u != w:
+                    vert[pu], vert[pw] = w, u
+                    pos[u], pos[w] = pw, pu
+                bin_ptr[du] += 1
+                d[u] -= 1
+    return nodes, core
+
+
+def _hindex_bucket(tbl: pa.Table) -> pa.Table:
+    """Per-node H-index finish: rows carry (node, nbr, cur) where curr
+    rows have the node's own value in ``cur`` (and a harmless 0 in
+    ``nbr``) and propagated rows have a neighbor value in ``nbr`` (and
+    +inf in ``cur``)."""
+    node = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nbr = tbl["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cur = tbl["cur"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-nbr, node))
+    no, nb, cu = node[order], nbr[order], cur[order]
+    is_start = np.ones(len(no), dtype=bool)
+    is_start[1:] = no[1:] != no[:-1]
+    start_pos = np.flatnonzero(is_start)
+    counts = np.diff(np.append(start_pos, len(no)))
+    rank = np.arange(len(no), dtype=np.int64) - np.repeat(start_pos, counts)
+    contrib = np.minimum(nb, rank + 1)
+    h = np.maximum.reduceat(contrib, start_pos)
+    curmin = np.minimum.reduceat(cu, start_pos)
+    new = np.minimum(h, curmin)
+    return pa.table({
+        "v": pa.array(no[start_pos]),
+        "l": pa.array(new),
+        "changed": pa.array((new < curmin).astype(np.int64)),
+    })
+
+
+def coreness_hindex(edges, num_buckets: int = 32, max_rounds: int = 200):
+    """Distributed CORE DECOMPOSITION: per-node k-core numbers by
+    H-INDEX ITERATION (Lü et al. 2016, "The H-index of a network node
+    and its relation to degree and coreness"): c0(v) = deg(v), then
+    each round c(v) <- H-index of the multiset {c(u) : u ~ v}. The
+    sequence is monotone nonincreasing and its fixpoint is exactly the
+    coreness — no sequential peel, so the algorithm is a per-round
+    pair of co-partitioned exchanges over narrow (node, value) rows
+    (the CC/_prop_round shape): join values onto edges bucketed by
+    source, re-bucket the propagated values by target, reduce with a
+    vectorized H-index kernel. Convergence (no node changed) is summed
+    from the already-materialized labels; rounds needed in practice ≈
+    O(log n) on real graphs, bounded by ``max_rounds`` (raises on
+    non-convergence rather than returning a wrong answer).
+
+    ``edges``: Dataset with distinct int64 ``a`` < ``b`` rows. Returns
+    a Dataset (node, core).
+    """
+    _BIGV = np.iinfo(np.int64).max
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        av = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.concatenate([av, bv])
+        u = np.concatenate([bv, av])
+        t = pa.table({"v": pa.array(v), "u": pa.array(u)})
+        return _bucketed(t, "v", num_buckets)
+
+    und = edges.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    def deg_bucket(tbl: pa.Table) -> pa.Table:
+        v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vs, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vs),
+                         "l": pa.array(cnt.astype(np.int64))})
+
+    labels = und.groupby("__cbucket").map_groups(
+        lambda t: deg_bucket(t.drop_columns(["__cbucket"])),
+        batch_format="pyarrow").materialize()
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "v": batch["v"], "u": batch["u"],
+            "c": pa.nulls(n, type=pa.int64()),
+            "__cbucket": batch["__cbucket"],
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table({"v": batch["v"],
+                      "u": pa.nulls(n, type=pa.int64()),
+                      "c": batch["l"]})
+        t = _bucketed(t, "v", num_buckets)
+        return t.append_column("__side",
+                               pa.array(np.ones(n, dtype=np.int8)))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        e = tbl.filter(pa.array(side == 0)).select(["v", "u"])
+        lb = tbl.filter(pa.array(side == 1)).select(["v", "c"])
+        j = e.join(lb, keys=["v"], join_type="inner", use_threads=False)
+        prop = pa.table({
+            "node": j["u"], "nbr": j["c"],
+            "cur": pa.array(np.full(j.num_rows, _BIGV, dtype=np.int64)),
+        })
+        curr = pa.table({
+            "node": lb["v"],
+            "nbr": pa.array(np.zeros(lb.num_rows, dtype=np.int64)),
+            "cur": lb["c"],
+        })
+        out = pa.concat_tables([prop, curr])
+        return _bucketed(out, "node", num_buckets).rename_columns(
+            ["node", "nbr", "cur", "__nbucket"])
+
+    for _ in range(max_rounds):
+        unioned = und.map_batches(tag_edge, batch_format="pyarrow").union(
+            labels.map_batches(tag_label, batch_format="pyarrow"))
+        cand = unioned.groupby("__cbucket").map_groups(
+            lambda t: per_bucket(t.drop_columns(["__cbucket"])),
+            batch_format="pyarrow")
+        new_labels = cand.groupby("__nbucket").map_groups(
+            lambda t: _hindex_bucket(t.drop_columns(["__nbucket"])),
+            batch_format="pyarrow").materialize()
+        changed = new_labels.sum("changed") or 0
+        labels = new_labels.drop_columns(["changed"])
+        if changed == 0:
+            return labels.map_batches(
+                lambda b: pa.table({"node": b["v"], "core": b["l"]}),
+                batch_format="pyarrow")
+    raise RuntimeError(
+        f"coreness_hindex did not converge in {max_rounds} rounds")
+
+
+def coreness(edges, num_buckets: int = 32,
+             driver_threshold: int = 2_000_000, max_rounds: int = 200):
+    """Core decomposition with the hybrid plan CC uses: an edge list
+    small enough to collect (narrow int64 pairs, bounded by
+    ``driver_threshold``) takes the exact O(m) driver peel; larger
+    graphs run the distributed H-index iteration. Both produce the
+    identical exact coreness."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        import ray as _ray
+
+        def slim(b: pa.Table) -> pa.Table:
+            # upstream grouped stages emit schema-less zero-row blocks
+            if "a" not in b.column_names:
+                return pa.table({"a": pa.array([], type=pa.int64()),
+                                 "b": pa.array([], type=pa.int64())})
+            return b.select(["a", "b"])
+
+        tabs = [t for t in _ray.get(
+            edges.map_batches(slim, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_columns]  # empties pass the map
+        tbl = pa.concat_tables(tabs) if tabs else pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64())})
+        nodes, core = coreness_peel_exact(
+            tbl["a"].to_numpy(zero_copy_only=False),
+            tbl["b"].to_numpy(zero_copy_only=False))
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                        "core": pa.array(core)}))
+    return coreness_hindex(edges, num_buckets=num_buckets,
+                           max_rounds=max_rounds)
