@@ -1198,6 +1198,7 @@ def build_queries() -> dict:
         "events_time_travel": q_events_time_travel,
         "events_change_feed": q_events_change_feed,
         "part_kcore": q_part_kcore,
+        "seq_scrub_tokens": q_seq_scrub_tokens,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1495,6 +1496,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_kcore": _table_materialized_oracle(
             sf_dir_for_fixture, "lineitem", "kcore_v1",
             _kcore_expected, ("l_orderkey", "l_partkey")),
+        "seq_scrub_tokens": sql_seq_scrub_tokens(path),
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12498,3 +12500,83 @@ def q_part_kcore(sf_dir: str):
     return out.map_batches(
         lambda b: pa.table({"p_partkey": b["node"], "core": b["core"]}),
         batch_format="pyarrow")
+
+
+def q_seq_scrub_tokens(sf_dir: str):
+    """STOPWORD SCRUB of the tokenized corpus: the global top-20 most
+    frequent token ids (count desc, id asc — exact keyed_sum counts;
+    the counts table is bounded by vocabulary size, not corpus size,
+    so the driver top-k is a bounded partial) are removed from every
+    sequence with one broadcast np.isin map (stages/vocab.scrub_tokens
+    — zero exchange on the corpus itself). Emits per-row kept/removed
+    counts and the md5 of the scrubbed id sequence, matching the SQL
+    list_filter oracle byte-for-byte."""
+    import hashlib as _hl
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.dedup import tokens_join_key
+    from pymhealth_ray.stages.vocab import scrub_tokens
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    ds = ds.materialize()  # consumed by the count pass AND the scrub
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    counts = keyed_sum(
+        ds.map_batches(tok_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "tok", ["c"], num_buckets=NB).take_all()
+    tok = np.array([r["tok"] for r in counts], dtype=np.int64)
+    c = np.array([r["c"] for r in counts], dtype=np.int64)
+    order = np.lexsort((tok, -c))[:20]
+    stop = tok[order]
+
+    scrubbed = scrub_tokens(ds, stop)
+
+    def finish(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n0 = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kept = b["tokens_kept"]
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        nk = pc.list_value_length(kept).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        joined = tokens_join_key(kept)
+        md5 = [_hl.md5(s.encode()).hexdigest()
+               for s in joined.to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_kept": pa.array(nk), "n_removed": pa.array(n0 - nk),
+            "scrub_md5": pa.array(md5, type=pa.string()),
+        })
+
+    return scrubbed.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_scrub_tokens(path: str) -> str:
+    return f"""
+WITH t AS (SELECT unnest(tokens) AS tok
+           FROM read_parquet('{path}/part-*.parquet')),
+top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY tok
+                         ORDER BY c DESC, tok ASC LIMIT 20)),
+st AS (SELECT list(tok) AS stop FROM top),
+s AS (SELECT doc_id, ts_ns, len(tokens) AS n0,
+             list_filter(tokens, x -> NOT list_contains(stop, x)) AS kept
+      FROM read_parquet('{path}/part-*.parquet'), st)
+SELECT doc_id, ts_ns,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n0 - len(kept) AS BIGINT) AS n_removed,
+       md5(COALESCE(array_to_string(kept, ','), '')) AS scrub_md5
+FROM s
+"""

@@ -173,3 +173,40 @@ def top_ngrams(ds, tokens_col: str = "tokens", n: int = 2, k: int = 50,
 
     return vocab.map_batches(prune, batch_format="pyarrow").groupby("__g").map_groups(
         final, batch_format="pyarrow")
+
+
+def scrub_tokens(ds, stop, tokens_col: str = "tokens"):
+    """Remove a BROADCAST stop-set of token ids from every sequence —
+    the stopword/blocklist scrub of a tokenized corpus. The set ships
+    once through the object store (``ray.put``) and every batch filters
+    with one vectorized ``np.isin`` + offset rebuild; no exchange, no
+    per-row loop — map-only at any corpus size. Appends
+    ``<tokens_col>_kept`` (same list<int32> layout) to each batch."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    stop_ref = ray.put(np.asarray(stop, dtype=np.int64))
+
+    def fn(b: pa.Table) -> pa.Table:
+        if tokens_col not in b.column_names:  # schema-less empty block
+            return b
+        sarr = ray.get(stop_ref)
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(flat, sarr)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        kept_per_row = np.bincount(row[keep], minlength=len(lens))
+        new_off = np.concatenate(
+            ([0], np.cumsum(kept_per_row))).astype(np.int32)
+        kept = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()),
+            pa.array(flat[keep].astype(np.int32), type=pa.int32()))
+        return b.append_column(f"{tokens_col}_kept", kept)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

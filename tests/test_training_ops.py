@@ -2117,3 +2117,32 @@ class TestAggState:
         assert got["t"].tolist() == exp["t"].tolist()
         assert got["n"].tolist() == exp["n"].tolist()
         assert got["v_sum"].tolist() == exp["v_sum"].tolist()
+
+
+class TestScrubTokens:
+    def test_scrub_matches_python_and_handles_empties(self, ray_session):
+        from pymhealth_ray.stages.vocab import scrub_tokens
+
+        rows = [[1, 2, 3, 2], [], [2, 2, 2], [5, 6], [7]]
+        stop = np.array([2, 7], dtype=np.int64)
+        tbl = pa.table({
+            "i": pa.array(range(len(rows)), type=pa.int64()),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        got = scrub_tokens(ds, stop).to_pandas().sort_values("i")
+        exp = [[t for t in r if t not in (2, 7)] for r in rows]
+        assert [list(x) for x in got.tokens_kept] == exp
+
+    def test_sliced_chunks(self, ray_session):
+        from pymhealth_ray.stages.vocab import scrub_tokens
+
+        # sliced ListArray: offsets don't start at 0
+        base = pa.array([[9, 1], [2, 9], [9, 9, 3]],
+                        type=pa.list_(pa.int32()))
+        sliced = base.slice(1)
+        tbl = pa.table({"i": pa.array([0, 1], type=pa.int64()),
+                        "tokens": sliced})
+        got = scrub_tokens(ray.data.from_arrow(tbl),
+                           np.array([9])).to_pandas().sort_values("i")
+        assert [list(x) for x in got.tokens_kept] == [[2], [3]]
