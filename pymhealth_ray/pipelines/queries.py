@@ -1199,6 +1199,8 @@ def build_queries() -> dict:
         "events_change_feed": q_events_change_feed,
         "part_kcore": q_part_kcore,
         "seq_scrub_tokens": q_seq_scrub_tokens,
+        "docs_audio_vad": q_docs_audio_vad,
+        "lineitem_weighted_median": q_lineitem_weighted_median,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1497,6 +1499,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "lineitem", "kcore_v1",
             _kcore_expected, ("l_orderkey", "l_partkey")),
         "seq_scrub_tokens": sql_seq_scrub_tokens(path),
+        "docs_audio_vad": _docs_materialized_oracle(
+            sf_dir_for_fixture, "audio_vad_v1", _audio_vad_expected,
+            columns=("doc_id",)),
+        "lineitem_weighted_median": SQL_LINEITEM_WEIGHTED_MEDIAN,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12579,4 +12585,87 @@ SELECT doc_id, ts_ns,
        CAST(n0 - len(kept) AS BIGINT) AS n_removed,
        md5(COALESCE(array_to_string(kept, ','), '')) AS scrub_md5
 FROM s
+"""
+
+
+def q_docs_audio_vad(sf_dir: str):
+    """Energy-threshold VOICE-ACTIVITY DETECTION over real PCM WAV
+    clips (stages/multimodal.AudioVAD, actor pool): per doc the clip
+    frames into 200-sample windows, active = RMS energy above the
+    clip mean, and the summary emits frame counts, longest active run
+    and zero-crossings inside active frames — the silence-trim /
+    speech-rate shape of an audio curation pipeline. All-integer
+    output; the oracle replays the same deterministic decode
+    single-process."""
+    from pymhealth_ray.stages.multimodal import audio_vad
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_wav_table, batch_format="pyarrow")
+    return audio_vad(media).map_batches(
+        lambda b: b.select(["doc_id", "n_frames", "n_active",
+                            "longest_active", "zc_active"]),
+        batch_format="pyarrow")
+
+
+def _audio_vad_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import AudioVAD
+
+    tbl = pa.table({"doc_id": pa.array(df["doc_id"].tolist(),
+                                       type=pa.int64())})
+    out = AudioVAD()(_docs_wav_table(tbl))
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].tolist(),
+        "n_frames": out["n_frames"].to_numpy(),
+        "n_active": out["n_active"].to_numpy(),
+        "longest_active": out["longest_active"].to_numpy(),
+        "zc_active": out["zc_active"].to_numpy(),
+    })
+
+
+def q_lineitem_weighted_median(sf_dir: str):
+    """Per-flag EXACT WEIGHTED MEDIAN price (weight = quantity): the
+    robust 'typical unit price' statistic. Exchange carries the (flag,
+    price) weight histogram (stages/aggregate.grouped_weighted_median
+    — the grouped_quantiles combiner with Σweight partials); the lower
+    weighted median (min price with 2·cumw >= totw) compares in
+    integers, so both sides are fraction-free and hash-exact."""
+    from pymhealth_ray.stages.aggregate import grouped_weighted_median
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_returnflag", "l_extendedprice",
+                             "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "price_c")
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "price_c": b["price_c"],
+            "qty": pa.array(np.rint(q).astype(np.int64)),
+        })
+
+    wm = grouped_weighted_median(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"], "price_c", "qty", num_buckets=8,
+        out_name="wmedian_price_c", total_name="total_qty")
+    return wm
+
+
+SQL_LINEITEM_WEIGHTED_MEDIAN = """
+WITH g AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem),
+a AS (SELECT l_returnflag, price_c, CAST(sum(qty) AS BIGINT) AS w
+      FROM g GROUP BY l_returnflag, price_c),
+c AS (SELECT l_returnflag, price_c,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag
+                               ORDER BY price_c) AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM a)
+SELECT l_returnflag, CAST(min(price_c) AS BIGINT) AS wmedian_price_c,
+       CAST(min(tw) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
 """

@@ -270,6 +270,90 @@ def grouped_quantiles(
     return partials.groupby("__aggbucket").map_groups(final_bucket, batch_format="pyarrow")
 
 
+def grouped_weighted_median(
+    ds,
+    group_cols: List[str],
+    value_col: str,
+    weight_col: str,
+    num_buckets: int = 256,
+    out_name: str = "wmedian",
+    total_name: str = "total_w",
+):
+    """EXACT distributed per-group LOWER WEIGHTED MEDIAN: the smallest
+    value v with 2 * cumweight(<= v) >= total weight (integer weights,
+    fraction-free comparison). Same combiner shape as
+    :func:`grouped_quantiles` — blocks collapse to one row per (group,
+    distinct value) with a partial SUM OF WEIGHTS, so the exchange
+    carries the value histogram, not the data; the per-bucket finish
+    reads every group's median off the weighted CDF with one
+    searchsorted (within a group 2*cumw is strictly increasing, so
+    ``segment_id * M + 2*cumw`` is globally sorted)."""
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(group_cols + [value_col]).aggregate(
+            [(weight_col, "sum")])
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        b = _stable_bucket_of(batch[group_cols[0]], num_buckets)
+        return batch.append_column("__aggbucket",
+                                   pa.array(b, type=pa.int32()))
+
+    wname = f"{weight_col}_sum"
+
+    def final_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__aggbucket"])
+        tbl = tbl.group_by(group_cols + [value_col]).aggregate(
+            [(wname, "sum")])
+        if tbl.num_rows == 0:
+            cols = {c: tbl[c] for c in group_cols}
+            cols[out_name] = pa.array([], type=tbl[value_col].type)
+            cols[total_name] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        gid = np.zeros(tbl.num_rows, dtype=np.int64)
+        for c in group_cols:
+            col = tbl[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = col.dictionary_encode()
+            gid = gid * (len(enc.dictionary) + 1) + enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        vcol = tbl[value_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        v = vcol.to_numpy(zero_copy_only=False)
+        w = tbl[f"{wname}_sum"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, gid))
+        g, v, w = gid[order], v[order], w[order]
+        starts = np.ones(len(g), dtype=bool)
+        starts[1:] = g[1:] != g[:-1]
+        start_pos = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(start_pos, len(g)))
+        seg_id = np.repeat(np.arange(len(start_pos)), seg_len)
+        cs = np.cumsum(w)
+        base = np.repeat(cs[start_pos] - w[start_pos], seg_len)
+        cum = cs - base
+        tot = np.add.reduceat(w, start_pos)
+        M = 2 * int(tot.max()) + 2
+        key = seg_id * M + 2 * cum
+        pos = np.searchsorted(key, np.arange(len(tot)) * M + tot,
+                              side="left")
+        out_cols = {}
+        first_row = order[start_pos]
+        for col_name in group_cols:
+            out_cols[col_name] = tbl[col_name].take(pa.array(first_row))
+        out_cols[out_name] = pa.array(v[pos])
+        out_cols[total_name] = pa.array(tot, type=pa.int64())
+        return pa.table(out_cols)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None).map_batches(
+        with_bucket, batch_format="pyarrow")
+    return partials.groupby("__aggbucket").map_groups(
+        final_bucket, batch_format="pyarrow")
+
+
 def grouped_rollup(ds, keys: List[str], sum_cols: List[str],
                    count_name: str = "n"):
     """SQL ``GROUP BY ROLLUP (k1, k2, …)`` for associative sums: one

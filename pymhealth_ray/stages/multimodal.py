@@ -388,3 +388,62 @@ def phash_images(ds, grid: int = 32, keep: int = 8, concurrency=(2, 8),
     return ds.map_batches(ImagePHasher, fn_constructor_args=(grid, keep),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class AudioVAD:
+    """Frame-level VOICE-ACTIVITY features over real PCM WAV payloads:
+    the clip splits into non-overlapping ``frame_len``-sample frames;
+    per frame RMS energy + zero-crossing count; frames whose energy
+    exceeds ``alpha`` × the clip's mean frame energy are "active" (the
+    classic energy-threshold VAD used for silence trimming before ASR
+    / audio-LM training). Stateful actor per the actor-pool decode
+    contract — construct once, decode per batch. Emits per clip:
+    n_frames, n_active, longest_active (run length), zc_active (total
+    zero crossings inside active frames) — all integers, so results
+    hash exactly under any partitioning."""
+
+    def __init__(self, frame_len: int = 200, alpha: float = 1.0):
+        self.frame_len = int(frame_len)
+        self.alpha = float(alpha)
+
+    def _clip(self, payload: bytes):
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "real audio decode beyond PCM WAV requires ffmpeg")
+        s = _decode_wav(payload)
+        nf = len(s) // self.frame_len
+        if nf == 0:
+            return 0, 0, 0, 0
+        x = s[: nf * self.frame_len].reshape(nf, self.frame_len)
+        e = np.sqrt((x * x).mean(axis=1))
+        zc = np.count_nonzero(np.diff(np.signbit(x), axis=1), axis=1)
+        act = e > self.alpha * e.mean()
+        n_active = int(act.sum())
+        if n_active:
+            # longest run of consecutive active frames
+            d = np.diff(np.concatenate(([0], act.view(np.int8), [0])))
+            runs = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
+            longest = int(runs.max())
+        else:
+            longest = 0
+        return nf, n_active, longest, int(zc[act].sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._clip(p) for p in batch["payload"].to_pylist()]
+        arr = np.asarray(rows, dtype=np.int64).reshape(-1, 4)
+        out = batch.drop_columns(["payload"])
+        for i, name in enumerate(["n_frames", "n_active",
+                                  "longest_active", "zc_active"]):
+            out = out.append_column(name, pa.array(arr[:, i]))
+        return out
+
+
+def audio_vad(ds, frame_len: int = 200, alpha: float = 1.0,
+              concurrency=(2, 8), batch_size: int = 64):
+    return ds.map_batches(
+        AudioVAD,
+        fn_constructor_args=(frame_len, alpha),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -2146,3 +2146,90 @@ class TestScrubTokens:
         got = scrub_tokens(ray.data.from_arrow(tbl),
                            np.array([9])).to_pandas().sort_values("i")
         assert [list(x) for x in got.tokens_kept] == [[2], [3]]
+
+
+class TestAudioVAD:
+    def _wav(self, sig):
+        import io
+        import wave
+
+        pcm = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def test_silence_split(self, ray_session):
+        from pymhealth_ray.stages.multimodal import audio_vad
+
+        # 10 frames of near-silence then 10 loud frames (200 samples each)
+        t = np.arange(2000, dtype=np.float64)
+        loud = 0.5 * np.sin(2 * np.pi * 440.0 * t / 8000.0)
+        sig = np.concatenate([np.full(2000, 1e-4), loud])
+        tbl = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                        "payload": pa.array([self._wav(sig)],
+                                            type=pa.binary())})
+        out = audio_vad(ray.data.from_arrow(tbl)).to_pandas()
+        assert out.n_frames[0] == 20
+        assert out.n_active[0] == 10
+        assert out.longest_active[0] == 10
+        assert out.zc_active[0] > 0
+
+    def test_short_clip_guard(self, ray_session):
+        from pymhealth_ray.stages.multimodal import AudioVAD
+
+        tbl = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                        "payload": pa.array(
+                            [self._wav(np.zeros(50))], type=pa.binary())})
+        out = AudioVAD(frame_len=200)(tbl)
+        assert out["n_frames"][0].as_py() == 0
+        assert out["longest_active"][0].as_py() == 0
+
+
+class TestGroupedWeightedMedian:
+    def test_random_vs_bruteforce(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_weighted_median
+
+        rng = np.random.default_rng(17)
+        n = 4000
+        df = pd.DataFrame({
+            "g": rng.integers(0, 7, n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+            "w": rng.integers(0, 9, n).astype(np.int64),
+        })
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = grouped_weighted_median(ds, ["g"], "v", "w", num_buckets=5) \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+
+        exp_rows = []
+        for g, sub in df.groupby("g"):
+            s = sub.groupby("v").w.sum().sort_index()
+            tot = int(s.sum())
+            cw = s.cumsum()
+            med = int(cw.index[np.searchsorted(
+                2 * cw.to_numpy(), tot, side="left")])
+            exp_rows.append((g, med, tot))
+        exp = pd.DataFrame(exp_rows, columns=["g", "wmedian", "total_w"])
+        pd.testing.assert_frame_equal(
+            got.astype({"wmedian": np.int64, "total_w": np.int64}), exp)
+
+    def test_partition_invariance(self, ray_session):
+        from pymhealth_ray.stages.aggregate import grouped_weighted_median
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 4, 1000).astype(np.int64),
+            "v": rng.integers(0, 20, 1000).astype(np.int64),
+            "w": rng.integers(1, 5, 1000).astype(np.int64),
+        })
+        outs = []
+        for parts, nb in ((2, 3), (9, 31)):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(grouped_weighted_median(ds, ["g"], "v", "w",
+                                                num_buckets=nb)
+                        .to_pandas().sort_values("g")
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
