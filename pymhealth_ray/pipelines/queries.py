@@ -1201,6 +1201,7 @@ def build_queries() -> dict:
         "seq_scrub_tokens": q_seq_scrub_tokens,
         "docs_audio_vad": q_docs_audio_vad,
         "lineitem_weighted_median": q_lineitem_weighted_median,
+        "docs_search_and": q_docs_search_and,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1503,6 +1504,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "audio_vad_v1", _audio_vad_expected,
             columns=("doc_id",)),
         "lineitem_weighted_median": SQL_LINEITEM_WEIGHTED_MEDIAN,
+        "docs_search_and": SQL_DOCS_SEARCH_AND,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12668,4 +12670,66 @@ c AS (SELECT l_returnflag, price_c,
 SELECT l_returnflag, CAST(min(price_c) AS BIGINT) AS wmedian_price_c,
        CAST(min(tw) AS BIGINT) AS total_qty
 FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+"""
+
+
+def q_docs_search_and(sf_dir: str):
+    """SERVING-SHAPED conjunctive retrieval: a persisted search index
+    (stages/index.write_search_index — posting lists partitioned by
+    term hash, doc lengths by doc hash, corpus stats in _meta.json,
+    built once per corpus) answers an AND-of-terms BM25 top-10 by
+    opening ONLY the query terms' posting buckets and the candidates'
+    doc-length buckets — query cost ∝ posting-list sizes, never the
+    corpus. Scoring is the same k1=1.5/b=0.75 BM25 as docs_bm25;
+    ranking key round(score,6) with doc-id tie-break."""
+    import tempfile
+
+    from pymhealth_ray.stages.index import (search_conjunctive,
+                                            write_search_index)
+
+    idir = os.path.join(tempfile.gettempdir(), "pymhealth_ray_searchidx",
+                        f"{os.path.basename(sf_dir)}_v1")
+    with _build_lock(idir):
+        if not os.path.exists(os.path.join(idir, "_meta.json")):
+            docs = read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+            write_search_index(docs, idir, num_term_buckets=NB,
+                               num_doc_buckets=8)
+    return search_conjunctive(idir, list(_BM25_QUERY_TERMS), k=10)
+
+
+SQL_DOCS_SEARCH_AND = f"""
+WITH w AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), q(term) AS (
+  VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)}
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM w JOIN q USING (term)
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w JOIN q USING (term)
+  GROUP BY doc_id, term
+), cand AS (
+  SELECT doc_id FROM tf GROUP BY doc_id
+  HAVING count(DISTINCT term) = (SELECT count(*) FROM q)
+), sc AS (
+  SELECT tf.doc_id,
+         sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+             (tf.tf * 2.5) /
+             (tf.tf + 1.5 * (0.25 + 0.75 * (dl.dl / st.avgdl)))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+            AS BIGINT) AS rn
+FROM sc
+QUALIFY rn <= 10
 """

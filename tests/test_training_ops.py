@@ -2233,3 +2233,55 @@ class TestGroupedWeightedMedian:
                         .to_pandas().sort_values("g")
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestSearchIndex:
+    def _build(self, tmp_path, texts):
+        from pymhealth_ray.stages.index import write_search_index
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+        idir = str(tmp_path / "sidx")
+        meta = write_search_index(ray.data.from_arrow(tbl).repartition(3),
+                                  idir, num_term_buckets=7,
+                                  num_doc_buckets=3)
+        return idir, meta
+
+    def test_conjunctive_matches_bruteforce(self, ray_session, tmp_path):
+        import math
+
+        from pymhealth_ray.stages.index import search_conjunctive
+
+        texts = ["a b c a", "b c d", "a c c e", "x y", "a b", "c b a a"]
+        idir, meta = self._build(tmp_path, texts)
+        assert meta["n_docs"] == 6
+        assert meta["total_len"] == sum(len(t.split()) for t in texts)
+        got = search_conjunctive(idir, ["a", "b"], k=10).to_pandas()
+
+        # brute force BM25 over docs containing both terms
+        docs = [t.split() for t in texts]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        df = {t: sum(t in d for d in docs) for t in ("a", "b")}
+        exp = []
+        for i, d in enumerate(docs):
+            if "a" in d and "b" in d:
+                s = 0.0
+                for t in ("a", "b"):
+                    tf = d.count(t)
+                    idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                    s += idf * (tf * 2.5) / (
+                        tf + 1.5 * (0.25 + 0.75 * len(d) / avgdl))
+                exp.append((i, round(s, 6)))
+        exp.sort(key=lambda r: (-r[1], r[0]))
+        assert list(got.doc_id) == [e[0] for e in exp]
+        assert list(got.score) == pytest.approx([e[1] for e in exp])
+        assert list(got.rn) == list(range(1, len(exp) + 1))
+
+    def test_missing_term_empty(self, ray_session, tmp_path):
+        from pymhealth_ray.stages.index import search_conjunctive
+
+        idir, _ = self._build(tmp_path, ["a b", "b c"])
+        assert search_conjunctive(idir, ["a", "zzz"], k=5).num_rows == 0
