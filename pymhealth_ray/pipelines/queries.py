@@ -1202,6 +1202,7 @@ def build_queries() -> dict:
         "docs_audio_vad": q_docs_audio_vad,
         "lineitem_weighted_median": q_lineitem_weighted_median,
         "docs_search_and": q_docs_search_and,
+        "events_psi_drift": q_events_psi_drift,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1505,6 +1506,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             columns=("doc_id",)),
         "lineitem_weighted_median": SQL_LINEITEM_WEIGHTED_MEDIAN,
         "docs_search_and": SQL_DOCS_SEARCH_AND,
+        "events_psi_drift": SQL_EVENTS_PSI_DRIFT,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12732,4 +12734,104 @@ SELECT doc_id, round(score, 6) AS score,
             AS BIGINT) AS rn
 FROM sc
 QUALIFY rn <= 10
+"""
+
+
+def q_events_psi_drift(sf_dir: str):
+    """DISTRIBUTION-DRIFT REPORT (PSI): per event_type, the value
+    histogram of the first time half vs the second over 10 fixed
+    equi-width bins, one row per (type, bin) with both counts and the
+    add-one-smoothed POPULATION STABILITY INDEX term
+    (p−q)·ln(p/q) — the per-bin decomposition every monitoring stack
+    sums into the headline PSI. Binning is ALL-INTEGER (cents, floor
+    division), counts are exact int sums under any partitioning; only
+    the final per-row term is float (round 6, same expression as the
+    SQL). Two passes: O(1) global stats, then one tiny
+    (type, bin) exchange of per-block partial counts."""
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["event_type", "ts_us", "val_c"])
+
+    ev = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    st = grouped_stats(ev.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "val_c": b["val_c"], "ts_us": b["ts_us"]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=["val_c", "ts_us"], max_cols=["val_c", "ts_us"]
+    ).take_all()
+    lo, hi = int(st[0]["val_c_min"]), int(st[0]["val_c_max"])
+    tmn, tmx = int(st[0]["ts_us_min"]), int(st[0]["ts_us_max"])
+    tmid = tmn + (tmx - tmn) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["val_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64-safe: |v-lo|*10 stays far under 2^63 for cent-scaled data
+        bins = np.clip((v - lo) * 10 // (hi - lo + 1), 0, 9)
+        h1 = (ts <= tmid).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "bin": pa.array(bins),
+                      "c1": pa.array(h1),
+                      "c2": pa.array(1 - h1)})
+        return t.group_by(["event_type", "bin"]).aggregate(
+            [("c1", "sum"), ("c2", "sum")])
+
+    cnt = grouped_stats(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "bin"], sum_cols=["c1_sum", "c2_sum"],
+        count_name="__n")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        c1 = tbl["c1_sum_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c2 = tbl["c2_sum_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = tbl["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        # per-type totals via dictionary-encoded bincount
+        enc = et.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t1 = np.bincount(idx, weights=c1.astype(np.float64)) \
+            .astype(np.int64)[idx]
+        t2 = np.bincount(idx, weights=c2.astype(np.float64)) \
+            .astype(np.int64)[idx]
+        p = (c1 + 1).astype(np.float64) / (t1 + 10).astype(np.float64)
+        q = (c2 + 1).astype(np.float64) / (t2 + 10).astype(np.float64)
+        term = _round_away((p - q) * np.log(p / q), 6)
+        return pa.table({"event_type": et, "bin": tbl["bin"],
+                         "c1": pa.array(c1), "c2": pa.array(c2),
+                         "psi_term": pa.array(term)})
+
+    # the (type, bin) table is tiny (|types| x 10) but per-type totals
+    # need every bin of a type in one place: single-block finish
+    return cnt.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+SQL_EVENTS_PSI_DRIFT = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS val_c,
+                  epoch_us(ts) AS ts_us FROM events),
+b0 AS (SELECT min(val_c) AS lo, max(val_c) AS hi,
+              min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS tmid FROM e),
+h AS (SELECT event_type,
+             least(greatest((val_c - lo) * 10 // (hi - lo + 1), 0), 9)
+               AS bin,
+             CASE WHEN ts_us <= tmid THEN 1 ELSE 0 END AS h1
+      FROM e, b0),
+c AS (SELECT event_type, bin, CAST(sum(h1) AS BIGINT) AS c1,
+             CAST(count(*) - sum(h1) AS BIGINT) AS c2
+      FROM h GROUP BY event_type, bin),
+t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS t1,
+             CAST(sum(c2) AS BIGINT) AS t2
+      FROM c GROUP BY event_type)
+SELECT c.event_type, c.bin, c1, c2,
+       round((CAST(c1 + 1 AS DOUBLE) / (t1 + 10)
+              - CAST(c2 + 1 AS DOUBLE) / (t2 + 10))
+             * ln((CAST(c1 + 1 AS DOUBLE) / (t1 + 10))
+                  / (CAST(c2 + 1 AS DOUBLE) / (t2 + 10))), 6) AS psi_term
+FROM c JOIN t USING (event_type)
 """
