@@ -1203,6 +1203,7 @@ def build_queries() -> dict:
         "lineitem_weighted_median": q_lineitem_weighted_median,
         "docs_search_and": q_docs_search_and,
         "events_psi_drift": q_events_psi_drift,
+        "events_range_join_stream": q_events_range_join_stream,
         "embed_ivf_recall": q_embed_ivf_recall,
         "embed_quantized_recall": q_embed_quantized_recall,
         "events_hourly_distinct": q_events_hourly_distinct,
@@ -1507,6 +1508,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_weighted_median": SQL_LINEITEM_WEIGHTED_MEDIAN,
         "docs_search_and": SQL_DOCS_SEARCH_AND,
         "events_psi_drift": SQL_EVENTS_PSI_DRIFT,
+        "events_range_join_stream": SQL_EVENTS_RANGE_JOIN_STREAM,
         "embed_ivf_recall": _ivf_recall_oracle(sf_dir_for_fixture),
         "embed_quantized_recall": _quant_recall_oracle(sf_dir_for_fixture),
         "events_hourly_distinct": SQL_EVENTS_HOURLY_DISTINCT,
@@ -12834,4 +12836,81 @@ SELECT c.event_type, c.bin, c1, c2,
              * ln((CAST(c1 + 1 AS DOUBLE) / (t1 + 10))
                   / (CAST(c2 + 1 AS DOUBLE) / (t2 + 10))), 6) AS psi_term
 FROM c JOIN t USING (event_type)
+"""
+
+
+def q_events_range_join_stream(sf_dir: str):
+    """STREAMING twin of events_orders_range_join (8th streaming family
+    member, stages/streaming.streaming_interval_join): facts and
+    intervals land in SORTED co-bucketed layouts once (ingest-time
+    cost, resumable), then the interval join streams each partition
+    pair with a merge cursor and an active-interval buffer — ZERO
+    query-time exchange, memory bounded by the max concurrent
+    intervals per entity. Identical inner-join semantics and SQL
+    oracle shape as the exchange-based rangejoin plan."""
+    from pymhealth_ray.stages.streaming import streaming_interval_join
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "ts", "user_id"])
+    orders = read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"])
+
+    def mk_fact(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity": b["user_id"].cast(pa.int64()),
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        start = _RJ_BASE24 + (od - _RJ_BASE95) % _RJ_SPAN
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "entity": pa.array(ck % 150),
+            "start_us": pa.array(start),
+            "end_us": pa.array(start + _RJ_LEN),
+            "o_orderkey": b["o_orderkey"],
+        })
+
+    left = _sorted_layout(
+        sf_dir, ev.map_batches(mk_fact, batch_format="pyarrow"),
+        suffix="_rjfact", entity_col="entity",
+        sort_cols=["entity", "ts_us"])
+    right = _sorted_layout(
+        sf_dir, orders.map_batches(mk_intervals, batch_format="pyarrow"),
+        suffix="_rjival", entity_col="entity",
+        sort_cols=["entity", "start_us"])
+    j = streaming_interval_join(left, right, entity_col="entity",
+                                ts_col="ts_us", start_col="start_us",
+                                end_col="end_us", l_extra=["event_id"],
+                                r_extra=["o_orderkey", "start_us"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "o_orderkey": b["o_orderkey"],
+            "entity": b["entity"],
+            "ts_us": b["ts_us"],
+            "start_us": b["start_us"],
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE_JOIN_STREAM = """
+WITH iv AS (
+  SELECT o_orderkey, o_custkey % 150 AS entity,
+         1704067200000000 + ((epoch_us(o_orderdate) - 788918400000000)
+                             % 2505600000000) AS start_us
+  FROM orders
+)
+SELECT e.event_id, iv.o_orderkey, CAST(e.user_id AS BIGINT) AS entity,
+       epoch_us(e.ts) AS ts_us, iv.start_us
+FROM events e JOIN iv ON e.user_id = iv.entity
+  AND epoch_us(e.ts) >= iv.start_us
+  AND epoch_us(e.ts) < iv.start_us + 43200000000
 """

@@ -590,3 +590,158 @@ def streaming_equi_join(left_layout: str, right_layout: str, *,
 
     return pds.map_batches(join_pair, batch_format="pyarrow",
                            batch_size=None)
+
+
+def _interval_one_pair(lpath: str, rpath, entity_col: str, ts_col: str,
+                       start_col: str, end_col: str, l_extra: list,
+                       r_extra: list, batch_rows: int):
+    """Streaming sorted-merge INTERVAL JOIN of one co-bucketed partition
+    pair: facts (sorted by entity, ts) match every interval (sorted by
+    entity, start) with start <= ts < end. The right buffer holds, per
+    entity at the merge frontier, only intervals that can still match —
+    after each left batch everything before the boundary entity drops,
+    and within it every interval with end <= the last seen ts drops —
+    so memory is O(batch + max concurrent intervals per entity), the
+    documented partitioning assumption (heavily nested interval sets
+    belong on the chunk-replicated stages/rangejoin plan instead)."""
+    import pyarrow.parquet as pq
+
+    lpf = pq.ParquetFile(lpath)
+    r_cols = list(dict.fromkeys(
+        [entity_col, start_col, end_col] + r_extra))
+    r_iter = pq.ParquetFile(rpath).iter_batches(
+        batch_size=batch_rows, columns=r_cols) \
+        if rpath is not None else iter(())
+    r_exhausted = rpath is None
+    rbuf = None  # pa.Table, lazily initialized
+    out_tables = []
+    for rb in lpf.iter_batches(batch_size=batch_rows,
+                               columns=[entity_col, ts_col] + l_extra):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        l_ent = tbl[entity_col].combine_chunks().to_pylist()
+        l_ts = tbl[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+        max_key = (l_ent[-1], int(l_ts[-1]))
+
+        def tail_key():
+            if rbuf is None or rbuf.num_rows == 0:
+                return None
+            return (rbuf[entity_col][rbuf.num_rows - 1].as_py(),
+                    int(rbuf[start_col][rbuf.num_rows - 1].as_py()))
+
+        while not r_exhausted and (tail_key() is None
+                                   or tail_key() <= max_key):
+            nxt = next(r_iter, None)
+            if nxt is None:
+                r_exhausted = True
+                break
+            t = pa.Table.from_batches([nxt])
+            rbuf = t if rbuf is None else pa.concat_tables(
+                [rbuf, t]).combine_chunks()
+        if rbuf is not None and rbuf.num_rows:
+            r_ent = rbuf[entity_col].combine_chunks().to_pylist()
+            r_start = rbuf[start_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            r_end = rbuf[end_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            from pymhealth_ray.stages.partition import (
+                segmented_searchsorted)
+
+            ents = sorted(set(r_ent) | set(l_ent))
+            code = {e: i for i, e in enumerate(ents)}
+            rc = np.fromiter((code[e] for e in r_ent), dtype=np.int64,
+                             count=len(r_ent))
+            lc = np.fromiter((code[e] for e in l_ent), dtype=np.int64,
+                             count=len(l_ent))
+            grid = np.arange(len(ents) + 1, dtype=np.int64)
+            r_starts = np.searchsorted(rc, grid).astype(np.int64)
+            l_starts = np.searchsorted(lc, grid).astype(np.int64)
+            hi = segmented_searchsorted(r_start, r_starts, l_ts, l_starts,
+                                        side="right")
+            lo = r_starts[lc]
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot:
+                fact = np.repeat(np.arange(len(l_ts), dtype=np.int64),
+                                 lens)
+                csum = np.concatenate(([0], np.cumsum(lens)))
+                within = np.arange(tot, dtype=np.int64) - np.repeat(
+                    csum[:-1], lens)
+                rpos = np.repeat(lo, lens) + within
+                ok = r_end[rpos] > l_ts[fact]
+                fact, rpos = fact[ok], rpos[ok]
+                if len(fact):
+                    cols = {entity_col: tbl[entity_col].take(
+                        pa.array(fact)),
+                        ts_col: tbl[ts_col].take(pa.array(fact))}
+                    for c in l_extra:
+                        cols[c] = tbl[c].take(pa.array(fact))
+                    for c in r_extra:
+                        cols[c] = rbuf[c].take(pa.array(rpos))
+                    out_tables.append(pa.table(cols))
+            # trim: drop entities before the boundary; within it drop
+            # intervals that ended at or before the last seen ts
+            be = lc[-1]
+            keep = (rc > be) | ((rc == be) & (r_end > l_ts[-1]))
+            sel = np.flatnonzero(keep)
+            rbuf = rbuf.take(pa.array(sel)) if len(sel) < rbuf.num_rows \
+                else rbuf
+    return out_tables
+
+
+def streaming_interval_join(left_layout: str, right_layout: str, *,
+                            entity_col: str = "entity",
+                            ts_col: str = "ts_us",
+                            start_col: str = "start_us",
+                            end_col: str = "end_us",
+                            l_extra: list | None = None,
+                            r_extra: list | None = None,
+                            batch_rows: int = 65536):
+    """INNER interval join (start <= ts < end) of two SORTED co-bucketed
+    layouts written with the same entity hash — the streaming twin of
+    stages/rangejoin.range_join: each task streams ONE partition pair
+    with a merge cursor and an active-interval buffer, ZERO query-time
+    exchange. Left sorted by (entity, ts); right by (entity, start)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    l_extra = list(l_extra or [])
+    r_extra = list(r_extra or [])
+
+    def parts(root):
+        return {os.path.basename(d): sorted(
+            glob.glob(os.path.join(d, "*.parquet")))[0]
+            for d in glob.glob(os.path.join(root, "part=*"))}
+
+    lp, rp = parts(left_layout), parts(right_layout)
+    pairs = [{"left": lp[k], "right": rp.get(k, "")} for k in sorted(lp)]
+    # typed empty fallback from the layouts' own schemas
+    ls = pq.read_schema(next(iter(lp.values())))
+    rs = pq.read_schema(next(iter(rp.values()))) if rp else None
+
+    def empty():
+        cols = {entity_col: pa.array([], type=ls.field(entity_col).type),
+                ts_col: pa.array([], type=ls.field(ts_col).type)}
+        for c in l_extra:
+            cols[c] = pa.array([], type=ls.field(c).type)
+        for c in r_extra:
+            cols[c] = pa.array([], type=(
+                rs.field(c).type if rs is not None else pa.int64()))
+        return pa.table(cols)
+
+    pds = ray.data.from_items(pairs).repartition(max(len(pairs), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for lpath, rpath in zip(batch["left"].to_pylist(),
+                                batch["right"].to_pylist()):
+            outs.extend(_interval_one_pair(
+                lpath, rpath or None, entity_col, ts_col, start_col,
+                end_col, l_extra, r_extra, batch_rows))
+        return pa.concat_tables(outs) if outs else empty()
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

@@ -200,3 +200,73 @@ def test_streaming_equi_join_contract_guards(ray_session, tmp_path):
         streaming_equi_join(ll, ll, key_col="k", join_type="full outer")
     with pytest.raises(ValueError, match="no part"):
         streaming_equi_join(ll, str(tmp_path / "nope"), key_col="k")
+
+
+@pytest.mark.parametrize("batch_rows", [64, 65536])
+def test_streaming_interval_join_matches_bruteforce(ray_session, tmp_path,
+                                                    batch_rows):
+    from pymhealth_ray.stages.streaming import streaming_interval_join
+
+    rng = np.random.default_rng(31)
+    nf, ni = 1500, 400
+    facts = pd.DataFrame({
+        "entity": rng.integers(0, 12, nf).astype(np.int64),
+        "ts_us": rng.integers(0, 10**5, nf).astype(np.int64),
+        "event_id": np.arange(nf, dtype=np.int64),
+    })
+    start = rng.integers(0, 10**5, ni).astype(np.int64)
+    ivals = pd.DataFrame({
+        "entity": rng.integers(0, 12, ni).astype(np.int64),
+        "start_us": start,
+        "end_us": start + rng.integers(1, 2 * 10**4, ni).astype(np.int64),
+        "ival_id": np.arange(ni, dtype=np.int64),
+    })
+    ll, rr = str(tmp_path / "F"), str(tmp_path / "I")
+    resumable_write(ray.data.from_pandas(facts).repartition(4), ll,
+                    entity_col="entity", num_buckets=5, params={"s": 1},
+                    sort_cols=["entity", "ts_us"])
+    resumable_write(ray.data.from_pandas(ivals).repartition(3), rr,
+                    entity_col="entity", num_buckets=5, params={"s": 2},
+                    sort_cols=["entity", "start_us"])
+    got = streaming_interval_join(
+        ll, rr, entity_col="entity", ts_col="ts_us",
+        start_col="start_us", end_col="end_us",
+        l_extra=["event_id"], r_extra=["ival_id"],
+        batch_rows=batch_rows).to_pandas()
+    got = got.sort_values(["event_id", "ival_id"]).reset_index(drop=True)
+
+    m = facts.merge(ivals, on="entity")
+    m = m[(m.ts_us >= m.start_us) & (m.ts_us < m.end_us)]
+    exp = m[["entity", "ts_us", "event_id", "ival_id"]] \
+        .sort_values(["event_id", "ival_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_streaming_interval_join_empty_right_partitions(ray_session,
+                                                        tmp_path):
+    from pymhealth_ray.stages.streaming import streaming_interval_join
+
+    facts = pd.DataFrame({
+        "entity": np.arange(20, dtype=np.int64),
+        "ts_us": np.full(20, 50, dtype=np.int64),
+        "event_id": np.arange(20, dtype=np.int64),
+    })
+    ivals = pd.DataFrame({
+        "entity": np.array([0], dtype=np.int64),
+        "start_us": np.array([0], dtype=np.int64),
+        "end_us": np.array([100], dtype=np.int64),
+        "ival_id": np.array([7], dtype=np.int64),
+    })
+    ll, rr = str(tmp_path / "F2"), str(tmp_path / "I2")
+    resumable_write(ray.data.from_pandas(facts), ll, entity_col="entity",
+                    num_buckets=8, params={"s": 1},
+                    sort_cols=["entity", "ts_us"])
+    resumable_write(ray.data.from_pandas(ivals), rr, entity_col="entity",
+                    num_buckets=8, params={"s": 2},
+                    sort_cols=["entity", "start_us"])
+    got = streaming_interval_join(
+        ll, rr, entity_col="entity", ts_col="ts_us",
+        start_col="start_us", end_col="end_us",
+        l_extra=["event_id"], r_extra=["ival_id"]).to_pandas()
+    assert len(got) == 1
+    assert got.event_id[0] == 0 and got.ival_id[0] == 7
