@@ -1239,6 +1239,10 @@ def build_queries() -> dict:
         "lineitem_join_estimate": q_lineitem_join_estimate,
         "seq_prefix_dupes": q_seq_prefix_dupes,
         "events_burstiness": q_events_burstiness,
+        "events_interval_union": q_events_interval_union,
+        "events_late_data": q_events_late_data,
+        "docs_token_chi2": q_docs_token_chi2,
+        "events_rfm_segments": q_events_rfm_segments,
     }
 
 
@@ -1530,6 +1534,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             columns=("doc_id",)),
         "seq_prep_pipeline": sql_seq_prep_pipeline(path),
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
+        "events_interval_union": SQL_EVENTS_INTERVAL_UNION,
+        "events_late_data": SQL_EVENTS_LATE_DATA,
+        "docs_token_chi2": SQL_DOCS_TOKEN_CHI2,
+        "events_rfm_segments": SQL_EVENTS_RFM_SEGMENTS,
     }
     _flush_pending_oracles()
     return out
@@ -12913,4 +12921,326 @@ SELECT e.event_id, iv.o_orderkey, CAST(e.user_id AS BIGINT) AS entity,
 FROM events e JOIN iv ON e.user_id = iv.entity
   AND epoch_us(e.ts) >= iv.start_us
   AND epoch_us(e.ts) < iv.start_us + 43200000000
+"""
+
+
+def q_events_interval_union(sf_dir: str):
+    """PER-USER INTERVAL-UNION COVERAGE (gaps-and-islands with
+    VARIABLE-length intervals, stages/sweep.grouped_interval_union):
+    each event opens a half-open activity interval [ts, ts + value
+    minutes-ish) and the answer per user is the number of maximal merged
+    islands plus the total covered wall-clock — the "how long was the
+    user actually active" question. Distinct from sessionization
+    (events_sessions): a fixed gap needs no running max, variable-length
+    intervals do (an early long interval can swallow several later
+    ones). One slim (user, start, end) bucket exchange, vectorized
+    segment-reset running-max sweep, all int64 — hash-exact under any
+    partitioning because coverage is order-independent."""
+    from pymhealth_ray.stages.sweep import grouped_interval_union
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        s = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.maximum(b["val_c"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64), 1) * 600_000
+        return pa.table({"user_id": b["user_id"],
+                         "start_us": pa.array(s),
+                         "end_us": pa.array(s + d)})
+
+    iu = grouped_interval_union(ev.map_batches(prep, batch_format="pyarrow"),
+                                "user_id", "start_us", "end_us",
+                                num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "n_islands": b["n_islands"],
+                         "covered_us": b["covered"]})
+
+    return iu.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_INTERVAL_UNION = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                  epoch_us(ts)
+                  + greatest(CAST(round(value * 100) AS BIGINT), 1) * 600000
+                    AS en
+           FROM events),
+m AS (SELECT user_id, s, en, event_id,
+             max(en) OVER (PARTITION BY user_id ORDER BY s, en, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+      FROM e),
+f AS (SELECT user_id, s, en, event_id,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+      FROM m),
+g AS (SELECT user_id, s, en,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY s, en, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS island
+      FROM f),
+i AS (SELECT user_id, island, min(s) AS st, max(en) AS fin
+      FROM g GROUP BY user_id, island)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(fin - st) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id
+"""
+
+
+_LATE_TOL_US = 14 * 24 * HOUR_US  # 14-day lateness tolerance
+_LATE_LANES = 97  # deterministic arrival interleave (event_id % lanes)
+
+
+def q_events_late_data(sf_dir: str):
+    """EVENT-TIME WATERMARK / LATE-DATA DETECTION
+    (stages/rank.ordered_prefix_max): arrival order is simulated
+    deterministically by interleaving 97 lanes (event_id % 97 — the
+    fixture's event_id is time-sorted, so the interleave recreates the
+    out-of-order arrivals every real ingest has); the watermark at a row
+    is the EXCLUSIVE running max of event time over all earlier
+    arrivals, and a row is late when its event time trails the
+    high-water mark by more than the tolerance. The scan is the
+    distributed range-bucket prefix-MAX (same topology as the prefix-sum
+    scan: per-bucket sort+accumulate, O(bins) bucket maxima through the
+    driver) — ZERO driver row loops, exact int64, and the arrival key
+    packs (lane, event_id) into one int64 so the bucket ranges follow
+    the true arrival order."""
+    from pymhealth_ray.stages.rank import I64_MIN, ordered_prefix_max
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if eid.size and eid.max() >= 1 << 40:
+            raise ValueError("event_id exceeds the 2^40 lane-pack bound")
+        okey = (eid % _LATE_LANES) * (1 << 40) + eid
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "ts_us": b["ts_us"],
+                         "okey": pa.array(okey)})
+
+    scan = ordered_prefix_max(ev.map_batches(prep, batch_format="pyarrow"),
+                              value_col="ts_us", order_col="okey",
+                              tie_col="okey", out="hw")
+
+    def finish(b: pa.Table) -> pa.Table:
+        hw = b["hw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        late = (hw != I64_MIN) & (ts < hw - _LATE_TOL_US)
+        t = pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                      "ts_us": b["ts_us"],
+                      "highwater_us": pa.array(hw),
+                      "lateness_us": pa.array(hw - ts)})
+        return t.filter(pa.array(late))
+
+    return scan.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_LATE_DATA = """
+WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  event_id % 97 AS lane
+           FROM events),
+w AS (SELECT event_id, user_id, ts_us,
+             max(ts_us) OVER (ORDER BY lane, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS hw
+      FROM a)
+SELECT event_id, user_id, ts_us, hw AS highwater_us,
+       hw - ts_us AS lateness_us
+FROM w WHERE hw IS NOT NULL AND ts_us < hw - 1209600000000
+"""
+
+
+def q_docs_token_chi2(sf_dir: str):
+    """CHI-SQUARE TOKEN↔LABEL FEATURE SELECTION — the fasttext-style
+    quality/language classifier prep step: which tokens are most
+    associated with the English label? Per token, document-level
+    presence counts a (en docs containing it) and b (non-en docs) are
+    EXACT int64 under any partitioning (per-block per-doc distinct via
+    dictionary codes + one np.unique, partial (tok, a, b) rows bucketed
+    by token hash); the chi-square statistic n·(ad−bc)²/((a+b)(c+d)
+    (a+c)(b+d)) is finished map-side with the SAME float association as
+    the SQL (int64 cross product, then four double ops left-to-right).
+    Top-50 by (chi2 desc, tok) via map-side local top-k pruning — the
+    global top-k must be in some block's local top-k."""
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["text", "lang"])
+
+    # tiny pass: n (docs), n1 (english docs)
+    tot = grouped_stats(docs.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "is_en": pc.cast(pc.equal(b["lang"], "en"), pa.int64())}),
+        batch_format="pyarrow"), ["one"], sum_cols=["is_en"],
+        count_name="n").take_all()
+    n, n1 = int(tot[0]["n"]), int(tot[0]["is_en_sum"])
+    if n > 10_000_000:
+        raise ValueError("chi2 int64 cross products need n <= 1e7")
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        is_en = pc.cast(pc.equal(lang, "en"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        toks = pc.split_pattern(col, pattern=" ")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        row = np.repeat(np.arange(len(toks), dtype=np.int64),
+                        np.diff(offs))
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(enc.dictionary)
+        upair = np.unique(row * V + codes)  # per-doc distinct presence
+        urow, ucode = upair // V, upair % V
+        a = np.bincount(ucode, weights=is_en[urow], minlength=V) \
+            .astype(np.int64)
+        t = np.bincount(ucode, minlength=V).astype(np.int64)
+        tok = enc.dictionary
+        keep = pc.not_equal(tok, "").to_numpy(zero_copy_only=False)
+        from pymhealth_ray.stages.partition import _stable_bucket_of
+        tok = tok.filter(pa.array(keep))
+        return pa.table({
+            "tok": tok, "a": pa.array(a[keep]),
+            "b": pa.array((t - a)[keep]),
+            "__ckbucket": pa.array(_stable_bucket_of(tok, NB),
+                                   type=pa.int32())})
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        out = tbl.drop_columns(["__ckbucket"]).group_by("tok").aggregate(
+            [("a", "sum"), ("b", "sum")])
+        return out.rename_columns(["tok", "a", "b"])
+
+    counts = docs.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None).groupby(
+        "__ckbucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+    def chi_topk(tbl: pa.Table) -> pa.Table:
+        a = tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (a + bb >= 5) & (a + bb < n)
+        tbl = tbl.filter(pa.array(keep))
+        a, bb = a[keep], bb[keep]
+        cc, dd = n1 - a, (n - n1) - bb
+        num = (a * dd - bb * cc).astype(np.float64)
+        chi2 = _round_away(
+            float(n) * num * num
+            / ((a + bb) * (cc + dd)).astype(np.float64)
+            / ((a + cc) * (bb + dd)).astype(np.float64), 6)
+        out = pa.table({"tok": tbl["tok"], "a": tbl["a"], "b": tbl["b"],
+                        "chi2": pa.array(chi2)})
+        order = pc.sort_indices(out, sort_keys=[("chi2", "descending"),
+                                                ("tok", "ascending")])
+        return out.take(order[:50])
+
+    def final(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[("chi2", "descending"),
+                                                ("tok", "ascending")])
+        tbl = tbl.take(order[:50])
+        return tbl.append_column(
+            "rn", pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64)))
+
+    return counts.map_batches(chi_topk, batch_format="pyarrow",
+                              batch_size=None).repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DOCS_TOKEN_CHI2 = """
+WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1
+        FROM documents),
+c AS (SELECT tok, CAST(sum(is_en) AS BIGINT) AS a,
+             CAST(count(*) - sum(is_en) AS BIGINT) AS b
+      FROM d WHERE tok <> '' GROUP BY tok),
+x AS (SELECT tok, a, b, n1 - a AS cc, (n - n1) - b AS dd, n
+      FROM c, tot WHERE a + b >= 5 AND a + b < n),
+chi AS (SELECT tok, a, b,
+               round(CAST(n AS DOUBLE)
+                     * CAST(a * dd - b * cc AS DOUBLE)
+                     * CAST(a * dd - b * cc AS DOUBLE)
+                     / CAST((a + b) * (cc + dd) AS DOUBLE)
+                     / CAST((a + cc) * (b + dd) AS DOUBLE), 6) AS chi2
+        FROM x)
+SELECT tok, a, b, chi2, rn FROM (
+  SELECT tok, a, b, chi2,
+         CAST(row_number() OVER (ORDER BY chi2 DESC, tok) AS BIGINT) AS rn
+  FROM chi) t
+WHERE rn <= 50
+"""
+
+
+def q_events_rfm_segments(sf_dir: str):
+    """RFM CUSTOMER SEGMENTATION — the classic recency/frequency/
+    monetary quartile coding, composed from the engine's exact
+    distributed primitives: one grouped_stats exchange builds the
+    per-user (recency, frequency, monetary-cents) profile, then THREE
+    exact NTILE(4) window passes (stages/rank.ntile — range-bucket rank
+    + the SQL tile rule) assign quartiles, descending order realized by
+    negating the int64 sort keys. Output is the 3-digit RFM code per
+    user — every value an exact integer, hash-identical to the SQL
+    window functions."""
+    from pymhealth_ray.stages.rank import ntile
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["user_id", "ts_us", "val_c"])
+
+    prof = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                         ["user_id"], sum_cols=["val_c"],
+                         max_cols=["ts_us"], count_name="freq")
+
+    def neg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "nrec": pc.negate(b["ts_us_max"].cast(pa.int64())),
+            "nfreq": pc.negate(b["freq"].cast(pa.int64())),
+            "nmon": pc.negate(b["val_c_sum"].cast(pa.int64()))})
+
+    t = prof.map_batches(neg, batch_format="pyarrow")
+    t = ntile(t, "one", "nrec", "user_id", 4, out="r")
+    t = ntile(t, "one", "nfreq", "user_id", 4, out="f")
+    t = ntile(t, "one", "nmon", "user_id", 4, out="m")
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = b["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = b["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "r": pa.array(r),
+                         "f": pa.array(f), "m": pa.array(m),
+                         "rfm": pa.array(r * 100 + f * 10 + m)})
+
+    return t.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RFM_SEGMENTS = """
+WITH u AS (SELECT user_id, max(epoch_us(ts)) AS rec_us,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS mon_c
+           FROM events GROUP BY user_id),
+t AS (SELECT user_id,
+             CAST(ntile(4) OVER (ORDER BY rec_us DESC, user_id) AS BIGINT)
+               AS r,
+             CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT)
+               AS f,
+             CAST(ntile(4) OVER (ORDER BY mon_c DESC, user_id) AS BIGINT)
+               AS m
+      FROM u)
+SELECT user_id, r, f, m, r * 100 + f * 10 + m AS rfm FROM t
 """

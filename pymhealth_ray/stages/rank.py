@@ -334,3 +334,82 @@ def partitioned_prefix_sum(ds, partition_col: str, value_col: str,
         return batch.append_column(out, pa.array(off[b] + c))
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+I64_MIN = np.iinfo(np.int64).min
+
+
+def ordered_prefix_max(ds, value_col: str, order_col: str, tie_col: str,
+                       num_bins: int = 1024, out: str = "runmax"):
+    """Distributed EXCLUSIVE prefix max: ``max(value) OVER (ORDER BY
+    order, tie ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` — the
+    high-watermark primitive behind late-data detection in event-time
+    streaming (the watermark at a row is the max event time seen over
+    all earlier ARRIVALS). Same range-bucket topology as
+    :func:`ordered_prefix_sum` (buckets are contiguous ranges of
+    ``order_col``, so global order == (bucket, within-bucket order));
+    max is associative and commutative, so per-bucket maxima fold into
+    exclusive cross-bucket offsets exactly like the sum scan. Rows with
+    no preceding row (SQL NULL) carry the ``I64_MIN`` sentinel in
+    ``out`` — callers must mask it, never subtract from it. Values must
+    be int64."""
+    import pyarrow.compute as pc
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    stats = grouped_stats(ds.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            order_col: b[order_col]}),
+        batch_format="pyarrow"), ["one"],
+        min_cols=[order_col], max_cols=[order_col]).take_all()
+    if not stats:
+        # empty input: map fns never run on zero-column empty blocks, so
+        # build the typed empty result explicitly from the input schema
+        pas = ds.schema().base_schema
+        cols = {f.name: pa.array([], type=f.type) for f in pas}
+        cols[out] = pa.array([], type=pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    lo = float(stats[0][f"{order_col}_min"])
+    hi = float(stats[0][f"{order_col}_max"])
+    width = (hi - lo) / num_bins if hi > lo else 1.0
+    B, C = "__pmbucket", "__pmexcl"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        binned = np.clip(((o - lo) / width).astype(np.int64), 0, num_bins - 1)
+        return batch.append_column(B, pa.array(binned, type=pa.int64()))
+
+    def scan_bucket(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[(order_col, "ascending"),
+                                                (tie_col, "ascending")])
+        tbl = tbl.take(order)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = np.empty_like(v)
+        if len(v):
+            excl[0] = I64_MIN
+            np.maximum.accumulate(v[:-1], out=excl[1:])
+        return tbl.append_column(C, pa.array(excl))
+
+    scanned = ds.map_batches(tag, batch_format="pyarrow").groupby(
+        B).map_groups(scan_bucket, batch_format="pyarrow").materialize()
+
+    totals = scanned.groupby(B).max(value_col).take_all()
+    per_bucket = np.full(num_bins, I64_MIN, dtype=np.int64)
+    for r in totals:
+        per_bucket[r[B]] = r[f"max({value_col})"]
+    offsets = np.empty(num_bins, dtype=np.int64)
+    offsets[0] = I64_MIN
+    if num_bins > 1:
+        np.maximum.accumulate(per_bucket[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        b = batch[B].to_numpy(zero_copy_only=False)
+        c = batch[C].to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns([B, C])
+        return batch.append_column(out, pa.array(np.maximum(off[b], c)))
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

@@ -87,3 +87,88 @@ def peak_concurrency(ds, start_col: str, end_col: str,
     return ray.data.from_arrow(pa.table({
         "period": pa.array(periods, type=pa.int64()),
         "peak": pa.array(peaks, type=pa.int64())}))
+
+
+def grouped_interval_union(ds, key_col: str, start_col: str, end_col: str,
+                           num_buckets: int = 64):
+    """Per-key UNION of half-open intervals [start, end): one output row
+    per key with ``n_islands`` (maximal merged runs) and ``covered``
+    (total union length) — the gaps-and-islands computation behind
+    "how much wall-clock was this user actually active", with
+    VARIABLE-length intervals (so a running max of ends is required;
+    fixed-length intervals degenerate to sessionization).
+
+    Plan: one hash-bucket exchange on ``key`` co-locates each key, then a
+    fully vectorized per-bucket sweep — sort (key, start, end), per-key
+    running max of ends via the segment-offset trick
+    (``maximum.accumulate(end + seg*K) - seg*K`` with K spanning the
+    global value range, so segment s+1 always dominates segment s), break
+    where ``start > prev_running_max``, island aggregates via reduceat.
+    All int64; the guarded offset product falls back to a per-segment
+    accumulate loop if ``segments * K`` would overflow (wide clusters
+    with huge time ranges). Intervals must satisfy end > start.
+
+    At 100 TB the only exchange is the slim (key, start, end) bucket
+    shuffle; output is |keys| rows. Coverage is order-independent, so the
+    result is partition-invariant by construction.
+    """
+    import pyarrow.compute as pc
+
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        bk = _stable_bucket_of(b[key_col], num_buckets)
+        return b.append_column("__iubucket", pa.array(bk, type=pa.int32()))
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            # map_groups can hand over schema-less empty blocks; emit the
+            # output schema (key type falls back to int64 when unknowable)
+            kt = (tbl.schema.field(key_col).type
+                  if key_col in tbl.column_names else pa.int64())
+            return pa.table({key_col: pa.array([], type=kt),
+                             "n_islands": pa.array([], type=pa.int64()),
+                             "covered": pa.array([], type=pa.int64())})
+        tbl = tbl.drop_columns(["__iubucket"])
+        order = pc.sort_indices(tbl, sort_keys=[(key_col, "ascending"),
+                                                (start_col, "ascending"),
+                                                (end_col, "ascending")])
+        tbl = tbl.take(order)
+        s = tbl[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = tbl[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = tbl[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kn = keys.to_numpy(zero_copy_only=False)
+        new_seg = np.empty(len(kn), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = kn[1:] != kn[:-1]
+        seg = np.cumsum(new_seg) - 1
+        n_seg = int(seg[-1]) + 1
+        K = int(e.max()) - int(s.min()) + 1
+        if n_seg * K < 2**62:
+            rm = np.maximum.accumulate(e + seg * K) - seg * K
+        else:  # rare: per-segment accumulate (huge range x many keys)
+            rm = np.empty_like(e)
+            bounds = np.flatnonzero(new_seg)
+            for i, b0 in enumerate(bounds):
+                b1 = bounds[i + 1] if i + 1 < len(bounds) else len(e)
+                np.maximum.accumulate(e[b0:b1], out=rm[b0:b1])
+        brk = new_seg.copy()
+        brk[1:] |= s[1:] > rm[:-1]
+        isl = np.flatnonzero(brk)
+        isl_end = np.empty_like(isl)
+        isl_end[:-1] = isl[1:] - 1
+        isl_end[-1] = len(e) - 1
+        covered_i = rm[isl_end] - s[isl]
+        isl_seg = seg[isl]
+        seg_first = np.flatnonzero(np.diff(isl_seg, prepend=-1))
+        covered = np.add.reduceat(covered_i, seg_first)
+        n_isl = np.diff(np.append(seg_first, len(isl)))
+        key_rows = keys.take(pa.array(isl[seg_first].astype(np.int64)))
+        return pa.table({key_col: key_rows,
+                         "n_islands": pa.array(n_isl.astype(np.int64)),
+                         "covered": pa.array(covered.astype(np.int64))})
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "__iubucket").map_groups(sweep, batch_format="pyarrow")
