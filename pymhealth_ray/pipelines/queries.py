@@ -1243,6 +1243,10 @@ def build_queries() -> dict:
         "events_late_data": q_events_late_data,
         "docs_token_chi2": q_docs_token_chi2,
         "events_rfm_segments": q_events_rfm_segments,
+        "events_scd2_pit": q_events_scd2_pit,
+        "lineitem_hll_overlap": q_lineitem_hll_overlap,
+        "embed_drift": q_embed_drift,
+        "events_twa": q_events_twa,
     }
 
 
@@ -1538,6 +1542,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_late_data": SQL_EVENTS_LATE_DATA,
         "docs_token_chi2": SQL_DOCS_TOKEN_CHI2,
         "events_rfm_segments": SQL_EVENTS_RFM_SEGMENTS,
+        "events_scd2_pit": SQL_EVENTS_SCD2_PIT,
+        "lineitem_hll_overlap": _table_materialized_oracle(
+            sf_dir_for_fixture, "lineitem", "hll_overlap_v1",
+            _hll_overlap_expected, ("l_orderkey", "l_returnflag")),
+        "embed_drift": SQL_EMBED_DRIFT,
+        "events_twa": SQL_EVENTS_TWA,
     }
     _flush_pending_oracles()
     return out
@@ -13243,4 +13253,331 @@ t AS (SELECT user_id,
                AS m
       FROM u)
 SELECT user_id, r, f, m, r * 100 + f * 10 + m AS rfm FROM t
+"""
+
+
+def q_events_scd2_pit(sf_dir: str):
+    """POINT-IN-TIME JOIN against a type-2 SCD dimension — the lakehouse
+    staple "what was the user's status when they purchased": the status
+    stream (all non-purchase events) collapses to SCD2 validity runs
+    (same islands kernel as events_scd2), and each purchase fact as-of
+    joins the run whose valid_from is the latest ≤ the purchase time
+    (stages/asof.asof_join — runs are contiguous per user, so the
+    backward as-of IS the BETWEEN-validity match; purchases before any
+    status row keep NULLs, the LEFT PIT semantics). Oracle: DuckDB
+    ASOF LEFT JOIN over the same SCD2 CTE."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]) \
+        .materialize()  # consumed by both the dim build and the facts
+
+    status = ev.map_batches(
+        lambda b: b.filter(pc.not_equal(b["event_type"], "purchase")),
+        batch_format="pyarrow")
+
+    def runs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "status": pa.array([], type=pa.string()),
+                          "version_n": pa.array([], type=pa.int64()),
+                          "valid_from": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         tiebreak_col="event_id")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = tbl["event_type"].combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new = np.zeros(len(ts), dtype=bool)
+        new[0] = True
+        new[starts[1:-1]] = True
+        new[1:] |= codes[1:] != codes[:-1]
+        rstart = np.flatnonzero(new)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)[rstart]
+        firsts = np.concatenate(([True], uid[1:] != uid[:-1]))
+        ver = np.arange(len(rstart), dtype=np.int64)
+        ver -= np.maximum.accumulate(np.where(firsts, ver, -1))
+        ver += 1
+        return pa.table({"user_id": pa.array(uid),
+                         "status": et.take(pa.array(rstart)),
+                         "version_n": pa.array(ver),
+                         "valid_from": pa.array(ts[rstart])})
+
+    dim = grouped_by_bucket(status, runs_of_bucket, entity_col="user_id",
+                            num_buckets=NB)
+
+    facts = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
+        .select(["event_id", "user_id", "ts_us"]),
+        batch_format="pyarrow")
+    j = asof_join(facts, dim, value_cols=["status", "version_n"],
+                  entity_col="user_id", ts_col="ts_us",
+                  dim_ts_col="valid_from", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "ts_us": b["ts_us"],
+                         "status": b["status_asof"],
+                         "version_n": b["version_n_asof"],
+                         "status_since_us": b["ts_us_asof"]})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_SCD2_PIT = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+s AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+m AS (SELECT user_id, ts_us, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+r AS (SELECT user_id, ts_us, event_type,
+             CAST(sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM m),
+d AS (SELECT user_id, event_type AS status, run AS version_n,
+             min(ts_us) AS valid_from
+      FROM r GROUP BY user_id, event_type, run),
+p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts_us, d.status, d.version_n,
+       d.valid_from AS status_since_us
+FROM p ASOF LEFT JOIN d
+  ON p.user_id = d.user_id AND p.ts_us >= d.valid_from
+"""
+
+
+def q_lineitem_hll_overlap(sf_dir: str):
+    """SKETCH-ALGEBRA SET OVERLAP: how many distinct orders contain both
+    a RETURNED ('R') and an ACCEPTED ('A') line? Exact intersection
+    needs a co-partitioned distinct; the sketch answer ships three
+    fixed-size HLL register arrays and uses inclusion-exclusion
+    (|A∩B| ≈ |A| + |B| − |A∪B|, the union estimate falling out of the
+    same max-merge that makes HLL mergeable — each row is emitted once
+    under its own tag and once under the union tag, ONE pass).
+    Deterministic and partitioning-invariant, so the oracle is the
+    single-process replication of the identical sketch."""
+    from pymhealth_ray.stages.sketch import grouped_approx_distinct
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_returnflag"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["l_returnflag"],
+                        value_set=pa.array(["R", "A"]))
+        b = b.filter(keep)
+        own = pa.table({"g": b["l_returnflag"], "k": b["l_orderkey"]})
+        union = pa.table({
+            "g": pa.array(np.full(b.num_rows, "U"), type=pa.string()),
+            "k": b["l_orderkey"]})
+        return pa.concat_tables([own, union]).combine_chunks()
+
+    est = grouped_approx_distinct(li.map_batches(tag,
+                                                 batch_format="pyarrow"),
+                                  ["g"], "k", num_buckets=8)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        g = tbl["g"].to_pylist()
+        e = tbl["approx_distinct"].to_numpy(zero_copy_only=False)
+        n = tbl["n_rows"].to_numpy(zero_copy_only=False)
+        by = dict(zip(g, zip(e.tolist(), n.tolist())))
+        er, ea, eu = by["R"][0], by["A"][0], by["U"][0]
+        inter = _round_away(np.array([er + ea - eu]), 6)[0]
+        return pa.table({"est_r": pa.array([er]), "est_a": pa.array([ea]),
+                         "est_union": pa.array([eu]),
+                         "est_inter": pa.array([inter]),
+                         "rows_r": pa.array([int(by["R"][1])]),
+                         "rows_a": pa.array([int(by["A"][1])])})
+
+    return est.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def _hll_overlap_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.sketch import hll_expected
+
+    sub = df[df["l_returnflag"].isin(["R", "A"])]
+    vals = np.concatenate([sub["l_orderkey"].to_numpy()] * 2)
+    grps = np.concatenate([sub["l_returnflag"].to_numpy(),
+                           np.full(len(sub), "U")])
+    ref = hll_expected(pa.array(vals, type=pa.int64()), grps)
+    by = {g: (e, n) for g, e, n in zip(ref["g"], ref["est"], ref["n"])}
+    er, ea, eu = by["R"][0], by["A"][0], by["U"][0]
+    m = 10.0**6
+    inter = float(np.sign(er + ea - eu)
+                  * np.floor(abs(er + ea - eu) * m + 0.5) / m)
+    return pd.DataFrame({"est_r": [er], "est_a": [ea], "est_union": [eu],
+                         "est_inter": [inter],
+                         "rows_r": [int(by["R"][1])],
+                         "rows_a": [int(by["A"][1])]})
+
+
+def q_embed_drift(sf_dir: str):
+    """EMBEDDING-DISTRIBUTION DRIFT MONITOR: per (label, dimension), the
+    mean of even-vec_id embeddings vs odd (the two "snapshots"), and
+    their difference — the per-coordinate centroid-shift report a
+    production embedding pipeline alarms on. Float sums are NOT
+    associative, so the engine quantizes each coordinate to 2^-20 grid
+    ints (exact under any partitioning; |q| ≤ 2^26, sums ≤ 2^53 for any
+    realistic shard) and divides once at the end with the same double
+    association as the SQL. One slim (label, half, dim) exchange of
+    per-block int sums."""
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = int(off[1] - off[0]) if len(off) > 1 else 0
+        flat = emb.values.to_numpy(zero_copy_only=False)[
+            off[0]: off[-1]].astype(np.float64)
+        q = _round_away(flat * 1048576.0, 0).reshape(-1, d).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (b["vec_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 2)
+        code = lab * 2 + half
+        order = np.argsort(code, kind="stable")
+        cs = code[order]
+        starts = np.flatnonzero(np.diff(cs, prepend=-1))
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        cnts = np.diff(np.append(starts, len(cs)))
+        g = cs[starts]
+        n_g = len(g)
+        return pa.table({
+            "label": pa.array(np.repeat(g // 2, d)),
+            "half": pa.array(np.repeat(g % 2, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    n_g)),
+            "s": pa.array(sums.reshape(-1)),
+            "c": pa.array(np.repeat(cnts.astype(np.int64), d))})
+
+    agg = grouped_stats(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["label", "half", "dim"], sum_cols=["s", "c"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = tbl["half"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = tbl["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tbl["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = tbl["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = lab * 1024 + dim
+        order = np.lexsort((half, key))
+        key, half = key[order], half[order]
+        s, c = s[order], c[order]
+        # rows come in (half=0, half=1) pairs per (label, dim)
+        assert np.array_equal(half[0::2], np.zeros(len(half) // 2)) \
+            and np.array_equal(key[0::2], key[1::2])
+        m0 = s[0::2].astype(np.float64) / c[0::2].astype(np.float64)
+        m1 = s[1::2].astype(np.float64) / c[1::2].astype(np.float64)
+        return pa.table({
+            "label": pa.array(key[0::2] // 1024),
+            "dim": pa.array(key[0::2] % 1024),
+            "mean_even": pa.array(_round_away(m0, 6)),
+            "mean_odd": pa.array(_round_away(m1, 6)),
+            "drift": pa.array(_round_away(m0 - m1, 6))})
+
+    # (labels x 2 x dims) rows: single-block pairing finish
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+SQL_EMBED_DRIFT = """
+WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+                  vec_id % 2 AS half,
+                  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+                       AS BIGINT) AS q
+           FROM embeddings),
+g AS (SELECT label, half, dim, CAST(sum(q) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM x GROUP BY label, half, dim)
+SELECT a.label, a.dim,
+       round(CAST(a.s AS DOUBLE) / a.c, 6) AS mean_even,
+       round(CAST(b.s AS DOUBLE) / b.c, 6) AS mean_odd,
+       round(CAST(a.s AS DOUBLE) / a.c - CAST(b.s AS DOUBLE) / b.c, 6)
+         AS drift
+FROM g a JOIN g b ON a.label = b.label AND a.dim = b.dim
+WHERE a.half = 0 AND b.half = 1
+"""
+
+
+def q_events_twa(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE per user — the metering/billing aggregate:
+    each event's value holds until the next event, so the user's TWA is
+    Σ value·Δt over the observed span. Last-value-carried intervals come
+    from the same sorted per-entity segment masks the lag stage uses;
+    the weighted sum is exact int64 (cents × µs, magnitude-guarded) and
+    the single closing division matches the SQL double. One bucket
+    exchange, vectorized reduceat per user."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+    def twa_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "span_us": pa.array([], type=pa.int64()),
+                          "twa_c": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        ts = tbl["ts_us"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = tbl["val_c"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dt = np.empty_like(ts)
+        dt[:-1] = ts[1:] - ts[:-1]
+        dt[-1] = 0
+        dt[starts[1:-1] - 1] = 0  # last row of each entity holds nothing
+        span = ts[starts[1:] - 1] - ts[starts[:-1]]
+        if v.size and int(np.abs(v).max()) * int(span.max() if span.size
+                                                 else 0) >= 2**62:
+            raise ValueError("TWA cents x span overflows int64; rescale dt")
+        num = np.add.reduceat(v * dt, starts[:-1])
+        cnt = np.diff(starts)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)[starts[:-1]]
+        keep = cnt >= 2
+        return pa.table({
+            "user_id": pa.array(uid[keep]),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+            "span_us": pa.array(span[keep]),
+            "twa_c": pa.array(_round_away(
+                num[keep].astype(np.float64)
+                / span[keep].astype(np.float64), 6))})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), twa_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+SQL_EVENTS_TWA = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS val_c, event_id
+           FROM events),
+l AS (SELECT user_id, ts_us, val_c,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS nxt
+      FROM e),
+s AS (SELECT user_id,
+             CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                           ELSE val_c * (nxt - ts_us) END) AS BIGINT) AS num,
+             CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM l GROUP BY user_id)
+SELECT user_id, n, span_us,
+       round(CAST(num AS DOUBLE) / span_us, 6) AS twa_c
+FROM s WHERE n >= 2
 """
