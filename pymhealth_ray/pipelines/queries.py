@@ -1247,6 +1247,10 @@ def build_queries() -> dict:
         "lineitem_hll_overlap": q_lineitem_hll_overlap,
         "embed_drift": q_embed_drift,
         "events_twa": q_events_twa,
+        "events_ohlc": q_events_ohlc,
+        "orders_fifo_alloc": q_orders_fifo_alloc,
+        "seq_downsample_tokens": q_seq_downsample_tokens,
+        "events_ab_welch": q_events_ab_welch,
     }
 
 
@@ -1548,6 +1552,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _hll_overlap_expected, ("l_orderkey", "l_returnflag")),
         "embed_drift": SQL_EMBED_DRIFT,
         "events_twa": SQL_EVENTS_TWA,
+        "events_ohlc": SQL_EVENTS_OHLC,
+        "orders_fifo_alloc": SQL_ORDERS_FIFO_ALLOC,
+        "seq_downsample_tokens": sql_seq_downsample_tokens(path),
+        "events_ab_welch": SQL_EVENTS_AB_WELCH,
     }
     _flush_pending_oracles()
     return out
@@ -13580,4 +13588,352 @@ s AS (SELECT user_id,
 SELECT user_id, n, span_us,
        round(CAST(num AS DOUBLE) / span_us, 6) AS twa_c
 FROM s WHERE n >= 2
+"""
+
+
+def q_events_ohlc(sf_dir: str):
+    """Per-(user, day) OHLC CANDLES over the event value stream — the
+    canonical bar-chart / daily-summary downsample: open/close are the
+    cents value at the first/last event of the day (ts, event_id
+    order), high/low the extrema. The generic kernel is
+    stages/aggregate.grouped_ohlc (one bucket exchange + segment
+    reduceat); the (user, day) pair rides through it as one packed
+    int64 entity and is unpacked on the way out."""
+    from pymhealth_ray.stages.aggregate import grouped_ohlc
+
+    DAY_US = 86_400_000_000
+    PACK = 1_000_000
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts // DAY_US
+        if day.size and (day.min() < 0 or day.max() >= PACK):
+            raise ValueError("day index outside packed-key range")
+        key = uid * PACK + day
+        return pa.table({"ud": pa.array(key), "ts_us": b["ts_us"],
+                         "event_id": b["event_id"], "val_c": b["val_c"]})
+
+    candles = grouped_ohlc(ev.map_batches(prep, batch_format="pyarrow"),
+                           entity_col="ud", order_col="ts_us",
+                           tie_col="event_id", value_col="val_c",
+                           num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        key = b["ud"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(key // PACK),
+            "day": pa.array(key % PACK),
+            "n": b["n"], "open_c": b["open"], "high_c": b["high"],
+            "low_c": b["low"], "close_c": b["close"]})
+
+    return candles.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_OHLC = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS val_c, event_id
+           FROM events),
+w AS (SELECT user_id, day, val_c,
+             first_value(val_c) OVER (PARTITION BY user_id, day
+                                      ORDER BY ts_us, event_id) AS open_c,
+             last_value(val_c) OVER (PARTITION BY user_id, day
+                                     ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS close_c
+      FROM e)
+SELECT user_id, CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(open_c) AS BIGINT) AS open_c,
+       CAST(max(val_c) AS BIGINT) AS high_c,
+       CAST(min(val_c) AS BIGINT) AS low_c,
+       CAST(max(close_c) AS BIGINT) AS close_c
+FROM w GROUP BY user_id, day
+"""
+
+
+def q_orders_fifo_alloc(sf_dir: str):
+    """FIFO BUDGET ALLOCATION — the settlement/billing matcher: each
+    customer's budget (total cents of their finished 'F' orders) is
+    allocated across their open 'O' orders in (date, key) order; an
+    order receives min(price, remaining budget). Closed form over the
+    per-entity exclusive prefix sum, so the whole allocation is ONE
+    bucket exchange: budgets and open orders co-locate by customer in
+    the same grouped_by_bucket pass (no join), and inside the bucket
+    the prefix is a segment cumsum. All int64 cents — bit-exact vs the
+    SQL window formulation."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_totalprice", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["o_orderstatus"],
+                              value_set=pa.array(["F", "O"])))
+        b = _cents(b, "o_totalprice", "price_c")
+        st = b["o_orderstatus"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        is_f = pc.equal(st, "F")
+        dcol = b["o_orderdate"]
+        if pa.types.is_date32(dcol.type):
+            dcol = dcol.cast(pa.int32())
+        date_i = dcol.cast(pa.int64())
+        return pa.table({
+            "o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+            "is_f": is_f.cast(pa.int8()), "date_i": date_i,
+            "price_c": b["price_c"]})
+
+    def alloc_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                          "o_custkey": pa.array([], type=pa.int64()),
+                          "price_c": pa.array([], type=pa.int64()),
+                          "alloc_c": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        isf = tbl["is_f"].to_numpy(zero_copy_only=False).astype(bool)
+        fck = column_i64(tbl, "o_custkey")[isf]
+        fpr = column_i64(tbl, "price_c")[isf]
+        order = np.argsort(fck, kind="stable")
+        fck, fpr = fck[order], fpr[order]
+        uf, fstarts = np.unique(fck, return_index=True)
+        budgets = (np.add.reduceat(fpr, fstarts)
+                   if fpr.size else np.zeros(0, dtype=np.int64))
+        open_tbl = tbl.filter(pa.array(~isf))
+        if open_tbl.num_rows == 0:
+            return empty
+        open_tbl, starts, n_ent = entity_segments(
+            open_tbl, "o_custkey", "date_i", tiebreak_col="o_orderkey")
+        price = column_i64(open_tbl, "price_c")
+        cs = np.cumsum(price)
+        excl = cs - price
+        counts = np.diff(starts)
+        before = excl - np.repeat(excl[starts[:-1]], counts)
+        ck = column_i64(open_tbl, "o_custkey")
+        seg_ck = ck[starts[:-1]]
+        if len(uf):
+            bidx = np.searchsorted(uf, seg_ck)
+            bidx_c = np.minimum(bidx, len(uf) - 1)
+            seg_budget = np.where(uf[bidx_c] == seg_ck,
+                                  budgets[bidx_c], 0).astype(np.int64)
+        else:
+            seg_budget = np.zeros(n_ent, dtype=np.int64)
+        budget_row = np.repeat(seg_budget, counts)
+        alloc = np.minimum(price, np.maximum(budget_row - before, 0))
+        return pa.table({
+            "o_orderkey": open_tbl["o_orderkey"].cast(pa.int64()),
+            "o_custkey": open_tbl["o_custkey"].cast(pa.int64()),
+            "price_c": pa.array(price), "alloc_c": pa.array(alloc)})
+
+    return grouped_by_bucket(
+        ds.map_batches(prep, batch_format="pyarrow"), alloc_of_bucket,
+        entity_col="o_custkey", num_buckets=NB)
+
+
+SQL_ORDERS_FIFO_ALLOC = """
+WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+b AS (SELECT o_custkey,
+             CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'F'
+                                    THEN price_c END), 0) AS BIGINT)
+             AS budget_c
+      FROM o GROUP BY o_custkey),
+q AS (SELECT o_orderkey, o_custkey, price_c,
+             CAST(COALESCE(sum(price_c) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS before_c
+      FROM o WHERE o_orderstatus = 'O')
+SELECT q.o_orderkey, q.o_custkey, q.price_c,
+       CAST(least(q.price_c, greatest(b.budget_c - q.before_c, 0))
+            AS BIGINT) AS alloc_c
+FROM q JOIN b ON q.o_custkey = b.o_custkey
+"""
+
+
+def q_seq_downsample_tokens(sf_dir: str):
+    """WORD2VEC-STYLE FREQUENCY DOWNSAMPLING of the tokenized corpus
+    (Mikolov subsampling, t=1e-3): occurrences of tokens whose corpus
+    frequency exceeds t survive with probability sqrt(t/f), decided by
+    a deterministic per-occurrence md5 uniform so the exact predicate
+    re-runs in SQL. The broadcast side is the HEAVY SET ONLY — bounded
+    at ≤ 1/t tokens by construction regardless of corpus size (the
+    counts table never ships); rare tokens are never hashed. One
+    keyed_sum for counts + one map — zero corpus exchange
+    (stages/vocab.downsample_tokens)."""
+    import hashlib as _hl
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.dedup import tokens_join_key
+    from pymhealth_ray.stages.vocab import downsample_tokens
+
+    T_SUB = 0.001
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    ds = ds.materialize()  # consumed by the count pass AND the map
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    counts = keyed_sum(
+        ds.map_batches(tok_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "tok", ["c"], num_buckets=NB).take_all()
+    tok = np.array([r["tok"] for r in counts], dtype=np.int64)
+    c = np.array([r["c"] for r in counts], dtype=np.int64)
+    total = int(c.sum())
+    ratio = (T_SUB * float(total)) / c.astype(np.float64)
+    heavy = ratio < 1.0
+    order = np.argsort(tok[heavy])
+    htok = tok[heavy][order]
+    thr = np.floor(np.sqrt(ratio[heavy][order])
+                   * 4294967296.0).astype(np.int64)
+
+    kept = downsample_tokens(ds, htok, thr, key_cols=("doc_id", "ts_ns"),
+                             salt="w2v")
+
+    def finish(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n0 = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kcol = b["tokens_kept"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        nk = pc.list_value_length(kcol).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        joined = tokens_join_key(kcol)
+        md5 = [_hl.md5(s.encode()).hexdigest()
+               for s in joined.to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": pa.array(n0), "n_kept": pa.array(nk),
+            "ds_md5": pa.array(md5, type=pa.string())})
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_downsample_tokens(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens
+           FROM read_parquet('{path}/part-*.parquet')),
+u AS (SELECT doc_id, ts_ns, unnest(tokens) AS v,
+             generate_subscripts(tokens, 1) AS k FROM s),
+c AS (SELECT v, count(*) AS c FROM u GROUP BY v),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+thr AS (SELECT c.v,
+               CASE WHEN (0.001 * tt.t) / c.c >= 1.0 THEN NULL
+                    ELSE printf('%08x', CAST(floor(
+                         sqrt((0.001 * tt.t) / c.c) * 4294967296.0)
+                         AS BIGINT)) END AS h
+        FROM c, tt),
+kept AS (SELECT u.doc_id, u.ts_ns, u.k, u.v
+         FROM u JOIN thr ON u.v = thr.v
+         WHERE thr.h IS NULL
+            OR substr(md5(u.doc_id || ':' || CAST(u.ts_ns AS VARCHAR)
+                          || ':' || CAST(u.k AS VARCHAR) || '-w2v'),
+                      1, 8) < thr.h),
+g AS (SELECT doc_id, ts_ns, CAST(count(*) AS BIGINT) AS nk,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS js
+      FROM kept GROUP BY doc_id, ts_ns)
+SELECT s.doc_id, s.ts_ns, CAST(len(s.tokens) AS BIGINT) AS n_tok,
+       CAST(COALESCE(g.nk, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(g.js, '')) AS ds_md5
+FROM s LEFT JOIN g USING (doc_id, ts_ns)
+"""
+
+
+def q_events_ab_welch(sf_dir: str):
+    """WELCH TWO-SAMPLE T per event type — the A/B-test readout:
+    treatment arm = user_id % 2, metric = event value in cents. The
+    distributed part is exact int64 (count, Σc, Σc²) partials per
+    (type, arm) via grouped_stats; the bounded per-type table finishes
+    on the driver with the SAME double expression order as the SQL
+    (CAST-to-DOUBLE means, Σc²−Σc·mean sample variance, t =
+    Δmean/sqrt(v0/n0+v1/n1)) so floats are bit-identical. Magnitudes
+    are guarded before squaring."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        cv = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if cv.size and int(np.abs(cv).max()) >= 3_000_000_000:
+            raise ValueError("cents magnitude overflows int64 square")
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "arm": pa.array(uid % 2),
+                         "c": pa.array(cv), "c2": pa.array(cv * cv)})
+
+    stats = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type", "arm"], sum_cols=["c", "c2"],
+                          count_name="n").take_all()
+    rows = {}
+    for r in stats:
+        rows.setdefault(r["event_type"], {})[int(r["arm"])] = r
+    out = {"event_type": [], "n0": [], "n1": [],
+           "mean_diff": [], "t_welch": []}
+    for et in sorted(rows):
+        arms = rows[et]
+        if 0 not in arms or 1 not in arms:
+            continue
+        n0, n1 = arms[0]["n"], arms[1]["n"]
+        if n0 < 2 or n1 < 2:
+            continue
+        s0, s1 = float(arms[0]["c_sum"]), float(arms[1]["c_sum"])
+        ss0, ss1 = float(arms[0]["c2_sum"]), float(arms[1]["c2_sum"])
+        m0, m1 = s0 / n0, s1 / n1
+        v0 = (ss0 - s0 * m0) / (n0 - 1)
+        v1 = (ss1 - s1 * m1) / (n1 - 1)
+        t = (m1 - m0) / np.sqrt(v0 / n0 + v1 / n1)
+        out["event_type"].append(et)
+        out["n0"].append(n0)
+        out["n1"].append(n1)
+        out["mean_diff"].append(
+            float(_round_away(np.array([m1 - m0]), 6)[0]))
+        out["t_welch"].append(float(_round_away(np.array([t]), 6)[0]))
+    return pa.table({"event_type": pa.array(out["event_type"],
+                                            type=pa.string()),
+                     "n0": pa.array(out["n0"], type=pa.int64()),
+                     "n1": pa.array(out["n1"], type=pa.int64()),
+                     "mean_diff": pa.array(out["mean_diff"]),
+                     "t_welch": pa.array(out["t_welch"])})
+
+
+SQL_EVENTS_AB_WELCH = """
+WITH e AS (SELECT event_type, user_id % 2 AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+a AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+      FROM e GROUP BY event_type, arm),
+p AS (SELECT a0.event_type, a0.n AS n0, a1.n AS n1, a0.s AS s0, a1.s AS s1,
+             a0.ss AS ss0, a1.ss AS ss1
+      FROM a a0 JOIN a a1 ON a0.event_type = a1.event_type
+      WHERE a0.arm = 0 AND a1.arm = 1)
+SELECT event_type, n0, n1,
+       round(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0, 6)
+           AS mean_diff,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / sqrt(
+             ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+               * (CAST(s0 AS DOUBLE) / n0)) / (n0 - 1)) / n0
+           + ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * (CAST(s1 AS DOUBLE) / n1)) / (n1 - 1)) / n1), 6)
+           AS t_welch
+FROM p WHERE n0 >= 2 AND n1 >= 2
 """

@@ -690,3 +690,53 @@ def grouped_distinct_count(ds, group_col: str, value_col: str,
     return summed.map_batches(
         lambda b: b.rename_columns([group_col, out]),
         batch_format="pyarrow", batch_size=None)
+
+
+def grouped_ohlc(ds, entity_col: str, order_col: str, tie_col: str,
+                 value_col: str, num_buckets: int = 64):
+    """Per-entity OHLC candle: ``open``/``close`` are the value at the
+    first/last row in (order, tie) order, ``high``/``low`` the extrema,
+    ``n`` the row count — the canonical downsample of a value stream to
+    one row per entity (daily bars, per-key first/last CDC summaries).
+
+    ONE bucket exchange (``grouped_by_bucket`` co-locates every row of an
+    entity), then vectorized segment reductions inside each bucket:
+    ``entity_segments`` sorts once by (entity, order, tie) and
+    open/close index the segment boundaries while high/low come from
+    ``reduceat`` — no per-group Python. Value column must be int64-safe
+    (use cents for decimals); output dtypes are all int64 except the
+    entity column, whose dtype is preserved.
+    """
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    def candle_of_bucket(tbl: pa.Table) -> pa.Table:
+        ent_type = (tbl[entity_col].type if entity_col in tbl.column_names
+                    else pa.int64())
+        empty = pa.table({
+            entity_col: pa.array([], type=ent_type),
+            "n": pa.array([], type=pa.int64()),
+            "open": pa.array([], type=pa.int64()),
+            "high": pa.array([], type=pa.int64()),
+            "low": pa.array([], type=pa.int64()),
+            "close": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, order_col,
+                                             tiebreak_col=tie_col)
+        v = column_i64(tbl, value_col)
+        first = starts[:-1]
+        last = starts[1:] - 1
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        return pa.table({
+            entity_col: ent.take(pa.array(first)),
+            "n": pa.array(np.diff(starts).astype(np.int64)),
+            "open": pa.array(v[first]),
+            "high": pa.array(np.maximum.reduceat(v, first)),
+            "low": pa.array(np.minimum.reduceat(v, first)),
+            "close": pa.array(v[last])})
+
+    return grouped_by_bucket(ds, candle_of_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)

@@ -210,3 +210,86 @@ def scrub_tokens(ds, stop, tokens_col: str = "tokens"):
         return b.append_column(f"{tokens_col}_kept", kept)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def downsample_tokens(ds, heavy_tok, thr_u32, tokens_col: str = "tokens",
+                      key_cols=("doc_id", "ts_ns"), salt: str = "w2v"):
+    """Word2vec-style FREQUENCY DOWNSAMPLING of a tokenized corpus
+    (Mikolov et al. 2013 subsampling): each occurrence of a *heavy*
+    token — corpus frequency f above the threshold t — is kept iff a
+    deterministic per-occurrence uniform falls below ``sqrt(t/f)``;
+    rare tokens are always kept and never hashed.
+
+    The broadcast side is the heavy set only, which is bounded by
+    construction at ≤ 1/t tokens (a few hundred for t=1e-3) at ANY
+    corpus size — the counts table itself never ships. The uniform is
+    the first 8 md5 hex digits of ``"{key...}:{pos}-{salt}"`` (pos is
+    1-based, matching SQL ``generate_subscripts``), so the exact same
+    predicate runs in DuckDB; a production pipeline would swap in a
+    vectorized splitmix hash at the cost of SQL reproducibility — the
+    md5 loop touches only heavy occurrences and parallelizes across
+    blocks. Map-only, zero exchange. Appends ``<tokens_col>_kept``.
+
+    ``heavy_tok`` must be SORTED int64 token ids; ``thr_u32`` the
+    aligned int64 thresholds in [0, 2**32).
+    """
+    import hashlib
+
+    import ray
+
+    heavy_tok = np.asarray(heavy_tok, dtype=np.int64)
+    thr_u32 = np.asarray(thr_u32, dtype=np.int64)
+    if heavy_tok.size and np.any(heavy_tok[1:] <= heavy_tok[:-1]):
+        raise ValueError("heavy_tok must be strictly sorted")
+    ref = ray.put((heavy_tok, thr_u32))
+
+    def fn(b: pa.Table) -> pa.Table:
+        if tokens_col not in b.column_names:  # schema-less empty block
+            return b
+        htok, thr = ray.get(ref)
+        col = b[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = flat.size
+        keep = np.ones(n, dtype=bool)
+        if htok.size and n:
+            idx = np.searchsorted(htok, flat)
+            idx_c = np.minimum(idx, htok.size - 1)
+            hmask = htok[idx_c] == flat
+            hits = np.flatnonzero(hmask)
+            if hits.size:
+                row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+                # 1-based position within the sequence
+                pos = (np.arange(n, dtype=np.int64)
+                       - np.repeat(np.concatenate(([0], np.cumsum(lens[:-1]))),
+                                   lens) + 1)
+                kcols = [(b[c].combine_chunks()
+                          if isinstance(b[c], pa.ChunkedArray)
+                          else b[c]).to_pylist() for c in key_cols]
+                row_key = [":".join(str(x) for x in t)
+                           for t in zip(*kcols)]
+                hit_rows = row[hits]
+                hit_pos = pos[hits]
+                u = np.fromiter(
+                    (int(hashlib.md5(
+                        f"{row_key[r]}:{p}-{salt}".encode())
+                        .hexdigest()[:8], 16)
+                     for r, p in zip(hit_rows, hit_pos)),
+                    dtype=np.int64, count=hits.size)
+                keep[hits] = u < thr[idx_c[hits]]
+        kept_per_row = np.zeros(len(lens), dtype=np.int64)
+        if n:
+            row_all = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            kept_per_row = np.bincount(row_all[keep], minlength=len(lens))
+        new_off = np.concatenate(
+            ([0], np.cumsum(kept_per_row))).astype(np.int32)
+        kept = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()),
+            pa.array(flat[keep].astype(np.int32), type=pa.int32()))
+        return b.append_column(f"{tokens_col}_kept", kept)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

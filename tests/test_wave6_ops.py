@@ -1,0 +1,191 @@
+"""Round-5 wave-6 operators: grouped OHLC candles, FIFO budget
+allocation, word2vec frequency downsampling, Welch A/B t — brute-force
+references on synthetic fixtures + partition invariance."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_ohlc_bruteforce_and_partition_invariance():
+    from pymhealth_ray.stages.aggregate import grouped_ohlc
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table({
+        "ent": pa.array(rng.integers(0, 37, size=n)),
+        "o": pa.array(rng.integers(0, 500, size=n)),
+        "tie": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(-1000, 1000, size=n)),
+    })
+
+    def run(nb):
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        out = grouped_ohlc(ds, "ent", "o", "tie", "v", num_buckets=nb)
+        return out.to_pandas().sort_values("ent").reset_index(drop=True)
+
+    got = run(8)
+    assert got.equals(run(3))  # partition / bucket invariance
+
+    df = tbl.to_pandas().sort_values(["ent", "o", "tie"])
+    for ent, g in df.groupby("ent"):
+        row = got[got["ent"] == ent].iloc[0]
+        assert row["n"] == len(g)
+        assert row["open"] == g["v"].iloc[0]
+        assert row["close"] == g["v"].iloc[-1]
+        assert row["high"] == g["v"].max()
+        assert row["low"] == g["v"].min()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fifo_alloc_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_orders_fifo_alloc
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    status = rng.choice(["F", "O", "P"], size=n, p=[0.4, 0.4, 0.2])
+    tbl = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 41, size=n)),
+        "o_orderstatus": pa.array(status.tolist()),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1.0, 500.0, size=n), 2)),
+        "o_orderdate": pa.array(
+            rng.integers(8000, 9000, size=n).astype("int32")).cast(
+                pa.date32()),
+        "o_orderpriority": pa.array(["x"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+
+    got = q_orders_fifo_alloc(str(tmp_path)).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+
+    df = tbl.to_pandas()
+    df["price_c"] = np.rint(df["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    df["date_i"] = df["o_orderdate"].map(lambda d: d.toordinal())
+    budg = df[df["o_orderstatus"] == "F"].groupby("o_custkey")[
+        "price_c"].sum().to_dict()
+    opens = df[df["o_orderstatus"] == "O"].sort_values(
+        ["o_custkey", "date_i", "o_orderkey"])
+    expect = {}
+    for ck, g in opens.groupby("o_custkey"):
+        left = int(budg.get(ck, 0))
+        for _, r in g.iterrows():
+            a = min(int(r["price_c"]), max(left, 0))
+            expect[int(r["o_orderkey"])] = a
+            left -= int(r["price_c"])
+    assert len(got) == len(expect)
+    for _, r in got.iterrows():
+        assert expect[int(r["o_orderkey"])] == int(r["alloc_c"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_downsample_tokens_predicate_and_rare_kept():
+    from pymhealth_ray.stages.vocab import downsample_tokens
+
+    rng = np.random.default_rng(3)
+    n_rows = 300
+    toks = [rng.choice([1, 1, 1, 1, 2, 3, 5, 7],
+                       size=rng.integers(1, 30)).astype(np.int32)
+            for _ in range(n_rows)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+        "ts_ns": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "tokens": pa.array([t.tolist() for t in toks],
+                           type=pa.list_(pa.int32())),
+    })
+    # token 1 heavy with threshold 0.4*2^32; everything else untouched
+    htok = np.array([1], dtype=np.int64)
+    thr = np.array([int(0.4 * 4294967296.0)], dtype=np.int64)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = downsample_tokens(ds, htok, thr).to_pandas() \
+        .sort_values("ts_ns").reset_index(drop=True)
+
+    for i in range(n_rows):
+        orig = toks[i]
+        kept = np.asarray(out["tokens_kept"][i])
+        expect = []
+        for k, v in enumerate(orig, start=1):
+            if v != 1:
+                expect.append(v)
+                continue
+            u = int(hashlib.md5(
+                f"d{i}:{i}:{k}-w2v".encode()).hexdigest()[:8], 16)
+            if u < thr[0]:
+                expect.append(v)
+        assert list(kept) == expect
+    # rare tokens never dropped
+    flat_in = np.concatenate(toks)
+    flat_out = np.concatenate([np.asarray(x) for x in out["tokens_kept"]])
+    for t in (2, 3, 5, 7):
+        assert (flat_out == t).sum() == (flat_in == t).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_downsample_partition_invariance():
+    from pymhealth_ray.stages.vocab import downsample_tokens
+
+    rng = np.random.default_rng(9)
+    tbl = pa.table({
+        "doc_id": pa.array([f"x{i}" for i in range(200)]),
+        "ts_ns": pa.array(np.arange(200, dtype=np.int64)),
+        "tokens": pa.array(
+            [rng.integers(0, 10, size=rng.integers(0, 15)).tolist()
+             for _ in range(200)], type=pa.list_(pa.int32())),
+    })
+    htok = np.array([0, 4, 9], dtype=np.int64)
+    thr = np.array([int(0.2 * 2**32), int(0.5 * 2**32),
+                    int(0.9 * 2**32)], dtype=np.int64)
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return downsample_tokens(ds, htok, thr).to_pandas() \
+            .sort_values("ts_ns").reset_index(drop=True)
+
+    a, b = run(2), run(11)
+    assert all(list(x) == list(y)
+               for x, y in zip(a["tokens_kept"], b["tokens_kept"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_welch_matches_manual(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_ab_welch
+
+    rng = np.random.default_rng(21)
+    n = 2500
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_050_000_000_000,
+            size=n))).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 50, size=n)),
+        "event_type": pa.array(rng.choice(
+            ["a", "b", "c"], size=n).tolist()),
+        "value": pa.array(np.round(rng.uniform(0.01, 200.0, size=n), 2)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = q_events_ab_welch(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+
+    df = tbl.to_pandas()
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    df["arm"] = df["user_id"].to_numpy() % 2
+    for et, g in df.groupby("event_type"):
+        g0 = g[g["arm"] == 0]["c"].to_numpy().astype(np.float64)
+        g1 = g[g["arm"] == 1]["c"].to_numpy().astype(np.float64)
+        m0, m1 = g0.mean(), g1.mean()
+        v0 = g0.var(ddof=1)
+        v1 = g1.var(ddof=1)
+        t = (m1 - m0) / np.sqrt(v0 / len(g0) + v1 / len(g1))
+        row = got.loc[et]
+        assert row["n0"] == len(g0) and row["n1"] == len(g1)
+        assert abs(row["mean_diff"] - (m1 - m0)) < 1e-4
+        assert abs(row["t_welch"] - t) < 1e-4
