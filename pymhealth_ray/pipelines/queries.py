@@ -1251,6 +1251,9 @@ def build_queries() -> dict:
         "orders_fifo_alloc": q_orders_fifo_alloc,
         "seq_downsample_tokens": q_seq_downsample_tokens,
         "events_ab_welch": q_events_ab_welch,
+        "embed_mutual_nn": q_embed_mutual_nn,
+        "seq_lcs_pairs": q_seq_lcs_pairs,
+        "events_holt": q_events_holt,
     }
 
 
@@ -1556,6 +1559,13 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_fifo_alloc": SQL_ORDERS_FIFO_ALLOC,
         "seq_downsample_tokens": sql_seq_downsample_tokens(path),
         "events_ab_welch": SQL_EVENTS_AB_WELCH,
+        "embed_mutual_nn": SQL_EMBED_MUTUAL_NN,
+        "seq_lcs_pairs": _materialized_oracle(
+            path, "lcs_pairs_v1", _lcs_pairs_expected,
+            columns=("doc_id", "ts_ns", "tokens", "source")),
+        "events_holt": _table_materialized_oracle(
+            sf_dir_for_fixture, "events", "holt_v1", _events_holt_expected,
+            ("event_id", "ts", "user_id", "value")),
     }
     _flush_pending_oracles()
     return out
@@ -13937,3 +13947,298 @@ SELECT event_type, n0, n1,
            AS t_welch
 FROM p WHERE n0 >= 2 AND n1 >= 2
 """
+
+
+def q_embed_mutual_nn(sf_dir: str):
+    """MUTUAL NEAREST NEIGHBOR pairs within each label group — the
+    bitext/duplicate mining primitive: a pair qualifies iff each vector
+    is the other's cosine top-1 inside its label. Groups co-locate via
+    ONE grouped_by_bucket exchange; inside a group the kernel is a
+    single normalized matmul + argmax (ids sorted ascending so argmax's
+    first-max rule matches SQL's (sim DESC, vec_id ASC) tie order). At
+    corpus scale the label is a k-means/IVF cluster id (the SemDeDup
+    partitioning) so no group outgrows a worker; the all-pairs matmul
+    never leaves the group."""
+    from pymhealth_ray.stages.partition import entity_segments, grouped_by_bucket
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+
+    def mnn_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], type=pa.int64()),
+                          "a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "label", "vec_id")
+        emb = tbl["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = emb.values.to_numpy(zero_copy_only=False)
+        mat = flat[off[0]: off[-1]].astype(np.float64).reshape(
+            tbl.num_rows, -1)
+        vids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_l, out_a, out_b, out_c = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = mat[s:e]
+            if e - s < 2:
+                continue
+            u = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True),
+                               1e-12)
+            sims = u @ u.T
+            np.fill_diagonal(sims, -np.inf)
+            nn = np.argmax(sims, axis=1)
+            i = np.arange(e - s)
+            mutual = (nn[nn] == i) & (i < nn)
+            hits = np.flatnonzero(mutual)
+            out_l.append(np.full(hits.size, labs[s], dtype=np.int64))
+            out_a.append(vids[s:e][hits])
+            out_b.append(vids[s:e][nn[hits]])
+            out_c.append(sims[hits, nn[hits]])
+        if not out_l:
+            return empty
+        return pa.table({
+            "label": pa.array(np.concatenate(out_l)),
+            "a_id": pa.array(np.concatenate(out_a)),
+            "b_id": pa.array(np.concatenate(out_b)),
+            "cosine": pa.array(_round_away(np.concatenate(out_c), 4))})
+
+    return grouped_by_bucket(ds, mnn_of_bucket, entity_col="label",
+                             num_buckets=NB)
+
+
+SQL_EMBED_MUTUAL_NN = """
+WITH e AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.label, a.vec_id AS qa, b.vec_id AS qb,
+             list_cosine_similarity(a.v, b.v) AS sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.v, b.v)
+                                    DESC, b.vec_id) AS rnk
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+nn AS (SELECT label, qa, qb, sim FROM s WHERE rnk = 1)
+SELECT x.label, x.qa AS a_id, x.qb AS b_id, round(x.sim, 4) AS cosine
+FROM nn x JOIN nn y ON x.qb = y.qa AND x.qa = y.qb AND x.qa < x.qb
+"""
+
+
+L_LCS = 48
+
+
+def _lcs_pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+    """One bucket's adjacent-pair LCS: sort (source, ts_ns, doc_id),
+    pair each row with its successor inside the source segment, then a
+    SINGLE DP vectorized ACROSS pairs (the fuzzy.py trick): per A-row
+    the LCS recurrence collapses to max(prev[1:], prev[:-1]+eq)
+    followed by a running row max — cur[j-1] only propagates maxima
+    forward in a non-decreasing row. Prefixes are capped at L_LCS
+    tokens (distinct pads -1/-2 never match), so cost is
+    O(pairs · L²) independent of document length."""
+    from pymhealth_ray.stages.partition import entity_segments
+
+    empty = pa.table({"source": pa.array([], type=pa.string()),
+                      "a_doc": pa.array([], type=pa.string()),
+                      "b_doc": pa.array([], type=pa.string()),
+                      "n_a": pa.array([], type=pa.int64()),
+                      "n_b": pa.array([], type=pa.int64()),
+                      "lcs_len": pa.array([], type=pa.int64())})
+    if tbl.num_rows == 0:
+        return empty
+    tbl, starts, n_ent = entity_segments(tbl, "source", "ts_ns",
+                                         tiebreak_col="doc_id")
+    n = tbl.num_rows
+    is_last = np.zeros(n, dtype=bool)
+    is_last[starts[1:] - 1] = True
+    a_idx = np.flatnonzero(~is_last)
+    if a_idx.size == 0:
+        return empty
+    b_idx = a_idx + 1
+    toks = tbl["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = off[0]
+    lens = (off[1:] - off[:-1])
+    trunc = np.minimum(lens, L_LCS)
+
+    def gather(idx, pad):
+        m = idx.size
+        out = np.full((m, L_LCS), pad, dtype=np.int64)
+        cols = np.arange(L_LCS)[None, :]
+        mask = cols < trunc[idx][:, None]
+        posn = (off[idx][:, None] - base) + cols
+        out[mask] = flat[posn[mask]]
+        return out
+
+    A = gather(a_idx, -1)
+    B = gather(b_idx, -2)
+    m = a_idx.size
+    prev = np.zeros((m, L_LCS + 1), dtype=np.int32)
+    zero = np.zeros((m, 1), dtype=np.int32)
+    for i in range(L_LCS):
+        eq = (A[:, i][:, None] == B).astype(np.int32)
+        c = np.maximum(prev[:, 1:], prev[:, :-1] + eq)
+        cur = np.maximum.accumulate(c, axis=1)
+        prev = np.concatenate([zero, cur], axis=1)
+    lcs = prev[:, -1].astype(np.int64)
+    src = tbl["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    dids = tbl["doc_id"]
+    if isinstance(dids, pa.ChunkedArray):
+        dids = dids.combine_chunks()
+    return pa.table({
+        "source": src.take(pa.array(a_idx)),
+        "a_doc": dids.take(pa.array(a_idx)),
+        "b_doc": dids.take(pa.array(b_idx)),
+        "n_a": pa.array(trunc[a_idx]),
+        "n_b": pa.array(trunc[b_idx]),
+        "lcs_len": pa.array(lcs)})
+
+
+def q_seq_lcs_pairs(sf_dir: str):
+    """LONGEST COMMON SUBSEQUENCE between ADJACENT documents of each
+    source ((ts_ns, doc_id) order) — the alignment-style similarity
+    feature next to the set-based (Jaccard) and edit-based
+    (Levenshtein) verifiers: order-preserving shared token count over
+    the first L_LCS tokens of each side. Pairs form inside ONE
+    grouped_by_bucket exchange (sources co-locate; adjacency never
+    crosses a group); the DP is vectorized across all pairs of the
+    bucket. All-integer output; the oracle replays pair construction +
+    a per-pair row-loop DP single-process."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens", "source"])
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    return grouped_by_bucket(ds, _lcs_pairs_of_bucket,
+                             entity_col="source", num_buckets=NB)
+
+
+def _lcs_pairs_expected(src: pa.Table):
+    """Independent single-process LCS reference: same pairing, but a
+    per-pair classic DP (row loop over A, numpy row update)."""
+    import pandas as pd
+
+    df = src.to_pandas()
+    df = df.sort_values(["source", "ts_ns", "doc_id"]).reset_index(drop=True)
+    rows = []
+    for source, g in df.groupby("source", sort=False):
+        toks = [np.asarray(t, dtype=np.int64)[:L_LCS]
+                for t in g["tokens"]]
+        ids = g["doc_id"].tolist()
+        for i in range(len(g) - 1):
+            a, b = toks[i], toks[i + 1]
+            prev = np.zeros(len(b) + 1, dtype=np.int64)
+            for x in a:
+                cand = np.maximum(prev[1:], prev[:-1] + (b == x))
+                cur = np.maximum.accumulate(cand)
+                prev = np.concatenate(([0], cur))
+            rows.append({"source": source, "a_doc": ids[i],
+                         "b_doc": ids[i + 1], "n_a": len(a),
+                         "n_b": len(b), "lcs_len": int(prev[-1])})
+    out = pd.DataFrame(rows, columns=["source", "a_doc", "b_doc",
+                                      "n_a", "n_b", "lcs_len"])
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def q_events_holt(sf_dir: str):
+    """HOLT LINEAR (double) EXPONENTIAL SMOOTHING per user over the
+    event value stream: level l ← α·x + (1−α)(l+b), trend b ←
+    β(l−l_prev) + (1−β)b, initialized l₀=x₀, b₀=x₁−x₀. Users co-locate
+    via ONE bucket exchange; inside the bucket the recurrence is
+    vectorized ACROSS entities (step loop over time, masked by each
+    entity's length) — elementwise IEEE ops in the same per-entity
+    order as a sequential run, so the materialized single-process
+    oracle matches bit-for-bit. Emits per-user level, trend and the
+    one-step forecast l+b (round 6)."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+    def holt_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "level_c": pa.array([], type=pa.float64()),
+                          "trend_c": pa.array([], type=pa.float64()),
+                          "forecast_c": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        v = column_i64(tbl, "val_c").astype(np.float64)
+        cnt = np.diff(starts)
+        keep = cnt >= 2
+        if not keep.any():
+            return empty
+        k_starts = starts[:-1][keep]
+        k_cnt = cnt[keep]
+        maxlen = int(k_cnt.max())
+        m = k_starts.size
+        x = np.full((m, maxlen), np.nan)
+        cols = np.arange(maxlen)[None, :]
+        mask = cols < k_cnt[:, None]
+        x[mask] = v[(k_starts[:, None] + cols)[mask]]
+        lvl = x[:, 0].copy()
+        trd = x[:, 1] - x[:, 0]
+        for t in range(1, maxlen):
+            act = t < k_cnt
+            xt = x[:, t]
+            nl = HOLT_ALPHA * xt + (1.0 - HOLT_ALPHA) * (lvl + trd)
+            nb = (HOLT_BETA * (nl - lvl) + (1.0 - HOLT_BETA) * trd)
+            lvl = np.where(act, nl, lvl)
+            trd = np.where(act, nb, trd)
+        uid = column_i64(tbl, "user_id")[k_starts]
+        return pa.table({
+            "user_id": pa.array(uid),
+            "n": pa.array(k_cnt.astype(np.int64)),
+            "level_c": pa.array(_round_away(lvl, 6)),
+            "trend_c": pa.array(_round_away(trd, 6)),
+            "forecast_c": pa.array(_round_away(lvl + trd, 6))})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), holt_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+def _events_holt_expected(df):
+    """Sequential per-user Holt recurrence (python floats) — the
+    independent reference for the vectorized engine kernel. Receives
+    the events table as a pandas DataFrame (table-oracle contract)."""
+    import pandas as pd
+
+    df = df.copy()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["val_c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    rows = []
+    for uid, g in df.sort_values(["user_id", "ts_us", "event_id"]) \
+                    .groupby("user_id"):
+        xs = g["val_c"].to_numpy().astype(np.float64)
+        if xs.size < 2:
+            continue
+        lvl = float(xs[0])
+        trd = float(xs[1]) - float(xs[0])
+        for t in range(1, xs.size):
+            nl = HOLT_ALPHA * float(xs[t]) + (1.0 - HOLT_ALPHA) * (lvl + trd)
+            trd = HOLT_BETA * (nl - lvl) + (1.0 - HOLT_BETA) * trd
+            lvl = nl
+        rows.append({
+            "user_id": int(uid), "n": int(xs.size),
+            "level_c": float(_round_away(np.array([lvl]), 6)[0]),
+            "trend_c": float(_round_away(np.array([trd]), 6)[0]),
+            "forecast_c": float(_round_away(np.array([lvl + trd]), 6)[0])})
+    return pd.DataFrame(rows, columns=["user_id", "n", "level_c",
+                                       "trend_c", "forecast_c"])

@@ -189,3 +189,113 @@ def test_welch_matches_manual(tmp_path):
         assert row["n0"] == len(g0) and row["n1"] == len(g1)
         assert abs(row["mean_diff"] - (m1 - m0)) < 1e-4
         assert abs(row["t_welch"] - t) < 1e-4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mutual_nn_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_embed_mutual_nn
+
+    rng = np.random.default_rng(13)
+    n, d = 120, 8
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(
+            [rng.normal(size=d).astype(np.float32).tolist()
+             for _ in range(n)], type=pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 3, size=n).astype(np.int32)),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = q_embed_mutual_nn(str(tmp_path)).to_pandas() \
+        .sort_values(["a_id"]).reset_index(drop=True)
+
+    emb = np.array([np.asarray(e, dtype=np.float64)
+                    for e in tbl["embedding"].to_pylist()])
+    labs = tbl["label"].to_numpy()
+    expect = set()
+    for lab in np.unique(labs):
+        idx = np.flatnonzero(labs == lab)
+        u = emb[idx] / np.linalg.norm(emb[idx], axis=1, keepdims=True)
+        s = u @ u.T
+        np.fill_diagonal(s, -np.inf)
+        nn = np.argmax(s, axis=1)
+        for i in range(len(idx)):
+            j = nn[i]
+            if nn[j] == i and i < j:
+                expect.add((int(idx[i]), int(idx[j])))
+    assert set(zip(got["a_id"], got["b_id"])) == expect
+
+
+def _lcs_classic(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                        else max(dp[i - 1][j], dp[i][j - 1]))
+    return dp[-1][-1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lcs_kernel_vs_classic_dp():
+    from pymhealth_ray.pipelines.queries import _lcs_pairs_of_bucket
+
+    rng = np.random.default_rng(17)
+    n_docs = 60
+    toks = [rng.integers(0, 6, size=rng.integers(0, 60)).tolist()
+            for _ in range(n_docs)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i:03d}" for i in range(n_docs)]),
+        "ts_ns": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "source": pa.array((["s1"] * 30) + (["s2"] * 30)),
+    })
+    out = _lcs_pairs_of_bucket(tbl).to_pandas() \
+        .sort_values(["source", "a_doc"]).reset_index(drop=True)
+    assert len(out) == 58  # 29 adjacent pairs per source
+    for _, r in out.iterrows():
+        ia = int(r["a_doc"][1:])
+        ib = int(r["b_doc"][1:])
+        a = toks[ia][:48]
+        b = toks[ib][:48]
+        assert r["lcs_len"] == _lcs_classic(a, b)
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_holt_matches_sequential(tmp_path):
+    from pymhealth_ray.pipelines.queries import (HOLT_ALPHA, HOLT_BETA,
+                                                 q_events_holt)
+
+    rng = np.random.default_rng(29)
+    n = 1500
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_050_000_000_000,
+            size=n))).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 31, size=n)),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.round(rng.uniform(0.01, 99.99, size=n), 2)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_holt(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    for uid, g in df.sort_values(["user_id", "ts_us", "event_id"]) \
+                    .groupby("user_id"):
+        xs = g["c"].to_numpy().astype(np.float64)
+        if xs.size < 2:
+            assert uid not in got.index
+            continue
+        lvl, trd = float(xs[0]), float(xs[1] - xs[0])
+        for t in range(1, xs.size):
+            nl = HOLT_ALPHA * xs[t] + (1 - HOLT_ALPHA) * (lvl + trd)
+            trd = HOLT_BETA * (nl - lvl) + (1 - HOLT_BETA) * trd
+            lvl = nl
+        row = got.loc[uid]
+        assert row["n"] == xs.size
+        assert abs(row["level_c"] - lvl) < 1e-6
+        assert abs(row["trend_c"] - trd) < 1e-6
