@@ -1254,6 +1254,8 @@ def build_queries() -> dict:
         "embed_mutual_nn": q_embed_mutual_nn,
         "seq_lcs_pairs": q_seq_lcs_pairs,
         "events_holt": q_events_holt,
+        "orders_cohort_ltv": q_orders_cohort_ltv,
+        "events_audience_overlap": q_events_audience_overlap,
     }
 
 
@@ -1566,6 +1568,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_holt": _table_materialized_oracle(
             sf_dir_for_fixture, "events", "holt_v1", _events_holt_expected,
             ("event_id", "ts", "user_id", "value")),
+        "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
+        "events_audience_overlap": SQL_EVENTS_AUDIENCE_OVERLAP,
     }
     _flush_pending_oracles()
     return out
@@ -14242,3 +14246,231 @@ def _events_holt_expected(df):
             "forecast_c": float(_round_away(np.array([lvl + trd]), 6)[0])})
     return pd.DataFrame(rows, columns=["user_id", "n", "level_c",
                                        "trend_c", "forecast_c"])
+
+
+COHORT_PACK = 4096
+MONTH_OFFSET = 1970 * 12 + 1  # numpy months-since-1970 -> year*12+month
+
+
+def q_orders_cohort_ltv(sf_dir: str):
+    """COHORT LTV matrix — revenue by (signup cohort month, months since
+    first order): the classic subscription/commerce LTV report. ONE
+    grouped_by_bucket exchange does everything per-customer: customers
+    co-locate, so each bucket derives first-order months locally
+    (monotonic date→month map: month of min date == min month), tags
+    every order with (cohort, age) and rolls up (orders, revenue,
+    DISTINCT customers) per cell — customer sets are disjoint across
+    buckets, so the per-bucket distinct counts SUM globally exact (the
+    grouped_distinct_count co-location argument). A small keyed_sum
+    over packed (cohort·4096+age) int64 keys merges the partials."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "price_c")
+        dcol = b["o_orderdate"]
+        if isinstance(dcol, pa.ChunkedArray):
+            dcol = dcol.combine_chunks()
+        days = dcol.cast(pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False)
+        months = (days.astype("datetime64[D]").astype("datetime64[M]")
+                  .astype(np.int64) + MONTH_OFFSET)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "m": pa.array(months), "price_c": b["price_c"]})
+
+    def cells_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                          "n_orders": pa.array([], type=pa.int64()),
+                          "revenue_c": pa.array([], type=pa.int64()),
+                          "n_customers": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        from pymhealth_ray.stages.partition import column_i64
+
+        ck = column_i64(tbl, "o_custkey")
+        m = column_i64(tbl, "m")
+        pr = column_i64(tbl, "price_c")
+        order = np.argsort(ck, kind="stable")
+        cks, ms, prs = ck[order], m[order], pr[order]
+        is_start = np.ones(cks.size, dtype=bool)
+        is_start[1:] = cks[1:] != cks[:-1]
+        starts = np.flatnonzero(is_start)
+        cohort_seg = np.minimum.reduceat(ms, starts)
+        cnts = np.diff(np.concatenate([starts, [cks.size]]))
+        cohort = np.repeat(cohort_seg, cnts)
+        age = ms - cohort
+        if age.size and int(age.max()) >= COHORT_PACK:
+            raise ValueError("cohort age exceeds pack range")
+        cell = cohort * COHORT_PACK + age
+        # per-cell rollup + per-cell distinct customers (pairs sorted
+        # by (cell, cust): unique pair = first occurrence)
+        po = np.lexsort((cks, cell))
+        cs, us = cell[po], cks[po]
+        new_pair = np.ones(cs.size, dtype=bool)
+        new_pair[1:] = (cs[1:] != cs[:-1]) | (us[1:] != us[:-1])
+        uc, inv = np.unique(cell, return_inverse=True)
+        n_orders = np.bincount(inv, minlength=uc.size).astype(np.int64)
+        srt = np.argsort(cell, kind="stable")
+        rev = np.add.reduceat(
+            pr[order][srt],
+            np.flatnonzero(np.concatenate(
+                ([True], cell[srt][1:] != cell[srt][:-1]))))
+        ncust = np.bincount(np.searchsorted(uc, cs[new_pair]),
+                            minlength=uc.size).astype(np.int64)
+        return pa.table({"cell": pa.array(uc),
+                         "n_orders": pa.array(n_orders),
+                         "revenue_c": pa.array(rev),
+                         "n_customers": pa.array(ncust)})
+
+    partials = grouped_by_bucket(
+        ds.map_batches(prep, batch_format="pyarrow"), cells_of_bucket,
+        entity_col="o_custkey", num_buckets=NB)
+    summed = keyed_sum(partials, "cell",
+                       ["n_orders", "revenue_c", "n_customers"],
+                       num_buckets=NB, precombine_rows=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cohort_m": pa.array(cell // COHORT_PACK),
+            "age_m": pa.array(cell % COHORT_PACK),
+            "n_orders": b["n_orders"], "revenue_c": b["revenue_c"],
+            "n_customers": b["n_customers"]})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_COHORT_LTV = """
+WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_d
+           FROM orders GROUP BY o_custkey),
+j AS (SELECT o.o_custkey,
+             year(f.first_d) * 12 + month(f.first_d) AS cohort_m,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                 - (year(f.first_d) * 12 + month(f.first_d)) AS age_m,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
+SELECT CAST(cohort_m AS BIGINT) AS cohort_m, CAST(age_m AS BIGINT) AS age_m,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_c) AS BIGINT) AS revenue_c,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM j GROUP BY cohort_m, age_m
+"""
+
+
+def q_events_audience_overlap(sf_dir: str):
+    """AUDIENCE OVERLAP matrix — exact pairwise Jaccard between event
+    types' user sets: the segment/feature co-occurrence report. Users
+    co-locate in ONE grouped_by_bucket exchange; each bucket collapses
+    its users to TYPE BITMASKS (np.bitwise_or.reduceat over a
+    broadcast type index) and emits bounded (mask, count) partials —
+    at most 2^T rows per bucket regardless of corpus size. The driver
+    folds mask counts into every pairwise intersection/union. Types
+    are guarded to ≤ 30 (int64 bitmask; wider domains would shard the
+    mask)."""
+    from pymhealth_ray.stages.aggregate import grouped_stats, keyed_sum
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    types_rows = grouped_stats(
+        read_table(f"{sf_dir}/events.parquet", columns=["event_type"]),
+        ["event_type"]).take_all()
+    types = sorted(r["event_type"] for r in types_rows)
+    if len(types) > 30:
+        raise ValueError("audience_overlap bitmask supports <= 30 types")
+    tmap = {t: i for i, t in enumerate(types)}
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        bit_of = np.array([1 << tmap[t]
+                           for t in enc.dictionary.to_pylist()],
+                          dtype=np.int64)
+        bits = bit_of[enc.indices.to_numpy(zero_copy_only=False)]
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # block-local pre-OR per user (slim exchange)
+        order = np.argsort(uid, kind="stable")
+        us, bs = uid[order], bits[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], us[1:] != us[:-1])))
+        return pa.table({
+            "user_id": pa.array(us[starts]),
+            "mask": pa.array(np.bitwise_or.reduceat(bs, starts))})
+
+    def masks_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"mask": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        from pymhealth_ray.stages.partition import column_i64
+
+        uid = column_i64(tbl, "user_id")
+        mk = column_i64(tbl, "mask")
+        order = np.argsort(uid, kind="stable")
+        us, ms = uid[order], mk[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], us[1:] != us[:-1])))
+        full = np.bitwise_or.reduceat(ms, starts)
+        vals, cnts = np.unique(full, return_counts=True)
+        return pa.table({"mask": pa.array(vals),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    partials = grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), masks_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+    rows = keyed_sum(partials, "mask", ["cnt"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    masks = np.array([r["mask"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [],
+           "n_inter": [], "n_union": [], "jaccard": []}
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            ai = (masks >> i) & 1
+            aj = (masks >> j) & 1
+            n_a = int(cnts[ai == 1].sum())
+            n_b = int(cnts[aj == 1].sum())
+            inter = int(cnts[(ai & aj) == 1].sum())
+            if inter == 0:
+                continue
+            union = n_a + n_b - inter
+            out["type_a"].append(types[i])
+            out["type_b"].append(types[j])
+            out["n_a"].append(n_a)
+            out["n_b"].append(n_b)
+            out["n_inter"].append(inter)
+            out["n_union"].append(union)
+            out["jaccard"].append(float(_round_away(
+                np.array([inter / union]), 6)[0]))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], type=pa.string()),
+        "type_b": pa.array(out["type_b"], type=pa.string()),
+        "n_a": pa.array(out["n_a"], type=pa.int64()),
+        "n_b": pa.array(out["n_b"], type=pa.int64()),
+        "n_inter": pa.array(out["n_inter"], type=pa.int64()),
+        "n_union": pa.array(out["n_union"], type=pa.int64()),
+        "jaccard": pa.array(out["jaccard"], type=pa.float64())})
+
+
+SQL_EVENTS_AUDIENCE_OVERLAP = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_inter
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+c AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type)
+SELECT p.type_a, p.type_b, CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b, CAST(p.n_inter AS BIGINT) AS n_inter,
+       CAST(ca.n + cb.n - p.n_inter AS BIGINT) AS n_union,
+       round(CAST(p.n_inter AS DOUBLE) / (ca.n + cb.n - p.n_inter), 6)
+           AS jaccard
+FROM p JOIN c ca ON p.type_a = ca.event_type
+       JOIN c cb ON p.type_b = cb.event_type
+"""

@@ -299,3 +299,82 @@ def test_holt_matches_sequential(tmp_path):
         assert row["n"] == xs.size
         assert abs(row["level_c"] - lvl) < 1e-6
         assert abs(row["trend_c"] - trd) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_ltv_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_orders_cohort_ltv
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    tbl = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 60, size=n)),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1.0, 400.0, size=n), 2)),
+        "o_orderdate": pa.array(
+            rng.integers(9000, 10500, size=n).astype("int32")).cast(
+                pa.date32()),
+        "o_orderpriority": pa.array(["x"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = q_orders_cohort_ltv(str(tmp_path)).to_pandas() \
+        .sort_values(["cohort_m", "age_m"]).reset_index(drop=True)
+
+    df = tbl.to_pandas()
+    df["price_c"] = np.rint(df["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    df["m"] = df["o_orderdate"].map(lambda d: d.year * 12 + d.month)
+    first = df.groupby("o_custkey")["m"].min()
+    df["cohort_m"] = df["o_custkey"].map(first)
+    df["age_m"] = df["m"] - df["cohort_m"]
+    exp = df.groupby(["cohort_m", "age_m"]).agg(
+        n_orders=("price_c", "size"), revenue_c=("price_c", "sum"),
+        n_customers=("o_custkey", "nunique")).reset_index()
+    exp = exp.sort_values(["cohort_m", "age_m"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["cohort_m", "age_m", "n_orders", "revenue_c",
+              "n_customers"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audience_overlap_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_audience_overlap
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_050_000_000_000,
+            size=n))).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 80, size=n)),
+        "event_type": pa.array(rng.choice(
+            ["a", "b", "c", "d"], size=n, p=[0.5, 0.3, 0.15, 0.05])
+            .tolist()),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_audience_overlap(str(tmp_path)).to_pandas()
+
+    df = tbl.to_pandas()[["user_id", "event_type"]].drop_duplicates()
+    sets = {t: set(g["user_id"]) for t, g in df.groupby("event_type")}
+    ts = sorted(sets)
+    seen = 0
+    for i in range(len(ts)):
+        for j in range(i + 1, len(ts)):
+            inter = len(sets[ts[i]] & sets[ts[j]])
+            if inter == 0:
+                continue
+            seen += 1
+            row = got[(got["type_a"] == ts[i])
+                      & (got["type_b"] == ts[j])].iloc[0]
+            union = len(sets[ts[i]] | sets[ts[j]])
+            assert row["n_a"] == len(sets[ts[i]])
+            assert row["n_b"] == len(sets[ts[j]])
+            assert row["n_inter"] == inter
+            assert row["n_union"] == union
+    assert seen == len(got)
