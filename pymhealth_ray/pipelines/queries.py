@@ -1256,6 +1256,8 @@ def build_queries() -> dict:
         "events_holt": q_events_holt,
         "orders_cohort_ltv": q_orders_cohort_ltv,
         "events_audience_overlap": q_events_audience_overlap,
+        "events_streaming_candles": q_events_streaming_candles,
+        "events_mahalanobis": q_events_mahalanobis,
     }
 
 
@@ -1570,6 +1572,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             ("event_id", "ts", "user_id", "value")),
         "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
         "events_audience_overlap": SQL_EVENTS_AUDIENCE_OVERLAP,
+        # streaming twin shares the exchange plan's window oracle
+        "events_streaming_candles": SQL_EVENTS_OHLC,
+        "events_mahalanobis": SQL_EVENTS_MAHALANOBIS,
     }
     _flush_pending_oracles()
     return out
@@ -14473,4 +14478,143 @@ SELECT p.type_a, p.type_b, CAST(ca.n AS BIGINT) AS n_a,
            AS jaccard
 FROM p JOIN c ca ON p.type_a = ca.event_type
        JOIN c cb ON p.type_b = cb.event_type
+"""
+
+
+def q_events_streaming_candles(sf_dir: str):
+    """STREAMING twin of events_ohlc (9th streaming family member):
+    per-(user, day) OHLC candles read straight off the sorted bucketed
+    events layout — one task per partition file, a single open-candle
+    carry across Arrow batch boundaries, ZERO query-time exchange
+    (stages/streaming.streaming_candles). Shares events_ohlc's SQL
+    window oracle, so the exchange plan and the streaming plan are
+    verified against the same truth."""
+    from pymhealth_ray.stages.streaming import streaming_candles
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["user_id", "ts_us", "event_id", "val_c"])
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    layout = _sorted_layout(sf_dir, ds, suffix="_candles",
+                            entity_col="user_id",
+                            sort_cols=["user_id", "ts_us", "event_id"])
+    out = streaming_candles(layout, entity_col="user_id",
+                            ts_col="ts_us", val_col="val_c")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "day": b["day"], "n": b["n"],
+            "open_c": b["open"], "high_c": b["high"],
+            "low_c": b["low"], "close_c": b["close"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_mahalanobis(sf_dir: str):
+    """MULTIVARIATE ANOMALY SCORE per event: squared Mahalanobis
+    distance of (value cents, hour-of-day) from the event type's own
+    2-D distribution. Stats are ONE exact-int64 grouped_stats pass
+    (n, Σx, Σy, Σx², Σy², Σxy per type — magnitudes guarded); the
+    bounded per-type parameter table broadcasts and scoring is a pure
+    map with the SAME double expression order as the SQL (closed-form
+    2×2 inverse: (dx²·cyy − 2·dx·dy·cxy + dy²·cxx)/det), so floats are
+    bit-identical. The complement of the univariate MAD/Hampel/CUSUM
+    detectors: it catches jointly-unusual (value, time) combinations."""
+    import ray as _ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    HOUR_US = 3_600_000_000
+
+    ev = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    ev = ev.materialize()  # consumed by the stats pass AND the scorer
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "x")
+        xv = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if xv.size and int(np.abs(xv).max()) >= 3_000_000_000:
+            raise ValueError("cents magnitude overflows int64 square")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = (ts // HOUR_US) % 24
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "x": pa.array(xv), "y": pa.array(yv),
+                         "xx": pa.array(xv * xv), "yy": pa.array(yv * yv),
+                         "xy": pa.array(xv * yv)})
+
+    scored_src = ev.map_batches(prep, batch_format="pyarrow")
+    stats = grouped_stats(scored_src, ["event_type"],
+                          sum_cols=["x", "y", "xx", "yy", "xy"],
+                          count_name="n").take_all()
+    params = {}
+    for r in stats:
+        n = r["n"]
+        if n < 3:
+            continue
+        sx, sy = float(r["x_sum"]), float(r["y_sum"])
+        sxx, syy = float(r["xx_sum"]), float(r["yy_sum"])
+        sxy = float(r["xy_sum"])
+        mx, my = sx / n, sy / n
+        cxx = (sxx - sx * (sx / n)) / (n - 1)
+        cyy = (syy - sy * (sy / n)) / (n - 1)
+        cxy = (sxy - sx * (sy / n)) / (n - 1)
+        params[r["event_type"]] = (mx, my, cxx, cyy, cxy)
+    p_ref = _ray.put(params)
+
+    def score(b: pa.Table) -> pa.Table:
+        pm = _ray.get(p_ref)
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        have = np.array([t in pm for t in dvals], dtype=bool)
+        arr = np.array([pm.get(t, (0.0, 0.0, 1.0, 1.0, 0.0))
+                        for t in dvals], dtype=np.float64)
+        mx, my, cxx, cyy, cxy = (arr[idx, k] for k in range(5))
+        keep = have[idx]
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dx = x - mx
+        dy = y - my
+        det = cxx * cyy - cxy * cxy
+        m2 = (dx * dx * cyy - 2.0 * dx * dy * cxy + dy * dy * cxx) / det
+        out = pa.table({"event_id": b["event_id"],
+                        "event_type": b["event_type"],
+                        "m2": pa.array(_round_away(m2, 6))})
+        return out.filter(pa.array(keep))
+
+    return scored_src.map_batches(score, batch_format="pyarrow")
+
+
+SQL_EVENTS_MAHALANOBIS = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS x,
+                  (epoch_us(ts) // 3600000000) % 24 AS y
+           FROM events),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM e GROUP BY event_type),
+p AS (SELECT event_type,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / n)) / (n - 1) AS cxx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                  * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS cyy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS cxy
+      FROM a WHERE n >= 3)
+SELECT e.event_id, e.event_type,
+       round(((e.x - p.mx) * (e.x - p.mx) * p.cyy
+              - 2.0 * (e.x - p.mx) * (e.y - p.my) * p.cxy
+              + (e.y - p.my) * (e.y - p.my) * p.cxx)
+             / (p.cxx * p.cyy - p.cxy * p.cxy), 6) AS m2
+FROM e JOIN p USING (event_type)
 """

@@ -745,3 +745,116 @@ def streaming_interval_join(left_layout: str, right_layout: str, *,
         return pa.concat_tables(outs) if outs else empty()
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def _candles_one_file(path: str, entity_col: str, ts_col: str,
+                      val_col: str, day_us: int, batch_rows: int):
+    """Per-(entity, calendar-bucket) OHLC candles for one sorted
+    partition file: rows arrive in (entity, ts, tie) order, so each
+    (entity, day) is a contiguous run; the only state across Arrow
+    batch boundaries is the OPEN candle (7 scalars). Emits closed
+    candles per batch, flushes the open one at file end."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    carry = None  # (ent, day, n, open, high, low, close)
+    ents, days, ns, os_, hs, ls, cs = ([] for _ in range(7))
+
+    def emit(e, d, n, o, h, lo, c):
+        ents.append(e); days.append(d); ns.append(n)
+        os_.append(o); hs.append(h); ls.append(lo); cs.append(c)
+
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[entity_col, ts_col, val_col]):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        ent = tbl[entity_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = tbl[ts_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = tbl[val_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        day = ts // day_us
+        n = v.size
+        head = np.empty(n, dtype=bool)
+        head[0] = True
+        head[1:] = (ent[1:] != ent[:-1]) | (day[1:] != day[:-1])
+        starts = np.flatnonzero(head)
+        ends = np.append(starts[1:], n)
+        seg_n = (ends - starts).astype(np.int64)
+        seg_o = v[starts]
+        seg_c = v[ends - 1]
+        seg_h = np.maximum.reduceat(v, starts)
+        seg_l = np.minimum.reduceat(v, starts)
+        seg_e = ent[starts]
+        seg_d = day[starts]
+        k = 0
+        if carry is not None:
+            if seg_e[0] == carry[0] and seg_d[0] == carry[1]:
+                merged = (carry[0], carry[1],
+                          carry[2] + int(seg_n[0]), carry[3],
+                          max(carry[4], int(seg_h[0])),
+                          min(carry[5], int(seg_l[0])), int(seg_c[0]))
+                if len(starts) == 1:
+                    carry = merged
+                    continue
+                emit(*merged)
+                k = 1
+            else:
+                emit(*carry)
+        for i in range(k, len(starts) - 1):
+            emit(int(seg_e[i]), int(seg_d[i]), int(seg_n[i]),
+                 int(seg_o[i]), int(seg_h[i]), int(seg_l[i]),
+                 int(seg_c[i]))
+        i = len(starts) - 1
+        if i >= k:
+            carry = (int(seg_e[i]), int(seg_d[i]), int(seg_n[i]),
+                     int(seg_o[i]), int(seg_h[i]), int(seg_l[i]),
+                     int(seg_c[i]))
+    if carry is not None:
+        emit(*carry)
+    if not ents:
+        return None
+    return pa.table({
+        entity_col: pa.array(np.array(ents, dtype=np.int64)),
+        "day": pa.array(np.array(days, dtype=np.int64)),
+        "n": pa.array(np.array(ns, dtype=np.int64)),
+        "open": pa.array(np.array(os_, dtype=np.int64)),
+        "high": pa.array(np.array(hs, dtype=np.int64)),
+        "low": pa.array(np.array(ls, dtype=np.int64)),
+        "close": pa.array(np.array(cs, dtype=np.int64))})
+
+
+def streaming_candles(layout_dir: str, *, entity_col: str = "user_id",
+                      ts_col: str = "ts_us", val_col: str = "val_c",
+                      day_us: int = 86_400_000_000,
+                      batch_rows: int = 65536):
+    """Per-(entity, day) OHLC candles by STREAMING the sorted bucketed
+    layout — the zero-exchange twin of stages/aggregate.grouped_ohlc:
+    one task per partition file, a single open-candle carry across
+    batch boundaries, no query-time shuffle."""
+    import glob
+    import os
+
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(layout_dir, "part=*",
+                                          "*.parquet")))
+    pds = ray.data.from_items([{"path": p} for p in paths]).repartition(
+        max(len(paths), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = [t for p in batch["path"].to_pylist()
+                if (t := _candles_one_file(p, entity_col, ts_col, val_col,
+                                           day_us, batch_rows)) is not None]
+        return pa.concat_tables(outs) if outs else pa.table({
+            entity_col: pa.array([], type=pa.int64()),
+            "day": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "open": pa.array([], type=pa.int64()),
+            "high": pa.array([], type=pa.int64()),
+            "low": pa.array([], type=pa.int64()),
+            "close": pa.array([], type=pa.int64())})
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

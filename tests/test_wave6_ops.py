@@ -378,3 +378,75 @@ def test_audience_overlap_bruteforce(tmp_path):
             assert row["n_inter"] == inter
             assert row["n_union"] == union
     assert seen == len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_candles_carry(tmp_path):
+    from pymhealth_ray.stages.streaming import _candles_one_file
+
+    rng = np.random.default_rng(41)
+    n = 1200
+    ent = np.sort(rng.integers(0, 9, size=n))
+    ts = np.sort(rng.integers(0, 40 * 86_400_000_000, size=n))
+    # sort rows by (ent, ts) to mimic the layout contract
+    order = np.lexsort((ts, ent))
+    tbl = pa.table({"user_id": pa.array(ent[order]),
+                    "ts_us": pa.array(ts[order]),
+                    "val_c": pa.array(rng.integers(-500, 500, size=n))})
+    p = tmp_path / "f.parquet"
+    pq.write_table(tbl, p)
+
+    big = _candles_one_file(str(p), "user_id", "ts_us", "val_c",
+                            86_400_000_000, batch_rows=10**6).to_pandas()
+    tiny = _candles_one_file(str(p), "user_id", "ts_us", "val_c",
+                             86_400_000_000, batch_rows=7).to_pandas()
+    assert big.sort_values(["user_id", "day"]).reset_index(drop=True) \
+        .equals(tiny.sort_values(["user_id", "day"])
+                .reset_index(drop=True))
+
+    df = tbl.to_pandas()
+    df["day"] = df["ts_us"] // 86_400_000_000
+    exp = df.groupby(["user_id", "day"])["val_c"].agg(
+        ["size", "first", "max", "min", "last"]).reset_index()
+    got = big.sort_values(["user_id", "day"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "day"]).reset_index(drop=True)
+    assert (got["n"].to_numpy() == exp["size"].to_numpy()).all()
+    assert (got["open"].to_numpy() == exp["first"].to_numpy()).all()
+    assert (got["high"].to_numpy() == exp["max"].to_numpy()).all()
+    assert (got["low"].to_numpy() == exp["min"].to_numpy()).all()
+    assert (got["close"].to_numpy() == exp["last"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mahalanobis_matches_numpy(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_mahalanobis
+
+    rng = np.random.default_rng(43)
+    n = 2000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_864_000_000_000,
+            size=n))).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 40, size=n)),
+        "event_type": pa.array(rng.choice(["p", "q"], size=n).tolist()),
+        "value": pa.array(np.round(rng.uniform(0.01, 150.0, size=n), 2)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_mahalanobis(str(tmp_path)).to_pandas() \
+        .set_index("event_id").sort_index()
+    assert len(got) == n
+
+    df = tbl.to_pandas()
+    df["x"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    df["y"] = (df["ts"].astype("int64") // 3_600_000_000) % 24
+    for et, g in df.groupby("event_type"):
+        X = g[["x", "y"]].to_numpy().astype(np.float64)
+        mu = X.mean(axis=0)
+        cov = np.cov(X.T, ddof=1)
+        inv = np.linalg.inv(cov)
+        d = X - mu
+        m2 = np.einsum("ij,jk,ik->i", d, inv, d)
+        gm = got.loc[g["event_id"].to_numpy()]["m2"].to_numpy()
+        assert np.abs(gm - m2).max() < 1e-4
