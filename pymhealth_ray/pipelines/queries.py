@@ -1258,6 +1258,9 @@ def build_queries() -> dict:
         "events_audience_overlap": q_events_audience_overlap,
         "events_streaming_candles": q_events_streaming_candles,
         "events_mahalanobis": q_events_mahalanobis,
+        "orders_dup_invoices": q_orders_dup_invoices,
+        "lineitem_benford": q_lineitem_benford,
+        "seq_token_burstiness": q_seq_token_burstiness,
     }
 
 
@@ -1575,6 +1578,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         # streaming twin shares the exchange plan's window oracle
         "events_streaming_candles": SQL_EVENTS_OHLC,
         "events_mahalanobis": SQL_EVENTS_MAHALANOBIS,
+        "orders_dup_invoices": SQL_ORDERS_DUP_INVOICES,
+        "lineitem_benford": SQL_LINEITEM_BENFORD,
+        "seq_token_burstiness": sql_seq_token_burstiness(path),
     }
     _flush_pending_oracles()
     return out
@@ -14617,4 +14623,248 @@ SELECT e.event_id, e.event_type,
               + (e.y - p.my) * (e.y - p.my) * p.cxx)
              / (p.cxx * p.cyy - p.cxy * p.cxy), 6) AS m2
 FROM e JOIN p USING (event_type)
+"""
+
+
+DUPINV_PACK = 100_000_000
+
+
+def q_orders_dup_invoices(sf_dir: str):
+    """DUPLICATE-INVOICE detection — the fintech double-charge rule:
+    two orders of the SAME customer with the SAME cents amount within
+    7 days. The fixture has no natural amount collisions, so the query
+    seeds deterministic duplicates on BOTH sides (every 37th orderkey
+    re-emitted at key+10M, date+3d — the seq_minhash_dupes seeding
+    precedent). Candidates co-locate by packed (customer, amount)
+    int64 key in ONE grouped_by_bucket exchange; inside a bucket the
+    rule is an adjacent-gap scan per segment, matching the SQL lag
+    formulation pair-for-pair."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "price_c")
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pr = b["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dcol = b["o_orderdate"]
+        if isinstance(dcol, pa.ChunkedArray):
+            dcol = dcol.combine_chunks()
+        days = dcol.cast(pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if pr.size and (pr.min() < 0 or pr.max() >= DUPINV_PACK):
+            raise ValueError("price_c outside dup-invoice pack range")
+        seed = key % 37 == 0
+        key = np.concatenate([key, key[seed] + 10_000_000])
+        ck = np.concatenate([ck, ck[seed]])
+        pr = np.concatenate([pr, pr[seed]])
+        days = np.concatenate([days, days[seed] + 3])
+        return pa.table({"gk": pa.array(ck * DUPINV_PACK + pr),
+                         "o_orderkey": pa.array(key),
+                         "days": pa.array(days)})
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"a_key": pa.array([], type=pa.int64()),
+                          "b_key": pa.array([], type=pa.int64()),
+                          "o_custkey": pa.array([], type=pa.int64()),
+                          "price_c": pa.array([], type=pa.int64()),
+                          "gap_days": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "gk", "days",
+                                             tiebreak_col="o_orderkey")
+        gk = column_i64(tbl, "gk")
+        key = column_i64(tbl, "o_orderkey")
+        days = column_i64(tbl, "days")
+        n = tbl.num_rows
+        is_last = np.zeros(n, dtype=bool)
+        is_last[starts[1:] - 1] = True
+        a = np.flatnonzero(~is_last)
+        if a.size == 0:
+            return empty
+        b_ = a + 1
+        gap = days[b_] - days[a]
+        hit = gap <= 7
+        a, b_, gap = a[hit], b_[hit], gap[hit]
+        return pa.table({"a_key": pa.array(key[a]),
+                         "b_key": pa.array(key[b_]),
+                         "o_custkey": pa.array(gk[a] // DUPINV_PACK),
+                         "price_c": pa.array(gk[a] % DUPINV_PACK),
+                         "gap_days": pa.array(gap)})
+
+    return grouped_by_bucket(
+        ds.map_batches(prep, batch_format="pyarrow"), pairs_of_bucket,
+        entity_col="gk", num_buckets=NB)
+
+
+SQL_ORDERS_DUP_INVOICES = """
+WITH o0 AS (SELECT o_orderkey,
+                   o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders),
+aug AS (SELECT * FROM o0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, price_c, d + 3
+        FROM o0 WHERE o_orderkey % 37 = 0),
+s AS (SELECT o_orderkey, o_custkey, price_c, d,
+             lag(o_orderkey) OVER w AS prev_key,
+             lag(d) OVER w AS prev_d
+      FROM aug
+      WINDOW w AS (PARTITION BY o_custkey, price_c
+                   ORDER BY d, o_orderkey))
+SELECT prev_key AS a_key, o_orderkey AS b_key, o_custkey, price_c,
+       CAST(d - prev_d AS BIGINT) AS gap_days
+FROM s WHERE prev_key IS NOT NULL AND d - prev_d <= 7
+"""
+
+
+def q_lineitem_benford(sf_dir: str):
+    """BENFORD FIRST-DIGIT audit over line-item amounts — the classic
+    fraud-analytics screen: observed share of each leading digit of
+    the cents amount next to Benford's log10(1+1/d) expectation. The
+    digit extraction is an all-integer vectorized divide-down (≤ 19
+    halvings of magnitude, no float log near power-of-ten
+    boundaries); counts are exact keyed_sum partials; only the two
+    per-digit report floats (share, expected) are computed, in SQL's
+    expression order."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "price_c")
+        d = b["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if d.size and d.min() <= 0:
+            raise ValueError("benford digits need positive amounts")
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d = np.where(big, d // 10, d)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    rows = keyed_sum(li.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "digit", ["c"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    dig = np.array([r["digit"] for r in rows], dtype=np.int64)
+    cnt = np.array([r["c"] for r in rows], dtype=np.int64)
+    order = np.argsort(dig)
+    dig, cnt = dig[order], cnt[order]
+    total = int(cnt.sum())
+    share = _round_away(cnt.astype(np.float64) / total, 6)
+    expected = _round_away(
+        np.log(1.0 + 1.0 / dig.astype(np.float64)) / np.log(10.0), 6)
+    return pa.table({"digit": pa.array(dig), "n": pa.array(cnt),
+                     "share": pa.array(share),
+                     "expected_p": pa.array(expected)})
+
+
+SQL_LINEITEM_BENFORD = """
+WITH e AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+           FROM lineitem),
+d AS (SELECT CAST(substr(CAST(p AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM e),
+a AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM a)
+SELECT a.digit, a.n,
+       round(CAST(a.n AS DOUBLE) / t.total, 6) AS share,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected_p
+FROM a, t
+"""
+
+
+BURST_VPACK = 4096
+
+
+def q_seq_token_burstiness(sf_dir: str):
+    """TOKEN BURSTINESS (Church-Gale): variance-to-mean ratio of each
+    token's per-document count over ALL documents (zeros included) —
+    separates bursty topical tokens from uniformly-spread function
+    words; a vocabulary-analysis complement to PMI/drift/Zipf. One
+    map pass packs (row, token) into int64 and uniques per block —
+    per-(doc, token) counts never leave the block; exact (Σc, Σc²,
+    doc-frequency) partials flow through ONE keyed_sum (+ a tagged
+    −1 row carrying the document count). Top-50 selection is on
+    exact integers (count DESC, token ASC); only the reported vmr is
+    float, in SQL's expression order."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if flat.size and int(flat.max()) >= BURST_VPACK:
+            raise ValueError("token id exceeds burstiness pack range")
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pk, c = np.unique(row * BURST_VPACK + flat, return_counts=True)
+        tok = pk % BURST_VPACK
+        c = c.astype(np.int64)
+        order = np.argsort(tok, kind="stable")
+        ts_, cs_ = tok[order], c[order]
+        st = np.flatnonzero(np.concatenate(([True], ts_[1:] != ts_[:-1])))
+        s = np.add.reduceat(cs_, st)
+        ss = np.add.reduceat(cs_ * cs_, st)
+        df = np.diff(np.concatenate([st, [ts_.size]])).astype(np.int64)
+        return pa.table({
+            "tok": pa.array(np.concatenate([ts_[st], [-1]])),
+            "s": pa.array(np.concatenate([s, [len(lens)]])),
+            "ss": pa.array(np.concatenate([ss, [0]])),
+            "df": pa.array(np.concatenate([df, [0]]))})
+
+    rows = keyed_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "tok", ["s", "ss", "df"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    tok = np.array([r["tok"] for r in rows], dtype=np.int64)
+    s = np.array([r["s"] for r in rows], dtype=np.int64)
+    ss = np.array([r["ss"] for r in rows], dtype=np.int64)
+    df = np.array([r["df"] for r in rows], dtype=np.int64)
+    d_total = int(s[tok == -1][0])
+    keep = tok >= 0
+    tok, s, ss, df = tok[keep], s[keep], ss[keep], df[keep]
+    top = np.lexsort((tok, -s))[:50]
+    tok, s, ss, df = tok[top], s[top], ss[top], df[top]
+    m = s.astype(np.float64) / d_total
+    a = ss.astype(np.float64) / d_total
+    vmr = _round_away((a - m * m) / m, 6)
+    return pa.table({"tok": pa.array(tok), "total_c": pa.array(s),
+                     "n_docs": pa.array(df),
+                     "vmr": pa.array(vmr)})
+
+
+def sql_seq_token_burstiness(path: str) -> str:
+    return f"""
+WITH u AS (SELECT doc_id, ts_ns, unnest(tokens) AS v
+           FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT doc_id, ts_ns, v, count(*) AS c FROM u
+      GROUP BY doc_id, ts_ns, v),
+a AS (SELECT v, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS df
+      FROM c GROUP BY v),
+dd AS (SELECT count(*) AS d FROM read_parquet('{path}/part-*.parquet')),
+t AS (SELECT v, s, ss, df FROM a ORDER BY s DESC, v LIMIT 50)
+SELECT t.v AS tok, t.s AS total_c, t.df AS n_docs,
+       round((CAST(t.ss AS DOUBLE) / dd.d
+              - (CAST(t.s AS DOUBLE) / dd.d)
+                * (CAST(t.s AS DOUBLE) / dd.d))
+             / (CAST(t.s AS DOUBLE) / dd.d), 6) AS vmr
+FROM t, dd
 """

@@ -450,3 +450,115 @@ def test_mahalanobis_matches_numpy(tmp_path):
         m2 = np.einsum("ij,jk,ik->i", d, inv, d)
         gm = got.loc[g["event_id"].to_numpy()]["m2"].to_numpy()
         assert np.abs(gm - m2).max() < 1e-4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_invoices_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_orders_dup_invoices
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    # quantized prices force natural collisions too
+    prices = rng.integers(1, 40, size=n) * 25.0
+    tbl = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, 25, size=n)),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array(
+            rng.integers(9000, 9200, size=n).astype("int32")).cast(
+                pa.date32()),
+        "o_orderpriority": pa.array(["x"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = q_orders_dup_invoices(str(tmp_path)).to_pandas() \
+        .sort_values(["a_key", "b_key"]).reset_index(drop=True)
+
+    df = tbl.to_pandas()
+    df["price_c"] = np.rint(df["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    df["days"] = df["o_orderdate"].map(lambda d: d.toordinal())
+    aug = df[["o_orderkey", "o_custkey", "price_c", "days"]].copy()
+    seeded = aug[aug["o_orderkey"] % 37 == 0].copy()
+    seeded["o_orderkey"] += 10_000_000
+    seeded["days"] += 3
+    import pandas as pd
+    aug = pd.concat([aug, seeded]).sort_values(
+        ["o_custkey", "price_c", "days", "o_orderkey"])
+    expect = []
+    for (_, _), g in aug.groupby(["o_custkey", "price_c"]):
+        k = g["o_orderkey"].to_numpy()
+        d = g["days"].to_numpy()
+        for i in range(len(g) - 1):
+            if d[i + 1] - d[i] <= 7:
+                expect.append((int(k[i]), int(k[i + 1])))
+    assert sorted(expect) == list(zip(got["a_key"], got["b_key"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_digits(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_lineitem_benford
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    price = np.round(np.exp(rng.uniform(0, 10, size=n)) + 0.01, 2)
+    tbl = pa.table({"l_extendedprice": pa.array(price)})
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = q_lineitem_benford(str(tmp_path)).to_pandas() \
+        .set_index("digit")
+
+    cents = np.rint(price * 100).astype(np.int64)
+    first = np.array([int(str(c)[0]) for c in cents])
+    for d in range(1, 10):
+        cnt = int((first == d).sum())
+        if cnt == 0:
+            assert d not in got.index
+            continue
+        assert got.loc[d]["n"] == cnt
+        assert abs(got.loc[d]["share"] - cnt / n) < 1e-5
+        assert abs(got.loc[d]["expected_p"]
+                   - np.log10(1 + 1 / d)) < 1e-5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_burstiness_bruteforce(tmp_path, monkeypatch):
+    import pymhealth_ray.pipelines.queries as Q
+
+    rng = np.random.default_rng(59)
+    n_rows = 400
+    # token 7 bursty (many repeats in few docs), token 3 uniform
+    toks = []
+    for i in range(n_rows):
+        t = rng.integers(0, 20, size=rng.integers(1, 25)).tolist()
+        if i % 40 == 0:
+            t += [7] * 15
+        if i % 2 == 0:
+            t.append(3)
+        toks.append(t)
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+        "ts_ns": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], type=pa.int32()),
+        "source": pa.array(["s"] * n_rows),
+    })
+    d = tmp_path / "fix"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet")
+    monkeypatch.setattr(Q, "ensure_fixture", lambda sf: str(d))
+
+    got = Q.q_seq_token_burstiness("ignored").to_pandas() \
+        .set_index("tok")
+
+    from collections import Counter
+    per_doc = [Counter(t) for t in toks]
+    for tok in got.index:
+        c = np.array([pd.get(tok, 0) for pd in per_doc],
+                     dtype=np.float64)
+        assert got.loc[tok]["total_c"] == int(c.sum())
+        assert got.loc[tok]["n_docs"] == int((c > 0).sum())
+        vmr = c.var() / c.mean()
+        assert abs(got.loc[tok]["vmr"] - vmr) < 1e-4
+    # bursty token has higher vmr than the uniform one
+    if 7 in got.index and 3 in got.index:
+        assert got.loc[7]["vmr"] > got.loc[3]["vmr"]
