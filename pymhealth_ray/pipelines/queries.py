@@ -1261,6 +1261,8 @@ def build_queries() -> dict:
         "orders_dup_invoices": q_orders_dup_invoices,
         "lineitem_benford": q_lineitem_benford,
         "seq_token_burstiness": q_seq_token_burstiness,
+        "seq_good_turing": q_seq_good_turing,
+        "part_revenue_gini": q_part_revenue_gini,
     }
 
 
@@ -1581,6 +1583,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_dup_invoices": SQL_ORDERS_DUP_INVOICES,
         "lineitem_benford": SQL_LINEITEM_BENFORD,
         "seq_token_burstiness": sql_seq_token_burstiness(path),
+        "seq_good_turing": sql_seq_good_turing(path),
+        "part_revenue_gini": SQL_PART_REVENUE_GINI,
     }
     _flush_pending_oracles()
     return out
@@ -14867,4 +14871,168 @@ SELECT t.v AS tok, t.s AS total_c, t.df AS n_docs,
                 * (CAST(t.s AS DOUBLE) / dd.d))
              / (CAST(t.s AS DOUBLE) / dd.d), 6) AS vmr
 FROM t, dd
+"""
+
+
+def q_seq_good_turing(sf_dir: str):
+    """GOOD-TURING frequency smoothing over the unigram vocabulary —
+    the LM-calibration classic: counts-of-counts N_r and the smoothed
+    estimate r* = (r+1)·N_{r+1}/N_r per observed frequency r. Two
+    exact keyed_sum levels (token → r, then r → N_r: the second level
+    is bounded by |distinct frequencies|, far smaller than the
+    vocabulary); the driver joins the shifted table. One float
+    division per report row, SQL order; rows whose N_{r+1} is absent
+    report r* = 0 (COALESCE 0 on both sides)."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    counts = keyed_sum(ds.map_batches(tok_partial, batch_format="pyarrow",
+                                      batch_size=None),
+                       "tok", ["c"], num_buckets=NB)
+
+    def r_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(c, return_counts=True)
+        return pa.table({"r": pa.array(vals),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    rows = keyed_sum(counts.map_batches(r_partial, batch_format="pyarrow",
+                                        batch_size=None),
+                     "r", ["n"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    r = np.array([x["r"] for x in rows], dtype=np.int64)
+    n = np.array([x["n"] for x in rows], dtype=np.int64)
+    order = np.argsort(r)
+    r, n = r[order], n[order]
+    nxt = np.searchsorted(r, r + 1)
+    nxt_c = np.minimum(nxt, r.size - 1)
+    n_next = np.where(r[nxt_c] == r + 1, n[nxt_c], 0).astype(np.int64)
+    r_star = _round_away(((r + 1) * n_next).astype(np.float64)
+                         / n.astype(np.float64), 6)
+    return pa.table({"r": pa.array(r), "n_r": pa.array(n),
+                     "r_star": pa.array(r_star)})
+
+
+def sql_seq_good_turing(path: str) -> str:
+    return f"""
+WITH u AS (SELECT unnest(tokens) AS v
+           FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT v, count(*) AS r FROM u GROUP BY v),
+nr AS (SELECT CAST(r AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS n_r
+       FROM c GROUP BY r)
+SELECT a.r, a.n_r,
+       round(CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE) / a.n_r, 6)
+           AS r_star
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+"""
+
+
+def q_part_revenue_gini(sf_dir: str):
+    """REVENUE CONCENTRATION per brand — the Gini coefficient of part
+    revenues inside each brand, the assortment-inequality report. Part
+    revenues are ONE exact keyed_sum over l_partkey (int cents); brand
+    comes from a broadcast dimension lookup (parts are a dimension
+    table — the star-revenue precedent); within-brand ranks come from
+    a deterministic (revenue, partkey) sort inside the brand-bucketed
+    exchange. Gini = (2·Σᵢi·xᵢ − (n+1)·Σx)/(n·Σx) over the sorted
+    revenues: every term is exact int64 (magnitude-guarded), so the
+    ONLY float is the final division — bit-exact vs SQL at any
+    partitioning."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "rev_c")
+        return b.select(["l_partkey", "rev_c"])
+
+    rev = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
+                    "l_partkey", ["rev_c"], num_buckets=NB)
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    brand_ref = _ray.put((pk[order],
+                          np.asarray(part["p_brand"].to_pylist(),
+                                     dtype=object)[order]))
+
+    def tag_brand(b: pa.Table) -> pa.Table:
+        keys, brands = _ray.get(brand_ref)
+        k = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, k)
+        idx_c = np.minimum(idx, keys.size - 1)
+        hit = keys[idx_c] == k
+        out = b.append_column("p_brand", pa.array(
+            brands[idx_c].astype(str), type=pa.string()))
+        return out.filter(pa.array(hit))
+
+    def gini_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], type=pa.string()),
+                          "n_parts": pa.array([], type=pa.int64()),
+                          "revenue_c": pa.array([], type=pa.int64()),
+                          "gini": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "p_brand", "rev_c",
+                                             tiebreak_col="l_partkey")
+        x = column_i64(tbl, "rev_c")
+        n_all = tbl.num_rows
+        i_global = np.arange(n_all, dtype=np.int64)
+        cnt = np.diff(starts)
+        i_local = i_global - np.repeat(starts[:-1], cnt) + 1
+        if x.size and int(x.max()) * n_all * n_all >= 2**62:
+            raise ValueError("gini rank-sum overflows int64")
+        wsum = np.add.reduceat(i_local * x, starts[:-1])
+        tot = np.add.reduceat(x, starts[:-1])
+        num = 2 * wsum - (cnt + 1) * tot
+        den = cnt * tot
+        brand = tbl["p_brand"]
+        if isinstance(brand, pa.ChunkedArray):
+            brand = brand.combine_chunks()
+        return pa.table({
+            "p_brand": brand.take(pa.array(starts[:-1])),
+            "n_parts": pa.array(cnt.astype(np.int64)),
+            "revenue_c": pa.array(tot),
+            "gini": pa.array(_round_away(
+                num.astype(np.float64) / den.astype(np.float64), 6))})
+
+    tagged = rev.map_batches(tag_brand, batch_format="pyarrow")
+    return grouped_by_bucket(tagged, gini_of_bucket,
+                             entity_col="p_brand", num_buckets=NB)
+
+
+SQL_PART_REVENUE_GINI = """
+WITH r AS (SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev_c
+           FROM lineitem GROUP BY l_partkey),
+j AS (SELECT p.p_brand, r.l_partkey, r.rev_c,
+             row_number() OVER (PARTITION BY p.p_brand
+                                ORDER BY r.rev_c, r.l_partkey) AS i,
+             count(*) OVER (PARTITION BY p.p_brand) AS n
+      FROM r JOIN part p ON r.l_partkey = p.p_partkey)
+SELECT p_brand, CAST(max(n) AS BIGINT) AS n_parts,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+       round(CAST(2 * sum(i * rev_c) - (max(n) + 1) * sum(rev_c)
+                  AS DOUBLE)
+             / (max(n) * sum(rev_c)), 6) AS gini
+FROM j GROUP BY p_brand
 """

@@ -562,3 +562,75 @@ def test_token_burstiness_bruteforce(tmp_path, monkeypatch):
     # bursty token has higher vmr than the uniform one
     if 7 in got.index and 3 in got.index:
         assert got.loc[7]["vmr"] > got.loc[3]["vmr"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_good_turing_bruteforce(tmp_path, monkeypatch):
+    import pymhealth_ray.pipelines.queries as Q
+
+    rng = np.random.default_rng(61)
+    n_rows = 300
+    toks = [(rng.zipf(1.7, size=rng.integers(1, 30)) % 500).tolist()
+            for _ in range(n_rows)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+        "ts_ns": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], type=pa.int32()),
+        "source": pa.array(["s"] * n_rows),
+    })
+    d = tmp_path / "fix"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet")
+    monkeypatch.setattr(Q, "ensure_fixture", lambda sf: str(d))
+
+    got = Q.q_seq_good_turing("ignored").to_pandas().set_index("r")
+
+    from collections import Counter
+    tc = Counter()
+    for t in toks:
+        tc.update(t)
+    nr = Counter(tc.values())
+    assert set(got.index) == set(nr)
+    for r in nr:
+        assert got.loc[r]["n_r"] == nr[r]
+        exp = (r + 1) * nr.get(r + 1, 0) / nr[r]
+        assert abs(got.loc[r]["r_star"] - exp) < 1e-5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_part_revenue_gini
+
+    rng = np.random.default_rng(67)
+    n_parts, n_li = 120, 4000
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(n_parts, dtype=np.int64)),
+        "p_brand": pa.array([f"B{i % 5}" for i in range(n_parts)]),
+    })
+    li = pa.table({
+        "l_partkey": pa.array(rng.integers(0, n_parts, size=n_li)),
+        "l_extendedprice": pa.array(
+            np.round(rng.lognormal(4, 1, size=n_li), 2)),
+    })
+    pq.write_table(part, tmp_path / "part.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    got = q_part_revenue_gini(str(tmp_path)).to_pandas() \
+        .set_index("p_brand")
+
+    df = li.to_pandas()
+    df["rev_c"] = np.rint(df["l_extendedprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    rev = df.groupby("l_partkey")["rev_c"].sum().reset_index()
+    rev["brand"] = rev["l_partkey"].map(
+        dict(zip(part["p_partkey"].to_pylist(),
+                 part["p_brand"].to_pylist())))
+    for b, g in rev.groupby("brand"):
+        x = np.sort(g["rev_c"].to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1)
+        gini = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+        row = got.loc[b]
+        assert row["n_parts"] == n
+        assert row["revenue_c"] == x.sum()
+        assert abs(row["gini"] - gini) < 1e-6
