@@ -1263,6 +1263,8 @@ def build_queries() -> dict:
         "seq_token_burstiness": q_seq_token_burstiness,
         "seq_good_turing": q_seq_good_turing,
         "part_revenue_gini": q_part_revenue_gini,
+        "events_bursts_kleinberg": q_events_bursts_kleinberg,
+        "lineitem_supplier_hhi": q_lineitem_supplier_hhi,
     }
 
 
@@ -1585,6 +1587,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_token_burstiness": sql_seq_token_burstiness(path),
         "seq_good_turing": sql_seq_good_turing(path),
         "part_revenue_gini": SQL_PART_REVENUE_GINI,
+        "events_bursts_kleinberg": _table_materialized_oracle(
+            sf_dir_for_fixture, "events", "bursts_v1", _bursts_expected,
+            ("event_id", "ts", "user_id")),
+        "lineitem_supplier_hhi": SQL_LINEITEM_SUPPLIER_HHI,
     }
     _flush_pending_oracles()
     return out
@@ -15035,4 +15041,243 @@ SELECT p_brand, CAST(max(n) AS BIGINT) AS n_parts,
                   AS DOUBLE)
              / (max(n) * sum(rev_c)), 6) AS gini
 FROM j GROUP BY p_brand
+"""
+
+
+KLEIN_S = 2.0
+KLEIN_GAMMA = 1.0
+
+
+def q_events_bursts_kleinberg(sf_dir: str):
+    """KLEINBERG BURST DETECTION per user (2-state automaton, the
+    stream-mining classic): state 1 fires at s× the user's base rate;
+    a Viterbi pass over inter-event gaps labels each gap, paying
+    γ·ln(n) to enter the burst state. The DP is vectorized ACROSS
+    users inside the bucket (step loop over gap index, masked by each
+    user's gap count; backtrack over stored choice bits) — elementwise
+    IEEE ops in the same per-user order as a sequential run, so the
+    materialized single-process oracle matches exactly; ties prefer
+    state 0 on both sides. Output is all-integer: per user the gap
+    count, burst-gap count and burst-run count."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "ts_us"])
+
+    def bursts_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_gaps": pa.array([], type=pa.int64()),
+                          "n_burst_gaps": pa.array([], type=pa.int64()),
+                          "n_burst_runs": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        ts = column_i64(tbl, "ts_us")
+        cnt = np.diff(starts)
+        keep = cnt >= 3  # need >= 2 gaps and a positive span
+        if not keep.any():
+            return empty
+        k_starts = starts[:-1][keep]
+        k_cnt = cnt[keep]
+        n_gaps = k_cnt - 1
+        maxg = int(n_gaps.max())
+        m = k_starts.size
+        g = np.full((m, maxg), np.nan)
+        cols = np.arange(maxg)[None, :]
+        gmask = cols < n_gaps[:, None]
+        src = (k_starts[:, None] + cols)[gmask]
+        g[gmask] = (ts[src + 1] - ts[src]).astype(np.float64)
+        span = (ts[k_starts + k_cnt - 1] - ts[k_starts]).astype(np.float64)
+        pos_span = span > 0
+        if not pos_span.all():
+            sel = np.flatnonzero(keep)[pos_span]
+            # drop zero-span users entirely (cannot define a base rate)
+            keep2 = np.zeros(len(cnt), dtype=bool)
+            keep2[sel] = True
+            keep = keep2
+            k_starts = starts[:-1][keep]
+            k_cnt = cnt[keep]
+            n_gaps = k_cnt - 1
+            maxg = int(n_gaps.max())
+            m = k_starts.size
+            g = np.full((m, maxg), np.nan)
+            cols = np.arange(maxg)[None, :]
+            gmask = cols < n_gaps[:, None]
+            src = (k_starts[:, None] + cols)[gmask]
+            g[gmask] = (ts[src + 1] - ts[src]).astype(np.float64)
+            span = (ts[k_starts + k_cnt - 1]
+                    - ts[k_starts]).astype(np.float64)
+        lam0 = n_gaps.astype(np.float64) / span
+        lam1 = KLEIN_S * lam0
+        trans = KLEIN_GAMMA * np.log(k_cnt.astype(np.float64))
+        ln0 = np.log(lam0)
+        ln1 = np.log(lam1)
+        d0 = np.zeros(m)
+        d1 = np.full(m, np.inf)
+        from0 = np.zeros((m, maxg), dtype=bool)  # d0' took min from d0?
+        from0b = np.zeros((m, maxg), dtype=bool)  # d1' took d0+trans?
+        for t in range(maxg):
+            act = t < n_gaps
+            c0 = -ln0 + lam0 * g[:, t]
+            c1 = -ln1 + lam1 * g[:, t]
+            take0 = d0 <= d1  # tie -> state 0 path
+            nd0 = np.where(take0, d0, d1) + c0
+            enter = d0 + trans
+            take_enter = enter <= d1
+            nd1 = np.where(take_enter, enter, d1) + c1
+            from0[:, t] = take0
+            from0b[:, t] = take_enter
+            d0 = np.where(act, nd0, d0)
+            d1 = np.where(act, nd1, d1)
+        # backtrack per user (vectorized across users)
+        state = (d1 < d0).astype(np.int8)  # final state; tie -> 0
+        labels = np.zeros((m, maxg), dtype=np.int8)
+        cur = state.copy()
+        for t in range(maxg - 1, -1, -1):
+            act = t < n_gaps
+            labels[:, t] = np.where(act, cur, 0)
+            prev0 = np.where(cur == 0, from0[:, t], from0b[:, t])
+            nxt = np.where(prev0, 0, 1).astype(np.int8)
+            cur = np.where(act, nxt, cur).astype(np.int8)
+        lab = labels & gmask
+        n_burst = lab.sum(axis=1).astype(np.int64)
+        rised = (lab == 1) & np.concatenate(
+            [np.ones((m, 1), dtype=bool), lab[:, :-1] == 0], axis=1)
+        n_runs = rised.sum(axis=1).astype(np.int64)
+        uid = column_i64(tbl, "user_id")[k_starts]
+        return pa.table({
+            "user_id": pa.array(uid),
+            "n_gaps": pa.array(n_gaps.astype(np.int64)),
+            "n_burst_gaps": pa.array(n_burst),
+            "n_burst_runs": pa.array(n_runs)})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), bursts_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+def _bursts_expected(df):
+    """Sequential per-user Kleinberg Viterbi — independent reference."""
+    import pandas as pd
+
+    df = df.copy()
+    df["ts_us"] = df["ts"].astype("int64")
+    rows = []
+    for uid, grp in df.sort_values(["user_id", "ts_us", "event_id"]) \
+                      .groupby("user_id"):
+        ts = grp["ts_us"].to_numpy().astype(np.int64)
+        if ts.size < 3 or ts[-1] == ts[0]:
+            continue
+        gaps = np.diff(ts).astype(np.float64)
+        n = gaps.size
+        lam0 = float(n) / float(ts[-1] - ts[0])
+        lam1 = KLEIN_S * lam0
+        trans = KLEIN_GAMMA * float(np.log(float(ts.size)))
+        ln0, ln1 = float(np.log(lam0)), float(np.log(lam1))
+        d0, d1 = 0.0, float("inf")
+        chc = []
+        for gp in gaps:
+            c0 = -ln0 + lam0 * gp
+            c1 = -ln1 + lam1 * gp
+            take0 = d0 <= d1
+            nd0 = (d0 if take0 else d1) + c0
+            enter = d0 + trans
+            take_enter = enter <= d1
+            nd1 = (enter if take_enter else d1) + c1
+            chc.append((take0, take_enter))
+            d0, d1 = nd0, nd1
+        cur = 1 if d1 < d0 else 0
+        labels = []
+        for t in range(n - 1, -1, -1):
+            labels.append(cur)
+            take0, take_enter = chc[t]
+            cur = (0 if take0 else 1) if cur == 0 \
+                else (0 if take_enter else 1)
+        labels = labels[::-1]
+        nb = sum(labels)
+        runs = sum(1 for i, v in enumerate(labels)
+                   if v == 1 and (i == 0 or labels[i - 1] == 0))
+        rows.append({"user_id": int(uid), "n_gaps": int(n),
+                     "n_burst_gaps": int(nb), "n_burst_runs": int(runs)})
+    return pd.DataFrame(rows, columns=["user_id", "n_gaps",
+                                       "n_burst_gaps", "n_burst_runs"])
+
+
+def q_lineitem_supplier_hhi(sf_dir: str):
+    """SUPPLIER CONCENTRATION per part — the Herfindahl-Hirschman index
+    of supplier quantity shares: HHI = Σ(qᵢ/T)² = Σqᵢ²/T². Two exact
+    keyed_sum levels over packed int64 keys ((part, supplier) → q,
+    then part → (Σq², Σq, n_suppliers)); every term is integer until
+    ONE closing division, so the float is bit-exact under any
+    partitioning. The antitrust-style twin of part_revenue_gini
+    (share-of-squares vs rank form)."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    HHI_PACK = 1 << 20
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        qi = np.rint(np.asarray(q, dtype=np.float64)).astype(np.int64)
+        if sk.size and (sk.min() < 0 or int(sk.max()) >= HHI_PACK):
+            raise ValueError("suppkey outside HHI pack range")
+        return pa.table({"ps": pa.array(pk * HHI_PACK + sk),
+                         "q": pa.array(qi)})
+
+    per_supp = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
+                         "ps", ["q"], num_buckets=NB)
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        ps = b["ps"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = b["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if q.size and int(np.abs(q).max()) >= 3_000_000_000:
+            raise ValueError("quantity overflows int64 square")
+        part = ps // HHI_PACK
+        order = np.argsort(part, kind="stable")
+        p_, q_ = part[order], q[order]
+        st = np.flatnonzero(np.concatenate(([True], p_[1:] != p_[:-1])))
+        return pa.table({
+            "l_partkey": pa.array(p_[st]),
+            "qq": pa.array(np.add.reduceat(q_ * q_, st)),
+            "qs": pa.array(np.add.reduceat(q_, st)),
+            "ns": pa.array(np.diff(np.concatenate(
+                [st, [p_.size]])).astype(np.int64))})
+
+    per_part = keyed_sum(per_supp.map_batches(
+        part_partial, batch_format="pyarrow", batch_size=None),
+        "l_partkey", ["qq", "qs", "ns"], num_buckets=NB,
+        precombine_rows=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        qq = b["qq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qs = b["qs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if qs.size and int(qs.max()) >= 3_000_000_000:
+            raise ValueError("total quantity overflows int64 square")
+        return pa.table({
+            "l_partkey": b["l_partkey"], "n_suppliers": b["ns"],
+            "total_qty": pa.array(qs),
+            "hhi": pa.array(_round_away(
+                qq.astype(np.float64) / (qs * qs).astype(np.float64), 6))})
+
+    return per_part.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_SUPPLIER_HHI = """
+WITH s AS (SELECT l_partkey, l_suppkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                      AS q
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(q) AS BIGINT) AS total_qty,
+       round(CAST(sum(q * q) AS DOUBLE)
+             / CAST(sum(q) * sum(q) AS DOUBLE), 6) AS hhi
+FROM s GROUP BY l_partkey
 """

@@ -634,3 +634,75 @@ def test_gini_bruteforce(tmp_path):
         assert row["n_parts"] == n
         assert row["revenue_c"] == x.sum()
         assert abs(row["gini"] - gini) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kleinberg_bursts_vs_sequential(tmp_path):
+    from pymhealth_ray.pipelines.queries import (_bursts_expected,
+                                                 q_events_bursts_kleinberg)
+
+    rng = np.random.default_rng(71)
+    # users with a planted burst: dense cluster in the middle
+    rows = []
+    eid = 0
+    for uid in range(17):
+        base = 1_700_000_000_000_000
+        t = base
+        for i in range(40):
+            t += int(rng.integers(30_000_000, 120_000_000))
+            rows.append((eid, t, uid))
+            eid += 1
+        for i in range(12):  # burst: 10x faster
+            t += int(rng.integers(2_000_000, 8_000_000))
+            rows.append((eid, t, uid))
+            eid += 1
+        for i in range(30):
+            t += int(rng.integers(30_000_000, 120_000_000))
+            rows.append((eid, t, uid))
+            eid += 1
+    arr = np.array(rows, dtype=np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(arr[:, 0]),
+        "ts": pa.array(arr[:, 1]).cast(pa.timestamp("us")),
+        "user_id": pa.array(arr[:, 2]),
+        "event_type": pa.array(["e"] * len(arr)),
+        "value": pa.array(np.ones(len(arr))),
+        "props": pa.array([""] * len(arr)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_bursts_kleinberg(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    exp = _bursts_expected(
+        tbl.select(["event_id", "ts", "user_id"]).to_pandas()) \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got.equals(exp)
+    # every user detects at least one burst run covering the plant
+    assert (got["n_burst_gaps"] >= 8).all()
+    assert (got["n_burst_runs"] >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hhi_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_lineitem_supplier_hhi
+
+    rng = np.random.default_rng(73)
+    n = 3000
+    tbl = pa.table({
+        "l_partkey": pa.array(rng.integers(0, 90, size=n)),
+        "l_suppkey": pa.array(rng.integers(0, 12, size=n)),
+        "l_quantity": pa.array(rng.integers(1, 50, size=n)
+                               .astype(np.float64)),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = q_lineitem_supplier_hhi(str(tmp_path)).to_pandas() \
+        .set_index("l_partkey")
+
+    df = tbl.to_pandas()
+    df["q"] = df["l_quantity"].astype(np.int64)
+    for pk, g in df.groupby("l_partkey"):
+        qs = g.groupby("l_suppkey")["q"].sum().to_numpy()
+        row = got.loc[pk]
+        assert row["n_suppliers"] == len(qs)
+        assert row["total_qty"] == qs.sum()
+        hhi = (qs.astype(float) ** 2).sum() / float(qs.sum()) ** 2
+        assert abs(row["hhi"] - hhi) < 1e-6
