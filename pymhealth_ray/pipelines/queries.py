@@ -1265,6 +1265,8 @@ def build_queries() -> dict:
         "part_revenue_gini": q_part_revenue_gini,
         "events_bursts_kleinberg": q_events_bursts_kleinberg,
         "lineitem_supplier_hhi": q_lineitem_supplier_hhi,
+        "seq_span_corruption": q_seq_span_corruption,
+        "seq_fim_layout": q_seq_fim_layout,
     }
 
 
@@ -1591,6 +1593,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "events", "bursts_v1", _bursts_expected,
             ("event_id", "ts", "user_id")),
         "lineitem_supplier_hhi": SQL_LINEITEM_SUPPLIER_HHI,
+        "seq_span_corruption": sql_seq_span_corruption(path),
+        "seq_fim_layout": sql_seq_fim_layout(path),
     }
     _flush_pending_oracles()
     return out
@@ -15280,4 +15284,243 @@ SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
        round(CAST(sum(q * q) AS DOUBLE)
              / CAST(sum(q) * sum(q) AS DOUBLE), 6) AS hhi
 FROM s GROUP BY l_partkey
+"""
+
+
+T5_MASK_P = 0.15
+
+
+def q_seq_span_corruption(sf_dir: str):
+    """T5-STYLE SPAN CORRUPTION layout — the denoising-pretraining data
+    transform: positions mask deterministically (md5 uniform < 0.15,
+    the sample.py hash-threshold rule, so the predicate re-runs in
+    SQL), maximal masked runs become spans, and the row emits the
+    corrupted INPUT (span collapsed to a negative sentinel −span_idx)
+    and the TARGET (sentinel followed by the span's tokens) as md5s of
+    the integer sequences. Sentinels are negative ints, so both
+    layouts stay int lists and reuse the vectorized Arrow join —
+    map-only over the corpus, zero exchange."""
+    import hashlib as _hl
+
+    from pymhealth_ray.stages.dedup import tokens_join_key
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+
+    thr = _threshold_hex(T5_MASK_P)
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nr = len(lens)
+        n = flat.size
+        row = np.repeat(np.arange(nr, dtype=np.int64), lens)
+        row_start = np.concatenate(([0], np.cumsum(lens[:-1])))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(row_start, lens) + 1
+        dids = b["doc_id"].to_pylist()
+        tss = b["ts_ns"].to_pylist()
+        keys = [f"{dids[r]}:{tss[r]}" for r in range(nr)]
+        hexes = np.array([_hl.md5(f"{keys[r]}:{p}-t5".encode())
+                          .hexdigest()[:8]
+                          for r, p in zip(row, pos)], dtype=object) \
+            if n else np.array([], dtype=object)
+        masked = hexes < thr if n else np.zeros(0, dtype=bool)
+        masked = np.asarray(masked, dtype=bool)
+        prev = np.zeros(n, dtype=bool)
+        prev[1:] = masked[:-1]
+        prev[row_start[lens > 0]] = False  # row boundary resets lag
+        start = masked & ~prev
+        cstart = np.cumsum(start.astype(np.int64))
+        spans_per_row = np.bincount(row[start], minlength=nr) \
+            .astype(np.int64)
+        prefix = np.concatenate(([0], np.cumsum(spans_per_row[:-1]))) \
+            if nr else np.zeros(0, dtype=np.int64)
+        base = np.repeat(prefix, lens)
+        sidx = cstart - base  # 1-based span index within the row
+        # ---- input layout: unmasked tokens + one sentinel per span
+        keep_in = ~masked | start
+        vals_in = np.where(start, -sidx, flat)[keep_in]
+        cnt_in = np.bincount(row[keep_in], minlength=nr).astype(np.int64)
+        off_in = np.concatenate(([0], np.cumsum(cnt_in))).astype(np.int32)
+        in_list = pa.ListArray.from_arrays(
+            pa.array(off_in, type=pa.int32()),
+            pa.array(vals_in.astype(np.int32), type=pa.int32()))
+        # ---- target layout: per masked pos (sentinel at span start) + v
+        mrow = row[masked]
+        mpos = pos[masked]
+        mv = flat[masked]
+        mst = start[masked]
+        msx = sidx[masked]
+        key2 = mpos * 2
+        rows2 = np.concatenate([mrow[mst], mrow])
+        keys2 = np.concatenate([key2[mst] - 1, key2])
+        vals2 = np.concatenate([-msx[mst], mv])
+        order2 = np.lexsort((keys2, rows2))
+        vals2 = vals2[order2]
+        cnt_t = (np.bincount(mrow, minlength=nr)
+                 + np.bincount(mrow[mst], minlength=nr)).astype(np.int64)
+        off_t = np.concatenate(([0], np.cumsum(cnt_t))).astype(np.int32)
+        t_list = pa.ListArray.from_arrays(
+            pa.array(off_t, type=pa.int32()),
+            pa.array(vals2.astype(np.int32), type=pa.int32()))
+        n_masked = np.bincount(row[masked], minlength=nr).astype(np.int64)
+        n_spans = np.bincount(row[start], minlength=nr).astype(np.int64)
+        in_md5 = [_hl.md5(s.encode()).hexdigest()
+                  for s in tokens_join_key(in_list).to_pylist()]
+        t_md5 = [_hl.md5(s.encode()).hexdigest()
+                 for s in tokens_join_key(t_list).to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_masked": pa.array(n_masked),
+            "n_spans": pa.array(n_spans),
+            "input_md5": pa.array(in_md5, type=pa.string()),
+            "target_md5": pa.array(t_md5, type=pa.string())})
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def sql_seq_span_corruption(path: str) -> str:
+    from pymhealth_ray.stages.sample import _threshold_hex
+
+    thr = _threshold_hex(T5_MASK_P)
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens
+           FROM read_parquet('{path}/part-*.parquet')),
+u AS (SELECT doc_id, ts_ns, unnest(tokens) AS v,
+             generate_subscripts(tokens, 1) AS k FROM s),
+m AS (SELECT *, substr(md5(doc_id || ':' || CAST(ts_ns AS VARCHAR)
+                           || ':' || CAST(k AS VARCHAR) || '-t5'),
+                       1, 8) < '{thr}' AS msk FROM u),
+w AS (SELECT *, CASE WHEN msk AND NOT COALESCE(
+                     lag(msk) OVER (PARTITION BY doc_id, ts_ns
+                                    ORDER BY k), FALSE)
+                     THEN 1 ELSE 0 END AS st FROM m),
+x AS (SELECT *, CAST(sum(st) OVER (PARTITION BY doc_id, ts_ns
+                                   ORDER BY k) AS BIGINT) AS sidx
+      FROM w),
+inp AS (SELECT doc_id, ts_ns,
+               string_agg(CASE WHEN msk THEN CAST(-sidx AS VARCHAR)
+                               ELSE CAST(v AS VARCHAR) END,
+                          ',' ORDER BY k) AS js
+        FROM x WHERE NOT msk OR st = 1 GROUP BY doc_id, ts_ns),
+tgt AS (SELECT doc_id, ts_ns,
+               string_agg(CASE WHEN st = 1
+                               THEN CAST(-sidx AS VARCHAR) || ','
+                                    || CAST(v AS VARCHAR)
+                               ELSE CAST(v AS VARCHAR) END,
+                          ',' ORDER BY k) AS js
+        FROM x WHERE msk GROUP BY doc_id, ts_ns),
+agg AS (SELECT doc_id, ts_ns,
+               CAST(count(*) FILTER (WHERE msk) AS BIGINT) AS n_masked,
+               CAST(sum(st) AS BIGINT) AS n_spans
+        FROM x GROUP BY doc_id, ts_ns)
+SELECT s.doc_id, s.ts_ns,
+       CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       md5(COALESCE(i.js, '')) AS input_md5,
+       md5(COALESCE(t.js, '')) AS target_md5
+FROM s LEFT JOIN agg a USING (doc_id, ts_ns)
+LEFT JOIN inp i USING (doc_id, ts_ns)
+LEFT JOIN tgt t USING (doc_id, ts_ns)
+"""
+
+
+def q_seq_fim_layout(sf_dir: str):
+    """FILL-IN-THE-MIDDLE (PSM) layout — the infilling-pretraining
+    transform: two md5-derived cut points split each sequence into
+    prefix/middle/suffix and the row re-emits
+    [−1] prefix [−2] suffix [−3] middle. Cut points are ALL-INTEGER
+    fixed-point products ((u32 · (n+1)) >> 32), so engine and SQL
+    agree bit-for-bit with no float anywhere; the reassembly is one
+    vectorized scatter per batch (map-only, zero exchange); sentinels
+    are negative ints so the layout reuses the Arrow int-join."""
+    import hashlib as _hl
+
+    from pymhealth_ray.stages.dedup import tokens_join_key
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def fim(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nr = len(lens)
+        dids = b["doc_id"].to_pylist()
+        tss = b["ts_ns"].to_pylist()
+        u1 = np.array([int(_hl.md5(f"{dids[r]}:{tss[r]}-fim1".encode())
+                           .hexdigest()[:8], 16) for r in range(nr)],
+                      dtype=np.int64)
+        u2 = np.array([int(_hl.md5(f"{dids[r]}:{tss[r]}-fim2".encode())
+                           .hexdigest()[:8], 16) for r in range(nr)],
+                      dtype=np.int64)
+        c1 = (u1 * (lens + 1)) >> 32
+        c2 = c1 + ((u2 * (lens - c1 + 1)) >> 32)
+        row_start = np.concatenate(([0], np.cumsum(lens[:-1]))) \
+            if nr else np.zeros(0, dtype=np.int64)
+        out_len = lens + 3
+        out_start = np.concatenate(([0], np.cumsum(out_len[:-1]))) \
+            if nr else np.zeros(0, dtype=np.int64)
+        total = int(out_len.sum())
+        out = np.empty(total, dtype=np.int64)
+        out[out_start] = -1
+        out[out_start + c1 + 1] = -2
+        out[out_start + c1 + (lens - c2) + 2] = -3
+        n_all = flat.size
+        row = np.repeat(np.arange(nr, dtype=np.int64), lens)
+        k = np.arange(n_all, dtype=np.int64) - np.repeat(row_start, lens)
+        c1r = c1[row]
+        c2r = c2[row]
+        lr = lens[row]
+        outlocal = np.where(
+            k < c1r, 1 + k,
+            np.where(k >= c2r, c1r + 2 + (k - c2r),
+                     c1r + (lr - c2r) + 3 + (k - c1r)))
+        out[np.repeat(out_start, lens) + outlocal] = flat
+        off = np.concatenate(([0], np.cumsum(out_len))).astype(np.int32)
+        lay = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()),
+            pa.array(out.astype(np.int32), type=pa.int32()))
+        md5 = [_hl.md5(s.encode()).hexdigest()
+               for s in tokens_join_key(lay).to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": pa.array(lens), "c1": pa.array(c1),
+            "c2": pa.array(c2),
+            "fim_md5": pa.array(md5, type=pa.string())})
+
+    return ds.map_batches(fim, batch_format="pyarrow")
+
+
+def sql_seq_fim_layout(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens, len(tokens) AS n
+           FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT doc_id, ts_ns, tokens, n,
+             (('0x' || substr(md5(doc_id || ':'
+                 || CAST(ts_ns AS VARCHAR) || '-fim1'), 1, 8))::BIGINT
+              * (n + 1)) // 4294967296 AS c1
+      FROM s),
+d AS (SELECT doc_id, ts_ns, tokens, n, c1,
+             c1 + (('0x' || substr(md5(doc_id || ':'
+                 || CAST(ts_ns AS VARCHAR) || '-fim2'), 1, 8))::BIGINT
+              * (n - c1 + 1)) // 4294967296 AS c2
+      FROM c),
+lay AS (SELECT doc_id, ts_ns, n, c1, c2,
+               [-1] || list_slice(tokens, 1, c1) || [-2]
+                    || list_slice(tokens, c2 + 1, n) || [-3]
+                    || list_slice(tokens, c1 + 1, c2) AS l
+        FROM d)
+SELECT doc_id, ts_ns, CAST(n AS BIGINT) AS n_tok,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       md5(COALESCE(array_to_string(l, ','), '')) AS fim_md5
+FROM lay
 """

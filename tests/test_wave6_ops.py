@@ -706,3 +706,79 @@ def test_hhi_bruteforce(tmp_path):
         assert row["total_qty"] == qs.sum()
         hhi = (qs.astype(float) ** 2).sum() / float(qs.sum()) ** 2
         assert abs(row["hhi"] - hhi) < 1e-6
+
+
+def _mk_seq_fixture(tmp_path, monkeypatch, toks):
+    import pymhealth_ray.pipelines.queries as Q
+    n_rows = len(toks)
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+        "ts_ns": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], type=pa.int32()),
+        "source": pa.array(["s"] * n_rows),
+    })
+    d = tmp_path / "fix"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet")
+    monkeypatch.setattr(Q, "ensure_fixture", lambda sf: str(d))
+    return Q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_corruption_bruteforce(tmp_path, monkeypatch):
+    rng = np.random.default_rng(79)
+    toks = [rng.integers(0, 50, size=rng.integers(0, 40)).tolist()
+            for _ in range(250)]
+    Q = _mk_seq_fixture(tmp_path, monkeypatch, toks)
+    from pymhealth_ray.stages.sample import _threshold_hex
+    thr = _threshold_hex(Q.T5_MASK_P)
+
+    got = Q.q_seq_span_corruption("ignored").to_pandas() \
+        .sort_values("ts_ns").reset_index(drop=True)
+    for i, t in enumerate(toks):
+        msk = [hashlib.md5(f"d{i}:{i}:{k}-t5".encode())
+               .hexdigest()[:8] < thr for k in range(1, len(t) + 1)]
+        inp, tgt, sidx = [], [], 0
+        for k, (v, m) in enumerate(zip(t, msk)):
+            st = m and (k == 0 or not msk[k - 1])
+            if st:
+                sidx += 1
+                inp.append(-sidx)
+                tgt.append(-sidx)
+            if m:
+                tgt.append(v)
+            else:
+                inp.append(v)
+        row = got.iloc[i]
+        assert row["n_masked"] == sum(msk)
+        assert row["n_spans"] == sidx
+        exp_in = hashlib.md5(",".join(map(str, inp)).encode()).hexdigest()
+        exp_t = hashlib.md5(",".join(map(str, tgt)).encode()).hexdigest()
+        assert row["input_md5"] == exp_in
+        assert row["target_md5"] == exp_t
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fim_layout_bruteforce(tmp_path, monkeypatch):
+    rng = np.random.default_rng(83)
+    toks = [rng.integers(0, 50, size=rng.integers(0, 30)).tolist()
+            for _ in range(250)]
+    Q = _mk_seq_fixture(tmp_path, monkeypatch, toks)
+
+    got = Q.q_seq_fim_layout("ignored").to_pandas() \
+        .sort_values("ts_ns").reset_index(drop=True)
+    for i, t in enumerate(toks):
+        n = len(t)
+        u1 = int(hashlib.md5(f"d{i}:{i}-fim1".encode())
+                 .hexdigest()[:8], 16)
+        u2 = int(hashlib.md5(f"d{i}:{i}-fim2".encode())
+                 .hexdigest()[:8], 16)
+        c1 = (u1 * (n + 1)) >> 32
+        c2 = c1 + ((u2 * (n - c1 + 1)) >> 32)
+        assert 0 <= c1 <= c2 <= n
+        lay = [-1] + t[:c1] + [-2] + t[c2:] + [-3] + t[c1:c2]
+        exp = hashlib.md5(",".join(map(str, lay)).encode()).hexdigest()
+        row = got.iloc[i]
+        assert row["c1"] == c1 and row["c2"] == c2
+        assert row["fim_md5"] == exp
