@@ -1267,6 +1267,8 @@ def build_queries() -> dict:
         "lineitem_supplier_hhi": q_lineitem_supplier_hhi,
         "seq_span_corruption": q_seq_span_corruption,
         "seq_fim_layout": q_seq_fim_layout,
+        "events_changepoint": q_events_changepoint,
+        "events_diff_in_diff": q_events_diff_in_diff,
     }
 
 
@@ -1595,6 +1597,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "lineitem_supplier_hhi": SQL_LINEITEM_SUPPLIER_HHI,
         "seq_span_corruption": sql_seq_span_corruption(path),
         "seq_fim_layout": sql_seq_fim_layout(path),
+        "events_changepoint": _table_materialized_oracle(
+            sf_dir_for_fixture, "events", "changepoint_v1",
+            _changepoint_expected, ("event_id", "ts", "user_id", "value")),
+        "events_diff_in_diff": SQL_EVENTS_DIFF_IN_DIFF,
     }
     _flush_pending_oracles()
     return out
@@ -15523,4 +15529,208 @@ SELECT doc_id, ts_ns, CAST(n AS BIGINT) AS n_tok,
        CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
        md5(COALESCE(array_to_string(l, ','), '')) AS fim_md5
 FROM lay
+"""
+
+
+def q_events_changepoint(sf_dir: str):
+    """SINGLE CHANGE-POINT detection per user (AMOC / binary
+    segmentation, mean-shift CUSUM statistic): for every split k the
+    gain is G_k = (S_k − k·S_n/n)²·n/(k(n−k)) over the user's
+    time-ordered cents values; the reported split maximizes G (first
+    max in k order). The WHOLE G matrix is computed vectorized across
+    users (padded cumsum — no per-user loop, no step loop); the
+    per-user float op order equals a sequential run, so the
+    single-process oracle matches bit-for-bit. Split index, the
+    timestamp at the split and both segment means come out exact-int
+    anchored (means are one mirrored division each)."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        return b.select(["event_id", "user_id", "ts_us", "val_c"])
+
+    def cp_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "k_star": pa.array([], type=pa.int64()),
+                          "split_ts": pa.array([], type=pa.int64()),
+                          "mean_before_c": pa.array([], type=pa.float64()),
+                          "mean_after_c": pa.array([], type=pa.float64()),
+                          "gain": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        v = column_i64(tbl, "val_c")
+        ts = column_i64(tbl, "ts_us")
+        cnt = np.diff(starts)
+        keep = cnt >= 4
+        if not keep.any():
+            return empty
+        k_starts = starts[:-1][keep]
+        k_cnt = cnt[keep]
+        m = k_starts.size
+        maxn = int(k_cnt.max())
+        x = np.zeros((m, maxn), dtype=np.float64)
+        cols = np.arange(maxn)[None, :]
+        mask = cols < k_cnt[:, None]
+        x[mask] = v[(k_starts[:, None] + cols)[mask]].astype(np.float64)
+        S = np.cumsum(x, axis=1)
+        n_f = k_cnt.astype(np.float64)[:, None]
+        Sn = S[np.arange(m), k_cnt - 1][:, None]
+        k_f = (cols + 1).astype(np.float64)
+        c = S - (k_f * Sn) / n_f
+        denom = k_f * (n_f - k_f)
+        valid = (cols + 1 < k_cnt[:, None])
+        g = np.where(valid, c * c * n_f / np.where(denom == 0, 1.0, denom),
+                     -np.inf)
+        k_star = np.argmax(g, axis=1) + 1  # first max, 1-based
+        gain = g[np.arange(m), k_star - 1]
+        sk = S[np.arange(m), k_star - 1]
+        mean_b = sk / k_star.astype(np.float64)
+        mean_a = (Sn[:, 0] - sk) / (k_cnt - k_star).astype(np.float64)
+        split_ts = ts[k_starts + k_star - 1]
+        uid = column_i64(tbl, "user_id")[k_starts]
+        return pa.table({
+            "user_id": pa.array(uid),
+            "n": pa.array(k_cnt.astype(np.int64)),
+            "k_star": pa.array(k_star.astype(np.int64)),
+            "split_ts": pa.array(split_ts),
+            "mean_before_c": pa.array(_round_away(mean_b, 6)),
+            "mean_after_c": pa.array(_round_away(mean_a, 6)),
+            "gain": pa.array(_round_away(gain, 6))})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), cp_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+def _changepoint_expected(df):
+    """Sequential per-user AMOC reference (k loop, python floats)."""
+    import pandas as pd
+
+    df = df.copy()
+    df["ts_us"] = df["ts"].astype("int64")
+    df["val_c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    rows = []
+    for uid, grp in df.sort_values(["user_id", "ts_us", "event_id"]) \
+                      .groupby("user_id"):
+        v = grp["val_c"].to_numpy().astype(np.float64)
+        ts = grp["ts_us"].to_numpy()
+        n = v.size
+        if n < 4:
+            continue
+        Sn = 0.0
+        S = []
+        for val in v:
+            Sn += val
+            S.append(Sn)
+        best_k, best_g = None, -float("inf")
+        nf = float(n)
+        for k in range(1, n):
+            c = S[k - 1] - (float(k) * Sn) / nf
+            g = c * c * nf / (float(k) * (nf - float(k)))
+            if g > best_g:
+                best_g, best_k = g, k
+        mb = S[best_k - 1] / float(best_k)
+        ma = (Sn - S[best_k - 1]) / float(n - best_k)
+        rows.append({
+            "user_id": int(uid), "n": int(n), "k_star": int(best_k),
+            "split_ts": int(ts[best_k - 1]),
+            "mean_before_c": float(_round_away(np.array([mb]), 6)[0]),
+            "mean_after_c": float(_round_away(np.array([ma]), 6)[0]),
+            "gain": float(_round_away(np.array([best_g]), 6)[0])})
+    return pd.DataFrame(rows, columns=["user_id", "n", "k_star",
+                                       "split_ts", "mean_before_c",
+                                       "mean_after_c", "gain"])
+
+
+def q_events_diff_in_diff(sf_dir: str):
+    """DIFFERENCE-IN-DIFFERENCES per event type — the causal-readout
+    completion of the A/B family (welch, cuped): arms = user_id % 2,
+    periods split at the integer midpoint of the observed time range,
+    DiD = (m̄ treat,post − m̄ treat,pre) − (m̄ ctrl,post − m̄ ctrl,pre).
+    One bounded min/max pass pins the midpoint, one exact-int
+    grouped_stats pass fills the four cells per type, and the driver
+    finish mirrors the SQL double expression order."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "value"])
+    ev = ev.materialize()  # consumed by the range probe AND the cells
+
+    rng_rows = grouped_stats(
+        ev.map_batches(lambda b: b.select(["ts_us"]).append_column(
+            "one", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["one"], min_cols=["ts_us"], max_cols=["ts_us"]).take_all()
+    mn = min(r["ts_us_min"] for r in rng_rows)
+    mx = max(r["ts_us_max"] for r in rng_rows)
+    mid = (mn + mx) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "cell": pa.array((uid % 2) * 2
+                                          + (ts >= mid).astype(np.int64)),
+                         "c": b["c"]})
+
+    stats = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type", "cell"], sum_cols=["c"],
+                          count_name="n").take_all()
+    cells = {}
+    for r in stats:
+        cells.setdefault(r["event_type"], {})[int(r["cell"])] = r
+    out = {"event_type": [], "n00": [], "n01": [], "n10": [], "n11": [],
+           "did": []}
+    for et in sorted(cells):
+        cc = cells[et]
+        if any(k not in cc or cc[k]["n"] < 1 for k in range(4)):
+            continue
+        mns = {k: float(cc[k]["c_sum"]) / cc[k]["n"] for k in range(4)}
+        did = (mns[3] - mns[2]) - (mns[1] - mns[0])
+        out["event_type"].append(et)
+        out["n00"].append(cc[0]["n"])
+        out["n01"].append(cc[1]["n"])
+        out["n10"].append(cc[2]["n"])
+        out["n11"].append(cc[3]["n"])
+        out["did"].append(float(_round_away(np.array([did]), 6)[0]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n00": pa.array(out["n00"], type=pa.int64()),
+        "n01": pa.array(out["n01"], type=pa.int64()),
+        "n10": pa.array(out["n10"], type=pa.int64()),
+        "n11": pa.array(out["n11"], type=pa.int64()),
+        "did": pa.array(out["did"], type=pa.float64())})
+
+
+SQL_EVENTS_DIFF_IN_DIFF = """
+WITH r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+e AS (SELECT event_type,
+             (user_id % 2) * 2
+                 + CASE WHEN epoch_us(ts) >= r.mid THEN 1 ELSE 0 END
+                 AS cell,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events, r),
+a AS (SELECT event_type, cell, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM e GROUP BY event_type, cell),
+p AS (SELECT a0.event_type,
+             a0.n AS n00, a1.n AS n01, a2.n AS n10, a3.n AS n11,
+             a0.s AS s00, a1.s AS s01, a2.s AS s10, a3.s AS s11
+      FROM a a0
+      JOIN a a1 ON a0.event_type = a1.event_type AND a1.cell = 1
+      JOIN a a2 ON a0.event_type = a2.event_type AND a2.cell = 2
+      JOIN a a3 ON a0.event_type = a3.event_type AND a3.cell = 3
+      WHERE a0.cell = 0)
+SELECT event_type, n00, n01, n10, n11,
+       round((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+             - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00),
+             6) AS did
+FROM p
 """

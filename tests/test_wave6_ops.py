@@ -782,3 +782,78 @@ def test_fim_layout_bruteforce(tmp_path, monkeypatch):
         row = got.iloc[i]
         assert row["c1"] == c1 and row["c2"] == c2
         assert row["fim_md5"] == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changepoint_planted_shift(tmp_path):
+    from pymhealth_ray.pipelines.queries import (_changepoint_expected,
+                                                 q_events_changepoint)
+
+    rng = np.random.default_rng(89)
+    rows = []
+    eid = 0
+    for uid in range(13):
+        shift_at = int(rng.integers(20, 40))
+        t = 1_700_000_000_000_000
+        for i in range(60):
+            t += int(rng.integers(1_000_000, 5_000_000))
+            base = 20.0 if i < shift_at else 80.0
+            rows.append((eid, t, uid,
+                         round(base + rng.uniform(-5, 5), 2), shift_at))
+            eid += 1
+    arr = rows
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in arr], type=pa.int64()),
+        "ts": pa.array([r[1] for r in arr],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in arr], type=pa.int64()),
+        "event_type": pa.array(["e"] * len(arr)),
+        "value": pa.array([r[3] for r in arr]),
+        "props": pa.array([""] * len(arr)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_changepoint(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    exp = _changepoint_expected(
+        tbl.select(["event_id", "ts", "user_id", "value"]).to_pandas()) \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got.equals(exp)
+    # the detected split lands on the planted shift
+    shifts = {r[2]: r[4] for r in arr}
+    for _, row in got.iterrows():
+        assert abs(row["k_star"] - shifts[row["user_id"]]) <= 1
+        assert row["mean_after_c"] > row["mean_before_c"] + 4000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_diff_in_diff_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_diff_in_diff
+
+    rng = np.random.default_rng(97)
+    n = 3000
+    ts = np.sort(rng.integers(1_700_000_000_000_000,
+                              1_700_100_000_000_000, size=n))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 60, size=n)),
+        "event_type": pa.array(rng.choice(["a", "b"], size=n).tolist()),
+        "value": pa.array(np.round(rng.uniform(1, 99, size=n), 2)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_diff_in_diff(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+
+    df = tbl.to_pandas()
+    df["c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    df["tsu"] = df["ts"].astype("int64")
+    mid = (df["tsu"].min() + df["tsu"].max()) // 2
+    df["cell"] = (df["user_id"] % 2) * 2 + (df["tsu"] >= mid)
+    for et, g in df.groupby("event_type"):
+        m = {k: gg["c"].mean() for k, gg in g.groupby("cell")}
+        did = (m[3] - m[2]) - (m[1] - m[0])
+        row = got.loc[et]
+        assert abs(row["did"] - did) < 1e-4
+        for k in range(4):
+            assert row[f"n{k // 2}{k % 2}"] == (g["cell"] == k).sum()
