@@ -1269,6 +1269,9 @@ def build_queries() -> dict:
         "seq_fim_layout": q_seq_fim_layout,
         "events_changepoint": q_events_changepoint,
         "events_diff_in_diff": q_events_diff_in_diff,
+        "part_price_relatives": q_part_price_relatives,
+        "part_price_index": q_part_price_index,
+        "embed_pq_recall": q_embed_pq_recall,
     }
 
 
@@ -1601,6 +1604,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "events", "changepoint_v1",
             _changepoint_expected, ("event_id", "ts", "user_id", "value")),
         "events_diff_in_diff": SQL_EVENTS_DIFF_IN_DIFF,
+        "part_price_relatives": SQL_PART_PRICE_RELATIVES,
+        "part_price_index": SQL_PART_PRICE_INDEX,
+        "embed_pq_recall": _pq_recall_oracle(sf_dir_for_fixture),
     }
     _flush_pending_oracles()
     return out
@@ -15734,3 +15740,272 @@ SELECT event_type, n00, n01, n10, n11,
              6) AS did
 FROM p
 """
+
+
+def _price_relatives_ds(sf_dir: str):
+    """Shared plan for the price-relative queries: per-part value/qty
+    totals in each shipdate half (integer midpoint split), combined to
+    one row per part through a SECOND keyed_sum (the two halves of a
+    part may land in different buckets of the first), then the exact
+    integer price relative rel_micro = (v1·q0·1e6) // (q1·v0)."""
+    from pymhealth_ray.stages.aggregate import grouped_stats, keyed_sum
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_extendedprice", "l_quantity",
+                             "l_shipdate"])
+    li = li.materialize()  # consumed by the range probe AND the cells
+
+    def days_of(b: pa.Table) -> np.ndarray:
+        dcol = b["l_shipdate"]
+        if isinstance(dcol, pa.ChunkedArray):
+            dcol = dcol.combine_chunks()
+        return dcol.cast(pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    rng_rows = grouped_stats(
+        li.map_batches(lambda b: pa.table(
+            {"d": pa.array(days_of(b)),
+             "one": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["one"], min_cols=["d"], max_cols=["d"]).take_all()
+    mn = min(r["d_min"] for r in rng_rows)
+    mx = max(r["d_max"] for r in rng_rows)
+    mid = (mn + mx) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "v")
+        days = days_of(b)
+        half = (days >= mid).astype(np.int64)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64)).astype(np.int64)
+        return pa.table({"ph": pa.array(pk * 2 + half),
+                         "v": pa.array(v), "q": pa.array(q)})
+
+    halves = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
+                       "ph", ["v", "q"], num_buckets=NB)
+
+    def spread(b: pa.Table) -> pa.Table:
+        ph = b["ph"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = b["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ph % 2
+        return pa.table({
+            "l_partkey": pa.array(ph // 2),
+            "v0": pa.array(np.where(h == 0, v, 0)),
+            "q0": pa.array(np.where(h == 0, q, 0)),
+            "v1": pa.array(np.where(h == 1, v, 0)),
+            "q1": pa.array(np.where(h == 1, q, 0))})
+
+    per_part = keyed_sum(halves.map_batches(
+        spread, batch_format="pyarrow", batch_size=None),
+        "l_partkey", ["v0", "q0", "v1", "q1"], num_buckets=NB,
+        precombine_rows=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        v0 = b["v0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q0 = b["q0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v1 = b["v1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q1 = b["q1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (q0 > 0) & (q1 > 0) & (v0 > 0)
+        if keep.any() and (int(v1[keep].max()) * int(q0[keep].max())
+                           >= 2**62 // 1_000_000):
+            raise ValueError("price relative overflows int64")
+        rel = np.zeros(len(v0), dtype=np.int64)
+        rel[keep] = (v1[keep] * q0[keep] * 1_000_000) \
+            // (q1[keep] * v0[keep])
+        out = pa.table({
+            "l_partkey": b["l_partkey"],
+            "v0": pa.array(v0), "q0": pa.array(q0),
+            "v1": pa.array(v1), "q1": pa.array(q1),
+            "rel_micro": pa.array(rel)})
+        return out.filter(pa.array(keep))
+
+    return per_part.map_batches(finish, batch_format="pyarrow")
+
+
+def q_part_price_relatives(sf_dir: str):
+    """PRICE RELATIVES per part between shipdate halves — the price-
+    index building block: unit-value relative (v1/q1)/(v0/q0) computed
+    FRACTION-FREE as (v1·q0·1e6)//(q1·v0), so the whole report is
+    exact integers at any partitioning (guarded)."""
+    return _price_relatives_ds(sf_dir)
+
+
+SQL_PRICE_RELATIVES_BODY = """
+WITH r AS (SELECT (min(datediff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)))
+                   + max(datediff('day', DATE '1970-01-01',
+                                  CAST(l_shipdate AS DATE)))) // 2
+               AS mid FROM lineitem),
+e AS (SELECT l_partkey,
+             CASE WHEN datediff('day', DATE '1970-01-01',
+                                CAST(l_shipdate AS DATE)) >= r.mid
+                  THEN 1 ELSE 0 END AS half,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem, r),
+a AS (SELECT l_partkey,
+             CAST(COALESCE(sum(CASE WHEN half = 0 THEN v END), 0)
+                  AS BIGINT) AS v0,
+             CAST(COALESCE(sum(CASE WHEN half = 0 THEN q END), 0)
+                  AS BIGINT) AS q0,
+             CAST(COALESCE(sum(CASE WHEN half = 1 THEN v END), 0)
+                  AS BIGINT) AS v1,
+             CAST(COALESCE(sum(CASE WHEN half = 1 THEN q END), 0)
+                  AS BIGINT) AS q1
+      FROM e GROUP BY l_partkey),
+rel AS (SELECT l_partkey, v0, q0, v1, q1,
+               CAST((v1 * q0 * 1000000) // (q1 * v0) AS BIGINT)
+                   AS rel_micro
+        FROM a WHERE q0 > 0 AND q1 > 0 AND v0 > 0)
+"""
+
+SQL_PART_PRICE_RELATIVES = SQL_PRICE_RELATIVES_BODY + """
+SELECT l_partkey, v0, q0, v1, q1, rel_micro FROM rel
+"""
+
+
+def q_part_price_index(sf_dir: str):
+    """OVERALL PRICE INDEX — the base-quantity-weighted LOWER WEIGHTED
+    MEDIAN of the per-part price relatives (a robust Laspeyres-style
+    index that needs no cross-part float sum: the median pick is the
+    fraction-free 2·cumw ≥ totw rule on exact integers, via
+    aggregate.grouped_weighted_median over a constant group)."""
+    from pymhealth_ray.stages.aggregate import grouped_weighted_median
+
+    rel = _price_relatives_ds(sf_dir)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "rel_micro": b["rel_micro"], "q0": b["q0"]})
+
+    med = grouped_weighted_median(
+        rel.map_batches(tag, batch_format="pyarrow"), ["g"],
+        "rel_micro", "q0", num_buckets=NB,
+        out_name="index_micro", total_name="total_q0")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"index_micro": b["index_micro"].cast(pa.int64()),
+                         "total_q0": b["total_q0"].cast(pa.int64())})
+
+    return med.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PART_PRICE_INDEX = SQL_PRICE_RELATIVES_BODY + """
+, w AS (SELECT rel_micro, q0,
+               CAST(sum(q0) OVER (ORDER BY rel_micro
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+               CAST(sum(q0) OVER () AS BIGINT) AS totw
+        FROM rel)
+SELECT CAST(min(rel_micro) AS BIGINT) AS index_micro,
+       CAST(max(totw) AS BIGINT) AS total_q0
+FROM w WHERE 2 * cumw >= totw
+"""
+
+
+def q_embed_pq_recall(sf_dir: str):
+    """PRODUCT-QUANTIZATION recall@10 — the third ANN-compression
+    measurement next to IVF and int8: 4 subspaces × 16 L2 centroids
+    (deterministic seeded k-means on the id-SORTED corpus — ds.limit
+    order is scheduler-dependent, the round-3 IVF lesson), codebooks
+    broadcast once, encode→decode map-only, then the same exact
+    brute-force measurement loop as embed_quantized_recall."""
+    import pyarrow.parquet as pq_mod
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    full = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    ids = np.asarray(full["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    mat = np.array([np.asarray(e, dtype=np.float64)
+                    for e in full["embedding"].to_pylist()])[order]
+    books = ann.train_pq_codebooks(mat[:4096], m=4, k=16, iters=8,
+                                   seed=11)
+    queries = full.filter(pc.less(full["vec_id"], _RECALL_NQ))
+    exact = ann.knn_bruteforce(ds, queries, k=_RECALL_K)
+    pqd = ann.knn_bruteforce(ann.pq_embeddings(ds, books), queries,
+                             k=_RECALL_K)
+
+    def to_sets(tbl):
+        out = {}
+        for q, n in zip(tbl["query_id"].to_pylist(),
+                        tbl["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    a, e = to_sets(pqd), to_sets(exact)
+    qids = sorted(e)
+    hits = np.array([len(a.get(q, set()) & e[q]) for q in qids],
+                    dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "n_hit": pa.array(hits),
+        "recall": pa.array(hits / np.float64(_RECALL_K)),
+    }))
+
+
+def _pq_recall_expected(sf_dir: str):
+    """Single-process replication: shared deterministic codebook
+    training + full-matrix decode, knn_bruteforce's exact tie rule."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    from pymhealth_ray.stages.ann import (_unit, pq_decode,
+                                          train_pq_codebooks)
+
+    tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    emb = np.array([np.asarray(e, dtype=np.float64)
+                    for e in tbl["embedding"].to_pylist()])[order]
+    books = train_pq_codebooks(emb[:4096], m=4, k=16, iters=8, seed=11)
+    q_mask = ids_s < _RECALL_NQ
+    q_ids = ids_s[q_mask]
+    q_mat = emb[q_mask]
+
+    def topk_sets(corpus):
+        m = _unit(corpus)
+        qs = _unit(q_mat)
+        sims = m @ qs.T
+        out = {}
+        for j, qid in enumerate(q_ids):
+            s = sims[:, j]
+            mask = ids_s != qid
+            cand_ids, cand_s = ids_s[mask], s[mask]
+            o = np.lexsort((cand_ids, -cand_s))[:_RECALL_K]
+            out[int(qid)] = set(cand_ids[o].tolist())
+        return out
+
+    e = topk_sets(emb)
+    a = topk_sets(pq_decode(emb, books))
+    qids = sorted(e)
+    hits = np.array([len(a.get(q, set()) & e[q]) for q in qids],
+                    dtype=np.int64)
+    return pd.DataFrame({
+        "query_id": np.array(qids, dtype=np.int64),
+        "n_hit": hits,
+        "recall": hits / np.float64(_RECALL_K),
+    })
+
+
+def _pq_recall_oracle(sf_dir: str) -> str:
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/pq_recall_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        exp = _pq_recall_expected(sf_dir)
+        tmp = out + ".tmp"
+        pq_mod.write_table(pa.Table.from_pandas(exp, preserve_index=False),
+                           tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"

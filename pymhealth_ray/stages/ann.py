@@ -376,3 +376,63 @@ def knn_ivf_partitioned(index_dir: str, queries: pa.Table, k: int = 5, nprobe: i
     return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
                      "neighbor_id": pa.array(out_n, type=pa.int64()),
                      "cosine": pa.array(out_c, type=pa.float64())})
+
+
+def train_pq_codebooks(sample: np.ndarray, m: int = 4, k: int = 16,
+                       iters: int = 8, seed: int = 11) -> np.ndarray:
+    """PRODUCT-QUANTIZATION codebooks: split the dimension into ``m``
+    subspaces and run a seeded deterministic L2 k-means in each —
+    (m, k, d/m). Empty clusters keep their previous centroid; argmin
+    ties resolve to the lowest centroid index (np.argmin), the same
+    rule the decoder and the single-process oracle use."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by {m} subspaces")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = sample[:, s * dsub:(s + 1) * dsub].astype(np.float64)
+        cent = sub[rng.choice(n, k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_decode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode-then-decode through the PQ codebooks (ADC-style lossy
+    reconstruction): per subspace, each subvector snaps to its nearest
+    (L2) centroid. Elementwise per row — engine batches and a
+    single-process full matrix produce identical values."""
+    m, k, dsub = books.shape
+    out = np.empty_like(mat, dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub].astype(np.float64)
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s * dsub:(s + 1) * dsub] = books[s][np.argmin(d2, axis=1)]
+    return out
+
+
+def pq_embeddings(ds, books: np.ndarray, emb_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Map-only PQ encode→decode of the embedding column (the ~16-64x
+    compression path of a 100 TB vector store; codebooks broadcast once
+    through the object store)."""
+    books_ref = ray.put(np.ascontiguousarray(books))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(books_ref)
+        deq = pq_decode(_emb_matrix(batch, emb_col), b)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            emb_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(deq.ravel(), type=pa.float64()), deq.shape[1]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

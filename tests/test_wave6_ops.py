@@ -857,3 +857,75 @@ def test_diff_in_diff_bruteforce(tmp_path):
         assert abs(row["did"] - did) < 1e-4
         for k in range(4):
             assert row[f"n{k // 2}{k % 2}"] == (g["cell"] == k).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_price_relatives_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import (q_part_price_index,
+                                                 q_part_price_relatives)
+
+    rng = np.random.default_rng(101)
+    n = 4000
+    tbl = pa.table({
+        "l_partkey": pa.array(rng.integers(0, 80, size=n)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(10, 900, size=n), 2)),
+        "l_quantity": pa.array(rng.integers(1, 50, size=n)
+                               .astype(np.float64)),
+        "l_shipdate": pa.array(
+            rng.integers(9000, 10000, size=n).astype("int32")).cast(
+                pa.date32()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = q_part_price_relatives(str(tmp_path)).to_pandas() \
+        .set_index("l_partkey").sort_index()
+
+    df = tbl.to_pandas()
+    df["v"] = np.rint(df["l_extendedprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    df["q"] = df["l_quantity"].astype(np.int64)
+    df["d"] = df["l_shipdate"].map(lambda d: d.toordinal())
+    mid = (df["d"].min() + df["d"].max()) // 2
+    df["half"] = (df["d"] >= mid).astype(int)
+    agg = df.groupby(["l_partkey", "half"])[["v", "q"]].sum().unstack(
+        fill_value=0)
+    count_match = 0
+    for pk in agg.index:
+        v0, v1 = agg.loc[pk][("v", 0)], agg.loc[pk][("v", 1)]
+        q0, q1 = agg.loc[pk][("q", 0)], agg.loc[pk][("q", 1)]
+        if q0 > 0 and q1 > 0 and v0 > 0:
+            rel = (int(v1) * int(q0) * 1_000_000) // (int(q1) * int(v0))
+            row = got.loc[pk]
+            assert (row["v0"], row["q0"], row["v1"], row["q1"]) \
+                == (v0, q0, v1, q1)
+            assert row["rel_micro"] == rel
+            count_match += 1
+    assert count_match == len(got)
+
+    # index = q0-weighted lower median of relatives
+    idx = q_part_price_index(str(tmp_path)).to_pandas().iloc[0]
+    rel_sorted = got.sort_values("rel_micro")
+    cw = rel_sorted["q0"].cumsum()
+    tot = rel_sorted["q0"].sum()
+    pick = rel_sorted[2 * cw >= tot].iloc[0]["rel_micro"]
+    assert idx["index_micro"] == pick
+    assert idx["total_q0"] == tot
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_roundtrip_properties():
+    from pymhealth_ray.stages.ann import pq_decode, train_pq_codebooks
+
+    rng = np.random.default_rng(103)
+    mat = rng.normal(size=(600, 32))
+    books = train_pq_codebooks(mat, m=4, k=8, iters=6, seed=3)
+    assert books.shape == (4, 8, 8)
+    dec = pq_decode(mat, books)
+    assert dec.shape == mat.shape
+    # decoding is idempotent: decoded vectors snap to themselves
+    assert np.allclose(pq_decode(dec, books), dec)
+    # reconstruction reduces error vs a random codebook
+    rand_books = rng.normal(size=books.shape)
+    err = ((dec - mat) ** 2).sum()
+    err_rand = ((pq_decode(mat, rand_books) - mat) ** 2).sum()
+    assert err < err_rand
