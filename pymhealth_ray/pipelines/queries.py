@@ -1272,6 +1272,8 @@ def build_queries() -> dict:
         "part_price_relatives": q_part_price_relatives,
         "part_price_index": q_part_price_index,
         "embed_pq_recall": q_embed_pq_recall,
+        "events_order_violations": q_events_order_violations,
+        "docs_compress_ratio": q_docs_compress_ratio,
     }
 
 
@@ -1607,6 +1609,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_price_relatives": SQL_PART_PRICE_RELATIVES,
         "part_price_index": SQL_PART_PRICE_INDEX,
         "embed_pq_recall": _pq_recall_oracle(sf_dir_for_fixture),
+        "events_order_violations": SQL_EVENTS_ORDER_VIOLATIONS,
+        "docs_compress_ratio": _docs_materialized_oracle(
+            sf_dir_for_fixture, "compress_ratio_v1",
+            _compress_ratio_expected),
     }
     _flush_pending_oracles()
     return out
@@ -16009,3 +16015,130 @@ def _pq_recall_oracle(sf_dir: str) -> str:
                            tmp)
         os.replace(tmp, out)
     return f"SELECT * FROM read_parquet('{out}')"
+
+
+def q_events_order_violations(sf_dir: str):
+    """ORDERED STATE-RULE audit — the sequence data-quality check: a
+    'purchase' violates if the user has no 'view' STRICTLY EARLIER in
+    (ts, event_id) order. Users co-locate in one grouped_by_bucket
+    exchange; the rule is a per-segment first-view index compare
+    (vectorized argmax over the sorted segment). Matches the SQL
+    row_number formulation; all-integer output."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": b["user_id"], "ts_us": b["ts_us"],
+            "event_id": b["event_id"],
+            "is_view": pc.equal(et, "view").cast(pa.int8()),
+            "is_purchase": pc.equal(et, "purchase").cast(pa.int8())})
+
+    def viol_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_purchases": pa.array([], type=pa.int64()),
+                          "n_violations": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        isv = tbl["is_view"].to_numpy(zero_copy_only=False).astype(bool)
+        isp = tbl["is_purchase"].to_numpy(
+            zero_copy_only=False).astype(bool)
+        n = tbl.num_rows
+        cnt = np.diff(starts)
+        g = np.arange(n, dtype=np.int64)
+        seg_of = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        # global index of each segment's FIRST view (n if none)
+        first_view = np.full(len(cnt), n, dtype=np.int64)
+        vidx = np.flatnonzero(isv)
+        if vidx.size:
+            vseg = seg_of[vidx]
+            # vidx ascending -> keep the first per segment
+            fseen = np.ones(vidx.size, dtype=bool)
+            fseen[1:] = vseg[1:] != vseg[:-1]
+            first_view[vseg[fseen]] = vidx[fseen]
+        viol = isp & (g < first_view[seg_of])
+        uid = column_i64(tbl, "user_id")[starts[:-1]]
+        return pa.table({
+            "user_id": pa.array(uid),
+            "n_purchases": pa.array(np.bincount(
+                seg_of[isp], minlength=len(cnt)).astype(np.int64)),
+            "n_violations": pa.array(np.bincount(
+                seg_of[viol], minlength=len(cnt)).astype(np.int64))})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), viol_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+SQL_EVENTS_ORDER_VIOLATIONS = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM e),
+fv AS (SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN rn END) AS first_v
+       FROM r GROUP BY user_id)
+SELECT r.user_id,
+       CAST(count(*) FILTER (WHERE r.event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(count(*) FILTER (WHERE r.event_type = 'purchase'
+                             AND (fv.first_v IS NULL
+                                  OR r.rn < fv.first_v)) AS BIGINT)
+           AS n_violations
+FROM r JOIN fv USING (user_id)
+GROUP BY r.user_id
+"""
+
+
+def q_docs_compress_ratio(sf_dir: str):
+    """COMPRESSIBILITY quality signal (the CCNet/Gopher-family
+    heuristic): zlib-6 compressed size over raw size per document —
+    highly repetitive boilerplate compresses far below prose.
+    Stateless map over the corpus (stdlib zlib, deterministic
+    bitstream for a fixed level, so the single-process oracle replays
+    it byte-for-byte); all-integer output (ratio in ‰)."""
+    import zlib as _zlib
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        raw = np.array([len(t.encode()) for t in texts], dtype=np.int64)
+        comp = np.array([len(_zlib.compress(t.encode(), 6))
+                         for t in texts], dtype=np.int64)
+        ratio = np.where(raw > 0, (comp * 1000) // np.maximum(raw, 1), 0)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bytes": pa.array(raw),
+                         "comp_bytes": pa.array(comp),
+                         "ratio_milli": pa.array(ratio)})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _compress_ratio_expected(df):
+    """Single-process zlib replay (same stdlib codec, same level).
+    Receives the documents table as a pandas DataFrame."""
+    import zlib as _zlib
+
+    import pandas as pd
+
+    texts = df["text"].tolist()
+    dids = df["doc_id"].tolist()
+    rows = []
+    for d, t in zip(dids, texts):
+        raw = len(t.encode())
+        comp = len(_zlib.compress(t.encode(), 6))
+        rows.append({"doc_id": d, "n_bytes": raw, "comp_bytes": comp,
+                     "ratio_milli": (comp * 1000) // raw if raw else 0})
+    return pd.DataFrame(rows, columns=["doc_id", "n_bytes",
+                                       "comp_bytes", "ratio_milli"])

@@ -929,3 +929,69 @@ def test_pq_roundtrip_properties():
     err = ((dec - mat) ** 2).sum()
     err_rand = ((pq_decode(mat, rand_books) - mat) ** 2).sum()
     assert err < err_rand
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_violations_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_order_violations
+
+    rng = np.random.default_rng(107)
+    n = 2500
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_050_000_000_000,
+            size=n))).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 45, size=n)),
+        "event_type": pa.array(rng.choice(
+            ["view", "purchase", "click"], size=n,
+            p=[0.3, 0.3, 0.4]).tolist()),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_order_violations(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+
+    df = tbl.to_pandas()
+    df["tsu"] = df["ts"].astype("int64")
+    for uid, g in df.sort_values(["user_id", "tsu", "event_id"]) \
+                    .groupby("user_id"):
+        types = g["event_type"].tolist()
+        first_v = next((i for i, t in enumerate(types) if t == "view"),
+                       len(types))
+        n_p = types.count("purchase")
+        n_v = sum(1 for i, t in enumerate(types)
+                  if t == "purchase" and i < first_v)
+        row = got.loc[uid]
+        assert row["n_purchases"] == n_p
+        assert row["n_violations"] == n_v
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compress_ratio_properties(tmp_path):
+    import zlib
+
+    from pymhealth_ray.pipelines.queries import q_docs_compress_ratio
+
+    texts = ["spam " * 200, "the quick brown fox jumps over it " * 6,
+             "", "abcdefghij" * 3]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = q_docs_compress_ratio(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        raw = len(t.encode())
+        comp = len(zlib.compress(t.encode(), 6))
+        assert got.loc[i]["n_bytes"] == raw
+        assert got.loc[i]["comp_bytes"] == comp
+        assert got.loc[i]["ratio_milli"] == \
+            ((comp * 1000) // raw if raw else 0)
+    # repetitive text compresses harder than prose
+    assert got.loc[0]["ratio_milli"] < got.loc[1]["ratio_milli"]
