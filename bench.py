@@ -120,6 +120,14 @@ BENCH_QUERIES = [
     "lineitem_join_estimate",
     "embed_diversity",
     "events_bloom_point",
+    "events_ohlc",
+    "events_streaming_candles",
+    "events_mahalanobis",
+    "orders_fifo_alloc",
+    "lineitem_benford",
+    "seq_fim_layout",
+    "embed_pq_recall",
+    "events_bursts_kleinberg",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only
