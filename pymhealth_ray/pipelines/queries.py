@@ -1274,6 +1274,8 @@ def build_queries() -> dict:
         "embed_pq_recall": q_embed_pq_recall,
         "events_order_violations": q_events_order_violations,
         "docs_compress_ratio": q_docs_compress_ratio,
+        "part_skyline3": q_part_skyline3,
+        "seq_dup_rate_estimate": q_seq_dup_rate_estimate,
     }
 
 
@@ -1613,6 +1615,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_compress_ratio": _docs_materialized_oracle(
             sf_dir_for_fixture, "compress_ratio_v1",
             _compress_ratio_expected),
+        "part_skyline3": SQL_PART_SKYLINE3,
+        "seq_dup_rate_estimate": sql_seq_dup_rate_estimate(path),
     }
     _flush_pending_oracles()
     return out
@@ -16142,3 +16146,193 @@ def _compress_ratio_expected(df):
                      "ratio_milli": (comp * 1000) // raw if raw else 0})
     return pd.DataFrame(rows, columns=["doc_id", "n_bytes",
                                        "comp_bytes", "ratio_milli"])
+
+
+def q_part_skyline3(sf_dir: str):
+    """3-D PARETO FRONT over parts — minimize catalog price, maximize
+    total quantity sold, maximize revenue: the n-dimensional
+    generalization of part_skyline through stages/skyline.skyline_nd
+    (same zero-exchange local-front-union plan; chunked
+    block-nested-loop kernel, python work O(n/2048) per block).
+    Per-part aggregates are ONE keyed_sum; the catalog price joins via
+    the broadcast dimension lookup (part is a dimension table)."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.skyline import skyline_nd
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "l_extendedprice", "rev")
+        q = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64)).astype(np.int64)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "qty": pa.array(q), "rev": b["rev"]})
+
+    agg = keyed_sum(li.map_batches(prep, batch_format="pyarrow"),
+                    "l_partkey", ["qty", "rev"], num_buckets=NB)
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_retailprice"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = np.rint(np.asarray(part["p_retailprice"].to_pylist(),
+                            dtype=np.float64) * 100).astype(np.int64)
+    order = np.argsort(pk)
+    price_ref = _ray.put((pk[order], pr[order]))
+
+    def tag_price(b: pa.Table) -> pa.Table:
+        keys, prices = _ray.get(price_ref)
+        k = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, k)
+        idx_c = np.minimum(idx, keys.size - 1)
+        hit = keys[idx_c] == k
+        out = pa.table({"l_partkey": pa.array(k),
+                        "price_c": pa.array(prices[idx_c]),
+                        "total_qty": b["qty"], "revenue_c": b["rev"]})
+        return out.filter(pa.array(hit))
+
+    tagged = agg.map_batches(tag_price, batch_format="pyarrow")
+    return skyline_nd(tagged, min_cols=["price_c"],
+                      max_cols=["total_qty", "revenue_c"])
+
+
+SQL_PART_SKYLINE3 = """
+WITH a AS (SELECT l_partkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                      AS qty,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev
+           FROM lineitem GROUP BY l_partkey),
+j AS (SELECT a.l_partkey,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_c,
+             a.qty, a.rev
+      FROM a JOIN part p ON a.l_partkey = p.p_partkey)
+SELECT x.l_partkey, x.price_c, x.qty AS total_qty, x.rev AS revenue_c
+FROM j x
+WHERE NOT EXISTS (
+    SELECT 1 FROM j y
+    WHERE y.price_c <= x.price_c AND y.qty >= x.qty AND y.rev >= x.rev
+      AND (y.price_c < x.price_c OR y.qty > x.qty OR y.rev > x.rev))
+"""
+
+
+DUPRATE_SEED_P = 0.08
+DUPRATE_SAMPLE_P = 0.2
+
+
+def q_seq_dup_rate_estimate(sf_dir: str):
+    """SAMPLING-BASED DUP-RATE ESTIMATION vs exact — the planning
+    report a 100 TB dedup run starts with: can a 20% hash sample
+    predict the corpus duplicate rate? Duplicates are seeded
+    deterministically (md5-rule 8% of docs re-emitted — the fixture
+    has no natural payload dups); both the full corpus and the sample
+    (the SAME sample.py hash-threshold predicate SQL runs) count exact
+    distinct payload md5s through the pair-hash co-located distinct
+    plan (grouped_distinct_count — per-bucket uniques sum globally
+    exact). One row out: counts, both rates and the estimation error
+    (mirrored double expressions)."""
+    import hashlib as _hl
+
+    from pymhealth_ray.stages.dedup import tokens_join_key
+    from pymhealth_ray.stages.sample import _hex8, _threshold_hex
+
+    thr_seed = _threshold_hex(DUPRATE_SEED_P)
+    thr_samp = _threshold_hex(DUPRATE_SAMPLE_P)
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "tokens"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        joined = tokens_join_key(b["tokens"]).to_pylist()
+        pm = [_hl.md5(s.encode()).hexdigest() for s in joined]
+        dids = b["doc_id"].to_pylist()
+        seed = _hex8(b["doc_id"], "dupseed") < thr_seed
+        out_ids = dids + [f"{d}#d" for d, s in zip(dids, seed) if s]
+        out_pm = pm + [p for p, s in zip(pm, seed) if s]
+        return pa.table({"doc_id": pa.array(out_ids, type=pa.string()),
+                         "pm": pa.array(out_pm, type=pa.string())})
+
+    aug_ds = ds.map_batches(aug, batch_format="pyarrow").materialize()
+
+    from pymhealth_ray.stages.partition import _stable_bucket_of
+
+    def counts_of(d):
+        # exact distinct over STRING md5s: block-unique -> md5-hash
+        # bucket exchange -> per-bucket unique count, summed (every
+        # copy of a value lands in one bucket, so the sum is exact)
+        n = d.count()
+
+        def block_unique(b: pa.Table) -> pa.Table:
+            pm = b["pm"]
+            if isinstance(pm, pa.ChunkedArray):
+                pm = pm.combine_chunks()
+            u = pc.unique(pm)
+            t = pa.table({"pm": u})
+            bk = _stable_bucket_of(t["pm"], NB)
+            return t.append_column("__b", pa.array(bk, type=pa.int32()))
+
+        def bucket_count(tbl: pa.Table) -> pa.Table:
+            pm = tbl["pm"]
+            if isinstance(pm, pa.ChunkedArray):
+                pm = pm.combine_chunks()
+            return pa.table({"d": pa.array(
+                [len(pc.unique(pm))], type=pa.int64())})
+
+        rows = d.map_batches(block_unique, batch_format="pyarrow",
+                             batch_size=None).groupby("__b").map_groups(
+            bucket_count, batch_format="pyarrow").take_all()
+        return n, int(sum(r["d"] for r in rows))
+
+    full_n, full_d = counts_of(aug_ds)
+
+    def samp(b: pa.Table) -> pa.Table:
+        keep = _hex8(b["doc_id"], "0") < thr_samp
+        return b.filter(pa.array(keep.astype(bool)))
+
+    samp_n, samp_d = counts_of(
+        aug_ds.map_batches(samp, batch_format="pyarrow"))
+
+    fr = float(full_n - full_d) / full_n
+    sr = float(samp_n - samp_d) / samp_n
+    return pa.table({
+        "full_docs": pa.array([full_n], type=pa.int64()),
+        "full_distinct": pa.array([full_d], type=pa.int64()),
+        "sample_docs": pa.array([samp_n], type=pa.int64()),
+        "sample_distinct": pa.array([samp_d], type=pa.int64()),
+        "full_rate": pa.array([float(_round_away(np.array([fr]), 6)[0])]),
+        "sample_rate": pa.array(
+            [float(_round_away(np.array([sr]), 6)[0])]),
+        "rate_err": pa.array(
+            [float(_round_away(np.array([abs(fr - sr)]), 6)[0])])})
+
+
+def sql_seq_dup_rate_estimate(path: str) -> str:
+    from pymhealth_ray.stages.sample import _threshold_hex
+
+    thr_seed = _threshold_hex(DUPRATE_SEED_P)
+    thr_samp = _threshold_hex(DUPRATE_SAMPLE_P)
+    return f"""
+WITH base AS (SELECT doc_id,
+                     md5(COALESCE(array_to_string(tokens, ','), ''))
+                         AS pm
+              FROM read_parquet('{path}/part-*.parquet')),
+aug AS (SELECT doc_id, pm FROM base
+        UNION ALL
+        SELECT doc_id || '#d', pm FROM base
+        WHERE substr(md5(doc_id || '-dupseed'), 1, 8) < '{thr_seed}'),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT pm) AS BIGINT) AS d FROM aug),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT pm) AS BIGINT) AS d FROM aug
+      WHERE substr(md5(doc_id || '-0'), 1, 8) < '{thr_samp}')
+SELECT f.n AS full_docs, f.d AS full_distinct,
+       s.n AS sample_docs, s.d AS sample_distinct,
+       round(CAST(f.n - f.d AS DOUBLE) / f.n, 6) AS full_rate,
+       round(CAST(s.n - s.d AS DOUBLE) / s.n, 6) AS sample_rate,
+       round(abs(CAST(f.n - f.d AS DOUBLE) / f.n
+                 - CAST(s.n - s.d AS DOUBLE) / s.n), 6) AS rate_err
+FROM f, s
+"""

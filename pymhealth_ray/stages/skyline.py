@@ -57,3 +57,78 @@ def skyline_2d(ds, min_col: str, max_col: str):
     partial = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
     return partial.repartition(1).map_batches(local, batch_format="pyarrow",
                                               batch_size=None)
+
+
+def skyline_mask_nd(mins: np.ndarray, maxs: np.ndarray,
+                    chunk: int = 2048) -> np.ndarray:
+    """Boolean mask of non-dominated rows in ANY dimension count —
+    ``mins``/``maxs`` are (n, d_min)/(n, d_max) int64 matrices. Rule:
+    j dominates i iff j ≤ i on every minimized dim and j ≥ i on every
+    maximized dim, with at least one strict; full ties dominate
+    neither way (all duplicates of a front point survive, matching the
+    SQL NOT EXISTS form).
+
+    Chunked block-nested-loop: rows stream in (first-min asc) order in
+    blocks of ``chunk``; each block tests against the SURVIVOR SET with
+    one broadcast compare (survivors are tiny for non-degenerate data),
+    then resolves intra-block dominance pairwise. Python-level work is
+    O(n/chunk) iterations, not O(n)."""
+    n = len(mins) if len(mins) else len(maxs)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    # canonical form: negate maximized dims -> all-minimize
+    pts = np.concatenate([mins.reshape(n, -1),
+                          -maxs.reshape(n, -1)], axis=1)
+    order = np.lexsort(tuple(pts[:, k] for k in
+                             range(pts.shape[1] - 1, -1, -1)))
+    p = pts[order]
+
+    def dominated_by(cand: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        """cand (c, d) rows dominated by ANY ref (s, d) row."""
+        if not len(ref) or not len(cand):
+            return np.zeros(len(cand), dtype=bool)
+        le = ref[None, :, :] <= cand[:, None, :]  # (c, s, d)
+        lt = ref[None, :, :] < cand[:, None, :]
+        return (le.all(axis=2) & lt.any(axis=2)).any(axis=1)
+
+    keep_sorted = np.zeros(n, dtype=bool)
+    surv = np.zeros((0, p.shape[1]), dtype=np.int64)
+    for lo in range(0, n, chunk):
+        blk = p[lo:lo + chunk]
+        alive = ~dominated_by(blk, surv)
+        idx = np.flatnonzero(alive)
+        # intra-block resolve among the survivors-so-far of this block
+        sub = blk[idx]
+        intra = ~dominated_by(sub, sub)
+        final = idx[intra]
+        keep_sorted[lo + final] = True
+        surv = np.concatenate([surv, blk[final]])
+    mask = np.zeros(n, dtype=bool)
+    mask[order[keep_sorted]] = True
+    return mask
+
+
+def skyline_nd(ds, min_cols, max_cols):
+    """n-dimensional Pareto front, same zero-exchange plan as
+    :func:`skyline_2d` (skyline of a union == skyline of the union of
+    local skylines): local front per block, then one pass over the
+    coalesced survivors."""
+    min_cols = list(min_cols)
+    max_cols = list(max_cols)
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        mn = np.stack([b[c].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) for c in min_cols], axis=1) \
+            if min_cols else np.zeros((b.num_rows, 0), dtype=np.int64)
+        mx = np.stack([b[c].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) for c in max_cols], axis=1) \
+            if max_cols else np.zeros((b.num_rows, 0), dtype=np.int64)
+        return b.filter(pa.array(skyline_mask_nd(mn, mx)))
+
+    partial = ds.map_batches(local, batch_format="pyarrow",
+                             batch_size=None)
+    return partial.repartition(1).map_batches(local,
+                                              batch_format="pyarrow",
+                                              batch_size=None)

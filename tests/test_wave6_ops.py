@@ -995,3 +995,48 @@ def test_compress_ratio_properties(tmp_path):
             ((comp * 1000) // raw if raw else 0)
     # repetitive text compresses harder than prose
     assert got.loc[0]["ratio_milli"] < got.loc[1]["ratio_milli"]
+
+
+def test_skyline_nd_bruteforce():
+    from pymhealth_ray.stages.skyline import skyline_mask_nd
+
+    rng = np.random.default_rng(109)
+    n = 800
+    mins = rng.integers(0, 40, size=(n, 1)).astype(np.int64)
+    maxs = rng.integers(0, 40, size=(n, 2)).astype(np.int64)
+    mask = skyline_mask_nd(mins, maxs, chunk=64)
+
+    def dominated(i):
+        for j in range(n):
+            if j == i:
+                continue
+            le = (mins[j, 0] <= mins[i, 0] and maxs[j, 0] >= maxs[i, 0]
+                  and maxs[j, 1] >= maxs[i, 1])
+            lt = (mins[j, 0] < mins[i, 0] or maxs[j, 0] > maxs[i, 0]
+                  or maxs[j, 1] > maxs[i, 1])
+            if le and lt:
+                return True
+        return False
+
+    expect = np.array([not dominated(i) for i in range(n)])
+    assert (mask == expect).all()
+    # chunk-size invariance
+    assert (mask == skyline_mask_nd(mins, maxs, chunk=7)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_rate_estimate_consistency(tmp_path, monkeypatch):
+    rng = np.random.default_rng(113)
+    toks = [rng.integers(0, 30, size=rng.integers(1, 10)).tolist()
+            for _ in range(500)]
+    Q = _mk_seq_fixture(tmp_path, monkeypatch, toks)
+    got = Q.q_seq_dup_rate_estimate("ignored").to_pandas().iloc[0]
+    # seeded duplication forces a positive dup rate
+    assert got["full_docs"] > got["full_distinct"]
+    assert 0 < got["full_rate"] < 0.5
+    assert got["sample_docs"] < got["full_docs"]
+    # estimator is in the ballpark of truth on 500 docs
+    assert got["rate_err"] == round(
+        abs(got["full_rate"] - got["sample_rate"]), 6) or \
+        abs(got["rate_err"]
+            - abs(got["full_rate"] - got["sample_rate"])) < 2e-6
