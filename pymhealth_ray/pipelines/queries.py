@@ -1276,6 +1276,8 @@ def build_queries() -> dict:
         "docs_compress_ratio": q_docs_compress_ratio,
         "part_skyline3": q_part_skyline3,
         "seq_dup_rate_estimate": q_seq_dup_rate_estimate,
+        "seq_shard_balance": q_seq_shard_balance,
+        "events_anomaly_panel": q_events_anomaly_panel,
     }
 
 
@@ -1617,6 +1619,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _compress_ratio_expected),
         "part_skyline3": SQL_PART_SKYLINE3,
         "seq_dup_rate_estimate": sql_seq_dup_rate_estimate(path),
+        "seq_shard_balance": sql_seq_shard_balance(path),
+        "events_anomaly_panel": SQL_EVENTS_ANOMALY_PANEL,
     }
     _flush_pending_oracles()
     return out
@@ -16335,4 +16339,238 @@ SELECT f.n AS full_docs, f.d AS full_distinct,
        round(abs(CAST(f.n - f.d AS DOUBLE) / f.n
                  - CAST(s.n - s.d AS DOUBLE) / s.n), 6) AS rate_err
 FROM f, s
+"""
+
+
+N_SHARDS = 64
+
+
+def q_seq_shard_balance(sf_dir: str):
+    """TRAINING-SHARD BALANCE report — the pre-flight check of a
+    distributed training run: docs assign to 64 shards by md5 (the
+    same deterministic keyed-hash rule every job re-derives), and the
+    report shows per-shard doc/token counts and the integer token
+    share (‰). Map-only partials + one keyed_sum; assignment is
+    per-DISTINCT-doc md5 (dictionary-encoded), never per token."""
+    import hashlib as _hl
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        enc = did.dictionary_encode()
+        shard_of = np.array(
+            [int(_hl.md5(f"{v}-shard".encode()).hexdigest()[:8], 16)
+             % N_SHARDS for v in enc.dictionary.to_pylist()],
+            dtype=np.int64)
+        shard = shard_of[enc.indices.to_numpy(zero_copy_only=False)]
+        nt = pc.list_value_length(b["tokens"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, inv = np.unique(shard, return_inverse=True)
+        return pa.table({
+            "shard": pa.array(vals),
+            "n_docs": pa.array(np.bincount(
+                inv, minlength=vals.size).astype(np.int64)),
+            "n_tokens": pa.array(np.bincount(
+                inv, weights=nt, minlength=vals.size).astype(np.int64))})
+
+    rows = keyed_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "shard", ["n_docs", "n_tokens"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    sh = np.array([r["shard"] for r in rows], dtype=np.int64)
+    nd = np.array([r["n_docs"] for r in rows], dtype=np.int64)
+    nt = np.array([r["n_tokens"] for r in rows], dtype=np.int64)
+    order = np.argsort(sh)
+    sh, nd, nt = sh[order], nd[order], nt[order]
+    tot = int(nt.sum())
+    return pa.table({"shard": pa.array(sh), "n_docs": pa.array(nd),
+                     "n_tokens": pa.array(nt),
+                     "share_milli": pa.array((nt * 1000) // tot)})
+
+
+def sql_seq_shard_balance(path: str) -> str:
+    return f"""
+WITH s AS (SELECT (('0x' || substr(md5(doc_id || '-shard'), 1, 8))::BIGINT
+                   % {N_SHARDS}) AS shard,
+                  len(tokens) AS nt
+           FROM read_parquet('{path}/part-*.parquet')),
+a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM s GROUP BY shard),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a)
+SELECT a.shard, a.n_docs, a.n_tokens,
+       CAST((a.n_tokens * 1000) // t.tot AS BIGINT) AS share_milli
+FROM a, t
+"""
+
+
+def q_events_anomaly_panel(sf_dir: str):
+    """ANOMALY DETECTOR PANEL per user — the triage report combining
+    three flag families in ONE pass shape: (a) univariate 3σ on cents
+    within the event type (broadcast exact-int stats), (b) the 2-D
+    Mahalanobis flag m² > 9 on (cents, hour) with the same closed-form
+    expression as events_mahalanobis, and (c) the ALL-INTEGER gap rule
+    gap·n_gaps > 3·span (gap > 3× the user's own mean gap,
+    fraction-free). One bounded type-stats pass + one user-bucket
+    exchange; every float compare is the SQL expression verbatim."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    HOUR_US = 3_600_000_000
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts",
+                          "value"])
+    ev = ev.materialize()  # stats pass AND panel pass
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "x")
+        xv = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if xv.size and int(np.abs(xv).max()) >= 3_000_000_000:
+            raise ValueError("cents magnitude overflows int64 square")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = (ts // HOUR_US) % 24
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "ts_us": b["ts_us"],
+                         "x": pa.array(xv), "y": pa.array(yv),
+                         "xx": pa.array(xv * xv), "yy": pa.array(yv * yv),
+                         "xy": pa.array(xv * yv)})
+
+    src = ev.map_batches(prep, batch_format="pyarrow")
+    stats = grouped_stats(src, ["event_type"],
+                          sum_cols=["x", "y", "xx", "yy", "xy"],
+                          count_name="n").take_all()
+    params = {}
+    for r in stats:
+        n = r["n"]
+        if n < 3:
+            continue
+        sx, sy = float(r["x_sum"]), float(r["y_sum"])
+        sxx, syy = float(r["xx_sum"]), float(r["yy_sum"])
+        sxy = float(r["xy_sum"])
+        mx, my = sx / n, sy / n
+        cxx = (sxx - sx * (sx / n)) / (n - 1)
+        cyy = (syy - sy * (sy / n)) / (n - 1)
+        cxy = (sxy - sx * (sy / n)) / (n - 1)
+        params[r["event_type"]] = (mx, my, cxx, cyy, cxy)
+    import ray as _ray
+
+    p_ref = _ray.put(params)
+
+    def panel_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "n_z": pa.array([], type=pa.int64()),
+                          "n_m2": pa.array([], type=pa.int64()),
+                          "n_gap": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        pm = _ray.get(p_ref)
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        et = tbl["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        have = np.array([t in pm for t in dvals], dtype=bool)[idx]
+        arr = np.array([pm.get(t, (0.0, 0.0, 1.0, 1.0, 0.0))
+                        for t in dvals], dtype=np.float64)
+        mx, my, cxx, cyy, cxy = (arr[idx, k] for k in range(5))
+        x = tbl["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = tbl["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        zf = have & (np.abs(x - mx) > 3.0 * np.sqrt(cxx))
+        dx = x - mx
+        dy = y - my
+        det = cxx * cyy - cxy * cxy
+        m2 = (dx * dx * cyy - 2.0 * dx * dy * cxy
+              + dy * dy * cxx) / np.where(det == 0, 1.0, det)
+        m2f = have & (det != 0) & (m2 > 9.0)
+        ts = column_i64(tbl, "ts_us")
+        cnt = np.diff(starts)
+        seg_of = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        n = tbl.num_rows
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        is_first = np.zeros(n, dtype=bool)
+        is_first[starts[:-1]] = True
+        gap[is_first] = 0
+        span = ts[starts[1:] - 1] - ts[starts[:-1]]
+        n_gaps = cnt - 1
+        gapf = (~is_first) & (n_gaps[seg_of] >= 1) \
+            & (gap * n_gaps[seg_of] > 3 * span[seg_of])
+        uid = column_i64(tbl, "user_id")[starts[:-1]]
+        return pa.table({
+            "user_id": pa.array(uid),
+            "n_events": pa.array(cnt.astype(np.int64)),
+            "n_z": pa.array(np.bincount(
+                seg_of[zf], minlength=len(cnt)).astype(np.int64)),
+            "n_m2": pa.array(np.bincount(
+                seg_of[m2f], minlength=len(cnt)).astype(np.int64)),
+            "n_gap": pa.array(np.bincount(
+                seg_of[gapf], minlength=len(cnt)).astype(np.int64))})
+
+    return grouped_by_bucket(src, panel_of_bucket,
+                             entity_col="user_id", num_buckets=NB)
+
+
+SQL_EVENTS_ANOMALY_PANEL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS x,
+                  (epoch_us(ts) // 3600000000) % 24 AS y
+           FROM events),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM e GROUP BY event_type),
+p AS (SELECT event_type,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / n)) / (n - 1) AS cxx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                  * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS cyy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS cxy
+      FROM a WHERE n >= 3),
+f AS (SELECT e.user_id, e.event_id,
+             CASE WHEN abs(e.x - p.mx) > 3.0 * sqrt(p.cxx)
+                  THEN 1 ELSE 0 END AS zf,
+             CASE WHEN p.cxx * p.cyy - p.cxy * p.cxy <> 0 AND
+                  ((e.x - p.mx) * (e.x - p.mx) * p.cyy
+                   - 2.0 * (e.x - p.mx) * (e.y - p.my) * p.cxy
+                   + (e.y - p.my) * (e.y - p.my) * p.cxx)
+                  / (p.cxx * p.cyy - p.cxy * p.cxy) > 9.0
+                  THEN 1 ELSE 0 END AS m2f
+      FROM e JOIN p USING (event_type)),
+g AS (SELECT user_id, event_id, ts_us,
+             ts_us - lag(ts_us) OVER w AS gap,
+             CAST(count(*) OVER (PARTITION BY user_id) - 1 AS BIGINT)
+                 AS n_gaps,
+             CAST(max(ts_us) OVER (PARTITION BY user_id)
+                  - min(ts_us) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS span
+      FROM e WINDOW w AS (PARTITION BY user_id
+                          ORDER BY ts_us, event_id)),
+gf AS (SELECT user_id,
+              CAST(count(*) FILTER (WHERE gap IS NOT NULL
+                   AND n_gaps >= 1 AND gap * n_gaps > 3 * span)
+                   AS BIGINT) AS n_gap,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM g GROUP BY user_id),
+zz AS (SELECT e.user_id,
+              CAST(COALESCE(sum(f.zf), 0) AS BIGINT) AS n_z,
+              CAST(COALESCE(sum(f.m2f), 0) AS BIGINT) AS n_m2
+       FROM e LEFT JOIN f USING (event_id) GROUP BY e.user_id)
+SELECT gf.user_id, gf.n_events, zz.n_z, zz.n_m2, gf.n_gap
+FROM gf JOIN zz ON gf.user_id = zz.user_id
 """

@@ -122,3 +122,49 @@ def test_resume_skips_completed_buckets(tmp_path):
     _build(ds, layout)
     after = {p: os.stat(p).st_mtime_ns for p in before}
     assert before == after
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_candles_over_resumed_layout(tmp_path):
+    """streaming_candles over a killed-then-resumed layout equals the
+    clean-pass build bit-for-bit (10th-family failure injection)."""
+    from pymhealth_ray.stages.streaming import streaming_candles
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts_us": rng.integers(0, 40 * 86_400_000_000, n).astype(np.int64),
+        "val_c": rng.integers(-900, 900, n).astype(np.int64),
+    }).drop_duplicates(["user_id", "ts_us"]).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    def build(layout, fail=None):
+        resumable_write(ds, layout, entity_col="user_id", num_buckets=5,
+                        params={"v": 1}, sort_cols=["user_id", "ts_us"],
+                        fail_buckets=fail)
+
+    clean = str(tmp_path / "C")
+    build(clean)
+    resumed = str(tmp_path / "R")
+    with pytest.raises(Exception):
+        build(resumed, fail={1, 3})
+    build(resumed)
+
+    def run(layout):
+        return streaming_candles(layout, entity_col="user_id",
+                                 ts_col="ts_us", val_col="val_c",
+                                 batch_rows=256).to_pandas() \
+            .sort_values(["user_id", "day"]).reset_index(drop=True)
+
+    a, b = run(clean), run(resumed)
+    assert a.equals(b)
+    # and equals the brute force
+    df2 = df.copy()
+    df2["day"] = df2["ts_us"] // 86_400_000_000
+    df2 = df2.sort_values(["user_id", "ts_us"])
+    exp = df2.groupby(["user_id", "day"])["val_c"].agg(
+        ["size", "first", "max", "min", "last"]).reset_index()
+    assert (a["n"].to_numpy() == exp["size"].to_numpy()).all()
+    assert (a["open"].to_numpy() == exp["first"].to_numpy()).all()
+    assert (a["close"].to_numpy() == exp["last"].to_numpy()).all()

@@ -1040,3 +1040,57 @@ def test_dup_rate_estimate_consistency(tmp_path, monkeypatch):
         abs(got["full_rate"] - got["sample_rate"]), 6) or \
         abs(got["rate_err"]
             - abs(got["full_rate"] - got["sample_rate"])) < 2e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_balance_bruteforce(tmp_path, monkeypatch):
+    rng = np.random.default_rng(127)
+    toks = [rng.integers(0, 30, size=rng.integers(1, 20)).tolist()
+            for _ in range(400)]
+    Q = _mk_seq_fixture(tmp_path, monkeypatch, toks)
+    got = Q.q_seq_shard_balance("ignored").to_pandas() \
+        .set_index("shard")
+
+    from collections import defaultdict
+    nd = defaultdict(int)
+    nt = defaultdict(int)
+    for i, t in enumerate(toks):
+        s = int(hashlib.md5(f"d{i}-shard".encode())
+                .hexdigest()[:8], 16) % Q.N_SHARDS
+        nd[s] += 1
+        nt[s] += len(t)
+    tot = sum(nt.values())
+    assert set(got.index) == set(nd)
+    for s in nd:
+        assert got.loc[s]["n_docs"] == nd[s]
+        assert got.loc[s]["n_tokens"] == nt[s]
+        assert got.loc[s]["share_milli"] == (nt[s] * 1000) // tot
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anomaly_panel_gap_rule(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_anomaly_panel
+
+    # one user with regular 10s gaps and a single 100s outage:
+    # outage gap * n_gaps > 3 * span  ->  exactly one gap flag
+    ts = [1_700_000_000_000_000]
+    for i in range(50):
+        ts.append(ts[-1] + (100_000_000 if i == 25 else 10_000_000))
+    n = len(ts)
+    rng = np.random.default_rng(131)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.round(rng.uniform(10, 20, size=n), 2)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_anomaly_panel(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_events"] == n
+    span = ts[-1] - ts[0]
+    assert 100_000_000 * (n - 1) > 3 * span  # the outage gap flags
+    assert 10_000_000 * (n - 1) <= 3 * span  # regular gaps don't
+    assert got["n_gap"] == 1
