@@ -1278,6 +1278,8 @@ def build_queries() -> dict:
         "seq_dup_rate_estimate": q_seq_dup_rate_estimate,
         "seq_shard_balance": q_seq_shard_balance,
         "events_anomaly_panel": q_events_anomaly_panel,
+        "seq_winnow_fingerprints": q_seq_winnow_fingerprints,
+        "embed_hard_negatives": q_embed_hard_negatives,
     }
 
 
@@ -1621,6 +1623,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_dup_rate_estimate": sql_seq_dup_rate_estimate(path),
         "seq_shard_balance": sql_seq_shard_balance(path),
         "events_anomaly_panel": SQL_EVENTS_ANOMALY_PANEL,
+        "seq_winnow_fingerprints": sql_seq_winnow_fingerprints(path),
+        "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
     }
     _flush_pending_oracles()
     return out
@@ -16573,4 +16577,153 @@ zz AS (SELECT e.user_id,
        FROM e LEFT JOIN f USING (event_id) GROUP BY e.user_id)
 SELECT gf.user_id, gf.n_events, zz.n_z, zz.n_m2, gf.n_gap
 FROM gf JOIN zz ON gf.user_id = zz.user_id
+"""
+
+
+WINNOW_K = 5      # k-gram length
+WINNOW_W = 8      # winnowing window
+WINNOW_BASE = 2048  # > max token id; 2048^4 < 2^63 keeps packs exact
+
+
+def q_seq_winnow_fingerprints(sf_dir: str):
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm — the 11th fingerprinting/dedup modality): each
+    position's token 5-gram packs COLLISION-FREE into int64
+    (Σ tᵢ·2048^i, the repeated-spans trick — no hash, so SQL computes
+    the identical value), and every 8-gram window keeps its MINIMUM;
+    the doc's fingerprint set is the distinct window minima. Map-only
+    (numpy sliding_window_view min per batch, zero exchange); emits
+    per doc the k-gram count, fingerprint count and the md5 of the
+    sorted fingerprint list — byte-equal to the SQL window-min
+    formulation."""
+    import hashlib as _hl
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def winnow(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if flat.size and int(flat.max()) >= WINNOW_BASE:
+            raise ValueError("token id exceeds winnowing pack base")
+        nr = len(lens)
+        n_kgrams = np.maximum(lens - WINNOW_K + 1, 0)
+        n_fp = np.zeros(nr, dtype=np.int64)
+        md5s = []
+        off = np.concatenate(([0], np.cumsum(lens)))
+        for r in range(nr):
+            seq = flat[off[r]:off[r + 1]]
+            if seq.size < WINNOW_K:
+                md5s.append(_hl.md5(b"").hexdigest())
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(seq, WINNOW_K)
+            packs = (sw * (WINNOW_BASE ** np.arange(WINNOW_K,
+                                                    dtype=np.int64))
+                     ).sum(axis=1)
+            if packs.size >= WINNOW_W:
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    packs, WINNOW_W).min(axis=1)
+            else:
+                wins = np.array([packs.min()], dtype=np.int64)
+            fps = np.unique(wins)
+            n_fp[r] = fps.size
+            md5s.append(_hl.md5(
+                ",".join(map(str, fps.tolist())).encode()).hexdigest())
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_kgrams": pa.array(n_kgrams),
+            "n_fingerprints": pa.array(n_fp),
+            "fp_md5": pa.array(md5s, type=pa.string())})
+
+    return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+def sql_seq_winnow_fingerprints(path: str) -> str:
+    pack_expr = " + ".join(
+        f"CAST(tokens[k + {i}] AS BIGINT) * {WINNOW_BASE ** i}"
+        for i in range(WINNOW_K))
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens, len(tokens) AS n
+           FROM read_parquet('{path}/part-*.parquet')),
+g AS (SELECT doc_id, ts_ns, k, {pack_expr} AS pk
+      FROM s, LATERAL unnest(generate_series(1, n - {WINNOW_K - 1}))
+               AS u(k)
+      WHERE n >= {WINNOW_K}),
+w AS (SELECT doc_id, ts_ns, k,
+             min(pk) OVER (PARTITION BY doc_id, ts_ns ORDER BY k
+                           ROWS BETWEEN CURRENT ROW
+                           AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id, ts_ns) AS npk
+      FROM g),
+fp AS (SELECT doc_id, ts_ns,
+              list_sort(array_agg(DISTINCT wmin)) AS fps
+       FROM w WHERE k <= npk - {WINNOW_W - 1}
+          OR (npk < {WINNOW_W} AND k = 1)
+       GROUP BY doc_id, ts_ns),
+fpx AS (SELECT doc_id, ts_ns,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(fps, ',')) AS fp_md5
+        FROM fp)
+SELECT s.doc_id, s.ts_ns,
+       CAST(greatest(s.n - {WINNOW_K - 1}, 0) AS BIGINT) AS n_kgrams,
+       CAST(COALESCE(f.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       COALESCE(f.fp_md5, md5('')) AS fp_md5
+FROM s LEFT JOIN fpx f USING (doc_id, ts_ns)
+"""
+
+
+_HARDNEG_NQ = 30
+_HARDNEG_K = 5
+
+
+def q_embed_hard_negatives(sf_dir: str):
+    """HARD-NEGATIVE MINING for retrieval training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the pairs a contrastive fine-tune needs most. Exact plan:
+    one brute-force pass per query-label group against the
+    label-pruned corpus (labels are bounded; each pass reads only the
+    complement — at 100 TB the complement filter rides the label
+    partitioning), same tie rule as embed_knn."""
+    import pyarrow.parquet as pq_mod
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+    full = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+    queries = full.filter(pc.less(full["vec_id"], _HARDNEG_NQ))
+    out = []
+    labels = sorted(set(queries["label"].to_pylist()))
+    for lab in labels:
+        qs = queries.filter(pc.equal(queries["label"], lab))
+        sub = ds.map_batches(
+            lambda b, _l=lab: b.filter(pc.not_equal(b["label"], _l)),
+            batch_format="pyarrow")
+        topk = ann.knn_bruteforce(sub, qs.select(["vec_id", "embedding"]),
+                                  k=_HARDNEG_K)
+        out.append(topk)
+    res = pa.concat_tables(out)
+    order = pc.sort_indices(res, sort_keys=[("query_id", "ascending"),
+                                            ("cosine", "descending"),
+                                            ("neighbor_id", "ascending")])
+    res = res.take(order)
+    return _round_cols(res, {"cosine": 4})
+
+
+SQL_EMBED_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < {_HARDNEG_NQ}),
+n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, n.e) AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, n.e)
+                                    DESC, n.vec_id) AS rnk
+      FROM q JOIN n ON q.label <> n.label)
+SELECT query_id, neighbor_id, round(sim, 4) AS cosine
+FROM s WHERE rnk <= {_HARDNEG_K}
 """

@@ -1094,3 +1094,69 @@ def test_anomaly_panel_gap_rule(tmp_path):
     assert 100_000_000 * (n - 1) > 3 * span  # the outage gap flags
     assert 10_000_000 * (n - 1) <= 3 * span  # regular gaps don't
     assert got["n_gap"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_fingerprints_bruteforce(tmp_path, monkeypatch):
+    rng = np.random.default_rng(137)
+    toks = [rng.integers(0, 40, size=rng.integers(0, 30)).tolist()
+            for _ in range(300)]
+    Q = _mk_seq_fixture(tmp_path, monkeypatch, toks)
+    got = Q.q_seq_winnow_fingerprints("ignored").to_pandas() \
+        .sort_values("ts_ns").reset_index(drop=True)
+
+    K, W, B = Q.WINNOW_K, Q.WINNOW_W, Q.WINNOW_BASE
+    for i, t in enumerate(toks):
+        row = got.iloc[i]
+        if len(t) < K:
+            assert row["n_kgrams"] == 0
+            assert row["n_fingerprints"] == 0
+            assert row["fp_md5"] == hashlib.md5(b"").hexdigest()
+            continue
+        packs = [sum(t[j + d] * (B ** d) for d in range(K))
+                 for j in range(len(t) - K + 1)]
+        if len(packs) >= W:
+            wins = [min(packs[j:j + W])
+                    for j in range(len(packs) - W + 1)]
+        else:
+            wins = [min(packs)]
+        fps = sorted(set(wins))
+        assert row["n_kgrams"] == len(packs)
+        assert row["n_fingerprints"] == len(fps)
+        exp = hashlib.md5(",".join(map(str, fps)).encode()).hexdigest()
+        assert row["fp_md5"] == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hard_negatives_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import (_HARDNEG_K, _HARDNEG_NQ,
+                                                 q_embed_hard_negatives)
+
+    rng = np.random.default_rng(139)
+    n, d = 150, 8
+    emb = rng.normal(size=(n, d))
+    labs = rng.integers(0, 3, size=n)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([e.astype(np.float32).tolist()
+                               for e in emb],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labs.astype(np.int32)),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = q_embed_hard_negatives(str(tmp_path)).to_pandas()
+
+    m = emb.astype(np.float64)
+    # float32 storage: recompute from the stored values
+    m = np.array([np.asarray(e, dtype=np.float64)
+                  for e in tbl["embedding"].to_pylist()])
+    u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    for q in range(_HARDNEG_NQ):
+        sims = u @ u[q]
+        mask = labs != labs[q]
+        cand = np.flatnonzero(mask)
+        order = np.lexsort((cand, -sims[cand]))[:_HARDNEG_K]
+        exp = cand[order].tolist()
+        rows = got[got["query_id"] == q].sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True])
+        assert rows["neighbor_id"].tolist() == exp
