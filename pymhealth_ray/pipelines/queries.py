@@ -1280,6 +1280,8 @@ def build_queries() -> dict:
         "events_anomaly_panel": q_events_anomaly_panel,
         "seq_winnow_fingerprints": q_seq_winnow_fingerprints,
         "embed_hard_negatives": q_embed_hard_negatives,
+        "seq_source_similarity": q_seq_source_similarity,
+        "events_transition_dwell": q_events_transition_dwell,
     }
 
 
@@ -1625,6 +1627,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_anomaly_panel": SQL_EVENTS_ANOMALY_PANEL,
         "seq_winnow_fingerprints": sql_seq_winnow_fingerprints(path),
         "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
+        "seq_source_similarity": sql_seq_source_similarity(path),
+        "events_transition_dwell": SQL_EVENTS_TRANSITION_DWELL,
     }
     _flush_pending_oracles()
     return out
@@ -16726,4 +16730,185 @@ s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
       FROM q JOIN n ON q.label <> n.label)
 SELECT query_id, neighbor_id, round(sim, 4) AS cosine
 FROM s WHERE rnk <= {_HARDNEG_K}
+"""
+
+
+SRC_SIM_TOPK = 200
+
+
+def q_seq_source_similarity(sf_dir: str):
+    """CROSS-SOURCE VOCABULARY SIMILARITY — the mixture-planning
+    report: Jaccard overlap between each pair of sources' top-200
+    token sets (count DESC, token ASC ties — fully deterministic on
+    exact integers). Per-(source, token) counts are bounded by
+    |sources|·|vocab| (never corpus-sized): one keyed_sum over packed
+    keys, a bounded driver top-k per source, and the pairwise fold.
+    The integer n_common/n_union pair anchors the one float."""
+    from pymhealth_ray.stages.aggregate import grouped_stats, keyed_sum
+
+    ds, _ = _seq_ds(sf_dir, ["source", "tokens"])
+    ds = ds.materialize()  # source-list probe AND the count pass
+
+    src_rows = grouped_stats(
+        ds.map_batches(lambda b: b.select(["source"]),
+                       batch_format="pyarrow"), ["source"]).take_all()
+    sources = sorted(r["source"] for r in src_rows)
+    smap = {s: i for i, s in enumerate(sources)}
+    SPACK = 1 << 20
+
+    import ray as _ray
+
+    smap_ref = _ray.put(smap)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sm = _ray.get(smap_ref)
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if flat.size and int(flat.max()) >= SPACK:
+            raise ValueError("token id exceeds source-sim pack range")
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        si_of = np.array([sm[s] for s in enc.dictionary.to_pylist()],
+                         dtype=np.int64)
+        si = si_of[enc.indices.to_numpy(zero_copy_only=False)]
+        key = np.repeat(si, lens) * SPACK + flat
+        vals, cnts = np.unique(key, return_counts=True)
+        return pa.table({"st": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    rows = keyed_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "st", ["c"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    st = np.array([r["st"] for r in rows], dtype=np.int64)
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    si = st // SPACK
+    tok = st % SPACK
+    tops = {}
+    for i, s in enumerate(sources):
+        m = si == i
+        order = np.lexsort((tok[m], -c[m]))[:SRC_SIM_TOPK]
+        tops[s] = set(tok[m][order].tolist())
+    out = {"source_a": [], "source_b": [], "n_common": [],
+           "n_union": [], "jaccard": []}
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            a, b_ = tops[sources[i]], tops[sources[j]]
+            inter = len(a & b_)
+            union = len(a | b_)
+            out["source_a"].append(sources[i])
+            out["source_b"].append(sources[j])
+            out["n_common"].append(inter)
+            out["n_union"].append(union)
+            out["jaccard"].append(float(_round_away(
+                np.array([inter / union]), 6)[0]))
+    return pa.table({
+        "source_a": pa.array(out["source_a"], type=pa.string()),
+        "source_b": pa.array(out["source_b"], type=pa.string()),
+        "n_common": pa.array(out["n_common"], type=pa.int64()),
+        "n_union": pa.array(out["n_union"], type=pa.int64()),
+        "jaccard": pa.array(out["jaccard"], type=pa.float64())})
+
+
+def sql_seq_source_similarity(path: str) -> str:
+    return f"""
+WITH u AS (SELECT source, unnest(tokens) AS v
+           FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT source, v, count(*) AS c FROM u GROUP BY source, v),
+r AS (SELECT source, v,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, v ASC) AS rn
+      FROM c),
+t AS (SELECT source, v FROM r WHERE rn <= {SRC_SIM_TOPK}),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM t a JOIN t b ON a.v = b.v AND a.source < b.source
+          GROUP BY a.source, b.source),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY source)
+SELECT p.source_a, p.source_b, p.n_common,
+       CAST(sa.n + sb.n - p.n_common AS BIGINT) AS n_union,
+       round(CAST(p.n_common AS DOUBLE)
+             / (sa.n + sb.n - p.n_common), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON p.source_a = sa.source
+JOIN sizes sb ON p.source_b = sb.source
+"""
+
+
+def q_events_transition_dwell(sf_dir: str):
+    """DWELL TIME per event-type transition — the journey-timing
+    report: for every (from → to) pair, how many transitions and the
+    mean gap. Users co-locate in one grouped_by_bucket exchange;
+    transitions are adjacent rows of the sorted segment; partials are
+    exact int (Σgap, n) per string pair through grouped_stats and the
+    one mean division mirrors SQL."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "event_type", "ts_us"])
+
+    def trans_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"t_from": pa.array([], type=pa.string()),
+                          "t_to": pa.array([], type=pa.string()),
+                          "gap": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        n = tbl.num_rows
+        ts = column_i64(tbl, "ts_us")
+        is_last = np.zeros(n, dtype=bool)
+        is_last[starts[1:] - 1] = True
+        a = np.flatnonzero(~is_last)
+        if a.size == 0:
+            return empty
+        et = tbl["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "t_from": et.take(pa.array(a)),
+            "t_to": et.take(pa.array(a + 1)),
+            "gap": pa.array(ts[a + 1] - ts[a])})
+
+    trans = grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), trans_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+    agg = grouped_stats(trans, ["t_from", "t_to"], sum_cols=["gap"],
+                        count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["gap_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "t_from": b["t_from"], "t_to": b["t_to"],
+            "n": pa.array(n),
+            "mean_gap_us": pa.array(_round_away(
+                s / n.astype(np.float64), 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TRANSITION_DWELL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+t AS (SELECT event_type AS t_to,
+             lag(event_type) OVER w AS t_from,
+             ts_us - lag(ts_us) OVER w AS gap
+      FROM e WINDOW w AS (PARTITION BY user_id
+                          ORDER BY ts_us, event_id))
+SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS mean_gap_us
+FROM t WHERE t_from IS NOT NULL GROUP BY t_from, t_to
 """

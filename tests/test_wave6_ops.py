@@ -1160,3 +1160,89 @@ def test_hard_negatives_bruteforce(tmp_path):
         rows = got[got["query_id"] == q].sort_values(
             ["cosine", "neighbor_id"], ascending=[False, True])
         assert rows["neighbor_id"].tolist() == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_similarity_bruteforce(tmp_path, monkeypatch):
+    import pymhealth_ray.pipelines.queries as Q
+
+    rng = np.random.default_rng(149)
+    n_rows = 400
+    srcs = ["alpha", "beta", "gamma"]
+    toks, ss = [], []
+    for i in range(n_rows):
+        s = srcs[i % 3]
+        lo = {"alpha": 0, "beta": 20, "gamma": 40}[s]
+        toks.append(rng.integers(lo, lo + 40,
+                                 size=rng.integers(1, 20)).tolist())
+        ss.append(s)
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n_rows)]),
+        "ts_ns": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], type=pa.int32()),
+        "source": pa.array(ss),
+    })
+    d = tmp_path / "fix"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet")
+    monkeypatch.setattr(Q, "ensure_fixture", lambda sf: str(d))
+
+    got = Q.q_seq_source_similarity("ignored").to_pandas()
+
+    from collections import Counter
+    per_src = {s: Counter() for s in srcs}
+    for t, s in zip(toks, ss):
+        per_src[s].update(t)
+    tops = {}
+    for s in srcs:
+        items = sorted(per_src[s].items(), key=lambda kv: (-kv[1], kv[0]))
+        tops[s] = set(k for k, _ in items[:Q.SRC_SIM_TOPK])
+    for _, r in got.iterrows():
+        a, b = tops[r["source_a"]], tops[r["source_b"]]
+        assert r["n_common"] == len(a & b)
+        assert r["n_union"] == len(a | b)
+    # adjacent alphabets overlap; disjoint ones don't
+    g = got.set_index(["source_a", "source_b"])
+    assert g.loc[("alpha", "gamma")]["n_common"] == 0
+    assert g.loc[("alpha", "beta")]["n_common"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_transition_dwell_bruteforce(tmp_path):
+    from pymhealth_ray.pipelines.queries import q_events_transition_dwell
+
+    rng = np.random.default_rng(151)
+    n = 2000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(rng.integers(
+            1_700_000_000_000_000, 1_700_050_000_000_000,
+            size=n))).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 35, size=n)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"],
+                                          size=n).tolist()),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_transition_dwell(str(tmp_path)).to_pandas() \
+        .set_index(["t_from", "t_to"])
+
+    df = tbl.to_pandas()
+    df["tsu"] = df["ts"].astype("int64")
+    from collections import defaultdict
+    sums = defaultdict(int)
+    cnts = defaultdict(int)
+    for _, g in df.sort_values(["user_id", "tsu", "event_id"]) \
+                  .groupby("user_id"):
+        ts = g["tsu"].to_numpy()
+        et = g["event_type"].tolist()
+        for i in range(len(g) - 1):
+            sums[(et[i], et[i + 1])] += int(ts[i + 1] - ts[i])
+            cnts[(et[i], et[i + 1])] += 1
+    assert set(got.index) == set(cnts)
+    for k in cnts:
+        assert got.loc[k]["n"] == cnts[k]
+        assert abs(got.loc[k]["mean_gap_us"]
+                   - sums[k] / cnts[k]) < 1e-3
