@@ -1282,6 +1282,11 @@ def build_queries() -> dict:
         "embed_hard_negatives": q_embed_hard_negatives,
         "seq_source_similarity": q_seq_source_similarity,
         "events_transition_dwell": q_events_transition_dwell,
+        "events_auc": q_events_auc,
+        "events_kmv_distinct": q_events_kmv_distinct,
+        "events_theil_sen": q_events_theil_sen,
+        "orders_assoc_rules": q_orders_assoc_rules,
+        "events_kaplan_meier": q_events_kaplan_meier,
     }
 
 
@@ -1629,6 +1634,11 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_hard_negatives": SQL_EMBED_HARD_NEGATIVES,
         "seq_source_similarity": sql_seq_source_similarity(path),
         "events_transition_dwell": SQL_EVENTS_TRANSITION_DWELL,
+        "events_auc": SQL_EVENTS_AUC,
+        "events_kmv_distinct": SQL_EVENTS_KMV_DISTINCT,
+        "events_theil_sen": SQL_EVENTS_THEIL_SEN,
+        "orders_assoc_rules": SQL_ORDERS_ASSOC_RULES,
+        "events_kaplan_meier": SQL_EVENTS_KAPLAN_MEIER,
     }
     _flush_pending_oracles()
     return out
@@ -16911,4 +16921,206 @@ t AS (SELECT event_type AS t_to,
 SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS mean_gap_us
 FROM t WHERE t_from IS NOT NULL GROUP BY t_from, t_to
+"""
+
+
+def q_events_auc(sf_dir: str):
+    """Per-day exact ROC-AUC of value as a purchase predictor — the
+    distributed eval-metric primitive (stages/mleval.grouped_auc):
+    Mann-Whitney rank statistic, integer-exact numerator (doubled
+    tie-averaged ranks), one closing IEEE divide mirrored by SQL."""
+    from pymhealth_ray.stages.mleval import grouped_auc
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        lab = pc.cast(pc.equal(b["event_type"], "purchase"), pa.int64())
+        return pa.table({"day": pa.array(ts // 86_400_000_000),
+                         "lab": lab, "score": b["value"]})
+
+    return grouped_auc(ev.map_batches(prep, batch_format="pyarrow"),
+                       "day", "lab", "score", num_buckets=NB)
+
+
+SQL_EVENTS_AUC = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value AS score,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS lab
+           FROM events),
+r AS (SELECT day, lab,
+             2 * RANK() OVER (PARTITION BY day ORDER BY score)
+               + COUNT(*) OVER (PARTITION BY day, score) - 1 AS ar2
+      FROM e),
+g AS (SELECT day,
+             CAST(sum(CASE WHEN lab = 1 THEN ar2 ELSE 0 END) AS BIGINT)
+               AS sp2,
+             CAST(sum(lab) AS BIGINT) AS npos,
+             CAST(sum(1 - lab) AS BIGINT) AS nneg
+      FROM r GROUP BY day)
+SELECT day, npos, nneg,
+       CAST(sp2 - npos * (npos + 1) AS DOUBLE)
+         / CAST(2 * npos * nneg AS DOUBLE) AS auc
+FROM g WHERE npos > 0 AND nneg > 0
+"""
+
+
+def q_events_kmv_distinct(sf_dir: str):
+    """Per-day distinct-user estimate via the KMV bottom-k sketch
+    (stages/sketch.kmv_distinct, k=64) — the third mergeable distinct
+    estimator (vs HLL and the exact exchange); md5-uniform hashes make
+    the whole sketch SQL-reproducible, small groups report exact."""
+    from pymhealth_ray.stages.sketch import kmv_distinct
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(ts // 86_400_000_000),
+                         "user_id": b["user_id"]})
+
+    return kmv_distinct(ev.map_batches(prep, batch_format="pyarrow"),
+                        "day", "user_id", k=64, num_buckets=NB)
+
+
+SQL_EVENTS_KMV_DISTINCT = """
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                     ::UBIGINT AS h
+            FROM events),
+r AS (SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY day) AS nd
+      FROM du),
+g AS (SELECT day, max(nd) AS nd,
+             max(h) FILTER (WHERE rn <= 64) AS hk
+      FROM r GROUP BY day)
+SELECT day, CAST(LEAST(nd, 64) AS BIGINT) AS n_kept,
+       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE)
+                 / (CAST(hk AS DOUBLE) / 18446744073709551616.0)
+       END AS est_distinct
+FROM g
+"""
+
+
+def q_events_theil_sen(sf_dir: str):
+    """Per-user robust value trend — Theil-Sen slope (median of all
+    pairwise slopes, stages/robust.theil_sen_by_entity): pair explosion
+    bounded per entity, one lexsort medians every user at once,
+    DuckDB-parity convex median. Slope in value per second."""
+    from pymhealth_ray.stages.robust import theil_sen_by_entity
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+    return theil_sen_by_entity(ev, "user_id", "ts_us", "value",
+                               num_buckets=NB)
+
+
+SQL_EVENTS_THEIL_SEN = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+p AS (SELECT a.user_id AS u,
+             (b.value - a.value) * 1000000.0
+               / CAST(b.ts_us - a.ts_us AS DOUBLE) AS s
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.ts_us < b.ts_us)
+SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       median(s) AS ts_slope
+FROM p GROUP BY u
+"""
+
+
+def q_orders_assoc_rules(sf_dir: str):
+    """Directional association rules over order baskets
+    (stages/assoc.association_rules): support / confidence / lift per
+    frequent part pair, both directions — one tagged-partial exchange
+    carries pair keys, item counts and exact distinct-basket counts in
+    disjoint int64 key domains through a single keyed_sum."""
+    from pymhealth_ray.stages.assoc import association_rules
+
+    ds = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    return association_rules(ds, "l_orderkey", "l_partkey",
+                             min_support=3, num_buckets=NB)
+
+
+SQL_ORDERS_ASSOC_RULES = """
+WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+           FROM lineitem),
+n AS (SELECT count(DISTINCT g) AS ng FROM d),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY i),
+p AS (SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS c
+      FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i HAVING count(*) >= 3),
+r AS (SELECT x AS antecedent, y AS consequent, c FROM p
+      UNION ALL
+      SELECT y AS antecedent, x AS consequent, c FROM p)
+SELECT r.antecedent, r.consequent, r.c AS support,
+       ia.c AS c_ant, ib.c AS c_cons,
+       CAST(r.c AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+       CAST(n.ng * r.c AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE) AS lift
+FROM r JOIN ic ia ON ia.i = r.antecedent
+       JOIN ic ib ON ib.i = r.consequent
+       CROSS JOIN n
+"""
+
+
+def q_events_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier risk table over per-user observation spans: for
+    each distinct span (days between first and last event) the risk-set
+    size, event count, and survival estimate. Risk sets are exact ints
+    (suffix sums over a duration rollup bounded by the observation
+    window); survival is np.cumprod over ascending durations, which is
+    bit-identical to DuckDB's sequential window product() (verified on
+    fuzzed inputs). Spans exchange is one grouped_stats rollup."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(ts // 86_400_000_000)})
+
+    spans = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], min_cols=["day"], max_cols=["day"])
+
+    def dur(b: pa.Table) -> pa.Table:
+        lo = b["day_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["day_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"dur": pa.array(hi - lo)})
+
+    counts = grouped_stats(spans.map_batches(dur, batch_format="pyarrow"),
+                           ["dur"], count_name="ev")
+    # distinct durations are bounded by the observation window — a
+    # driver-side finish over ≤ window-days rows, never the user count
+    rows = counts.take_all()
+    d = np.array([r["dur"] for r in rows], dtype=np.int64)
+    ev_c = np.array([r["ev"] for r in rows], dtype=np.int64)
+    order = np.argsort(d)
+    d, ev_c = d[order], ev_c[order]
+    n_risk = np.cumsum(ev_c[::-1])[::-1]
+    surv = np.cumprod(1.0 - ev_c.astype(np.float64)
+                      / n_risk.astype(np.float64))
+    return ray.data.from_arrow(pa.table({
+        "dur_days": pa.array(d), "n_risk": pa.array(n_risk),
+        "n_events": pa.array(ev_c), "surv": pa.array(surv)}))
+
+
+SQL_EVENTS_KAPLAN_MEIER = """
+WITH u AS (SELECT user_id,
+                  max(epoch_us(ts) // 86400000000)
+                    - min(epoch_us(ts) // 86400000000) AS dur
+           FROM events GROUP BY user_id),
+d AS (SELECT dur, CAST(count(*) AS BIGINT) AS ev FROM u GROUP BY dur),
+r AS (SELECT dur, ev,
+             CAST(sum(ev) OVER (ORDER BY dur DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM d)
+SELECT dur AS dur_days, n_risk, ev AS n_events,
+       product(1.0 - CAST(ev AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         OVER (ORDER BY dur) AS surv
+FROM r
 """

@@ -318,3 +318,113 @@ def frequent_triples(ds, group_col: str, item_col: str, max_item: int,
                          "support": b["one"].cast(pa.int64())})
 
     return sup.map_batches(unpack, batch_format="pyarrow")
+
+
+def association_rules(ds, group_col: str, item_col: str,
+                      min_support: int = 3, max_rules: int = 100_000,
+                      num_buckets: int = 64,
+                      out_ant: str = "antecedent",
+                      out_cons: str = "consequent"):
+    """Directional association rules over baskets: for every unordered
+    item pair contained in ≥ ``min_support`` groups, TWO rows
+    (antecedent → consequent, both directions) with
+    ``support`` (= c_ab), ``c_ant``, ``c_cons``,
+    ``confidence = c_ab / c_ant`` and
+    ``lift = n_groups·c_ab / (c_ant·c_cons)`` — each one int-exact until
+    a single IEEE divide, so SQL mirrors them bit for bit.
+
+    Plan: ONE bucket exchange on the group key (groups whole per bucket)
+    emitting tagged int64-keyed partials in disjoint key domains —
+    pair keys ``2⁶² + a·2³¹ + b``, item keys ``[0, 2³¹)``, and a −1 key
+    carrying the bucket's exact distinct-group count (exact because
+    groups never split across buckets) — one ``keyed_sum`` rollup, a
+    support filter (items keep the same filter: an item in a frequent
+    pair has count ≥ any pair's support, so nothing needed is lost),
+    and a driver finish bounded by ``max_rules`` (raises above it).
+    Items must be ints in [0, 2³¹)."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    SHIFT = np.int64(1) << np.int64(31)
+    PAIR_BASE = np.int64(1) << np.int64(62)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        g = tbl[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iv = tbl[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(iv) and (iv.min() < 0 or iv.max() >= (1 << 31)):
+            raise ValueError("item codes must be in [0, 2^31)")
+        _, ginv = np.unique(g, return_inverse=True)
+        n_groups = int(ginv.max()) + 1 if len(ginv) else 0
+        # distinct (group, item) packed as ginv·2³² + item (item < 2³¹)
+        du = np.unique(ginv.astype(np.int64) * (SHIFT * 2) + iv)
+        dg, di = du >> np.int64(32), du & np.int64(0xFFFFFFFF)
+        seg_start = np.ones(len(dg), dtype=bool)
+        seg_start[1:] = dg[1:] != dg[:-1]
+        starts = np.flatnonzero(seg_start)
+        m = np.diff(np.append(starts, len(dg)))
+        from pymhealth_ray.stages.triangles import segment_pairs
+        fi, se = segment_pairs(m)
+        pair_keys = PAIR_BASE + di[fi] * SHIFT + di[se]
+        item_vals, item_cnts = np.unique(di, return_counts=True)
+        keys = np.concatenate((pair_keys, item_vals,
+                               np.array([-1], dtype=np.int64)))
+        cs = np.concatenate((np.ones(len(pair_keys), dtype=np.int64),
+                             item_cnts.astype(np.int64),
+                             np.array([n_groups], dtype=np.int64)))
+        uk, inv = np.unique(keys, return_inverse=True)
+        uc = np.bincount(inv, weights=cs.astype(np.float64)).astype(np.int64)
+        return pa.table({"key": pa.array(uk), "c": pa.array(uc)})
+
+    partials = grouped_by_bucket(ds.select_columns([group_col, item_col]),
+                                 per_bucket, entity_col=group_col,
+                                 num_buckets=num_buckets)
+    counts = keyed_sum(partials, "key", ["c"], num_buckets=num_buckets,
+                       precombine_rows=None)
+
+    def keep(b: pa.Table) -> pa.Table:
+        kv = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        m = (kv == -1) | (c >= min_support)
+        return pa.table({"key": pa.array(kv[m]), "c": pa.array(c[m])})
+
+    rows = counts.map_batches(keep, batch_format="pyarrow").take_all()
+    if len(rows) > max_rules:
+        raise ValueError(
+            f"association_rules: {len(rows)} surviving partial rows "
+            f"exceed max_rules={max_rules}; raise min_support")
+    n_groups = 0
+    item_c: dict = {}
+    pairs = []
+    for r in rows:
+        k, c = int(r["key"]), int(r["c"])
+        if k == -1:
+            n_groups += c
+        elif k >= int(PAIR_BASE):
+            rem = k - int(PAIR_BASE)
+            pairs.append((rem >> 31, rem & ((1 << 31) - 1), c))
+        else:
+            item_c[k] = c
+    ant, cons, sup = [], [], []
+    for a, b, c in sorted(pairs):
+        ant += [a, b]
+        cons += [b, a]
+        sup += [c, c]
+    ant_a = np.array(ant, dtype=np.int64)
+    cons_a = np.array(cons, dtype=np.int64)
+    sup_a = np.array(sup, dtype=np.int64)
+    ca = np.array([item_c[a] for a in ant], dtype=np.int64)
+    cb = np.array([item_c[b] for b in cons], dtype=np.int64)
+    conf = sup_a.astype(np.float64) / ca.astype(np.float64)
+    lift = (n_groups * sup_a).astype(np.float64) \
+        / (ca * cb).astype(np.float64)
+    return ray.data.from_arrow(pa.table({
+        out_ant: pa.array(ant_a), out_cons: pa.array(cons_a),
+        "support": pa.array(sup_a), "c_ant": pa.array(ca),
+        "c_cons": pa.array(cb), "confidence": pa.array(conf),
+        "lift": pa.array(lift)}))

@@ -1,0 +1,89 @@
+"""Distributed model-evaluation statistics: exact grouped ROC-AUC.
+
+AUC is the Mann-Whitney U statistic normalized by npos·nneg — a pure
+RANK computation, so it is exact in integers until one closing IEEE
+division. Per group:
+
+    AUC = (Σ_{positives} avg_rank − npos·(npos+1)/2) / (npos·nneg)
+
+with ``avg_rank`` the tie-averaged rank of the row's score within the
+group. Tie-averaged ranks are half-integers, so everything is carried
+DOUBLED (``ar2 = 2·rank_min + ties − 1`` — an int64) and the closing
+formula divides by ``2·npos·nneg``; both sides of the driver gate
+compute the identical integer numerator and one identical divide.
+
+Plan: one bucket exchange co-locating whole groups (the repo-wide
+partitioning invariant), then a single ``np.lexsort`` per bucket ranks
+EVERY group's scores at once — no per-group Python. The exchange
+carries only (group, score, label); output is one row per group. Groups
+without both classes are dropped (AUC undefined), mirroring SQL's
+``HAVING npos > 0 AND nneg > 0``.
+
+Reference lineage: generalizes the reference's per-subject summary
+statistics (`/root/reference/src/mhealth/generic/stats.py`) to ranked
+evaluation metrics; SURVEY §2.10 analytics surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pymhealth_ray.stages.partition import grouped_by_bucket
+
+
+def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
+                num_buckets: int = 32, out_name: str = "auc"):
+    """One row per group: (group, npos, nneg, auc). ``label_col`` must be
+    0/1 int; ``score_col`` numeric. Ties get average rank (the standard
+    Mann-Whitney convention)."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            group_col: pa.array([], type=pa.int64()),
+            "npos": pa.array([], type=pa.int64()),
+            "nneg": pa.array([], type=pa.int64()),
+            out_name: pa.array([], type=pa.float64()),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        g = tbl[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = tbl[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = tbl[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((sc, g))
+        g, lab, sc = g[order], lab[order], sc[order]
+        n = len(g)
+        # group segment starts and 1-based rank within group
+        gs = np.ones(n, dtype=bool)
+        gs[1:] = g[1:] != g[:-1]
+        gstart = np.flatnonzero(gs)
+        glen = np.diff(np.append(gstart, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(gstart, glen) + 1
+        # tie segments: same group AND same score
+        ts = gs.copy()
+        ts[1:] |= sc[1:] != sc[:-1]
+        tstart = np.flatnonzero(ts)
+        tlen = np.diff(np.append(tstart, n))
+        rank_min = np.repeat(rank[tstart], tlen)
+        ties = np.repeat(tlen, tlen)
+        ar2 = 2 * rank_min + ties - 1  # doubled tie-averaged rank, int64
+        gid = np.repeat(np.arange(len(gstart), dtype=np.int64), glen)
+        npos = np.bincount(gid, weights=lab).astype(np.int64)
+        nneg = glen.astype(np.int64) - npos
+        sp2 = np.bincount(gid, weights=ar2 * lab).astype(np.int64)
+        keep = (npos > 0) & (nneg > 0)
+        if not keep.any():
+            return empty
+        npos, nneg, sp2 = npos[keep], nneg[keep], sp2[keep]
+        num2 = sp2 - npos * (npos + 1)
+        auc = num2.astype(np.float64) / (2 * npos * nneg).astype(np.float64)
+        return pa.table({
+            group_col: pa.array(g[gstart][keep]),
+            "npos": pa.array(npos),
+            "nneg": pa.array(nneg),
+            out_name: pa.array(auc),
+        })
+
+    slim = ds.select_columns([group_col, label_col, score_col])
+    return grouped_by_bucket(slim, per_bucket, entity_col=group_col,
+                             num_buckets=num_buckets)

@@ -328,3 +328,95 @@ def misra_gries_topk(paths: list, tokens_col: str, k: int = 64,
         "max_undercount": pa.array(np.full(len(order), err,
                                            dtype=np.int64)),
     })
+
+
+def _md5_u64(col) -> np.ndarray:
+    """uint64 of the first 16 md5 hex chars of each value's string form,
+    hashed once per DISTINCT value per batch (dictionary-encode first).
+    Lowercase-hex prefix order == numeric order, so the exact same hash
+    is ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT`` in
+    SQL — the KMV sketch below is engine-reproducible bit for bit."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    h = np.array(
+        [int(hashlib.md5(f"{v}".encode()).hexdigest()[:16], 16)
+         for v in uniq], dtype=np.uint64)
+    return h[idx]
+
+
+def _kmv_bottom_k(g: np.ndarray, h: np.ndarray, k: int):
+    """Distinct (group, hash) rows, keeping only each group's k smallest
+    hashes. Returns (g, h) arrays sorted by (group, hash)."""
+    order = np.lexsort((h, g))
+    g, h = g[order], h[order]
+    newg = np.ones(len(g), dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    dup = np.zeros(len(g), dtype=bool)
+    dup[1:] = (~newg[1:]) & (h[1:] == h[:-1])
+    g, h = g[~dup], h[~dup]
+    newg = np.ones(len(g), dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(newg)
+    lens = np.diff(np.append(starts, len(g)))
+    rank = np.arange(len(g), dtype=np.int64) - np.repeat(starts, lens)
+    keep = rank < k
+    return g[keep], h[keep]
+
+
+def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64,
+                 num_buckets: int = 32, out_name: str = "est_distinct"):
+    """Per-group KMV (k-minimum-values / bottom-k) distinct sketch — the
+    third mergeable distinct estimator next to HLL and exact
+    grouped_distinct_count, and the one whose merge is a plain set-union
+    bottom-k, so incremental ingest can persist it as k hashes per group.
+
+    est = (k−1) / u_k with u_k the k-th smallest md5-uniform hash
+    normalized to (0,1); groups with fewer than k distinct values report
+    their EXACT count (the merged bottom-k then contains every hash).
+    Bottom-k union is associative/commutative ⇒ the result is identical
+    under any partitioning. Exchange volume: ≤ k rows per (group, block).
+
+    Output: one row per group — (group, n_kept, est_distinct)."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.int64()),
+                             "__h": pa.array([], type=pa.uint64())})
+        g = tbl[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_u64(tbl[value_col])
+        g, h = _kmv_bottom_k(g, h, k)
+        return pa.table({group_col: pa.array(g), "__h": pa.array(h)})
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], type=pa.int64()),
+                          "n_kept": pa.array([], type=pa.int64()),
+                          out_name: pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        g = tbl[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = tbl["__h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g, h = _kmv_bottom_k(g, h, k)
+        newg = np.ones(len(g), dtype=bool)
+        newg[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(newg)
+        lens = np.diff(np.append(starts, len(g)))
+        full = lens >= k
+        hk = h[starts + np.minimum(lens - 1, k - 1)]  # k-th smallest
+        est = np.where(
+            full,
+            np.float64(k - 1) / (hk.astype(np.float64)
+                                 / 18446744073709551616.0),
+            lens.astype(np.float64))
+        return pa.table({group_col: pa.array(g[starts]),
+                         "n_kept": pa.array(np.minimum(lens, k)),
+                         out_name: pa.array(est)})
+
+    return grouped_by_bucket(parts, merge, entity_col=group_col,
+                             num_buckets=num_buckets)

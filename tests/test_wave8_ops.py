@@ -1,0 +1,174 @@
+"""Round-5 wave-8 operators: grouped ROC-AUC, KMV distinct sketch,
+Theil-Sen robust slope, association rules — brute-force references on
+synthetic fixtures + partition invariance."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_auc_bruteforce_and_partition_invariance():
+    from pymhealth_ray.stages.mleval import grouped_auc
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    g = rng.integers(0, 25, size=n)
+    lab = rng.integers(0, 2, size=n)
+    # coarse scores force rank ties
+    sc = np.round(rng.normal(size=n) + 0.7 * lab, 1)
+    tbl = pa.table({"g": pa.array(g), "lab": pa.array(lab),
+                    "s": pa.array(sc)})
+
+    def run(nb, parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return grouped_auc(ds, "g", "lab", "s", num_buckets=nb) \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+
+    got = run(8, 7)
+    assert got.equals(run(3, 2))
+
+    for grp in np.unique(g):
+        m = g == grp
+        pos, neg = sc[m][lab[m] == 1], sc[m][lab[m] == 0]
+        if not len(pos) or not len(neg):
+            assert grp not in set(got["g"])
+            continue
+        # brute-force Mann-Whitney: wins + half-ties over all pairs
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        row = got[got["g"] == grp].iloc[0]
+        assert row["npos"] == len(pos) and row["nneg"] == len(neg)
+        assert abs(row["auc"] - expect) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_distinct_exact_small_estimate_invariant():
+    from pymhealth_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(9)
+    # group 0: 30 distinct (< k → exact); group 1: 5000 distinct
+    g = np.concatenate((np.zeros(400, dtype=np.int64),
+                        np.ones(8000, dtype=np.int64)))
+    v = np.concatenate((rng.integers(0, 30, size=400),
+                        rng.integers(0, 100_000, size=8000)))
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    nd1 = len(np.unique(v[400:]))
+
+    def run(nb, parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return kmv_distinct(ds, "g", "v", k=64, num_buckets=nb) \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+
+    got = run(8, 9)
+    # merge is a bottom-k set union → bit-identical any partitioning
+    assert got.equals(run(2, 3))
+
+    r0 = got[got["g"] == 0].iloc[0]
+    assert r0["n_kept"] == len(np.unique(v[:400]))
+    assert r0["est_distinct"] == float(r0["n_kept"])
+    r1 = got[got["g"] == 1].iloc[0]
+    assert r1["n_kept"] == 64
+    assert abs(r1["est_distinct"] - nd1) / nd1 < 0.5  # ~1/sqrt(63) error
+
+    # engine hash == SQL hash contract
+    h = int(hashlib.md5(b"42").hexdigest()[:16], 16)
+    from pymhealth_ray.stages.sketch import _md5_u64
+    assert _md5_u64(pa.array(["42"]))[0] == np.uint64(h)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_theil_sen_bruteforce():
+    from pymhealth_ray.stages.robust import theil_sen_by_entity
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for ent in range(40):
+        m = int(rng.integers(2, 30))
+        ts = np.sort(rng.choice(10_000, size=m, replace=False)) * 1000
+        if m > 3:  # inject duplicate timestamps
+            ts[1] = ts[0]
+        v = 0.001 * ts / 1000 + rng.normal(size=m)
+        rows += [(ent, int(t), float(x)) for t, x in zip(ts, v)]
+    tbl = pa.table({"ent": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows]),
+                    "v": pa.array([r[2] for r in rows])})
+
+    def run(nb, parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return theil_sen_by_entity(ds, "ent", "ts", "v", num_buckets=nb) \
+            .to_pandas().sort_values("ent").reset_index(drop=True)
+
+    got = run(8, 5)
+    assert got.equals(run(3, 2))
+
+    df = tbl.to_pandas()
+    for ent, grp in df.groupby("ent"):
+        t = grp["ts"].to_numpy()
+        v = grp["v"].to_numpy()
+        slopes = []
+        for i in range(len(t)):
+            for j in range(len(t)):
+                if t[j] > t[i]:
+                    slopes.append((v[j] - v[i]) * 1e6
+                                  / float(t[j] - t[i]))
+        slopes.sort()
+        m = len(slopes)
+        exp = (slopes[(m - 1) // 2] * 0.5 + slopes[m // 2] * 0.5)
+        row = got[got["ent"] == ent].iloc[0]
+        assert row["n_pairs"] == m
+        assert row["ts_slope"] == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_association_rules_bruteforce_and_guard():
+    from pymhealth_ray.stages.assoc import association_rules
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 300, size=3000)
+    i = rng.integers(0, 40, size=3000)
+    tbl = pa.table({"g": pa.array(g), "i": pa.array(i)})
+
+    got = association_rules(ray.data.from_arrow(tbl).repartition(6),
+                            "g", "i", min_support=4, num_buckets=8) \
+        .to_pandas().sort_values(["antecedent", "consequent"]) \
+        .reset_index(drop=True)
+
+    baskets = {}
+    for gg, ii in zip(g, i):
+        baskets.setdefault(gg, set()).add(ii)
+    pair_c: Counter = Counter()
+    item_c: Counter = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for x in s:
+            item_c[x] += 1
+        for xi in range(len(s)):
+            for yi in range(xi + 1, len(s)):
+                pair_c[(s[xi], s[yi])] += 1
+    ng = len(baskets)
+    expect = []
+    for (a, b), c in pair_c.items():
+        if c >= 4:
+            expect.append((a, b, c))
+            expect.append((b, a, c))
+    assert len(got) == len(expect)
+    for a, b, c in expect:
+        row = got[(got["antecedent"] == a) & (got["consequent"] == b)]
+        assert len(row) == 1
+        row = row.iloc[0]
+        assert row["support"] == c
+        assert row["c_ant"] == item_c[a] and row["c_cons"] == item_c[b]
+        assert row["confidence"] == c / item_c[a]
+        assert row["lift"] == (ng * c) / (item_c[a] * item_c[b])
+
+    big = pa.table({"g": pa.array([1, 1]),
+                    "i": pa.array([0, 1 << 31])})
+    with pytest.raises((ValueError, Exception)):
+        association_rules(ray.data.from_arrow(big), "g", "i",
+                          min_support=1).take_all()
