@@ -1287,6 +1287,10 @@ def build_queries() -> dict:
         "events_theil_sen": q_events_theil_sen,
         "orders_assoc_rules": q_orders_assoc_rules,
         "events_kaplan_meier": q_events_kaplan_meier,
+        "embed_mmr": q_embed_mmr,
+        "events_calibration": q_events_calibration,
+        "events_ks_drift": q_events_ks_drift,
+        "events_dow_index": q_events_dow_index,
     }
 
 
@@ -1639,6 +1643,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_theil_sen": SQL_EVENTS_THEIL_SEN,
         "orders_assoc_rules": SQL_ORDERS_ASSOC_RULES,
         "events_kaplan_meier": SQL_EVENTS_KAPLAN_MEIER,
+        "embed_mmr": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "mmr_v1", _mmr_expected,
+            ["vec_id", "embedding"]),
+        "events_calibration": SQL_EVENTS_CALIBRATION,
+        "events_ks_drift": SQL_EVENTS_KS_DRIFT,
+        "events_dow_index": SQL_EVENTS_DOW_INDEX,
     }
     _flush_pending_oracles()
     return out
@@ -17123,4 +17133,220 @@ SELECT dur AS dur_days, n_risk, ev AS n_events,
        product(1.0 - CAST(ev AS DOUBLE) / CAST(n_risk AS DOUBLE))
          OVER (ORDER BY dur) AS surv
 FROM r
+"""
+
+
+def _mmr_expected(df):
+    """Independent single-process MMR replication: normalize, rank by
+    cosine to vec 7's embedding, greedy λ·rel − (1−λ)·max-sim over the
+    id-sorted pool — the exact op order of stages/ann.mmr_select."""
+    import pandas as pd
+
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64)
+                  for e in df["embedding"]])
+    order = np.argsort(ids)
+    ids, P = ids[order], P[order]
+    q = P[ids == 7][0].copy()
+    q = q / max(np.linalg.norm(q), 1e-12)
+    U = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    rel_all = U @ q
+    pool = np.sort(np.lexsort((ids, -rel_all))[:64])
+    rid, Pp = ids[pool], U[pool]
+    rel = Pp @ q
+    sims = Pp @ Pp.T
+    lam, k = 0.7, 10
+    chosen = np.zeros(len(rid), dtype=bool)
+    max_sim = np.full(len(rid), -np.inf)
+    out = []
+    for rank in range(1, k + 1):
+        pen = np.where(np.isneginf(max_sim), 0.0, (1.0 - lam) * max_sim)
+        score = np.where(chosen, -np.inf, lam * rel - pen)
+        j = int(np.argmax(score))
+        chosen[j] = True
+        out.append((rank, rid[j], rel[j], score[j]))
+        max_sim = np.maximum(max_sim, sims[:, j])
+    r = _round_away(np.array([o[2] for o in out]), 6)
+    s = _round_away(np.array([o[3] for o in out]), 6)
+    return pd.DataFrame({"rank": np.array([o[0] for o in out],
+                                          dtype=np.int64),
+                         "vec_id": np.array([o[1] for o in out],
+                                            dtype=np.int64),
+                         "rel_cosine": r, "mmr_score": s})
+
+
+def q_embed_mmr(sf_dir: str):
+    """Diversity-aware retrieval: MMR top-10 (λ=0.7) against vec 7's
+    embedding over a distributed brute-force top-64 candidate pool
+    (stages/ann.mmr_select) — the coreset/demo-selection primitive."""
+    from pymhealth_ray.stages.ann import mmr_select
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    ds = ds.materialize()  # scored once, pool re-fetched once
+    qrow = ds.filter(lambda r: r["vec_id"] == 7).take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    tbl = mmr_select(ds, q, k=10, lam=0.7, pool=64)
+    return _round_cols(tbl, {"rel_cosine": 6, "mmr_score": 6})
+
+
+def q_events_calibration(sf_dir: str):
+    """Reliability-diagram bins for value as a purchase predictor
+    (companion to events_auc): 50-unit score bins, exact int counts /
+    positives / cent sums map-side, two mirrored closing divisions."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bin_ = np.minimum(np.floor(v / 50.0).astype(np.int64), 9)
+        lab = pc.cast(pc.equal(b["event_type"], "purchase"), pa.int64())
+        return pa.table({"bin": pa.array(bin_), "lab": lab,
+                         "val_c": b["val_c"]})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["bin"], sum_cols=["lab", "val_c"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        npos = b["lab_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b["val_c_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nf = n.astype(np.float64)
+        return pa.table({
+            "bin": b["bin"], "n": pa.array(n), "npos": pa.array(npos),
+            "frac_pos": pa.array(npos.astype(np.float64) / nf),
+            "mean_value": pa.array(_round_away(s / nf / 100.0, 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_CALIBRATION = """
+WITH e AS (SELECT LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS lab,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lab) AS BIGINT) AS npos,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM e GROUP BY bin)
+SELECT bin, n, npos,
+       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS mean_value
+FROM g
+"""
+
+
+def q_events_ks_drift(sf_dir: str):
+    """Kolmogorov-Smirnov distribution drift per event type: the max
+    ECDF gap between a type's value distribution and the REST of the
+    stream, on the cent grid (bounded domain ⇒ the driver finish holds
+    the price grid, never the rows — the percent_rank contract).
+    Partials are one (type, cent) grouped rollup; every per-point float
+    is int/int in SQL's exact op order."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        return pa.table({"t": b["event_type"], "c": b["c"]})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["t", "c"])
+    rows = agg.take_all()  # bounded: |types| × |price grid|
+    t = np.array([r["t"] for r in rows], dtype=object)
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    grid = np.unique(c)
+    types = np.unique(t)
+    na = int(n.sum())
+    cum = np.zeros((len(types), len(grid)), dtype=np.int64)
+    for i, ty in enumerate(types):
+        m = t == ty
+        hist = np.zeros(len(grid), dtype=np.int64)
+        hist[np.searchsorted(grid, c[m])] = n[m]
+        cum[i] = np.cumsum(hist)
+    ca = cum.sum(axis=0)
+    out_ks = []
+    for i, ty in enumerate(types):
+        nt = int(cum[i, -1])
+        d = np.abs(cum[i].astype(np.float64) / np.float64(nt)
+                   - (ca - cum[i]).astype(np.float64)
+                   / np.float64(na - nt))
+        out_ks.append(d.max())
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(list(types), type=pa.string()),
+        "n": pa.array(cum[:, -1]),
+        "ks": pa.array(np.array(out_ks))}))
+
+
+SQL_EVENTS_KS_DRIFT = """
+WITH e AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT)
+             AS c FROM events),
+g AS (SELECT t, c, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY t, c),
+types AS (SELECT t, CAST(sum(n) AS BIGINT) AS nt FROM g GROUP BY t),
+grid AS (SELECT DISTINCT c FROM g),
+fullg AS (SELECT ty.t, ty.nt, gr.c FROM types ty CROSS JOIN grid gr),
+cum AS (SELECT f.t, f.nt, f.c,
+               CAST(sum(COALESCE(g.n, 0)) OVER (PARTITION BY f.t
+                                                ORDER BY f.c)
+                    AS BIGINT) AS ct
+        FROM fullg f LEFT JOIN g ON g.t = f.t AND g.c = f.c),
+allcum AS (SELECT c, CAST(sum(ct) AS BIGINT) AS ca FROM cum GROUP BY c),
+tot AS (SELECT CAST(sum(nt) AS BIGINT) AS na FROM types)
+SELECT cum.t AS event_type, cum.nt AS n,
+       max(abs(CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+               - CAST(ca - ct AS DOUBLE) / CAST(na - nt AS DOUBLE)))
+         AS ks
+FROM cum JOIN allcum ON allcum.c = cum.c CROSS JOIN tot
+GROUP BY cum.t, cum.nt
+"""
+
+
+def q_events_dow_index(sf_dir: str):
+    """Day-of-week seasonality index: mean spend per weekday over the
+    global mean, exact int cents until two mirrored divisions."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        dow = (ts // 86_400_000_000 + 4) % 7  # epoch day 0 = Thursday
+        return pa.table({"dow": pa.array(dow), "c": b["c"]})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["dow"], sum_cols=["c"])
+    rows = agg.take_all()  # 7 rows
+    dow = np.array([r["dow"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    s = np.array([r["c_sum"] for r in rows], dtype=np.int64)
+    gmean = np.float64(s.sum()) / np.float64(n.sum())
+    idx = (s.astype(np.float64) / n.astype(np.float64)) / gmean
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "dow": pa.array(dow), "n": pa.array(n),
+        "dow_index": pa.array(_round_away(idx, 6))}))
+
+
+SQL_EVENTS_DOW_INDEX = """
+WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s FROM e GROUP BY dow),
+t AS (SELECT CAST(sum(s) AS BIGINT) AS ts_, CAST(sum(n) AS BIGINT)
+        AS tn FROM g)
+SELECT dow, n,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+         AS dow_index
+FROM g CROSS JOIN t
 """

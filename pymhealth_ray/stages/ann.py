@@ -436,3 +436,72 @@ def pq_embeddings(ds, books: np.ndarray, emb_col: str = "embedding",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mmr_select(ds, query_vec: np.ndarray, k: int = 10, lam: float = 0.7,
+               pool: int = 64, emb_col: str = "embedding",
+               id_col: str = "vec_id") -> pa.Table:
+    """MAXIMAL MARGINAL RELEVANCE selection — diversity-aware top-k, the
+    standard greedy for picking training examples / retrieval results
+    that are relevant AND mutually non-redundant:
+
+        score(d) = λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    Two-phase plan that keeps the greedy's quadratic term off the
+    corpus: (1) the distributed exact brute-force scorer streams the
+    dataset once and collects only a ``pool``-sized candidate set
+    (bounded — the same contract as knn_bruteforce's driver merge);
+    (2) the greedy runs on the driver over pool×pool cosines. Candidate
+    rows are re-fetched and sorted by id so every float op sees one
+    canonical array layout regardless of scheduling.
+
+    Returns (rank, vec_id, rel_cosine, mmr_score) — ``mmr_score`` is
+    the selection-time score (the first pick's is λ·rel, no penalty).
+    Ties resolve to the lowest id (np.argmax first-max over id-sorted
+    rows)."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    qtbl = pa.table({id_col: pa.array([np.int64(-1)]),
+                     emb_col: pa.array([q.tolist()],
+                                       type=pa.list_(pa.float32()))})
+    top = knn_bruteforce(ds, qtbl, k=pool, emb_col=emb_col,
+                         id_col=id_col, exclude_self=False)
+    ids = np.sort(np.asarray(top["neighbor_id"].to_pylist(),
+                             dtype=np.int64))
+    ids_ref = ray.put(ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        m = np.isin(batch[id_col].to_numpy(zero_copy_only=False), want)
+        return batch.filter(pa.array(m)).select([id_col, emb_col])
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    rid = np.array([r[id_col] for r in rows], dtype=np.int64)
+    P = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    P = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    rel = P @ q
+    sims = P @ P.T
+    n = len(rid)
+    k = min(k, n)
+    chosen = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    out_id, out_rel, out_score = [], [], []
+    for _ in range(k):
+        pen = np.where(np.isneginf(max_sim), 0.0, (1.0 - lam) * max_sim)
+        score = lam * rel - pen
+        score = np.where(chosen, -np.inf, score)
+        j = int(np.argmax(score))
+        chosen[j] = True
+        out_id.append(rid[j])
+        out_rel.append(rel[j])
+        out_score.append(score[j])
+        max_sim = np.maximum(max_sim, sims[:, j])
+    return pa.table({
+        "rank": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+        id_col: pa.array(np.array(out_id, dtype=np.int64)),
+        "rel_cosine": pa.array(np.array(out_rel)),
+        "mmr_score": pa.array(np.array(out_score)),
+    })

@@ -172,3 +172,36 @@ def test_association_rules_bruteforce_and_guard():
     with pytest.raises((ValueError, Exception)):
         association_rules(ray.data.from_arrow(big), "g", "i",
                           min_support=1).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mmr_select_diversity_and_lambda1():
+    from pymhealth_ray.stages.ann import mmr_select
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(50, 8)).astype(np.float32)
+    q = base[0] + 0.01 * rng.normal(size=8).astype(np.float32)
+    # vectors 10 and 11 are near-duplicates, both highly relevant
+    base[10] = q + 0.001 * rng.normal(size=8).astype(np.float32)
+    base[11] = base[10] + 0.001 * rng.normal(size=8).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in base],
+                              type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    # strong diversity weight: the near-dup of rank-1 must be deferred
+    out = mmr_select(ds, q.astype(np.float64), k=5, lam=0.3, pool=20)
+    picks = out["vec_id"].to_pylist()
+    assert len(picks) == 5 and len(set(picks)) == 5
+    assert not ({10, 11} <= set(picks[:2]))
+
+    # λ=1 → pure relevance top-k
+    out1 = mmr_select(ds, q.astype(np.float64), k=5, lam=1.0, pool=20)
+    P = base.astype(np.float64)
+    P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    qd = q.astype(np.float64) / np.linalg.norm(q.astype(np.float64))
+    rel = P @ qd
+    expect = np.lexsort((np.arange(50), -rel))[:5]
+    assert out1["vec_id"].to_pylist() == sorted(expect.tolist(),
+                                                key=lambda i: -rel[i])
