@@ -1291,6 +1291,8 @@ def build_queries() -> dict:
         "events_calibration": q_events_calibration,
         "events_ks_drift": q_events_ks_drift,
         "events_dow_index": q_events_dow_index,
+        "events_isotonic": q_events_isotonic,
+        "docs_image_patches": q_docs_image_patches,
     }
 
 
@@ -1649,6 +1651,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_calibration": SQL_EVENTS_CALIBRATION,
         "events_ks_drift": SQL_EVENTS_KS_DRIFT,
         "events_dow_index": SQL_EVENTS_DOW_INDEX,
+        "events_isotonic": _table_materialized_oracle(
+            sf_dir_for_fixture, "events", "isotonic_v1",
+            _isotonic_expected, ["event_type", "value"]),
+        "docs_image_patches": _docs_materialized_oracle(
+            sf_dir_for_fixture, "image_patches_v1",
+            _image_patches_expected, ["doc_id"]),
     }
     _flush_pending_oracles()
     return out
@@ -17350,3 +17358,87 @@ SELECT dow, n,
          AS dow_index
 FROM g CROSS JOIN t
 """
+
+
+def _isotonic_expected(df):
+    """Independent PAVA replication — the textbook repeated-sweep form
+    (scan for any adjacent violation, merge, restart) rather than the
+    engine's stack; both converge to THE unique isotonic fit, compared
+    exactly in int rationals."""
+    import pandas as pd
+
+    c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    lab = (df["event_type"] == "purchase").to_numpy().astype(np.int64)
+    grid = np.unique(c)
+    n = np.zeros(len(grid), dtype=np.int64)
+    s = np.zeros(len(grid), dtype=np.int64)
+    idx = np.searchsorted(grid, c)
+    np.add.at(n, idx, 1)
+    np.add.at(s, idx, lab)
+    pools = [[int(w), int(v), 1] for w, v in zip(n, s)]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(pools) - 1):
+            (w1, s1, c1), (w2, s2, c2) = pools[i], pools[i + 1]
+            if s1 * w2 > s2 * w1:  # mean_i > mean_{i+1}
+                pools[i:i + 2] = [[w1 + w2, s1 + s2, c1 + c2]]
+                changed = True
+                break
+    fitted = np.repeat(
+        np.array([p[1] for p in pools], dtype=np.float64)
+        / np.array([p[0] for p in pools], dtype=np.float64),
+        np.array([p[2] for p in pools], dtype=np.int64))
+    return pd.DataFrame({"val_c": grid, "n": n, "npos": s,
+                         "fitted": _round_away(fitted, 6)})
+
+
+def q_events_isotonic(sf_dir: str):
+    """Isotonic calibration of purchase probability on the cent grid
+    (stages/mleval.isotonic_calibration): one grouped rollup, exact
+    int-rational PAVA on the bounded grid, float only at print."""
+    from pymhealth_ray.stages.mleval import isotonic_calibration
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        lab = pc.cast(pc.equal(b["event_type"], "purchase"), pa.int64())
+        return pa.table({"val_c": b["val_c"], "lab": lab})
+
+    out = isotonic_calibration(ev.map_batches(prep,
+                                              batch_format="pyarrow"),
+                               "val_c", "lab")
+    return out.map_batches(
+        lambda b: pa.table({"val_c": b["val_c"], "n": b["n"],
+                            "npos": b["npos"], "fitted": b["fitted"]}),
+        batch_format="pyarrow")
+
+
+def _image_patches_expected(df):
+    """Single-process replay of the patch explode over the same
+    deterministic PNM payloads."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import PatchExtractor
+
+    tbl = pa.table({"doc_id": pa.array(df["doc_id"].tolist(),
+                                       type=pa.int64())})
+    out = PatchExtractor(patch=8)(_docs_pnm_table(tbl))
+    pdf = out.to_pandas()
+    pdf["patch_mean"] = _round_away(pdf["patch_mean"].to_numpy(), 6)
+    return pdf
+
+
+def q_docs_image_patches(sf_dir: str):
+    """ViT-style patch tokenization of real P5-PNM payloads
+    (stages/multimodal.extract_patches, actor pool): one row per 8×8
+    patch with its mean intensity — the vision-ingest layout."""
+    from pymhealth_ray.stages.multimodal import extract_patches
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_pnm_table, batch_format="pyarrow")
+    patches = extract_patches(media, patch=8)
+    return patches.map_batches(
+        lambda b: _round_cols(b, {"patch_mean": 6}),
+        batch_format="pyarrow")

@@ -87,3 +87,50 @@ def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
     slim = ds.select_columns([group_col, label_col, score_col])
     return grouped_by_bucket(slim, per_bucket, entity_col=group_col,
                              num_buckets=num_buckets)
+
+
+def isotonic_calibration(ds, score_col: str, label_col: str):
+    """Exact isotonic regression of a binary label on an INTEGER score
+    grid — the calibration map behind reliability-corrected model
+    scores. The classic PAVA (pool-adjacent-violators) fit, kept exact:
+
+      1. one grouped rollup to (score, n, npos) — the only exchange;
+         the distinct-score grid is the bounded domain (a price/logit
+         grid), NEVER the row count — the percent_rank contract;
+      2. driver-side stack PAVA entirely in int64 rationals: pools
+         merge while mean_prev > mean_cur, compared by
+         cross-multiplication (s_prev·w_cur > s_cur·w_prev) — no float
+         enters until the fitted probability prints, so the fit is
+         deterministic under any partitioning;
+      3. the fitted step function re-enters Ray as a Dataset
+         (score, n, npos, fitted), fitted = round(pool_s/pool_w, 6).
+
+    Pool merging uses STRICT violation (ties stay separate pools) —
+    the convention the materialized oracle replicates."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    agg = grouped_stats(ds.select_columns([score_col, label_col]),
+                        [score_col], sum_cols=[label_col])
+    rows = agg.take_all()
+    sc = np.array([r[score_col] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    s = np.array([r[f"{label_col}_sum"] for r in rows], dtype=np.int64)
+    order = np.argsort(sc)
+    sc, n, s = sc[order], n[order], s[order]
+    # stack PAVA: (w, s, count-of-grid-points) pools
+    pw, ps, pc = [], [], []
+    for i in range(len(sc)):
+        cw, cs, cc = int(n[i]), int(s[i]), 1
+        while pw and ps[-1] * cw > cs * pw[-1]:  # mean_prev > mean_cur
+            cw += pw.pop(); cs += ps.pop(); cc += pc.pop()
+        pw.append(cw); ps.append(cs); pc.append(cc)
+    fitted = np.repeat(np.array(ps, dtype=np.float64)
+                       / np.array(pw, dtype=np.float64),
+                       np.array(pc, dtype=np.int64))
+    m = 1e6
+    fitted = np.sign(fitted) * np.floor(np.abs(fitted) * m + 0.5) / m
+    return ray.data.from_arrow(pa.table({
+        score_col: pa.array(sc), "n": pa.array(n), "npos": pa.array(s),
+        "fitted": pa.array(fitted)}))

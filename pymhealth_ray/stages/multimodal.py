@@ -447,3 +447,61 @@ def audio_vad(ds, frame_len: int = 200, alpha: float = 1.0,
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class PatchExtractor:
+    """ViT-style patch layout stage (actor pool): decode each payload
+    with the real PNM parser, crop to the largest patch-multiple, and
+    explode to one row per non-overlapping P×P patch with its mean
+    intensity. The patch grid is the tokenization step of a vision
+    transformer ingest — rows out are (doc_id, patch_row, patch_col,
+    patch_mean), the layout a trainer consumes shard by shard."""
+
+    def __init__(self, patch: int = 8):
+        self.patch = patch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        P = self.patch
+        ids_out, pr, pc_, pm = [], [], [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        for i in range(len(ids)):
+            img = _parse_pnm(payloads[i].as_py())
+            h, w = img.shape
+            gh, gw = h // P, w // P
+            if gh == 0 or gw == 0:
+                continue
+            crop = img[:gh * P, :gw * P]
+            means = crop.reshape(gh, P, gw, P).mean(axis=(1, 3))
+            k = gh * gw
+            ids_out.append(np.full(k, ids[i], dtype=np.int64))
+            rr, cc = np.divmod(np.arange(k, dtype=np.int64), gw)
+            pr.append(rr); pc_.append(cc)
+            pm.append(means.ravel())
+        if not ids_out:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "patch_row": pa.array([], type=pa.int64()),
+                "patch_col": pa.array([], type=pa.int64()),
+                "patch_mean": pa.array([], type=pa.float64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids_out)),
+            "patch_row": pa.array(np.concatenate(pr)),
+            "patch_col": pa.array(np.concatenate(pc_)),
+            "patch_mean": pa.array(np.concatenate(pm))})
+
+
+def extract_patches(ds, patch: int = 8, concurrency=(2, 8),
+                    batch_size: int = 64):
+    """Patch-explode stage wrapper (actor pool; small batches — binary
+    payloads are wide)."""
+    return ds.map_batches(
+        PatchExtractor,
+        fn_constructor_args=(patch,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )

@@ -205,3 +205,53 @@ def test_mmr_select_diversity_and_lambda1():
     expect = np.lexsort((np.arange(50), -rel))[:5]
     assert out1["vec_id"].to_pylist() == sorted(expect.tolist(),
                                                 key=lambda i: -rel[i])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_isotonic_calibration_properties():
+    from pymhealth_ray.stages.mleval import isotonic_calibration
+
+    rng = np.random.default_rng(33)
+    n = 5000
+    sc = rng.integers(0, 200, size=n)
+    # noisy but increasing true probability
+    lab = (rng.random(n) < 0.2 + 0.003 * sc).astype(np.int64)
+    tbl = pa.table({"s": pa.array(sc.astype(np.int64)),
+                    "lab": pa.array(lab)})
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return isotonic_calibration(ds, "s", "lab") \
+            .to_pandas().sort_values("s").reset_index(drop=True)
+
+    got = run(7)
+    assert got.equals(run(2))  # partition invariance (exact ints)
+
+    f = got["fitted"].to_numpy()
+    assert (np.diff(f) >= 0).all()  # isotonic
+    # pool means preserve total positives: sum(fitted*n) == sum(npos)
+    assert abs((f * got["n"].to_numpy()).sum()
+               - got["npos"].sum()) < 1e-3 * len(got)
+    # fit never leaves [0, 1]
+    assert f.min() >= 0.0 and f.max() <= 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_patch_extractor_layout():
+    from pymhealth_ray.stages.multimodal import PatchExtractor
+
+    w, h, P = 20, 17, 8  # crops to 2x2 patch grid
+    pix = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    payload = f"P5\n{w} {h}\n255\n".encode() + pix.tobytes()
+    tbl = pa.table({"doc_id": pa.array([5], type=pa.int64()),
+                    "payload": pa.array([payload], type=pa.binary())})
+    out = PatchExtractor(patch=P)(tbl).to_pandas()
+    assert len(out) == 4
+    assert set(zip(out["patch_row"], out["patch_col"])) == \
+        {(0, 0), (0, 1), (1, 0), (1, 1)}
+    img = pix.astype(np.float64) / 255.0
+    expect = img[:16, :16].reshape(2, 8, 2, 8).mean(axis=(1, 3))
+    for _, r in out.iterrows():
+        assert abs(r["patch_mean"]
+                   - expect[int(r["patch_row"]), int(r["patch_col"])]) \
+            < 1e-12
