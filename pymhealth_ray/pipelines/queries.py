@@ -1293,6 +1293,9 @@ def build_queries() -> dict:
         "events_dow_index": q_events_dow_index,
         "events_isotonic": q_events_isotonic,
         "docs_image_patches": q_docs_image_patches,
+        "events_stl_decompose": q_events_stl_decompose,
+        "events_tukey_outliers": q_events_tukey_outliers,
+        "docs_l_diversity": q_docs_l_diversity,
     }
 
 
@@ -1657,6 +1660,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_image_patches": _docs_materialized_oracle(
             sf_dir_for_fixture, "image_patches_v1",
             _image_patches_expected, ["doc_id"]),
+        "events_stl_decompose": SQL_EVENTS_STL_DECOMPOSE,
+        "events_tukey_outliers": SQL_EVENTS_TUKEY_OUTLIERS,
+        "docs_l_diversity": SQL_DOCS_L_DIVERSITY,
     }
     _flush_pending_oracles()
     return out
@@ -17442,3 +17448,215 @@ def q_docs_image_patches(sf_dir: str):
     return patches.map_batches(
         lambda b: _round_cols(b, {"patch_mean": 6}),
         batch_format="pyarrow")
+
+
+def q_events_stl_decompose(sf_dir: str):
+    """STL-lite seasonal decomposition of daily spend: trend = centered
+    7-day MA (full windows only), seasonal = per-weekday convex median
+    of the detrended series, remainder = the rest. ONE grouped rollup
+    to the day grid (bounded by the calendar, never the rows); the
+    driver finish mirrors SQL op for op — int 7-day sums, one /7,
+    convex medians."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    ev = _events(sf_dir, ["ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(ts // 86_400_000_000),
+                         "c": b["c"]})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["day"], sum_cols=["c"])
+    rows = agg.take_all()  # bounded: one row per calendar day
+    day = np.array([r["day"] for r in rows], dtype=np.int64)
+    dc = np.array([r["c_sum"] for r in rows], dtype=np.int64)
+    order = np.argsort(day)
+    day, dc = day[order], dc[order]
+    if len(day) < 7:
+        return ray.data.from_arrow(pa.table({
+            "day": pa.array([], type=pa.int64()),
+            "daily_c": pa.array([], type=pa.int64()),
+            "trend": pa.array([], type=pa.float64()),
+            "seasonal": pa.array([], type=pa.float64()),
+            "remainder": pa.array([], type=pa.float64())}))
+    cum = np.concatenate(([0], np.cumsum(dc)))
+    s7 = cum[7:] - cum[:-7]  # int-exact 7-day sums, centered at i+3
+    mid = np.arange(3, len(day) - 3)
+    trend = s7.astype(np.float64) / 7.0
+    detr = dc[mid].astype(np.float64) - trend
+    dow = (day[mid] + 4) % 7
+    seas = np.empty(len(mid), dtype=np.float64)
+    for w in np.unique(dow):
+        m = dow == w
+        sv = np.sort(detr[m])
+        n = len(sv)
+        seas[m] = sv[(n - 1) // 2] * 0.5 + sv[n // 2] * 0.5
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(day[mid]), "daily_c": pa.array(dc[mid]),
+        "trend": pa.array(_round_away(trend, 6)),
+        "seasonal": pa.array(_round_away(seas, 6)),
+        "remainder": pa.array(_round_away(detr - seas, 6))}))
+
+
+SQL_EVENTS_STL_DECOMPOSE = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+d AS (SELECT day, CAST(sum(c) AS BIGINT) AS dc FROM e GROUP BY day),
+w AS (SELECT day, dc,
+             CAST(sum(dc) OVER win AS BIGINT) AS s7,
+             count(*) OVER win AS n7
+      FROM d WINDOW win AS (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+t AS (SELECT day, dc, CAST(s7 AS DOUBLE) / 7 AS trend,
+             CAST(dc AS DOUBLE) - CAST(s7 AS DOUBLE) / 7 AS detr,
+             (day + 4) % 7 AS dow
+      FROM w WHERE n7 = 7),
+s AS (SELECT dow, median(detr) AS seas FROM t GROUP BY dow)
+SELECT t.day, t.dc AS daily_c, round(t.trend, 6) AS trend,
+       round(s.seas, 6) AS seasonal,
+       round(t.detr - s.seas, 6) AS remainder
+FROM t JOIN s ON s.dow = t.dow
+"""
+
+
+def q_events_tukey_outliers(sf_dir: str):
+    """Tukey-fence outlier report per event type: exact quantile_disc
+    Q1/Q3 picks on the cent grid, 1.5·IQR fences in SQL's float op
+    order, counts beyond each fence. Types co-locate in one bucket
+    exchange; one np.sort per type."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        return pa.table({"event_type": b["event_type"], "c": b["c"]})
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "q1_c": pa.array([], type=pa.int64()),
+            "q3_c": pa.array([], type=pa.int64()),
+            "n_low": pa.array([], type=pa.int64()),
+            "n_high": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        t = tbl["event_type"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        enc = t.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((c, codes))
+        codes, c = codes[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1,
+             [len(codes)]))
+        names, ns, q1s, q3s, nlo, nhi = [], [], [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = c[s:e]
+            n = len(seg)
+            q1 = int(seg[int(np.ceil(0.25 * n)) - 1])
+            q3 = int(seg[int(np.ceil(0.75 * n)) - 1])
+            iqr = np.float64(q3) - np.float64(q1)
+            lo = np.float64(q1) - 1.5 * iqr
+            hi = np.float64(q3) + 1.5 * iqr
+            segf = seg.astype(np.float64)
+            names.append(enc.dictionary[codes[s]].as_py())
+            ns.append(n); q1s.append(q1); q3s.append(q3)
+            nlo.append(int((segf < lo).sum()))
+            nhi.append(int((segf > hi).sum()))
+        return pa.table({
+            "event_type": pa.array(names, type=pa.string()),
+            "n": pa.array(np.array(ns, dtype=np.int64)),
+            "q1_c": pa.array(np.array(q1s, dtype=np.int64)),
+            "q3_c": pa.array(np.array(q3s, dtype=np.int64)),
+            "n_low": pa.array(np.array(nlo, dtype=np.int64)),
+            "n_high": pa.array(np.array(nhi, dtype=np.int64))})
+
+    return grouped_by_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                             per_bucket, entity_col="event_type",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_TUKEY_OUTLIERS = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             quantile_disc(c, 0.25) AS q1_c,
+             quantile_disc(c, 0.75) AS q3_c
+      FROM e GROUP BY event_type),
+f AS (SELECT event_type, n, q1_c, q3_c,
+             CAST(q1_c AS DOUBLE)
+               - 1.5 * (CAST(q3_c AS DOUBLE) - CAST(q1_c AS DOUBLE))
+               AS lo,
+             CAST(q3_c AS DOUBLE)
+               + 1.5 * (CAST(q3_c AS DOUBLE) - CAST(q1_c AS DOUBLE))
+               AS hi
+      FROM q)
+SELECT f.event_type, f.n, f.q1_c, f.q3_c,
+       CAST(sum(CASE WHEN CAST(e.c AS DOUBLE) < f.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN CAST(e.c AS DOUBLE) > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM f JOIN e ON e.event_type = f.event_type
+GROUP BY f.event_type, f.n, f.q1_c, f.q3_c
+"""
+
+
+def q_docs_l_diversity(sf_dir: str):
+    """l-DIVERSITY audit (companion to docs_k_anonymize): per
+    quasi-identifier group (lang, 100-char length bucket) the row count
+    and the number of DISTINCT sensitive values (source); l_ok flags
+    groups meeting l ≥ 2. Two small exact rollups — distinct pairs
+    first, then counts — no value domain on the driver."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["lang", "source", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        nb = b["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) // 100
+        return pa.table({"lang": b["lang"], "len_b": pa.array(nb),
+                         "source": b["source"]})
+
+    pairs = grouped_stats(docs.map_batches(prep, batch_format="pyarrow"),
+                          ["lang", "len_b", "source"])
+
+    def strip(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b["lang"], "len_b": b["len_b"],
+                         "n_rows": b["n"].cast(pa.int64()),
+                         "one": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64))})
+
+    agg = grouped_stats(pairs.map_batches(strip, batch_format="pyarrow"),
+                        ["lang", "len_b"], sum_cols=["n_rows", "one"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        ell = b["one_sum"].cast(pa.int64())
+        return pa.table({
+            "lang": b["lang"], "len_b": b["len_b"],
+            "n": b["n_rows_sum"].cast(pa.int64()),
+            "l_distinct": ell,
+            "l_ok": pc.cast(pc.greater_equal(ell, 2), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_L_DIVERSITY = """
+WITH d AS (SELECT lang, n_chars // 100 AS len_b, source
+           FROM documents),
+g AS (SELECT lang, len_b, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT source) AS BIGINT) AS l_distinct
+      FROM d GROUP BY lang, len_b)
+SELECT lang, len_b, n, l_distinct,
+       CASE WHEN l_distinct >= 2 THEN 1 ELSE 0 END AS l_ok
+FROM g
+"""
