@@ -128,6 +128,12 @@ BENCH_QUERIES = [
     "seq_fim_layout",
     "embed_pq_recall",
     "events_bursts_kleinberg",
+    "events_auc",
+    "events_theil_sen",
+    "events_kmv_distinct",
+    "orders_assoc_rules",
+    "embed_mmr",
+    "events_isotonic",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only

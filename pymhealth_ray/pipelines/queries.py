@@ -1296,6 +1296,9 @@ def build_queries() -> dict:
         "events_stl_decompose": q_events_stl_decompose,
         "events_tukey_outliers": q_events_tukey_outliers,
         "docs_l_diversity": q_docs_l_diversity,
+        "events_kendall_tau": q_events_kendall_tau,
+        "events_trimmed_mean": q_events_trimmed_mean,
+        "embed_knn_classify": q_embed_knn_classify,
     }
 
 
@@ -1663,6 +1666,11 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_stl_decompose": SQL_EVENTS_STL_DECOMPOSE,
         "events_tukey_outliers": SQL_EVENTS_TUKEY_OUTLIERS,
         "docs_l_diversity": SQL_DOCS_L_DIVERSITY,
+        "events_kendall_tau": SQL_EVENTS_KENDALL_TAU,
+        "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
+        "embed_knn_classify": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "knn_classify_v1",
+            _knn_classify_expected, ["vec_id", "embedding", "label"]),
     }
     _flush_pending_oracles()
     return out
@@ -17660,3 +17668,191 @@ SELECT lang, len_b, n, l_distinct,
        CASE WHEN l_distinct >= 2 THEN 1 ELSE 0 END AS l_ok
 FROM g
 """
+
+
+def q_events_kendall_tau(sf_dir: str):
+    """Per-user Kendall tau-a between time and value
+    (stages/robust.kendall_by_entity) — the nonparametric trend test
+    next to events_theil_sen: int-exact concordant/discordant counts,
+    one closing divide."""
+    from pymhealth_ray.stages.robust import kendall_by_entity
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+    return kendall_by_entity(ev, "user_id", "ts_us", "value",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_KENDALL_TAU = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+p AS (SELECT a.user_id AS u,
+             CASE WHEN b.value > a.value THEN 1 ELSE 0 END AS c,
+             CASE WHEN b.value < a.value THEN 1 ELSE 0 END AS d
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.ts_us < b.ts_us)
+SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c) AS BIGINT) AS concordant,
+       CAST(sum(d) AS BIGINT) AS discordant,
+       CAST(sum(c) - sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tau
+FROM p GROUP BY u
+"""
+
+
+def q_events_trimmed_mean(sf_dir: str):
+    """10%-trimmed mean spend per event type: drop the ceil(0.1·n)
+    smallest and largest cent values (tie-invariant — trimming by value
+    multiset), int-exact middle sum, one closing divide. Types
+    co-locate in one bucket exchange; one sort per type."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        return pa.table({"event_type": b["event_type"], "c": b["c"]})
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "n_used": pa.array([], type=pa.int64()),
+            "trimmed_mean_c": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        t = tbl["event_type"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        enc = t.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((c, codes))
+        codes, c = codes[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1,
+             [len(codes)]))
+        names, ns, nus, tm = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            t_ = int(np.ceil(0.1 * n))
+            if n - 2 * t_ <= 0:
+                continue
+            mid = c[s + t_: e - t_]
+            names.append(enc.dictionary[codes[s]].as_py())
+            ns.append(n)
+            nus.append(len(mid))
+            tm.append(np.float64(int(mid.sum()))
+                      / np.float64(len(mid)))
+        return pa.table({
+            "event_type": pa.array(names, type=pa.string()),
+            "n": pa.array(np.array(ns, dtype=np.int64)),
+            "n_used": pa.array(np.array(nus, dtype=np.int64)),
+            "trimmed_mean_c": pa.array(np.array(tm))})
+
+    return grouped_by_bucket(ev.map_batches(prep, batch_format="pyarrow"),
+                             per_bucket, entity_col="event_type",
+                             num_buckets=NB)
+
+
+SQL_EVENTS_TRIMMED_MEAN = """
+WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+t AS (SELECT event_type, c, n,
+             CAST(ceil(0.1 * n) AS BIGINT) AS tr
+      FROM r WHERE rn > CAST(ceil(0.1 * n) AS BIGINT)
+               AND rn <= n - CAST(ceil(0.1 * n) AS BIGINT))
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_used,
+       CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS trimmed_mean_c
+FROM t GROUP BY event_type HAVING count(*) > 0
+"""
+
+
+def _knn_classify_expected(df):
+    """Single-process kNN-vote replication: full normalized matmul,
+    top-5 by (sim DESC, id ASC) excluding self for every 5th vector,
+    bincount-argmax vote (ties → smallest label), per-label accuracy."""
+    import pandas as pd
+
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    labs = df["label"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64)
+                  for e in df["embedding"]])
+    order = np.argsort(ids)
+    ids, labs, P = ids[order], labs[order], P[order]
+    U = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    sims = U @ U.T
+    qm = ids % 5 == 0
+    stats: dict = {}
+    for qi in np.flatnonzero(qm):
+        s = sims[qi].copy()
+        s[qi] = -np.inf  # exclude self
+        top = np.lexsort((ids, -s))[:5]
+        votes = np.bincount(labs[top])
+        pred = int(np.argmax(votes))
+        true = int(labs[qi])
+        n, corr = stats.get(true, (0, 0))
+        stats[true] = (n + 1, corr + (1 if pred == true else 0))
+    rows = sorted(stats.items())
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    n = np.array([r[1][0] for r in rows], dtype=np.int64)
+    corr = np.array([r[1][1] for r in rows], dtype=np.int64)
+    return pd.DataFrame({
+        "label": lab, "n_queries": n, "n_correct": corr,
+        "acc": corr.astype(np.float64) / n.astype(np.float64)})
+
+
+def q_embed_knn_classify(sf_dir: str):
+    """kNN classification eval: every 5th vector is an eval query, its
+    label predicted by majority vote of the 5 nearest (brute-force
+    exact cosine) corpus neighbors; per-label accuracy. Labels are
+    fetched only for the bounded query+neighbor id set."""
+    import ray
+
+    from pymhealth_ray.stages.ann import knn_bruteforce
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+    ds = ds.materialize()
+    def pick_queries(b: pa.Table) -> pa.Table:
+        m = b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0
+        return b.filter(pa.array(m)).select(["vec_id", "embedding"])
+
+    qtbl = pa.concat_tables(
+        [b for b in ds.map_batches(pick_queries, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    top = knn_bruteforce(ds, qtbl, k=5, exclude_self=True)
+    qi = np.asarray(top["query_id"].to_pylist(), dtype=np.int64)
+    ni = np.asarray(top["neighbor_id"].to_pylist(), dtype=np.int64)
+    need = np.unique(np.concatenate((qi, ni)))
+    need_ref = ray.put(need)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        w = ray.get(need_ref)
+        m = np.isin(b["vec_id"].to_numpy(zero_copy_only=False), w)
+        return b.filter(pa.array(m)).select(["vec_id", "label"])
+
+    lab_rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    lab_of = {r["vec_id"]: int(r["label"]) for r in lab_rows}
+    stats: dict = {}
+    for q in np.unique(qi):
+        nb = ni[qi == q]
+        votes = np.bincount(np.array([lab_of[i] for i in nb]))
+        pred = int(np.argmax(votes))
+        true = lab_of[int(q)]
+        n, corr = stats.get(true, (0, 0))
+        stats[true] = (n + 1, corr + (1 if pred == true else 0))
+    rows = sorted(stats.items())
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    n = np.array([r[1][0] for r in rows], dtype=np.int64)
+    corr = np.array([r[1][1] for r in rows], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array(lab), "n_queries": pa.array(n),
+        "n_correct": pa.array(corr),
+        "acc": pa.array(corr.astype(np.float64)
+                        / n.astype(np.float64))}))

@@ -94,3 +94,55 @@ def theil_sen_by_entity(ds, entity_col: str, ts_col: str, val_col: str,
     return grouped_by_bucket(ds.select_columns(cols), per_bucket,
                              entity_col=entity_col,
                              num_buckets=num_buckets)
+
+
+def kendall_by_entity(ds, entity_col: str, ts_col: str, val_col: str,
+                      num_buckets: int = 32):
+    """Kendall rank correlation per entity between time and value —
+    the nonparametric monotone-trend test next to the Theil-Sen slope.
+    Pairs with equal timestamps are excluded (the Theil-Sen
+    convention); value ties count as neither concordant nor
+    discordant. All counting is int64-exact through the same
+    segment_pairs explosion; tau = (C − D) / n_pairs is the one float
+    divide (tau-a over distinct-time pairs).
+
+    Output: (entity, n_pairs, concordant, discordant, tau)."""
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({entity_col: pa.array([], type=pa.int64()),
+                          "n_pairs": pa.array([], type=pa.int64()),
+                          "concordant": pa.array([], type=pa.int64()),
+                          "discordant": pa.array([], type=pa.int64()),
+                          "tau": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, entity_col, ts_col)
+        ts = column_i64(tbl, ts_col)
+        v = tbl[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ent = tbl[entity_col].to_numpy(zero_copy_only=False)
+        fi, se = segment_pairs(np.diff(starts))
+        if not len(fi):
+            return empty
+        ok = ts[se] - ts[fi] > 0
+        fi, se = fi[ok], se[ok]
+        if not len(fi):
+            return empty
+        eid = np.searchsorted(starts, fi, side="right") - 1
+        ue, einv = np.unique(eid, return_inverse=True)
+        n_pairs = np.bincount(einv, minlength=len(ue)).astype(np.int64)
+        conc = np.bincount(einv, weights=(v[se] > v[fi])) \
+            .astype(np.int64)
+        disc = np.bincount(einv, weights=(v[se] < v[fi])) \
+            .astype(np.int64)
+        tau = (conc - disc).astype(np.float64) \
+            / n_pairs.astype(np.float64)
+        return pa.table({entity_col: pa.array(ent[starts[ue]]),
+                         "n_pairs": pa.array(n_pairs),
+                         "concordant": pa.array(conc),
+                         "discordant": pa.array(disc),
+                         "tau": pa.array(tau)})
+
+    return grouped_by_bucket(ds.select_columns([entity_col, ts_col,
+                                                val_col]), per_bucket,
+                             entity_col=entity_col,
+                             num_buckets=num_buckets)

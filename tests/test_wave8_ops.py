@@ -255,3 +255,45 @@ def test_patch_extractor_layout():
         assert abs(r["patch_mean"]
                    - expect[int(r["patch_row"]), int(r["patch_col"])]) \
             < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kendall_by_entity_bruteforce():
+    from pymhealth_ray.stages.robust import kendall_by_entity
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for ent in range(25):
+        m = int(rng.integers(2, 25))
+        ts = np.sort(rng.choice(5000, size=m, replace=False)) * 1000
+        if m > 4:
+            ts[2] = ts[1]  # duplicate timestamps
+        v = rng.integers(0, 8, size=m).astype(np.float64)  # value ties
+        rows += [(ent, int(t), float(x)) for t, x in zip(ts, v)]
+    tbl = pa.table({"ent": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows]),
+                    "v": pa.array([r[2] for r in rows])})
+
+    def run(nb, parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        return kendall_by_entity(ds, "ent", "ts", "v", num_buckets=nb) \
+            .to_pandas().sort_values("ent").reset_index(drop=True)
+
+    got = run(8, 5)
+    assert got.equals(run(3, 2))
+
+    df = tbl.to_pandas()
+    for ent, grp in df.groupby("ent"):
+        t = grp["ts"].to_numpy()
+        v = grp["v"].to_numpy()
+        np_, c_, d_ = 0, 0, 0
+        for i in range(len(t)):
+            for j in range(len(t)):
+                if t[j] > t[i]:
+                    np_ += 1
+                    c_ += v[j] > v[i]
+                    d_ += v[j] < v[i]
+        row = got[got["ent"] == ent].iloc[0]
+        assert row["n_pairs"] == np_
+        assert row["concordant"] == c_ and row["discordant"] == d_
+        assert row["tau"] == (c_ - d_) / np_
