@@ -1299,6 +1299,8 @@ def build_queries() -> dict:
         "events_kendall_tau": q_events_kendall_tau,
         "events_trimmed_mean": q_events_trimmed_mean,
         "embed_knn_classify": q_embed_knn_classify,
+        "events_garman_klass": q_events_garman_klass,
+        "part_price_elasticity": q_part_price_elasticity,
     }
 
 
@@ -1671,6 +1673,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_knn_classify": _table_materialized_oracle(
             sf_dir_for_fixture, "embeddings", "knn_classify_v1",
             _knn_classify_expected, ["vec_id", "embedding", "label"]),
+        "events_garman_klass": SQL_EVENTS_GARMAN_KLASS,
+        "part_price_elasticity": SQL_PART_PRICE_ELASTICITY,
     }
     _flush_pending_oracles()
     return out
@@ -17856,3 +17860,161 @@ def q_embed_knn_classify(sf_dir: str):
         "n_correct": pa.array(corr),
         "acc": pa.array(corr.astype(np.float64)
                         / n.astype(np.float64))}))
+
+
+def q_events_garman_klass(sf_dir: str):
+    """Garman-Klass volatility per (user, day) candle — the OHLC
+    range-based variance estimator:
+    0.5·ln(h/l)² − (2·ln2 − 1)·ln(c/o)². Candles come from the shared
+    grouped_ohlc kernel (one bucket exchange); the per-row float
+    finish mirrors SQL's ln/power op order (ln parity with DuckDB is
+    proven across the LM/PMI oracles)."""
+    from pymhealth_ray.stages.aggregate import grouped_ohlc
+
+    DAY_US = 86_400_000_000
+    PACK = 1_000_000
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "val_c")
+        uid = b["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts // DAY_US
+        if day.size and (day.min() < 0 or day.max() >= PACK):
+            raise ValueError("day index outside packed-key range")
+        return pa.table({"ud": pa.array(uid * PACK + day),
+                         "ts_us": b["ts_us"],
+                         "event_id": b["event_id"], "val_c": b["val_c"]})
+
+    candles = grouped_ohlc(ev.map_batches(prep, batch_format="pyarrow"),
+                           entity_col="ud", order_col="ts_us",
+                           tie_col="event_id", value_col="val_c",
+                           num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        key = b["ud"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b["open"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = b["high"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = b["low"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["close"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hl = np.log(h / lo)
+        co = np.log(c / o)
+        gk = 0.5 * hl * hl - (2.0 * np.log(2.0) - 1.0) * co * co
+        return pa.table({
+            "user_id": pa.array(key // PACK),
+            "day": pa.array(key % PACK),
+            "n": b["n"],
+            "gk_var": pa.array(_round_away(gk, 6))})
+
+    return candles.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_GARMAN_KLASS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS val_c, event_id
+           FROM events),
+w AS (SELECT user_id, day, val_c,
+             first_value(val_c) OVER (PARTITION BY user_id, day
+                                      ORDER BY ts_us, event_id)
+               AS open_c,
+             last_value(val_c) OVER (PARTITION BY user_id, day
+                                     ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+               AS close_c
+      FROM e),
+g AS (SELECT user_id, CAST(day AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(max(open_c) AS BIGINT) AS o,
+             CAST(max(val_c) AS BIGINT) AS h,
+             CAST(min(val_c) AS BIGINT) AS l,
+             CAST(max(close_c) AS BIGINT) AS c
+      FROM w GROUP BY user_id, day)
+SELECT user_id, day, n,
+       round(0.5 * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+                 * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+             - (2 * ln(2) - 1)
+               * ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE)), 6)
+         AS gk_var
+FROM g
+"""
+
+
+def q_part_price_elasticity(sf_dir: str):
+    """Per-brand price-quantity OLS (the demand-curve slope): unit
+    price in cents regressed against line quantity, EXACT int64 moment
+    partials after ONE broadcast dim lookup (part is the small side —
+    the star-join contract), arbitrary-precision driver finish
+    mirroring SQL's HUGEINT→DOUBLE casts."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+    part = read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand"])
+    prows = part.take_all()
+    pk = np.array([r["p_partkey"] for r in prows], dtype=np.int64)
+    bv = np.array([r["p_brand"] for r in prows], dtype=object)
+    order = np.argsort(pk)
+    lookup_ref = ray.put((pk[order], bv[order]))
+
+    def prep(b: pa.Table) -> pa.Table:
+        keys, brands = ray.get(lookup_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qn = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        x = np.rint(ep / qn * 100).astype(np.int64)  # unit price cents
+        y = np.rint(qn).astype(np.int64)
+        br = brands[np.searchsorted(keys, lpk)]
+        return pa.table({"p_brand": pa.array(list(br),
+                                             type=pa.string()),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xx": pa.array(x * x), "xy": pa.array(x * y)})
+
+    agg = grouped_stats(li.map_batches(prep, batch_format="pyarrow"),
+                        ["p_brand"], sum_cols=["x", "y", "xx", "xy"])
+    rows = agg.take_all()
+    bs, ns, slopes = [], [], []
+    for r in sorted(rows, key=lambda r: r["p_brand"]):
+        n, sx, sy = int(r["n"]), int(r["x_sum"]), int(r["y_sum"])
+        sxx, sxy = int(r["xx_sum"]), int(r["xy_sum"])
+        den = n * sxx - sx * sx
+        slope = None if den == 0 \
+            else float(_round_away(np.array(
+                [float(n * sxy - sx * sy) / float(den) * 1e6]), 6)[0])
+        bs.append(r["p_brand"]); ns.append(n); slopes.append(slope)
+    return pa.table({
+        "p_brand": pa.array(bs, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "slope_per_megacent": pa.array(slopes, type=pa.float64())})
+
+
+SQL_PART_PRICE_ELASTICITY = """
+WITH e AS (SELECT p.p_brand,
+                  CAST(round(l.l_extendedprice / l.l_quantity * 100)
+                       AS BIGINT) AS x,
+                  CAST(round(l.l_quantity) AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+agg AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(x * y) AS HUGEINT) AS sxy
+        FROM e GROUP BY p_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6, 6)
+       END AS slope_per_megacent
+FROM agg
+"""
