@@ -1301,6 +1301,7 @@ def build_queries() -> dict:
         "embed_knn_classify": q_embed_knn_classify,
         "events_garman_klass": q_events_garman_klass,
         "part_price_elasticity": q_part_price_elasticity,
+        "events_markov_accuracy": q_events_markov_accuracy,
     }
 
 
@@ -1675,6 +1676,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _knn_classify_expected, ["vec_id", "embedding", "label"]),
         "events_garman_klass": SQL_EVENTS_GARMAN_KLASS,
         "part_price_elasticity": SQL_PART_PRICE_ELASTICITY,
+        "events_markov_accuracy": SQL_EVENTS_MARKOV_ACCURACY,
     }
     _flush_pending_oracles()
     return out
@@ -18017,4 +18019,87 @@ SELECT p_brand, CAST(n AS BIGINT) AS n,
                        / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6, 6)
        END AS slope_per_megacent
 FROM agg
+"""
+
+
+def q_events_markov_accuracy(sf_dir: str):
+    """First-order Markov next-type prediction eval: predict each
+    transition's target as the modal successor of its source type and
+    score accuracy — entirely from ONE (from, to) transition rollup
+    (n_correct[from] = count(from, mode[from]), no second pass over
+    the stream). Ties break to the lexicographically smallest
+    successor; one closing int/int divide per source type."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.partition import (column_i64,
+                                                entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def trans_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"t_from": pa.array([], type=pa.string()),
+                          "t_to": pa.array([], type=pa.string())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        n = tbl.num_rows
+        is_last = np.zeros(n, dtype=bool)
+        is_last[starts[1:] - 1] = True
+        a = np.flatnonzero(~is_last)
+        if a.size == 0:
+            return empty
+        et = tbl["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({"t_from": et.take(pa.array(a)),
+                         "t_to": et.take(pa.array(a + 1))})
+
+    trans = grouped_by_bucket(
+        ev.map_batches(lambda b: b.select(["event_id", "user_id",
+                                           "event_type", "ts_us"]),
+                       batch_format="pyarrow"),
+        trans_of_bucket, entity_col="user_id", num_buckets=NB)
+    agg = grouped_stats(trans, ["t_from", "t_to"])
+    rows = agg.take_all()  # bounded: |types|²
+    from collections import defaultdict
+    by_from: dict = defaultdict(list)
+    for r in rows:
+        by_from[r["t_from"]].append((r["t_to"], int(r["n"])))
+    out_f, out_n, out_p, out_c, out_a = [], [], [], [], []
+    for f in sorted(by_from):
+        tos = by_from[f]
+        total = sum(c for _, c in tos)
+        pred, cmax = min(((t, c) for t, c in tos),
+                         key=lambda tc: (-tc[1], tc[0]))
+        out_f.append(f); out_n.append(total); out_p.append(pred)
+        out_c.append(cmax)
+        out_a.append(np.float64(cmax) / np.float64(total))
+    return ray.data.from_arrow(pa.table({
+        "t_from": pa.array(out_f, type=pa.string()),
+        "n": pa.array(np.array(out_n, dtype=np.int64)),
+        "predicted": pa.array(out_p, type=pa.string()),
+        "n_correct": pa.array(np.array(out_c, dtype=np.int64)),
+        "acc": pa.array(np.array(out_a))}))
+
+
+SQL_EVENTS_MARKOV_ACCURACY = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+t AS (SELECT lag(event_type) OVER w AS t_from, event_type AS t_to
+      FROM e WINDOW w AS (PARTITION BY user_id
+                          ORDER BY ts_us, event_id)),
+g AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS c
+      FROM t WHERE t_from IS NOT NULL GROUP BY t_from, t_to),
+m AS (SELECT t_from, t_to AS predicted, c AS n_correct,
+             row_number() OVER (PARTITION BY t_from
+                                ORDER BY c DESC, t_to) AS rn
+      FROM g),
+tot AS (SELECT t_from, CAST(sum(c) AS BIGINT) AS n FROM g
+        GROUP BY t_from)
+SELECT tot.t_from, tot.n, m.predicted, m.n_correct,
+       CAST(m.n_correct AS DOUBLE) / CAST(tot.n AS DOUBLE) AS acc
+FROM tot JOIN m ON m.t_from = tot.t_from AND m.rn = 1
 """
