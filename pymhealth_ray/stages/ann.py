@@ -490,7 +490,9 @@ def mmr_select(ds, query_vec: np.ndarray, k: int = 10, lam: float = 0.7,
     max_sim = np.full(n, -np.inf)
     out_id, out_rel, out_score = [], [], []
     for _ in range(k):
-        pen = np.where(np.isneginf(max_sim), 0.0, (1.0 - lam) * max_sim)
+        pen = np.zeros(n)
+        seen = ~np.isneginf(max_sim)  # avoid 0·(−inf) warnings at λ=1
+        pen[seen] = (1.0 - lam) * max_sim[seen]
         score = lam * rel - pen
         score = np.where(chosen, -np.inf, score)
         j = int(np.argmax(score))
