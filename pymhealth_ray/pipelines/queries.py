@@ -17426,13 +17426,9 @@ def q_events_isotonic(sf_dir: str):
         lab = pc.cast(pc.equal(b["event_type"], "purchase"), pa.int64())
         return pa.table({"val_c": b["val_c"], "lab": lab})
 
-    out = isotonic_calibration(ev.map_batches(prep,
-                                              batch_format="pyarrow"),
-                               "val_c", "lab")
-    return out.map_batches(
-        lambda b: pa.table({"val_c": b["val_c"], "n": b["n"],
-                            "npos": b["npos"], "fitted": b["fitted"]}),
-        batch_format="pyarrow")
+    return isotonic_calibration(ev.map_batches(prep,
+                                               batch_format="pyarrow"),
+                                "val_c", "lab")
 
 
 def _image_patches_expected(df):
@@ -17845,12 +17841,17 @@ def q_embed_knn_classify(sf_dir: str):
 
     lab_rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
     lab_of = {r["vec_id"]: int(r["label"]) for r in lab_rows}
+    # linear segment walk over the query-sorted neighbor list — a
+    # per-query boolean scan would be O(n_q²) (session code review)
+    order = np.argsort(qi, kind="stable")
+    qs, ns_ = qi[order], ni[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(qs[1:] != qs[:-1]) + 1, [len(qs)]))
     stats: dict = {}
-    for q in np.unique(qi):
-        nb = ni[qi == q]
-        votes = np.bincount(np.array([lab_of[i] for i in nb]))
+    for s, e in zip(starts[:-1], starts[1:]):
+        votes = np.bincount(np.array([lab_of[i] for i in ns_[s:e]]))
         pred = int(np.argmax(votes))
-        true = lab_of[int(q)]
+        true = lab_of[int(qs[s])]
         n, corr = stats.get(true, (0, 0))
         stats[true] = (n + 1, corr + (1 if pred == true else 0))
     rows = sorted(stats.items())
@@ -17975,8 +17976,12 @@ def q_part_price_elasticity(sf_dir: str):
             .astype(np.float64)
         ep = b["l_extendedprice"].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        x = np.rint(ep / qn * 100).astype(np.int64)  # unit price cents
-        y = np.rint(qn).astype(np.int64)
+        # HALF-AWAY rounding to match SQL round() — np.rint is
+        # half-to-even and diverges on exact .5 cents (952 rows at
+        # sf0.01; caught by the session code review)
+        t = ep / qn * 100
+        x = (np.sign(t) * np.floor(np.abs(t) + 0.5)).astype(np.int64)
+        y = np.rint(qn).astype(np.int64)  # quantities are whole
         br = brands[np.searchsorted(keys, lpk)]
         return pa.table({"p_brand": pa.array(list(br),
                                              type=pa.string()),

@@ -393,11 +393,14 @@ def association_rules(ds, group_col: str, item_col: str,
         m = (kv == -1) | (c >= min_support)
         return pa.table({"key": pa.array(kv[m]), "c": pa.array(c[m])})
 
-    rows = counts.map_batches(keep, batch_format="pyarrow").take_all()
-    if len(rows) > max_rules:
+    filtered = counts.map_batches(keep, batch_format="pyarrow") \
+        .materialize()  # counted BEFORE the driver collect — the guard
+    n_keep = filtered.count()  # must fire without materializing rows
+    if n_keep > max_rules:    # driver-side (session code review)
         raise ValueError(
-            f"association_rules: {len(rows)} surviving partial rows "
+            f"association_rules: {n_keep} surviving partial rows "
             f"exceed max_rules={max_rules}; raise min_support")
+    rows = filtered.take_all()
     n_groups = 0
     item_c: dict = {}
     pairs = []

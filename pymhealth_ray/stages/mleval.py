@@ -39,6 +39,10 @@ def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
     Mann-Whitney convention)."""
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(tbl.schema.field(group_col).type):
+            raise ValueError(
+                "grouped_auc requires an integer group column; "
+                "dictionary-encode string keys first")
         empty = pa.table({
             group_col: pa.array([], type=pa.int64()),
             "npos": pa.array([], type=pa.int64()),
@@ -67,10 +71,12 @@ def grouped_auc(ds, group_col: str, label_col: str, score_col: str,
         rank_min = np.repeat(rank[tstart], tlen)
         ties = np.repeat(tlen, tlen)
         ar2 = 2 * rank_min + ties - 1  # doubled tie-averaged rank, int64
-        gid = np.repeat(np.arange(len(gstart), dtype=np.int64), glen)
-        npos = np.bincount(gid, weights=lab).astype(np.int64)
+        # int64-exact per-group sums via reduceat over the group-sorted
+        # layout — float-weighted bincount would silently cap exactness
+        # at 2^53 for huge groups (session code-review finding)
+        npos = np.add.reduceat(lab, gstart)
         nneg = glen.astype(np.int64) - npos
-        sp2 = np.bincount(gid, weights=ar2 * lab).astype(np.int64)
+        sp2 = np.add.reduceat(ar2 * lab, gstart)
         keep = (npos > 0) & (nneg > 0)
         if not keep.any():
             return empty

@@ -61,7 +61,8 @@ def theil_sen_by_entity(ds, entity_col: str, ts_col: str, val_col: str,
     mirroring SQL's inner pair join."""
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({entity_col: pa.array([], type=pa.int64()),
+        ent_t = tbl.schema.field(entity_col).type  # preserve key dtype
+        empty = pa.table({entity_col: pa.array([], type=ent_t),
                           "n_pairs": pa.array([], type=pa.int64()),
                           out_name: pa.array([], type=pa.float64())})
         if tbl.num_rows == 0:
@@ -109,7 +110,8 @@ def kendall_by_entity(ds, entity_col: str, ts_col: str, val_col: str,
     Output: (entity, n_pairs, concordant, discordant, tau)."""
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({entity_col: pa.array([], type=pa.int64()),
+        ent_t = tbl.schema.field(entity_col).type  # preserve key dtype
+        empty = pa.table({entity_col: pa.array([], type=ent_t),
                           "n_pairs": pa.array([], type=pa.int64()),
                           "concordant": pa.array([], type=pa.int64()),
                           "discordant": pa.array([], type=pa.int64()),

@@ -169,7 +169,7 @@ def test_association_rules_bruteforce_and_guard():
 
     big = pa.table({"g": pa.array([1, 1]),
                     "i": pa.array([0, 1 << 31])})
-    with pytest.raises((ValueError, Exception)):
+    with pytest.raises(Exception, match="item codes"):
         association_rules(ray.data.from_arrow(big), "g", "i",
                           min_support=1).take_all()
 
