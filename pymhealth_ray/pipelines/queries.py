@@ -1302,6 +1302,8 @@ def build_queries() -> dict:
         "events_garman_klass": q_events_garman_klass,
         "part_price_elasticity": q_part_price_elasticity,
         "events_markov_accuracy": q_events_markov_accuracy,
+        "embed_retrieval_ndcg": q_embed_retrieval_ndcg,
+        "events_lead_lag": q_events_lead_lag,
     }
 
 
@@ -1677,6 +1679,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_garman_klass": SQL_EVENTS_GARMAN_KLASS,
         "part_price_elasticity": SQL_PART_PRICE_ELASTICITY,
         "events_markov_accuracy": SQL_EVENTS_MARKOV_ACCURACY,
+        "embed_retrieval_ndcg": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "retrieval_ndcg_v1",
+            _ndcg_expected, ["vec_id", "embedding", "label"]),
+        "events_lead_lag": SQL_EVENTS_LEAD_LAG,
     }
     _flush_pending_oracles()
     return out
@@ -18107,4 +18113,197 @@ tot AS (SELECT t_from, CAST(sum(c) AS BIGINT) AS n FROM g
 SELECT tot.t_from, tot.n, m.predicted, m.n_correct,
        CAST(m.n_correct AS DOUBLE) / CAST(tot.n AS DOUBLE) AS acc
 FROM tot JOIN m ON m.t_from = tot.t_from AND m.rn = 1
+"""
+
+
+def _ndcg_expected(df):
+    """Single-process retrieval-nDCG replication: brute top-5 by
+    (sim DESC, id ASC) excluding self for every 5th vector, binary
+    relevance = label match, per-label mean nDCG accumulated in
+    ascending query-id order (the engine's pinned order)."""
+    import pandas as pd
+
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    labs = df["label"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64)
+                  for e in df["embedding"]])
+    order = np.argsort(ids)
+    ids, labs, P = ids[order], labs[order], P[order]
+    U = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    sims = U @ U.T
+    disc = 1.0 / np.log2(np.arange(2, 7, dtype=np.float64))
+    acc: dict = {}
+    for qi in np.flatnonzero(ids % 5 == 0):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        top = np.lexsort((ids, -s))[:5]
+        rel = (labs[top] == labs[qi]).astype(np.float64)
+        dcg = float((rel * disc).sum())
+        ideal = np.sort(rel)[::-1]
+        idcg = float((ideal * disc).sum())
+        nd = 0.0 if idcg == 0.0 else dcg / idcg
+        true = int(labs[qi])
+        n, tot = acc.get(true, (0, 0.0))
+        acc[true] = (n + 1, tot + nd)
+    rows = sorted(acc.items())
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    n = np.array([r[1][0] for r in rows], dtype=np.int64)
+    tot = np.array([r[1][1] for r in rows], dtype=np.float64)
+    return pd.DataFrame({"label": lab, "n_queries": n,
+                         "mean_ndcg": _round_away(tot / n, 6)})
+
+
+def q_embed_retrieval_ndcg(sf_dir: str):
+    """Retrieval quality eval: nDCG@5 with binary label relevance over
+    the exact brute-force top-5, averaged per label with the
+    accumulation PINNED to ascending query id (float-sum order is part
+    of the contract). Completes the IR-eval family next to BM25,
+    recall@k and RRF."""
+    import ray
+
+    from pymhealth_ray.stages.ann import knn_bruteforce
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+    ds = ds.materialize()
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        m = b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0
+        return b.filter(pa.array(m)).select(["vec_id", "embedding"])
+
+    qtbl = pa.concat_tables(
+        [b for b in ds.map_batches(pick_queries, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    top = knn_bruteforce(ds, qtbl, k=5, exclude_self=True)
+    qi = np.asarray(top["query_id"].to_pylist(), dtype=np.int64)
+    ni = np.asarray(top["neighbor_id"].to_pylist(), dtype=np.int64)
+    need = np.unique(np.concatenate((qi, ni)))
+    need_ref = ray.put(need)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        w = ray.get(need_ref)
+        m = np.isin(b["vec_id"].to_numpy(zero_copy_only=False), w)
+        return b.filter(pa.array(m)).select(["vec_id", "label"])
+
+    lab_rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    lab_of = {r["vec_id"]: int(r["label"]) for r in lab_rows}
+    disc = 1.0 / np.log2(np.arange(2, 7, dtype=np.float64))
+    # neighbors arrive sorted by (query_id, -cosine, neighbor_id):
+    # rank order within a segment IS the retrieval order
+    order = np.argsort(qi, kind="stable")
+    qs, ns_ = qi[order], ni[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(qs[1:] != qs[:-1]) + 1, [len(qs)]))
+    acc: dict = {}
+    for s, e in zip(starts[:-1], starts[1:]):
+        true = lab_of[int(qs[s])]
+        rel = np.array([1.0 if lab_of[i] == true else 0.0
+                        for i in ns_[s:e]])
+        d = disc[:len(rel)]
+        dcg = float((rel * d).sum())
+        idcg = float((np.sort(rel)[::-1] * d).sum())
+        nd = 0.0 if idcg == 0.0 else dcg / idcg
+        n, tot = acc.get(true, (0, 0.0))
+        acc[true] = (n + 1, tot + nd)
+    rows = sorted(acc.items())
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    n = np.array([r[1][0] for r in rows], dtype=np.int64)
+    tot = np.array([r[1][1] for r in rows], dtype=np.float64)
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array(lab), "n_queries": pa.array(n),
+        "mean_ndcg": pa.array(_round_away(tot / n, 6))}))
+
+
+def q_events_lead_lag(sf_dir: str):
+    """Lead-lag cross-correlation between the purchase and click
+    hourly count series at lags −3…3: zero-filled hour grid (bounded
+    by the observation window), EXACT int64 moment sums per lag, one
+    sqrt-finish mirroring the lineitem_corr Pearson op order."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    HOUR = 3_600_000_000
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["purchase", "click"]))
+        b = b.filter(m)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"hour": pa.array(ts // HOUR),
+                         "event_type": b["event_type"]})
+
+    agg = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["hour", "event_type"])
+    rows = agg.take_all()  # bounded: hours × 2
+    hrs = np.array([r["hour"] for r in rows], dtype=np.int64)
+    if not len(hrs):
+        return ray.data.from_arrow(pa.table({
+            "lag": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "corr": pa.array([], type=pa.float64())}))
+    h0, h1 = int(hrs.min()), int(hrs.max())
+    span = h1 - h0 + 1
+    a = np.zeros(span, dtype=np.int64)  # purchases
+    b_ = np.zeros(span, dtype=np.int64)  # clicks
+    for r in rows:
+        if r["event_type"] == "purchase":
+            a[r["hour"] - h0] = int(r["n"])
+        else:
+            b_[r["hour"] - h0] = int(r["n"])
+    lags, ns, cs = [], [], []
+    for lag in range(-3, 4):
+        if lag >= 0:
+            x, y = a[:span - lag], b_[lag:]
+        else:
+            x, y = a[-lag:], b_[:span + lag]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum()); syy = int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        c = None if dx == 0 or dy == 0 else float(_round_away(
+            np.array([float(num) / np.sqrt(float(dx) * float(dy))]),
+            6)[0])
+        lags.append(lag); ns.append(n); cs.append(c)
+    return ray.data.from_arrow(pa.table({
+        "lag": pa.array(np.array(lags, dtype=np.int64)),
+        "n": pa.array(np.array(ns, dtype=np.int64)),
+        "corr": pa.array(cs, type=pa.float64())}))
+
+
+SQL_EVENTS_LEAD_LAG = """
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type
+           FROM events WHERE event_type IN ('purchase', 'click')),
+bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+grid AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds),
+a AS (SELECT g.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN (SELECT hour, count(*) AS n FROM e
+                             WHERE event_type = 'purchase'
+                             GROUP BY hour) c ON c.hour = g.hour),
+b AS (SELECT g.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN (SELECT hour, count(*) AS n FROM e
+                             WHERE event_type = 'click'
+                             GROUP BY hour) c ON c.hour = g.hour),
+lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+j AS (SELECT l.lag, a.v AS x, b.v AS y
+      FROM lags l JOIN a ON TRUE JOIN b ON b.hour = a.hour + l.lag),
+m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM j GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS corr
+FROM m
 """
