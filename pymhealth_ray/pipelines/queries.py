@@ -1304,6 +1304,7 @@ def build_queries() -> dict:
         "events_markov_accuracy": q_events_markov_accuracy,
         "embed_retrieval_ndcg": q_embed_retrieval_ndcg,
         "events_lead_lag": q_events_lead_lag,
+        "docs_ipc_roundtrip": q_docs_ipc_roundtrip,
     }
 
 
@@ -1683,6 +1684,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "embeddings", "retrieval_ndcg_v1",
             _ndcg_expected, ["vec_id", "embedding", "label"]),
         "events_lead_lag": SQL_EVENTS_LEAD_LAG,
+        "docs_ipc_roundtrip": SQL_DOCS_IPC_ROUNDTRIP,
     }
     _flush_pending_oracles()
     return out
@@ -18306,4 +18308,55 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
                               * CAST(n * syy - sy * sy AS DOUBLE)), 6)
        END AS corr
 FROM m
+"""
+
+
+def q_docs_ipc_roundtrip(sf_dir: str):
+    """Arrow-IPC format coverage: the documents table round-trips
+    through the engine's bucketed .arrow sink (sources/io.write_ipc)
+    and file-parallel IPC reader (read_ipc); per-doc length + content
+    digest against the parquet original proves losslessness of BOTH
+    directions."""
+    import os
+
+    from pymhealth_ray.sources.io import read_ipc, write_ipc
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/ipc_{name}_v1"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    with _build_lock(out_dir):
+        if not os.path.exists(marker):
+            src = read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+            write_ipc(src, out_dir, num_files=8)
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.arrow")))
+    ds = read_ipc(files, columns=["doc_id", "lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "text_md5": pa.array([], type=pa.string())})
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        md5s = [hashlib.md5(t.encode()).hexdigest()
+                for t in txt.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "text_md5": pa.array(md5s, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOCS_IPC_ROUNDTRIP = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
 """

@@ -924,3 +924,69 @@ def zonemap_change_feed(out_dir: str, key_col: str, from_version: int,
         return pa.table(out).filter(keep)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def read_ipc(path_or_dir: str, columns=None, blocks: int | None = None):
+    """Arrow IPC (feather v2 / .arrow) source: file-parallel ingest via
+    ray.data.read_binary_files + a per-task pa.ipc open — each file
+    decodes zero-copy into Arrow batches on the worker that read it.
+    ``columns`` prunes at decode time (IPC is column-addressable, so
+    unneeded columns are never materialized)."""
+    import ray
+
+    ds = ray.data.read_binary_files(
+        path_or_dir, override_num_blocks=blocks or default_blocks())
+
+    def decode(batch: "pa.Table") -> "pa.Table":
+        outs = []
+        payloads = batch["bytes"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        for i in range(len(payloads)):
+            buf = pa.BufferReader(payloads[i].as_py())
+            tbl = pa.ipc.open_file(buf).read_all()
+            if columns is not None:
+                tbl = tbl.select(columns)
+            outs.append(tbl.combine_chunks())
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
+def write_ipc(ds, out_dir: str, num_files: int = 16):
+    """Arrow IPC sink: ``num_files`` bucketed .arrow files (one IPC
+    file per bucket via map_groups — the resumable-sink layout shape),
+    atomic per-file tmp→rename, a _SUCCESS marker last."""
+    import os
+
+    import ray  # noqa: F401
+
+    from pymhealth_ray.stages.partition import BUCKET_COL, with_entity_bucket
+
+    os.makedirs(out_dir, exist_ok=True)
+    first = ds.schema().names[0]
+    bucketed = with_entity_bucket(ds, first, num_files)
+
+    def write_group(tbl: "pa.Table") -> "pa.Table":
+        if tbl.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        b = int(tbl[BUCKET_COL][0].as_py())
+        tbl = tbl.drop_columns([BUCKET_COL])
+        path = os.path.join(out_dir, f"part-{b:05d}.arrow")
+        tmp = path + ".tmp"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+        os.replace(tmp, path)
+        return pa.table({"file": pa.array([path], type=pa.string()),
+                         "rows": pa.array([tbl.num_rows],
+                                          type=pa.int64())})
+
+    out = bucketed.groupby(BUCKET_COL).map_groups(
+        write_group, batch_format="pyarrow").take_all()
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out

@@ -297,3 +297,31 @@ def test_kendall_by_entity_bruteforce():
         assert row["n_pairs"] == np_
         assert row["concordant"] == c_ and row["discordant"] == d_
         assert row["tau"] == (c_ - d_) / np_
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ipc_sink_source_roundtrip(tmp_path):
+    import glob
+
+    from pymhealth_ray.sources.io import read_ipc, write_ipc
+
+    rng = np.random.default_rng(41)
+    tbl = pa.table({
+        "k": pa.array(np.arange(500, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 100, size=500)),
+        "s": pa.array([f"row-{i}" for i in range(500)],
+                      type=pa.string())})
+    out = str(tmp_path / "ipc")
+    res = write_ipc(ray.data.from_arrow(tbl).repartition(5), out,
+                    num_files=4)
+    assert sum(r["rows"] for r in res) == 500
+    files = sorted(glob.glob(out + "/part-*.arrow"))
+    assert files and len(files) <= 4
+
+    back = read_ipc(files, columns=["k", "v", "s"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert back.equals(tbl.to_pandas())
+
+    # column pruning drops unrequested columns at decode time
+    two = read_ipc(files, columns=["k", "v"]).schema().names
+    assert two == ["k", "v"]
