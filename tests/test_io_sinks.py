@@ -536,3 +536,84 @@ class TestChangeFeed:
         feed = zonemap_change_feed(zdir, "k", 1, to_version=1,
                                    compare_cols=["v"])
         assert feed.count() == 0
+
+
+class TestZonemapCrudFuzz:
+    """Model-based randomized CRUD sequence over one zonemapped layout:
+    after EVERY operation the full-range read must equal a plain dict
+    model. Individual op semantics are covered above; this closes the
+    compositional gap (upsert-after-delete, compact-mid-history,
+    vacuum-then-mutate…)."""
+
+    def test_random_crud_sequence_matches_model(self, ray_session,
+                                                tmp_path):
+        from pymhealth_ray.sources.io import (compact_zonemapped,
+                                              delete_zonemapped,
+                                              read_zonemapped,
+                                              upsert_zonemapped,
+                                              vacuum_zonemapped,
+                                              write_zonemapped)
+
+        rng = np.random.default_rng(77)
+        n0 = 4000
+        t = np.sort(rng.integers(0, 10**9, n0)).astype(np.int64)
+        k = rng.permutation(n0).astype(np.int64)
+        v = rng.integers(0, 1000, n0).astype(np.int64)
+        model = {int(kk): (int(tt), int(vv))
+                 for kk, tt, vv in zip(k, t, v)}
+        next_key = n0
+        zdir = str(tmp_path / "crud")
+        df = pd.DataFrame({"t": t, "k": k, "v": v})
+        write_zonemapped(ray.data.from_pandas(df).repartition(6), zdir,
+                         "t", num_files=8, bloom_cols=["k"])
+
+        def check():
+            got, _, _ = read_zonemapped(zdir, "t", 0, 2 * 10**9)
+            gdf = got.to_pandas().sort_values("k").reset_index(drop=True)
+            exp = pd.DataFrame(
+                sorted((kk, tt, vv) for kk, (tt, vv) in model.items()),
+                columns=["k", "t", "v"])
+            assert len(gdf) == len(exp)
+            assert gdf["k"].tolist() == exp["k"].tolist()
+            assert gdf["t"].tolist() == exp["t"].tolist()
+            assert gdf["v"].tolist() == exp["v"].tolist()
+
+        ops = rng.choice(["upsert", "delete", "compact", "vacuum"],
+                         size=10, p=[0.4, 0.3, 0.2, 0.1])
+        for op in ops:
+            keys_now = np.array(sorted(model), dtype=np.int64)
+            if op == "upsert":
+                upd = rng.choice(keys_now, size=min(30, len(keys_now)),
+                                 replace=False)
+                rows = []
+                for kk in upd:  # updates keep the key's event time
+                    tt, _ = model[int(kk)]
+                    nv = int(rng.integers(0, 1000))
+                    model[int(kk)] = (tt, nv)
+                    rows.append((tt, int(kk), nv))
+                for _ in range(5):  # fresh inserts
+                    tt = int(rng.integers(0, 10**9))
+                    nv = int(rng.integers(0, 1000))
+                    model[next_key] = (tt, nv)
+                    rows.append((tt, next_key, nv))
+                    next_key += 1
+                delta = pa.table({
+                    "t": pa.array([r[0] for r in rows],
+                                  type=pa.int64()),
+                    "k": pa.array([r[1] for r in rows],
+                                  type=pa.int64()),
+                    "v": pa.array([r[2] for r in rows],
+                                  type=pa.int64())})
+                upsert_zonemapped(zdir, delta, "k", "t")
+            elif op == "delete":
+                dels = rng.choice(keys_now, size=min(20, len(keys_now)),
+                                  replace=False).tolist()
+                dels.append(10**7)  # absent key: must be a no-op
+                for kk in dels:
+                    model.pop(int(kk), None)
+                delete_zonemapped(zdir, "k", dels)
+            elif op == "compact":
+                compact_zonemapped(zdir, target_files=4)
+            else:
+                vacuum_zonemapped(zdir)
+            check()
