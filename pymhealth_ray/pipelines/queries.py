@@ -1305,6 +1305,7 @@ def build_queries() -> dict:
         "embed_retrieval_ndcg": q_embed_retrieval_ndcg,
         "events_lead_lag": q_events_lead_lag,
         "docs_ipc_roundtrip": q_docs_ipc_roundtrip,
+        "seq_coverage_select": q_seq_coverage_select,
     }
 
 
@@ -1685,6 +1686,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _ndcg_expected, ["vec_id", "embedding", "label"]),
         "events_lead_lag": SQL_EVENTS_LEAD_LAG,
         "docs_ipc_roundtrip": SQL_DOCS_IPC_ROUNDTRIP,
+        "seq_coverage_select": _materialized_oracle(
+            path, "coverage_select_v2", _coverage_select_expected,
+            columns=("doc_id", "ts_ns", "tokens")),
     }
     _flush_pending_oracles()
     return out
@@ -18360,3 +18364,130 @@ SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
        md5(text) AS text_md5
 FROM documents
 """
+
+
+def _coverage_select_expected(src: pa.Table):
+    """Single-process greedy max-coverage replication at SEQUENCE
+    granularity (a doc has many sequence rows — identity is
+    (doc_id, ts_ns)): distinct-token counts per row, top-64 pool by
+    (count DESC, doc_id, ts_ns), greedy largest-marginal-gain (ties →
+    smallest (doc_id, ts_ns)), k=16."""
+    import pandas as pd
+
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    ids = src["doc_id"].to_pylist()
+    tss = src["ts_ns"].to_pylist()
+    sets = {(i, int(t)): set(tk.as_py())
+            for i, t, tk in zip(ids, tss, toks)}
+    pool = sorted(sets, key=lambda d: (-len(sets[d]), d))[:64]
+    covered: set = set()
+    out = []
+    for rank in range(1, 17):
+        best, best_gain = None, -1
+        for d in pool:
+            if any(d == o[1] for o in out):
+                continue
+            gain = len(sets[d] - covered)
+            if gain > best_gain or (gain == best_gain
+                                    and (best is None or d < best)):
+                best, best_gain = d, gain
+        covered |= sets[best]
+        out.append((rank, best, best_gain, len(covered)))
+    return pd.DataFrame({
+        "rank": np.array([o[0] for o in out], dtype=np.int64),
+        "doc_id": [o[1][0] for o in out],
+        "ts_ns": np.array([o[1][1] for o in out], dtype=np.int64),
+        "gain": np.array([o[2] for o in out], dtype=np.int64),
+        "covered": np.array([o[3] for o in out], dtype=np.int64)})
+
+
+def q_seq_coverage_select(sf_dir: str):
+    """SUBMODULAR max-coverage data selection (the facility-location
+    greedy): pick 16 sequences whose token sets together cover the
+    most vocabulary. Distinct-token counts are ONE vectorized map
+    (lexsorted (row, token) boundary counting — no per-row Python in
+    the scan); the candidate pool is a distributed top-64; the greedy
+    runs driver-side over the bounded pool's token sets — the MMR
+    contract applied to coverage."""
+    import ray
+
+    from pymhealth_ray.stages.aggregate import grouped_topk
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    ds = ds.materialize()  # scanned for counts, re-read for the pool
+
+    def distinct_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "ts_ns": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64()),
+                             "__one": pa.array([], type=pa.int8())})
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = toks.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[off[0]: off[-1]]
+        lens = np.diff(off)
+        rid = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        order = np.lexsort((flat, rid))
+        sr, st = rid[order], flat[order]
+        new = np.ones(len(sr), dtype=bool)
+        new[1:] = (sr[1:] != sr[:-1]) | (st[1:] != st[:-1])
+        nd = np.bincount(sr[new], minlength=b.num_rows) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ts_ns": b["ts_ns"].cast(pa.int64()),
+            "nd": pa.array(nd),
+            "__one": pa.array(np.zeros(b.num_rows, dtype=np.int8))})
+
+    counts = ds.map_batches(distinct_counts, batch_format="pyarrow")
+    pool_tbl = grouped_topk(counts, ["__one"], "nd", 64,
+                            descending=True,
+                            tie_cols=["doc_id", "ts_ns"],
+                            num_buckets=1)
+    pool_keys = np.array(
+        sorted(f'{r["doc_id"]}|{int(r["ts_ns"])}'
+               for r in pool_tbl.take_all()), dtype=object)
+    pool_ref = ray.put(pool_keys)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        w = ray.get(pool_ref)
+        did = b["doc_id"].to_pylist()
+        tsv = b["ts_ns"].to_numpy(zero_copy_only=False)
+        keys = np.array([f"{d}|{int(t)}" for d, t in zip(did, tsv)],
+                        dtype=object)
+        return b.filter(pa.array(np.isin(keys, w)))
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    sets = {(r["doc_id"], int(r["ts_ns"])): set(r["tokens"])
+            for r in rows}
+    covered: set = set()
+    chosen: set = set()
+    out = []
+    for rank in range(1, 17):
+        best, best_gain = None, -1
+        for d in sorted(sets):
+            if d in chosen:
+                continue
+            gain = len(sets[d] - covered)
+            if gain > best_gain:
+                best, best_gain = d, gain
+        covered |= sets[best]
+        chosen.add(best)
+        out.append((rank, best, best_gain, len(covered)))
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.array([o[0] for o in out],
+                                  dtype=np.int64)),
+        "doc_id": pa.array([o[1][0] for o in out],
+                           type=pa.string()),
+        "ts_ns": pa.array(np.array([o[1][1] for o in out],
+                                   dtype=np.int64)),
+        "gain": pa.array(np.array([o[2] for o in out],
+                                  dtype=np.int64)),
+        "covered": pa.array(np.array([o[3] for o in out],
+                                     dtype=np.int64))}))
