@@ -1306,6 +1306,8 @@ def build_queries() -> dict:
         "events_lead_lag": q_events_lead_lag,
         "docs_ipc_roundtrip": q_docs_ipc_roundtrip,
         "seq_coverage_select": q_seq_coverage_select,
+        "seq_mlm_mask": q_seq_mlm_mask,
+        "docs_lsh_pr": q_docs_lsh_pr,
     }
 
 
@@ -1689,6 +1691,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_coverage_select": _materialized_oracle(
             path, "coverage_select_v2", _coverage_select_expected,
             columns=("doc_id", "ts_ns", "tokens")),
+        "seq_mlm_mask": sql_seq_mlm_mask(path),
+        "docs_lsh_pr": _docs_materialized_oracle(
+            sf_dir_for_fixture, "lsh_pr_v1", _lsh_pr_expected),
     }
     _flush_pending_oracles()
     return out
@@ -18491,3 +18496,156 @@ def q_seq_coverage_select(sf_dir: str):
                                   dtype=np.int64)),
         "covered": pa.array(np.array([o[3] for o in out],
                                      dtype=np.int64))}))
+
+
+def q_seq_mlm_mask(sf_dir: str):
+    """BERT-style MLM mask layout (completing the objective-layout
+    triad with T5 span corruption and PSM FIM): ~15% of positions per
+    sequence are masked by a WEYL sequence keyed on one md5 per row —
+    u_i = (md5_64(doc:ts) mod 2³¹ + i·1103515245) mod 2³¹ < 0.15·2³¹ —
+    deterministic, one hash per ROW (not per token), and exactly
+    reproducible in BIGINT-safe SQL. Summary per sequence keeps the
+    oracle list-free: masked count, masked index sum, masked token
+    sum."""
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    M = np.int64(1) << np.int64(31)
+    C = np.int64(1103515245)
+    T = np.int64(int(0.15 * (1 << 31)))
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.string()),
+                "ts_ns": pa.array([], type=pa.int64()),
+                "n_tok": pa.array([], type=pa.int64()),
+                "n_masked": pa.array([], type=pa.int64()),
+                "masked_idx_sum": pa.array([], type=pa.int64()),
+                "masked_tok_sum": pa.array([], type=pa.int64())})
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = toks.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[off[0]: off[-1]]
+        lens = np.diff(off)
+        did = b["doc_id"].to_pylist()
+        tsv = b["ts_ns"].to_numpy(zero_copy_only=False)
+        keys = pa.array([f"{d}:{int(t)}" for d, t in zip(did, tsv)])
+        base = (_md5_u64(keys) % np.uint64(M)).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(starts, lens) + 1  # 1-based
+        u = (np.repeat(base, lens) + pos * C) % M
+        masked = u < T
+        rid = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        nm = np.bincount(rid[masked], minlength=b.num_rows) \
+            .astype(np.int64)
+        # bincount(weights) ≫ np.add.at; per-row sums ≪ 2^53 so the
+        # float accumulation is exact
+        mis = np.bincount(rid[masked], weights=pos[masked],
+                          minlength=b.num_rows).astype(np.int64)
+        mts = np.bincount(rid[masked], weights=flat[masked],
+                          minlength=b.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ts_ns": b["ts_ns"].cast(pa.int64()),
+            "n_tok": pa.array(lens.astype(np.int64)),
+            "n_masked": pa.array(nm),
+            "masked_idx_sum": pa.array(mis),
+            "masked_tok_sum": pa.array(mts)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_seq_mlm_mask(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens, len(tokens) AS n,
+                  CAST(('0x' || substr(md5(doc_id || ':' ||
+                        CAST(ts_ns AS VARCHAR)), 1, 16))::UBIGINT
+                       % 2147483648 AS BIGINT) AS base
+           FROM read_parquet('{path}/part-*.parquet')),
+c AS (SELECT doc_id, ts_ns, n, i, tokens[i] AS tok,
+             (base + i * 1103515245) % 2147483648 AS u
+      FROM s, LATERAL unnest(generate_series(1, n)) AS g(i))
+SELECT doc_id, ts_ns, CAST(max(n) AS BIGINT) AS n_tok,
+       CAST(sum(CASE WHEN u < 322122547 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       CAST(sum(CASE WHEN u < 322122547 THEN i ELSE 0 END) AS BIGINT)
+         AS masked_idx_sum,
+       CAST(sum(CASE WHEN u < 322122547 THEN tok ELSE 0 END) AS BIGINT)
+         AS masked_tok_sum
+FROM c GROUP BY doc_id, ts_ns
+"""
+
+
+def _lsh_pr_expected(df):
+    """Single-process P/R replication: LSH candidate pairs via
+    _minhash_pairs_expected (est ≥ 0.5), truth via brute-force exact
+    word-3-shingle Jaccard ≥ 0.5 (the similarity_join definition)."""
+    import pandas as pd
+
+    lsh = _minhash_pairs_expected(df)
+    lsh_pairs = {(int(a), int(b))
+                 for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    sets = {}
+    for i, t in zip(df["doc_id"].values, df["text"].values):
+        w = t.lower().split(" ")
+        sets[int(i)] = {" ".join(w[j:j + 3])
+                        for j in range(len(w) - 2)}
+    ids = sorted(sets)
+    exact = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.5:
+                exact.add((a, b))
+    tp = len(lsh_pairs & exact)
+    return pd.DataFrame({
+        "n_lsh": np.array([len(lsh_pairs)], dtype=np.int64),
+        "n_exact": np.array([len(exact)], dtype=np.int64),
+        "tp": np.array([tp], dtype=np.int64),
+        "precision": np.array(
+            [np.float64(tp) / np.float64(len(lsh_pairs))
+             if lsh_pairs else np.nan]),
+        "recall": np.array(
+            [np.float64(tp) / np.float64(len(exact))
+             if exact else np.nan])})
+
+
+def q_docs_lsh_pr(sf_dir: str):
+    """DEDUP-QUALITY eval: precision/recall of the estimate-verified
+    MinHash-LSH pair set against the verification-grade exact
+    word-3-shingle Jaccard join at the same τ=0.5 — the set-level
+    companion to docs_lsh_calibration's per-pair estimate audit. Both
+    pair sets are individually driver-gated pipelines; this query
+    joins them on the driver (both bounded by the corpus dup rate)."""
+    import ray
+
+    from pymhealth_ray.stages.dedup import minhash_lsh_dupes
+    from pymhealth_ray.stages.setjoin import similarity_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = docs.materialize()  # consumed by BOTH pair pipelines
+    lsh_rows = minhash_lsh_dupes(docs, jaccard_threshold=0.5) \
+        .take_all()
+    lsh_pairs = {(int(r["id_a"]), int(r["id_b"])) for r in lsh_rows}
+    ex_rows = similarity_join(docs, tau=0.5, num_buckets=NB).take_all()
+    exact = {(int(r["id_a"]), int(r["id_b"])) for r in ex_rows}
+    tp = len(lsh_pairs & exact)
+    return ray.data.from_arrow(pa.table({
+        "n_lsh": pa.array([len(lsh_pairs)], type=pa.int64()),
+        "n_exact": pa.array([len(exact)], type=pa.int64()),
+        "tp": pa.array([tp], type=pa.int64()),
+        "precision": pa.array(
+            [np.float64(tp) / np.float64(len(lsh_pairs))
+             if lsh_pairs else np.nan], type=pa.float64()),
+        "recall": pa.array(
+            [np.float64(tp) / np.float64(len(exact))
+             if exact else np.nan], type=pa.float64())}))
