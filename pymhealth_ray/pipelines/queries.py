@@ -1308,6 +1308,10 @@ def build_queries() -> dict:
         "seq_coverage_select": q_seq_coverage_select,
         "seq_mlm_mask": q_seq_mlm_mask,
         "docs_lsh_pr": q_docs_lsh_pr,
+        "events_local_peaks": q_events_local_peaks,
+        "orders_interarrival": q_orders_interarrival,
+        "lineitem_return_ci": q_lineitem_return_ci,
+        "docs_readability": q_docs_readability,
     }
 
 
@@ -1694,6 +1698,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_mlm_mask": sql_seq_mlm_mask(path),
         "docs_lsh_pr": _docs_materialized_oracle(
             sf_dir_for_fixture, "lsh_pr_v1", _lsh_pr_expected),
+        "events_local_peaks": SQL_EVENTS_LOCAL_PEAKS,
+        "orders_interarrival": SQL_ORDERS_INTERARRIVAL,
+        "lineitem_return_ci": SQL_LINEITEM_RETURN_CI,
+        "docs_readability": SQL_DOCS_READABILITY,
     }
     _flush_pending_oracles()
     return out
@@ -18649,3 +18657,310 @@ def q_docs_lsh_pr(sf_dir: str):
         "recall": pa.array(
             [np.float64(tp) / np.float64(len(exact))
              if exact else np.nan], type=pa.float64())}))
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave A: peaks / cadence / Wilson CI / readability
+# --------------------------------------------------------------------------
+
+
+def q_events_local_peaks(sf_dir: str):
+    """PROMINENCE-FILTERED LOCAL MAXIMA per user — the event-stream
+    analog of the reference's peak detectors (heart/qrs.py decision
+    rules detect local maxima over a moving threshold): a row is a
+    peak when its cents value exceeds BOTH neighbours by >= $5.00.
+    Users co-locate in one grouped_by_bucket exchange; the test is a
+    vectorized neighbour compare with segment-boundary masks; output
+    is all-integer (counts + max peak cents)."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    PROM_C = 500  # $5.00 prominence in cents
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "c")
+        return b.select(["user_id", "ts_us", "event_id", "c"])
+
+    def peaks_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_peaks": pa.array([], type=pa.int64()),
+                          "max_peak_cents": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        c = column_i64(tbl, "c")
+        n = tbl.num_rows
+        cnt = np.diff(starts)
+        seg_of = np.repeat(np.arange(n_ent, dtype=np.int64), cnt)
+        interior = np.ones(n, dtype=bool)
+        interior[starts[:-1]] = False
+        last = starts[1:] - 1
+        interior[last] = False
+        d_prev = np.empty(n, dtype=np.int64)
+        d_next = np.empty(n, dtype=np.int64)
+        d_prev[1:] = c[1:] - c[:-1]
+        d_prev[0] = 0
+        d_next[:-1] = c[:-1] - c[1:]
+        d_next[-1] = 0
+        peak = interior & (d_prev >= PROM_C) & (d_next >= PROM_C)
+        pidx = np.flatnonzero(peak)
+        if pidx.size == 0:
+            return empty
+        pseg = seg_of[pidx]  # ascending (pidx ascending, segments contig)
+        first = np.ones(pidx.size, dtype=bool)
+        first[1:] = pseg[1:] != pseg[:-1]
+        bounds = np.flatnonzero(first)
+        mx = np.maximum.reduceat(c[pidx], bounds)
+        useg = pseg[first]
+        npk = np.bincount(pseg, minlength=n_ent)[useg].astype(np.int64)
+        uid = column_i64(tbl, "user_id")[starts[:-1]][useg]
+        return pa.table({"user_id": pa.array(uid),
+                         "n_peaks": pa.array(npk),
+                         "max_peak_cents": pa.array(mx.astype(np.int64))})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), peaks_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+SQL_EVENTS_LOCAL_PEAKS = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c,
+                  epoch_us(ts) AS ts_us FROM events),
+w AS (SELECT user_id, c,
+             lag(c) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS p,
+             lead(c) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS nx
+      FROM e),
+pk AS (SELECT user_id, c FROM w
+       WHERE p IS NOT NULL AND nx IS NOT NULL
+         AND c - p >= 500 AND c - nx >= 500)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_peaks,
+       max(c) AS max_peak_cents
+FROM pk GROUP BY user_id
+"""
+
+
+def q_orders_interarrival(sf_dir: str):
+    """PURCHASE-CADENCE features per customer — interarrival gaps in
+    whole days between consecutive orders (the RFM 'frequency' axis
+    made temporal). Gaps are a sorted-date diff, so they are invariant
+    to tie order among same-day orders; moments stay exact int64
+    (gap <= ~2.5k days, counts <= dozens) and only the closing
+    mean / std divisions are floats, mirrored to SQL op order."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ds = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        col = b["o_orderdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            d = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                // 86_400_000_000
+        else:
+            d = col.cast(pa.date32()).cast(pa.int32()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "d": pa.array(d.astype(np.int64))})
+
+    def cadence_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                          "n_orders": pa.array([], type=pa.int64()),
+                          "n_gaps": pa.array([], type=pa.int64()),
+                          "sum_gap_days": pa.array([], type=pa.int64()),
+                          "mean_gap": pa.array([], type=pa.float64()),
+                          "std_gap": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "o_custkey", "d")
+        d = column_i64(tbl, "d")
+        cnt = np.diff(starts)
+        keep = cnt >= 2
+        if not keep.any():
+            return empty
+        gaps = np.empty(tbl.num_rows, dtype=np.int64)
+        gaps[1:] = d[1:] - d[:-1]
+        gaps[starts[:-1]] = 0  # boundary rows carry no gap
+        seg_of = np.repeat(np.arange(n_ent, dtype=np.int64), cnt)
+        s = np.bincount(seg_of, weights=gaps.astype(np.float64),
+                        minlength=n_ent).astype(np.int64)
+        sq = np.bincount(seg_of, weights=(gaps * gaps).astype(np.float64),
+                         minlength=n_ent).astype(np.int64)
+        n_gaps = (cnt - 1).astype(np.int64)
+        uid = column_i64(tbl, "o_custkey")[starts[:-1]]
+        s, sq, n_gaps, cnt, uid = (s[keep], sq[keep], n_gaps[keep],
+                                   cnt[keep].astype(np.int64), uid[keep])
+        nd = n_gaps.astype(np.float64)
+        mean = s.astype(np.float64) / n_gaps
+        m2 = n_gaps * sq - s * s
+        std = _round_away(np.sqrt(m2.astype(np.float64)) / n_gaps, 6)
+        _ = nd
+        return pa.table({"o_custkey": pa.array(uid),
+                         "n_orders": pa.array(cnt),
+                         "n_gaps": pa.array(n_gaps),
+                         "sum_gap_days": pa.array(s),
+                         "mean_gap": pa.array(mean),
+                         "std_gap": pa.array(std)})
+
+    return grouped_by_bucket(
+        ds.map_batches(prep, batch_format="pyarrow"), cadence_of_bucket,
+        entity_col="o_custkey", num_buckets=NB)
+
+
+SQL_ORDERS_INTERARRIVAL = """
+WITH o AS (SELECT o_custkey,
+                  datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS d
+           FROM orders),
+g AS (SELECT o_custkey,
+             d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS gap
+      FROM o),
+a AS (SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(gap * gap) AS BIGINT) AS sq
+      FROM g WHERE gap IS NOT NULL GROUP BY o_custkey)
+SELECT o_custkey,
+       n_gaps + 1 AS n_orders,
+       n_gaps,
+       s AS sum_gap_days,
+       CAST(s AS DOUBLE) / n_gaps AS mean_gap,
+       round(sqrt(CAST(n_gaps * sq - s * s AS DOUBLE)) / n_gaps, 6)
+           AS std_gap
+FROM a
+"""
+
+
+def q_lineitem_return_ci(sf_dir: str):
+    """WILSON 95% SCORE INTERVAL on the monthly return rate — the
+    small-n-safe binomial CI every data-quality dashboard needs.
+    Counts (n lines, k returned per ship-month) are exact keyed_sum
+    integers; the interval itself is the only float math, computed on
+    the ~90-row driver result in exactly SQL's expression order
+    (stages/mleval.py:wilson_bounds)."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.mleval import wilson_bounds
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_shipdate", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"]
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        ym = (pc.year(sd).cast(pa.int64()).to_numpy(zero_copy_only=False)
+              * 100
+              + pc.month(sd).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        rf = b["l_returnflag"]
+        if isinstance(rf, pa.ChunkedArray):
+            rf = rf.combine_chunks()
+        is_r = pc.equal(rf, "R").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(ym, return_inverse=True)
+        return pa.table({
+            "ym": pa.array(u.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=u.size)
+                          .astype(np.int64)),
+            "k": pa.array(np.bincount(inv, weights=is_r.astype(np.float64),
+                                      minlength=u.size).astype(np.int64))})
+
+    rows = keyed_sum(li.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "ym", ["n", "k"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    ym = np.array([r["ym"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    k = np.array([r["k"] for r in rows], dtype=np.int64)
+    order = np.argsort(ym)
+    ym, n, k = ym[order], n[order], k[order]
+    lo, hi = wilson_bounds(k, n)
+    return pa.table({"ym": pa.array(ym), "n": pa.array(n),
+                     "k": pa.array(k),
+                     "wilson_lo": pa.array(_round_away(lo, 6)),
+                     "wilson_hi": pa.array(_round_away(hi, 6))})
+
+
+SQL_LINEITEM_RETURN_CI = """
+WITH m AS (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                       AS BIGINT) AS ym,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem),
+a AS (SELECT ym, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS k
+      FROM m GROUP BY ym),
+f AS (SELECT ym, n, k, CAST(k AS DOUBLE) / n AS p,
+             CAST(n AS DOUBLE) AS nd, 1.96 * 1.96 AS c
+      FROM a)
+SELECT ym, n, k,
+       round((p + c / (2 * nd)
+              - 1.96 * sqrt((p * (1 - p) + c / (4 * nd)) / nd))
+             / (1 + c / nd), 6) AS wilson_lo,
+       round((p + c / (2 * nd)
+              + 1.96 * sqrt((p * (1 - p) + c / (4 * nd)) / nd))
+             / (1 + c / nd), 6) AS wilson_hi
+FROM f
+"""
+
+
+def q_docs_readability(sf_dir: str):
+    """FLESCH-STYLE READABILITY signal — the classic text-quality
+    heuristic (score = 206.835 − 1.015·W/S − 84.6·V/W with vowel
+    groups as the in-container syllable proxy). One map-only stage of
+    three RE2 kernels (pc.count_substring_regex — same engine DuckDB
+    uses, so counts match exactly); int/int divisions mirrored to SQL
+    op order, round-6 output."""
+    ds = read_table(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        w = pc.count_substring_regex(txt, pattern=r"\S+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.count_substring_regex(txt, pattern=r"[.!?]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.count_substring_regex(txt, pattern=r"[aeiouAEIOU]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = w > 0
+        doc = b["doc_id"]
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        doc = doc.to_numpy(zero_copy_only=False)[keep]
+        w, s, v = w[keep], s[keep], v[keep]
+        sden = np.maximum(np.int64(1), s)
+        flesch = _round_away(
+            206.835 - 1.015 * (w.astype(np.float64) / sden)
+            - 84.6 * (v.astype(np.float64) / w), 6)
+        return pa.table({"doc_id": pa.array(doc.astype(np.int64)),
+                         "n_words": pa.array(w),
+                         "n_sentences": pa.array(s),
+                         "n_vowel_groups": pa.array(v),
+                         "flesch": pa.array(flesch)})
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+SQL_DOCS_READABILITY = r"""
+WITH f AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+            AS n_sentences,
+        CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+            AS n_vowel_groups
+    FROM documents)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / greatest(1, n_sentences))
+             - 84.6 * (CAST(n_vowel_groups AS DOUBLE) / n_words), 6)
+           AS flesch
+FROM f WHERE n_words > 0
+"""

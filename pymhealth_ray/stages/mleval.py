@@ -140,3 +140,30 @@ def isotonic_calibration(ds, score_col: str, label_col: str):
     return ray.data.from_arrow(pa.table({
         score_col: pa.array(sc), "n": pa.array(n), "npos": pa.array(s),
         "fitted": pa.array(fitted)}))
+
+
+def wilson_bounds(k: np.ndarray, n: np.ndarray, z: float = 1.96):
+    """Wilson score interval for binomial proportions, vectorized.
+
+    ``k`` successes of ``n`` trials (int64 arrays). Every operation is
+    written in EXACTLY the SQL oracle's expression order so the driver
+    gate's round-6 floats match bit-for-bit:
+
+        p  = k / n            (double / bigint)
+        c  = z·z
+        lo = (p + c/(2n) − z·sqrt((p(1−p) + c/(4n)) / n)) / (1 + c/n)
+        hi = the '+' twin
+
+    Returns ``(lo, hi)`` unrounded float64 arrays. n must be > 0.
+    """
+    if np.any(n <= 0):
+        raise ValueError("wilson_bounds needs n > 0")
+    zf = np.float64(z)
+    c = zf * zf
+    nd = n.astype(np.float64)
+    p = k.astype(np.float64) / n
+    half = zf * np.sqrt((p * (1.0 - p) + c / (4.0 * nd)) / nd)
+    denom = 1.0 + c / nd
+    lo = (p + c / (2.0 * nd) - half) / denom
+    hi = (p + c / (2.0 * nd) + half) / denom
+    return lo, hi
