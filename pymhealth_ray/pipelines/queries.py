@@ -1312,6 +1312,10 @@ def build_queries() -> dict:
         "orders_interarrival": q_orders_interarrival,
         "lineitem_return_ci": q_lineitem_return_ci,
         "docs_readability": q_docs_readability,
+        "events_mttr": q_events_mttr,
+        "events_funnel_latency": q_events_funnel_latency,
+        "events_linear_attribution": q_events_linear_attribution,
+        "embed_ood": q_embed_ood,
     }
 
 
@@ -1702,6 +1706,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_interarrival": SQL_ORDERS_INTERARRIVAL,
         "lineitem_return_ci": SQL_LINEITEM_RETURN_CI,
         "docs_readability": SQL_DOCS_READABILITY,
+        "events_mttr": SQL_EVENTS_MTTR,
+        "events_funnel_latency": SQL_EVENTS_FUNNEL_LATENCY,
+        "events_linear_attribution": SQL_EVENTS_LINEAR_ATTRIBUTION,
+        "embed_ood": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "ood_v1",
+            _embed_ood_expected, ["vec_id", "embedding", "label"]),
     }
     _flush_pending_oracles()
     return out
@@ -18964,3 +18974,414 @@ SELECT doc_id, n_words, n_sentences, n_vowel_groups,
            AS flesch
 FROM f WHERE n_words > 0
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave B: MTTR / funnel latency / attribution / OOD
+# --------------------------------------------------------------------------
+
+
+def q_events_mttr(sf_dir: str):
+    """MEAN-TIME-TO-RESOLUTION per user — each 'error' event matched to
+    the FIRST following non-error event in (ts, event_id) order (the
+    ops-analytics staple). One grouped_by_bucket exchange; the match is
+    a vectorized searchsorted over the segment's non-error positions
+    (no per-row loop); sums stay int64 (res ≤ span·errors « 2^63) and
+    only the closing mean divides."""
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": b["user_id"], "ts_us": b["ts_us"],
+            "event_id": b["event_id"],
+            "is_err": pc.equal(et, "error").cast(pa.int8())})
+
+    def mttr_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_errors": pa.array([], type=pa.int64()),
+                          "n_resolved": pa.array([], type=pa.int64()),
+                          "sum_res_us": pa.array([], type=pa.int64()),
+                          "mean_res_us": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        is_err = tbl["is_err"].to_numpy(zero_copy_only=False).astype(bool)
+        ts = column_i64(tbl, "ts_us")
+        n = tbl.num_rows
+        cnt = np.diff(starts)
+        seg_of = np.repeat(np.arange(n_ent, dtype=np.int64), cnt)
+        eidx = np.flatnonzero(is_err)
+        if eidx.size == 0:
+            return empty
+        ne = np.flatnonzero(~is_err)
+        pos = np.searchsorted(ne, eidx, side="right")
+        nxt = np.where(pos < ne.size, ne[np.minimum(pos, ne.size - 1)], -1)
+        ok = (nxt >= 0) & (seg_of[np.maximum(nxt, 0)] == seg_of[eidx])
+        res = np.where(ok, ts[np.maximum(nxt, 0)] - ts[eidx], 0)
+        eseg = seg_of[eidx]
+        n_err = np.bincount(eseg, minlength=n_ent).astype(np.int64)
+        n_res = np.bincount(eseg[ok], minlength=n_ent).astype(np.int64)
+        # res values fit float64 exactly? span·µs ≈ 1e14 < 2^53 per value,
+        # but SUMS may not — use int accumulation via np.add.reduceat-free
+        # bincount on int64 (weights float is unsafe) → do an argsort-free
+        # reduceat: eidx ascending ⇒ eseg nondecreasing ⇒ segment bounds
+        first = np.ones(eidx.size, dtype=bool)
+        first[1:] = eseg[1:] != eseg[:-1]
+        bounds = np.flatnonzero(first)
+        sums = np.add.reduceat(res, bounds)
+        useg = eseg[first]
+        keep = n_err > 0
+        uid = column_i64(tbl, "user_id")[starts[:-1]][keep]
+        n_err_k, n_res_k = n_err[keep], n_res[keep]
+        sum_res = np.zeros(n_ent, dtype=np.int64)
+        sum_res[useg] = sums
+        sum_res = sum_res[keep]
+        mean = np.where(n_res_k > 0,
+                        sum_res.astype(np.float64)
+                        / np.maximum(n_res_k, 1), np.nan)
+        marr = pa.array(np.where(np.isnan(mean), 0.0, mean))
+        marr = pc.if_else(pa.array(n_res_k > 0), marr,
+                          pa.nulls(len(mean), type=pa.float64()))
+        return pa.table({"user_id": pa.array(uid),
+                         "n_errors": pa.array(n_err_k),
+                         "n_resolved": pa.array(n_res_k),
+                         "sum_res_us": pa.array(sum_res),
+                         "mean_res_us": marr})
+
+    return grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), mttr_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+
+
+SQL_EVENTS_MTTR = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+w AS (SELECT user_id, event_type, ts_us,
+             min(CASE WHEN event_type <> 'error' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nxt
+      FROM e)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_errors,
+       CAST(count(nxt) AS BIGINT) AS n_resolved,
+       CAST(coalesce(sum(nxt - ts_us), 0) AS BIGINT) AS sum_res_us,
+       CASE WHEN count(nxt) > 0
+            THEN CAST(sum(nxt - ts_us) AS DOUBLE) / count(nxt)
+       END AS mean_res_us
+FROM w WHERE event_type = 'error'
+GROUP BY user_id
+"""
+
+
+def q_events_funnel_latency(sf_dir: str):
+    """SIGNUP→PURCHASE conversion-latency distribution — per user, the
+    first purchase STRICTLY AFTER the first signup in (ts, event_id)
+    order; global exact quantile_disc over the per-user latencies in
+    whole seconds. The latency extraction is one bucket exchange; the
+    quantiles ride the value-histogram combiner (grouped_quantiles), so
+    nothing bigger than |distinct seconds| crosses the cluster."""
+    from pymhealth_ray.stages.aggregate import grouped_quantiles
+    from pymhealth_ray.stages.partition import (column_i64, entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": b["user_id"], "ts_us": b["ts_us"],
+            "event_id": b["event_id"],
+            "is_s": pc.equal(et, "signup").cast(pa.int8()),
+            "is_p": pc.equal(et, "purchase").cast(pa.int8())})
+
+    def lat_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], type=pa.int64()),
+                          "lat_s": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        is_s = tbl["is_s"].to_numpy(zero_copy_only=False).astype(bool)
+        is_p = tbl["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        ts = column_i64(tbl, "ts_us")
+        n = tbl.num_rows
+        cnt = np.diff(starts)
+        seg_of = np.repeat(np.arange(n_ent, dtype=np.int64), cnt)
+        # first signup index per segment (n if none)
+        first_s = np.full(n_ent, n, dtype=np.int64)
+        sidx = np.flatnonzero(is_s)
+        if sidx.size == 0:
+            return empty
+        sseg = seg_of[sidx]
+        fs = np.ones(sidx.size, dtype=bool)
+        fs[1:] = sseg[1:] != sseg[:-1]
+        first_s[sseg[fs]] = sidx[fs]
+        # first purchase index strictly after the segment's first signup
+        pidx = np.flatnonzero(is_p)
+        if pidx.size == 0:
+            return empty
+        pos = np.searchsorted(pidx, first_s[first_s < n], side="right")
+        segs = np.flatnonzero(first_s < n)
+        nxt = np.where(pos < pidx.size,
+                       pidx[np.minimum(pos, pidx.size - 1)], -1)
+        ok = (nxt >= 0) & (seg_of[np.maximum(nxt, 0)] == segs)
+        if not ok.any():
+            return empty
+        s_at = first_s[segs[ok]]
+        p_at = nxt[ok]
+        lat = (ts[p_at] - ts[s_at]) // 1_000_000
+        return pa.table({
+            "g": pa.array(np.zeros(int(ok.sum()), dtype=np.int64)),
+            "lat_s": pa.array(lat.astype(np.int64))})
+
+    lats = grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), lat_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+    out = grouped_quantiles(lats, ["g"], "lat_s",
+                            qs=(0.25, 0.5, 0.75, 0.9),
+                            num_buckets=NB, count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": b["n"],
+            "q25": b["q25"].cast(pa.int64()),
+            "q50": b["q50"].cast(pa.int64()),
+            "q75": b["q75"].cast(pa.int64()),
+            "q90": b["q90"].cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_FUNNEL_LATENCY = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS rn
+      FROM e),
+s1 AS (SELECT user_id, min(rn) AS srn FROM r
+       WHERE event_type = 'signup' GROUP BY user_id),
+st AS (SELECT r.user_id, r.ts_us AS s_ts, s1.srn
+       FROM r JOIN s1 ON r.user_id = s1.user_id AND r.rn = s1.srn),
+p1 AS (SELECT r.user_id, min(r.ts_us) AS p_ts
+       FROM r JOIN st ON r.user_id = st.user_id AND r.rn > st.srn
+       WHERE r.event_type = 'purchase' GROUP BY r.user_id),
+l AS (SELECT (p_ts - s_ts) // 1000000 AS lat_s
+      FROM p1 JOIN st USING (user_id))
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(lat_s, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(lat_s, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(lat_s, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(lat_s, 0.9) AS BIGINT) AS q90
+FROM l HAVING count(*) > 0
+"""
+
+
+def q_events_linear_attribution(sf_dir: str):
+    """LINEAR MULTI-TOUCH ATTRIBUTION — each purchase's preceding
+    touches (views/clicks since the previous purchase) share one unit
+    of credit equally. Reported at the (touch type, journey size k)
+    grain, so every float is a single per-row division (count/k) —
+    no cross-journey float sums to order. One bucket exchange + one
+    packed-key keyed_sum; journeys without a closing purchase drop."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import (entity_segments,
+                                                grouped_by_bucket)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": b["user_id"], "ts_us": b["ts_us"],
+            "event_id": b["event_id"],
+            "is_p": pc.equal(et, "purchase").cast(pa.int8()),
+            "is_v": pc.equal(et, "view").cast(pa.int8()),
+            "is_c": pc.equal(et, "click").cast(pa.int8())})
+
+    def partial_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        tbl, starts, n_ent = entity_segments(tbl, "user_id", "ts_us",
+                                             tiebreak_col="event_id")
+        is_p = tbl["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        is_v = tbl["is_v"].to_numpy(zero_copy_only=False).astype(bool)
+        is_c = tbl["is_c"].to_numpy(zero_copy_only=False).astype(bool)
+        n = tbl.num_rows
+        cnt = np.diff(starts)
+        seg_of = np.repeat(np.arange(n_ent, dtype=np.int64), cnt)
+        c = np.cumsum(is_p.astype(np.int64))
+        off = c[starts[:-1]] - is_p[starts[:-1]].astype(np.int64)
+        pcum = c - off[seg_of]          # inclusive within-segment count
+        n_p = pcum[starts[1:] - 1]      # purchases per segment
+        touch = is_v | is_c
+        tidx = np.flatnonzero(touch)
+        if tidx.size == 0:
+            return empty
+        jid = pcum[tidx] + 1            # journey of each touch
+        valid = jid <= n_p[seg_of[tidx]]
+        tidx, jid = tidx[valid], jid[valid]
+        if tidx.size == 0:
+            return empty
+        BIG = np.int64(1) << 32
+        jkey = seg_of[tidx] * BIG + jid
+        uj, inv, kk = np.unique(jkey, return_inverse=True,
+                                return_counts=True)
+        k_of_touch = kk[inv]
+        code = is_c[tidx].astype(np.int64)  # 0=view, 1=click
+        pk = k_of_touch.astype(np.int64) * 2 + code
+        u, cts = np.unique(pk, return_counts=True)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "n": pa.array(cts.astype(np.int64))})
+
+    parts = grouped_by_bucket(
+        ev.map_batches(prep, batch_format="pyarrow"), partial_of_bucket,
+        entity_col="user_id", num_buckets=NB)
+    rows = keyed_sum(parts, "key", ["n"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    key = np.array([r["key"] for r in rows], dtype=np.int64)
+    nt = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(key)
+    key, nt = key[order], nt[order]
+    k = key >> 1
+    et = np.where(key & 1 == 1, "click", "view")
+    credit = _round_away(nt.astype(np.float64) / k, 6)
+    return pa.table({"event_type": pa.array(et.astype(object)),
+                     "k": pa.array(k), "n_touches": pa.array(nt),
+                     "credit": pa.array(credit)})
+
+
+SQL_EVENTS_LINEAR_ATTRIBUTION = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+r AS (SELECT user_id, event_type,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pcum
+      FROM e),
+np AS (SELECT user_id, max(pcum) AS n_p FROM r GROUP BY user_id),
+t AS (SELECT user_id, event_type, pcum + 1 AS jid FROM r
+      WHERE event_type IN ('view', 'click')),
+tv AS (SELECT t.user_id, t.event_type, t.jid FROM t
+       JOIN np USING (user_id) WHERE t.jid <= np.n_p),
+k AS (SELECT user_id, jid, CAST(count(*) AS BIGINT) AS k
+      FROM tv GROUP BY user_id, jid),
+c AS (SELECT tv.event_type, k.k, CAST(count(*) AS BIGINT) AS n_touches
+      FROM tv JOIN k USING (user_id, jid) GROUP BY tv.event_type, k.k)
+SELECT event_type, k, n_touches,
+       round(CAST(n_touches AS DOUBLE) / k, 6) AS credit
+FROM c
+"""
+
+
+def q_embed_ood(sf_dir: str):
+    """MAHALANOBIS OUT-OF-DISTRIBUTION audit — per label, the 10 most
+    anomalous embeddings under that label's own ridge-regularized
+    Gaussian (2-D events_mahalanobis lifted to the full 64-dim space).
+    Per-label covariance comes from EXACT integer scatter partials
+    (stages/pca.py — bit-identical under any partitioning), the float
+    finish + per-row distance kernel are SHARED with the materialized
+    oracle, and selection is a distributed grouped_topk."""
+    from pymhealth_ray.stages.aggregate import grouped_topk
+    from pymhealth_ray.stages.pca import (_emb_matrix, _quantize,
+                                          gaussian_md2_params,
+                                          label_scatter_partials,
+                                          md2_rows, merge_label_scatter)
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding", "label"])
+    emb = emb.materialize()  # consumed by partials AND the distance map
+    stats = merge_label_scatter(label_scatter_partials(emb).take_all())
+    params = {lv: gaussian_md2_params(n, s, ss)
+              for lv, (n, s, ss) in stats.items()}
+    params_ref = ray.put(params)
+
+    def dist(b: pa.Table) -> pa.Table:
+        pr = ray.get(params_ref)
+        q = _quantize(_emb_matrix(b, "embedding"), 18)
+        lab = b["label"]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab = lab.to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = b["vec_id"]
+        if isinstance(vid, pa.ChunkedArray):
+            vid = vid.combine_chunks()
+        vid = vid.to_numpy(zero_copy_only=False).astype(np.int64)
+        md2 = np.empty(len(lab), dtype=np.float64)
+        for lv in np.unique(lab):
+            mu, inv = pr[int(lv)]
+            m = lab == lv
+            md2[m] = md2_rows(q[m], mu, inv)
+        return pa.table({"label": pa.array(lab),
+                         "vec_id": pa.array(vid),
+                         "md2": pa.array(md2)})
+
+    scored = emb.map_batches(dist, batch_format="pyarrow")
+    top = grouped_topk(scored, ["label"], "md2", k=10, descending=True,
+                       tie_cols=["vec_id"], rank_name="rank",
+                       num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b["label"].cast(pa.int64()),
+            "rank": b["rank"].cast(pa.int64()),
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "md2": pa.array(_round_away(
+                b["md2"].to_numpy(zero_copy_only=False)
+                if not isinstance(b["md2"], pa.ChunkedArray)
+                else b["md2"].combine_chunks()
+                .to_numpy(zero_copy_only=False), 6))})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def _embed_ood_expected(df):
+    """Single-process replay of q_embed_ood: same quantization, same
+    exact integer scatter (python ints), the same shared
+    gaussian_md2_params / md2_rows kernels, (md2 DESC, vec_id ASC)
+    top-10 per label, round-6."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.pca import (gaussian_md2_params, md2_rows,
+                                          _quantize)
+
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    labs = df["label"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    q = _quantize(P, 18)
+    rows = []
+    for lv in np.unique(labs):
+        m = labs == lv
+        sub = q[m].astype(np.int64)
+        n = int(m.sum())
+        s = [int(v) for v in sub.sum(axis=0)]
+        ss = [int(v) for v in (sub.T.astype(object) @ sub.astype(object))
+              .ravel()]
+        mu, inv = gaussian_md2_params(n, s, ss)
+        md2 = md2_rows(q[m], mu, inv)
+        vid = ids[m]
+        order = np.lexsort((vid, -md2))[:10]
+        for r, j in enumerate(order):
+            rows.append((int(lv), r + 1, int(vid[j]), md2[j]))
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    rk = np.array([r[1] for r in rows], dtype=np.int64)
+    vid = np.array([r[2] for r in rows], dtype=np.int64)
+    d2 = np.array([r[3] for r in rows], dtype=np.float64)
+    m = 10.0**6
+    d2 = np.sign(d2) * np.floor(np.abs(d2) * m + 0.5) / m
+    return pd.DataFrame({"label": lab, "rank": rk, "vec_id": vid,
+                         "md2": d2})

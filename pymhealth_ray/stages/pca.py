@@ -178,3 +178,89 @@ def embedding_dispersion(ds, emb_col: str = "embedding",
         n += int(p["rows"])
     A = sum(v * v for v in sd)
     return {"n": n, "A": A, "B": B}
+
+
+def label_scatter_partials(ds, label_col: str = "label",
+                           emb_col: str = "embedding",
+                           scale_bits: int = 18):
+    """Per-LABEL exact integer scatter partials — one row per
+    (block, label): n, s (Σq) and ss (Σqqᵀ row-major). Same exactness
+    discipline as scatter_partials; the label loop is over the ≤ tens
+    of distinct labels in a block, each side vectorized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(_emb_matrix(batch, emb_col), scale_bits)
+        lab = batch[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab = lab.to_numpy(zero_copy_only=False).astype(np.int64)
+        labs, ns, ss_l, s_l = [], [], [], []
+        for lv in np.unique(lab):
+            m = q[lab == lv]
+            d = m.shape[1]
+            ss = np.zeros((d, d), dtype=np.int64)
+            s = np.zeros(d, dtype=np.int64)
+            for i in range(0, len(m), _CHUNK):
+                c = m[i:i + _CHUNK]
+                ss += (c.T @ c).astype(np.int64)
+                s += c.sum(axis=0).astype(np.int64)
+            labs.append(int(lv))
+            ns.append(len(m))
+            s_l.append(s.tolist())
+            ss_l.append(ss.ravel().tolist())
+        return pa.table({
+            "label": pa.array(labs, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "s": pa.array(s_l, type=pa.list_(pa.int64())),
+            "ss": pa.array(ss_l, type=pa.list_(pa.int64()))})
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
+def merge_label_scatter(parts) -> dict:
+    """Merge partial rows into {label: (n, s, ss)} with python-int
+    exactness (any partitioning → bit-identical totals)."""
+    out: dict = {}
+    for p in parts:
+        lv = int(p["label"])
+        d = len(p["s"])
+        n0, s0, ss0 = out.get(lv, (0, [0] * d, [0] * (d * d)))
+        n0 += int(p["n"])
+        ps, pss = p["s"], p["ss"]
+        for j in range(d):
+            s0[j] += int(ps[j])
+        for j in range(d * d):
+            ss0[j] += int(pss[j])
+        out[lv] = (n0, s0, ss0)
+    return out
+
+
+def gaussian_md2_params(n: int, s: list, ss: list,
+                        ridge_frac: float = 0.1):
+    """Float finish shared by the engine and the materialized oracle:
+    mean (q-units) and the ridge-regularized inverse covariance.
+
+        covq = (n·ss − s·sᵀ) / n²      (population covariance, q-units)
+        inv  = (covq + λI)⁻¹,  λ = ridge_frac · trace(covq)/d
+
+    The ridge keeps the inverse defined when n < d (few samples per
+    label). Every float op runs on the driver from the EXACT integer
+    scatter, so any partitioning yields the identical (mu, inv)."""
+    d = int(np.sqrt(len(ss)))
+    m = np.empty((d, d), dtype=np.float64)
+    for r in range(d):
+        for c in range(d):
+            m[r, c] = float(n * ss[r * d + c] - s[r] * s[c])
+    covq = m / (float(n) * float(n))
+    lam = ridge_frac * (np.trace(covq) / d)
+    inv = np.linalg.inv(covq + lam * np.eye(d))
+    mu = np.array([float(v) for v in s], dtype=np.float64) / float(n)
+    return mu, inv
+
+
+def md2_rows(matq: np.ndarray, mu: np.ndarray, inv: np.ndarray) -> np.ndarray:
+    """Per-row squared Mahalanobis distance — the one float kernel both
+    the distributed map and the single-process oracle call verbatim."""
+    diff = matq - mu
+    y = diff @ inv
+    return (y * diff).sum(axis=1)
