@@ -1316,6 +1316,8 @@ def build_queries() -> dict:
         "events_funnel_latency": q_events_funnel_latency,
         "events_linear_attribution": q_events_linear_attribution,
         "embed_ood": q_embed_ood,
+        "seq_haar_energy": q_seq_haar_energy,
+        "seq_rouge_pairs": q_seq_rouge_pairs,
     }
 
 
@@ -1712,6 +1714,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_ood": _table_materialized_oracle(
             sf_dir_for_fixture, "embeddings", "ood_v1",
             _embed_ood_expected, ["vec_id", "embedding", "label"]),
+        "seq_haar_energy": sql_seq_haar_energy(path),
+        "seq_rouge_pairs": sql_seq_rouge_pairs(path),
     }
     _flush_pending_oracles()
     return out
@@ -19385,3 +19389,210 @@ def _embed_ood_expected(df):
     d2 = np.sign(d2) * np.floor(np.abs(d2) * m + 0.5) / m
     return pd.DataFrame({"label": lab, "rank": rk, "vec_id": vid,
                          "md2": d2})
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave C: Haar wavelet energy / ROUGE-1 drift
+# --------------------------------------------------------------------------
+
+
+def q_seq_haar_energy(sf_dir: str):
+    """HAAR WAVELET ENERGY by level — the missing wavelet entry in the
+    signal-feature family (frequency.py covers Fourier; Haar covers
+    dyadic time-frequency). Unnormalized lifting: level sums
+    a[i]=x[2i]+x[2i+1], details d[i]=x[2i]−x[2i+1], energy_L = Σd² —
+    ALL integer arithmetic (dyadic-exact, the events_hampel lesson),
+    odd tails dropped per level. Map-only, vectorized ACROSS rows via
+    offset ramps (no per-row loop); three levels."""
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok", "tokens"])
+
+    def haar(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = len(col)
+        counts = np.diff(off)
+        starts = off[:-1].copy()
+        energies = []
+        for _level in range(3):
+            m = counts // 2
+            tot = int(m.sum())
+            e = np.zeros(rows, dtype=np.int64)
+            if tot:
+                row_of = np.repeat(np.arange(rows, dtype=np.int64), m)
+                cm = np.concatenate([[0], np.cumsum(m)[:-1]])
+                pos = np.arange(tot, dtype=np.int64) - cm[row_of]
+                base = starts[row_of] + 2 * pos
+                x0, x1 = flat[base], flat[base + 1]
+                d = x0 - x1
+                first = np.ones(tot, dtype=bool)
+                first[1:] = row_of[1:] != row_of[:-1]
+                bounds = np.flatnonzero(first)
+                e[row_of[first]] = np.add.reduceat(d * d, bounds)
+                # next level input: the pair sums, densely packed
+                flat = x0 + x1
+                starts = cm
+            else:
+                flat = np.zeros(0, dtype=np.int64)
+                starts = np.zeros(rows, dtype=np.int64)
+            counts = m
+            energies.append(e)
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": b["n_tok"].cast(pa.int64()),
+            "e1": pa.array(energies[0]), "e2": pa.array(energies[1]),
+            "e3": pa.array(energies[2])})
+
+    return ds.map_batches(haar, batch_format="pyarrow")
+
+
+def sql_seq_haar_energy(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+                  list_transform(tokens, x -> CAST(x AS BIGINT)) AS t0
+           FROM read_parquet('{path}/part-*.parquet')),
+l1 AS (SELECT doc_id, ts_ns, n_tok,
+         list_transform(range(1, CAST(len(t0) // 2 AS BIGINT) + 1),
+                        i -> t0[2 * i - 1] + t0[2 * i]) AS t1,
+         CAST(coalesce(list_sum(list_transform(
+                range(1, CAST(len(t0) // 2 AS BIGINT) + 1),
+                i -> (t0[2 * i - 1] - t0[2 * i])
+                     * (t0[2 * i - 1] - t0[2 * i]))), 0) AS BIGINT) AS e1
+       FROM s),
+l2 AS (SELECT doc_id, ts_ns, n_tok, e1,
+         list_transform(range(1, CAST(len(t1) // 2 AS BIGINT) + 1),
+                        i -> t1[2 * i - 1] + t1[2 * i]) AS t2,
+         CAST(coalesce(list_sum(list_transform(
+                range(1, CAST(len(t1) // 2 AS BIGINT) + 1),
+                i -> (t1[2 * i - 1] - t1[2 * i])
+                     * (t1[2 * i - 1] - t1[2 * i]))), 0) AS BIGINT) AS e2
+       FROM l1)
+SELECT doc_id, ts_ns, n_tok, e1, e2,
+       CAST(coalesce(list_sum(list_transform(
+              range(1, CAST(len(t2) // 2 AS BIGINT) + 1),
+              i -> (t2[2 * i - 1] - t2[2 * i])
+                   * (t2[2 * i - 1] - t2[2 * i]))), 0) AS BIGINT) AS e3
+FROM l2
+"""
+
+
+def q_seq_rouge_pairs(sf_dir: str):
+    """ROUGE-1 TEMPORAL DRIFT — unigram-recall overlap between each
+    sequence window and the NEXT window of the same document (the
+    summarization-eval kernel applied as a content-drift probe):
+    rouge1 = Σ_tok min(cnt_a, cnt_b) / |b|. Documents co-locate in one
+    bucket exchange; the multiset intersection is vectorized ACROSS
+    all pairs via packed (pair, token) keys + one searchsorted — no
+    per-pair Python."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.string()),
+                          "ts_ns": pa.array([], type=pa.int64()),
+                          "overlap": pa.array([], type=pa.int64()),
+                          "len_b": pa.array([], type=pa.int64()),
+                          "rouge1": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        order = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending"),
+                                                ("ts_ns", "ascending")])
+        tbl = tbl.take(order)
+        doc = tbl["doc_id"]
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        codes = doc.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        col = tbl["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = tbl.num_rows
+        nxt_same = np.zeros(n, dtype=bool)
+        nxt_same[:-1] = codes[1:] == codes[:-1]
+        a_rows = np.flatnonzero(nxt_same)          # row i -> pair (i, i+1)
+        if a_rows.size == 0:
+            return empty
+        lens = np.diff(off)
+        keep = lens[a_rows + 1] > 0                # |b| > 0
+        a_rows = a_rows[keep]
+        if a_rows.size == 0:
+            return empty
+        pair_of_row = np.full(n, -1, dtype=np.int64)
+        pair_of_row[a_rows] = np.arange(a_rows.size)
+        pair_b = np.full(n, -1, dtype=np.int64)
+        pair_b[a_rows + 1] = np.arange(a_rows.size)
+
+        def side_counts(rows_sel, pair_ids):
+            cnts = lens[rows_sel]
+            tot = int(cnts.sum())
+            pid = np.repeat(pair_ids, cnts)
+            cm = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            ramp = np.arange(tot, dtype=np.int64) - np.repeat(cm, cnts)
+            toks = flat[np.repeat(off[rows_sel], cnts) + ramp]
+            key = pid * (np.int64(1) << 32) + toks
+            u, c = np.unique(key, return_counts=True)
+            return u, c.astype(np.int64)
+
+        ua, ca = side_counts(a_rows, np.arange(a_rows.size))
+        ub, cb = side_counts(a_rows + 1, np.arange(a_rows.size))
+        pos = np.searchsorted(ua, ub)
+        pos_c = np.minimum(pos, max(len(ua) - 1, 0))
+        hit = np.zeros(len(ub), dtype=bool)
+        if len(ua):
+            hit = (pos < len(ua)) & (ua[pos_c] == ub)
+        mins = np.minimum(ca[pos_c[hit]], cb[hit])
+        pair_of_key = (ub[hit] >> 32)
+        # mins ≤ window length « 2^53 → float-weight bincount stays exact
+        overlap = np.bincount(pair_of_key, weights=mins.astype(np.float64),
+                              minlength=a_rows.size).astype(np.int64)
+        len_b = lens[a_rows + 1].astype(np.int64)
+        rouge = _round_away(overlap.astype(np.float64) / len_b, 6)
+        did = doc.to_numpy(zero_copy_only=False)[a_rows]
+        ts = column_ts = tbl["ts_ns"]
+        if isinstance(column_ts, pa.ChunkedArray):
+            ts = column_ts.combine_chunks()
+        ts = ts.to_numpy(zero_copy_only=False)[a_rows]
+        return pa.table({"doc_id": pa.array(did.astype(object),
+                                            type=pa.string()),
+                         "ts_ns": pa.array(ts.astype(np.int64)),
+                         "overlap": pa.array(overlap),
+                         "len_b": pa.array(len_b),
+                         "rouge1": pa.array(rouge)})
+
+    return grouped_by_bucket(ds, pairs_of_bucket, entity_col="doc_id",
+                             num_buckets=NB)
+
+
+def sql_seq_rouge_pairs(path: str) -> str:
+    return f"""
+WITH s AS (SELECT doc_id, ts_ns, tokens
+           FROM read_parquet('{path}/part-*.parquet')),
+r AS (SELECT doc_id, ts_ns, tokens,
+             lead(ts_ns) OVER w AS ts_b,
+             lead(tokens) OVER w AS tok_b
+      FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ns)),
+p AS (SELECT doc_id, ts_ns, tokens, tok_b FROM r
+      WHERE ts_b IS NOT NULL AND len(tok_b) > 0),
+ua AS (SELECT doc_id, ts_ns, t, CAST(count(*) AS BIGINT) AS ca
+       FROM (SELECT doc_id, ts_ns, unnest(tokens) AS t FROM p)
+       GROUP BY doc_id, ts_ns, t),
+ub AS (SELECT doc_id, ts_ns, t, CAST(count(*) AS BIGINT) AS cb
+       FROM (SELECT doc_id, ts_ns, unnest(tok_b) AS t FROM p)
+       GROUP BY doc_id, ts_ns, t),
+ov AS (SELECT ua.doc_id, ua.ts_ns,
+              CAST(sum(least(ua.ca, ub.cb)) AS BIGINT) AS overlap
+       FROM ua JOIN ub ON ua.doc_id = ub.doc_id
+            AND ua.ts_ns = ub.ts_ns AND ua.t = ub.t
+       GROUP BY ua.doc_id, ua.ts_ns)
+SELECT p.doc_id, p.ts_ns,
+       CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+       CAST(len(p.tok_b) AS BIGINT) AS len_b,
+       round(CAST(coalesce(ov.overlap, 0) AS DOUBLE) / len(p.tok_b), 6)
+           AS rouge1
+FROM p LEFT JOIN ov ON p.doc_id = ov.doc_id AND p.ts_ns = ov.ts_ns
+"""
