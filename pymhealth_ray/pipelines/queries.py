@@ -1318,6 +1318,10 @@ def build_queries() -> dict:
         "embed_ood": q_embed_ood,
         "seq_haar_energy": q_seq_haar_energy,
         "seq_rouge_pairs": q_seq_rouge_pairs,
+        "orders_ship_latency": q_orders_ship_latency,
+        "orders_seasonal_naive": q_orders_seasonal_naive,
+        "customer_segment_chi2": q_customer_segment_chi2,
+        "embed_linear_probe": q_embed_linear_probe,
     }
 
 
@@ -1716,6 +1720,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _embed_ood_expected, ["vec_id", "embedding", "label"]),
         "seq_haar_energy": sql_seq_haar_energy(path),
         "seq_rouge_pairs": sql_seq_rouge_pairs(path),
+        "orders_ship_latency": SQL_ORDERS_SHIP_LATENCY,
+        "orders_seasonal_naive": SQL_ORDERS_SEASONAL_NAIVE,
+        "customer_segment_chi2": SQL_CUSTOMER_SEGMENT_CHI2,
+        "embed_linear_probe": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "linear_probe_v1",
+            _linear_probe_expected, ["vec_id", "embedding", "label"]),
     }
     _flush_pending_oracles()
     return out
@@ -19596,3 +19606,342 @@ SELECT p.doc_id, p.ts_ns,
            AS rouge1
 FROM p LEFT JOIN ov ON p.doc_id = ov.doc_id AND p.ts_ns = ov.ts_ns
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave D: ship latency / backtest / chi2 / probe
+# --------------------------------------------------------------------------
+
+
+def q_orders_ship_latency(sf_dir: str):
+    """ORDER→SHIP LATENCY distribution by priority — the fulfilment
+    SLA view: one hash equi-join (lineitem ⋈ orders), then per-priority
+    exact integer moments merged as PYTHON INTS on the driver (the
+    events_cuped overflow discipline: n·Σx² at petabyte row counts
+    exceeds int64, so block partials stay int64-bounded and the merge
+    is arbitrary-precision); one float finish in SQL op order."""
+    from pymhealth_ray.stages.join import equi_join
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_shipdate"])
+    od = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def day_col(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                // 86_400_000_000
+        return col.cast(pa.date32()).cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["l_orderkey"],
+                         "ship_d": pa.array(day_col(b["l_shipdate"]))})
+
+    def prep_od(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"],
+                         "order_d": pa.array(day_col(b["o_orderdate"])),
+                         "prio": b["o_orderpriority"]})
+
+    j = equi_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                  od.map_batches(prep_od, batch_format="pyarrow"),
+                  on="okey", num_buckets=NB)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"prio": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "sq": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        lat = (b["ship_d"].to_numpy(zero_copy_only=False)
+               - b["order_d"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        pr = b["prio"]
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        enc = pr.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nuniq = len(enc.dictionary)
+        n = np.bincount(codes, minlength=nuniq).astype(np.int64)
+        s = np.bincount(codes, weights=lat.astype(np.float64),
+                        minlength=nuniq).astype(np.int64)
+        sq = np.bincount(codes, weights=(lat * lat).astype(np.float64),
+                         minlength=nuniq).astype(np.int64)
+        mx = np.full(nuniq, np.iinfo(np.int64).min, dtype=np.int64)
+        o = np.argsort(codes, kind="stable")
+        cs = codes[o]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        bounds = np.flatnonzero(first)
+        mx[cs[first]] = np.maximum.reduceat(lat[o], bounds)
+        return pa.table({"prio": enc.dictionary,
+                         "n": pa.array(n), "s": pa.array(s),
+                         "sq": pa.array(sq), "mx": pa.array(mx)})
+
+    rows = j.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        n0, s0, q0, m0 = agg.get(r["prio"], (0, 0, 0, None))
+        agg[r["prio"]] = (n0 + int(r["n"]), s0 + int(r["s"]),
+                          q0 + int(r["sq"]),
+                          int(r["mx"]) if m0 is None
+                          else max(m0, int(r["mx"])))
+    prios = sorted(agg)
+    n = np.array([agg[p][0] for p in prios], dtype=np.int64)
+    mean = np.array([float(agg[p][1]) / agg[p][0] for p in prios])
+    std = _round_away(np.array(
+        [np.sqrt(float(agg[p][0] * agg[p][2] - agg[p][1] ** 2)) / agg[p][0]
+         for p in prios]), 6)
+    mx = np.array([agg[p][3] for p in prios], dtype=np.int64)
+    return pa.table({"o_orderpriority": pa.array(prios, type=pa.string()),
+                     "n": pa.array(n), "mean_days": pa.array(mean),
+                     "std_days": pa.array(std), "max_days": pa.array(mx)})
+
+
+SQL_ORDERS_SHIP_LATENCY = """
+WITH l AS (SELECT o_orderpriority,
+                  datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS lat
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lat) AS BIGINT) AS s,
+             CAST(sum(lat * lat) AS BIGINT) AS sq,
+             CAST(max(lat) AS BIGINT) AS mx
+      FROM l GROUP BY o_orderpriority)
+SELECT o_orderpriority, n,
+       CAST(s AS DOUBLE) / n AS mean_days,
+       round(sqrt(CAST(n * sq - s * s AS DOUBLE)) / n, 6) AS std_days,
+       mx AS max_days
+FROM a
+"""
+
+
+def q_orders_seasonal_naive(sf_dir: str):
+    """SEASONAL-NAIVE BACKTEST — forecast tomorrow's daily order count
+    with the count 7 days earlier, scored over the full calendar spine
+    (zero-filled). Daily counts are a keyed_sum whose key domain is
+    CALENDAR-BOUNDED (~2.5k days regardless of corpus size), so the
+    driver-side spine walk is scale-safe; MAE/RMSE mirrored to SQL op
+    order."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    od = read_table(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["o_orderdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            d = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                // 86_400_000_000
+        else:
+            d = col.cast(pa.date32()).cast(pa.int32()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rows = keyed_sum(od.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "d", ["c"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    d = np.array([r["d"] for r in rows], dtype=np.int64)
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[d - lo] = c
+    act = dense[7:]
+    fc = dense[:-7]
+    n_days = act.size
+    err = act - fc
+    tae = int(np.abs(err).sum())
+    se = int((err * err).sum())
+    return pa.table({
+        "n_days": pa.array([n_days], type=pa.int64()),
+        "total_abs_err": pa.array([tae], type=pa.int64()),
+        "total_actual": pa.array([int(act.sum())], type=pa.int64()),
+        "mae": pa.array([np.float64(tae) / n_days]),
+        "rmse": pa.array(_round_away(
+            np.array([np.sqrt(np.float64(se) / n_days)]), 6))})
+
+
+SQL_ORDERS_SEASONAL_NAIVE = """
+WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS d,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM d),
+sp AS (SELECT unnest(range(lo + 7, hi + 1)) AS d FROM b),
+e AS (SELECT sp.d, coalesce(a.c, 0) AS act, coalesce(f.c, 0) AS fc
+      FROM sp LEFT JOIN d a ON a.d = sp.d
+           LEFT JOIN d f ON f.d = sp.d - 7)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(act - fc)) AS BIGINT) AS total_abs_err,
+       CAST(sum(act) AS BIGINT) AS total_actual,
+       CAST(sum(abs(act - fc)) AS DOUBLE) / count(*) AS mae,
+       round(sqrt(CAST(sum((act - fc) * (act - fc)) AS DOUBLE)
+                  / count(*)), 6) AS rmse
+FROM e
+"""
+
+
+def q_customer_segment_chi2(sf_dir: str):
+    """χ² INDEPENDENCE CELLS — nation × market segment contingency
+    table with per-cell expectation and χ² contribution (the
+    categorical-drift sibling of docs_token_chi2). Reported at the
+    CELL grain so every float is a per-row expression in SQL op order
+    — no cross-cell float sums to order. Counts are one bounded
+    partial exchange (≤ |nations|·|segments| rows per block)."""
+    cu = read_table(f"{sf_dir}/customer.parquet",
+                    columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"]
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        nk = nk.to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = b["c_mktsegment"]
+        if isinstance(sg, pa.ChunkedArray):
+            sg = sg.combine_chunks()
+        enc = sg.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        segs = enc.dictionary.to_pylist()
+        key = nk * len(segs) + codes
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "c_nationkey": pa.array((u // len(segs)).astype(np.int64)),
+            "c_mktsegment": pa.array(
+                [segs[int(v)] for v in (u % len(segs))], type=pa.string()),
+            "observed": pa.array(c.astype(np.int64))})
+
+    rows = cu.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        k = (int(r["c_nationkey"]), r["c_mktsegment"])
+        agg[k] = agg.get(k, 0) + int(r["observed"])
+    keys = sorted(agg)
+    nk = np.array([k[0] for k in keys], dtype=np.int64)
+    sg = [k[1] for k in keys]
+    obs = np.array([agg[k] for k in keys], dtype=np.int64)
+    rt_map: dict = {}
+    ct_map: dict = {}
+    for (a, b2), v in agg.items():
+        rt_map[a] = rt_map.get(a, 0) + v
+        ct_map[b2] = ct_map.get(b2, 0) + v
+    gt = int(obs.sum())
+    rt = np.array([rt_map[k[0]] for k in keys], dtype=np.int64)
+    ct = np.array([ct_map[k[1]] for k in keys], dtype=np.int64)
+    e = rt.astype(np.float64) * ct / gt
+    chi = (obs - e) * (obs - e) / e
+    return pa.table({"c_nationkey": pa.array(nk),
+                     "c_mktsegment": pa.array(sg, type=pa.string()),
+                     "observed": pa.array(obs),
+                     "expected": pa.array(_round_away(e, 6)),
+                     "cell_chi2": pa.array(_round_away(chi, 6))})
+
+
+SQL_CUSTOMER_SEGMENT_CHI2 = """
+WITH o AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  c_mktsegment, CAST(count(*) AS BIGINT) AS observed
+           FROM customer GROUP BY 1, 2),
+r AS (SELECT c_nationkey, CAST(sum(observed) AS BIGINT) AS rt
+      FROM o GROUP BY 1),
+c AS (SELECT c_mktsegment, CAST(sum(observed) AS BIGINT) AS ct
+      FROM o GROUP BY 1),
+g AS (SELECT CAST(sum(observed) AS BIGINT) AS gt FROM o)
+SELECT o.c_nationkey, o.c_mktsegment, o.observed,
+       round(CAST(r.rt AS DOUBLE) * c.ct / g.gt, 6) AS expected,
+       round((o.observed - CAST(r.rt AS DOUBLE) * c.ct / g.gt)
+             * (o.observed - CAST(r.rt AS DOUBLE) * c.ct / g.gt)
+             / (CAST(r.rt AS DOUBLE) * c.ct / g.gt), 6) AS cell_chi2
+FROM o JOIN r USING (c_nationkey) JOIN c USING (c_mktsegment), g
+"""
+
+
+def q_embed_linear_probe(sf_dir: str):
+    """CLOSED-FORM LINEAR PROBE — the standard representation-quality
+    eval: one-vs-rest ridge regression fit by normal equations from
+    the EXACT integer scatter partials (no SGD, no randomness —
+    stages/pca.py:linear_probe_weights), argmax prediction (ties →
+    smallest label), per-label accuracy. Weights are solved once on
+    the driver and broadcast; scoring is a map; counts are exact."""
+    from pymhealth_ray.stages.pca import (_emb_matrix, _quantize,
+                                          label_scatter_partials,
+                                          linear_probe_weights,
+                                          merge_label_scatter)
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding", "label"])
+    emb = emb.materialize()  # consumed by partials AND the scoring map
+    stats = merge_label_scatter(label_scatter_partials(emb).take_all())
+    labels, W = linear_probe_weights(stats)
+    w_ref = ray.put((labels, np.ascontiguousarray(W)))
+
+    def score(b: pa.Table) -> pa.Table:
+        labs_asc, Wm = ray.get(w_ref)
+        q = _quantize(_emb_matrix(b, "embedding"), 18)
+        lab = b["label"]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab = lab.to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = q @ Wm.T
+        pred = labs_asc[np.argmax(sc, axis=1)]  # first max → smallest label
+        u, inv = np.unique(lab, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        corr = np.bincount(inv, weights=(pred == lab).astype(np.float64),
+                           minlength=u.size).astype(np.int64)
+        return pa.table({"label": pa.array(u.astype(np.int64)),
+                         "n": pa.array(n), "n_correct": pa.array(corr)})
+
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    rows = keyed_sum(emb.map_batches(score, batch_format="pyarrow",
+                                     batch_size=None),
+                     "label", ["n", "n_correct"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    lab = np.array([r["label"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    cr = np.array([r["n_correct"] for r in rows], dtype=np.int64)
+    o = np.argsort(lab)
+    lab, n, cr = lab[o], n[o], cr[o]
+    return pa.table({"label": pa.array(lab), "n": pa.array(n),
+                     "n_correct": pa.array(cr),
+                     "accuracy": pa.array(cr.astype(np.float64) / n)})
+
+
+def _linear_probe_expected(df):
+    """Single-process replay: same quantization, python-int scatter,
+    the same linear_probe_weights / argmax rule, exact counts."""
+    import pandas as pd
+
+    from pymhealth_ray.stages.pca import (_quantize, linear_probe_weights)
+
+    labs = df["label"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    q = _quantize(P, 18)
+    stats = {}
+    for lv in np.unique(labs):
+        m = labs == lv
+        sub = q[m].astype(np.int64)
+        s = [int(v) for v in sub.sum(axis=0)]
+        ss = [int(v) for v in
+              (sub.T.astype(object) @ sub.astype(object)).ravel()]
+        stats[int(lv)] = (int(m.sum()), s, ss)
+    labels, W = linear_probe_weights(stats)
+    sc = q @ W.T
+    pred = labels[np.argmax(sc, axis=1)]
+    rows = []
+    for lv in np.unique(labs):
+        m = labs == lv
+        n = int(m.sum())
+        c = int((pred[m] == lv).sum())
+        rows.append((int(lv), n, c))
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    n = np.array([r[1] for r in rows], dtype=np.int64)
+    cr = np.array([r[2] for r in rows], dtype=np.int64)
+    return pd.DataFrame({"label": lab, "n": n, "n_correct": cr,
+                         "accuracy": cr.astype(np.float64) / n})

@@ -264,3 +264,32 @@ def md2_rows(matq: np.ndarray, mu: np.ndarray, inv: np.ndarray) -> np.ndarray:
     diff = matq - mu
     y = diff @ inv
     return (y * diff).sum(axis=1)
+
+
+def linear_probe_weights(stats: dict, ridge_frac: float = 0.1):
+    """Closed-form one-vs-rest LINEAR PROBE from per-label exact
+    scatter partials (no iterations, no randomness): ridge normal
+    equations  (XᵀX + λI) w_l = Σ_{i∈l} x_i  in quantized units.
+
+    ``stats`` is merge_label_scatter's output. Returns
+    ``(labels_asc, W)`` with W[k] the weight vector of labels_asc[k].
+    All float ops run on the driver from exact integers, so any input
+    partitioning yields bit-identical weights."""
+    labels = sorted(stats)
+    d = int(np.sqrt(len(stats[labels[0]][2])))
+    SS = [0] * (d * d)
+    for lv in labels:
+        ss = stats[lv][2]
+        for j in range(d * d):
+            SS[j] += int(ss[j])
+    A = np.empty((d, d), dtype=np.float64)
+    for r in range(d):
+        for c in range(d):
+            A[r, c] = float(SS[r * d + c])
+    lam = ridge_frac * (np.trace(A) / d)
+    M = A + lam * np.eye(d)
+    W = np.empty((len(labels), d), dtype=np.float64)
+    for k, lv in enumerate(labels):
+        b = np.array([float(v) for v in stats[lv][1]], dtype=np.float64)
+        W[k] = np.linalg.solve(M, b)
+    return np.array(labels, dtype=np.int64), W
