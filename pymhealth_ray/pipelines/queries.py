@@ -1322,6 +1322,10 @@ def build_queries() -> dict:
         "orders_seasonal_naive": q_orders_seasonal_naive,
         "customer_segment_chi2": q_customer_segment_chi2,
         "embed_linear_probe": q_embed_linear_probe,
+        "events_dedup_window": q_events_dedup_window,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "events_gini_split": q_events_gini_split,
+        "events_ips_eval": q_events_ips_eval,
     }
 
 
@@ -1726,6 +1730,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_linear_probe": _table_materialized_oracle(
             sf_dir_for_fixture, "embeddings", "linear_probe_v1",
             _linear_probe_expected, ["vec_id", "embedding", "label"]),
+        "events_dedup_window": SQL_EVENTS_DEDUP_WINDOW,
+        "events_streaming_dedup": SQL_EVENTS_DEDUP_WINDOW,
+        "events_gini_split": SQL_EVENTS_GINI_SPLIT,
+        "events_ips_eval": SQL_EVENTS_IPS_EVAL,
     }
     _flush_pending_oracles()
     return out
@@ -19945,3 +19953,274 @@ def _linear_probe_expected(df):
     cr = np.array([r[2] for r in rows], dtype=np.int64)
     return pd.DataFrame({"label": lab, "n": n, "n_correct": cr,
                          "accuracy": cr.astype(np.float64) / n})
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave E: window dedup (+streaming twin) / stump / IPS
+# --------------------------------------------------------------------------
+
+
+DEDUP_WIN_US = 600_000_000  # 10 min
+
+
+def q_events_dedup_window(sf_dir: str):
+    """TIME-WINDOW DEDUP (debounce): drop an event when the previous
+    event of the same (user, type) lies within 10 minutes — the
+    retry-storm / double-fire suppressor that runs before counting.
+    Lag-based semantics (rows compare to the previous EVENT, kept or
+    not), so it is exactly a SQL lag() predicate and partition-
+    invariant; one user-bucket exchange, sort + shifted-compare kernel
+    (stages/lag.dedup_within_window)."""
+    from pymhealth_ray.stages.lag import dedup_within_window
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    out = dedup_within_window(ev, ["user_id", "event_type"], "ts_us",
+                              DEDUP_WIN_US, tiebreak_col="event_id",
+                              num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "event_type", "ts_us"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_DEDUP_WINDOW = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts_us, event_id) AS pts
+      FROM e)
+SELECT event_id, user_id, event_type, ts_us
+FROM l WHERE pts IS NULL OR ts_us - pts > 600000000
+"""
+
+
+def q_events_streaming_dedup(sf_dir: str):
+    """STREAMING twin of events_dedup_window (10th streaming family
+    member): the debounce filter read straight off the sorted bucketed
+    events layout — one task per partition file, a bounded
+    {type -> last ts} carry across Arrow batch boundaries, ZERO
+    query-time exchange (stages/streaming.streaming_window_dedup).
+    Shares events_dedup_window's SQL oracle, so the exchange plan and
+    the streaming plan are verified against the same truth."""
+    from pymhealth_ray.stages.streaming import streaming_window_dedup
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "ts_us", "event_id", "event_type"])
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    layout = _sorted_layout(sf_dir, ds, suffix="_windedup",
+                            entity_col="user_id",
+                            sort_cols=["user_id", "ts_us", "event_id"])
+    out = streaming_window_dedup(layout, entity_col="user_id",
+                                 type_col="event_type", ts_col="ts_us",
+                                 keep_cols=["event_id"],
+                                 window=DEDUP_WIN_US)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "event_type", "ts_us"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_gini_split(sf_dir: str):
+    """DECISION-STUMP BEST SPLIT — the XGBoost histogram trick at
+    cluster scale: find the value threshold that best separates
+    purchases from the rest by Gini impurity decrease. Per-block
+    (cents value, label) count partials shrink to the DISTINCT-VALUE
+    domain (bounded by the price grid, not the row count) in one
+    keyed_sum; the driver scans the cumulative histogram once. Every
+    float is the same IEEE expression over exact int64 cumsums on both
+    sides, and the winner is picked on UNROUNDED gains (ties -> lowest
+    threshold), so the result is bit-stable under any partitioning."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    ev = read_table(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "v")
+        v = b["v"].to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        y = pc.equal(et, "purchase").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        return pa.table({
+            "v": pa.array(u.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=u.size)
+                          .astype(np.int64)),
+            "n1": pa.array(np.bincount(inv, weights=y.astype(np.float64),
+                                       minlength=u.size).astype(np.int64))})
+
+    rows = keyed_sum(ev.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "v", ["n", "n1"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    v = np.array([r["v"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    n1 = np.array([r["n1"] for r in rows], dtype=np.int64)
+    o = np.argsort(v)
+    v, n, n1 = v[o], n[o], n1[o]
+    nl = np.cumsum(n)
+    nl1 = np.cumsum(n1)
+    nt, nt1 = int(nl[-1]), int(nl1[-1])
+    m = nl < nt  # right side must be non-empty
+    v, nl, nl1 = v[m], nl[m].astype(np.float64), nl1[m].astype(np.float64)
+    nr = nt - nl
+    nr1 = nt1 - nl1
+    gl = 1.0 - (nl1 / nl) * (nl1 / nl) \
+        - ((nl - nl1) / nl) * ((nl - nl1) / nl)
+    gr = 1.0 - (nr1 / nr) * (nr1 / nr) \
+        - ((nr - nr1) / nr) * ((nr - nr1) / nr)
+    gp = 1.0 - (nt1 / nt) * (nt1 / nt) \
+        - ((nt - nt1) / nt) * ((nt - nt1) / nt)
+    gain = gp - ((nl / nt) * gl + (nr / nt) * gr)
+    best = np.lexsort((v, -gain))[0]
+    return pa.table({
+        "split_cents": pa.array([int(v[best])], type=pa.int64()),
+        "n_left": pa.array([int(nl[best])], type=pa.int64()),
+        "n_left_pos": pa.array([int(nl1[best])], type=pa.int64()),
+        "n_right": pa.array([int(nr[best])], type=pa.int64()),
+        "n_right_pos": pa.array([int(nr1[best])], type=pa.int64()),
+        "gain": pa.array(_round_away(np.array([gain[best]]), 6))})
+
+
+SQL_EVENTS_GINI_SPLIT = """
+WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+c AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n1
+      FROM e GROUP BY v),
+s AS (SELECT v,
+             CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nl,
+             CAST(sum(n1) OVER (ORDER BY v) AS BIGINT) AS nl1,
+             CAST(sum(n) OVER () AS BIGINT) AS nt,
+             CAST(sum(n1) OVER () AS BIGINT) AS nt1
+      FROM c),
+g AS (SELECT v, nl, nl1, nt - nl AS nr, nt1 - nl1 AS nr1,
+             (1.0 - (CAST(nt1 AS DOUBLE) / nt) * (CAST(nt1 AS DOUBLE) / nt)
+                  - (CAST(nt - nt1 AS DOUBLE) / nt)
+                    * (CAST(nt - nt1 AS DOUBLE) / nt))
+             - ((CAST(nl AS DOUBLE) / nt)
+                * (1.0 - (CAST(nl1 AS DOUBLE) / nl)
+                         * (CAST(nl1 AS DOUBLE) / nl)
+                       - (CAST(nl - nl1 AS DOUBLE) / nl)
+                         * (CAST(nl - nl1 AS DOUBLE) / nl))
+                + (CAST(nt - nl AS DOUBLE) / nt)
+                  * (1.0 - (CAST(nt1 - nl1 AS DOUBLE) / (nt - nl))
+                           * (CAST(nt1 - nl1 AS DOUBLE) / (nt - nl))
+                         - (CAST((nt - nl) - (nt1 - nl1) AS DOUBLE)
+                            / (nt - nl))
+                           * (CAST((nt - nl) - (nt1 - nl1) AS DOUBLE)
+                              / (nt - nl)))) AS gain
+      FROM s WHERE nl < nt)
+SELECT v AS split_cents, nl AS n_left, nl1 AS n_left_pos,
+       nr AS n_right, nr1 AS n_right_pos, round(gain, 6) AS gain
+FROM g ORDER BY gain DESC, v ASC LIMIT 1
+"""
+
+
+def q_events_ips_eval(sf_dir: str):
+    """OFF-POLICY EVALUATION (IPS/SNIPS) — estimate a target policy's
+    per-action value from logged events without re-serving: reward =
+    value cents, logging propensity p = k/16 with k = 2^(md5 mod 5)
+    (so the inverse weight 16/k is an EXACT small integer and the IPS
+    numerator is an exact int64 sum — no float accumulation order to
+    pin), target-policy match = a second independent md5 predicate.
+    Both hashes run once per DISTINCT (user, action) pair per batch and
+    are byte-identical to the SQL md5 expressions; the only floats are
+    two closing divisions per action row."""
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "cents")
+        key = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), b["event_type"], "|")
+        h_w = _md5_u64(pc.binary_join_element_wise(key, "ips", "|"))
+        h_m = _md5_u64(pc.binary_join_element_wise(key, "pol", "|"))
+        inv_w = (np.uint64(1) << (h_w % np.uint64(5))).astype(np.int64)
+        matched = (h_m % np.uint64(4)) == 0
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        mw = np.where(matched, inv_w, 0)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "n_matched": pa.array(
+                np.bincount(codes, weights=matched.astype(np.float64),
+                            minlength=k).astype(np.int64)),
+            "w_sum": pa.array(
+                np.bincount(codes, weights=mw.astype(np.float64),
+                            minlength=k).astype(np.int64)),
+            "ips_sum_cents": pa.array(
+                np.bincount(codes, weights=(mw * cents).astype(np.float64),
+                            minlength=k).astype(np.int64))})
+
+    rows = ev.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        a = agg.get(r["event_type"], (0, 0, 0, 0))
+        agg[r["event_type"]] = (a[0] + int(r["n"]),
+                                a[1] + int(r["n_matched"]),
+                                a[2] + int(r["w_sum"]),
+                                a[3] + int(r["ips_sum_cents"]))
+    ets = sorted(agg)
+    n = np.array([agg[t][0] for t in ets], dtype=np.int64)
+    nm = np.array([agg[t][1] for t in ets], dtype=np.int64)
+    ws = np.array([agg[t][2] for t in ets], dtype=np.int64)
+    ic = np.array([agg[t][3] for t in ets], dtype=np.int64)
+    ips = ic.astype(np.float64) / (100.0 * n.astype(np.float64))
+    snips = np.where(ws > 0,
+                     ic.astype(np.float64)
+                     / (100.0 * ws.astype(np.float64)), np.nan)
+    return pa.table({
+        "event_type": pa.array(ets, type=pa.string()),
+        "n": pa.array(n), "n_matched": pa.array(nm),
+        "w_sum": pa.array(ws), "ips_sum_cents": pa.array(ic),
+        "ips_value": pa.array(_round_away(ips, 6)),
+        "snips_value": pa.array(_round_away(snips, 6),
+                                mask=~(ws > 0))})
+
+
+SQL_EVENTS_IPS_EVAL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(user_id AS VARCHAR) || '|' || event_type AS k
+  FROM events),
+w AS (
+  SELECT event_type, cents,
+         CASE CAST(('0x' || substr(md5(k || '|' || 'ips'), 1, 16))::UBIGINT
+                   % 5 AS INTEGER)
+              WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+              ELSE 16 END AS inv_w,
+         CASE WHEN ('0x' || substr(md5(k || '|' || 'pol'), 1, 16))::UBIGINT
+                   % 4 = 0 THEN 1 ELSE 0 END AS matched
+  FROM e),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(matched) AS BIGINT) AS n_matched,
+         CAST(sum(matched * inv_w) AS BIGINT) AS w_sum,
+         CAST(sum(matched * inv_w * cents) AS BIGINT) AS ips_sum_cents
+  FROM w GROUP BY event_type)
+SELECT event_type, n, n_matched, w_sum, ips_sum_cents,
+       round(CAST(ips_sum_cents AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)),
+             6) AS ips_value,
+       CASE WHEN w_sum > 0
+            THEN round(CAST(ips_sum_cents AS DOUBLE)
+                       / (100.0 * CAST(w_sum AS DOUBLE)), 6)
+            END AS snips_value
+FROM a
+"""

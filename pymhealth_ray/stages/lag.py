@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pymhealth_ray.stages.partition import (
     column_f64,
@@ -104,4 +105,56 @@ def compact_unchanged(ds, entity_col: str, ts_col: str, value_col: str,
     from pymhealth_ray.stages.partition import grouped_by_bucket
 
     return grouped_by_bucket(ds, per_bucket, entity_col=entity_col,
+                             num_buckets=num_buckets)
+
+
+def dedup_within_window(ds, entity_cols, ts_col: str, window: int,
+                        tiebreak_col: str | None = None,
+                        num_buckets: int = 32):
+    """WINDOW DEDUP — drop a row when the previous row of the same
+    COMPOSITE entity (ts order, optional tiebreak) lies within
+    ``window`` time units: the throttling/debounce primitive that
+    collapses retry storms and double-fires before they inflate
+    downstream counts. Lag-based semantics (each row compares to the
+    immediately preceding row whether or not that one was kept), so it
+    is exactly ``lag(ts) OVER (PARTITION BY entity_cols ORDER BY ts,
+    tiebreak)`` — SQL-verifiable and partition-invariant.
+
+    One exchange bucketed on ``entity_cols[0]`` co-locates every
+    composite group (the remaining entity columns only subdivide rows
+    already in the bucket); the per-bucket kernel is one sort + one
+    shifted compare. Generalizes stages/lag.compact_unchanged from
+    value-change suppression to time-window suppression."""
+    entity_cols = list(entity_cols)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        keys = [(c, "ascending") for c in entity_cols]
+        keys.append((ts_col, "ascending"))
+        if tiebreak_col is not None:
+            keys.append((tiebreak_col, "ascending"))
+        order = pc.sort_indices(tbl, sort_keys=keys)
+        tbl = tbl.take(order)
+        n = tbl.num_rows
+        head = np.zeros(n, dtype=bool)
+        head[0] = True
+        for c in entity_cols:
+            col = tbl[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = col.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False)
+            head[1:] |= codes[1:] != codes[:-1]
+        ts = tbl[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = head.copy()
+        keep[1:] |= (t[1:] - t[:-1]) > window
+        return tbl.filter(pa.array(keep))
+
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    return grouped_by_bucket(ds, per_bucket, entity_col=entity_cols[0],
                              num_buckets=num_buckets)

@@ -858,3 +858,108 @@ def streaming_candles(layout_dir: str, *, entity_col: str = "user_id",
             "close": pa.array([], type=pa.int64())})
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def _window_dedup_one_file(path: str, entity_col: str, type_col: str,
+                           ts_col: str, keep_cols, window: int,
+                           batch_rows: int):
+    """Window-dedup one sorted partition file (sorted by entity, ts
+    [, tiebreak]): emit rows whose previous same-(entity, type) row is
+    more than ``window`` behind. Carry across Arrow batch boundaries is
+    the BOUNDARY ENTITY's {type -> last ts} map — bounded by the type
+    domain, not the file size."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    carry_ent = None
+    carry: dict = {}
+    out = []
+    cols = list(dict.fromkeys([entity_col, type_col, ts_col]
+                              + list(keep_cols)))
+    for rb in pf.iter_batches(batch_size=batch_rows, columns=cols):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        ent = tbl[entity_col].combine_chunks()
+        ucode = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        typ = tbl[type_col].combine_chunks()
+        tenc = typ.dictionary_encode()
+        tcode = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = tbl[ts_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        # stable (entity, type) grouping; ts order preserved within runs
+        order = np.lexsort((np.arange(n), tcode, ucode))
+        us, tss, tcs = ucode[order], ts[order], tcode[order]
+        head = np.ones(n, dtype=bool)
+        head[1:] = (us[1:] != us[:-1]) | (tcs[1:] != tcs[:-1])
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = tss[:-1]
+        prev[0] = np.iinfo(np.int64).min // 2
+        keep_s = head | (tss - prev > window)
+        # boundary-entity heads consult the carried {type: last_ts} map
+        if carry_ent is not None and n and ent[0].as_py() == carry_ent:
+            tdict = tenc.dictionary.to_pylist()
+            first_u = ucode[0]
+            for i in np.flatnonzero(head & (us == first_u)):
+                lt = carry.get(tdict[int(tcs[i])])
+                if lt is not None:
+                    keep_s[i] = (int(tss[i]) - lt) > window
+        keep = np.empty(n, dtype=bool)
+        keep[order] = keep_s
+        out.append(tbl.filter(pa.array(keep)))
+        # rebuild the carry for this batch's LAST entity
+        last_u = ucode[-1]
+        m = ucode == last_u
+        tdict = tenc.dictionary.to_pylist()
+        new_carry = {} if ent[n - 1].as_py() != carry_ent else dict(carry)
+        tc_l, ts_l = tcode[m], ts[m]
+        o2 = np.lexsort((ts_l, tc_l))
+        tc_l, ts_l = tc_l[o2], ts_l[o2]
+        last_of = np.ones(len(tc_l), dtype=bool)
+        last_of[:-1] = tc_l[1:] != tc_l[:-1]
+        for i in np.flatnonzero(last_of):
+            new_carry[tdict[int(tc_l[i])]] = int(ts_l[i])
+        carry_ent = ent[n - 1].as_py()
+        carry = new_carry
+    return out
+
+
+def streaming_window_dedup(layout_dir: str, *, entity_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts_us", keep_cols=(),
+                           window: int = 0, batch_rows: int = 65536):
+    """Streaming twin of ``stages/lag.dedup_within_window``: drop rows
+    whose previous same-(entity, type) row is within ``window``, by
+    scanning each sorted partition file once with a bounded
+    {type -> last ts} carry — ZERO query-time exchange (10th streaming
+    family member). Same lag-based semantics, same SQL oracle."""
+    import glob
+    import os
+
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(layout_dir, "part=*",
+                                          "*.parquet")))
+    pds = ray.data.from_items([{"path": p} for p in paths]).repartition(
+        max(len(paths), 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["path"].to_pylist():
+            outs.extend(_window_dedup_one_file(
+                p, entity_col, type_col, ts_col, keep_cols, window,
+                batch_rows))
+        if not outs:
+            import pyarrow.parquet as pq
+            first = sorted(glob.glob(os.path.join(
+                layout_dir, "part=*", "*.parquet")))
+            sch = pq.read_schema(first[0]) if first else pa.schema([])
+            cols = list(dict.fromkeys([entity_col, type_col, ts_col]
+                                      + list(keep_cols)))
+            return pa.table({c: pa.array([], type=sch.field(c).type)
+                             for c in cols if sch.get_field_index(c) >= 0})
+        return pa.concat_tables(outs)
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

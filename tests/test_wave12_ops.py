@@ -1,0 +1,169 @@
+"""Round-5 wave-12 operators: time-window dedup (exchange + streaming
+twin), Gini stump split, IPS off-policy eval — brute-force references,
+partition invariance, and batch-boundary carry checks."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _mk_events(n=4000, n_users=37, n_types=4, seed=11):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, size=n).astype(np.int64)
+    t = rng.integers(0, n_types, size=n)
+    ts = rng.integers(0, 5_000, size=n).astype(np.int64)
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(u),
+        "event_type": pa.array([f"t{v}" for v in t], type=pa.string()),
+        "ts_us": pa.array(ts),
+    })
+
+
+def _brute_window_dedup(tbl, window):
+    rows = sorted(
+        zip(tbl["user_id"].to_pylist(), tbl["event_type"].to_pylist(),
+            tbl["ts_us"].to_pylist(), tbl["event_id"].to_pylist()))
+    kept = set()
+    last = {}
+    for u, t, ts, eid in rows:
+        p = last.get((u, t))
+        if p is None or ts - p > window:
+            kept.add(eid)
+        last[(u, t)] = ts
+    return kept
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("window", [0, 7, 120])
+def test_dedup_within_window_bruteforce(window):
+    from pymhealth_ray.stages.lag import dedup_within_window
+
+    tbl = _mk_events()
+    want = _brute_window_dedup(tbl, window)
+    for nb in (1, 5):
+        out = dedup_within_window(
+            ray.data.from_arrow(tbl), ["user_id", "event_type"], "ts_us",
+            window, tiebreak_col="event_id", num_buckets=nb).take_all()
+        got = {r["event_id"] for r in out}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_window_dedup_matches_exchange(tmp_path):
+    from pymhealth_ray.stages.lag import dedup_within_window
+    from pymhealth_ray.stages.streaming import streaming_window_dedup
+    from pymhealth_ray.state.lineage import resumable_write
+
+    tbl = _mk_events(n=6000, n_users=9, seed=3)
+    layout = str(tmp_path / "layout")
+    resumable_write(ray.data.from_arrow(tbl), layout,
+                    entity_col="user_id", num_buckets=3,
+                    params={"v": 1},
+                    sort_cols=["user_id", "ts_us", "event_id"])
+    # tiny batch_rows forces many carry hand-offs across Arrow batches
+    got = {r["event_id"] for r in streaming_window_dedup(
+        layout, entity_col="user_id", type_col="event_type",
+        ts_col="ts_us", keep_cols=["event_id"], window=25,
+        batch_rows=64).take_all()}
+    want = {r["event_id"] for r in dedup_within_window(
+        ray.data.from_arrow(tbl), ["user_id", "event_type"], "ts_us",
+        25, tiebreak_col="event_id", num_buckets=4).take_all()}
+    assert got == want == _brute_window_dedup(tbl, 25)
+
+
+def _gini(n1, n):
+    p = n1 / n
+    return 1.0 - p * p - (1 - p) * (1 - p)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_split_bruteforce(tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    val = rng.integers(1, 400, size=n) / 100.0
+    # make 'purchase' correlate with high values so the split is real
+    y = (val * 100 + rng.normal(0, 60, size=n)) > 220
+    types = np.where(y, "purchase", "view")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1000,
+                       type=pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(types.tolist(), type=pa.string()),
+        "value": pa.array(val),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = Q.q_events_gini_split(str(tmp_path)).to_pylist()[0]
+
+    cents = np.rint(val * 100).astype(np.int64)
+    lab = (types == "purchase").astype(np.int64)
+    best = None
+    nt, nt1 = len(cents), int(lab.sum())
+    for t in np.unique(cents):
+        m = cents <= t
+        nl, nl1 = int(m.sum()), int(lab[m].sum())
+        if nl == nt:
+            continue
+        nr, nr1 = nt - nl, nt1 - nl1
+        gain = _gini(nt1, nt) - (nl / nt * _gini(nl1, nl)
+                                 + nr / nt * _gini(nr1, nr))
+        if best is None or gain > best[1] + 1e-12:
+            best = (int(t), gain, nl, nl1)
+    assert got["split_cents"] == best[0]
+    assert got["n_left"] == best[2] and got["n_left_pos"] == best[3]
+    assert abs(got["gain"] - best[1]) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ips_weights_exact(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    u = rng.integers(0, 50, size=n).astype(np.int64)
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, size=n)]
+    val = rng.integers(1, 10000, size=n) / 100.0
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1000,
+                       type=pa.timestamp("us")),
+        "user_id": pa.array(u),
+        "event_type": pa.array(types.tolist(), type=pa.string()),
+        "value": pa.array(val),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {r["event_type"]: r
+           for r in Q.q_events_ips_eval(str(tmp_path)).to_pylist()}
+
+    # single-process replay with per-row hashlib md5
+    agg = {}
+    cents = np.rint(val * 100).astype(np.int64)
+    for i in range(n):
+        k = f"{u[i]}|{types[i]}"
+        hw = int(hashlib.md5(f"{k}|ips".encode()).hexdigest()[:16], 16)
+        hm = int(hashlib.md5(f"{k}|pol".encode()).hexdigest()[:16], 16)
+        inv_w = 1 << (hw % 5)
+        matched = (hm % 4) == 0
+        a = agg.setdefault(types[i], [0, 0, 0, 0])
+        a[0] += 1
+        if matched:
+            a[1] += 1
+            a[2] += inv_w
+            a[3] += inv_w * int(cents[i])
+    for t, (nn, nm, ws, ic) in agg.items():
+        g = got[t]
+        assert (g["n"], g["n_matched"], g["w_sum"],
+                g["ips_sum_cents"]) == (nn, nm, ws, ic)
+        assert abs(g["ips_value"] - ic / (100.0 * nn)) < 1e-6
