@@ -1326,6 +1326,8 @@ def build_queries() -> dict:
         "events_streaming_dedup": q_events_streaming_dedup,
         "events_gini_split": q_events_gini_split,
         "events_ips_eval": q_events_ips_eval,
+        "part_lpa_communities": q_part_lpa_communities,
+        "events_markov_attribution": q_events_markov_attribution,
     }
 
 
@@ -1734,6 +1736,13 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "events_streaming_dedup": SQL_EVENTS_DEDUP_WINDOW,
         "events_gini_split": SQL_EVENTS_GINI_SPLIT,
         "events_ips_eval": SQL_EVENTS_IPS_EVAL,
+        "part_lpa_communities": _table_materialized_oracle(
+            sf_dir_for_fixture, "lineitem", "lpa_v1", _lpa_expected,
+            ["l_orderkey", "l_partkey"]),
+        "events_markov_attribution": _table_materialized_oracle(
+            sf_dir_for_fixture, "events", "markov_attr_v1",
+            _markov_attr_expected,
+            ["event_id", "user_id", "event_type", "ts"]),
     }
     _flush_pending_oracles()
     return out
@@ -20224,3 +20233,226 @@ SELECT event_type, n, n_matched, w_sum, ips_sum_cents,
             END AS snips_value
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave F: LPA communities / Markov attribution
+# --------------------------------------------------------------------------
+
+
+LPA_ROUNDS = 4
+
+
+def q_part_lpa_communities(sf_dir: str):
+    """COMMUNITY DETECTION on the item co-purchase graph: synchronous
+    min-tie label propagation (stages/graph.label_propagation), 4 fixed
+    rounds — deterministic where classic async LPA is run-order
+    dependent. Edges dedupe through the packed-key exchange
+    (cooccurrence_edges); per round the bounded label table broadcasts
+    and one exchange does the per-node (max count, min label) vote.
+    Oracle: independent single-process replay (Counter-based)."""
+    from pymhealth_ray.stages.graph import label_propagation
+    from pymhealth_ray.stages.triangles import cooccurrence_edges
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    st = grouped_stats(li.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "l_partkey": b["l_partkey"]}),
+        batch_format="pyarrow"), ["one"],
+        max_cols=["l_partkey"]).take_all()
+    mx = int(st[0]["l_partkey_max"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_item=mx,
+                               num_buckets=NB)
+    out = label_propagation(edges, max_node=mx, rounds=LPA_ROUNDS,
+                            num_buckets=NB)
+    return out.map_batches(
+        lambda b: pa.table({"p_partkey": b["node"], "community": b["label"]}),
+        batch_format="pyarrow")
+
+
+def _lpa_expected(df):
+    """Single-process LPA replay: distinct co-purchase pairs, then
+    ``LPA_ROUNDS`` synchronous rounds of (max neighbor-label count,
+    min label) votes — written against dict/Counter, independent of
+    the distributed kernel."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    edges = set()
+    for _, grp in df.groupby("l_orderkey"):
+        items = sorted(set(int(v) for v in grp["l_partkey"]))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                edges.add((items[i], items[j]))
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for v, nbrs in adj.items():
+            c = Counter(lab[u] for u in nbrs)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        lab = new
+    nodes = sorted(adj)
+    return pd.DataFrame({
+        "p_partkey": np.array(nodes, dtype=np.int64),
+        "community": np.array([lab[v] for v in nodes], dtype=np.int64)})
+
+
+MARKOV_STATES = ("__start__", "__conv__", "__null__")
+
+
+def _journey_transitions_py(users, types, ts, eids):
+    """Single-process journey transition counter (the oracle's path):
+    per user in (ts, event_id) order, journeys restart after each
+    purchase; START -> first touch, touch -> touch, touch -> CONV on
+    purchase, trailing touch -> NULL. Returns {(src, dst): count}."""
+    from collections import defaultdict
+
+    rows = sorted(zip(users, ts, eids, types))
+    counts: dict = defaultdict(int)
+    prev_user = None
+    prev_state = None  # None == at journey start
+    for u, _, _, t in rows:
+        if u != prev_user:
+            if prev_user is not None and prev_state is not None:
+                counts[(prev_state, "__null__")] += 1
+            prev_user, prev_state = u, None
+        src = "__start__" if prev_state is None else prev_state
+        if t == "purchase":
+            counts[(src, "__conv__")] += 1
+            prev_state = None
+        else:
+            counts[(src, t)] += 1
+            prev_state = t
+    if prev_user is not None and prev_state is not None:
+        counts[(prev_state, "__null__")] += 1
+    return dict(counts)
+
+
+def _markov_attr_finish(counts: dict):
+    """Removal-effect attribution from exact integer transition counts
+    — SHARED by the engine query and the materialized oracle so the
+    driver-side float path (row-normalize, absorbing-chain solve per
+    removed channel) is executed identically on both sides.
+
+    v solves v = r + Q v over transient states (START + channels);
+    removing channel c redirects every transition INTO c to NULL
+    (denominators unchanged — the standard removal-effect model)."""
+    import pandas as pd
+
+    chans = sorted({s for s, _ in counts} - {"__start__"})
+    states = ["__start__"] + chans  # transient states, fixed order
+    idx = {s: i for i, s in enumerate(states)}
+    m = len(states)
+    C = np.zeros((m, m), dtype=np.int64)   # transient -> transient
+    R = np.zeros(m, dtype=np.int64)        # transient -> CONV
+    out = np.zeros(m, dtype=np.int64)      # row totals (incl NULL)
+    for (s, d), c in counts.items():
+        i = idx[s]
+        out[i] += c
+        if d == "__conv__":
+            R[i] += c
+        elif d != "__null__":
+            C[i, idx[d]] += c
+
+    def conv_prob(removed: str | None) -> float:
+        keep = [i for i, s in enumerate(states) if s != removed]
+        Q = C[np.ix_(keep, keep)].astype(np.float64)
+        r = R[keep].astype(np.float64)
+        o = out[keep].astype(np.float64)
+        Q = Q / o[:, None]
+        r = r / o
+        v = np.linalg.solve(np.eye(len(keep)) - Q, r)
+        return float(v[0])  # START is index 0 in every keep-set
+
+    base = conv_prob(None)
+    re = np.array([max(0.0, 1.0 - conv_prob(c) / base) for c in chans])
+    tot = float(re.sum())
+    share = re / tot if tot > 0 else np.full(len(chans), np.nan)
+    n_from = np.array([out[idx[c]] for c in chans], dtype=np.int64)
+    return pd.DataFrame({
+        "channel": chans,
+        "out_transitions": n_from,
+        "base_conv_prob": _round_away(np.full(len(chans), base), 6),
+        "removal_effect": _round_away(re, 6),
+        "attribution_share": _round_away(share, 6)})
+
+
+def q_events_markov_attribution(sf_dir: str):
+    """MARKOV (removal-effect) ATTRIBUTION — the data-driven upgrade of
+    last-touch/linear attribution: journeys are per-user event paths
+    that restart after each purchase; channels are the non-purchase
+    event types. Transition counting is one user-bucket exchange with
+    per-bucket vectorized boundary masks (counts leave each bucket at
+    the (src, dst) grain — ≤ (T+2)² rows); the absorbing-chain solve
+    runs once on the driver from exact integers via the SAME helper the
+    oracle calls (_markov_attr_finish), so floats are bit-identical."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        from pymhealth_ray.stages.partition import entity_segments
+
+        if tbl.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.string()),
+                             "dst": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        tbl, starts, _ = entity_segments(tbl, "user_id", "ts_us",
+                                         "event_id")
+        et = tbl["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tdict = enc.dictionary.to_pylist()
+        T = len(tdict)
+        S, V, U = T, T + 1, T + 2  # START / CONV / NULL codes
+        conv = np.array([t == "purchase" for t in tdict], dtype=bool)[tcode]
+        n = len(tcode)
+        seg_start = np.zeros(n, dtype=bool)
+        seg_start[starts[:-1]] = True
+        jstart = seg_start.copy()
+        jstart[1:] |= conv[:-1]  # journeys restart after a purchase
+        src = np.empty(n, dtype=np.int64)
+        src[1:] = tcode[:-1]
+        src[jstart] = S
+        dst = np.where(conv, V, tcode)
+        # trailing open journeys -> NULL
+        ends = starts[1:] - 1
+        open_end = ~conv[ends]
+        pairs_src = np.concatenate([src, tcode[ends][open_end]])
+        pairs_dst = np.concatenate([dst, np.full(int(open_end.sum()), U,
+                                                 dtype=np.int64)])
+        pk = pairs_src * (T + 3) + pairs_dst
+        u, c = np.unique(pk, return_counts=True)
+        names = tdict + ["__start__", "__conv__", "__null__"]
+        return pa.table({
+            "src": pa.array([names[int(v)] for v in u // (T + 3)],
+                            type=pa.string()),
+            "dst": pa.array([names[int(v)] for v in u % (T + 3)],
+                            type=pa.string()),
+            "cnt": pa.array(c.astype(np.int64))})
+
+    rows = grouped_by_bucket(ev, per_bucket, entity_col="user_id",
+                             num_buckets=NB).take_all()
+    counts: dict = {}
+    for r in rows:
+        k = (r["src"], r["dst"])
+        counts[k] = counts.get(k, 0) + int(r["cnt"])
+    return pa.Table.from_pandas(_markov_attr_finish(counts),
+                                preserve_index=False)
+
+
+def _markov_attr_expected(df):
+    counts = _journey_transitions_py(
+        df["user_id"].to_numpy(), df["event_type"].to_numpy(),
+        df["ts"].to_numpy(), df["event_id"].to_numpy())
+    return _markov_attr_finish(counts)

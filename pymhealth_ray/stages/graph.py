@@ -535,3 +535,91 @@ def coreness(edges, num_buckets: int = 32,
                                         "core": pa.array(core)}))
     return coreness_hindex(edges, num_buckets=num_buckets,
                            max_rounds=max_rounds)
+
+
+def label_propagation(edges, max_node: int, rounds: int = 4,
+                      num_buckets: int = 32):
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007) over a distinct undirected edge list (int64 columns
+    ``a`` < ``b``): labels start as node ids; each round EVERY node
+    simultaneously takes the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label. A fixed round count plus the
+    lexical tie rule makes the result deterministic and bit-identical
+    under any partitioning (plain async LPA is run-order dependent —
+    useless under a distributed scheduler).
+
+    Plan per round: the label table is bounded by the NODE DOMAIN (a
+    dimension at 100 TB — parts, users — never the fact-row count), so
+    it broadcasts via ray.put; each edge batch emits pre-shrunk
+    (dst, neighbor-label) count partials (np.unique per batch) packed
+    as dst·K + label; ONE exchange co-locates each dst's rows and a
+    vectorized lexsort picks (max count, min label) per node. Packed
+    keys require K² < 2**63 (checked, the assoc.py guard rule).
+
+    Returns a Dataset (node, label) covering every node with ≥1 edge.
+    """
+    import ray as _ray
+
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    K = int(max_node) + 1
+    if K * K >= 2 ** 63:
+        raise ValueError(f"node domain {K} overflows packed int64 keys")
+
+    labels = np.arange(K, dtype=np.int64)
+    final = None
+    for _ in range(rounds):
+        lab_ref = _ray.put(labels)
+
+        def emit(b: pa.Table, _lr=lab_ref) -> pa.Table:
+            lab = _ray.get(_lr)
+            if b.num_rows == 0:
+                return pa.table({"dst": pa.array([], type=pa.int64()),
+                                 "pkey": pa.array([], type=pa.int64()),
+                                 "cnt": pa.array([], type=pa.int64())})
+            a = b["a"].to_numpy(zero_copy_only=False)
+            e = b["b"].to_numpy(zero_copy_only=False)
+            dst = np.concatenate([a, e])
+            msg = np.concatenate([lab[e], lab[a]])
+            pk = dst * K + msg
+            u, c = np.unique(pk, return_counts=True)
+            return pa.table({"dst": pa.array((u // K).astype(np.int64)),
+                             "pkey": pa.array(u.astype(np.int64)),
+                             "cnt": pa.array(c.astype(np.int64))})
+
+        msgs = edges.map_batches(emit, batch_format="pyarrow",
+                                 batch_size=None)
+
+        def pick(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "label": pa.array([], type=pa.int64())})
+            pk = tbl["pkey"].to_numpy(zero_copy_only=False)
+            cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+            # same (dst, label) may arrive from several batches: fold first
+            upk, inv = np.unique(pk, return_inverse=True)
+            tot = np.bincount(inv, weights=cnt.astype(np.float64),
+                              minlength=upk.size).astype(np.int64)
+            d, lb = upk // K, upk % K
+            order = np.lexsort((lb, -tot, d))
+            d, lb = d[order], lb[order]
+            first = np.ones(len(d), dtype=bool)
+            first[1:] = d[1:] != d[:-1]
+            return pa.table({"node": pa.array(d[first]),
+                             "label": pa.array(lb[first])})
+
+        rows = grouped_by_bucket(msgs, pick, entity_col="dst",
+                                 num_buckets=num_buckets).take_all()
+        labels = labels.copy()
+        nodes = np.array([r["node"] for r in rows], dtype=np.int64)
+        labs = np.array([r["label"] for r in rows], dtype=np.int64)
+        labels[nodes] = labs
+        final = (nodes, labs)
+
+    import ray.data as _rd
+
+    nodes, labs = final if final is not None else (
+        np.zeros(0, np.int64), np.zeros(0, np.int64))
+    o = np.argsort(nodes)
+    return _rd.from_arrow(pa.table({"node": pa.array(nodes[o]),
+                                    "label": pa.array(labs[o])}))

@@ -167,3 +167,93 @@ def test_ips_weights_exact(tmp_path):
         assert (g["n"], g["n_matched"], g["w_sum"],
                 g["ips_sum_cents"]) == (nn, nm, ws, ic)
         assert abs(g["ips_value"] - ic / (100.0 * nn)) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_bruteforce():
+    from collections import Counter, defaultdict
+
+    from pymhealth_ray.stages.graph import label_propagation
+
+    rng = np.random.default_rng(13)
+    # two planted cliques + random noise edges
+    edges = set()
+    for base in (0, 20):
+        for i in range(8):
+            for j in range(i + 1, 8):
+                edges.add((base + i, base + j))
+    while len(edges) < 140:
+        a, b = sorted(rng.integers(0, 40, size=2).tolist())
+        if a != b:
+            edges.add((a, b))
+    ea = np.array([e[0] for e in edges], dtype=np.int64)
+    eb = np.array([e[1] for e in edges], dtype=np.int64)
+
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        lab = {v: min(Counter(lab[u] for u in nb).items(),
+                      key=lambda kv: (-kv[1], kv[0]))[0]
+               for v, nb in adj.items()}
+
+    tbl = pa.table({"a": pa.array(ea), "b": pa.array(eb)})
+    for nb_ in (1, 4):
+        got = {r["node"]: r["label"] for r in label_propagation(
+            ray.data.from_arrow(tbl), max_node=40, rounds=4,
+            num_buckets=nb_).take_all()}
+        assert got == lab
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_attribution_tiny(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    # user 1: a -> purchase; user 2: b -> null. Removing a kills all
+    # conversion (effect 1); removing b changes nothing (effect 0).
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": pa.array([1000, 2000, 3000], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "purchase", "b"], type=pa.string()),
+        "value": pa.array([1.0, 1.0, 1.0]),
+        "props": pa.array([""] * 3),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {r["channel"]: r for r in
+           Q.q_events_markov_attribution(str(tmp_path)).to_pylist()}
+    assert got["a"]["removal_effect"] == 1.0
+    assert got["b"]["removal_effect"] == 0.0
+    assert got["a"]["attribution_share"] == 1.0
+    assert got["a"]["base_conv_prob"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_transition_counts_match_replay(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    u = rng.integers(0, 40, size=n).astype(np.int64)
+    types = np.array(["a", "b", "c", "purchase"])[
+        rng.integers(0, 4, size=n)]
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, size=n).astype(np.int64),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array(u),
+        "event_type": pa.array(types.tolist(), type=pa.string()),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = Q.q_events_markov_attribution(str(tmp_path)).to_pylist()
+    df = tbl.to_pandas()
+    want = Q._markov_attr_expected(df).to_dict("records")
+    assert got == want
