@@ -1328,6 +1328,7 @@ def build_queries() -> dict:
         "events_ips_eval": q_events_ips_eval,
         "part_lpa_communities": q_part_lpa_communities,
         "events_markov_attribution": q_events_markov_attribution,
+        "seq_kn_bigram": q_seq_kn_bigram,
     }
 
 
@@ -1743,6 +1744,7 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "events", "markov_attr_v1",
             _markov_attr_expected,
             ["event_id", "user_id", "event_type", "ts"]),
+        "seq_kn_bigram": sql_seq_kn_bigram(path),
     }
     _flush_pending_oracles()
     return out
@@ -20456,3 +20458,57 @@ def _markov_attr_expected(df):
         df["user_id"].to_numpy(), df["event_type"].to_numpy(),
         df["ts"].to_numpy(), df["event_id"].to_numpy())
     return _markov_attr_finish(counts)
+
+
+def q_seq_kn_bigram(sf_dir: str):
+    """Interpolated KNESER-NEY bigram NLL per sequence — the production
+    n-gram smoothing (absolute discount + continuation-count backoff)
+    next to seq_bigram_nll's add-one baseline. One vocab²-bounded pair
+    exchange trains it; every KN statistic (N1+(a·), N1+(·b), bigram
+    types B) falls out of the same dense broadcast on the driver
+    (stages/lm.kn_bigram_nll); scoring is map-only with the SQL
+    oracle's exact float op order."""
+    from pymhealth_ray.stages.lm import kn_bigram_nll
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    out = kn_bigram_nll(ds, "tokens", id_cols=("doc_id", "ts_ns"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"nll_mean": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_kn_bigram(path: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')
+), p AS (
+  SELECT doc_id, ts_ns, CAST(tokens[i] AS BIGINT) AS a,
+         CAST(tokens[i + 1] AS BIGINT) AS b
+  FROM src, LATERAL unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+), cab AS (
+  SELECT a, b, count(*) AS c FROM p GROUP BY a, b
+), ca AS (
+  SELECT a, count(*) AS c FROM p GROUP BY a
+), nr AS (
+  SELECT a, count(*) AS c FROM cab GROUP BY a
+), nl AS (
+  SELECT b, count(*) AS c FROM cab GROUP BY b
+), bt AS (
+  SELECT count(*) AS bcnt FROM cab
+), sc AS (
+  SELECT p.doc_id, p.ts_ns, count(*) AS n_slots,
+         round(-sum(ln(
+             greatest(CAST(cab.c AS DOUBLE) - 0.75, 0.0) / ca.c
+             + ((0.75 * nr.c) / ca.c)
+               * (CAST(nl.c AS DOUBLE) / bt.bcnt)
+         )) / count(*), 6) AS nll_mean
+  FROM p JOIN cab USING (a, b) JOIN ca USING (a)
+         JOIN nr USING (a) JOIN nl USING (b) CROSS JOIN bt
+  GROUP BY p.doc_id, p.ts_ns
+)
+SELECT src.doc_id, src.ts_ns,
+       CAST(coalesce(sc.n_slots, 0) AS BIGINT) AS n_slots, sc.nll_mean
+FROM src LEFT JOIN sc USING (doc_id, ts_ns)
+"""

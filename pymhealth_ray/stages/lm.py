@@ -611,3 +611,86 @@ def _trigram_nll_broadcast(ds, tokens_col, id_cols, key_mult, num_buckets,
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def kn_bigram_nll(ds, tokens_col: str = "tokens",
+                  id_cols=("doc_id", "ts_ns"), key_mult: int = 2048,
+                  discount: float = 0.75, out_name: str = "nll_mean"):
+    """Interpolated KNESER-NEY bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999 formulation) — the smoothing that actually ships in
+    n-gram LMs, vs bigram_nll's add-one strawman:
+
+        p(b|a) = max(c_ab − D, 0)/c_a + (D·N1+(a·)/c_a) · (N1+(·b)/B)
+
+    with N1+(a·) = distinct right-neighbors of a, N1+(·b) = distinct
+    left-neighbors of b (the CONTINUATION count — how many contexts b
+    completes, not how often it occurs), B = distinct bigram types.
+    Contexts with c_a = 0 back off to the pure continuation
+    distribution N1+(·b)/B.
+
+    Training reuses bigram_nll's ONE vocab²-bounded pair-count
+    exchange; every KN statistic (row/column nonzero counts, B) falls
+    out of the same dense matrix on the driver — no extra distributed
+    pass. Scoring is map-only vectorized lookups; the float expression
+    mirrors the SQL oracle's op order term by term. Self-scoring on the
+    training corpus guarantees c_ab ≥ 1 > D, so no ln(0)."""
+    import ray
+
+    from pymhealth_ray.stages.pmi import skipgram_pair_counts
+
+    pairs = skipgram_pair_counts(ds, tokens_col, window=1,
+                                 key_mult=key_mult)
+    dense = np.zeros(key_mult * key_mult, dtype=np.int64)
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        dense[k] = c
+    mat = dense.reshape(key_mult, key_mult)
+    left = mat.sum(axis=1)                      # c_a  (pair-slot marginal)
+    n1p_right = (mat > 0).sum(axis=1).astype(np.int64)   # N1+(a·)
+    n1p_left = (mat > 0).sum(axis=0).astype(np.int64)    # N1+(·b)
+    n_bigram_types = int((dense > 0).sum())               # B
+
+    dense_ref = ray.put(dense)
+    aux_ref = ray.put((left, n1p_right, n1p_left))
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = ray.get(dense_ref)
+        ca, nr, nl = ray.get(aux_ref)
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64)
+        local = pos - np.repeat(offs[:-1], lens)
+        ok = local < np.repeat(lens - 1, lens)
+        a = flat[ok]
+        b = flat[np.flatnonzero(ok) + 1]
+        cab = d[a * key_mult + b].astype(np.float64)
+        caa = ca[a].astype(np.float64)
+        cont = nl[b].astype(np.float64) / n_bigram_types
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p_seen = np.maximum(cab - discount, 0.0) / caa \
+                + ((discount * nr[a].astype(np.float64)) / caa) * cont
+        p = np.where(ca[a] > 0, p_seen, cont)
+        terms = np.log(p)
+        nslots = np.maximum(lens - 1, 0)
+        soffs = np.concatenate(([0], np.cumsum(nslots)))[:-1]
+        sums = np.zeros(len(lens), dtype=np.float64)
+        nz = nslots > 0
+        if nz.any():
+            red = np.add.reduceat(terms, soffs[nz]) if len(terms) else []
+            sums[nz] = red
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nll = -(sums / nslots)
+        cols = {c: batch[c] for c in id_cols}
+        cols["n_slots"] = pa.array(nslots)
+        cols[out_name] = pa.array(np.where(nz, nll, 0.0),
+                                  type=pa.float64(), mask=~nz)
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -257,3 +257,46 @@ def test_markov_transition_counts_match_replay(tmp_path):
     df = tbl.to_pandas()
     want = Q._markov_attr_expected(df).to_dict("records")
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kn_bigram_normalizes_and_matches_brute(sequences_ds):
+    from collections import Counter
+
+    from pymhealth_ray.stages.lm import kn_bigram_nll
+
+    ds = sequences_ds.select_columns(["doc_id", "ts_ns", "tokens"])
+    out = kn_bigram_nll(ds, "tokens").take_all()
+
+    docs = {(r["doc_id"], r["ts_ns"]): r["tokens"]
+            for r in ds.take_all()}
+    cab, ca = Counter(), Counter()
+    for toks in docs.values():
+        for x, y in zip(toks, toks[1:]):
+            cab[(x, y)] += 1
+            ca[x] += 1
+    nr, nl = Counter(), Counter()
+    for (x, y) in cab:
+        nr[x] += 1
+        nl[y] += 1
+    B = len(cab)
+    D = 0.75
+
+    def p(x, y):
+        return max(cab[(x, y)] - D, 0.0) / ca[x] \
+            + ((D * nr[x]) / ca[x]) * (nl[y] / B)
+
+    # KN is a proper distribution over observed vocab for seen contexts
+    some_a = next(iter(ca))
+    tot = sum(p(some_a, y) for y in nl)
+    assert abs(tot - 1.0) < 1e-9
+
+    import math
+    for r in out[:50]:
+        toks = docs[(r["doc_id"], r["ts_ns"])]
+        if len(toks) < 2:
+            assert r["nll_mean"] is None
+            continue
+        want = -sum(math.log(p(x, y))
+                    for x, y in zip(toks, toks[1:])) / (len(toks) - 1)
+        assert abs(r["nll_mean"] - want) < 1e-9
