@@ -1329,6 +1329,8 @@ def build_queries() -> dict:
         "part_lpa_communities": q_part_lpa_communities,
         "events_markov_attribution": q_events_markov_attribution,
         "seq_kn_bigram": q_seq_kn_bigram,
+        "seq_watermark_score": q_seq_watermark_score,
+        "orders_woe_iv": q_orders_woe_iv,
     }
 
 
@@ -1745,6 +1747,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _markov_attr_expected,
             ["event_id", "user_id", "event_type", "ts"]),
         "seq_kn_bigram": sql_seq_kn_bigram(path),
+        "seq_watermark_score": sql_seq_watermark_score(path),
+        "orders_woe_iv": SQL_ORDERS_WOE_IV,
     }
     _flush_pending_oracles()
     return out
@@ -20511,4 +20515,157 @@ WITH src AS (
 SELECT src.doc_id, src.ts_ns,
        CAST(coalesce(sc.n_slots, 0) AS BIGINT) AS n_slots, sc.nll_mean
 FROM src LEFT JOIN sc USING (doc_id, ts_ns)
+"""
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave H: watermark z-score / WOE-IV scorecard
+# --------------------------------------------------------------------------
+
+
+def q_seq_watermark_score(sf_dir: str):
+    """LLM WATERMARK DETECTION (Kirchenbauer et al. 2023 shape): a
+    greenlist watermark puts each next-token draw in a prev-token-keyed
+    pseudo-random green set of fraction γ; detection counts green slots
+    and reports the one-proportion z-score per sequence. Greenlist
+    membership here is the md5 predicate md5(prev|tok|wm) % 4 == 0
+    (γ = 1/4) — deterministic, map-only, and byte-identical to the SQL
+    expression. Hashing runs once per DISTINCT adjacent pair per batch
+    (np.unique on packed int64 keys); z mirrors SQL op order."""
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64)
+        local = pos - np.repeat(offs[:-1], lens)
+        ok = local < np.repeat(lens - 1, lens)
+        a = flat[ok]
+        b = flat[np.flatnonzero(ok) + 1]
+        V = 1 << 21
+        pk = a * V + b
+        upk, inv = np.unique(pk, return_inverse=True)
+        us = pa.array([f"{int(k // V)}|{int(k % V)}|wm" for k in upk],
+                      type=pa.string())
+        green_u = (_md5_u64(us) % np.uint64(4)) == 0
+        green = green_u[inv].astype(np.int64)
+        nslots = np.maximum(lens - 1, 0)
+        soffs = np.concatenate(([0], np.cumsum(nslots)))[:-1]
+        ng = np.zeros(len(lens), dtype=np.int64)
+        nz = nslots > 0
+        if nz.any() and len(green):
+            ng[nz] = np.add.reduceat(green, soffs[nz])
+        nf = nslots.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (ng.astype(np.float64) - 0.25 * nf) \
+                / np.sqrt(nf * 0.25 * 0.75)
+        return pa.table({
+            "doc_id": batch["doc_id"], "ts_ns": batch["ts_ns"],
+            "n_slots": pa.array(nslots),
+            "n_green": pa.array(ng),
+            "z_score": pa.array(_round_away(np.where(nz, z, 0.0), 6),
+                                mask=~nz)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_seq_watermark_score(path: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')
+), p AS (
+  SELECT doc_id, ts_ns,
+         CASE WHEN ('0x' || substr(md5(
+                  CAST(CAST(tokens[i] AS BIGINT) AS VARCHAR) || '|' ||
+                  CAST(CAST(tokens[i + 1] AS BIGINT) AS VARCHAR) || '|wm'),
+              1, 16))::UBIGINT % 4 = 0 THEN 1 ELSE 0 END AS g
+  FROM src, LATERAL unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+), sc AS (
+  SELECT doc_id, ts_ns, CAST(count(*) AS BIGINT) AS n_slots,
+         CAST(sum(g) AS BIGINT) AS n_green
+  FROM p GROUP BY doc_id, ts_ns
+)
+SELECT src.doc_id, src.ts_ns,
+       CAST(coalesce(sc.n_slots, 0) AS BIGINT) AS n_slots,
+       CAST(coalesce(sc.n_green, 0) AS BIGINT) AS n_green,
+       round((CAST(sc.n_green AS DOUBLE) - 0.25 * sc.n_slots)
+             / sqrt(sc.n_slots * 0.25 * 0.75), 6) AS z_score
+FROM src LEFT JOIN sc USING (doc_id, ts_ns)
+"""
+
+
+def q_orders_woe_iv(sf_dir: str):
+    """WOE / IV SCORECARD — the classic credit-risk feature encoding:
+    per $100 price band, weight of evidence ln of the good/bad rate
+    ratio (0.5-smoothed numerators so empty cells stay finite) and the
+    band's information-value term. One keyed_sum shrinks the corpus to
+    the BAND domain (bounded by the price range, not row count); the
+    float finish is one expression per band in SQL op order."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    od = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_totalprice", "o_orderstatus"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        band = b["cents"].to_numpy(zero_copy_only=False) // 10000
+        st = b["o_orderstatus"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        bad = pc.equal(st, "F").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, inv = np.unique(band, return_inverse=True)
+        nb = np.bincount(inv, weights=bad.astype(np.float64),
+                         minlength=u.size).astype(np.int64)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"band": pa.array(u.astype(np.int64)),
+                         "n_good": pa.array(n - nb),
+                         "n_bad": pa.array(nb)})
+
+    rows = keyed_sum(od.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "band", ["n_good", "n_bad"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    band = np.array([r["band"] for r in rows], dtype=np.int64)
+    g = np.array([r["n_good"] for r in rows], dtype=np.int64)
+    bd = np.array([r["n_bad"] for r in rows], dtype=np.int64)
+    o = np.argsort(band)
+    band, g, bd = band[o], g[o], bd[o]
+    G, B = float(g.sum()), float(bd.sum())
+    pg = (g.astype(np.float64) + 0.5) / G
+    pb = (bd.astype(np.float64) + 0.5) / B
+    woe = np.log(pg / pb)
+    iv = (pg - pb) * woe
+    return pa.table({"band": pa.array(band),
+                     "n_good": pa.array(g), "n_bad": pa.array(bd),
+                     "woe": pa.array(_round_away(woe, 6)),
+                     "iv_term": pa.array(_round_away(iv, 6))})
+
+
+SQL_ORDERS_WOE_IV = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000
+               AS band,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders),
+c AS (SELECT band, CAST(sum(1 - bad) AS BIGINT) AS n_good,
+             CAST(sum(bad) AS BIGINT) AS n_bad
+      FROM o GROUP BY band),
+t AS (SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+             CAST(sum(n_bad) AS BIGINT) AS b_tot FROM c)
+SELECT band, n_good, n_bad,
+       round(ln(((CAST(n_good AS DOUBLE) + 0.5) / g_tot)
+                / ((CAST(n_bad AS DOUBLE) + 0.5) / b_tot)), 6) AS woe,
+       round(((CAST(n_good AS DOUBLE) + 0.5) / g_tot
+              - (CAST(n_bad AS DOUBLE) + 0.5) / b_tot)
+             * ln(((CAST(n_good AS DOUBLE) + 0.5) / g_tot)
+                  / ((CAST(n_bad AS DOUBLE) + 0.5) / b_tot)), 6) AS iv_term
+FROM c, t
 """

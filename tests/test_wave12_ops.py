@@ -300,3 +300,58 @@ def test_kn_bigram_normalizes_and_matches_brute(sequences_ds):
         want = -sum(math.log(p(x, y))
                     for x, y in zip(toks, toks[1:])) / (len(toks) - 1)
         assert abs(r["nll_mean"] - want) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_green_fraction_converges(tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(31)
+    rows = [rng.integers(0, 500, size=200).astype(np.int32)
+            for _ in range(100)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+        "ts_ns": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "tokens": pa.array([list(map(int, r)) for r in rows],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r) for r in rows], type=pa.int32()),
+        "source": pa.array(["s"] * len(rows))})
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    monkeypatch.setattr(Q, "_seq_ds", lambda sf, columns=None: (
+        __import__("ray").data.read_parquet(str(tmp_path)), str(tmp_path)))
+    out = Q.q_seq_watermark_score("ignored").take_all()
+    tot = sum(r["n_slots"] for r in out)
+    green = sum(r["n_green"] for r in out)
+    # unwatermarked random tokens: green fraction ~ 0.25
+    assert abs(green / tot - 0.25) < 0.02
+    # z-score recomputation
+    r = out[0]
+    n, ngr = r["n_slots"], r["n_green"]
+    assert abs(r["z_score"]
+               - (ngr - 0.25 * n) / np.sqrt(n * 0.25 * 0.75)) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_woe_iv_smoothed_cells(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    # one band with zero bads must stay finite via the +0.5 smoothing
+    tbl = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "O", "O"]),
+        "o_totalprice": pa.array([50.0, 60.0, 150.0, 160.0]),
+        "o_orderdate": pa.array([0, 0, 0, 0], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 4),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = {r["band"]: r for r in Q.q_orders_woe_iv(str(tmp_path)).to_pylist()}
+    assert got[0]["n_good"] == 1 and got[0]["n_bad"] == 1
+    assert got[1]["n_good"] == 2 and got[1]["n_bad"] == 0
+    woe1 = np.log(((2 + 0.5) / 3.0) / ((0 + 0.5) / 1.0))
+    assert abs(got[1]["woe"] - woe1) < 1e-6
+    assert np.isfinite(got[1]["iv_term"])
