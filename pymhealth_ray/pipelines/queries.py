@@ -1331,6 +1331,8 @@ def build_queries() -> dict:
         "seq_kn_bigram": q_seq_kn_bigram,
         "seq_watermark_score": q_seq_watermark_score,
         "orders_woe_iv": q_orders_woe_iv,
+        "docs_ncd_pairs": q_docs_ncd_pairs,
+        "events_next_purchase": q_events_next_purchase,
     }
 
 
@@ -1749,6 +1751,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "seq_kn_bigram": sql_seq_kn_bigram(path),
         "seq_watermark_score": sql_seq_watermark_score(path),
         "orders_woe_iv": SQL_ORDERS_WOE_IV,
+        "docs_ncd_pairs": _docs_materialized_oracle(
+            sf_dir_for_fixture, "ncd_pairs_v1", _ncd_expected),
+        "events_next_purchase": SQL_EVENTS_NEXT_PURCHASE,
     }
     _flush_pending_oracles()
     return out
@@ -20668,4 +20673,179 @@ SELECT band, n_good, n_bad,
              * ln(((CAST(n_good AS DOUBLE) + 0.5) / g_tot)
                   / ((CAST(n_bad AS DOUBLE) + 0.5) / b_tot)), 6) AS iv_term
 FROM c, t
+"""
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave I: NCD pairs / forward as-of (time-to-event)
+# --------------------------------------------------------------------------
+
+
+NCD_PREFIX = 24
+NCD_BLOCK_CAP = 64
+
+
+def _ncd_block_pairs(doc_ids, texts):
+    """Pairs + compression lengths for ONE prefix block (doc_id-sorted,
+    capped): shared verbatim by the engine kernel and the oracle so the
+    zlib byte counts and the float expression are identical."""
+    import zlib
+
+    order = np.argsort(np.asarray(doc_ids, dtype=np.int64),
+                       kind="stable")[:NCD_BLOCK_CAP]
+    ids = [int(doc_ids[i]) for i in order]
+    txt = [texts[i] for i in order]
+    comp = [len(zlib.compress(t.encode(), 6)) for t in txt]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            cab = len(zlib.compress((txt[i] + txt[j]).encode(), 6))
+            lo, hi = min(comp[i], comp[j]), max(comp[i], comp[j])
+            rows.append((ids[i], ids[j], comp[i], comp[j], cab,
+                         float(cab - lo) / hi))
+    return rows
+
+
+def q_docs_ncd_pairs(sf_dir: str):
+    """NORMALIZED COMPRESSION DISTANCE (Cilibrasi & Vitányi 2005) over
+    prefix-blocked candidate pairs — the parameter-free 11th near-dup
+    modality: ncd(x,y) = (C(xy) − min(Cx,Cy)) / max(Cx,Cy) with zlib-6
+    byte counts (deterministic, byte-exact on both sides). Blocking =
+    first 24 chars (the sorted-neighborhood family's key), one
+    exchange; blocks are doc_id-sorted and capped at 64 docs (cap
+    applied identically in the oracle), pair kernel shared with the
+    oracle via _ncd_block_pairs."""
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def with_key(b: pa.Table) -> pa.Table:
+        return b.append_column("k", pc.utf8_slice_codeunits(
+            b["text"], 0, NCD_PREFIX))
+
+    ds = docs.map_batches(with_key, batch_format="pyarrow")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "c_a": pa.array([], type=pa.int64()),
+            "c_b": pa.array([], type=pa.int64()),
+            "c_ab": pa.array([], type=pa.int64()),
+            "ncd": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        order = pc.sort_indices(tbl, sort_keys=[("k", "ascending")])
+        tbl = tbl.take(order)
+        k = tbl["k"].combine_chunks()
+        codes = k.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate([[0], change, [len(codes)]])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        txts = tbl["text"].to_pylist()
+        rows = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s > 1:
+                rows.extend(_ncd_block_pairs(ids[s:e], txts[s:e]))
+        if not rows:
+            return empty
+        arr = list(zip(*rows))
+        return pa.table({
+            "doc_a": pa.array(np.array(arr[0], dtype=np.int64)),
+            "doc_b": pa.array(np.array(arr[1], dtype=np.int64)),
+            "c_a": pa.array(np.array(arr[2], dtype=np.int64)),
+            "c_b": pa.array(np.array(arr[3], dtype=np.int64)),
+            "c_ab": pa.array(np.array(arr[4], dtype=np.int64)),
+            "ncd": pa.array(_round_away(np.array(arr[5]), 6))})
+
+    return grouped_by_bucket(ds, per_bucket, entity_col="k",
+                             num_buckets=NB)
+
+
+def _ncd_expected(df):
+    import pandas as pd
+
+    rows = []
+    df = df.assign(_k=df["text"].str[:NCD_PREFIX])
+    for _, grp in df.groupby("_k"):
+        if len(grp) > 1:
+            rows.extend(_ncd_block_pairs(grp["doc_id"].to_numpy(),
+                                         grp["text"].tolist()))
+    rows.sort()
+    return pd.DataFrame({
+        "doc_a": np.array([r[0] for r in rows], dtype=np.int64),
+        "doc_b": np.array([r[1] for r in rows], dtype=np.int64),
+        "c_a": np.array([r[2] for r in rows], dtype=np.int64),
+        "c_b": np.array([r[3] for r in rows], dtype=np.int64),
+        "c_ab": np.array([r[4] for r in rows], dtype=np.int64),
+        "ncd": _round_away(np.array([r[5] for r in rows]), 6)})
+
+
+def q_events_next_purchase(sf_dir: str):
+    """FORWARD AS-OF (time-to-conversion): for every non-purchase
+    event, the timestamp of the user's NEXT purchase strictly after it
+    — the label generator for churn/conversion models. Implemented by
+    running the backward as-of machinery on NEGATED microsecond
+    timestamps (facts at −ts−1 make 'strictly after' an inclusive
+    backward match), so the whole broadcast/exchange/salting plan
+    surface is reused unchanged; SQL oracle is the time-based (not
+    row-based) min-over-subsequent-purchases, which equal-timestamp
+    collisions cannot bias."""
+    from pymhealth_ray.stages.asof import asof_join
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def only_facts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["event_type"], "purchase"))
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "ts_us": b["ts_us"],
+                         "nts": pa.array(-ts - 1)})
+
+    def only_dim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "nts": pa.array(-ts),
+                         "p_ts": b["ts_us"]})
+
+    facts = ds.map_batches(only_facts, batch_format="pyarrow")
+    dim = ds.map_batches(only_dim, batch_format="pyarrow").materialize()
+    j = asof_join(facts, dim, ["p_ts"], entity_col="user_id",
+                  ts_col="nts", num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        nxt = b["p_ts_asof"]
+        if isinstance(nxt, pa.ChunkedArray):
+            nxt = nxt.combine_chunks()
+        nv = nxt.to_numpy(zero_copy_only=False)
+        null = pc.is_null(nxt).to_numpy(zero_copy_only=False)
+        gap = np.where(null, 0, nv - ts).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": b["ts_us"],
+            "next_purchase_ts": nxt.cast(pa.int64()),
+            "gap_us": pa.array(gap, type=pa.int64(), mask=null)})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_NEXT_PURCHASE = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events),
+f AS (SELECT event_id, user_id, ts_us FROM e
+      WHERE event_type <> 'purchase'),
+d AS (SELECT user_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.ts_us,
+       (SELECT min(d.p_ts) FROM d
+        WHERE d.user_id = f.user_id AND d.p_ts > f.ts_us)
+           AS next_purchase_ts,
+       (SELECT min(d.p_ts) FROM d
+        WHERE d.user_id = f.user_id AND d.p_ts > f.ts_us) - f.ts_us
+           AS gap_us
+FROM f
 """

@@ -355,3 +355,57 @@ def test_woe_iv_smoothed_cells(tmp_path):
     woe1 = np.log(((2 + 0.5) / 3.0) / ((0 + 0.5) / 1.0))
     assert abs(got[1]["woe"] - woe1) < 1e-6
     assert np.isfinite(got[1]["iv_term"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ncd_pairs_properties(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = [
+        (1, base + "alpha"),
+        (2, base + "alpha"),          # identical to 1 -> tiny ncd
+        (3, base + "totally different ending with unrelated words zz"),
+        (4, "unrelated prefix so it blocks alone " + base),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(d[1]) for d in docs], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in Q.q_docs_ncd_pairs(str(tmp_path)).take_all()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}  # doc 4 blocks alone
+    assert out[(1, 2)]["ncd"] < 0.15          # identical texts
+    assert out[(1, 3)]["ncd"] > out[(1, 2)]["ncd"]
+    r = out[(1, 3)]
+    assert abs(r["ncd"] - (r["c_ab"] - min(r["c_a"], r["c_b"]))
+               / max(r["c_a"], r["c_b"])) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_next_purchase_strictly_after(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    # click at t=100 with purchases at t=100 and t=200: the simultaneous
+    # purchase must NOT match; next is 200. Trailing click -> NULL.
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([100, 100, 200, 300], type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase", "purchase", "click"]),
+        "value": pa.array([1.0] * 4),
+        "props": pa.array([""] * 4),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {r["event_id"]: r
+           for r in Q.q_events_next_purchase(str(tmp_path)).take_all()}
+    assert got[1]["next_purchase_ts"] == 200 and got[1]["gap_us"] == 100
+    assert got[4]["next_purchase_ts"] is None and got[4]["gap_us"] is None
