@@ -1333,6 +1333,9 @@ def build_queries() -> dict:
         "orders_woe_iv": q_orders_woe_iv,
         "docs_ncd_pairs": q_docs_ncd_pairs,
         "events_next_purchase": q_events_next_purchase,
+        "docs_orc_roundtrip": q_docs_orc_roundtrip,
+        "seq_dp_token_counts": q_seq_dp_token_counts,
+        "part_croston": q_part_croston,
     }
 
 
@@ -1754,6 +1757,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "docs_ncd_pairs": _docs_materialized_oracle(
             sf_dir_for_fixture, "ncd_pairs_v1", _ncd_expected),
         "events_next_purchase": SQL_EVENTS_NEXT_PURCHASE,
+        "docs_orc_roundtrip": SQL_DOCS_ORC_ROUNDTRIP,
+        "seq_dp_token_counts": sql_seq_dp_token_counts(path),
+        "part_croston": _table_materialized_oracle(
+            sf_dir_for_fixture, "lineitem", "croston_v1",
+            _croston_expected,
+            ["l_partkey", "l_shipdate", "l_quantity"]),
     }
     _flush_pending_oracles()
     return out
@@ -20849,3 +20858,259 @@ SELECT f.event_id, f.user_id, f.ts_us,
            AS gap_us
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave J: ORC roundtrip / DP counts / Croston
+# --------------------------------------------------------------------------
+
+
+def q_docs_orc_roundtrip(sf_dir: str):
+    """ORC format coverage (the third lake format next to parquet and
+    Arrow IPC): documents round-trip through the bucketed .orc sink
+    (sources/io.write_orc) and the file-parallel ORC reader (read_orc,
+    column-pruned decode); per-doc length + content digest against the
+    parquet original proves losslessness both ways. Shares the IPC
+    roundtrip's SQL oracle shape."""
+    import glob as _glob
+    import os
+
+    from pymhealth_ray.sources.io import read_orc, write_orc
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/orc_{name}_v1"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    with _build_lock(out_dir):
+        if not os.path.exists(marker):
+            src = read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+            write_orc(src, out_dir, num_files=8)
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.orc")))
+    ds = read_orc(files, columns=["doc_id", "lang", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "text_md5": pa.array([], type=pa.string())})
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        md5s = [hashlib.md5(t.encode()).hexdigest()
+                for t in txt.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "text_md5": pa.array(md5s, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOCS_ORC_ROUNDTRIP = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_seq_dp_token_counts(sf_dir: str):
+    """DIFFERENTIALLY-PRIVATE-STYLE noisy count release: per-token
+    corpus counts plus two-sided geometric (discrete Laplace, α = 0.5)
+    noise drawn by INVERSE CDF from a token-keyed md5 uniform — the
+    release pipeline is the real thing, the seeded generator stands in
+    for a calibrated DP sampler so the artifact is testable (the
+    multimodal-stub discipline). One vocab-bounded keyed_sum; the
+    magnitude is floor(ln(1−u)/ln(0.5)) with u an exact 52-bit dyadic,
+    mirrored term-for-term in SQL (ln parity long proven)."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    ds, _ = _seq_ds(sf_dir, ["tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"token": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    rows = keyed_sum(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "token", ["cnt"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    tok = np.array([r["token"] for r in rows], dtype=np.int64)
+    cnt = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    o = np.argsort(tok)
+    tok, cnt = tok[o], cnt[o]
+    keys = pa.array([f"{int(t)}|dp" for t in tok], type=pa.string())
+    h = _md5_u64(keys)
+    u = (h >> np.uint64(12)).astype(np.float64) / 4503599627370496.0
+    mag = np.floor(np.log(1.0 - u) / np.log(0.5)).astype(np.int64)
+    sgn = np.where((h % np.uint64(2)) == 0, 1, -1).astype(np.int64)
+    noise = sgn * mag
+    return pa.table({"token": pa.array(tok),
+                     "true_count": pa.array(cnt),
+                     "dp_noise": pa.array(noise),
+                     "dp_count": pa.array(cnt + noise)})
+
+
+def sql_seq_dp_token_counts(path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT unnest(tokens) AS tok FROM read_parquet('{path}/part-*.parquet')
+), c AS (
+  SELECT CAST(tok AS BIGINT) AS token, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY 1
+), h AS (
+  SELECT token, cnt,
+         ('0x' || substr(md5(CAST(token AS VARCHAR) || '|dp'),
+                         1, 16))::UBIGINT AS hv
+  FROM c
+), g AS (
+  SELECT token, cnt,
+         CAST(floor(ln(1.0 - CAST(hv // 4096 AS DOUBLE)
+                       / 4503599627370496.0) / ln(0.5)) AS BIGINT) AS mag,
+         CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM h
+)
+SELECT token, cnt AS true_count,
+       CAST(sgn * mag AS BIGINT) AS dp_noise,
+       CAST(cnt + sgn * mag AS BIGINT) AS dp_count
+FROM g
+"""
+
+
+CROSTON_ALPHA = 0.1
+
+
+def _croston_state(days, qtys):
+    """Croston recurrence for ONE part (demand days ascending): init
+    z = q1, p = 1.0; for each later demand, z += α(q−z) and
+    p += α(i−p) with i the day gap. Shared verbatim by the engine's
+    per-step vectorized kernel's semantics and the oracle replay."""
+    z, p = float(qtys[0]), 1.0
+    for k in range(1, len(days)):
+        i = float(days[k] - days[k - 1])
+        z = z + CROSTON_ALPHA * (float(qtys[k]) - z)
+        p = p + CROSTON_ALPHA * (i - p)
+    return z, p
+
+
+def q_part_croston(sf_dir: str):
+    """CROSTON INTERMITTENT-DEMAND FORECAST per part — the standard
+    method when most periods have zero demand (spare parts, long-tail
+    SKUs): SES (α = 0.1) on nonzero demand SIZES and on demand-day
+    INTERVALS, forecast = z/p per day. Per-(part, day) quantity sums
+    shrink in one keyed_sum (calendar × part bounded); the recurrence
+    is vectorized ACROSS parts step-by-step (the events_holt shape), so
+    floats replay the oracle's per-part sequential order exactly."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_shipdate", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["l_shipdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            d = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                // 86_400_000_000
+        else:
+            d = col.cast(pa.date32()).cast(pa.int32()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.rint(b["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        key = pk * 1_000_000 + (d % 1_000_000)
+        u, inv = np.unique(key, return_inverse=True)
+        qs = np.bincount(inv, weights=q.astype(np.float64),
+                         minlength=u.size).astype(np.int64)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "q_cents": pa.array(qs)})
+
+    daily = keyed_sum(li.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=None),
+                      "key", ["q_cents"], num_buckets=NB,
+                      precombine_rows=None)
+
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({
+                "p_partkey": pa.array([], type=pa.int64()),
+                "n_demand_days": pa.array([], type=pa.int64()),
+                "z_size": pa.array([], type=pa.float64()),
+                "p_interval": pa.array([], type=pa.float64()),
+                "forecast_per_day": pa.array([], type=pa.float64())})
+        key = tbl["key"].to_numpy(zero_copy_only=False)
+        qc = tbl["q_cents"].to_numpy(zero_copy_only=False)
+        part = key // 1_000_000
+        day = key % 1_000_000
+        order = np.lexsort((day, part))
+        part, day, qc = part[order], day[order], qc[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(part[1:] != part[:-1]) + 1, [len(part)]])
+        n_parts = len(starts) - 1
+        pos = np.arange(len(part)) - np.repeat(starts[:-1],
+                                               np.diff(starts))
+        qv = qc.astype(np.float64) / 100.0
+        z = np.empty(n_parts)
+        p = np.ones(n_parts)
+        seg = np.repeat(np.arange(n_parts), np.diff(starts))
+        z[seg[pos == 0]] = qv[pos == 0]
+        max_k = int(pos.max()) + 1 if len(pos) else 0
+        for k in range(1, max_k):
+            m = pos == k
+            sidx = seg[m]
+            gap = (day[m] - day[np.flatnonzero(m) - 1]).astype(np.float64)
+            z[sidx] = z[sidx] + CROSTON_ALPHA * (qv[m] - z[sidx])
+            p[sidx] = p[sidx] + CROSTON_ALPHA * (gap - p[sidx])
+        nd = np.diff(starts).astype(np.int64)
+        return pa.table({
+            "p_partkey": pa.array(part[starts[:-1]].astype(np.int64)),
+            "n_demand_days": pa.array(nd),
+            "z_size": pa.array(_round_away(z, 6)),
+            "p_interval": pa.array(_round_away(p, 6)),
+            "forecast_per_day": pa.array(_round_away(z / p, 6))})
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "part", pa.array(b["key"].to_numpy(zero_copy_only=False)
+                             // 1_000_000))
+
+    return grouped_by_bucket(daily.map_batches(add_part,
+                                               batch_format="pyarrow"),
+                             per_bucket, entity_col="part",
+                             num_buckets=NB)
+
+
+def _croston_expected(df):
+    import pandas as pd
+
+    df = df.copy()
+    sd = pd.to_datetime(df["l_shipdate"]).astype("datetime64[ns]")
+    df["day"] = (sd.astype("int64") // 86_400_000_000_000).astype("int64")
+    df["qc"] = np.rint(df["l_quantity"].to_numpy() * 100).astype("int64")
+    rows = []
+    for pk, grp in df.groupby("l_partkey"):
+        daily = grp.groupby("day")["qc"].sum().sort_index()
+        days = daily.index.to_numpy()
+        qv = daily.to_numpy().astype(np.float64) / 100.0
+        z, p = _croston_state(days, qv)
+        rows.append((int(pk), len(days), z, p))
+    rows.sort()
+    return pd.DataFrame({
+        "p_partkey": np.array([r[0] for r in rows], dtype=np.int64),
+        "n_demand_days": np.array([r[1] for r in rows], dtype=np.int64),
+        "z_size": _round_away(np.array([r[2] for r in rows]), 6),
+        "p_interval": _round_away(np.array([r[3] for r in rows]), 6),
+        "forecast_per_day": _round_away(
+            np.array([r[2] / r[3] for r in rows]), 6)})

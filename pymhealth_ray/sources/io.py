@@ -990,3 +990,67 @@ def write_ipc(ds, out_dir: str, num_files: int = 16):
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
     return out
+
+
+def read_orc(path_or_files, columns=None, blocks: int | None = None):
+    """ORC source: file-parallel ingest via ray.data.read_binary_files +
+    a per-task pyarrow.orc decode — the lake format next to parquet and
+    the IPC/.arrow path (read_ipc). ``columns`` prunes at decode time
+    (ORC is column-addressable: unread columns never materialize)."""
+    import ray
+
+    ds = ray.data.read_binary_files(
+        path_or_files, override_num_blocks=blocks or default_blocks())
+
+    def decode(batch: "pa.Table") -> "pa.Table":
+        from pyarrow import orc as _orc
+
+        outs = []
+        payloads = batch["bytes"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        for i in range(len(payloads)):
+            buf = pa.BufferReader(payloads[i].as_py())
+            f = _orc.ORCFile(buf)
+            tbl = f.read(columns=columns)
+            outs.append(tbl.combine_chunks())
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
+def write_orc(ds, out_dir: str, num_files: int = 16):
+    """ORC sink: ``num_files`` bucketed .orc files (one per bucket via
+    map_groups — the resumable-sink layout shape), atomic per-file
+    tmp→rename, a _SUCCESS marker last. Mirrors write_ipc."""
+    import os
+
+    from pymhealth_ray.stages.partition import BUCKET_COL, with_entity_bucket
+
+    os.makedirs(out_dir, exist_ok=True)
+    first = ds.schema().names[0]
+    bucketed = with_entity_bucket(ds, first, num_files)
+
+    def write_group(tbl: "pa.Table") -> "pa.Table":
+        from pyarrow import orc as _orc
+
+        if tbl.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        b = int(tbl[BUCKET_COL][0].as_py())
+        tbl = tbl.drop_columns([BUCKET_COL])
+        path = os.path.join(out_dir, f"part-{b:05d}.orc")
+        tmp = path + ".tmp"
+        _orc.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return pa.table({"file": pa.array([path], type=pa.string()),
+                         "rows": pa.array([tbl.num_rows],
+                                          type=pa.int64())})
+
+    out = bucketed.groupby(BUCKET_COL).map_groups(
+        write_group, batch_format="pyarrow").take_all()
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out

@@ -409,3 +409,50 @@ def test_next_purchase_strictly_after(tmp_path):
            for r in Q.q_events_next_purchase(str(tmp_path)).take_all()}
     assert got[1]["next_purchase_ts"] == 200 and got[1]["gap_us"] == 100
     assert got[4]["next_purchase_ts"] is None and got[4]["gap_us"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_roundtrip_stage(tmp_path):
+    from pymhealth_ray.sources.io import read_orc, write_orc
+
+    rng = np.random.default_rng(41)
+    tbl = pa.table({
+        "id": pa.array(np.arange(500, dtype=np.int64)),
+        "v": pa.array(rng.normal(size=500)),
+        "s": pa.array([f"row-{i}" for i in range(500)]),
+    })
+    out = str(tmp_path / "orc")
+    write_orc(ray.data.from_arrow(tbl), out, num_files=4)
+    import glob
+    files = sorted(glob.glob(out + "/part-*.orc"))
+    assert len(files) >= 2
+    back = read_orc(files).take_all()
+    assert sorted((r["id"], r["s"]) for r in back) == \
+        [(i, f"row-{i}") for i in range(500)]
+    # column pruning drops unread columns at decode
+    pruned = read_orc(files, columns=["id"]).take_all()
+    assert set(pruned[0].keys()) == {"id"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_croston_matches_sequential_replay(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    pk = rng.integers(0, 60, size=n).astype(np.int64)
+    day = rng.integers(0, 400, size=n).astype(np.int64)
+    qty = rng.integers(1, 50, size=n).astype(np.float64)
+    tbl = pa.table({
+        "l_partkey": pa.array(pk),
+        "l_shipdate": pa.array(day * 86_400_000_000,
+                               type=pa.timestamp("us")),
+        "l_quantity": pa.array(qty),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = Q.q_part_croston(str(tmp_path)).to_pandas() \
+        .sort_values("p_partkey").reset_index(drop=True)
+    want = Q._croston_expected(tbl.to_pandas()).reset_index(drop=True)
+    assert got.equals(want)
