@@ -1336,6 +1336,9 @@ def build_queries() -> dict:
         "docs_orc_roundtrip": q_docs_orc_roundtrip,
         "seq_dp_token_counts": q_seq_dp_token_counts,
         "part_croston": q_part_croston,
+        "orders_total_reconcile": q_orders_total_reconcile,
+        "events_ratio_delta": q_events_ratio_delta,
+        "events_ab_power": q_events_ab_power,
     }
 
 
@@ -1763,6 +1766,9 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "lineitem", "croston_v1",
             _croston_expected,
             ["l_partkey", "l_shipdate", "l_quantity"]),
+        "orders_total_reconcile": SQL_ORDERS_TOTAL_RECONCILE,
+        "events_ratio_delta": SQL_EVENTS_RATIO_DELTA,
+        "events_ab_power": SQL_EVENTS_AB_POWER,
     }
     _flush_pending_oracles()
     return out
@@ -21114,3 +21120,288 @@ def _croston_expected(df):
         "p_interval": _round_away(np.array([r[3] for r in rows]), 6),
         "forecast_per_day": _round_away(
             np.array([r[2] / r[3] for r in rows]), 6)})
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave K: reconciliation / ratio delta / power
+# --------------------------------------------------------------------------
+
+
+def q_orders_total_reconcile(sf_dir: str):
+    """DOUBLE-ENTRY RECONCILIATION — the finance data-quality join: per
+    order, compare the header total against Σ line price·(1−disc)·
+    (1+tax), all in EXACT integer micro-units (cents × basis-point
+    factors) so no float rounding can manufacture or hide a mismatch:
+    item_micro = price_cents·(100−d100)·(100+t100). One hash equi-join
+    + keyed_sum at the order grain."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.join import equi_join
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_tax"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pc_ = np.rint(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = np.rint(b["l_tax"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        micro = pc_ * (100 - d) * (100 + t)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u.astype(np.int64)),
+            "n_items": pa.array(np.bincount(inv, minlength=u.size)
+                                .astype(np.int64)),
+            "items_micro": pa.array(np.bincount(
+                inv, weights=micro.astype(np.float64),
+                minlength=u.size).astype(np.int64))})
+
+    sums = keyed_sum(li.map_batches(li_partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     "o_orderkey", ["n_items", "items_micro"],
+                     num_buckets=NB, precombine_rows=None)
+
+    od = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_totalprice"])
+
+    def od_prep(b: pa.Table) -> pa.Table:
+        return _cents(b, "o_totalprice", "total_cents") \
+            .select(["o_orderkey", "total_cents"])
+
+    j = equi_join(od.map_batches(od_prep, batch_format="pyarrow"),
+                  sums, on="o_orderkey", join_type="left outer",
+                  num_buckets=NB)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ni = b["n_items"]
+        if isinstance(ni, pa.ChunkedArray):
+            ni = ni.combine_chunks()
+        null = pc.is_null(ni).to_numpy(zero_copy_only=False)
+        niv = np.where(null, 0, ni.to_numpy(zero_copy_only=False))
+        im = b["items_micro"]
+        if isinstance(im, pa.ChunkedArray):
+            im = im.combine_chunks()
+        imv = np.where(null, 0,
+                       im.to_numpy(zero_copy_only=False)).astype(np.int64)
+        tc = b["total_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "total_cents": b["total_cents"],
+            "n_items": pa.array(niv.astype(np.int64)),
+            "items_micro": pa.array(imv),
+            "diff_micro": pa.array(imv - tc * 10000)})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_TOTAL_RECONCILE = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS micro
+  FROM lineitem),
+s AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(micro) AS BIGINT) AS items_micro
+      FROM l GROUP BY 1)
+SELECT o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(coalesce(s.n_items, 0) AS BIGINT) AS n_items,
+       CAST(coalesce(s.items_micro, 0) AS BIGINT) AS items_micro,
+       CAST(coalesce(s.items_micro, 0)
+            - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+            AS BIGINT) AS diff_micro
+FROM orders o LEFT JOIN s USING (o_orderkey)
+"""
+
+
+def q_events_ratio_delta(sf_dir: str):
+    """RATIO-METRIC A/B READOUT with DELTA-METHOD (cluster-robust)
+    standard errors — the correct analysis when the metric is
+    revenue-per-event but randomization is per USER: user-level
+    (n_u, x_u) cluster sums roll up exactly (one keyed_sum at the user
+    grain, then per-arm integer moments Σx, Σn, Σx², Σn², Σxn merged as
+    python ints), and the variance of R = Σx/Σn comes from the delta
+    expansion (Sxx − 2R·Sxn + R²·Snn). Arms are the md5 user split;
+    every float is one driver expression in SQL op order."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "cents")
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uu.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=uu.size)
+                          .astype(np.int64)),
+            "x": pa.array(np.bincount(inv, weights=c.astype(np.float64),
+                                      minlength=uu.size).astype(np.int64))})
+
+    users = keyed_sum(ev.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=None),
+                      "user_id", ["n", "x"], num_buckets=NB,
+                      precombine_rows=None)
+
+    def arm_partial(b: pa.Table) -> pa.Table:
+        keys = pa.array([f"{int(v)}|arm" for v in
+                         b["user_id"].to_numpy(zero_copy_only=False)],
+                        type=pa.string())
+        arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            rows.append((a, int(m.sum()), int(n[m].sum()),
+                         int(x[m].sum()), int((x[m] * x[m]).sum()),
+                         int((n[m] * n[m]).sum()),
+                         int((x[m] * n[m]).sum())))
+        return pa.table({
+            "arm": pa.array([r[0] for r in rows], type=pa.int64()),
+            "u": pa.array([r[1] for r in rows], type=pa.int64()),
+            "sn": pa.array([r[2] for r in rows], type=pa.int64()),
+            "sx": pa.array([r[3] for r in rows], type=pa.int64()),
+            "sxx": pa.array([r[4] for r in rows], type=pa.int64()),
+            "snn": pa.array([r[5] for r in rows], type=pa.int64()),
+            "sxn": pa.array([r[6] for r in rows], type=pa.int64())})
+
+    rows = users.map_batches(arm_partial, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    agg = {0: [0] * 6, 1: [0] * 6}
+    for r in rows:
+        a = agg[r["arm"]]
+        for i, k in enumerate(("u", "sn", "sx", "sxx", "snn", "sxn")):
+            a[i] += int(r[k])
+    out = {"arm": [], "n_users": [], "n_events": [], "sum_cents": [],
+           "ratio_cents": [], "se_cents": []}
+    for a in (0, 1):
+        u, sn, sx, sxx, snn, sxn = agg[a]
+        r = float(sx) / float(sn)
+        vxx = float(sxx) - float(sx) * sx / u
+        vnn = float(snn) - float(sn) * sn / u
+        vxn = float(sxn) - float(sx) * sn / u
+        nbar = float(sn) / u
+        se = np.sqrt((vxx - 2 * r * vxn + r * r * vnn)
+                     / (u - 1) / u) / nbar
+        out["arm"].append(a)
+        out["n_users"].append(u)
+        out["n_events"].append(sn)
+        out["sum_cents"].append(sx)
+        out["ratio_cents"].append(float(_round_away(np.array([r]), 6)[0]))
+        out["se_cents"].append(float(_round_away(np.array([se]), 6)[0]))
+    return pa.table({
+        "arm": pa.array(out["arm"], type=pa.int64()),
+        "n_users": pa.array(out["n_users"], type=pa.int64()),
+        "n_events": pa.array(out["n_events"], type=pa.int64()),
+        "sum_cents": pa.array(out["sum_cents"], type=pa.int64()),
+        "ratio_cents": pa.array(out["ratio_cents"], type=pa.float64()),
+        "se_cents": pa.array(out["se_cents"], type=pa.float64())})
+
+
+SQL_EVENTS_RATIO_DELTA = """
+WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+uu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS x
+       FROM e GROUP BY user_id),
+t AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'),
+                   1, 16))::UBIGINT % 2 AS BIGINT) AS arm, n, x
+      FROM uu),
+a AS (SELECT arm, CAST(count(*) AS BIGINT) AS u,
+             CAST(sum(n) AS BIGINT) AS sn, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(n * n) AS BIGINT) AS snn,
+             CAST(sum(x * n) AS BIGINT) AS sxn
+      FROM t GROUP BY arm)
+SELECT arm, u AS n_users, sn AS n_events, sx AS sum_cents,
+       round(CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS ratio_cents,
+       round(sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / u)
+                   - 2 * (CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                     * (CAST(sxn AS DOUBLE) - CAST(sx AS DOUBLE) * sn / u)
+                   + (CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE))
+                     * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / u))
+                  / (u - 1) / u)
+             / (CAST(sn AS DOUBLE) / u), 6) AS se_cents
+FROM a
+"""
+
+
+def q_events_ab_power(sf_dir: str):
+    """EXPERIMENT POWER / MDE READOUT — the design-side complement of
+    events_ab_welch: from the two md5-split arms' exact integer
+    moments, the minimum detectable effect at α = 0.05 (two-sided) and
+    80% power: mde = (z_α + z_β)·sqrt(v_t/n_t + v_c/n_c) with the
+    standard normal constants fixed. Ints distributed, one float
+    expression on the driver in SQL op order."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    Z_A, Z_B = 1.959964, 0.841621
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "cents")
+        keys = pa.array([f"{int(v)}|arm" for v in
+                         b["user_id"].to_numpy(zero_copy_only=False)],
+                        type=pa.string())
+        arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"arm": pa.array(arm),
+                         "c": pa.array(c),
+                         "cc": pa.array(c * c)})
+
+    st = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                       ["arm"], sum_cols=["c", "cc"],
+                       count_name="n").take_all()
+    by = {int(r["arm"]): (int(r["n"]), int(r["c_sum"]), int(r["cc_sum"]))
+          for r in st}
+    n0, s0, q0 = by[0]
+    n1, s1, q1 = by[1]
+    v0 = (float(q0) - float(s0) * s0 / n0) / (n0 - 1)
+    v1 = (float(q1) - float(s1) * s1 / n1) / (n1 - 1)
+    mde = (Z_A + Z_B) * np.sqrt(v1 / n1 + v0 / n0)
+    return pa.table({
+        "n_control": pa.array([n0], type=pa.int64()),
+        "n_treat": pa.array([n1], type=pa.int64()),
+        "var_control": pa.array(_round_away(np.array([v0]), 6)),
+        "var_treat": pa.array(_round_away(np.array([v1]), 6)),
+        "mde_cents": pa.array(_round_away(np.array([mde]), 6))})
+
+
+SQL_EVENTS_AB_POWER = """
+WITH e AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || '|arm'), 1, 16))::UBIGINT % 2 AS BIGINT) AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      FROM e GROUP BY arm),
+w AS (SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 0 THEN s END) AS s0,
+        max(CASE WHEN arm = 0 THEN q END) AS q0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1,
+        max(CASE WHEN arm = 1 THEN s END) AS s1,
+        max(CASE WHEN arm = 1 THEN q END) AS q1
+      FROM a)
+SELECT n0 AS n_control, n1 AS n_treat,
+       round((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+             / (n0 - 1), 6) AS var_control,
+       round((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+             / (n1 - 1), 6) AS var_treat,
+       round((1.959964 + 0.841621)
+             * sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                    / (n1 - 1) / n1
+                    + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                      / (n0 - 1) / n0), 6) AS mde_cents
+FROM w
+"""

@@ -456,3 +456,33 @@ def test_croston_matches_sequential_replay(tmp_path):
         .sort_values("p_partkey").reset_index(drop=True)
     want = Q._croston_expected(tbl.to_pandas()).reset_index(drop=True)
     assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_total_reconcile_flags_mismatch(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 10.0]),
+        "l_discount": pa.array([0.10, 0.0, 0.0]),
+        "l_tax": pa.array([0.05, 0.0, 0.0]),
+    })
+    # order 1 exact: 100*0.90*1.05 + 50 = 144.50; order 2 header off by 1¢
+    od = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([144.50, 10.01, 5.0]),
+        "o_orderdate": pa.array([0, 0, 0], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 3),
+    })
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(od, tmp_path / "orders.parquet")
+    got = {r["o_orderkey"]: r for r in
+           Q.q_orders_total_reconcile(str(tmp_path)).take_all()}
+    assert got[1]["diff_micro"] == 0
+    assert got[2]["diff_micro"] == 1000 * 100 * 100 - 1001 * 10000
+    assert got[3]["n_items"] == 0 and got[3]["diff_micro"] == -5_000_000
