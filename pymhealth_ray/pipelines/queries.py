@@ -1339,6 +1339,8 @@ def build_queries() -> dict:
         "orders_total_reconcile": q_orders_total_reconcile,
         "events_ratio_delta": q_events_ratio_delta,
         "events_ab_power": q_events_ab_power,
+        "docs_audio_logmel": q_docs_audio_logmel,
+        "events_user_neighbors": q_events_user_neighbors,
     }
 
 
@@ -1769,6 +1771,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "orders_total_reconcile": SQL_ORDERS_TOTAL_RECONCILE,
         "events_ratio_delta": SQL_EVENTS_RATIO_DELTA,
         "events_ab_power": SQL_EVENTS_AB_POWER,
+        "docs_audio_logmel": _docs_materialized_oracle(
+            sf_dir_for_fixture, "audio_logmel_v1",
+            _audio_logmel_expected, ["doc_id"]),
+        "events_user_neighbors": SQL_EVENTS_USER_NEIGHBORS,
     }
     _flush_pending_oracles()
     return out
@@ -21404,4 +21410,173 @@ SELECT n0 AS n_control, n1 AS n_treat,
                     + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
                       / (n0 - 1) / n0), 6) AS mde_cents
 FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave L: log-mel audio / behavioral user kNN
+# --------------------------------------------------------------------------
+
+
+def q_docs_audio_logmel(sf_dir: str):
+    """LOG-MEL SPECTROGRAM features over the real-codec WAV path — the
+    DSP step a speech-data pipeline runs before any model: hann frames
+    → rfft power → 8 triangular mel filters → log energies → per-doc
+    mean vector (stages/multimodal.LogMelExtractor, filterbank built
+    once per actor). Payload-deterministic numpy, so the oracle
+    replays the same class single-process."""
+    from pymhealth_ray.stages.multimodal import extract_logmel
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_wav_table, batch_format="pyarrow")
+    out = extract_logmel(media)
+
+    def finish(b: pa.Table) -> pa.Table:
+        lv = b["logmel"]
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        mat = np.asarray(lv.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(b.num_rows, -1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "logmel": pa.array(
+                [[float(x) for x in row]
+                 for row in _round_away(mat, 6)],
+                type=pa.list_(pa.float64())),
+            "logmel_mean": pa.array(_round_away(mat.mean(axis=1), 6)),
+            "peak_mel": pa.array(np.argmax(mat, axis=1).astype(np.int64)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _audio_logmel_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import LogMelExtractor
+
+    tbl = pa.table({"doc_id": pa.array(df["doc_id"].tolist(),
+                                       type=pa.int64())})
+    media = _docs_wav_table(tbl)
+    out = LogMelExtractor()(media)
+    lv = out["logmel"]
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    mat = np.asarray(lv.values.to_numpy(zero_copy_only=False),
+                     dtype=np.float64).reshape(out.num_rows, -1)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+        "logmel": [[float(x) for x in row] for row in _round_away(mat, 6)],
+        "logmel_mean": _round_away(mat.mean(axis=1), 6),
+        "peak_mel": np.argmax(mat, axis=1).astype(np.int64)})
+
+
+USER_KNN_K = 5
+
+
+def q_events_user_neighbors(sf_dir: str):
+    """BEHAVIORAL SIMILARITY kNN: each user becomes a type-count vector
+    (one bounded keyed_sum), then exact cosine top-5 neighbors run
+    through the SAME brute-force MIPS machinery as the embedding
+    queries (ann.knn_bruteforce: dataset streams, only n_q × k
+    candidates collect) — feature engineering composed with ANN, no
+    new kernel. Oracle is pure SQL: the pair cosine with integer dot
+    products and the (sim DESC, id ASC) top-k rule."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.ann import knn_bruteforce
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    TYPES = ("click", "error", "purchase", "signup", "view")
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tmap = {t: i for i, t in enumerate(TYPES)}
+        codes = np.array([tmap[t] for t in et.to_pylist()],
+                         dtype=np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        key = u * len(TYPES) + codes
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uk.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = keyed_sum(ev.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None),
+                       "key", ["c"], num_buckets=NB,
+                       precombine_rows=None)
+
+    def to_vec(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        u = key // len(TYPES)
+        t = key % len(TYPES)
+        uu, inv = np.unique(u, return_inverse=True)
+        mat = np.zeros((uu.size, len(TYPES)))
+        mat[inv, t] = c
+        return pa.table({
+            "vec_id": pa.array(uu.astype(np.int64)),
+            "embedding": pa.array([[float(x) for x in row]
+                                   for row in mat],
+                                  type=pa.list_(pa.float32()))})
+
+    # same user may span blocks after keyed_sum (bucketed by key, not
+    # user): one narrow user-bucket exchange makes vectors whole
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    def add_user(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "user", pa.array(b["key"].to_numpy(zero_copy_only=False)
+                             // len(TYPES)))
+
+    vecs = grouped_by_bucket(counts.map_batches(add_user,
+                                                batch_format="pyarrow"),
+                             to_vec, entity_col="user",
+                             num_buckets=NB).materialize()
+    queries_tbl = pa.concat_tables(
+        [pa.table({"vec_id": b["vec_id"], "embedding": b["embedding"]})
+         for b in vecs.iter_batches(batch_format="pyarrow")
+         if b.num_rows > 0])
+    out = knn_bruteforce(vecs, queries_tbl, k=USER_KNN_K)
+    return pa.table({
+        "user_id": out["query_id"],
+        "neighbor_id": out["neighbor_id"],
+        "cosine": pa.array(_round_away(
+            out["cosine"].to_numpy(zero_copy_only=False), 6))})
+
+
+SQL_EVENTS_USER_NEIGHBORS = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+v AS (
+  SELECT user_id,
+         CAST(coalesce(max(CASE WHEN event_type = 'click' THEN c END), 0)
+              AS BIGINT) AS f0,
+         CAST(coalesce(max(CASE WHEN event_type = 'error' THEN c END), 0)
+              AS BIGINT) AS f1,
+         CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN c END), 0)
+              AS BIGINT) AS f2,
+         CAST(coalesce(max(CASE WHEN event_type = 'signup' THEN c END), 0)
+              AS BIGINT) AS f3,
+         CAST(coalesce(max(CASE WHEN event_type = 'view' THEN c END), 0)
+              AS BIGINT) AS f4
+  FROM c GROUP BY user_id),
+p AS (
+  SELECT a.user_id AS user_id, b.user_id AS neighbor_id,
+         CAST(a.f0 * b.f0 + a.f1 * b.f1 + a.f2 * b.f2 + a.f3 * b.f3
+              + a.f4 * b.f4 AS DOUBLE)
+         / (sqrt(CAST(a.f0 * a.f0 + a.f1 * a.f1 + a.f2 * a.f2
+                      + a.f3 * a.f3 + a.f4 * a.f4 AS DOUBLE))
+            * sqrt(CAST(b.f0 * b.f0 + b.f1 * b.f1 + b.f2 * b.f2
+                        + b.f3 * b.f3 + b.f4 * b.f4 AS DOUBLE))) AS sim
+  FROM v a JOIN v b ON a.user_id <> b.user_id),
+r AS (
+  SELECT user_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM p)
+SELECT user_id, neighbor_id, round(sim, 6) AS cosine
+FROM r WHERE rn <= 5
 """

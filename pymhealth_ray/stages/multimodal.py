@@ -505,3 +505,68 @@ def extract_patches(ds, patch: int = 8, concurrency=(2, 8),
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+class LogMelExtractor:
+    """LOG-MEL SPECTROGRAM features from RIFF/PCM WAV payloads — real
+    DSP on the real-codec audio path (vs AudioFrameSampler's strided
+    raw-sample features): hann-windowed 256-sample frames (hop 128) →
+    rfft power spectrum → ``n_mels`` triangular mel filters → log10
+    energies → per-payload MEAN mel vector. Pure numpy, payload-
+    deterministic, so a single-process replay of this same class is a
+    valid oracle. Filterbank built once per ACTOR in __init__."""
+
+    def __init__(self, sr: int = 8000, n_fft: int = 256, hop: int = 128,
+                 n_mels: int = 8):
+        self.n_fft = n_fft
+        self.hop = hop
+        self.window = np.hanning(n_fft)
+        n_bins = n_fft // 2 + 1
+        freqs = np.arange(n_bins, dtype=np.float64) * (sr / n_fft)
+
+        def mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        def inv_mel(m):
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+        pts = inv_mel(np.linspace(mel(0.0), mel(sr / 2.0), n_mels + 2))
+        fb = np.zeros((n_mels, n_bins))
+        for k in range(n_mels):
+            lo, mid, hi = pts[k], pts[k + 1], pts[k + 2]
+            up = (freqs - lo) / (mid - lo)
+            down = (hi - freqs) / (hi - mid)
+            fb[k] = np.maximum(0.0, np.minimum(up, down))
+        self.fb = fb
+
+    def features(self, payload: bytes) -> np.ndarray:
+        x = _decode_wav(payload)
+        n = (len(x) - self.n_fft) // self.hop + 1
+        if n < 1:
+            return np.full(self.fb.shape[0], -10.0)
+        idx = (np.arange(self.n_fft)[None, :]
+               + self.hop * np.arange(n)[:, None])
+        frames = x[idx] * self.window[None, :]
+        spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        mels = spec @ self.fb.T
+        logm = np.log10(mels + 1e-10)
+        return logm.mean(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = [self.features(p) for p in payloads]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "logmel": pa.array([[float(v) for v in f] for f in feats],
+                               type=pa.list_(pa.float64())),
+        })
+
+
+def extract_logmel(ds, concurrency=(2, 8), batch_size: int = 64):
+    """Actor-pool log-mel extraction (filterbank built once per actor)."""
+    return ds.map_batches(
+        LogMelExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

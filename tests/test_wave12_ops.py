@@ -486,3 +486,29 @@ def test_total_reconcile_flags_mismatch(tmp_path):
     assert got[1]["diff_micro"] == 0
     assert got[2]["diff_micro"] == 1000 * 100 * 100 - 1001 * 10000
     assert got[3]["n_items"] == 0 and got[3]["diff_micro"] == -5_000_000
+
+
+def test_logmel_peak_tracks_tone_frequency():
+    import io
+    import wave
+
+    from pymhealth_ray.stages.multimodal import LogMelExtractor
+
+    def tone_wav(freq):
+        t = np.arange(4000, dtype=np.float64)
+        pcm = (0.8 * np.sin(2 * np.pi * freq * t / 8000.0)
+               * 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    ex = LogMelExtractor()
+    lo = ex.features(tone_wav(150.0))
+    hi = ex.features(tone_wav(3000.0))
+    assert int(np.argmax(lo)) < int(np.argmax(hi))
+    # determinism: same payload, same floats bit-for-bit
+    assert np.array_equal(lo, ex.features(tone_wav(150.0)))
