@@ -134,6 +134,11 @@ BENCH_QUERIES = [
     "orders_assoc_rules",
     "embed_mmr",
     "events_isotonic",
+    # round-5 fourth-session representatives (rest of the wave gate-only)
+    "seq_kn_bigram",
+    "events_dedup_window",
+    "events_markov_attribution",
+    "part_croston",
 ]
 
 # Driver-budget guard (VERDICT r3 item 8): BENCH_QUERIES=name1,name2 runs only
