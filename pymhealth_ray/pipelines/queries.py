@@ -1341,6 +1341,10 @@ def build_queries() -> dict:
         "events_ab_power": q_events_ab_power,
         "docs_audio_logmel": q_docs_audio_logmel,
         "events_user_neighbors": q_events_user_neighbors,
+        "docs_chunk_overlap": q_docs_chunk_overlap,
+        "part_xyz_class": q_part_xyz_class,
+        "events_hour_dow_heatmap": q_events_hour_dow_heatmap,
+        "embed_mrr": q_embed_mrr,
     }
 
 
@@ -1775,6 +1779,12 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "audio_logmel_v1",
             _audio_logmel_expected, ["doc_id"]),
         "events_user_neighbors": SQL_EVENTS_USER_NEIGHBORS,
+        "docs_chunk_overlap": SQL_DOCS_CHUNK_OVERLAP,
+        "part_xyz_class": SQL_PART_XYZ_CLASS,
+        "events_hour_dow_heatmap": SQL_EVENTS_HOUR_DOW_HEATMAP,
+        "embed_mrr": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "mrr_v1",
+            _embed_mrr_expected, ["vec_id", "embedding", "label"]),
     }
     _flush_pending_oracles()
     return out
@@ -21580,3 +21590,319 @@ r AS (
 SELECT user_id, neighbor_id, round(sim, 6) AS cosine
 FROM r WHERE rn <= 5
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave M: RAG chunking / XYZ class / heatmap / MRR
+# --------------------------------------------------------------------------
+
+
+CHUNK_W = 120
+CHUNK_STRIDE = 80
+
+
+def q_docs_chunk_overlap(sf_dir: str):
+    """RAG CHUNKING: fixed-width character windows with overlap (width
+    120, stride 80) — the retrieval-prep step every RAG corpus runs.
+    Map-only; slicing is one vectorized utf8_slice per chunk position
+    (positions bounded by max doc length, not row count); per-chunk md5
+    digests make the oracle a pure SQL generate_series + substr."""
+    docs = read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ln = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        max_k = int((max(ln.max(), 1) - 1) // CHUNK_STRIDE) + 1 \
+            if len(ln) else 0
+        out_id, out_k, out_start, out_chunk = [], [], [], []
+        for k in range(max_k):
+            start = k * CHUNK_STRIDE
+            m = ln > start
+            if not m.any():
+                break
+            sl = pc.utf8_slice_codeunits(txt, start, start + CHUNK_W)
+            sel = np.flatnonzero(m)
+            sv = sl.take(pa.array(sel)).to_pylist()
+            out_id.append(ids[sel])
+            out_k.append(np.full(len(sel), k, dtype=np.int64))
+            out_start.append(np.full(len(sel), start, dtype=np.int64))
+            out_chunk.extend(sv)
+        if not out_id:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "start": pa.array([], type=pa.int64()),
+                "chunk_len": pa.array([], type=pa.int64()),
+                "chunk_md5": pa.array([], type=pa.string())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+            "chunk_idx": pa.array(np.concatenate(out_k)),
+            "start": pa.array(np.concatenate(out_start)),
+            "chunk_len": pa.array(
+                np.array([len(c) for c in out_chunk], dtype=np.int64)),
+            "chunk_md5": pa.array(
+                [hashlib.md5(c.encode()).hexdigest() for c in out_chunk],
+                type=pa.string())})
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_DOCS_CHUNK_OVERLAP = """
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, 80)) AS start
+  FROM documents)
+SELECT doc_id, CAST(start // 80 AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(length(substr(text, start + 1, 120)) AS BIGINT) AS chunk_len,
+       md5(substr(text, start + 1, 120)) AS chunk_md5
+FROM g
+"""
+
+
+def q_part_xyz_class(sf_dir: str):
+    """XYZ DEMAND-VARIABILITY CLASSIFICATION (the inventory-planning
+    complement of ABC/pareto and Croston): per part, the coefficient of
+    variation of nonzero DAILY demand — X (steady, cv < 0.5), Y
+    (variable, cv < 1), Z (erratic). Exact int64 moments over the
+    (part, day) keyed_sum; one float expression per part in SQL op
+    order; class thresholds compare bit-identical floats."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_shipdate", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["l_shipdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            d = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                // 86_400_000_000
+        else:
+            d = col.cast(pa.date32()).cast(pa.int32()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.rint(b["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        key = pk * 1_000_000 + (d % 1_000_000)
+        u, inv = np.unique(key, return_inverse=True)
+        qs = np.bincount(inv, weights=q.astype(np.float64),
+                         minlength=u.size).astype(np.int64)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "q": pa.array(qs)})
+
+    daily = keyed_sum(li.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=None),
+                      "key", ["q"], num_buckets=NB, precombine_rows=None)
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        q = b["q"].to_numpy(zero_copy_only=False)
+        p = key // 1_000_000
+        u, inv = np.unique(p, return_inverse=True)
+        return pa.table({
+            "part": pa.array(u.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=u.size)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=q.astype(np.float64),
+                                      minlength=u.size).astype(np.int64)),
+            "ss": pa.array(np.bincount(
+                inv, weights=(q * q).astype(np.float64),
+                minlength=u.size).astype(np.int64))})
+
+    rows = keyed_sum(daily.map_batches(part_partial,
+                                       batch_format="pyarrow",
+                                       batch_size=None),
+                     "part", ["n", "s", "ss"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    part = np.array([r["part"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    s = np.array([r["s"] for r in rows], dtype=np.int64)
+    ss = np.array([r["ss"] for r in rows], dtype=np.int64)
+    o = np.argsort(part)
+    part, n, s, ss = part[o], n[o], s[o], ss[o]
+    mean = s.astype(np.float64) / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (ss.astype(np.float64)
+               - s.astype(np.float64) * s / n) / (n - 1)
+        cv = np.sqrt(var) / mean
+    single = n < 2
+    cls = np.where(single, "Z",
+                   np.where(cv < 0.5, "X", np.where(cv < 1.0, "Y", "Z")))
+    return pa.table({
+        "p_partkey": pa.array(part),
+        "n_demand_days": pa.array(n),
+        "mean_cents": pa.array(_round_away(mean, 6)),
+        "cv": pa.array(_round_away(np.where(single, 0.0, cv), 6),
+                       mask=single),
+        "xyz": pa.array(cls.tolist(), type=pa.string())})
+
+
+SQL_PART_XYZ_CLASS = """
+WITH l AS (
+  SELECT l_partkey,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem),
+daily AS (SELECT l_partkey, d, CAST(sum(qc) AS BIGINT) AS q
+          FROM l GROUP BY 1, 2),
+m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM daily GROUP BY 1),
+f AS (SELECT l_partkey, n, CAST(s AS DOUBLE) / n AS mean_cents,
+             CASE WHEN n >= 2 THEN
+               sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1)) / (CAST(s AS DOUBLE) / n) END AS cv
+      FROM m)
+SELECT l_partkey AS p_partkey, n AS n_demand_days,
+       round(mean_cents, 6) AS mean_cents, round(cv, 6) AS cv,
+       CASE WHEN cv IS NULL THEN 'Z' WHEN cv < 0.5 THEN 'X'
+            WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+FROM f
+"""
+
+
+def q_events_hour_dow_heatmap(sf_dir: str):
+    """HOUR × DAY-OF-WEEK activity heatmap — the ops-dashboard staple:
+    one bounded (≤168-cell) count exchange, shares as one closing
+    division per cell. Hour/dow derive from pure integer epoch
+    arithmetic (no timezone/datepart dependence) so SQL and engine
+    agree by construction."""
+    ev = _events(sf_dir, ["ts", "event_id"])
+
+    HOUR_US = 3_600_000_000
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        hour = (ts // HOUR_US) % 24
+        dow = ((ts // DAY_US) + 4) % 7  # epoch day 0 = Thursday
+        key = dow * 24 + hour
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    rows = ev.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        agg[int(r["key"])] = agg.get(int(r["key"]), 0) + int(r["cnt"])
+    keys = sorted(agg)
+    k = np.array(keys, dtype=np.int64)
+    c = np.array([agg[x] for x in keys], dtype=np.int64)
+    tot = int(c.sum())
+    return pa.table({
+        "dow": pa.array(k // 24), "hour": pa.array(k % 24),
+        "n": pa.array(c),
+        "share": pa.array(_round_away(
+            c.astype(np.float64) / np.float64(tot), 6))})
+
+
+SQL_EVENTS_HOUR_DOW_HEATMAP = """
+WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+c AS (SELECT ((ts_us // 86400000000) + 4) % 7 AS dow,
+             (ts_us // 3600000000) % 24 AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM c, t
+"""
+
+
+def q_embed_mrr(sf_dir: str):
+    """MRR@5 retrieval eval — reciprocal rank of the first same-label
+    neighbor in the exact brute-force top-5 (0 when none), averaged per
+    label with accumulation PINNED to ascending query id (the
+    retrieval_ndcg float contract). Completes the IR-eval panel:
+    recall@k, nDCG, RRF, MRR."""
+    import ray
+
+    from pymhealth_ray.stages.ann import knn_bruteforce
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding", "label"])
+    ds = ds.materialize()
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        m = b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0
+        return b.filter(pa.array(m)).select(["vec_id", "embedding"])
+
+    qtbl = pa.concat_tables(
+        [b for b in ds.map_batches(pick_queries, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    top = knn_bruteforce(ds, qtbl, k=5, exclude_self=True)
+    qi = np.asarray(top["query_id"].to_pylist(), dtype=np.int64)
+    ni = np.asarray(top["neighbor_id"].to_pylist(), dtype=np.int64)
+    need = np.unique(np.concatenate((qi, ni)))
+    need_ref = ray.put(need)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        w = ray.get(need_ref)
+        m = np.isin(b["vec_id"].to_numpy(zero_copy_only=False), w)
+        return b.filter(pa.array(m)).select(["vec_id", "label"])
+
+    lab_rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    lab_of = {r["vec_id"]: int(r["label"]) for r in lab_rows}
+    order = np.argsort(qi, kind="stable")
+    qs, ns_ = qi[order], ni[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(qs[1:] != qs[:-1]) + 1, [len(qs)]))
+    acc: dict = {}
+    for s, e in zip(starts[:-1], starts[1:]):
+        true = lab_of[int(qs[s])]
+        rr = 0.0
+        for rank, i in enumerate(ns_[s:e], start=1):
+            if lab_of[int(i)] == true:
+                rr = 1.0 / rank
+                break
+        n, tot = acc.get(true, (0, 0.0))
+        acc[true] = (n + 1, tot + rr)
+    rows = sorted(acc.items())
+    lab = np.array([r[0] for r in rows], dtype=np.int64)
+    n = np.array([r[1][0] for r in rows], dtype=np.int64)
+    tot = np.array([r[1][1] for r in rows], dtype=np.float64)
+    return pa.table({"label": pa.array(lab),
+                     "n_queries": pa.array(n),
+                     "mrr": pa.array(_round_away(tot / n, 6))})
+
+
+def _embed_mrr_expected(df):
+    """Single-process replay: exact cosine ranking with the engine's
+    (sim DESC, id ASC) tie rule, query-id-ascending accumulation."""
+    import pandas as pd
+
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    ids = ids[o]
+    labs = df["label"].to_numpy().astype(np.int64)[o]
+    P = np.array([np.asarray(e, dtype=np.float32)
+                  for e in df["embedding"].to_numpy()[o]])
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    acc: dict = {}
+    for qpos in np.flatnonzero(ids % 5 == 0):
+        sims = (Pn @ Pn[qpos]).astype(np.float64)
+        sims[qpos] = -np.inf
+        cand = np.lexsort((ids, -sims))[:5]
+        true = labs[qpos]
+        rr = 0.0
+        for rank, i in enumerate(cand, start=1):
+            if labs[i] == true:
+                rr = 1.0 / rank
+                break
+        n, tot = acc.get(true, (0, 0.0))
+        acc[true] = (n + 1, tot + rr)
+    rows = sorted(acc.items())
+    return pd.DataFrame({
+        "label": np.array([r[0] for r in rows], dtype=np.int64),
+        "n_queries": np.array([r[1][0] for r in rows], dtype=np.int64),
+        "mrr": _round_away(np.array([r[1][1] / r[1][0] for r in rows]),
+                           6)})

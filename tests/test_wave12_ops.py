@@ -512,3 +512,37 @@ def test_logmel_peak_tracks_tone_frequency():
     assert int(np.argmax(lo)) < int(np.argmax(hi))
     # determinism: same payload, same floats bit-for-bit
     assert np.array_equal(lo, ex.features(tone_wav(150.0)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_overlap_covers_text(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    texts = ["x" * 1, "y" * 120, "z" * 121, "w" * 400]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = Q.q_docs_chunk_overlap(str(tmp_path)).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # chunk counts: ceil(len/stride) while start < len
+    assert len(by[1]) == 1 and by[1][0]["chunk_len"] == 1
+    assert len(by[2]) == 2          # starts 0 and 80 (len 120 > 80)
+    assert len(by[3]) == 2 and by[3][1]["chunk_len"] == 41
+    assert len(by[4]) == 5
+    # coverage: union of [start, start+len) spans the whole text
+    for d, rows in by.items():
+        rows.sort(key=lambda r: r["start"])
+        end = 0
+        for r in rows:
+            assert r["start"] <= end
+            end = max(end, r["start"] + r["chunk_len"])
+        assert end == len(texts[d - 1])
