@@ -1345,6 +1345,9 @@ def build_queries() -> dict:
         "part_xyz_class": q_part_xyz_class,
         "events_hour_dow_heatmap": q_events_hour_dow_heatmap,
         "embed_mrr": q_embed_mrr,
+        "seq_greedy_bigram_accuracy": q_seq_greedy_bigram_accuracy,
+        "lineitem_fk_orphans": q_lineitem_fk_orphans,
+        "orders_band_migration": q_orders_band_migration,
     }
 
 
@@ -1785,6 +1788,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_mrr": _table_materialized_oracle(
             sf_dir_for_fixture, "embeddings", "mrr_v1",
             _embed_mrr_expected, ["vec_id", "embedding", "label"]),
+        "seq_greedy_bigram_accuracy":
+            sql_seq_greedy_bigram_accuracy(path),
+        "lineitem_fk_orphans": SQL_LINEITEM_FK_ORPHANS,
+        "orders_band_migration": SQL_ORDERS_BAND_MIGRATION,
     }
     _flush_pending_oracles()
     return out
@@ -21906,3 +21913,254 @@ def _embed_mrr_expected(df):
         "n_queries": np.array([r[1][0] for r in rows], dtype=np.int64),
         "mrr": _round_away(np.array([r[1][1] / r[1][0] for r in rows]),
                            6)})
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave N: greedy LM accuracy / FK audit / migration
+# --------------------------------------------------------------------------
+
+
+def q_seq_greedy_bigram_accuracy(sf_dir: str):
+    """GREEDY NEXT-TOKEN ACCURACY — the speculative-decoding acceptance
+    rate of a bigram draft model: predict each next token as
+    argmax_b c(prev, b) (ties → smallest token id, the dense-matrix
+    first-max), score self-accuracy per sequence. One vocab²-bounded
+    count exchange (shared with bigram_nll's trainer), then the
+    argmax table broadcasts and scoring is a map; counts exact, one
+    closing division."""
+    import ray as _ray
+
+    from pymhealth_ray.stages.pmi import skipgram_pair_counts
+
+    KM = 2048
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    pairs = skipgram_pair_counts(ds, "tokens", window=1, key_mult=KM)
+    dense = np.zeros(KM * KM, dtype=np.int64)
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        dense[k] = c
+    best = dense.reshape(KM, KM).argmax(axis=1).astype(np.int64)
+    best_ref = _ray.put(best)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bst = _ray.get(best_ref)
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pos = np.arange(len(flat), dtype=np.int64)
+        local = pos - np.repeat(offs[:-1], lens)
+        ok = local < np.repeat(lens - 1, lens)
+        a = flat[ok]
+        b2 = flat[np.flatnonzero(ok) + 1]
+        hit = (bst[a] == b2).astype(np.int64)
+        nslots = np.maximum(lens - 1, 0)
+        soffs = np.concatenate(([0], np.cumsum(nslots)))[:-1]
+        nh = np.zeros(len(lens), dtype=np.int64)
+        nz = nslots > 0
+        if nz.any() and len(hit):
+            nh[nz] = np.add.reduceat(hit, soffs[nz])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acc = nh.astype(np.float64) / nslots
+        return pa.table({
+            "doc_id": batch["doc_id"], "ts_ns": batch["ts_ns"],
+            "n_slots": pa.array(nslots), "n_hit": pa.array(nh),
+            "accuracy": pa.array(_round_away(np.where(nz, acc, 0.0), 6),
+                                 mask=~nz)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_seq_greedy_bigram_accuracy(path: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, ts_ns, tokens FROM read_parquet('{path}/part-*.parquet')
+), p AS (
+  SELECT doc_id, ts_ns, CAST(tokens[i] AS BIGINT) AS a,
+         CAST(tokens[i + 1] AS BIGINT) AS b
+  FROM src, LATERAL unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+), cab AS (
+  SELECT a, b, count(*) AS c FROM p GROUP BY a, b
+), best AS (
+  SELECT a, b AS best_b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a
+                                    ORDER BY c DESC, b ASC) AS rn
+    FROM cab) WHERE rn = 1
+), sc AS (
+  SELECT p.doc_id, p.ts_ns, CAST(count(*) AS BIGINT) AS n_slots,
+         CAST(sum(CASE WHEN p.b = best.best_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM p JOIN best USING (a) GROUP BY p.doc_id, p.ts_ns
+)
+SELECT src.doc_id, src.ts_ns,
+       CAST(coalesce(sc.n_slots, 0) AS BIGINT) AS n_slots,
+       CAST(coalesce(sc.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(sc.n_hit AS DOUBLE) / sc.n_slots, 6) AS accuracy
+FROM src LEFT JOIN sc USING (doc_id, ts_ns)
+"""
+
+
+def q_lineitem_fk_orphans(sf_dir: str):
+    """REFERENTIAL-INTEGRITY AUDIT across all three lineitem FKs: child
+    rows whose parent key is missing. orders is fact-sized, so that FK
+    runs the co-partitioned Dataset-resident anti-join
+    (dropset.filter_by_keys — bloom + exchange above the broadcast
+    threshold); part/supplier are dims and broadcast. One audit row per
+    relationship."""
+    from pymhealth_ray.stages.dropset import filter_by_keys
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    li = li.materialize()
+    n_child = li.count()
+    out_rows = []
+    for fk, parent_tbl, parent_col in (
+            ("l_orderkey", "orders", "o_orderkey"),
+            ("l_partkey", "part", "p_partkey"),
+            ("l_suppkey", "supplier", "s_suppkey")):
+        parents = read_table(f"{sf_dir}/{parent_tbl}.parquet",
+                             columns=[parent_col])
+        orphans = filter_by_keys(
+            li.select_columns([fk]), fk, parents, keys_col=parent_col,
+            keep=False, num_buckets=NB)
+        out_rows.append((fk, n_child, orphans.count()))
+    return pa.table({
+        "fk": pa.array([r[0] for r in out_rows], type=pa.string()),
+        "n_child": pa.array([r[1] for r in out_rows], type=pa.int64()),
+        "n_orphans": pa.array([r[2] for r in out_rows],
+                              type=pa.int64())})
+
+
+SQL_LINEITEM_FK_ORPHANS = """
+SELECT 'l_orderkey' AS fk, (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        ON l.l_orderkey = o.o_orderkey) AS n_orphans
+UNION ALL
+SELECT 'l_partkey', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l ANTI JOIN part p
+        ON l.l_partkey = p.p_partkey)
+UNION ALL
+SELECT 'l_suppkey', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l ANTI JOIN supplier s
+        ON l.l_suppkey = s.s_suppkey)
+"""
+
+
+def q_orders_band_migration(sf_dir: str):
+    """CUSTOMER SPEND-BAND MIGRATION MATRIX: per (customer, month)
+    spend rolls into decimal-magnitude bands (floor log10 of cents —
+    fixed, rank-free, so no cross-month NTILE exchange), then each
+    customer's CONSECUTIVE month pairs vote into a (from_band,
+    to_band) transition matrix — the retention/upsell dashboard.
+    (cust, month) sums in one keyed_sum; pair detection is a
+    per-customer sorted shift inside one bucket exchange; matrix cells
+    are exact ints + one share division."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    od = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        col = b["o_orderdate"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            days = col.cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000
+        else:
+            days = col.cast(pa.date32()).cast(pa.int32()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        d64 = days.astype("datetime64[D]")
+        # non-negative month index; the SQL oracle uses a different
+        # epoch — only month ADJACENCY enters the result, constants
+        # cancel in the (month == month + 1) test
+        months = (d64.astype("datetime64[M]").astype(np.int64)
+                  + 70 * 12 + 360)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        key = ck * 100_000 + months
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=b["cents"].to_numpy(
+            zero_copy_only=False).astype(np.float64),
+            minlength=u.size).astype(np.int64)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "cents": pa.array(s)})
+
+    monthly = keyed_sum(od.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        "key", ["cents"], num_buckets=NB,
+                        precombine_rows=None)
+
+    def add_cust(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cust", pa.array(b["key"].to_numpy(zero_copy_only=False)
+                             // 100_000))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"from_band": pa.array([], type=pa.int64()),
+                             "to_band": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        key = tbl["key"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        o = np.argsort(key)
+        key, cents = key[o], cents[o]
+        cust = key // 100_000
+        month = key % 100_000
+        band = np.floor(np.log10(cents.astype(np.float64))) \
+            .astype(np.int64)
+        adj = (cust[1:] == cust[:-1]) & (month[1:] == month[:-1] + 1)
+        fb = band[:-1][adj]
+        tb = band[1:][adj]
+        pk = fb * 100 + tb
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table({"from_band": pa.array((u // 100).astype(np.int64)),
+                         "to_band": pa.array((u % 100).astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    rows = grouped_by_bucket(monthly.map_batches(add_cust,
+                                                 batch_format="pyarrow"),
+                             per_bucket, entity_col="cust",
+                             num_buckets=NB).take_all()
+    agg: dict = {}
+    for r in rows:
+        k = (int(r["from_band"]), int(r["to_band"]))
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    keys = sorted(agg)
+    fb = np.array([k[0] for k in keys], dtype=np.int64)
+    tb = np.array([k[1] for k in keys], dtype=np.int64)
+    n = np.array([agg[k] for k in keys], dtype=np.int64)
+    tot = int(n.sum())
+    return pa.table({
+        "from_band": pa.array(fb), "to_band": pa.array(tb),
+        "n": pa.array(n),
+        "share": pa.array(_round_away(
+            n.astype(np.float64) / np.float64(tot), 6))})
+
+
+SQL_ORDERS_BAND_MIGRATION = """
+WITH m AS (
+  SELECT o_custkey AS cust,
+         datediff('month', DATE '1940-01-01',
+                  CAST(o_orderdate AS DATE)) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY 1, 2),
+b AS (SELECT cust, month,
+             CAST(floor(log10(CAST(cents AS DOUBLE))) AS BIGINT) AS band
+      FROM m),
+t AS (SELECT a.band AS from_band, c.band AS to_band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b a JOIN b c ON a.cust = c.cust AND c.month = a.month + 1
+      GROUP BY 1, 2),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM t)
+SELECT from_band, to_band, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM t, g
+"""

@@ -546,3 +546,26 @@ def test_chunk_overlap_covers_text(tmp_path):
             assert r["start"] <= end
             end = max(end, r["start"] + r["chunk_len"])
         assert end == len(texts[d - 1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_orphans_detects_injected(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 99], type=pa.int64()),
+        "l_partkey": pa.array([10, 11, 10, 10], type=pa.int64()),
+        "l_suppkey": pa.array([5, 5, 6, 5], type=pa.int64()),
+    })
+    od = pa.table({"o_orderkey": pa.array([1, 2], type=pa.int64())})
+    pt = pa.table({"p_partkey": pa.array([10], type=pa.int64())})
+    sp = pa.table({"s_suppkey": pa.array([5, 6], type=pa.int64())})
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(od, tmp_path / "orders.parquet")
+    pq.write_table(pt, tmp_path / "part.parquet")
+    pq.write_table(sp, tmp_path / "supplier.parquet")
+    got = {r["fk"]: r["n_orphans"]
+           for r in Q.q_lineitem_fk_orphans(str(tmp_path)).to_pylist()}
+    assert got == {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 0}
