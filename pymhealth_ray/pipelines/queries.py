@@ -1348,6 +1348,8 @@ def build_queries() -> dict:
         "seq_greedy_bigram_accuracy": q_seq_greedy_bigram_accuracy,
         "lineitem_fk_orphans": q_lineitem_fk_orphans,
         "orders_band_migration": q_orders_band_migration,
+        "events_streaming_funnel": q_events_streaming_funnel,
+        "part_pmi_svd_neighbors": q_part_pmi_svd_neighbors,
     }
 
 
@@ -1792,6 +1794,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sql_seq_greedy_bigram_accuracy(path),
         "lineitem_fk_orphans": SQL_LINEITEM_FK_ORPHANS,
         "orders_band_migration": SQL_ORDERS_BAND_MIGRATION,
+        "events_streaming_funnel": SQL_EVENTS_FUNNEL,
+        "part_pmi_svd_neighbors": _table_materialized_oracle(
+            sf_dir_for_fixture, "lineitem", "pmi_svd_v1",
+            _pmi_svd_expected, ["l_orderkey", "l_partkey"]),
     }
     _flush_pending_oracles()
     return out
@@ -22164,3 +22170,151 @@ SELECT from_band, to_band, n,
        round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
 FROM t, g
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave O: streaming funnel / PMI-SVD item vectors
+# --------------------------------------------------------------------------
+
+
+def q_events_streaming_funnel(sf_dir: str):
+    """STREAMING twin of events_funnel (11th streaming family member):
+    the earliest-chain view→click→purchase funnel read straight off the
+    sorted bucketed events layout — since the stream is (user, ts)-
+    ascending, each step's chain minimum is final when observed, so the
+    carry is just the boundary user's per-step timestamps
+    (stages/streaming.streaming_funnel). Zero query-time exchange;
+    shares events_funnel's SQL oracle."""
+    from pymhealth_ray.stages.streaming import streaming_funnel
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "ts_us", "event_id", "event_type"])
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    layout = _sorted_layout(sf_dir, ds, suffix="_windedup",
+                            entity_col="user_id",
+                            sort_cols=["user_id", "ts_us", "event_id"])
+    out = streaming_funnel(layout, entity_col="user_id",
+                           type_col="event_type", ts_col="ts_us",
+                           steps=FUNNEL_STEPS)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "t1", "t2", "t3", "reached"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+PMI_SVD_DIM = 16
+PMI_SVD_K = 5
+
+
+def _pmi_svd_vectors(dense: np.ndarray, kp: int):
+    """PPMI → rank-16 SVD item vectors (Levy & Goldberg 2014) from the
+    EXACT integer co-occurrence matrix — shared verbatim by the engine
+    and the oracle so the driver-side float path (log, SVD, U·√Σ,
+    row-normalize) is executed identically on both sides. Items with no
+    co-occurrence get zero vectors and are dropped."""
+    if kp > 8192:
+        # full dense SVD is O(kp³): fine for a bounded item dimension,
+        # dishonest beyond it — larger domains need a randomized/iterative
+        # factorizer (not built; the cap raises instead of thrashing)
+        raise ValueError(f"item domain {kp} exceeds the dense-SVD cap 8192")
+    mat = dense.reshape(kp, kp).astype(np.float64)
+    row = mat.sum(axis=1)
+    tot = mat.sum()
+    live = row > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(mat * tot / np.outer(row, row))
+    pmi[~np.isfinite(pmi)] = 0.0
+    pmi[pmi < 0] = 0.0
+    u, s, _ = np.linalg.svd(pmi, full_matrices=False)
+    vec = u[:, :PMI_SVD_DIM] * np.sqrt(s[:PMI_SVD_DIM])[None, :]
+    # deterministic sign: flip each column so its max-|.| entry is +
+    for j in range(vec.shape[1]):
+        i = int(np.argmax(np.abs(vec[:, j])))
+        if vec[i, j] < 0:
+            vec[:, j] = -vec[:, j]
+    ids = np.flatnonzero(live).astype(np.int64)
+    return ids, vec[live].astype(np.float32)
+
+
+def q_part_pmi_svd_neighbors(sf_dir: str):
+    """ITEM EMBEDDINGS from the co-purchase matrix: PPMI + truncated
+    SVD (the count-based word2vec equivalence) — trained from one
+    packed-key edge exchange (cooccurrence_edges), factorized once on
+    the driver (the matrix is PART-DOMAIN bounded, a dimension, never
+    fact-sized), then top-5 cosine neighbors run through the SAME
+    distributed brute-force kNN as the embedding queries. The dense
+    linear-algebra path is shared verbatim with the oracle
+    (_pmi_svd_vectors), so floats are bit-identical."""
+    import ray.data as _rd
+
+    from pymhealth_ray.stages.ann import knn_bruteforce
+    from pymhealth_ray.stages.triangles import cooccurrence_edges
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"])
+    st = grouped_stats(li.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "l_partkey": b["l_partkey"]}),
+        batch_format="pyarrow"), ["one"],
+        max_cols=["l_partkey"]).take_all()
+    kp = int(st[0]["l_partkey_max"]) + 1
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_item=kp - 1, num_buckets=NB)
+    dense = np.zeros(kp * kp, dtype=np.int64)
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        a = b["a"].to_numpy(zero_copy_only=False)
+        e = b["b"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        dense[a * kp + e] = w
+        dense[e * kp + a] = w
+    ids, vec = _pmi_svd_vectors(dense, kp)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([[float(x) for x in row] for row in vec],
+                              type=pa.list_(pa.float32()))})
+    vds = _rd.from_arrow(tbl)
+    out = knn_bruteforce(vds, tbl, k=PMI_SVD_K)
+    return pa.table({
+        "p_partkey": out["query_id"],
+        "neighbor_id": out["neighbor_id"],
+        "cosine": pa.array(_round_away(
+            out["cosine"].to_numpy(zero_copy_only=False), 6))})
+
+
+def _pmi_svd_expected(df):
+    import pandas as pd
+
+    edges = {}
+    for _, grp in df.groupby("l_orderkey"):
+        items = sorted(set(int(v) for v in grp["l_partkey"]))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                edges[(items[i], items[j])] = \
+                    edges.get((items[i], items[j]), 0) + 1
+    kp = int(df["l_partkey"].max()) + 1
+    dense = np.zeros(kp * kp, dtype=np.int64)
+    for (a, b), w in edges.items():
+        dense[a * kp + b] = w
+        dense[b * kp + a] = w
+    ids, vec = _pmi_svd_vectors(dense, kp)
+    # exact replay of ann.knn_bruteforce's float path: float32 storage
+    # -> float64 matrix -> _unit clamp -> float64 matmul
+    m = vec.astype(np.float32).astype(np.float64)
+    pn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rows = []
+    for qi in range(len(ids)):
+        sims = pn @ pn[qi]
+        sims[qi] = -np.inf
+        cand = np.lexsort((ids, -sims))[:PMI_SVD_K]
+        for c in cand:
+            rows.append((int(ids[qi]), int(ids[c]), float(sims[c])))
+    rows.sort(key=lambda r: (r[0], -r[2], r[1]))
+    return pd.DataFrame({
+        "p_partkey": np.array([r[0] for r in rows], dtype=np.int64),
+        "neighbor_id": np.array([r[1] for r in rows], dtype=np.int64),
+        "cosine": _round_away(np.array([r[2] for r in rows]), 6)})

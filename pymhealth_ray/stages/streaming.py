@@ -963,3 +963,114 @@ def streaming_window_dedup(layout_dir: str, *, entity_col: str = "user_id",
         return pa.concat_tables(outs)
 
     return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+def _funnel_one_file(path: str, entity_col: str, type_col: str,
+                     ts_col: str, steps, batch_rows: int):
+    """Earliest-chain funnel over one sorted partition file. Because the
+    stream is (entity, ts)-ascending, each step's chain minimum is FINAL
+    the moment it is observed — so the carry across Arrow batch
+    boundaries is just the boundary entity's per-step timestamps. An
+    entity is emitted when the stream moves past it."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    k = len(steps)
+    carry_ent = None
+    carry = [None] * k
+    out = []
+
+    def emit(e_val, st):
+        reached = 0
+        for v in st:
+            if v is None:
+                break
+            reached += 1
+        out.append((e_val, *st, reached))
+
+    for rb in pf.iter_batches(batch_size=batch_rows,
+                              columns=[entity_col, type_col, ts_col]):
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        ent = tbl[entity_col].combine_chunks()
+        codes = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        typ = tbl[type_col].combine_chunks()
+        tenc = typ.dictionary_encode()
+        tcode = tenc.indices.to_numpy(zero_copy_only=False)
+        tdict = tenc.dictionary.to_pylist()
+        scode = {s: i for i, s in enumerate(tdict)}
+        step_codes = [scode.get(s, -1) for s in steps]
+        ts = tbl[ts_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [n]])
+        first_ent = ent[0].as_py()
+        if carry_ent is not None and first_ent != carry_ent:
+            emit(carry_ent, carry)
+            carry_ent, carry = None, [None] * k
+        for i in range(len(bounds) - 1):
+            s0, e0 = int(bounds[i]), int(bounds[i + 1])
+            e_val = ent[s0].as_py()
+            st = list(carry) if carry_ent == e_val else [None] * k
+            seg_t = ts[s0:e0]
+            seg_c = tcode[s0:e0]
+            for j in range(k):
+                if st[j] is not None:
+                    continue
+                if j > 0 and st[j - 1] is None:
+                    break
+                m = seg_c == step_codes[j]
+                if j > 0:
+                    m = m & (seg_t > st[j - 1])
+                hit = np.flatnonzero(m)
+                if len(hit):
+                    st[j] = int(seg_t[hit].min())
+            if i < len(bounds) - 2:
+                emit(e_val, st)          # stream moved past this entity
+                carry_ent, carry = None, [None] * k
+            else:
+                carry_ent, carry = e_val, st
+    if carry_ent is not None:
+        emit(carry_ent, carry)
+    return out
+
+
+def streaming_funnel(layout_dir: str, *, entity_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts_us",
+                     steps=("view", "click", "purchase"),
+                     batch_rows: int = 65536):
+    """Streaming twin of stages/funnel.funnel_steps (11th streaming
+    family member): the earliest-chain funnel read straight off the
+    sorted bucketed layout — one task per partition file, a per-step
+    timestamp carry for the boundary entity, ZERO query-time exchange.
+    Shares the exchange funnel's SQL oracle."""
+    import glob
+    import os
+
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(layout_dir, "part=*",
+                                          "*.parquet")))
+    pds = ray.data.from_items([{"path": p} for p in paths]).repartition(
+        max(len(paths), 1))
+    k = len(steps)
+    tnames = [f"t{j + 1}" for j in range(k)]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["path"].to_pylist():
+            rows.extend(_funnel_one_file(p, entity_col, type_col,
+                                         ts_col, steps, batch_rows))
+        cols = {entity_col: pa.array([r[0] for r in rows],
+                                     type=pa.int64())}
+        for j, tn in enumerate(tnames):
+            vals = [r[1 + j] for r in rows]
+            cols[tn] = pa.array(vals, type=pa.int64())
+        cols["reached"] = pa.array([r[1 + k] for r in rows],
+                                   type=pa.int64())
+        return pa.table(cols)
+
+    return pds.map_batches(scan, batch_format="pyarrow", batch_size=None)

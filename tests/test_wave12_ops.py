@@ -569,3 +569,48 @@ def test_fk_orphans_detects_injected(tmp_path):
     got = {r["fk"]: r["n_orphans"]
            for r in Q.q_lineitem_fk_orphans(str(tmp_path)).to_pylist()}
     assert got == {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_funnel_matches_brute(tmp_path):
+    from pymhealth_ray.state.lineage import resumable_write
+    from pymhealth_ray.stages.streaming import streaming_funnel
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    u = rng.integers(0, 25, size=n).astype(np.int64)
+    types = np.array(["view", "click", "purchase", "other"])[
+        rng.integers(0, 4, size=n)]
+    ts = rng.integers(0, 10_000, size=n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "user_id": pa.array(u), "ts_us": pa.array(ts),
+        "event_id": pa.array(eid),
+        "event_type": pa.array(types.tolist(), type=pa.string())})
+    layout = str(tmp_path / "layout")
+    resumable_write(ray.data.from_arrow(tbl), layout,
+                    entity_col="user_id", num_buckets=3,
+                    params={"v": 1},
+                    sort_cols=["user_id", "ts_us", "event_id"])
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"], r["reached"])
+           for r in streaming_funnel(layout, batch_rows=128).take_all()}
+
+    want = {}
+    for uid in np.unique(u):
+        m = u == uid
+        tt, ty = ts[m], types[m]
+        o = np.argsort(tt, kind="stable")
+        tt, ty = tt[o], ty[o]
+        t1 = t2 = t3 = None
+        c1 = tt[ty == "view"]
+        if len(c1):
+            t1 = int(c1.min())
+            c2 = tt[(ty == "click") & (tt > t1)]
+            if len(c2):
+                t2 = int(c2.min())
+                c3 = tt[(ty == "purchase") & (tt > t2)]
+                if len(c3):
+                    t3 = int(c3.min())
+        reached = 3 if t3 else (2 if t2 else (1 if t1 else 0))
+        want[int(uid)] = (t1, t2, t3, reached)
+    assert got == want
