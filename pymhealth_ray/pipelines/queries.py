@@ -98,6 +98,18 @@ def _events(sf_dir: str, columns):
     return ds.map_batches(add_us, batch_format="pyarrow")
 
 
+def _epoch_days(col) -> np.ndarray:
+    """Epoch-day int64 from a timestamp[us] OR date32 column (date32 can't
+    cast to int64 directly — the documented ArrowNotImplementedError)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+    return col.cast(pa.date32()).cast(pa.int32()) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _cents(b: pa.Table, col: str, out: str, scale: int = 100) -> pa.Table:
     arr = b[col]
     if isinstance(arr, pa.ChunkedArray):
@@ -20183,8 +20195,8 @@ g AS (SELECT v, nl, nl1, nt - nl AS nr, nt1 - nl1 AS nr1,
                               / (nt - nl)))) AS gain
       FROM s WHERE nl < nt)
 SELECT v AS split_cents, nl AS n_left, nl1 AS n_left_pos,
-       nr AS n_right, nr1 AS n_right_pos, round(gain, 6) AS gain
-FROM g ORDER BY gain DESC, v ASC LIMIT 1
+       nr AS n_right, nr1 AS n_right_pos, round(g.gain, 6) AS gain
+FROM g ORDER BY g.gain DESC, v ASC LIMIT 1
 """
 
 
@@ -21051,15 +21063,7 @@ def q_part_croston(sf_dir: str):
                     columns=["l_partkey", "l_shipdate", "l_quantity"])
 
     def partial(b: pa.Table) -> pa.Table:
-        col = b["l_shipdate"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_timestamp(col.type):
-            d = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-                // 86_400_000_000
-        else:
-            d = col.cast(pa.date32()).cast(pa.int32()) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
+        d = _epoch_days(b["l_shipdate"])
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
         q = np.rint(b["l_quantity"].to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)
@@ -21279,9 +21283,8 @@ def q_events_ratio_delta(sf_dir: str):
                       precombine_rows=None)
 
     def arm_partial(b: pa.Table) -> pa.Table:
-        keys = pa.array([f"{int(v)}|arm" for v in
-                         b["user_id"].to_numpy(zero_copy_only=False)],
-                        type=pa.string())
+        keys = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), "arm", "|")
         arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
         n = b["n"].to_numpy(zero_copy_only=False)
         x = b["x"].to_numpy(zero_copy_only=False)
@@ -21379,9 +21382,8 @@ def q_events_ab_power(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         b = _cents(b, "value", "cents")
-        keys = pa.array([f"{int(v)}|arm" for v in
-                         b["user_id"].to_numpy(zero_copy_only=False)],
-                        type=pa.string())
+        keys = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), "arm", "|")
         arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
         c = b["cents"].to_numpy(zero_copy_only=False)
         return pa.table({"arm": pa.array(arm),
@@ -21516,10 +21518,14 @@ def q_events_user_neighbors(sf_dir: str):
         et = b["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
+        enc = et.dictionary_encode()
         tmap = {t: i for i, t in enumerate(TYPES)}
-        codes = np.array([tmap[t] for t in et.to_pylist()],
-                         dtype=np.int64)
+        dmap = np.array([tmap.get(t, -1) for t in
+                         enc.dictionary.to_pylist()], dtype=np.int64)
+        codes = dmap[enc.indices.to_numpy(zero_copy_only=False)]
         u = b["user_id"].to_numpy(zero_copy_only=False)
+        keepm = codes >= 0  # types outside the pivot set are ignored
+        u, codes = u[keepm], codes[keepm]
         key = u * len(TYPES) + codes
         uk, c = np.unique(key, return_counts=True)
         return pa.table({"key": pa.array(uk.astype(np.int64)),
@@ -21691,15 +21697,7 @@ def q_part_xyz_class(sf_dir: str):
                     columns=["l_partkey", "l_shipdate", "l_quantity"])
 
     def partial(b: pa.Table) -> pa.Table:
-        col = b["l_shipdate"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_timestamp(col.type):
-            d = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-                // 86_400_000_000
-        else:
-            d = col.cast(pa.date32()).cast(pa.int32()) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
+        d = _epoch_days(b["l_shipdate"])
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
         q = np.rint(b["l_quantity"].to_numpy(
             zero_copy_only=False) * 100).astype(np.int64)
@@ -22074,15 +22072,7 @@ def q_orders_band_migration(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         b = _cents(b, "o_totalprice", "cents")
-        col = b["o_orderdate"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_timestamp(col.type):
-            days = col.cast(pa.int64()).to_numpy(
-                zero_copy_only=False) // 86_400_000_000
-        else:
-            days = col.cast(pa.date32()).cast(pa.int32()) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
+        days = _epoch_days(b["o_orderdate"])
         d64 = days.astype("datetime64[D]")
         # non-negative month index; the SQL oracle uses a different
         # epoch — only month ADJACENCY enters the result, constants

@@ -567,6 +567,9 @@ def label_propagation(edges, max_node: int, rounds: int = 4,
         raise ValueError(f"node domain {K} overflows packed int64 keys")
 
     labels = np.arange(K, dtype=np.int64)
+    # each round re-consumes the edge list: materialize ONCE so the
+    # upstream pair-explosion exchange doesn't re-execute per round
+    edges = edges.materialize()
     final = None
     for _ in range(rounds):
         lab_ref = _ray.put(labels)

@@ -1058,6 +1058,10 @@ def streaming_funnel(layout_dir: str, *, entity_col: str = "user_id",
         max(len(paths), 1))
     k = len(steps)
     tnames = [f"t{j + 1}" for j in range(k)]
+    import pyarrow.parquet as _pq
+
+    ent_type = (_pq.read_schema(paths[0]).field(entity_col).type
+                if paths else pa.int64())
 
     def scan(batch: pa.Table) -> pa.Table:
         rows = []
@@ -1065,7 +1069,7 @@ def streaming_funnel(layout_dir: str, *, entity_col: str = "user_id",
             rows.extend(_funnel_one_file(p, entity_col, type_col,
                                          ts_col, steps, batch_rows))
         cols = {entity_col: pa.array([r[0] for r in rows],
-                                     type=pa.int64())}
+                                     type=ent_type)}
         for j, tn in enumerate(tnames):
             vals = [r[1 + j] for r in rows]
             cols[tn] = pa.array(vals, type=pa.int64())

@@ -611,6 +611,7 @@ def test_streaming_funnel_matches_brute(tmp_path):
                 c3 = tt[(ty == "purchase") & (tt > t2)]
                 if len(c3):
                     t3 = int(c3.min())
-        reached = 3 if t3 else (2 if t2 else (1 if t1 else 0))
+        reached = 3 if t3 is not None else (
+            2 if t2 is not None else (1 if t1 is not None else 0))
         want[int(uid)] = (t1, t2, t3, reached)
     assert got == want
