@@ -1362,6 +1362,8 @@ def build_queries() -> dict:
         "orders_band_migration": q_orders_band_migration,
         "events_streaming_funnel": q_events_streaming_funnel,
         "part_pmi_svd_neighbors": q_part_pmi_svd_neighbors,
+        "customer_t_closeness": q_customer_t_closeness,
+        "seq_curriculum_order": q_seq_curriculum_order,
     }
 
 
@@ -1810,6 +1812,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "part_pmi_svd_neighbors": _table_materialized_oracle(
             sf_dir_for_fixture, "lineitem", "pmi_svd_v1",
             _pmi_svd_expected, ["l_orderkey", "l_partkey"]),
+        "customer_t_closeness": SQL_CUSTOMER_T_CLOSENESS,
+        "seq_curriculum_order": sql_seq_curriculum_order(path),
     }
     _flush_pending_oracles()
     return out
@@ -22308,3 +22312,196 @@ def _pmi_svd_expected(df):
         "p_partkey": np.array([r[0] for r in rows], dtype=np.int64),
         "neighbor_id": np.array([r[1] for r in rows], dtype=np.int64),
         "cosine": _round_away(np.array([r[2] for r in rows]), 6)})
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave P: t-closeness / curriculum order
+# --------------------------------------------------------------------------
+
+
+def q_customer_t_closeness(sf_dir: str):
+    """T-CLOSENESS AUDIT (Li et al. 2007) — completes the privacy triad
+    next to docs_k_anonymize / docs_l_diversity: per quasi-identifier
+    group (nation × segment), the Earth-Mover's Distance between the
+    group's sensitive-value distribution (account-balance $1000 bands,
+    ordered) and the global one. For ordered equi-spaced categories
+    EMD = Σ|cum diffs|/(B−1); the numerator is computed over EXACT
+    integers (cum of n_gj·n_tot − n_j·n_g), so the only float is ONE
+    closing division — bit-exact under any partitioning. Counts are a
+    bounded (groups × bands) partial exchange."""
+    cu = read_table(f"{sf_dir}/customer.parquet",
+                    columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _cents(b, "c_acctbal", "cents")
+        band = b["cents"].to_numpy(zero_copy_only=False) // 100_000
+        nk = b["c_nationkey"]
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        nk = nk.to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = b["c_mktsegment"]
+        if isinstance(sg, pa.ChunkedArray):
+            sg = sg.combine_chunks()
+        enc = sg.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        segs = enc.dictionary.to_pylist()
+        # band offset keeps packed keys non-negative (acctbal can be < 0)
+        pk = ((nk * len(segs) + codes) * 10_000) + (band + 1_000)
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table({
+            "nation": pa.array(((u // 10_000) // len(segs))
+                               .astype(np.int64)),
+            "segment": pa.array([segs[int(v)] for v in
+                                 (u // 10_000) % len(segs)],
+                                type=pa.string()),
+            "band": pa.array((u % 10_000 - 1_000).astype(np.int64)),
+            "n": pa.array(c.astype(np.int64))})
+
+    rows = cu.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        k = (int(r["nation"]), r["segment"], int(r["band"]))
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    bands = sorted({k[2] for k in agg})
+    bidx = {b_: i for i, b_ in enumerate(bands)}
+    B = len(bands)
+    glob = np.zeros(B, dtype=np.int64)
+    groups: dict = {}
+    for (nat, seg, b_), n in agg.items():
+        glob[bidx[b_]] += n
+        g = groups.setdefault((nat, seg), np.zeros(B, dtype=np.int64))
+        g[bidx[b_]] += n
+    n_tot = int(glob.sum())
+    keys = sorted(groups)
+    out_n, out_emd = [], []
+    for k in keys:
+        g = groups[k]
+        ng = int(g.sum())
+        # exact-integer cum diffs: cum(n_gj·n_tot − n_j·n_g)
+        diffs = g.astype(object) * n_tot - glob.astype(object) * ng
+        cum, acc = [], 0
+        for d in diffs:
+            acc += int(d)
+            cum.append(abs(acc))
+        num = sum(cum[:-1])  # last cum is always 0
+        emd = float(num) / (float(ng) * n_tot * (B - 1))
+        out_n.append(ng)
+        out_emd.append(emd)
+    return pa.table({
+        "c_nationkey": pa.array([k[0] for k in keys], type=pa.int64()),
+        "c_mktsegment": pa.array([k[1] for k in keys], type=pa.string()),
+        "n": pa.array(out_n, type=pa.int64()),
+        "t_closeness": pa.array(_round_away(np.array(out_emd), 6))})
+
+
+SQL_CUSTOMER_T_CLOSENESS = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+         -- floor division (numpy semantics): DuckDB // truncates
+         -- toward zero on negatives, so spell the floor out
+         CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS band
+  FROM customer),
+gb AS (SELECT nation, seg, band, CAST(count(*) AS BIGINT) AS n
+       FROM c GROUP BY 1, 2, 3),
+bands AS (SELECT DISTINCT band FROM c),
+gdist AS (SELECT band, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+               (SELECT count(*) FROM bands) AS nb FROM c),
+grp AS (SELECT nation, seg, CAST(sum(n) AS BIGINT) AS ng
+        FROM gb GROUP BY 1, 2),
+spine AS (SELECT g.nation, g.seg, b.band, g.ng,
+                 CAST(coalesce(gb.n, 0) AS BIGINT) AS ngj,
+                 gl.n AS nj
+          FROM grp g CROSS JOIN bands b
+          LEFT JOIN gb ON gb.nation = g.nation AND gb.seg = g.seg
+                       AND gb.band = b.band
+          JOIN gdist gl ON gl.band = b.band),
+cums AS (SELECT nation, seg, band, ng,
+                CAST(sum(ngj * (SELECT n_tot FROM tot) - nj * ng)
+                     OVER (PARTITION BY nation, seg ORDER BY band)
+                     AS BIGINT) AS cumd
+         FROM spine),
+last_band AS (SELECT max(band) AS mb FROM bands),
+s AS (SELECT nation, seg, ng, CAST(sum(abs(cumd)) AS BIGINT) AS num
+      FROM cums, last_band WHERE band < mb GROUP BY 1, 2, ng)
+SELECT nation AS c_nationkey, seg AS c_mktsegment, ng AS n,
+       round(CAST(num AS DOUBLE)
+             / (CAST(ng AS DOUBLE) * (SELECT n_tot FROM tot)
+                * ((SELECT nb FROM tot) - 1)), 6) AS t_closeness
+FROM s
+"""
+
+
+CURR_TILES = 8
+
+
+def q_seq_curriculum_order(sf_dir: str):
+    """DETERMINISTIC CURRICULUM SCHEDULE: rank rows by length
+    difficulty (exact global NTILE(8) via partitioned_sort_rank), then
+    interleave tiles round-robin — order_key = within_tile_rank·8 +
+    tile — so training sees a stable easy→hard mix every epoch instead
+    of random_shuffle's irreproducible order. One exchange + integer
+    arithmetic; any reader reproduces the schedule."""
+    from pymhealth_ray.stages.dedup import composite_rid
+    from pymhealth_ray.stages.rank import partitioned_sort_rank
+
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "n_tok"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": b["n_tok"].cast(pa.int64()),
+            "one": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "rid": composite_rid(b["doc_id"], b["ts_ns"]),
+        })
+
+    ranked = partitioned_sort_rank(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "one", "n_tok", "rid", num_bins=256, rank_name="rnk")
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b["rnk"].to_numpy(zero_copy_only=False)
+        n = b["__n_part"].to_numpy(zero_copy_only=False)
+        q, rem = n // CURR_TILES, n % CURR_TILES
+        cut = rem * (q + 1)
+        in_big = r < cut
+        tile = np.where(in_big, r // np.maximum(q + 1, 1),
+                        rem + (r - cut) // np.maximum(q, 1))
+        start = np.where(in_big, tile * (q + 1), cut + (tile - rem) * q)
+        within = r - start
+        return pa.table({
+            "doc_id": b["doc_id"], "ts_ns": b["ts_ns"],
+            "n_tok": b["n_tok"],
+            "tile": pa.array(tile.astype(np.int64)),
+            "order_key": pa.array((within * CURR_TILES
+                                   + tile).astype(np.int64))})
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_seq_curriculum_order(path: str) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, ts_ns, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(row_number() OVER (ORDER BY n_tok, doc_id, ts_ns) - 1
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM read_parquet('{path}/part-*.parquet')
+), t AS (
+  SELECT doc_id, ts_ns, n_tok, rnk, n,
+         CASE WHEN rnk < (n % 8) * (n // 8 + 1)
+              THEN rnk // (n // 8 + 1)
+              ELSE (n % 8) + (rnk - (n % 8) * (n // 8 + 1)) // (n // 8)
+         END AS tile
+  FROM r
+)
+SELECT doc_id, ts_ns, n_tok, CAST(tile AS BIGINT) AS tile,
+       CAST((rnk - CASE WHEN rnk < (n % 8) * (n // 8 + 1)
+                        THEN tile * (n // 8 + 1)
+                        ELSE (n % 8) * (n // 8 + 1)
+                             + (tile - n % 8) * (n // 8) END) * 8
+            + tile AS BIGINT) AS order_key
+FROM t
+"""

@@ -615,3 +615,67 @@ def test_streaming_funnel_matches_brute(tmp_path):
             2 if t2 is not None else (1 if t1 is not None else 0))
         want[int(uid)] = (t1, t2, t3, reached)
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_t_closeness_bounds_and_identity(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    # group A mirrors the global distribution exactly -> t = 0 for A
+    rows = []
+    for seg, bal in (("A", 50.0), ("A", 1050.0), ("B", 50.0),
+                     ("B", 1050.0)):
+        for _ in range(10):
+            rows.append((seg, bal))
+    # skew group C entirely into the low band
+    rows += [("C", 50.0)] * 20
+    tbl = pa.table({
+        "c_custkey": pa.array(np.arange(len(rows)), type=pa.int64()),
+        "c_name": pa.array(["x"] * len(rows)),
+        "c_nationkey": pa.array(np.zeros(len(rows), dtype=np.int32)),
+        "c_acctbal": pa.array([r[1] for r in rows]),
+        "c_mktsegment": pa.array([r[0] for r in rows]),
+    })
+    pq.write_table(tbl, tmp_path / "customer.parquet")
+    got = {r["c_mktsegment"]: r["t_closeness"]
+           for r in Q.q_customer_t_closeness(str(tmp_path)).to_pylist()}
+    assert got["A"] == got["B"]
+    assert got["C"] > got["A"] >= 0.0
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curriculum_order_is_round_robin(tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(3)
+    n = 800
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "ts_ns": pa.array(np.arange(n, dtype=np.int64)),
+        "tokens": pa.array([[1]] * n, type=pa.list_(pa.int32())),
+        "n_tok": pa.array(rng.integers(1, 500, size=n).astype(np.int32)),
+        "source": pa.array(["s"] * n)})
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+    monkeypatch.setattr(Q, "_seq_ds", lambda sf, columns=None: (
+        __import__("ray").data.read_parquet(str(tmp_path)), str(tmp_path)))
+    out = sorted(Q.q_seq_curriculum_order("ignored").take_all(),
+                 key=lambda r: r["order_key"])
+    # order keys are unique and tiles cycle 0..7 round-robin
+    keys = [r["order_key"] for r in out]
+    assert len(set(keys)) == n
+    tiles = [r["tile"] for r in out]
+    assert tiles[:8] == list(range(8))
+    # within each tile, difficulty (n_tok) is non-decreasing
+    per_tile = {}
+    for r in out:
+        per_tile.setdefault(r["tile"], []).append(r["n_tok"])
+    for vals in per_tile.values():
+        assert vals == sorted(vals)
+    # tile membership is by length: max of tile t <= min of tile t+1
+    for t in range(7):
+        assert max(per_tile[t]) <= min(per_tile[t + 1])
