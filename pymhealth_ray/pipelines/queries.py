@@ -1364,6 +1364,9 @@ def build_queries() -> dict:
         "part_pmi_svd_neighbors": q_part_pmi_svd_neighbors,
         "customer_t_closeness": q_customer_t_closeness,
         "seq_curriculum_order": q_seq_curriculum_order,
+        "orders_budget_apportion": q_orders_budget_apportion,
+        "events_kpi_decomposition": q_events_kpi_decomposition,
+        "embed_split_mmd": q_embed_split_mmd,
     }
 
 
@@ -1814,6 +1817,11 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _pmi_svd_expected, ["l_orderkey", "l_partkey"]),
         "customer_t_closeness": SQL_CUSTOMER_T_CLOSENESS,
         "seq_curriculum_order": sql_seq_curriculum_order(path),
+        "orders_budget_apportion": SQL_ORDERS_BUDGET_APPORTION,
+        "events_kpi_decomposition": SQL_EVENTS_KPI_DECOMPOSITION,
+        "embed_split_mmd": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "split_mmd_v1",
+            _split_mmd_expected, ["vec_id", "embedding"]),
     }
     _flush_pending_oracles()
     return out
@@ -22505,3 +22513,266 @@ SELECT doc_id, ts_ns, n_tok, CAST(tile AS BIGINT) AS tile,
             + tile AS BIGINT) AS order_key
 FROM t
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave Q: apportionment / KPI decomposition / MMD
+# --------------------------------------------------------------------------
+
+
+APPORTION_N = 1_000_000
+
+
+def q_orders_budget_apportion(sf_dir: str):
+    """HAMILTON (largest-remainder) APPORTIONMENT — distribute an
+    integer budget across priorities proportionally to order counts,
+    the exact-arithmetic allocation primitive (ad budgets, sampling
+    quotas, shard assignments): base_i = ⌊N·c_i/C⌋, the L = N − Σbase
+    leftover units go to the largest remainders (ties → priority ASC).
+    Pure integers end to end — no float can mis-allocate a unit."""
+    od = read_table(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"]
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        enc = pr.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"prio": enc.dictionary,
+                         "n": pa.array(n.astype(np.int64))})
+
+    rows = od.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        agg[r["prio"]] = agg.get(r["prio"], 0) + int(r["n"])
+    prios = sorted(agg)
+    c = np.array([agg[p] for p in prios], dtype=np.int64)
+    C = int(c.sum())
+    base = (APPORTION_N * c) // C
+    rem = (APPORTION_N * c) % C
+    left = APPORTION_N - int(base.sum())
+    order = np.lexsort((np.arange(len(prios)), -rem))
+    extra = np.zeros(len(prios), dtype=np.int64)
+    extra[order[:left]] = 1
+    return pa.table({
+        "o_orderpriority": pa.array(prios, type=pa.string()),
+        "n_orders": pa.array(c),
+        "base_alloc": pa.array(base),
+        "extra": pa.array(extra),
+        "alloc": pa.array(base + extra)})
+
+
+SQL_ORDERS_BUDGET_APPORTION = """
+WITH c AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS ct FROM c),
+b AS (SELECT o_orderpriority, n,
+             CAST(1000000 * n // ct AS BIGINT) AS base,
+             CAST(1000000 * n % ct AS BIGINT) AS rem
+      FROM c, t),
+l AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM b),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+                                   o_orderpriority ASC) AS rk
+      FROM b)
+SELECT o_orderpriority, n AS n_orders, base AS base_alloc,
+       CAST(CASE WHEN rk <= (SELECT leftover FROM l)
+                 THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
+
+
+def q_events_kpi_decomposition(sf_dir: str):
+    """NORTH-STAR KPI DECOMPOSITION: revenue = users × events/user ×
+    revenue/event; the period-over-period change in log space splits
+    EXACTLY into the three factors' log deltas (ΔlnR = Δln U + Δln(E/U)
+    + Δln(R/E)) — the growth-accounting view every metrics team builds.
+    Halves split at the integer timestamp midpoint; U is the exact
+    distributed distinct (grouped_distinct_count), E and R exact int
+    sums; one ln expression per factor in SQL op order."""
+    from pymhealth_ray.stages.aggregate import (grouped_distinct_count,
+                                                grouped_stats)
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+    ev = ev.materialize()
+    st = grouped_stats(ev.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)),
+            "ts_us": b["ts_us"]}), batch_format="pyarrow"),
+        ["one"], min_cols=["ts_us"], max_cols=["ts_us"]).take_all()
+    lo, hi = int(st[0]["ts_us_min"]), int(st[0]["ts_us_max"])
+    mid = (lo + hi) // 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "value", "cents")
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        half = (ts > mid).astype(np.int64)
+        return pa.table({"half": pa.array(half),
+                         "user_id": b["user_id"],
+                         "cents": b["cents"]})
+
+    halved = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    sums = grouped_stats(halved, ["half"], sum_cols=["cents"],
+                         count_name="n").take_all()
+    dudc = grouped_distinct_count(halved.select_columns(
+        ["half", "user_id"]), "half", "user_id", num_buckets=NB)
+    urows = {int(r["half"]): int(r["n_distinct"])
+             for r in dudc.take_all()}
+    srows = {int(r["half"]): (int(r["n"]), int(r["cents_sum"]))
+             for r in sums}
+    u0, u1 = urows[0], urows[1]
+    e0, r0 = srows[0]
+    e1, r1 = srows[1]
+    d_users = np.log(np.float64(u1) / u0)
+    d_epu = np.log((np.float64(e1) / u1) / (np.float64(e0) / u0))
+    d_rpe = np.log((np.float64(r1) / e1) / (np.float64(r0) / e0))
+    d_rev = np.log(np.float64(r1) / r0)
+    factors = ["users", "events_per_user", "revenue_per_event"]
+    deltas = np.array([d_users, d_epu, d_rpe])
+    return pa.table({
+        "factor": pa.array(factors, type=pa.string()),
+        "h0": pa.array([u0, e0, r0], type=pa.int64()),
+        "h1": pa.array([u1, e1, r1], type=pa.int64()),
+        "delta_log": pa.array(_round_away(deltas, 6)),
+        "contribution": pa.array(_round_away(deltas / d_rev, 6))})
+
+
+SQL_EVENTS_KPI_DECOMPOSITION = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM e),
+h AS (SELECT CASE WHEN ts_us > (SELECT mid FROM b) THEN 1 ELSE 0 END
+          AS half, user_id, cents FROM e),
+a AS (SELECT half, CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+             CAST(count(*) AS BIGINT) AS ev,
+             CAST(sum(cents) AS BIGINT) AS r
+      FROM h GROUP BY half),
+w AS (SELECT
+        max(CASE WHEN half = 0 THEN u END) AS u0,
+        max(CASE WHEN half = 1 THEN u END) AS u1,
+        max(CASE WHEN half = 0 THEN ev END) AS e0,
+        max(CASE WHEN half = 1 THEN ev END) AS e1,
+        max(CASE WHEN half = 0 THEN r END) AS r0,
+        max(CASE WHEN half = 1 THEN r END) AS r1
+      FROM a)
+SELECT * FROM (
+  SELECT 'users' AS factor, u0 AS h0, u1 AS h1,
+         round(ln(CAST(u1 AS DOUBLE) / u0), 6) AS delta_log,
+         round(ln(CAST(u1 AS DOUBLE) / u0)
+               / ln(CAST(r1 AS DOUBLE) / r0), 6) AS contribution
+  FROM w
+  UNION ALL
+  SELECT 'events_per_user', e0, e1,
+         round(ln((CAST(e1 AS DOUBLE) / u1) / (CAST(e0 AS DOUBLE) / u0)),
+               6),
+         round(ln((CAST(e1 AS DOUBLE) / u1) / (CAST(e0 AS DOUBLE) / u0))
+               / ln(CAST(r1 AS DOUBLE) / r0), 6)
+  FROM w
+  UNION ALL
+  SELECT 'revenue_per_event', r0, r1,
+         round(ln((CAST(r1 AS DOUBLE) / e1) / (CAST(r0 AS DOUBLE) / e0)),
+               6),
+         round(ln((CAST(r1 AS DOUBLE) / e1) / (CAST(r0 AS DOUBLE) / e0))
+               / ln(CAST(r1 AS DOUBLE) / r0), 6)
+  FROM w)
+"""
+
+
+def q_embed_split_mmd(sf_dir: str):
+    """EMBEDDING DISTRIBUTION SHIFT between two md5 splits — the
+    vector-level complement of the scalar PSI/KS drift panel: squared
+    distance between split mean embeddings plus each split's mean
+    squared norm, all from EXACT integer quantized sums (the PCA
+    discipline — any partitioning, bit-identical). A near-zero gap
+    certifies the split didn't skew the representation space."""
+    from pymhealth_ray.stages.pca import _emb_matrix, _quantize
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pc.cast(b["vec_id"], pa.string()), "mmd", "|")
+        half = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
+        q = _quantize(_emb_matrix(b, "embedding"), 18).astype(np.int64)
+        rows = []
+        for h in (0, 1):
+            m = half == h
+            if not m.any():
+                continue
+            sub = q[m]
+            rows.append((h, int(m.sum()),
+                         [int(v) for v in sub.sum(axis=0)],
+                         int((sub.astype(object) ** 2).sum())))
+        return pa.table({
+            "half": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "s": pa.array([r[2] for r in rows],
+                          type=pa.list_(pa.int64())),
+            "sq": pa.array([r[3] for r in rows], type=pa.int64())})
+
+    rows = emb.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    agg = {0: [0, None, 0], 1: [0, None, 0]}
+    for r in rows:
+        a = agg[r["half"]]
+        a[0] += int(r["n"])
+        s = [int(v) for v in r["s"]]
+        a[1] = s if a[1] is None else [x + y for x, y in zip(a[1], s)]
+        a[2] += int(r["sq"])
+    scale = float(1 << 18)
+    out = {"half": [], "n": [], "mean_sq_norm": []}
+    mus = []
+    for h in (0, 1):
+        n, s, sq = agg[h]
+        mu = np.array([float(v) for v in s]) / (n * scale)
+        mus.append(mu)
+        out["half"].append(h)
+        out["n"].append(n)
+        out["mean_sq_norm"].append(float(sq) / (n * scale * scale))
+    gap = float(((mus[0] - mus[1]) ** 2).sum())
+    return pa.table({
+        "half": pa.array(out["half"], type=pa.int64()),
+        "n": pa.array(out["n"], type=pa.int64()),
+        "mean_sq_norm": pa.array(_round_away(
+            np.array(out["mean_sq_norm"]), 6)),
+        "mean_gap_sq": pa.array(_round_away(
+            np.array([gap, gap]), 6))})
+
+
+def _split_mmd_expected(df):
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from pymhealth_ray.stages.pca import _quantize
+
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64)
+                  for e in df["embedding"]])
+    q = _quantize(P, 18).astype(np.int64)
+    half = np.array([int(_hl.md5(f"{i}|mmd".encode())
+                         .hexdigest()[:16], 16) % 2 for i in ids])
+    scale = float(1 << 18)
+    mus, ns, msn = [], [], []
+    for h in (0, 1):
+        m = half == h
+        sub = q[m]
+        n = int(m.sum())
+        s = [int(v) for v in sub.sum(axis=0)]
+        sq = int((sub.astype(object) ** 2).sum())
+        mus.append(np.array([float(v) for v in s]) / (n * scale))
+        ns.append(n)
+        msn.append(float(sq) / (n * scale * scale))
+    gap = float(((mus[0] - mus[1]) ** 2).sum())
+    return pd.DataFrame({
+        "half": np.array([0, 1], dtype=np.int64),
+        "n": np.array(ns, dtype=np.int64),
+        "mean_sq_norm": _round_away(np.array(msn), 6),
+        "mean_gap_sq": _round_away(np.array([gap, gap]), 6)})

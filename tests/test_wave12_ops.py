@@ -679,3 +679,29 @@ def test_curriculum_order_is_round_robin(tmp_path, monkeypatch):
     # tile membership is by length: max of tile t <= min of tile t+1
     for t in range(7):
         assert max(per_tile[t]) <= min(per_tile[t + 1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_apportionment_sums_to_budget(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(9)
+    pr = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-NONE"])[
+        rng.integers(0, 5, size=777)]
+    tbl = pa.table({
+        "o_orderkey": pa.array(np.arange(777, dtype=np.int64)),
+        "o_custkey": pa.array(np.zeros(777, dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 777),
+        "o_totalprice": pa.array(np.ones(777)),
+        "o_orderdate": pa.array(np.zeros(777, dtype=np.int64),
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(pr.tolist(), type=pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = Q.q_orders_budget_apportion(str(tmp_path)).to_pylist()
+    assert sum(r["alloc"] for r in out) == 1_000_000
+    for r in out:
+        exact = 1_000_000 * r["n_orders"] / 777
+        assert abs(r["alloc"] - exact) < 1.0  # within one unit
