@@ -1367,6 +1367,8 @@ def build_queries() -> dict:
         "orders_budget_apportion": q_orders_budget_apportion,
         "events_kpi_decomposition": q_events_kpi_decomposition,
         "embed_split_mmd": q_embed_split_mmd,
+        "embed_ivf_sweep": q_embed_ivf_sweep,
+        "part_reorder_point": q_part_reorder_point,
     }
 
 
@@ -1822,6 +1824,8 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
         "embed_split_mmd": _table_materialized_oracle(
             sf_dir_for_fixture, "embeddings", "split_mmd_v1",
             _split_mmd_expected, ["vec_id", "embedding"]),
+        "embed_ivf_sweep": _ivf_sweep_oracle(sf_dir_for_fixture),
+        "part_reorder_point": SQL_PART_REORDER_POINT,
     }
     _flush_pending_oracles()
     return out
@@ -22776,3 +22780,216 @@ def _split_mmd_expected(df):
         "n": np.array(ns, dtype=np.int64),
         "mean_sq_norm": _round_away(np.array(msn), 6),
         "mean_gap_sq": _round_away(np.array([gap, gap]), 6)})
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave R: IVF nprobe sweep / reorder point
+# --------------------------------------------------------------------------
+
+
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def q_embed_ivf_sweep(sf_dir: str):
+    """IVF RECALL-vs-NPROBE SWEEP — the tuning curve an ANN deployment
+    reads before fixing its probe budget: mean recall@10 at nprobe ∈
+    {1,2,4} against one exact brute-force pass, all from the SAME
+    cached centroid-partitioned index as embed_ivf_recall (probes read
+    only nprobe partitions per query). Hits are exact ints; one closing
+    division per sweep point."""
+    import pyarrow.parquet as pq
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+    index_dir = "/tmp/pymhealth_ray_ivf/" + os.path.basename(
+        os.path.normpath(sf_dir))
+    with _build_lock(index_dir):
+        ann.build_ivf_index(ds, index_dir, n_centroids=_RECALL_NCENT)
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    queries = full.filter(pc.less(full["vec_id"], _RECALL_NQ))
+    exact = ann.knn_bruteforce(ds, queries, k=_RECALL_K)
+
+    def to_sets(tbl):
+        out = {}
+        for q, n in zip(tbl["query_id"].to_pylist(),
+                        tbl["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    e = to_sets(exact)
+    qids = sorted(e)
+    rows = []
+    for nprobe in IVF_SWEEP_PROBES:
+        approx = to_sets(ann.knn_ivf_partitioned(
+            index_dir, queries, k=_RECALL_K, nprobe=nprobe))
+        hits = int(sum(len(approx.get(q, set()) & e[q]) for q in qids))
+        rows.append((nprobe, len(qids), hits))
+    return pa.table({
+        "nprobe": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_queries": pa.array([r[1] for r in rows], type=pa.int64()),
+        "total_hits": pa.array([r[2] for r in rows], type=pa.int64()),
+        "recall": pa.array(_round_away(np.array(
+            [r[2] / (r[1] * _RECALL_K) for r in rows]), 6))})
+
+
+def _ivf_sweep_oracle(sf_dir: str) -> str:
+    """Single-process replay of the sweep — the _ivf_recall_oracle loop
+    per nprobe, aggregated."""
+    import pyarrow.parquet as pq_mod
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pymhealth_ray_fixtures/ivf_sweep_{name}_v1"
+    out = os.path.join(out_dir, "expected.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        from pymhealth_ray.stages.ann import _unit, train_ivf_centroids
+
+        tbl = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+        emb = tbl["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = np.stack([np.asarray(r, dtype=np.float64)
+                      for r in emb.to_pylist()])
+        Xu = _unit(X)
+        cent = train_ivf_centroids(X[:2048], _RECALL_NCENT)
+        assign = np.argmax(Xu @ cent.T, axis=1)
+        rows = []
+        for nprobe in IVF_SWEEP_PROBES:
+            hits = 0
+            nq = 0
+            for qid in ids[ids < _RECALL_NQ]:
+                qi = int(np.flatnonzero(ids == qid)[0])
+                sims = Xu @ Xu[qi]
+                mask = ids != qid
+                mi = np.flatnonzero(mask)
+                order = np.lexsort((ids[mi], -sims[mi]))[:_RECALL_K]
+                exact = set(ids[mi][order].tolist())
+                probes = np.argsort(-(Xu[qi] @ cent.T))[:nprobe]
+                cmask = mask & np.isin(assign, probes)
+                ci = np.flatnonzero(cmask)
+                order2 = np.lexsort((-ids[ci], -sims[ci]))[:_RECALL_K]
+                approx = set(ids[ci][order2].tolist())
+                hits += len(approx & exact)
+                nq += 1
+            rows.append((nprobe, nq, hits))
+        exp = pa.table({
+            "nprobe": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_queries": pa.array([r[1] for r in rows],
+                                  type=pa.int64()),
+            "total_hits": pa.array([r[2] for r in rows],
+                                   type=pa.int64()),
+            "recall": pa.array(_round_away(np.array(
+                [r[2] / (r[1] * _RECALL_K) for r in rows]), 6))})
+        tmp = out + ".tmp"
+        pq_mod.write_table(exp, tmp)
+        os.replace(tmp, out)
+    return f"SELECT * FROM read_parquet('{out}')"
+
+
+ROP_LEAD_DAYS = 7
+ROP_Z = 1.644854  # 95% service level
+
+
+def q_part_reorder_point(sf_dir: str):
+    """REORDER POINT per part — the inventory-planning closer of the
+    Croston/XYZ family: over the part's active calendar span, daily
+    demand mean and variance (zero days included — derivable from
+    nonzero-day moments + the span, no calendar spine needed), then
+    ROP = L·μ + z·sqrt(L·σ²) at lead time 7 d / 95% service. Exact
+    int64 moments; one float expression per part in SQL op order."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+
+    li = read_table(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_shipdate", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = _epoch_days(b["l_shipdate"])
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.rint(b["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        key = pk * 1_000_000 + (d % 1_000_000)
+        u, inv = np.unique(key, return_inverse=True)
+        qs = np.bincount(inv, weights=q.astype(np.float64),
+                         minlength=u.size).astype(np.int64)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "q": pa.array(qs)})
+
+    daily = keyed_sum(li.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=None),
+                      "key", ["q"], num_buckets=NB, precombine_rows=None)
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        q = b["q"].to_numpy(zero_copy_only=False)
+        p = key // 1_000_000
+        d = key % 1_000_000
+        u, inv = np.unique(p, return_inverse=True)
+        mn = np.full(u.size, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(u.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, d)
+        np.maximum.at(mx, inv, d)
+        return pa.table({
+            "part": pa.array(u.astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=q.astype(np.float64),
+                                      minlength=u.size).astype(np.int64)),
+            "ss": pa.array(np.bincount(
+                inv, weights=(q * q).astype(np.float64),
+                minlength=u.size).astype(np.int64)),
+            "dmin": pa.array(mn), "dmax": pa.array(mx)})
+
+    from pymhealth_ray.stages.aggregate import grouped_stats
+
+    rows = grouped_stats(daily.map_batches(part_partial,
+                                           batch_format="pyarrow",
+                                           batch_size=None),
+                         ["part"], sum_cols=["s", "ss"],
+                         min_cols=["dmin"], max_cols=["dmax"]).take_all()
+    part = np.array([r["part"] for r in rows], dtype=np.int64)
+    s = np.array([r["s_sum"] for r in rows], dtype=np.int64)
+    ss = np.array([r["ss_sum"] for r in rows], dtype=np.int64)
+    span = np.array([r["dmax_max"] - r["dmin_min"] + 1 for r in rows],
+                    dtype=np.int64)
+    o = np.argsort(part)
+    part, s, ss, span = part[o], s[o], ss[o], span[o]
+    mu = s.astype(np.float64) / span
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (ss.astype(np.float64)
+               - s.astype(np.float64) * s / span) / (span - 1)
+        rop = ROP_LEAD_DAYS * mu + ROP_Z * np.sqrt(ROP_LEAD_DAYS * var)
+    one = span < 2
+    return pa.table({
+        "p_partkey": pa.array(part),
+        "span_days": pa.array(span),
+        "mu_cents": pa.array(_round_away(mu, 6)),
+        "var_cents": pa.array(_round_away(np.where(one, 0.0, var), 6),
+                              mask=one),
+        "reorder_cents": pa.array(
+            _round_away(np.where(one, 0.0, rop), 6), mask=one)})
+
+
+SQL_PART_REORDER_POINT = """
+WITH l AS (
+  SELECT l_partkey,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem),
+daily AS (SELECT l_partkey, d, CAST(sum(qc) AS BIGINT) AS q
+          FROM l GROUP BY 1, 2),
+m AS (SELECT l_partkey,
+             CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss,
+             CAST(max(d) - min(d) + 1 AS BIGINT) AS span
+      FROM daily GROUP BY 1),
+f AS (SELECT l_partkey, span, CAST(s AS DOUBLE) / span AS mu,
+             CASE WHEN span >= 2 THEN
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / span)
+               / (span - 1) END AS var
+      FROM m)
+SELECT l_partkey AS p_partkey, span AS span_days,
+       round(mu, 6) AS mu_cents, round(var, 6) AS var_cents,
+       round(7 * mu + 1.644854 * sqrt(7 * var), 6) AS reorder_cents
+FROM f
+"""
