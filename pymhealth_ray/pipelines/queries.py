@@ -1369,6 +1369,9 @@ def build_queries() -> dict:
         "embed_split_mmd": q_embed_split_mmd,
         "embed_ivf_sweep": q_embed_ivf_sweep,
         "part_reorder_point": q_part_reorder_point,
+        "docs_image_norm_stats": q_docs_image_norm_stats,
+        "embed_silhouette_lite": q_embed_silhouette_lite,
+        "events_ab_srm": q_events_ab_srm,
     }
 
 
@@ -1826,6 +1829,13 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             _split_mmd_expected, ["vec_id", "embedding"]),
         "embed_ivf_sweep": _ivf_sweep_oracle(sf_dir_for_fixture),
         "part_reorder_point": SQL_PART_REORDER_POINT,
+        "docs_image_norm_stats": _docs_materialized_oracle(
+            sf_dir_for_fixture, "image_norm_v1",
+            _image_norm_expected, ["doc_id"]),
+        "embed_silhouette_lite": _table_materialized_oracle(
+            sf_dir_for_fixture, "embeddings", "silhouette_v1",
+            _silhouette_expected, ["vec_id", "embedding", "label"]),
+        "events_ab_srm": SQL_EVENTS_AB_SRM,
     }
     _flush_pending_oracles()
     return out
@@ -22992,4 +23002,196 @@ SELECT l_partkey AS p_partkey, span AS span_days,
        round(mu, 6) AS mu_cents, round(var, 6) AS var_cents,
        round(7 * mu + 1.644854 * sqrt(7 * var), 6) AS reorder_cents
 FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave S: image norm stats / silhouette / SRM
+# --------------------------------------------------------------------------
+
+
+def q_docs_image_norm_stats(sf_dir: str):
+    """CHANNEL NORMALIZATION CONSTANTS — the mean/std every vision
+    training run computes over its corpus (the ImageNet-stats step):
+    per-doc exact integer pixel sums off the real P5-PNM decode path,
+    merged to corpus mean/std as python ints (overflow-free), one float
+    finish. Per-doc rows carry the corpus constants for downstream
+    map-side normalization."""
+    from pymhealth_ray.stages.multimodal import _parse_pnm
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = docs.map_batches(_docs_pnm_table, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = np.empty(len(ids), dtype=np.int64)
+        s = np.empty(len(ids), dtype=np.int64)
+        ss = np.empty(len(ids), dtype=np.int64)
+        for i, p in enumerate(b["payload"].to_pylist()):
+            pix = np.rint(_parse_pnm(p) * 255.0).astype(np.int64)
+            n[i] = pix.size
+            s[i] = int(pix.sum())
+            ss[i] = int((pix * pix).sum())
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_pix": pa.array(n), "sum_pix": pa.array(s),
+                         "sumsq_pix": pa.array(ss)})
+
+    rows = media.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    N = sum(int(r["n_pix"]) for r in rows)
+    S = sum(int(r["sum_pix"]) for r in rows)
+    SS = sum(int(r["sumsq_pix"]) for r in rows)
+    mean = float(S) / N
+    std = float(np.sqrt(float(N * SS - S * S)) / N)
+    k = len(rows)
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_pix": pa.array([r["n_pix"] for r in rows], type=pa.int64()),
+        "sum_pix": pa.array([r["sum_pix"] for r in rows],
+                            type=pa.int64()),
+        "sumsq_pix": pa.array([r["sumsq_pix"] for r in rows],
+                              type=pa.int64()),
+        "corpus_mean": pa.array(_round_away(np.full(k, mean), 6)),
+        "corpus_std": pa.array(_round_away(np.full(k, std), 6))})
+
+
+def _image_norm_expected(df):
+    import pandas as pd
+
+    from pymhealth_ray.stages.multimodal import _parse_pnm
+
+    ids = sorted(int(v) for v in df["doc_id"])
+    rows = []
+    for i in ids:
+        p, _, _ = _synth_pnm(i)
+        pix = np.rint(_parse_pnm(p) * 255.0).astype(np.int64)
+        rows.append((i, int(pix.size), int(pix.sum()),
+                     int((pix * pix).sum())))
+    N = sum(r[1] for r in rows)
+    S = sum(r[2] for r in rows)
+    SS = sum(r[3] for r in rows)
+    mean = float(S) / N
+    std = float(np.sqrt(float(N * SS - S * S)) / N)
+    return pd.DataFrame({
+        "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "n_pix": np.array([r[1] for r in rows], dtype=np.int64),
+        "sum_pix": np.array([r[2] for r in rows], dtype=np.int64),
+        "sumsq_pix": np.array([r[3] for r in rows], dtype=np.int64),
+        "corpus_mean": _round_away(np.full(len(rows), mean), 6),
+        "corpus_std": _round_away(np.full(len(rows), std), 6)})
+
+
+def q_embed_silhouette_lite(sf_dir: str):
+    """CLASS-SEPARATION AUDIT (silhouette-lite): per label, the mean
+    squared distance to its own centroid (intra — from the exact
+    integer scatter: E||x−μ||² = trace(SS)/n − ||μ||²) versus the
+    squared distance to the NEAREST other centroid (inter). ratio > 1
+    means classes separate. One label_scatter_partials pass; the float
+    finish is shared verbatim with the oracle."""
+    from pymhealth_ray.stages.pca import (label_scatter_partials,
+                                          merge_label_scatter)
+
+    emb = read_table(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding", "label"])
+    stats = merge_label_scatter(label_scatter_partials(emb).take_all())
+    return pa.Table.from_pandas(_silhouette_finish(stats),
+                                preserve_index=False)
+
+
+def _silhouette_finish(stats: dict):
+    import pandas as pd
+
+    labels = sorted(stats)
+    scale = float(1 << 18)
+    mus, intra, ns = [], [], []
+    for lv in labels:
+        n, s, ss = stats[lv]
+        d = len(s)
+        mu = np.array([float(v) for v in s]) / (n * scale)
+        tr = float(sum(int(ss[j * d + j]) for j in range(d)))
+        e2 = tr / (n * scale * scale)
+        intra.append(e2 - float((mu * mu).sum()))
+        mus.append(mu)
+        ns.append(n)
+    M = np.stack(mus)
+    nearest, inter = [], []
+    for i in range(len(labels)):
+        d2 = ((M - M[i]) ** 2).sum(axis=1)
+        d2[i] = np.inf
+        j = int(np.argmin(d2))  # first min → smallest label on ties
+        nearest.append(labels[j])
+        inter.append(float(d2[j]))
+    intra_a = np.array(intra)
+    inter_a = np.array(inter)
+    return pd.DataFrame({
+        "label": np.array(labels, dtype=np.int64),
+        "n": np.array(ns, dtype=np.int64),
+        "intra_msd": _round_away(intra_a, 6),
+        "nearest_label": np.array(nearest, dtype=np.int64),
+        "inter_sq": _round_away(inter_a, 6),
+        "separation": _round_away(inter_a / intra_a, 6)})
+
+
+def _silhouette_expected(df):
+    from pymhealth_ray.stages.pca import _quantize
+
+    labs = df["label"].to_numpy().astype(np.int64)
+    P = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    q = _quantize(P, 18).astype(np.int64)
+    stats = {}
+    for lv in np.unique(labs):
+        m = labs == lv
+        sub = q[m]
+        s = [int(v) for v in sub.sum(axis=0)]
+        ss = [int(v) for v in
+              (sub.T.astype(object) @ sub.astype(object)).ravel()]
+        stats[int(lv)] = (int(m.sum()), s, ss)
+    return _silhouette_finish(stats)
+
+
+def q_events_ab_srm(sf_dir: str):
+    """SAMPLE-RATIO-MISMATCH GUARD — the first check any experiment
+    readout runs: chi-square statistic of the two md5 arms' sizes
+    against the designed 50/50 split (a big value means the assignment
+    or logging pipeline is broken and every downstream readout is
+    void). Counts exact; one float expression."""
+    from pymhealth_ray.stages.aggregate import grouped_stats
+    from pymhealth_ray.stages.sketch import _md5_u64
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), "arm", "|")
+        arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
+        return pa.table({"arm": pa.array(arm),
+                         "one": pa.array(np.ones(b.num_rows,
+                                                 dtype=np.int64))})
+
+    st = grouped_stats(ev.map_batches(prep, batch_format="pyarrow"),
+                       ["arm"], sum_cols=["one"]).take_all()
+    by = {int(r["arm"]): int(r["one_sum"]) for r in st}
+    n0, n1 = by.get(0, 0), by.get(1, 0)
+    e = (n0 + n1) / 2.0
+    chi2 = (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e
+    return pa.table({
+        "n_arm0": pa.array([n0], type=pa.int64()),
+        "n_arm1": pa.array([n1], type=pa.int64()),
+        "srm_chi2": pa.array(_round_away(np.array([chi2]), 6))})
+
+
+SQL_EVENTS_AB_SRM = """
+WITH e AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || '|arm'), 1, 16))::UBIGINT % 2 AS BIGINT) AS arm
+           FROM events),
+a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY arm),
+w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1 FROM a)
+SELECT n0 AS n_arm0, n1 AS n_arm1,
+       round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0)
+             + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+               / ((n0 + n1) / 2.0), 6) AS srm_chi2
+FROM w
 """
