@@ -21314,6 +21314,11 @@ def q_events_ratio_delta(sf_dir: str):
         arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
         n = b["n"].to_numpy(zero_copy_only=False)
         x = b["x"].to_numpy(zero_copy_only=False)
+        # int64 exactness bound: x·x and x·n must stay below 2^63 even
+        # summed across the block (the triangles/assoc guard rule)
+        if x.size and int(np.abs(x).max()) > 2_000_000_000:
+            raise ValueError("user cents magnitude overflows int64 "
+                             "squared moments; bucket users first")
         rows = []
         for a in (0, 1):
             m = arm == a
@@ -21412,6 +21417,8 @@ def q_events_ab_power(sf_dir: str):
             pc.cast(b["user_id"], pa.string()), "arm", "|")
         arm = (_md5_u64(keys) % np.uint64(2)).astype(np.int64)
         c = b["cents"].to_numpy(zero_copy_only=False)
+        if c.size and int(np.abs(c).max()) >= 3_000_000_000:
+            raise ValueError("cents magnitude overflows int64 square")
         return pa.table({"arm": pa.array(arm),
                          "c": pa.array(c),
                          "cc": pa.array(c * c)})

@@ -120,3 +120,25 @@ class TestMisraGries:
         b = misra_gries_topk(list(reversed(paths)), "tokens",
                              k=16, top=10).to_pandas()
         pd.testing.assert_frame_equal(a, b)  # sorted internally
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ratio_delta_overflow_guard(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    n = 40
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1000,
+                       type=pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(["view"] * n),
+        # one user accumulates ~4e9 cents -> x*x would overflow int64
+        "value": pa.array(np.full(n, 1_000_000_00.0)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="overflow"):
+        Q.q_events_ratio_delta(str(tmp_path))
