@@ -1372,6 +1372,8 @@ def build_queries() -> dict:
         "docs_image_norm_stats": q_docs_image_norm_stats,
         "embed_silhouette_lite": q_embed_silhouette_lite,
         "events_ab_srm": q_events_ab_srm,
+        "events_rolling_retention": q_events_rolling_retention,
+        "seq_entropy_rate": q_seq_entropy_rate,
     }
 
 
@@ -1836,6 +1838,10 @@ def build_oracle_sql(sf_dir_for_fixture: str = "/root/testdata/sf0.01") -> dict:
             sf_dir_for_fixture, "embeddings", "silhouette_v1",
             _silhouette_expected, ["vec_id", "embedding", "label"]),
         "events_ab_srm": SQL_EVENTS_AB_SRM,
+        "events_rolling_retention": SQL_EVENTS_ROLLING_RETENTION,
+        "seq_entropy_rate": _materialized_oracle(
+            path, "entropy_rate_v1", _entropy_rate_expected,
+            ["tokens"]),
     }
     _flush_pending_oracles()
     return out
@@ -23202,3 +23208,144 @@ SELECT n0 AS n_arm0, n1 AS n_arm1,
                / ((n0 + n1) / 2.0), 6) AS srm_chi2
 FROM w
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 fourth-session wave T: rolling retention / entropy rate
+# --------------------------------------------------------------------------
+
+
+def q_events_rolling_retention(sf_dir: str):
+    """7-DAY ROLLING RETENTION — the product-health curve: of the users
+    active on day d, the share also active on day d+7. Distinct
+    (user, day) pairs dedupe per block and co-locate by USER (one
+    exchange); each user's sorted day list emits (d, retained?) votes
+    map-side, so the per-day rollup is a bounded keyed_sum. Counts
+    exact; one division per day."""
+    from pymhealth_ray.stages.aggregate import keyed_sum
+    from pymhealth_ray.stages.partition import grouped_by_bucket
+
+    DAY_US = 86_400_000_000
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["ts_us"].to_numpy(zero_copy_only=False) // DAY_US
+        pk = u * 1_000_000 + (d % 1_000_000)
+        return pa.table({"pk": pa.array(np.unique(pk).astype(np.int64))})
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "ret": pa.array([], type=pa.int64())})
+        pk = np.unique(tbl["pk"].to_numpy(zero_copy_only=False))
+        u = pk // 1_000_000
+        d = pk % 1_000_000
+        # sorted (user, day); day d is retained iff (user, d+7) exists
+        ret = np.zeros(len(pk), dtype=np.int64)
+        idx = np.searchsorted(pk, pk + 7)
+        ok = idx < len(pk)
+        ret[ok] = (pk[idx[ok]] == pk[ok] + 7) & (u[idx[ok]] == u[ok])
+        un, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "d": pa.array(un.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=un.size)
+                          .astype(np.int64)),
+            "ret": pa.array(np.bincount(
+                inv, weights=ret.astype(np.float64),
+                minlength=un.size).astype(np.int64))})
+
+    def add_user(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "user", pa.array(b["pk"].to_numpy(zero_copy_only=False)
+                             // 1_000_000))
+
+    votes = grouped_by_bucket(
+        ev.map_batches(pairs, batch_format="pyarrow",
+                       batch_size=None).map_batches(
+            add_user, batch_format="pyarrow"),
+        per_bucket, entity_col="user", num_buckets=NB)
+    rows = keyed_sum(votes, "d", ["n", "ret"], num_buckets=NB,
+                     precombine_rows=None).take_all()
+    d = np.array([r["d"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    ret = np.array([r["ret"] for r in rows], dtype=np.int64)
+    o = np.argsort(d)
+    d, n, ret = d[o], n[o], ret[o]
+    return pa.table({
+        "day": pa.array(d), "n_active": pa.array(n),
+        "n_retained": pa.array(ret),
+        "retention": pa.array(_round_away(
+            ret.astype(np.float64) / n.astype(np.float64), 6))})
+
+
+SQL_EVENTS_ROLLING_RETENTION = """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS d
+           FROM events),
+r AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS ret
+      FROM p a LEFT JOIN p b
+        ON b.user_id = a.user_id AND b.d = a.d + 7
+      GROUP BY a.d)
+SELECT CAST(d AS BIGINT) AS day, n AS n_active, ret AS n_retained,
+       round(CAST(ret AS DOUBLE) / CAST(n AS DOUBLE), 6) AS retention
+FROM r
+"""
+
+
+def q_seq_entropy_rate(sf_dir: str):
+    """CORPUS ENTROPY RATE — the single-number predictability summary:
+    bigram conditional entropy H(next|prev) = −Σ (c_ab/T)·ln(c_ab/c_a)
+    plus the unigram entropy over pair-slot marginals, from the same
+    dense pair matrix as the LM family. The float accumulation is
+    pinned to ascending (a, b) key order and replayed identically by
+    the oracle (counts exact, so both sides walk the same terms)."""
+    from pymhealth_ray.stages.pmi import skipgram_pair_counts
+
+    KM = 2048
+    ds, _ = _seq_ds(sf_dir, ["doc_id", "ts_ns", "tokens"])
+    pairs = skipgram_pair_counts(ds, "tokens", window=1, key_mult=KM)
+    dense = np.zeros(KM * KM, dtype=np.int64)
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        dense[k] = c
+    return pa.Table.from_pandas(_entropy_rate_finish(dense, KM),
+                                preserve_index=False)
+
+
+def _entropy_rate_finish(dense: np.ndarray, km: int):
+    import pandas as pd
+
+    mat = dense.reshape(km, km)
+    ca = mat.sum(axis=1)
+    T = float(dense.sum())
+    nz = np.flatnonzero(dense)  # ascending (a, b) packed keys
+    cab = dense[nz].astype(np.float64)
+    caf = ca[nz // km].astype(np.float64)
+    h_cond = float(-np.sum((cab / T) * np.log(cab / caf)))
+    anz = np.flatnonzero(ca)
+    pa_ = ca[anz].astype(np.float64) / T
+    h_uni = float(-np.sum(pa_ * np.log(pa_)))
+    return pd.DataFrame({
+        "n_pair_slots": np.array([int(T)], dtype=np.int64),
+        "n_bigram_types": np.array([len(nz)], dtype=np.int64),
+        "h_unigram": _round_away(np.array([h_uni]), 6),
+        "h_conditional": _round_away(np.array([h_cond]), 6),
+        "info_gain": _round_away(np.array([h_uni - h_cond]), 6)})
+
+
+def _entropy_rate_expected(src: pa.Table):
+    """Single-process replay over the sequences fixture."""
+    KM = 2048
+    toks = src["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    dense = np.zeros(KM * KM, dtype=np.int64)
+    for row in toks.to_pylist():
+        for x, y in zip(row, row[1:]):
+            dense[x * KM + y] += 1
+    return _entropy_rate_finish(dense, KM)
