@@ -526,6 +526,71 @@ def delete_zonemapped(out_dir: str, key_col: str, keys):
     return rewritten, len(manifest), n_deleted
 
 
+def delete_zonemapped_range(out_dir: str, col: str, cutoff: int):
+    """TTL / RETENTION SWEEP — copy-on-write range delete of every row
+    with ``col < cutoff``, pruned by the ZONEMAP instead of a bloom:
+    files with zmax < cutoff DROP WHOLESALE (no read at all — the
+    common case for time-ordered data aging out), files with
+    zmin >= cutoff are untouched, only STRADDLERS rewrite. Commits MVCC
+    like the other mutations (archive + swap, time travel preserved).
+    Returns (n_dropped_files, n_rewritten, n_files_total,
+    n_rows_deleted). ``col`` must be the zonemapped sort column."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+    import ray as _ray
+
+    manifest = sorted(zonemap_manifest(out_dir), key=lambda m: m["zmin"])
+    gen = _zonemap_versions(out_dir) + 1
+    bloom_keys = [k for k in (manifest[0] if manifest else {})
+                  if k.startswith("bloom__")]
+    drop_idx, rewrite_idx = [], []
+    for i, m in enumerate(manifest):
+        if int(m["zmax"]) < cutoff:
+            drop_idx.append(i)
+        elif int(m["zmin"]) < cutoff:
+            rewrite_idx.append(i)
+
+    @_ray.remote
+    def rewrite(i: int) -> tuple:
+        m = manifest[i]
+        base = pq_mod.read_table(os.path.join(out_dir, m["file"]))
+        keep = pc.greater_equal(base[col], cutoff)
+        kept = base.filter(keep)
+        nd = base.num_rows - kept.num_rows
+        if nd == 0:
+            return m, 0
+        if kept.num_rows == 0:
+            return None, nd
+        name = _rewritten_name(m["file"], gen)
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        pq_mod.write_table(kept, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        out = dict(m)
+        out["file"] = name
+        out["rows"] = int(kept.num_rows)
+        out["zmin"] = int(pc.min(kept[col]).as_py())
+        out.update(_recomputed_blooms(m, kept, bloom_keys))
+        return out, nd
+
+    results = _ray.get([rewrite.remote(int(i)) for i in rewrite_idx])
+    n_deleted = sum(r[1] for r in results)
+    n_deleted += sum(int(manifest[i]["rows"]) for i in drop_idx)
+    if not drop_idx and all(r[1] == 0 for r in results):
+        return 0, 0, len(manifest), 0
+    new_manifest = list(manifest)
+    for i in drop_idx:
+        new_manifest[i] = None
+    for i, (rep, nd) in zip(rewrite_idx, results):
+        if nd > 0:
+            new_manifest[int(i)] = rep
+    new_manifest = [m for m in new_manifest if m is not None]
+    _archive_and_swap(out_dir, manifest, new_manifest)
+    n_rw = sum(1 for r in results if r[1] > 0)
+    return len(drop_idx), n_rw, len(manifest), n_deleted
+
+
 def vacuum_zonemapped(out_dir: str) -> int:
     """Reclaim MVCC history: drop every archived manifest generation and
     delete data files only the history references. After vacuum only the

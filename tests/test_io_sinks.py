@@ -578,8 +578,9 @@ class TestZonemapCrudFuzz:
             assert gdf["t"].tolist() == exp["t"].tolist()
             assert gdf["v"].tolist() == exp["v"].tolist()
 
-        ops = rng.choice(["upsert", "delete", "compact", "vacuum"],
-                         size=10, p=[0.4, 0.3, 0.2, 0.1])
+        ops = rng.choice(["upsert", "delete", "compact", "vacuum",
+                          "ttl"],
+                         size=12, p=[0.35, 0.25, 0.15, 0.1, 0.15])
         for op in ops:
             keys_now = np.array(sorted(model), dtype=np.int64)
             if op == "upsert":
@@ -614,6 +615,18 @@ class TestZonemapCrudFuzz:
                 delete_zonemapped(zdir, "k", dels)
             elif op == "compact":
                 compact_zonemapped(zdir, target_files=4)
+            elif op == "ttl":
+                from pymhealth_ray.sources.io import \
+                    delete_zonemapped_range
+
+                ts_now = sorted(tt for tt, _ in model.values())
+                if ts_now:
+                    # cut a small slice off the old end
+                    cutoff = ts_now[max(0, len(ts_now) // 10)]
+                    for kk in [kk for kk, (tt, _) in model.items()
+                               if tt < cutoff]:
+                        del model[kk]
+                    delete_zonemapped_range(zdir, "t", cutoff)
             else:
                 vacuum_zonemapped(zdir)
             check()
