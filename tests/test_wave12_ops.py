@@ -705,3 +705,27 @@ def test_apportionment_sums_to_budget(tmp_path):
     for r in out:
         exact = 1_000_000 * r["n_orders"] / 777
         assert abs(r["alloc"] - exact) < 1.0  # within one unit
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_features_no_leakage(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    # user 5: events at t=10(v=1), t=20 purchase, t=20(v=7, same-ts),
+    # t=30(v=9, future). Features at the label must see ONLY t=10.
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([10, 20, 20, 30], type=pa.timestamp("us")),
+        "user_id": pa.array([5, 5, 5, 5], type=pa.int64()),
+        "event_type": pa.array(["view", "purchase", "view", "view"]),
+        "value": pa.array([0.01, 0.05, 0.07, 0.09]),
+        "props": pa.array([""] * 4),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = Q.q_events_training_features(str(tmp_path)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_7d"] == 1 and r["sum_cents_7d"] == 1
+    assert r["last_gap_us"] == 10
