@@ -534,7 +534,10 @@ def delete_zonemapped_range(out_dir: str, col: str, cutoff: int):
     zmin >= cutoff are untouched, only STRADDLERS rewrite. Commits MVCC
     like the other mutations (archive + swap, time travel preserved).
     Returns (n_dropped_files, n_rewritten, n_files_total,
-    n_rows_deleted). ``col`` must be the zonemapped sort column."""
+    n_rows_deleted); dropped counts every file REMOVED from the manifest
+    (zonemap-pruned wholesale + straddlers the rewrite emptied),
+    rewritten counts files replaced by a new version. ``col`` must be
+    the zonemapped sort column."""
     import os
 
     import pyarrow.compute as pc
@@ -587,8 +590,12 @@ def delete_zonemapped_range(out_dir: str, col: str, cutoff: int):
             new_manifest[int(i)] = rep
     new_manifest = [m for m in new_manifest if m is not None]
     _archive_and_swap(out_dir, manifest, new_manifest)
-    n_rw = sum(1 for r in results if r[1] > 0)
-    return len(drop_idx), n_rw, len(manifest), n_deleted
+    # a straddler whose rewrite kept zero rows left the manifest without
+    # a new file: count it as DROPPED, not rewritten — telemetry says
+    # 'dropped = files removed', 'rewritten = files with a new version'
+    n_emptied = sum(1 for rep, nd in results if nd > 0 and rep is None)
+    n_rw = sum(1 for rep, nd in results if nd > 0 and rep is not None)
+    return len(drop_idx) + n_emptied, n_rw, len(manifest), n_deleted
 
 
 def vacuum_zonemapped(out_dir: str) -> int:
