@@ -729,3 +729,33 @@ def test_training_features_no_leakage(tmp_path):
     r = out[0]
     assert r["n_7d"] == 1 and r["sum_cents_7d"] == 1
     assert r["last_gap_us"] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_activity_streaks_brute(tmp_path):
+    import pyarrow.parquet as pq
+
+    from pymhealth_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    u = rng.integers(0, 30, size=n).astype(np.int64)
+    day = rng.integers(0, 40, size=n).astype(np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(day * 86_400_000_000 + 5, type=pa.timestamp("us")),
+        "user_id": pa.array(u),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {r["user_id"]: (r["n_active_days"], r["longest_streak"])
+           for r in Q.q_events_activity_streaks(str(tmp_path)).take_all()}
+    for uid in np.unique(u):
+        days = sorted(set(day[u == uid].tolist()))
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        assert got[int(uid)] == (len(days), best)
